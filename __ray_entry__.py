@@ -1,16 +1,23 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+queries() entries map to SURVEY.md §2 operators:
+  exact_dedup_docs     D2 exact-lookup analog (groupby content-hash keep-first)
+  token_count          text analysis: token counting
+  quality_score        text analysis: quality features
+  lang_id              text analysis: language-ID heuristic (rows-only)
+  doc_fingerprint      document fingerprinting: SimHash + MinHash (rows-only)
+  minhash_lsh_docs     D3/D4 similarity join: MinHash-LSH near-dup clusters (rows-only)
+  container_refs       HAR utilization aggregate (R4 analog)
+  cap_top_containers   CAP top-k by referenced bytes (R3 analog)
+  docs_stats_by_lang   per-job counters (W5 analog)
+  ann_topk             brute-force cosine top-k similarity search
+  lsh_bucket_topk      LSH-bucketed ANN (scale path; rows-only)
+  embedding_dedup_pairs embedding-cosine near-dup pairs
+  corpus_dedup_clusters flagship: image+caption near-dup clustering (rows-only)
+  corpus_exact_dedup   flagship exact channel on the synthetic corpus (rows-only)
 """
 
 from __future__ import annotations
@@ -18,27 +25,112 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_ROWS = {  # deterministic synthetic corpus size per driver sf dir
+    "sf0.001": 400,
+    "sf0.01": 1000,
+    "sf0.1": 4000,
+}
+
+
+def _corpus_rows_for(sf_dir: str) -> int:
+    for key, n in _CORPUS_ROWS.items():
+        if sf_dir.rstrip("/").endswith(key):
+            return n
+    return 400
+
+
+def _corpus_clusters(sf_dir: str):
+    from destor_ray import corpus
+    from destor_ray.pipelines.dedup import dedup_pipeline_from_dir
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    return dedup_pipeline_from_dir(d)
+
+
+def _corpus_exact(sf_dir: str):
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.pipelines.dedup import signatures_from_corpus
+    from destor_ray.stages.exact import exact_dedup
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    return exact_dedup(signatures_from_corpus(ray.data.read_parquet(d)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: near-dup clustering of the deterministic synthetic
+    image+caption corpus at sf0.001 scale."""
+    return _corpus_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from destor_ray.pipelines import ann, text
+    return {
+        "exact_dedup_docs": text.exact_dedup_docs,
+        "token_count": text.token_count,
+        "quality_score": text.quality_score,
+        "lang_id": text.lang_id,
+        "doc_fingerprint": text.doc_fingerprint,
+        "minhash_lsh_docs": text.minhash_lsh_docs,
+        "container_refs": text.container_refs,
+        "cap_top_containers": text.cap_top_containers,
+        "docs_stats_by_lang": text.docs_stats_by_lang,
+        "ann_topk": ann.ann_topk,
+        "lsh_bucket_topk": ann.lsh_bucket_topk,
+        "embedding_dedup_pairs": ann.embedding_dedup_pairs,
+        "corpus_dedup_clusters": _corpus_clusters,
+        "corpus_exact_dedup": _corpus_exact,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs": """
+            SELECT md5(text) AS h,
+                   min(doc_id) AS keeper_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "quality_score": r"""
+            SELECT doc_id,
+                   length(text) AS text_len,
+                   length(regexp_replace(text, '[[:alnum:][:space:]_]', '', 'g')) AS n_punct,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+            FROM documents
+        """,
+        "container_refs": """
+            SELECT source,
+                   count(*) AS refs,
+                   CAST(sum(n_chars) AS BIGINT) AS ref_bytes
+            FROM documents GROUP BY source
+        """,
+        "cap_top_containers": """
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS ref_bytes
+            FROM documents GROUP BY source
+            ORDER BY ref_bytes DESC, source ASC
+            LIMIT 10
+        """,
+        "docs_stats_by_lang": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings e, q
+            ORDER BY cos_sim DESC, e.vec_id DESC
+            LIMIT 10
+        """,
+        "embedding_dedup_pairs": """
+            SELECT a.vec_id AS left_vec, b.vec_id AS right_vec
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.27
+        """,
+    }

@@ -1,0 +1,104 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "images_per_sec": ...}
+
+Headline = flagship near-dup dedup pipeline over the deterministic
+synthetic image+caption corpus (BASELINE.json metric is images/sec).
+
+  python bench.py              # $GRAFT_SF_DIR (default /root/testdata/sf0.1),
+                               # $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling    # same job at num_cpus=8 and 32 in fresh
+                               # processes → scaling efficiency (N vs 4N)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_CORPUS_ROWS", "20000"))
+
+
+def run_scaling() -> None:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    rate_lo = lo["images_per_sec"]
+    rate_hi = hi["images_per_sec"]
+    eff = (rate_hi / rate_lo) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "images_per_sec_8": rate_lo, "images_per_sec_32": rate_hi,
+        "scaling_efficiency": round(eff, 3),
+        "corpus_rows": BENCH_CORPUS_ROWS,
+    }))
+
+
+def main() -> None:
+    import ray
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from destor_ray import corpus
+    from destor_ray.pipelines.dedup import dedup_pipeline_from_dir
+
+    timings: dict[str, float] = {}
+
+    # corpus generation (cached across runs; untimed warm of page cache)
+    cdir = corpus.ensure_corpus_parquet(BENCH_CORPUS_ROWS, seed=42)
+    import pyarrow.dataset as pads
+    pads.dataset(cdir).head(1)  # warm
+
+    t0 = time.time()
+    n_out = dedup_pipeline_from_dir(cdir).count()
+    headline = time.time() - t0
+    timings["corpus_dedup_clusters"] = round(headline, 3)
+    assert n_out == BENCH_CORPUS_ROWS
+
+    # operator queries over the driver tables at SF_DIR
+    import __ray_entry__ as em
+    qs = em.queries()
+    for name in ["exact_dedup_docs", "minhash_lsh_docs", "ann_topk",
+                 "embedding_dedup_pairs", "container_refs",
+                 "cap_top_containers", "token_count"]:
+        t0 = time.time()
+        res = qs[name](SF_DIR)
+        # consume without collecting wide results to the driver
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "end-to-end near-dup dedup throughput (synthetic image+caption corpus)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "corpus_rows": BENCH_CORPUS_ROWS,
+        "images_per_sec": round(BENCH_CORPUS_ROWS / headline, 1),
+        "total_sec": round(total, 3),
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        main()

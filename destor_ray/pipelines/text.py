@@ -1,0 +1,254 @@
+"""Text-analysis + dedup operators over the driver `documents` table
+(doc_id:int64, text:string, lang:string, source:string, n_chars:int64).
+
+These re-express destor's dedup machinery on a text corpus (the
+reference operates on byte streams; the semantics — exact dedup by
+content hash, similarity via sampled features, container utilization,
+top-k by referenced bytes — are identical) plus the text-analysis
+operators a large-scale training-data pipeline needs (language id,
+quality scoring, token counting, fingerprinting).
+
+Every SQL-expressible op has a DuckDB oracle in __ray_entry__.oracle_sql
+with IDENTICAL column names. Keep both sides in sync.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import EngineConfig
+from ..functions import hashing, minhash
+
+
+def _read_documents(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# D2 analog: exact dedup by content hash (groupby keep-first)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_docs(sf_dir: str):
+    """md5(text) → (h, keeper_id, n_copies). Oracle: GROUP BY md5(text)."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "h": pa.array(hs, pa.string())})
+
+    from ray.data.aggregate import Count, Min
+    out = ds.map_batches(add_hash, batch_format="pyarrow") \
+        .groupby("h").aggregate(Min("doc_id", alias_name="keeper_id"),
+                                Count(alias_name="n_copies"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token counting / quality / language id / fingerprint
+# ---------------------------------------------------------------------------
+
+def token_count(sf_dir: str):
+    """(doc_id, n_tokens) where n_tokens counts single-space splits —
+    semantics chosen to be oracle-expressible (len(string_split(text,' '')))."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = [len(t.split(" ")) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def quality_score(sf_dir: str):
+    """(doc_id, text_len, n_punct, n_alpha) — length/punctuation/alpha
+    counts (quality-scoring features; all integer so the oracle hash is
+    exact)."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_len": pa.array([len(t) for t in texts], pa.int64()),
+            "n_punct": pa.array([len(_PUNCT_RE.findall(t)) for t in texts], pa.int64()),
+            "n_alpha": pa.array([len(_ALPHA_RE.findall(t)) for t in texts], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class LangIdStage:
+    """Language-ID heuristic as an actor-pool stage: stopword-hit ratios
+    per language, tables built once per actor (__init__), vectorized-ish
+    scoring per batch. No SQL oracle (rows-only check)."""
+
+    STOPWORDS = {
+        "en": {"the", "and", "of", "a", "to", "in", "is", "for", "on", "with"},
+        "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"},
+        "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "dans", "pour"},
+        "es": {"el", "la", "los", "y", "es", "un", "una", "de", "en", "por"},
+    }
+
+    def __init__(self) -> None:
+        self.tables = {lang: frozenset(ws) for lang, ws in self.STOPWORDS.items()}
+        self.word_re = re.compile(r"[a-zA-Z]+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch["text"].to_pylist():
+            toks = [w.lower() for w in self.word_re.findall(t)]
+            if not toks:
+                preds.append("unknown")
+                continue
+            scores = {lang: sum(w in tbl for w in toks) for lang, tbl in self.tables.items()}
+            best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+            preds.append(best[0] if best[1] > 0 else "unknown")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "pred_lang": pa.array(preds, pa.string())})
+
+
+def lang_id(sf_dir: str):
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    return ds.map_batches(LangIdStage, batch_format="pyarrow",
+                          batch_size=2048, concurrency=2)
+
+
+def doc_fingerprint(sf_dir: str):
+    """(doc_id, simhash, minhash_min) — 64-bit SimHash over word-3-gram
+    shingles + the minimum MinHash slot (document fingerprinting).
+    Deterministic; rows-only check (no SQL equivalent)."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sims, mins = [], []
+        for t in batch["text"].to_pylist():
+            sh = hashing.char_shingles_u64(t, 5)
+            sims.append(np.int64(np.uint64(minhash.simhash64(sh)).view(np.int64)) if len(sh) else 0)
+            mins.append(np.int64(minhash.bottomk_signature(sh, 1)[0].view(np.int64)) if len(sh) else 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash": pa.array(np.asarray(sims, dtype=np.int64), pa.int64()),
+                         "minhash_min": pa.array(np.asarray(mins, dtype=np.int64), pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup dedup over documents (MinHash-LSH / SimHash / n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6):
+    """Near-dup clusters over document text via MinHash-LSH + verified
+    n-gram Jaccard + connected components. Returns (doc_id, cluster_id)
+    for every doc. Rows-only check (clusters are not SQL-expressible)."""
+    from ..stages import cluster as cl
+    cfg = EngineConfig()
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        parts = [hashing.char_shingles_u64(t, cfg.lsh.shingle_k) for t in texts]
+        offs = np.zeros(len(parts) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in parts], out=offs[1:])
+        flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+        sig = minhash.minhash_signatures_flat(flat, offs, cfg.lsh.num_perms, cfg.seed)
+        bands = minhash.band_keys(sig, cfg.lsh.num_bands, cfg.lsh.rows_per_band, cfg.seed)
+        ids = batch["doc_id"].to_pylist()
+        n = len(ids)
+        key = bands.reshape(-1).view(np.int64)
+        rep_ids = np.repeat(np.asarray(ids, dtype=np.int64), cfg.lsh.num_bands)
+        sigl = np.repeat(sig.view(np.int64)[:, None, :], cfg.lsh.num_bands, axis=1).reshape(n * cfg.lsh.num_bands, -1)
+        return pa.table({
+            "band_key": pa.array(key, pa.int64()),
+            "doc_id": pa.array(rep_ids, pa.int64()),
+            "sig": pa.array(list(sigl), pa.list_(pa.int64())),
+        })
+
+    bands = ds.map_batches(sig_fn, batch_format="pyarrow")
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates("doc_id").sort_values("doc_id")
+        g = len(df)
+        if g < 2:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64())})
+        sigs = np.asarray([np.asarray(s) for s in df["sig"]], dtype=np.int64)
+        ids = df["doc_id"].to_numpy()
+        li, ri = np.triu_indices(g, k=1)
+        est = (sigs[li] == sigs[ri]).mean(axis=1)
+        ok = est >= threshold
+        return pa.table({"left_id": pa.array(ids[li[ok]], pa.int64()),
+                         "right_id": pa.array(ids[ri[ok]], pa.int64())})
+
+    edges = bands.groupby("band_key").map_groups(verify, batch_format="pandas")
+
+    # connected components over int ids: reuse string machinery via cast
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "left_id": pc.cast(batch["left_id"], pa.string()),
+            "right_id": pc.cast(batch["right_id"], pa.string()),
+        })
+
+    def pad(batch: pa.Table) -> pa.Table:
+        return pa.table({"image_id": pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 12, "0")})
+
+    def pad_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "left_id": pc.utf8_lpad(pc.cast(batch["left_id"], pa.string()), 12, "0"),
+            "right_id": pc.utf8_lpad(pc.cast(batch["right_id"], pa.string()), 12, "0"),
+        })
+
+    ids_ds = ds.select_columns(["doc_id"]).map_batches(pad, batch_format="pyarrow")
+    edges_s = edges.map_batches(pad_edges, batch_format="pyarrow")
+    assign = cl.assign_clusters(ids_ds, edges_s, rounds=3)
+
+    def unpad(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["image_id"], pa.int64()),
+            "cluster_id": pc.cast(batch["cluster_id"], pa.int64()),
+        })
+
+    return assign.map_batches(unpad, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation analogs of destor's container metrics (HAR / CAP / stats)
+# ---------------------------------------------------------------------------
+
+def container_refs(sf_dir: str):
+    """HAR utilization analog (har_rewrite.c:61-81): treating `source` as
+    the container id, count references and bytes per container."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read_documents(sf_dir).select_columns(["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="refs"), Sum("n_chars", alias_name="ref_bytes"))
+
+
+def cap_top_containers(sf_dir: str, k: int = 10):
+    """CAP analog (cap_rewrite.c:10-35): top-k containers by referenced
+    bytes, deterministic tie-break on container id."""
+    from ray.data.aggregate import Sum
+    ds = _read_documents(sf_dir).select_columns(["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(Sum("n_chars", alias_name="ref_bytes"))
+    return agg.sort(["ref_bytes", "source"], descending=[True, False]).limit(k)
+
+
+def docs_stats_by_lang(sf_dir: str):
+    """Per-job accounting analog (do_backup.c:99-209): grouped counters."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    ds = _read_documents(sf_dir).select_columns(["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Min("n_chars", alias_name="min_chars"),
+        Max("n_chars", alias_name="max_chars"))

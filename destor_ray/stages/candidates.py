@@ -1,0 +1,159 @@
+"""Candidate generation + verification — the LSH shuffle at the heart of
+the engine (SURVEY.md §2.5 D3/D4: the feature kv-store probe becomes a
+`groupby(band_key)` exchange; verification replaces "prefetch & probe").
+
+Flow:
+  signatures ──flat_map──► (band_key, image_id, thumb) band rows
+             ──groupby(band_key).map_groups──► verified edges
+                (left_id, right_id, psnr, channel, verified)
+
+Within a band group of size g:
+  * g <= full_pair_cap: all g(g-1)/2 pairs are verified (small groups are
+    the common case; exhaustive keeps recall high),
+  * else: star-to-min + adjacent chain (2(g-1) pairs) — hot/degenerate
+    bands stay linear, never quadratic (explicit skew handling per
+    BASELINE.json.north_rule). Nothing is dropped; connectivity is
+    preserved through edge redundancy across bands/channels.
+
+Verification = thumbnail PSNR >= cfg.verify.psnr_threshold, vectorized
+over the group's pair list. Thumbnails ride along in the band rows so no
+second join/shuffle is needed and full payloads never move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..functions import minhash
+from ..functions.hashing import mix_u64
+
+CH_CAPTION = 1
+CH_PHASH = 2
+CH_CDC = 3
+
+_EMPTY64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def explode_bands(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
+    """Signature rows → band rows. Band keys are salted per channel so
+    channels never collide in the shuffle."""
+    cfg = cfg or EngineConfig()
+    ids = batch["image_id"].to_pylist()
+    thumbs = batch["thumb"].to_pylist()
+    n = len(ids)
+    if n == 0:
+        return pa.table({"band_key": pa.array([], pa.int64()),
+                         "image_id": pa.array([], pa.string()),
+                         "thumb": pa.array([], pa.binary())})
+
+    out_key: list[np.ndarray] = []
+    out_idx: list[np.ndarray] = []
+
+    # caption MinHash bands (skip empty-caption sentinel signatures)
+    sig = np.asarray(
+        [np.asarray(s, dtype=np.int64) for s in batch["cap_sig"].to_pylist()],
+        dtype=np.int64,
+    ).view(np.uint64)
+    if sig.size:
+        keys = minhash.band_keys(sig, cfg.lsh.num_bands, cfg.lsh.rows_per_band, cfg.seed)
+        nonempty = sig[:, 0] != _EMPTY64
+        for b in range(cfg.lsh.num_bands):
+            k = mix_u64(keys[nonempty, b], CH_CAPTION)
+            out_key.append(k)
+            out_idx.append(np.flatnonzero(nonempty))
+
+    # phash Hamming bands
+    phash = np.asarray(batch["phash"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    pkeys = minhash.hamming_band_keys(phash, cfg.lsh.phash_bands, cfg.seed)
+    all_idx = np.arange(n)
+    for b in range(cfg.lsh.phash_bands):
+        out_key.append(mix_u64(pkeys[:, b], CH_PHASH))
+        out_idx.append(all_idx)
+
+    # CDC feature channel: each sampled chunk fingerprint is a key
+    # (destor's feature→unit kv-store, kvstore_htable.c:158-207)
+    if cfg.use_byte_cdc_channel:
+        feats = batch["cdc_feats"].to_pylist()
+        flat = []
+        fidx = []
+        for i, f in enumerate(feats):
+            if f:
+                flat.append(np.asarray(f, dtype=np.int64).view(np.uint64))
+                fidx.append(np.full(len(f), i, dtype=np.int64))
+        if flat:
+            out_key.append(mix_u64(np.concatenate(flat), CH_CDC))
+            out_idx.append(np.concatenate(fidx))
+
+    if not out_key:
+        return pa.table({"band_key": pa.array([], pa.int64()),
+                         "image_id": pa.array([], pa.string()),
+                         "thumb": pa.array([], pa.binary())})
+    key = np.concatenate(out_key).view(np.int64)
+    idx = np.concatenate(out_idx)
+    return pa.table({
+        "band_key": pa.array(key, pa.int64()),
+        "image_id": pa.array([ids[i] for i in idx], pa.string()),
+        "thumb": pa.array([thumbs[i] for i in idx], pa.binary()),
+    })
+
+
+def _pair_indices(g: int, full_pair_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pair index arrays for a group of size g (members sorted)."""
+    if g <= full_pair_cap:
+        iu = np.triu_indices(g, k=1)
+        return iu[0], iu[1]
+    # star to member 0 + adjacent chain — linear in g
+    star_l = np.zeros(g - 1, dtype=np.int64)
+    star_r = np.arange(1, g, dtype=np.int64)
+    chain_l = np.arange(1, g - 1, dtype=np.int64)
+    chain_r = np.arange(2, g, dtype=np.int64)
+    return np.concatenate([star_l, chain_l]), np.concatenate([star_r, chain_r])
+
+
+def verify_group(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
+    """Per band group: emit verified candidate edges.
+
+    Replaces destor's champion-prefetch-and-probe
+    (similarity_detection.c:136-217) — here the "prefetch" is the thumb
+    column already in the group and the "probe" is a vectorized PSNR.
+    """
+    cfg = cfg or EngineConfig()
+    # unique members, deterministic order
+    df = df.drop_duplicates("image_id").sort_values("image_id")
+    g = len(df)
+    if g < 2:
+        return empty_edges_table()
+    ids = df["image_id"].to_numpy()
+    thumbs = np.frombuffer(b"".join(df["thumb"]), dtype=np.uint8).reshape(g, -1)
+    li, ri = _pair_indices(g, cfg.lsh.full_pair_cap)
+    diff = thumbs[li].astype(np.float32) - thumbs[ri].astype(np.float32)
+    mse = np.mean(diff * diff, axis=1)
+    with np.errstate(divide="ignore"):
+        psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
+    ok = psnr >= cfg.verify.psnr_threshold
+    return pa.table({
+        "left_id": pa.array(list(ids[li[ok]]), pa.string()),
+        "right_id": pa.array(list(ids[ri[ok]]), pa.string()),
+        "psnr": pa.array(np.minimum(psnr[ok], 1e9), pa.float64()),
+    })
+
+
+def empty_edges_table() -> pa.Table:
+    return pa.table({
+        "left_id": pa.array([], pa.string()),
+        "right_id": pa.array([], pa.string()),
+        "psnr": pa.array([], pa.float64()),
+    })
+
+
+def candidate_edges(signatures_ds, cfg: EngineConfig | None = None):
+    """signatures Dataset → verified edge Dataset (left_id, right_id, psnr)."""
+    cfg = cfg or EngineConfig()
+    bands = signatures_ds.map_batches(
+        lambda b: explode_bands(b, cfg), batch_format="pyarrow")
+    edges = bands.groupby("band_key").map_groups(
+        lambda df: verify_group(df, cfg), batch_format="pandas")
+    return edges

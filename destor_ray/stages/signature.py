@@ -1,0 +1,87 @@
+"""Signature stage: per-row derived features, computed in one
+`map_batches(batch_format="pyarrow")` pass over the corpus.
+
+Emits (per row):
+  sha1        str     exact-dup key over the encoded payload (H1 analog,
+                      /root/reference/src/hash_phase.c:8-38)
+  thumb       binary  16×16 gray thumbnail — the compact verify signature;
+                      full payloads never enter a shuffle (SURVEY.md §7.4.4)
+  cap_sig     list<u64 as int64>  MinHash signature of caption char-shingles
+  cdc_feats   list<u64 as int64>  sampled FastCDC chunk fingerprints of the
+                      encoded bytes (F1 min-sampling semantics,
+                      sampling_method.c:12-75) — the destor-parity channel
+  phash       passthrough input column
+
+This is a stateless task stage: pure numpy/pyarrow kernels, no actor
+state needed (tables are precomputed module-level constants).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codec
+from ..config import EngineConfig
+from ..functions import chunking, hashing, minhash, sampling
+
+
+def _caption_shingle_flat(captions: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated char-shingle hashes + offsets for a caption column."""
+    parts = [hashing.char_shingles_u64(c or "", k) for c in captions]
+    offsets = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in parts], out=offsets[1:])
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    return flat, offsets
+
+
+def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
+    cfg = cfg or EngineConfig()
+    payloads = batch["bytes"].to_pylist()
+    captions = batch["caption"].to_pylist()
+    n = len(payloads)
+
+    sha1 = hashing.sha1_hex_batch(payloads)
+
+    thumbs = []
+    for p in payloads:
+        thumbs.append(codec.thumbnail(codec.decode(p), cfg.verify.thumb_size))
+
+    flat, offsets = _caption_shingle_flat(captions, cfg.lsh.shingle_k)
+    cap_sig = minhash.minhash_signatures_flat(flat, offsets, cfg.lsh.num_perms, cfg.seed)
+
+    cdc_feats: list[np.ndarray] = []
+    if cfg.use_byte_cdc_channel:
+        params = chunking.ChunkParams(cfg.chunking.min_size, cfg.chunking.avg_size,
+                                      cfg.chunking.max_size)
+        for p in payloads:
+            fps = chunking.chunk_hashes(p, cfg.chunking.algorithm, params)
+            cdc_feats.append(sampling.sample_features(
+                fps, cfg.sampling.method, cfg.sampling.ratio).view(np.int64))
+    else:
+        cdc_feats = [np.empty(0, dtype=np.int64)] * n
+
+    out = pa.table({
+        "image_id": batch["image_id"],
+        "caption": batch["caption"],
+        "phash": batch["phash"],
+        "sha1": pa.array(sha1, pa.string()),
+        "thumb": pa.array(thumbs, pa.binary()),
+        "cap_sig": pa.array([s.view(np.int64) for s in cap_sig], pa.list_(pa.int64())),
+        "cdc_feats": pa.array(list(cdc_feats), pa.list_(pa.int64())),
+    })
+    return out
+
+
+class SignatureStage:
+    """Callable-class wrapper so the stage can run as an actor pool when
+    configured (state: the config; tables are module-level caches)."""
+
+    def __init__(self, cfg: EngineConfig | None = None):
+        self.cfg = cfg or EngineConfig()
+        # warm the per-process kernel tables once (actor __init__, not per batch)
+        chunking._gear_table()
+        chunking._rabin_lag_tables()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return compute_signatures(batch, self.cfg)

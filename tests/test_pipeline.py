@@ -1,0 +1,81 @@
+"""End-to-end flagship pipeline conformance: recall >= 0.99 vs planted
+plan, no distractor merges, exact cluster-count agreement with ground
+truth, determinism."""
+
+import numpy as np
+import pytest
+
+from destor_ray import corpus
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session):
+    return corpus.ensure_corpus_parquet(N, seed=42)
+
+
+@pytest.fixture(scope="module")
+def assignment(ray_session, corpus_dir):
+    from destor_ray.pipelines.dedup import dedup_pipeline_from_dir
+    return dedup_pipeline_from_dir(corpus_dir).to_pandas()
+
+
+def test_all_rows_assigned(assignment):
+    assert len(assignment) == N
+    assert assignment.image_id.is_unique
+
+
+def test_recall_and_distractors(assignment):
+    pred = dict(zip(assignment.image_id, assignment.cluster_id))
+    plan = corpus.dup_plan_table(N)
+    hits = misses = joined_distractors = 0
+    for l, r, k in zip(plan["left_id"].to_pylist(), plan["right_id"].to_pylist(),
+                       plan["kind"].to_pylist()):
+        same = pred[l] == pred[r]
+        if k == "distractor_near_miss":
+            joined_distractors += int(same)
+        else:
+            hits += int(same)
+            misses += int(not same)
+    recall = hits / max(1, hits + misses)
+    assert recall >= 0.99, (recall, misses)
+    assert joined_distractors == 0
+
+
+def test_cluster_assignment_matches_truth_exactly(assignment):
+    truth = {f"img{i:010d}": f"img{corpus.truth_cluster(i):010d}" for i in range(N)}
+    pred = dict(zip(assignment.image_id, assignment.cluster_id))
+    mismatches = {k: (pred[k], truth[k]) for k in truth if pred[k] != truth[k]}
+    assert not mismatches, list(mismatches.items())[:5]
+
+
+def test_exact_dedup_counts(ray_session, corpus_dir):
+    import ray.data
+    from destor_ray.pipelines.dedup import signatures_from_corpus
+    from destor_ray.stages.exact import exact_dedup
+    out = exact_dedup(signatures_from_corpus(ray.data.read_parquet(corpus_dir))).to_pandas()
+    assert len(out) == N
+    # exact dups: slot 7 of each block, plus caption_para rows (slot 19 keeps
+    # identical bytes → byte-identical too)
+    n_exact_dups = out.is_dup.sum()
+    expected = sum(1 for i in range(N) if corpus.plan_for_row(i)[0] in ("exact", "caption_para"))
+    assert n_exact_dups == expected
+
+
+def test_dsu_matches_distributed(ray_session, corpus_dir):
+    """Driver union-find over the same edges reproduces the distributed
+    hash-to-min result."""
+    import ray.data
+    from destor_ray.pipelines.dedup import dedup_pipeline_from_dir, signatures_from_corpus
+    from destor_ray.stages import candidates, cluster, exact
+
+    ds = ray.data.read_parquet(corpus_dir)
+    sigs = signatures_from_corpus(ds)
+    edges = candidates.candidate_edges(sigs).union(exact.exact_edges(sigs))
+    dsu = cluster.union_find_driver(edges.iter_batches(batch_format="pyarrow"))
+    all_ids = [f"img{i:010d}" for i in range(N)]
+    driver_df = cluster.clusters_from_dsu(dsu, all_ids)
+    dist_df = dedup_pipeline_from_dir(corpus_dir).to_pandas()
+    merged = driver_df.merge(dist_df, on="image_id", suffixes=("_dsu", "_dist"))
+    assert (merged.cluster_id_dsu == merged.cluster_id_dist).all()
