@@ -103,40 +103,33 @@ def fastcdc_ref(p: bytes, n: int, params: ChunkParams) -> int:
 
 
 def _gear_windowed(data: np.ndarray) -> np.ndarray:
-    """w[t] = sum_{k=0..63} gear[data[t-k]] << k  (mod 2^64).
+    """w[t] = sum_{k=0..47} gear[data[t-k]] << k  (mod 2^64).
 
     Because fp = (fp<<1) + gear[b], byte contributions older than 64
     positions shift out entirely — the fingerprint IS this windowed sum
-    once >=64 bytes accumulated.
+    once >=64 bytes accumulated. Only bits <= 47 of fp are tested (every
+    g_condition_mask value has its top set bit at 47), and addition
+    carries propagate upward only, so contributions shifted >= 48 can
+    never change the mask test — 48 shifted adds suffice.
     """
-    g = _gear_table()[data]
-    n = len(g)
-    w = g.copy()
-    for k in range(1, 64):
-        w[k:] += g[: n - k] << np.uint64(k)
+    w = _gear_table()[data]
+    # doubling scan: after processing shift 2^m the window covers 2^(m+1)
+    # lags; 6 passes reach 64 (log-passes instead of 47 full-array adds —
+    # this stage is memory-bandwidth-bound). Lags 48..63 add only to bits
+    # >= 48, which the mask test never reads.
+    with np.errstate(over="ignore"):
+        for shift in (1, 2, 4, 8, 16, 32):
+            w[shift:] += w[:-shift] << np.uint64(shift)
     return w
 
 
-def fastcdc_cuts(data, params: ChunkParams = ChunkParams()) -> np.ndarray:
-    """All chunk end-offsets of a buffer (vectorized FastCDC).
-
-    Matches the reference driver loop (chunk_phase.c:20-112 repeatedly
-    invoking fascdc_chunking.c:98-131 on the remainder).
-    """
-    d = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray, memoryview)) else np.asarray(data, dtype=np.uint8)
-    n = len(d)
-    if n == 0:
-        return np.empty(0, dtype=np.int64)
-    gear = _gear_table()
-    mask_s_i, mask_l_i = _fastcdc_masks(params.avg_size)
-    mask_s, mask_l = np.uint64(mask_s_i), np.uint64(mask_l_i)
-    w = _gear_windowed(d)
-    # sparse sorted candidate positions per mask (valid where >=64 bytes of
-    # history — early positions handled exactly below)
-    cand_s = np.flatnonzero((w & mask_s) == 0)
-    cand_l = np.flatnonzero((w & mask_l) == 0)
+def _fastcdc_scan(d: np.ndarray, base: int, n: int, cand_s: np.ndarray,
+                  cand_l: np.ndarray, params: ChunkParams,
+                  mask_s_i: int, mask_l_i: int, gear: np.ndarray) -> np.ndarray:
+    """Cut end-offsets (relative to `base`) for d[base:base+n], given
+    globally precomputed windowed-mask candidate positions."""
     cuts: list[int] = []
-    s = 0
+    s = 0  # chunk start relative to base
     while s < n:
         rem = n - s
         if rem <= params.min_size:
@@ -154,29 +147,86 @@ def fastcdc_cuts(data, params: ChunkParams = ChunkParams()) -> np.ndarray:
         i = params.min_size
         early_end = min(params.min_size + 63, nn)
         while i < early_end:
-            fp = ((fp << 1) + int(gear[d[s + i]])) & _M64
+            fp = ((fp << 1) + int(gear[d[base + s + i]])) & _M64
             m = mask_s_i if i < mid else mask_l_i
             if not (fp & m):
                 cut = i
                 break
             i += 1
         if cut < 0:
-            # windowed region: use precomputed candidates
-            lo = s + max(params.min_size + 63, params.min_size)
+            abs_s = base + s
+            lo = abs_s + max(params.min_size + 63, params.min_size)
             if mid > params.min_size + 63:
                 j = np.searchsorted(cand_s, lo)
-                if j < len(cand_s) and cand_s[j] < s + mid:
-                    cut = int(cand_s[j]) - s
+                if j < len(cand_s) and cand_s[j] < abs_s + mid:
+                    cut = int(cand_s[j]) - abs_s
             if cut < 0:
-                lo2 = s + max(mid, params.min_size + 63)
+                lo2 = abs_s + max(mid, params.min_size + 63)
                 j = np.searchsorted(cand_l, lo2)
-                if j < len(cand_l) and cand_l[j] < s + nn:
-                    cut = int(cand_l[j]) - s
+                if j < len(cand_l) and cand_l[j] < abs_s + nn:
+                    cut = int(cand_l[j]) - abs_s
             if cut < 0:
                 cut = nn
         cuts.append(s + cut)
         s += cut
     return np.asarray(cuts, dtype=np.int64)
+
+
+def _as_u8(data) -> np.ndarray:
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return np.frombuffer(data, dtype=np.uint8)
+    return np.asarray(data, dtype=np.uint8)
+
+
+def fastcdc_cuts_multi(buffers, params: ChunkParams = ChunkParams()) -> list[np.ndarray]:
+    """FastCDC cut offsets for MANY buffers in one pass: the gear-window
+    fingerprint is computed over the concatenation (48 shifted adds over
+    the whole batch instead of per row — the hot-path batching).
+
+    Cross-buffer contamination is impossible: candidates are consulted
+    only at positions i >= chunk_start + min_size + 63 (earlier steps are
+    recomputed exactly), and the 48-byte window at such i reaches back at
+    most to chunk_start + min_size + 16 — never across a buffer boundary.
+    """
+    arrs = [_as_u8(b) for b in buffers]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    if len(arrs) == 0:
+        return []
+    d = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+    gear = _gear_table()
+    mask_s_i, mask_l_i = _fastcdc_masks(params.avg_size)
+    w = _gear_windowed(d)
+    cand_s = np.flatnonzero((w & np.uint64(mask_s_i)) == 0)
+    cand_l = np.flatnonzero((w & np.uint64(mask_l_i)) == 0)
+    out = []
+    base = 0
+    for ln in lens:
+        ln = int(ln)
+        if ln == 0:
+            out.append(np.empty(0, dtype=np.int64))
+        else:
+            out.append(_fastcdc_scan(d, base, ln, cand_s, cand_l, params,
+                                     mask_s_i, mask_l_i, gear))
+        base += ln
+    return out
+
+
+def fastcdc_cuts(data, params: ChunkParams = ChunkParams()) -> np.ndarray:
+    """All chunk end-offsets of a buffer (vectorized FastCDC).
+
+    Matches the reference driver loop (chunk_phase.c:20-112 repeatedly
+    invoking fascdc_chunking.c:98-131 on the remainder).
+    """
+    d = _as_u8(data)
+    n = len(d)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    gear = _gear_table()
+    mask_s_i, mask_l_i = _fastcdc_masks(params.avg_size)
+    w = _gear_windowed(d)
+    cand_s = np.flatnonzero((w & np.uint64(mask_s_i)) == 0)
+    cand_l = np.flatnonzero((w & np.uint64(mask_l_i)) == 0)
+    return _fastcdc_scan(d, 0, n, cand_s, cand_l, params, mask_s_i, mask_l_i, gear)
 
 
 # ---------------------------------------------------------------------------
@@ -619,14 +669,28 @@ def chunk_offsets(data, algo: str = "fastcdc", params: ChunkParams = ChunkParams
     return _VEC_FNS[algo](data, params)
 
 
-def chunk_hashes(data: bytes, algo: str = "fastcdc", params: ChunkParams = ChunkParams()) -> np.ndarray:
-    """uint64 fingerprint per chunk (first 8 bytes of SHA-1, big-endian) —
-    the per-row substring-fingerprint set (SURVEY.md §1.2)."""
-    cuts = chunk_offsets(data, algo, params)
+def _hash_chunks(data, cuts: np.ndarray) -> np.ndarray:
     out = np.empty(len(cuts), dtype=np.uint64)
     start = 0
-    view = memoryview(data)
+    view = memoryview(data) if isinstance(data, (bytes, bytearray)) else data
     for i, end in enumerate(cuts):
         out[i] = int.from_bytes(hashlib.sha1(view[start:end]).digest()[:8], "big")
         start = int(end)
     return out
+
+
+def chunk_hashes(data: bytes, algo: str = "fastcdc", params: ChunkParams = ChunkParams()) -> np.ndarray:
+    """uint64 fingerprint per chunk (first 8 bytes of SHA-1, big-endian) —
+    the per-row substring-fingerprint set (SURVEY.md §1.2)."""
+    return _hash_chunks(data, chunk_offsets(data, algo, params))
+
+
+def chunk_hashes_multi(buffers, algo: str = "fastcdc",
+                       params: ChunkParams = ChunkParams()) -> list[np.ndarray]:
+    """Batched chunk fingerprints — one gear-window pass for the whole
+    batch when algo is fastcdc (the engine hot path)."""
+    if algo == "fastcdc":
+        cuts_list = fastcdc_cuts_multi(buffers, params)
+    else:
+        cuts_list = [chunk_offsets(b, algo, params) for b in buffers]
+    return [_hash_chunks(b, c) for b, c in zip(buffers, cuts_list)]

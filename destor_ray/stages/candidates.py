@@ -149,11 +149,53 @@ def empty_edges_table() -> pa.Table:
     })
 
 
-def candidate_edges(signatures_ds, cfg: EngineConfig | None = None):
-    """signatures Dataset → verified edge Dataset (left_id, right_id, psnr)."""
+def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
+    """Vectorized multi-group verify: one hash-bucket of band rows → all
+    verified edges of every band group inside it. Pair-index generation
+    loops only over *collided* groups (building index arrays); the PSNR
+    probe runs once over every pair in the bucket."""
+    cfg = cfg or EngineConfig()
+    df = df.drop_duplicates(["band_key", "image_id"])
+    df = df.sort_values(["band_key", "image_id"], kind="stable")
+    keys = df["band_key"].to_numpy()
+    n = len(df)
+    if n < 2:
+        return empty_edges_table()
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    coll = counts >= 2
+    if not coll.any():
+        return empty_edges_table()
+    li_parts, ri_parts = [], []
+    for s, c in zip(starts[coll], counts[coll]):
+        gl, gr = _pair_indices(int(c), cfg.lsh.full_pair_cap)
+        li_parts.append(gl + s)
+        ri_parts.append(gr + s)
+    li = np.concatenate(li_parts)
+    ri = np.concatenate(ri_parts)
+    ids = df["image_id"].to_numpy()
+    thumbs = np.frombuffer(b"".join(df["thumb"]), dtype=np.uint8).reshape(n, -1)
+    diff = thumbs[li].astype(np.float32) - thumbs[ri].astype(np.float32)
+    mse = np.mean(diff * diff, axis=1)
+    with np.errstate(divide="ignore"):
+        psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
+    ok = psnr >= cfg.verify.psnr_threshold
+    return pa.table({
+        "left_id": pa.array(list(ids[li[ok]]), pa.string()),
+        "right_id": pa.array(list(ids[ri[ok]]), pa.string()),
+        "psnr": pa.array(np.minimum(psnr[ok], 1e9), pa.float64()),
+    })
+
+
+def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,
+                    num_buckets: int = 64):
+    """signatures Dataset → verified edge Dataset (left_id, right_id, psnr).
+
+    One shuffle: band rows bucketed by hash(band_key) →
+    vectorized per-bucket verification (see grouped.py)."""
+    from .grouped import bucketed_group_map
     cfg = cfg or EngineConfig()
     bands = signatures_ds.map_batches(
         lambda b: explode_bands(b, cfg), batch_format="pyarrow")
-    edges = bands.groupby("band_key").map_groups(
-        lambda df: verify_group(df, cfg), batch_format="pandas")
-    return edges
+    return bucketed_group_map(bands, "band_key",
+                              lambda df: verify_bucket(df, cfg),
+                              num_buckets=num_buckets)

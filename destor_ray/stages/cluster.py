@@ -1,17 +1,15 @@
 """Connected-components clustering of verified edges.
 
-Two implementations:
+Default path: hash-to-min label propagation (Rastogi et al., "Finding
+Connected Components in Map-Reduce") over bucketed groupby shuffles —
+no driver state, no global mutable index, every bucket processed with
+vectorized numpy/pandas (grouped.py). Star-shaped dup clusters converge
+in 2 rounds; each round is one shuffle keyed by node id. This replaces
+destor's single-threaded mutable kv-store (SURVEY.md §7.4.1) and scales
+with the shuffle, not the driver.
 
-  * `connected_components_distributed` — hash-to-min label propagation
-    (Rastogi et al., "Finding Connected Components in Map-Reduce") built
-    only from `groupby().map_groups` shuffles: no driver state, no joins,
-    no global mutable index. Star-shaped dup clusters converge in 2
-    rounds; each round is one shuffle keyed by node id. This replaces
-    destor's single-threaded mutable kv-store (SURVEY.md §7.4.1) and
-    scales with the shuffle, not the driver.
-
-  * `union_find_driver` — exact DSU over streamed edge batches; used by
-    tests as the oracle and as a fallback when the edge set is tiny.
+`union_find_driver` is the exact DSU oracle used by tests and for tiny
+edge sets.
 
 Cluster id := lexicographic-min image_id of the component — the
 deterministic representative rule (SURVEY.md §4.1 "ordering").
@@ -23,63 +21,72 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _emit_hash_to_min(df: pd.DataFrame) -> pa.Table:
-    node = df["node"].iloc[0]
-    members = pd.unique(pd.concat([df["member"], pd.Series([node])], ignore_index=True))
-    m = members.min()
-    outn, outm = [], []
-    for u in members:
-        outn.append(m)
-        outm.append(u)
-        if u != m:
-            outn.append(u)
-            outm.append(m)
-    return pa.table({"node": pa.array(outn, pa.string()),
-                     "member": pa.array(outm, pa.string())})
+from .grouped import bucketed_group_map
 
 
-def connected_components_distributed(edges_ds, rounds: int = 4):
-    """edges Dataset (left_id, right_id) → labels Dataset (node, member)
-    where after convergence min(member) per node is the component id."""
-    import ray.data  # noqa: F401  (Dataset methods)
+def _pairs_from_edges(batch: pa.Table) -> pa.Table:
+    l = batch["left_id"].to_pylist()
+    r = batch["right_id"].to_pylist()
+    return pa.table({
+        "node": pa.array(l + r, pa.string()),
+        "member": pa.array(r + l, pa.string()),
+    })
 
-    def seed_pairs(batch: pa.Table) -> pa.Table:
-        l = batch["left_id"].to_pylist()
-        r = batch["right_id"].to_pylist()
-        return pa.table({
-            "node": pa.array(l + r, pa.string()),
-            "member": pa.array(r + l, pa.string()),
-        })
 
-    pairs = edges_ds.map_batches(seed_pairs, batch_format="pyarrow")
+def _hash_to_min_bucket(df: pd.DataFrame) -> pa.Table:
+    """One vectorized hash-to-min round over every node-group in a bucket:
+    for each node v with neighbor-set M and m = min(M ∪ {v}), emit
+    (m, u) and (u, m) for all u ∈ M ∪ {v}."""
+    df = df.drop_duplicates(["node", "member"]).sort_values(
+        ["node", "member"], kind="stable")
+    nodes = df["node"].to_numpy()
+    members = df["member"].to_numpy()
+    _, starts, counts = np.unique(nodes, return_index=True, return_counts=True)
+    first_member = members[starts]          # min member per group (sorted)
+    group_node = nodes[starts]
+    m_g = np.where(first_member < group_node, first_member, group_node)
+    m_rep = np.repeat(m_g, counts)
+    node_rep = nodes  # == np.repeat(group_node, counts)
+    # (m,u)/(u,m) over u ∈ members ∪ {node}
+    out_node = np.concatenate([m_rep, members, m_rep, node_rep])
+    out_member = np.concatenate([members, m_rep, node_rep, m_rep])
+    return pa.table({"node": pa.array(list(out_node), pa.string()),
+                     "member": pa.array(list(out_member), pa.string())})
+
+
+def _min_member_bucket(df: pd.DataFrame) -> pa.Table:
+    df = df.sort_values(["node", "member"], kind="stable")
+    nodes = df["node"].to_numpy()
+    members = df["member"].to_numpy()
+    _, starts, _ = np.unique(nodes, return_index=True, return_counts=True)
+    return pa.table({"image_id": pa.array(list(nodes[starts]), pa.string()),
+                     "cluster_id": pa.array(list(members[starts]), pa.string())})
+
+
+def connected_components_distributed(edges_ds, rounds: int = 3,
+                                     num_buckets: int = 64):
+    """edges Dataset (left_id, right_id) → pair Dataset (node, member)
+    such that min(member) per node is the component id."""
+    pairs = edges_ds.map_batches(_pairs_from_edges, batch_format="pyarrow")
     for _ in range(rounds):
-        pairs = pairs.groupby("node").map_groups(_emit_hash_to_min, batch_format="pandas")
+        pairs = bucketed_group_map(pairs, "node", _hash_to_min_bucket,
+                                   num_buckets=num_buckets)
     return pairs
 
 
-def assign_clusters(corpus_ids_ds, edges_ds, rounds: int = 4):
-    """Full assignment: every corpus row gets a cluster_id (= min member of
-    its component; singletons keep their own id).
-
-    corpus_ids_ds: Dataset with column image_id.
-    Returns Dataset (image_id, cluster_id).
-    """
-    labels = connected_components_distributed(edges_ds, rounds)
+def assign_clusters(corpus_ids_ds, edges_ds, rounds: int = 3,
+                    num_buckets: int = 64):
+    """Every corpus row → (image_id, cluster_id); singletons keep their
+    own id. One final bucketed min-reduce over (all ids ∪ labels)."""
+    labels = connected_components_distributed(edges_ds, rounds, num_buckets)
 
     def self_pairs(batch: pa.Table) -> pa.Table:
         ids = batch["image_id"]
         return pa.table({"node": ids, "member": ids})
 
     allp = corpus_ids_ds.map_batches(self_pairs, batch_format="pyarrow").union(labels)
-
-    def reduce_min(df: pd.DataFrame) -> pa.Table:
-        return pa.table({
-            "image_id": pa.array([df["node"].iloc[0]], pa.string()),
-            "cluster_id": pa.array([df["member"].min()], pa.string()),
-        })
-
-    return allp.groupby("node").map_groups(reduce_min, batch_format="pandas")
+    return bucketed_group_map(allp, "node", _min_member_bucket,
+                              num_buckets=num_buckets)
 
 
 class DSU:
@@ -93,7 +100,6 @@ class DSU:
         root = x
         while p != root:
             root, p = p, self.parent.setdefault(p, p)
-        # path compress
         while self.parent[x] != root:
             self.parent[x], x = root, self.parent[x]
         return root
@@ -102,7 +108,6 @@ class DSU:
         ra, rb = self.find(a), self.find(b)
         if ra == rb:
             return
-        # deterministic: smaller id wins as root
         if rb < ra:
             ra, rb = rb, ra
         self.parent[rb] = ra
@@ -126,20 +131,9 @@ def union_find_driver(edges_iter) -> DSU:
 
 def clusters_from_dsu(dsu: DSU, all_ids) -> pd.DataFrame:
     comp = {x: dsu.find(x) for x in list(dsu.parent)}
-    # representative = min id in component
     rep: dict = {}
     for x, r in comp.items():
         rep[r] = min(rep.get(r, x), x)
     rows = [(i, rep.get(comp.get(i, i), comp.get(i, i)) if i in comp else i)
             for i in all_ids]
     return pd.DataFrame(rows, columns=["image_id", "cluster_id"])
-
-
-def pair_recall(predicted_pairs: set[tuple], truth_pairs: set[tuple]) -> float:
-    """Dup-pair recall: fraction of ground-truth pairs whose endpoints land
-    in the same predicted cluster. `predicted_pairs` is a set of
-    (id → cluster) tuples expressed as a dict upstream; see tests."""
-    if not truth_pairs:
-        return 1.0
-    hit = sum(1 for p in truth_pairs if p in predicted_pairs)
-    return hit / len(truth_pairs)

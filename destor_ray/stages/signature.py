@@ -54,8 +54,8 @@ def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.T
     if cfg.use_byte_cdc_channel:
         params = chunking.ChunkParams(cfg.chunking.min_size, cfg.chunking.avg_size,
                                       cfg.chunking.max_size)
-        for p in payloads:
-            fps = chunking.chunk_hashes(p, cfg.chunking.algorithm, params)
+        fps_list = chunking.chunk_hashes_multi(payloads, cfg.chunking.algorithm, params)
+        for fps in fps_list:
             cdc_feats.append(sampling.sample_features(
                 fps, cfg.sampling.method, cfg.sampling.ratio).view(np.int64))
     else:
