@@ -61,9 +61,30 @@ def entry() -> Any:
     return _corpus_clusters("/root/testdata/sf0.001")
 
 
+def _job_partition_metrics(sf_dir: str):
+    """Rewrite/restore/GC partition metrics of the flagship job (R1-R6,
+    T2/T3/T6 analogs) — runs the checkpointed backup job and returns the
+    per-partition metrics table."""
+    import os
+    from destor_ray import corpus
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.job import build_manifest, partition_metrics, run_backup_job
+    import ray.data
+    n = _corpus_rows_for(sf_dir)
+    cdir = corpus.ensure_corpus_parquet(n, seed=42)
+    workdir = f"/tmp/destor_ray_job/n{n}"
+    run_backup_job(cdir, workdir)
+    manifest = ray.data.read_parquet(os.path.join(workdir, "manifest"))
+    return partition_metrics(manifest, EngineConfig(), partition_rows=256)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    from destor_ray.pipelines import ann, text
+    from destor_ray.pipelines import ann, streaming, text
     return {
+        "events_windowed": streaming.events_windowed,
+        "events_type_stats": streaming.events_type_stats,
+        "events_sessionize": streaming.events_sessionize,
+        "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
         "quality_score": text.quality_score,
@@ -83,6 +104,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_windowed": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts)/3600) AS BIGINT) AS win,
+                   count(*) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_type_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY event_type
+        """,
         "exact_dedup_docs": """
             SELECT md5(text) AS h,
                    min(doc_id) AS keeper_id,

@@ -1,0 +1,233 @@
+"""The full backup-job pipeline with per-stage checkpointing — the
+engine analog of `destor /path` (SURVEY.md §3.1/§3.4):
+
+  signatures → edges → clusters → manifest → metrics
+
+Each stage persists partitioned parquet + lineage under a workdir and
+resumes without recompute (state/checkpoint.py). The manifest is the
+recipe analog (row → cluster, container, order); metrics reproduce
+destor's backup.log / restore.log numbers (do_backup.c:177-207,
+do_restore.c:267-283): dedup ratio, rewrite ratios per algorithm, CFL,
+container reads + speed factor per restore cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..config import EngineConfig
+from ..stages import candidates, cluster, exact, restore, rewrite
+from ..stages.signature import SignatureStage
+from ..state import checkpoint as ckpt
+
+
+def _write_parquet(ds, out_dir: str) -> int:
+    ds.write_parquet(out_dir)
+    return None  # row count not cheaply available without a second pass
+
+
+def run_backup_job(corpus_dir: str, workdir: str,
+                   cfg: EngineConfig | None = None,
+                   force: bool = False) -> dict:
+    """Run (or resume) the full job; returns {stage: (path, resumed)} plus
+    the metrics dict."""
+    cfg = cfg or EngineConfig()
+    chash = cfg.config_hash()
+    input_id = ckpt.input_identity(corpus_dir)
+    os.makedirs(workdir, exist_ok=True)
+    status: dict = {"workdir": workdir, "resumed": {}}
+
+    # ---- stage 1: signatures (the "trace" checkpoint, S2/S3 analog) ----
+    def produce_sigs(out: str):
+        ds = ray.data.read_parquet(corpus_dir)
+        sigs = ds.map_batches(SignatureStage(cfg), batch_format="pyarrow",
+                              batch_size=256)
+        return _write_parquet(sigs, out)
+
+    sigs, resumed = ckpt.run_stage(workdir, "signatures", chash, input_id,
+                                   produce_sigs, force=force)
+    status["resumed"]["signatures"] = resumed
+
+    # ---- stage 2: verified edges ----
+    def produce_edges(out: str):
+        lsh = candidates.candidate_edges(sigs, cfg)
+        ex = exact.exact_edges(sigs)
+        return _write_parquet(lsh.union(ex), out)
+
+    edges, resumed = ckpt.run_stage(workdir, "edges", chash, input_id,
+                                    produce_edges, force=force)
+    status["resumed"]["edges"] = resumed
+
+    # ---- stage 3: cluster assignment ----
+    def produce_clusters(out: str):
+        ids = sigs.select_columns(["image_id"])
+        assign = cluster.assign_clusters(ids, edges)
+        return _write_parquet(assign, out)
+
+    assign, resumed = ckpt.run_stage(workdir, "clusters", chash, input_id,
+                                     produce_clusters, force=force)
+    status["resumed"]["clusters"] = resumed
+
+    # ---- stage 4: manifest (recipe analog, W4) ----
+    def produce_manifest(out: str):
+        man = build_manifest(assign, sigs, cfg)
+        return _write_parquet(man, out)
+
+    manifest, resumed = ckpt.run_stage(workdir, "manifest", chash, input_id,
+                                       produce_manifest, force=force)
+    status["resumed"]["manifest"] = resumed
+
+    # ---- stage 5: metrics (backup.log / restore.log analog) ----
+    metrics_path = os.path.join(workdir, "metrics.json")
+    if force or not ckpt.stage_complete(workdir, "metrics", chash, input_id):
+        metrics = job_metrics(manifest, cfg)
+        mdir = ckpt.stage_dir(workdir, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        with open(metrics_path, "w") as f:
+            json.dump(metrics, f, indent=1)
+        with open(os.path.join(mdir, ckpt.LINEAGE), "w") as f:
+            json.dump({"stage": "metrics", "config_hash": chash,
+                       "input_id": input_id}, f)
+        status["resumed"]["metrics"] = False
+    else:
+        with open(metrics_path) as f:
+            metrics = json.load(f)
+        status["resumed"]["metrics"] = True
+
+    status["metrics"] = metrics
+    return status
+
+
+def build_manifest(assign_ds, sigs_ds, cfg: EngineConfig | None = None):
+    """Join cluster assignment with per-row sizes; derive container ids.
+
+    container_id = representative-row-index // container_rows — the
+    physical locality unit (a container holds `container_rows`
+    consecutive representatives, mirroring destor's append-order 4 MB
+    containers, containerstore.c:397-421). Pure function of the
+    cluster id — no extra shuffle.
+    """
+    cfg = cfg or EngineConfig()
+    rows_per = cfg.container_rows
+    sizes = sigs_ds.select_columns(["image_id", "nbytes"])
+    joined = assign_ds.join(sizes, "inner", num_partitions=16,
+                            on=("image_id",))
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        cl = batch["cluster_id"].to_pylist()
+        ridx = np.array([int(i[3:]) for i in ids], dtype=np.int64)
+        cidx = np.array([int(c[3:]) for c in cl], dtype=np.int64)
+        is_dup = ridx != cidx
+        container = cidx // rows_per
+        return pa.table({
+            "image_id": batch["image_id"],
+            "cluster_id": batch["cluster_id"],
+            "nbytes": batch["nbytes"],
+            "row_idx": pa.array(ridx, pa.int64()),
+            "is_dup": pa.array(is_dup, pa.bool_()),
+            "container_id": pa.array(container, pa.int64()),
+        })
+
+    return joined.map_batches(derive, batch_format="pyarrow")
+
+
+def _partition_metrics(df: pd.DataFrame, cfg: EngineConfig) -> pa.Table:
+    """Per-partition rewrite + restore metrics over the ordered stream."""
+    df = df.sort_values("row_idx", kind="stable")
+    sizes = df["nbytes"].to_numpy().astype(np.int64)
+    is_dup = df["is_dup"].to_numpy()
+    containers = df["container_id"].to_numpy().astype(np.int64)
+    # rewrite-phase view: duplicates reference their container; uniques are
+    # TEMPORARY (written fresh)
+    rw_ids = np.where(is_dup, containers, rewrite.TEMPORARY_ID)
+    # restore view: every chunk is read from its container
+    rs_ids = containers
+    data_size = int(sizes.sum())
+    stored = int(sizes[~is_dup].sum())
+    rcfg = cfg.rewrite
+    cfl_flags = rewrite.cfl_rewrite_flags(rw_ids, sizes,
+                                          usage_threshold=rcfg.cfl_require * 0.05,
+                                          buffer_size=rcfg.window)
+    cbr_flags = rewrite.cbr_rewrite_flags(rw_ids, sizes, window=rcfg.window,
+                                          rewrite_limit=rcfg.cbr_limit)
+    cap_flags = rewrite.cap_rewrite_flags(rw_ids, sizes, window=rcfg.window,
+                                          capping_level=rcfg.cap_level)
+    (_, _, _, har_sparse), sparse_ids = rewrite.har_utilization(
+        rw_ids, sizes, rcfg.har_utilization, rcfg.cbr_limit, data_size)
+    cfl, ocf, ccf = rewrite.cfl_monitor(rs_ids, sizes, cfg.restore.cache_size)
+    reads_lru = restore.lru_restore_sim(rs_ids, cfg.restore.cache_size)
+    reads_opt = restore.opt_restore_sim(rs_ids, cfg.restore.cache_size,
+                                        cfg.restore.opt_window)
+    reads_asm = restore.asm_restore_sim(rs_ids, sizes, cfg.restore.cache_size)
+    part = int(df["part"].iloc[0])
+    return pa.table({
+        "part": pa.array([part], pa.int64()),
+        "n_rows": pa.array([len(df)], pa.int64()),
+        "data_size": pa.array([data_size], pa.int64()),
+        "stored_size": pa.array([stored], pa.int64()),
+        "dup_rows": pa.array([int(is_dup.sum())], pa.int64()),
+        "cfl_rewrites": pa.array([int(cfl_flags.sum())], pa.int64()),
+        "cbr_rewrites": pa.array([int(cbr_flags.sum())], pa.int64()),
+        "cap_rewrites": pa.array([int(cap_flags.sum())], pa.int64()),
+        "har_sparse_containers": pa.array([len(sparse_ids)], pa.int64()),
+        "cfl_monitor": pa.array([cfl], pa.float64()),
+        "reads_lru": pa.array([reads_lru], pa.int64()),
+        "reads_opt": pa.array([reads_opt], pa.int64()),
+        "reads_asm": pa.array([reads_asm], pa.int64()),
+    })
+
+
+def partition_metrics(manifest_ds, cfg: EngineConfig | None = None,
+                      partition_rows: int = 4096):
+    """(part → rewrite/restore metrics) Dataset; partitions are contiguous
+    row-index ranges (the restore order)."""
+    cfg = cfg or EngineConfig()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = pa.array(
+            np.asarray(batch["row_idx"].to_numpy(zero_copy_only=False)) // partition_rows,
+            pa.int64())
+        return batch.append_column("part", part)
+
+    withp = manifest_ds.map_batches(add_part, batch_format="pyarrow")
+    return withp.groupby("part").map_groups(
+        lambda df: _partition_metrics(df, cfg), batch_format="pandas")
+
+
+def job_metrics(manifest_ds, cfg: EngineConfig | None = None) -> dict:
+    """Aggregate to destor's backup.log/restore.log shape
+    (do_backup.c:99-209, do_restore.c:247-283)."""
+    cfg = cfg or EngineConfig()
+    pm = partition_metrics(manifest_ds, cfg).to_pandas()
+    data = int(pm.data_size.sum())
+    stored = int(pm.stored_size.sum())
+    out = {
+        "n_rows": int(pm.n_rows.sum()),
+        "data_size": data,
+        "stored_size": stored,
+        "dedup_ratio": round((data - stored) / data, 6) if data else 0.0,
+        "dup_rows": int(pm.dup_rows.sum()),
+        "rewrite": {
+            "cfl": int(pm.cfl_rewrites.sum()),
+            "cbr": int(pm.cbr_rewrites.sum()),
+            "cap": int(pm.cap_rewrites.sum()),
+            "har_sparse_containers": int(pm.har_sparse_containers.sum()),
+        },
+        "cfl_monitor_mean": round(float(pm.cfl_monitor.mean()), 6),
+        "restore": {},
+        "partitions": len(pm),
+    }
+    for algo in ["lru", "opt", "asm"]:
+        reads = int(pm[f"reads_{algo}"].sum())
+        out["restore"][algo] = {
+            "read_container_num": reads,
+            "speed_factor": round(restore.speed_factor(data, reads), 4),
+        }
+    return out

@@ -1,0 +1,112 @@
+"""Stream-shaped operators over the driver `events` table
+(event_id:int64, ts:timestamp[us], user_id:int64, event_type:string,
+value:double, props:string).
+
+Ray Data is a batch engine; windows are expressed as grouped aggregates
+over (key, window-index) with partial per-batch pre-aggregation — the
+map-side combine pattern (destor's per-phase counters W5 work the same
+way). Ordering assumption: tumbling windows only need the window index,
+not intra-window order, so no sort is required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+
+def _read_events(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def events_windowed(sf_dir: str, window_sec: int = 3600):
+    """Tumbling-window per-user counts/sums:
+    (user_id, win, n_events, sum_value). Pre-aggregates inside
+    map_batches (one row per (user, win) per batch) before the global
+    groupby — the shuffle moves partials, not events."""
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_pandas()
+        win = (ts.astype("int64") // 1_000_000 // window_sec).to_numpy()
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "win": win,
+            "n": 1,
+            "v": batch["value"].to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["user_id", "win"], sort=False).agg(
+            n_events=("n", "sum"), sum_value=("v", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["user_id", "win"], sort=False).agg(
+            n_events=("n_events", "sum"), sum_value=("sum_value", "sum")).reset_index()
+        g["sum_value"] = g["sum_value"].round(6)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ..stages.grouped import bucketed_group_map
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = (batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64) * np.int64(1_000_003)
+             + batch["win"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return batch.append_column("uw", pa.array(k, pa.int64()))
+
+    keyed = partials.map_batches(add_key, batch_format="pyarrow")
+    out = bucketed_group_map(keyed, "uw", lambda df: combine(df.drop(columns=["uw"])),
+                             num_buckets=32)
+    return out
+
+
+def events_type_stats(sf_dir: str):
+    """Per-event-type counters (W5 per-job accounting analog)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+    ds = _read_events(sf_dir).select_columns(["event_type", "value"])
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"))
+
+
+def events_sessionize(sf_dir: str, gap_sec: int = 1800):
+    """Session windows per user: events sorted by ts within user; a gap >
+    gap_sec starts a new session. Returns (user_id, session_idx,
+    n_events, start_us, end_us). Partition-local ordering inside each
+    user group (the reference's total-stream-order concern scoped per
+    key, SURVEY.md §2.10). Rows-only check (no tidy ANSI-SQL form)."""
+    from ..stages.grouped import bucketed_group_map
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "ts_us": us})
+
+    keyed = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def sessions(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_sec * 1_000_000
+        new_sess = new_user | gap
+        sess_id = np.cumsum(new_sess) - 1
+        g = pd.DataFrame({"user_id": uid, "sess": sess_id, "ts_us": ts}) \
+            .groupby(["user_id", "sess"], sort=False) \
+            .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"),
+                 end_us=("ts_us", "max")).reset_index()
+        g["session_idx"] = g.groupby("user_id", sort=False).cumcount()
+        return pa.Table.from_pandas(
+            g[["user_id", "session_idx", "n_events", "start_us", "end_us"]],
+            preserve_index=False)
+
+    return bucketed_group_map(keyed, "user_id", sessions, num_buckets=32)

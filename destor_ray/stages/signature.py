@@ -65,6 +65,7 @@ def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.T
         "image_id": batch["image_id"],
         "caption": batch["caption"],
         "phash": batch["phash"],
+        "nbytes": pa.array([len(p) for p in payloads], pa.int64()),
         "sha1": pa.array(sha1, pa.string()),
         "thumb": pa.array(thumbs, pa.binary()),
         "cap_sig": pa.array([s.view(np.int64) for s in cap_sig], pa.list_(pa.int64())),

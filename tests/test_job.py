@@ -1,0 +1,75 @@
+"""End-to-end checkpointed job: run → metrics sane; re-run → every stage
+resumes from lineage without recompute; config change → recompute."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from destor_ray import corpus
+from destor_ray.config import EngineConfig, LSHConfig
+
+N = 400
+WORKDIR = "/tmp/destor_ray_test_job"
+
+
+@pytest.fixture(scope="module")
+def job_result(ray_session):
+    from destor_ray.pipelines.job import run_backup_job
+    cdir = corpus.ensure_corpus_parquet(N, seed=42)
+    if os.path.exists(WORKDIR):
+        shutil.rmtree(WORKDIR)
+    res = run_backup_job(cdir, WORKDIR)
+    return cdir, res
+
+
+def test_job_metrics_shape(job_result):
+    _, res = job_result
+    m = res["metrics"]
+    assert m["n_rows"] == N
+    # planted dups: exact + caption_para are byte-identical; reencode/crop
+    # near-dups also cluster → dup_rows = 4 slots per 20-row block
+    assert m["dup_rows"] == sum(
+        1 for i in range(N) if corpus.plan_for_row(i)[0]
+        in ("exact", "reencode", "crop", "caption_para"))
+    assert 0 < m["dedup_ratio"] < 1
+    assert m["restore"]["lru"]["read_container_num"] >= 1
+    assert m["restore"]["opt"]["read_container_num"] <= m["restore"]["lru"]["read_container_num"]
+
+
+def test_job_resumes_without_recompute(job_result):
+    cdir, _ = job_result
+    from destor_ray.pipelines.job import run_backup_job
+
+    def snapshot():
+        out = {}
+        for stage in ["signatures", "edges", "clusters", "manifest"]:
+            d = os.path.join(WORKDIR, stage)
+            out[stage] = sorted((f, os.stat(os.path.join(d, f)).st_mtime_ns)
+                                for f in os.listdir(d))
+        return out
+
+    before = snapshot()
+    res2 = run_backup_job(cdir, WORKDIR)
+    assert all(res2["resumed"].values()), res2["resumed"]
+    assert snapshot() == before  # zero files rewritten
+
+
+def test_config_change_invalidates(job_result):
+    cdir, _ = job_result
+    from destor_ray.pipelines.job import run_backup_job
+    cfg = EngineConfig(lsh=LSHConfig(num_bands=8))
+    res3 = run_backup_job(cdir, WORKDIR, cfg)
+    assert not res3["resumed"]["signatures"] or not res3["resumed"]["edges"]
+
+
+def test_lineage_files_written(job_result):
+    _, res = job_result
+    for stage in ["signatures", "edges", "clusters", "manifest"]:
+        lin_path = os.path.join(WORKDIR, stage, "_lineage.json")
+        # config_change test may have rewritten with a different hash; the
+        # file must exist and parse either way
+        with open(lin_path) as f:
+            lin = json.load(f)
+        assert lin["stage"] == stage
