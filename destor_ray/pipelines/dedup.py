@@ -33,13 +33,21 @@ def signatures_from_corpus(corpus_ds, cfg: EngineConfig | None = None):
 
 def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
                    cc_rounds: int = 3):
-    """corpus Dataset → cluster assignment Dataset (image_id, cluster_id)."""
+    """corpus Dataset → cluster assignment Dataset (image_id, cluster_id).
+
+    The signature table fans out to three consumers (LSH edges, exact
+    edges, id list); without pinning it Ray Data re-executes the stage
+    per consumer, so it is materialized here (it is narrow — the wide
+    `bytes` column never leaves the read stage). The checkpointed job
+    pipeline (pipelines/job.py) writes it to parquet instead — the path
+    for corpora that exceed the object store."""
     cfg = cfg or EngineConfig()
-    sigs = signatures_from_corpus(corpus_ds, cfg)
-    lsh_edges = candidates.candidate_edges(sigs, cfg)
-    ex_edges = exact.exact_edges(sigs)
-    edges = lsh_edges.union(ex_edges)
-    ids = corpus_ds.select_columns(["image_id"])
+    sigs = signatures_from_corpus(corpus_ds, cfg).materialize()
+    # exact dedup rides the sha1 band channel inside candidate_edges —
+    # no separate D2 shuffle in the flagship path (exact.exact_edges
+    # remains the standalone operator)
+    edges = candidates.candidate_edges(sigs, cfg)
+    ids = sigs.select_columns(["image_id"])
     return cluster.assign_clusters(ids, edges, rounds=cc_rounds)
 
 

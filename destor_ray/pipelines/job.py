@@ -56,9 +56,8 @@ def run_backup_job(corpus_dir: str, workdir: str,
 
     # ---- stage 2: verified edges ----
     def produce_edges(out: str):
-        lsh = candidates.candidate_edges(sigs, cfg)
-        ex = exact.exact_edges(sigs)
-        return _write_parquet(lsh.union(ex), out)
+        # exact pairs ride the sha1 band channel inside candidate_edges
+        return _write_parquet(candidates.candidate_edges(sigs, cfg), out)
 
     edges, resumed = ckpt.run_stage(workdir, "edges", chash, input_id,
                                     produce_edges, force=force)

@@ -190,7 +190,36 @@ def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6):
         return pa.table({"left_id": pa.array(ids[li[ok]], pa.int64()),
                          "right_id": pa.array(ids[ri[ok]], pa.int64())})
 
-    edges = bands.groupby("band_key").map_groups(verify, batch_format="pandas")
+    from ..stages.grouped import bucketed_group_map
+
+    def verify_bucket_docs(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"], kind="stable")
+        keys = df["band_key"].to_numpy()
+        n = len(df)
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+        coll = counts >= 2
+        if not coll.any():
+            return empty
+        li_p, ri_p = [], []
+        for s0, c0 in zip(starts[coll], counts[coll]):
+            gl, gr = np.triu_indices(int(c0), k=1)
+            li_p.append(gl + s0)
+            ri_p.append(gr + s0)
+        li = np.concatenate(li_p)
+        ri = np.concatenate(ri_p)
+        sigs = np.asarray([np.asarray(x) for x in df["sig"]], dtype=np.int64)
+        ids = df["doc_id"].to_numpy()
+        est = (sigs[li] == sigs[ri]).mean(axis=1)
+        ok = est >= threshold
+        return pa.table({"left_id": pa.array(ids[li[ok]], pa.int64()),
+                         "right_id": pa.array(ids[ri[ok]], pa.int64())})
+
+    edges = bucketed_group_map(bands, "band_key", verify_bucket_docs, num_buckets=64)
 
     # connected components over int ids: reuse string machinery via cast
     def to_str(batch: pa.Table) -> pa.Table:

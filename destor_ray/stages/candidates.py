@@ -33,6 +33,7 @@ from ..functions.hashing import mix_u64
 CH_CAPTION = 1
 CH_PHASH = 2
 CH_CDC = 3
+CH_SHA1 = 4
 
 _EMPTY64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -86,6 +87,14 @@ def explode_bands(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
         if flat:
             out_key.append(mix_u64(np.concatenate(flat), CH_CDC))
             out_idx.append(np.concatenate(fidx))
+
+    # exact channel: byte-identical payloads share a sha1 band (folds the
+    # D2 exact-dedup shuffle into this one; such pairs verify trivially —
+    # identical thumbs → PSNR inf)
+    sha_u64 = np.array([int(s[:16], 16) for s in batch["sha1"].to_pylist()],
+                       dtype=np.uint64)
+    out_key.append(mix_u64(sha_u64, CH_SHA1))
+    out_idx.append(all_idx)
 
     if not out_key:
         return pa.table({"band_key": pa.array([], pa.int64()),
@@ -179,11 +188,12 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     with np.errstate(divide="ignore"):
         psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
     ok = psnr >= cfg.verify.psnr_threshold
-    return pa.table({
-        "left_id": pa.array(list(ids[li[ok]]), pa.string()),
-        "right_id": pa.array(list(ids[ri[ok]]), pa.string()),
-        "psnr": pa.array(np.minimum(psnr[ok], 1e9), pa.float64()),
-    })
+    out = pd.DataFrame({
+        "left_id": ids[li[ok]],
+        "right_id": ids[ri[ok]],
+        "psnr": np.minimum(psnr[ok], 1e9),
+    }).drop_duplicates(["left_id", "right_id"])  # same pair via several bands
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,

@@ -7,6 +7,7 @@ Emits (per row):
   thumb       binary  16×16 gray thumbnail — the compact verify signature;
                       full payloads never enter a shuffle (SURVEY.md §7.4.4)
   cap_sig     list<u64 as int64>  MinHash signature of caption char-shingles
+              (the caption itself is dropped — only signatures flow on)
   cdc_feats   list<u64 as int64>  sampled FastCDC chunk fingerprints of the
                       encoded bytes (F1 min-sampling semantics,
                       sampling_method.c:12-75) — the destor-parity channel
@@ -63,7 +64,6 @@ def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.T
 
     out = pa.table({
         "image_id": batch["image_id"],
-        "caption": batch["caption"],
         "phash": batch["phash"],
         "nbytes": pa.array([len(p) for p in payloads], pa.int64()),
         "sha1": pa.array(sha1, pa.string()),
