@@ -1,0 +1,153 @@
+"""Multimodal column stages: image / audio / video payloads as opaque
+binary columns with typed metadata, processed by actor-pool map_batches
+stages.
+
+The image path is REAL (the deterministic DRI1 codec). This container
+ships no audio/video libraries, so those decoders are STUBS with a
+clearly-marked seam: `decoder="fake"` produces deterministic synthetic
+samples/frames (hash-seeded) so the Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — is exercised end-to-end;
+`decoder="real"` raises NotImplementedError where libsndfile/ffmpeg
+would be called.
+
+All stages are callable classes (actor pools): heavy setup belongs in
+__init__, per-batch work in __call__, small batch_size because rows
+carry payloads (SURVEY.md §7.4.4 wide rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codec
+from ..functions.hashing import mix_u64
+
+
+def _payload_seed(data: bytes, salt: int = 0) -> int:
+    import hashlib
+    h = hashlib.blake2b(data, digest_size=8).digest()
+    return int(mix_u64(np.uint64(int.from_bytes(h, "big")), salt))
+
+
+class ImageDecodeResize:
+    """Decode DRI1 payloads and emit fixed-size gray thumbnails +
+    dimensions. Real implementation (no stub)."""
+
+    def __init__(self, out_size: int = 32):
+        self.out_size = out_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs, ws, hs = [], [], []
+        for data in batch["bytes"].to_pylist():
+            px = codec.decode(data)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            thumbs.append(codec.to_gray(
+                codec.resize_nn(px, self.out_size, self.out_size)).tobytes())
+        return pa.table({
+            "image_id": batch["image_id"],
+            "thumb": pa.array(thumbs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+        })
+
+
+class AudioFeatures:
+    """Audio decode + frame-level feature extraction.
+
+    Schema in:  (clip_id: string, bytes: binary, sample_rate: int32)
+    Schema out: (clip_id, n_samples: int64, rms: float64,
+                 mfcc_like: list<float> fixed 13)
+
+    decoder="fake": deterministic synthetic PCM derived from the payload
+    hash — exercises batching/actor plumbing. decoder="real": the seam
+    where libsndfile/soundfile would decode; unavailable here.
+    """
+
+    def __init__(self, decoder: str = "fake", frame: int = 1024):
+        if decoder not in ("fake", "real"):
+            raise ValueError(decoder)
+        self.decoder = decoder
+        self.frame = frame
+
+    def _decode(self, data: bytes, sr: int) -> np.ndarray:
+        if self.decoder == "real":
+            raise NotImplementedError(
+                "no audio codec in this environment; plug libsndfile here")
+        # deterministic fake: 1 second of hash-seeded samples
+        rng = np.random.Generator(np.random.Philox(key=_payload_seed(data)))
+        return rng.standard_normal(sr).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_samples, rms, feats = [], [], []
+        srs = batch["sample_rate"].to_pylist() if "sample_rate" in batch.column_names \
+            else [16000] * batch.num_rows
+        for data, sr in zip(batch["bytes"].to_pylist(), srs):
+            pcm = self._decode(data, int(sr))
+            n_samples.append(len(pcm))
+            rms.append(float(np.sqrt(np.mean(pcm * pcm))))
+            # 13 band-energy features over a naive filterbank (stand-in for
+            # MFCC; deterministic, vectorized)
+            spec = np.abs(np.fft.rfft(pcm[: self.frame]))
+            bands = np.array_split(spec, 13)
+            feats.append([float(np.log1p(b.mean())) for b in bands])
+        return pa.table({
+            "clip_id": batch["clip_id"],
+            "n_samples": pa.array(n_samples, pa.int64()),
+            "rms": pa.array(rms, pa.float64()),
+            "mfcc_like": pa.array(feats, pa.list_(pa.float64())),
+        })
+
+
+class VideoFrameSample:
+    """Frame sampling for video payloads.
+
+    Schema in:  (video_id: string, bytes: binary, n_frames: int32)
+    Schema out: (video_id, frame_idx: int32, frame_thumb: binary)
+    Emits `samples_per_video` rows per input row (a flat_map-shaped
+    map_batches).
+
+    decoder="fake": frames are deterministic hash-seeded images;
+    decoder="real" raises at the ffmpeg seam.
+    """
+
+    def __init__(self, decoder: str = "fake", samples_per_video: int = 3,
+                 thumb: int = 16):
+        self.decoder = decoder
+        self.k = samples_per_video
+        self.thumb = thumb
+
+    def _frame(self, data: bytes, idx: int) -> np.ndarray:
+        if self.decoder == "real":
+            raise NotImplementedError(
+                "no video codec in this environment; plug ffmpeg here")
+        rng = np.random.Generator(np.random.Philox(key=_payload_seed(data, idx)))
+        return rng.integers(0, 256, (self.thumb, self.thumb, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids, idxs, thumbs = [], [], []
+        nframes = batch["n_frames"].to_pylist()
+        for vid, data, nf in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist(), nframes):
+            nf = max(1, int(nf))
+            for j in range(min(self.k, nf)):
+                fi = (j * nf) // min(self.k, nf)
+                vids.append(vid)
+                idxs.append(fi)
+                thumbs.append(codec.to_gray(self._frame(data, fi)).tobytes())
+        return pa.table({
+            "video_id": pa.array(vids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_thumb": pa.array(thumbs, pa.binary()),
+        })
+
+
+def audio_features(ds, concurrency: int = 2, batch_size: int = 64):
+    return ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def video_frame_samples(ds, concurrency: int = 2, batch_size: int = 32):
+    return ds.map_batches(VideoFrameSample, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
