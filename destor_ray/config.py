@@ -33,7 +33,7 @@ class LSHConfig:
     # caption MinHash-LSH
     shingle_k: int = 5                # char shingle width
     num_perms: int = 64
-    num_bands: int = 16               # 16 bands × 4 rows
+    num_bands: int = 8                # 8 bands × 4 rows (first 32 perms)
     rows_per_band: int = 4
     # phash Hamming bands (8 × 8 bits → catches hamming distance <= 7)
     phash_bands: int = 8
@@ -46,7 +46,7 @@ class LSHConfig:
 
 @dataclass(frozen=True)
 class VerifyConfig:
-    thumb_size: int = 16
+    thumb_size: int = 8
     psnr_threshold: float = 25.0      # thumbnail PSNR to accept an image pair
     cache_size: int = 4096            # per-actor LRU of representatives (D5 analog)
     batch_size: int = 1024

@@ -32,7 +32,7 @@ def signatures_from_corpus(corpus_ds, cfg: EngineConfig | None = None):
 
 
 def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
-                   cc_rounds: int = 3):
+                   cc_rounds: int = 2):
     """corpus Dataset → cluster assignment Dataset (image_id, cluster_id).
 
     The signature table fans out to three consumers (LSH edges, exact
@@ -41,6 +41,8 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
     `bytes` column never leaves the read stage). The checkpointed job
     pipeline (pipelines/job.py) writes it to parquet instead — the path
     for corpora that exceed the object store."""
+    import pyarrow as pa
+
     cfg = cfg or EngineConfig()
     sigs = signatures_from_corpus(corpus_ds, cfg).materialize()
     # exact dedup rides the sha1 band channel inside candidate_edges —
@@ -48,7 +50,30 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
     # remains the standalone operator)
     edges = candidates.candidate_edges(sigs, cfg)
     ids = sigs.select_columns(["image_id"])
-    return cluster.assign_clusters(ids, edges, rounds=cc_rounds)
+    return assign_clusters_strings(ids, edges, rounds=cc_rounds)
+
+
+def assign_clusters_strings(image_ids_ds, edges_int_ds, rounds: int = 2):
+    """Cluster assignment keyed by image_id strings: converts to int64
+    node ids at the boundary, runs the int-keyed CC, formats back."""
+    import pyarrow as pa
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.array(
+            candidates.parse_nid(batch["image_id"].to_pylist()), pa.int64())})
+
+    ids = image_ids_ds.map_batches(to_nodes, batch_format="pyarrow")
+    assign = cluster.assign_clusters(ids, edges_int_ds, rounds=rounds)
+
+    def to_strings(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": candidates.format_nid(
+                batch["node"].to_numpy(zero_copy_only=False)),
+            "cluster_id": candidates.format_nid(
+                batch["cluster"].to_numpy(zero_copy_only=False)),
+        })
+
+    return assign.map_batches(to_strings, batch_format="pyarrow")
 
 
 def dedup_pipeline_from_dir(corpus_dir: str, cfg: EngineConfig | None = None):

@@ -65,9 +65,9 @@ def run_backup_job(corpus_dir: str, workdir: str,
 
     # ---- stage 3: cluster assignment ----
     def produce_clusters(out: str):
+        from .dedup import assign_clusters_strings
         ids = sigs.select_columns(["image_id"])
-        assign = cluster.assign_clusters(ids, edges)
-        return _write_parquet(assign, out)
+        return _write_parquet(assign_clusters_strings(ids, edges), out)
 
     assign, resumed = ckpt.run_stage(workdir, "clusters", chash, input_id,
                                      produce_clusters, force=force)

@@ -221,33 +221,17 @@ def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6):
 
     edges = bucketed_group_map(bands, "band_key", verify_bucket_docs, num_buckets=64)
 
-    # connected components over int ids: reuse string machinery via cast
-    def to_str(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "left_id": pc.cast(batch["left_id"], pa.string()),
-            "right_id": pc.cast(batch["right_id"], pa.string()),
-        })
+    # connected components over int64 doc ids directly
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["doc_id"]})
 
-    def pad(batch: pa.Table) -> pa.Table:
-        return pa.table({"image_id": pc.utf8_lpad(pc.cast(batch["doc_id"], pa.string()), 12, "0")})
+    ids_ds = ds.select_columns(["doc_id"]).map_batches(to_nodes, batch_format="pyarrow")
+    assign = cl.assign_clusters(ids_ds, edges, rounds=2)
 
-    def pad_edges(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "left_id": pc.utf8_lpad(pc.cast(batch["left_id"], pa.string()), 12, "0"),
-            "right_id": pc.utf8_lpad(pc.cast(batch["right_id"], pa.string()), 12, "0"),
-        })
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["node"], "cluster_id": batch["cluster"]})
 
-    ids_ds = ds.select_columns(["doc_id"]).map_batches(pad, batch_format="pyarrow")
-    edges_s = edges.map_batches(pad_edges, batch_format="pyarrow")
-    assign = cl.assign_clusters(ids_ds, edges_s, rounds=3)
-
-    def unpad(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": pc.cast(batch["image_id"], pa.int64()),
-            "cluster_id": pc.cast(batch["cluster_id"], pa.int64()),
-        })
-
-    return assign.map_batches(unpad, batch_format="pyarrow")
+    return assign.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -3,9 +3,13 @@ the engine (SURVEY.md §2.5 D3/D4: the feature kv-store probe becomes a
 `groupby(band_key)` exchange; verification replaces "prefetch & probe").
 
 Flow:
-  signatures ──flat_map──► (band_key, image_id, thumb) band rows
-             ──groupby(band_key).map_groups──► verified edges
-                (left_id, right_id, psnr, channel, verified)
+  signatures ──flat_map──► (band_key, nid, thumb) band rows
+             ──bucketed groupby(band_key)──► verified edges
+                (left_id, right_id, psnr)   [int64 node ids]
+
+Node ids are int64 row indices (parsed once from image_id) — band rows
+and everything downstream (edges, connected components) shuffle compact
+ints, never strings or payloads.
 
 Within a band group of size g:
   * g <= full_pair_cap: all g(g-1)/2 pairs are verified (small groups are
@@ -16,8 +20,8 @@ Within a band group of size g:
     preserved through edge redundancy across bands/channels.
 
 Verification = thumbnail PSNR >= cfg.verify.psnr_threshold, vectorized
-over the group's pair list. Thumbnails ride along in the band rows so no
-second join/shuffle is needed and full payloads never move.
+over the bucket's full pair list. Thumbnails (8×8 gray, 64 B) ride in
+the band rows so no second join is needed and full payloads never move.
 """
 
 from __future__ import annotations
@@ -38,17 +42,30 @@ CH_SHA1 = 4
 _EMPTY64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+def parse_nid(image_ids) -> np.ndarray:
+    """image_id 'img%010d' → int64 row index, vectorized."""
+    return pd.Series(image_ids, dtype="object").str[3:].astype(np.int64).to_numpy()
+
+
+def format_nid(nids: np.ndarray) -> pa.Array:
+    return pa.array([f"img{int(i):010d}" for i in nids], pa.string())
+
+
+def _empty_bands() -> pa.Table:
+    return pa.table({"band_key": pa.array([], pa.int64()),
+                     "nid": pa.array([], pa.int64()),
+                     "thumb": pa.array([], pa.binary())})
+
+
 def explode_bands(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
     """Signature rows → band rows. Band keys are salted per channel so
     channels never collide in the shuffle."""
     cfg = cfg or EngineConfig()
-    ids = batch["image_id"].to_pylist()
-    thumbs = batch["thumb"].to_pylist()
-    n = len(ids)
+    n = batch.num_rows
     if n == 0:
-        return pa.table({"band_key": pa.array([], pa.int64()),
-                         "image_id": pa.array([], pa.string()),
-                         "thumb": pa.array([], pa.binary())})
+        return _empty_bands()
+    nids = parse_nid(batch["image_id"].to_pylist())
+    thumbs = batch["thumb"].to_pylist()
 
     out_key: list[np.ndarray] = []
     out_idx: list[np.ndarray] = []
@@ -62,8 +79,7 @@ def explode_bands(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
         keys = minhash.band_keys(sig, cfg.lsh.num_bands, cfg.lsh.rows_per_band, cfg.seed)
         nonempty = sig[:, 0] != _EMPTY64
         for b in range(cfg.lsh.num_bands):
-            k = mix_u64(keys[nonempty, b], CH_CAPTION)
-            out_key.append(k)
+            out_key.append(mix_u64(keys[nonempty, b], CH_CAPTION))
             out_idx.append(np.flatnonzero(nonempty))
 
     # phash Hamming bands
@@ -96,15 +112,11 @@ def explode_bands(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
     out_key.append(mix_u64(sha_u64, CH_SHA1))
     out_idx.append(all_idx)
 
-    if not out_key:
-        return pa.table({"band_key": pa.array([], pa.int64()),
-                         "image_id": pa.array([], pa.string()),
-                         "thumb": pa.array([], pa.binary())})
     key = np.concatenate(out_key).view(np.int64)
     idx = np.concatenate(out_idx)
     return pa.table({
         "band_key": pa.array(key, pa.int64()),
-        "image_id": pa.array([ids[i] for i in idx], pa.string()),
+        "nid": pa.array(nids[idx], pa.int64()),
         "thumb": pa.array([thumbs[i] for i in idx], pa.binary()),
     })
 
@@ -122,38 +134,10 @@ def _pair_indices(g: int, full_pair_cap: int) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate([star_l, chain_l]), np.concatenate([star_r, chain_r])
 
 
-def verify_group(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
-    """Per band group: emit verified candidate edges.
-
-    Replaces destor's champion-prefetch-and-probe
-    (similarity_detection.c:136-217) — here the "prefetch" is the thumb
-    column already in the group and the "probe" is a vectorized PSNR.
-    """
-    cfg = cfg or EngineConfig()
-    # unique members, deterministic order
-    df = df.drop_duplicates("image_id").sort_values("image_id")
-    g = len(df)
-    if g < 2:
-        return empty_edges_table()
-    ids = df["image_id"].to_numpy()
-    thumbs = np.frombuffer(b"".join(df["thumb"]), dtype=np.uint8).reshape(g, -1)
-    li, ri = _pair_indices(g, cfg.lsh.full_pair_cap)
-    diff = thumbs[li].astype(np.float32) - thumbs[ri].astype(np.float32)
-    mse = np.mean(diff * diff, axis=1)
-    with np.errstate(divide="ignore"):
-        psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
-    ok = psnr >= cfg.verify.psnr_threshold
-    return pa.table({
-        "left_id": pa.array(list(ids[li[ok]]), pa.string()),
-        "right_id": pa.array(list(ids[ri[ok]]), pa.string()),
-        "psnr": pa.array(np.minimum(psnr[ok], 1e9), pa.float64()),
-    })
-
-
 def empty_edges_table() -> pa.Table:
     return pa.table({
-        "left_id": pa.array([], pa.string()),
-        "right_id": pa.array([], pa.string()),
+        "left_id": pa.array([], pa.int64()),
+        "right_id": pa.array([], pa.int64()),
         "psnr": pa.array([], pa.float64()),
     })
 
@@ -162,10 +146,14 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     """Vectorized multi-group verify: one hash-bucket of band rows → all
     verified edges of every band group inside it. Pair-index generation
     loops only over *collided* groups (building index arrays); the PSNR
-    probe runs once over every pair in the bucket."""
+    probe runs once over every pair in the bucket.
+
+    Replaces destor's champion-prefetch-and-probe
+    (similarity_detection.c:136-217) — the "prefetch" is the thumb column
+    already in the group and the "probe" is a vectorized PSNR."""
     cfg = cfg or EngineConfig()
-    df = df.drop_duplicates(["band_key", "image_id"])
-    df = df.sort_values(["band_key", "image_id"], kind="stable")
+    df = df.drop_duplicates(["band_key", "nid"])
+    df = df.sort_values(["band_key", "nid"], kind="stable")
     keys = df["band_key"].to_numpy()
     n = len(df)
     if n < 2:
@@ -181,7 +169,7 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
         ri_parts.append(gr + s)
     li = np.concatenate(li_parts)
     ri = np.concatenate(ri_parts)
-    ids = df["image_id"].to_numpy()
+    ids = df["nid"].to_numpy()
     thumbs = np.frombuffer(b"".join(df["thumb"]), dtype=np.uint8).reshape(n, -1)
     diff = thumbs[li].astype(np.float32) - thumbs[ri].astype(np.float32)
     mse = np.mean(diff * diff, axis=1)
@@ -198,7 +186,8 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
 
 def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,
                     num_buckets: int = 64):
-    """signatures Dataset → verified edge Dataset (left_id, right_id, psnr).
+    """signatures Dataset → verified edge Dataset
+    (left_id:int64, right_id:int64, psnr).
 
     One shuffle: band rows bucketed by hash(band_key) →
     vectorized per-bucket verification (see grouped.py)."""

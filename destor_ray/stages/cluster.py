@@ -1,17 +1,18 @@
-"""Connected-components clustering of verified edges.
+"""Connected-components clustering of verified edges (int64 node ids).
 
 Default path: hash-to-min label propagation (Rastogi et al., "Finding
 Connected Components in Map-Reduce") over bucketed groupby shuffles —
 no driver state, no global mutable index, every bucket processed with
-vectorized numpy/pandas (grouped.py). Star-shaped dup clusters converge
-in 2 rounds; each round is one shuffle keyed by node id. This replaces
+vectorized numpy (grouped.py). Star-shaped dup clusters converge in 2
+rounds; each round is one shuffle keyed by node id. This replaces
 destor's single-threaded mutable kv-store (SURVEY.md §7.4.1) and scales
 with the shuffle, not the driver.
 
-`union_find_driver` is the exact DSU oracle used by tests and for tiny
-edge sets.
+All keys are int64 (compact shuffle rows); callers that use string ids
+convert at the boundary (candidates.parse_nid / format_nid).
 
-Cluster id := lexicographic-min image_id of the component — the
+`union_find_driver` is the exact DSU oracle used by tests and for tiny
+edge sets. Cluster id := min node id of the component — the
 deterministic representative rule (SURVEY.md §4.1 "ordering").
 """
 
@@ -25,48 +26,47 @@ from .grouped import bucketed_group_map
 
 
 def _pairs_from_edges(batch: pa.Table) -> pa.Table:
-    l = batch["left_id"].to_pylist()
-    r = batch["right_id"].to_pylist()
+    l = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    r = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        "node": pa.array(l + r, pa.string()),
-        "member": pa.array(r + l, pa.string()),
+        "node": pa.array(np.concatenate([l, r]), pa.int64()),
+        "member": pa.array(np.concatenate([r, l]), pa.int64()),
     })
 
 
 def _hash_to_min_bucket(df: pd.DataFrame) -> pa.Table:
     """One vectorized hash-to-min round over every node-group in a bucket:
     for each node v with neighbor-set M and m = min(M ∪ {v}), emit
-    (m, u) and (u, m) for all u ∈ M ∪ {v}."""
+    (m, u) and (u, m) for all u ∈ M ∪ {v}. Fully vectorized — no
+    per-group Python."""
     df = df.drop_duplicates(["node", "member"]).sort_values(
         ["node", "member"], kind="stable")
-    nodes = df["node"].to_numpy()
-    members = df["member"].to_numpy()
+    nodes = df["node"].to_numpy().astype(np.int64)
+    members = df["member"].to_numpy().astype(np.int64)
     _, starts, counts = np.unique(nodes, return_index=True, return_counts=True)
-    first_member = members[starts]          # min member per group (sorted)
-    group_node = nodes[starts]
-    m_g = np.where(first_member < group_node, first_member, group_node)
+    m_g = np.minimum(members[starts], nodes[starts])  # min(neighbors ∪ self)
     m_rep = np.repeat(m_g, counts)
-    node_rep = nodes  # == np.repeat(group_node, counts)
-    # (m,u)/(u,m) over u ∈ members ∪ {node}
-    out_node = np.concatenate([m_rep, members, m_rep, node_rep])
-    out_member = np.concatenate([members, m_rep, node_rep, m_rep])
-    return pa.table({"node": pa.array(list(out_node), pa.string()),
-                     "member": pa.array(list(out_member), pa.string())})
+    out_node = np.concatenate([m_rep, members, m_rep, nodes])
+    out_member = np.concatenate([members, m_rep, nodes, m_rep])
+    return pa.table({"node": pa.array(out_node, pa.int64()),
+                     "member": pa.array(out_member, pa.int64())})
 
 
 def _min_member_bucket(df: pd.DataFrame) -> pa.Table:
     df = df.sort_values(["node", "member"], kind="stable")
-    nodes = df["node"].to_numpy()
-    members = df["member"].to_numpy()
+    nodes = df["node"].to_numpy().astype(np.int64)
+    members = df["member"].to_numpy().astype(np.int64)
     _, starts, _ = np.unique(nodes, return_index=True, return_counts=True)
-    return pa.table({"image_id": pa.array(list(nodes[starts]), pa.string()),
-                     "cluster_id": pa.array(list(members[starts]), pa.string())})
+    return pa.table({"node": pa.array(nodes[starts], pa.int64()),
+                     "cluster": pa.array(members[starts], pa.int64())})
 
 
-def connected_components_distributed(edges_ds, rounds: int = 3,
+def connected_components_distributed(edges_ds, rounds: int = 2,
                                      num_buckets: int = 64):
-    """edges Dataset (left_id, right_id) → pair Dataset (node, member)
-    such that min(member) per node is the component id."""
+    """edges Dataset (left_id, right_id int64) → pair Dataset
+    (node, member) such that min(member) per node is the component id
+    after the final min-reduce (assign_clusters applies it — together
+    they perform rounds+1 propagation steps)."""
     pairs = edges_ds.map_batches(_pairs_from_edges, batch_format="pyarrow")
     for _ in range(rounds):
         pairs = bucketed_group_map(pairs, "node", _hash_to_min_bucket,
@@ -74,17 +74,18 @@ def connected_components_distributed(edges_ds, rounds: int = 3,
     return pairs
 
 
-def assign_clusters(corpus_ids_ds, edges_ds, rounds: int = 3,
+def assign_clusters(node_ids_ds, edges_ds, rounds: int = 2,
                     num_buckets: int = 64):
-    """Every corpus row → (image_id, cluster_id); singletons keep their
-    own id. One final bucketed min-reduce over (all ids ∪ labels)."""
+    """Every node (Dataset with int64 column `node`) → (node, cluster);
+    singletons keep their own id. The final bucketed min-reduce doubles
+    as one more propagation step, so total steps = rounds + 1."""
     labels = connected_components_distributed(edges_ds, rounds, num_buckets)
 
     def self_pairs(batch: pa.Table) -> pa.Table:
-        ids = batch["image_id"]
+        ids = batch["node"]
         return pa.table({"node": ids, "member": ids})
 
-    allp = corpus_ids_ds.map_batches(self_pairs, batch_format="pyarrow").union(labels)
+    allp = node_ids_ds.map_batches(self_pairs, batch_format="pyarrow").union(labels)
     return bucketed_group_map(allp, "node", _min_member_bucket,
                               num_buckets=num_buckets)
 
@@ -136,4 +137,4 @@ def clusters_from_dsu(dsu: DSU, all_ids) -> pd.DataFrame:
         rep[r] = min(rep.get(r, x), x)
     rows = [(i, rep.get(comp.get(i, i), comp.get(i, i)) if i in comp else i)
             for i in all_ids]
-    return pd.DataFrame(rows, columns=["image_id", "cluster_id"])
+    return pd.DataFrame(rows, columns=["node", "cluster"])

@@ -59,7 +59,7 @@ def test_job_resumes_without_recompute(job_result):
 def test_config_change_invalidates(job_result):
     cdir, _ = job_result
     from destor_ray.pipelines.job import run_backup_job
-    cfg = EngineConfig(lsh=LSHConfig(num_bands=8))
+    cfg = EngineConfig(lsh=LSHConfig(num_bands=16))
     res3 = run_backup_job(cdir, WORKDIR, cfg)
     assert not res3["resumed"]["signatures"] or not res3["resumed"]["edges"]
 

@@ -65,17 +65,18 @@ def test_exact_dedup_counts(ray_session, corpus_dir):
 
 def test_dsu_matches_distributed(ray_session, corpus_dir):
     """Driver union-find over the same edges reproduces the distributed
-    hash-to-min result."""
+    hash-to-min result (including the exact channel riding the bands)."""
     import ray.data
     from destor_ray.pipelines.dedup import dedup_pipeline_from_dir, signatures_from_corpus
-    from destor_ray.stages import candidates, cluster, exact
+    from destor_ray.stages import candidates, cluster
 
     ds = ray.data.read_parquet(corpus_dir)
     sigs = signatures_from_corpus(ds)
-    edges = candidates.candidate_edges(sigs).union(exact.exact_edges(sigs))
+    edges = candidates.candidate_edges(sigs)
     dsu = cluster.union_find_driver(edges.iter_batches(batch_format="pyarrow"))
-    all_ids = [f"img{i:010d}" for i in range(N)]
-    driver_df = cluster.clusters_from_dsu(dsu, all_ids)
+    driver_df = cluster.clusters_from_dsu(dsu, list(range(N)))
+    driver = {f"img{n:010d}": f"img{c:010d}"
+              for n, c in zip(driver_df.node, driver_df.cluster)}
     dist_df = dedup_pipeline_from_dir(corpus_dir).to_pandas()
-    merged = driver_df.merge(dist_df, on="image_id", suffixes=("_dsu", "_dist"))
-    assert (merged.cluster_id_dsu == merged.cluster_id_dist).all()
+    dist = dict(zip(dist_df.image_id, dist_df.cluster_id))
+    assert driver == dist
