@@ -78,6 +78,48 @@ def _job_partition_metrics(sf_dir: str):
     return partition_metrics(manifest, EngineConfig(), partition_rows=256)
 
 
+def _corpus_fidelity(sf_dir: str):
+    """T5 decode-verify: per-row fidelity vs the deterministic generator
+    (PSNR>=40 lossy / exact lossless + caption equality)."""
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.stages.fidelity import verify_fidelity
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    return verify_fidelity(ray.data.read_parquet(d), seed=42, concurrency=2)
+
+
+def _cdc_stats(sf_dir: str):
+    """Chunker operator sweep: per-algorithm chunk counts/avg sizes over
+    the corpus payloads (C1-C6 + file-level)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.functions import chunking
+
+    d = corpus.ensure_corpus_parquet(min(_corpus_rows_for(sf_dir), 400), seed=42)
+    params = chunking.ChunkParams(512, 4096, 65536)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = []
+        payloads = batch["bytes"].to_pylist()
+        for algo in ["fixed", "rabin", "normalized_rabin", "tttd", "ae", "fastcdc", "file"]:
+            n_chunks = 0
+            n_bytes = 0
+            for p in payloads:
+                cuts = chunking.chunk_offsets(p, algo, params)
+                n_chunks += len(cuts)
+                n_bytes += len(p)
+            rows.append({"algo": algo, "n_chunks": n_chunks, "n_bytes": n_bytes})
+        return pa.Table.from_pylist(rows)
+
+    from ray.data.aggregate import Sum
+    per_batch = ray.data.read_parquet(d).map_batches(stats, batch_format="pyarrow")
+    return per_batch.groupby("algo").aggregate(
+        Sum("n_chunks", alias_name="total_chunks"),
+        Sum("n_bytes", alias_name="total_bytes"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from destor_ray.pipelines import ann, streaming, text
     return {
@@ -99,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
         "corpus_dedup_clusters": _corpus_clusters,
         "corpus_exact_dedup": _corpus_exact,
+        "corpus_fidelity": _corpus_fidelity,
+        "cdc_stats": _cdc_stats,
     }
 
 

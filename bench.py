@@ -17,6 +17,13 @@ from __future__ import annotations
 import json
 import os
 
+# glibc tuning: this sandbox (Firecracker-style VM) makes fresh-mmap page
+# faults expensive and serialized; keeping freed large buffers in the
+# arena instead of munmapping them is worth ~5x aggregate throughput in
+# allocation-heavy stages. Must be set before ray.init so workers inherit.
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(128 << 20))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 << 20))
+
 import numpy as np
 import subprocess
 import sys

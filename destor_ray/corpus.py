@@ -204,7 +204,7 @@ def row_index_of(image_id: str) -> int:
 # Materialization (Ray Data when available, local pyarrow for tiny corpora)
 # ---------------------------------------------------------------------------
 
-CORPUS_VERSION = 2  # bump when codec/generator bytes change (busts /tmp cache)
+CORPUS_VERSION = 3  # bump when codec/generator bytes or layout change (busts /tmp cache)
 
 
 def corpus_dir(n_rows: int, seed: int = 42, root: str = "/tmp/destor_ray_corpus") -> str:
@@ -213,7 +213,10 @@ def corpus_dir(n_rows: int, seed: int = 42, root: str = "/tmp/destor_ray_corpus"
 
 def ensure_corpus_parquet(n_rows: int, seed: int = 42,
                           root: str = "/tmp/destor_ray_corpus",
-                          rows_per_file: int = 5000) -> str:
+                          rows_per_file: int = 1000) -> str:
+    # rows_per_file sets read parallelism: Ray fuses read_parquet with the
+    # downstream map_batches, so file count must comfortably exceed the
+    # worker count (SURVEY.md §4.1 partition-count guidance)
     """Generate (once) the corpus as partitioned parquet; returns the dir.
 
     Uses Ray Data when a session is live so generation parallelizes and

@@ -112,15 +112,27 @@ def _gear_windowed(data: np.ndarray) -> np.ndarray:
     carries propagate upward only, so contributions shifted >= 48 can
     never change the mask test — 48 shifted adds suffice.
     """
-    w = _gear_table()[data]
     # doubling scan: after processing shift 2^m the window covers 2^(m+1)
-    # lags; 6 passes reach 64 (log-passes instead of 47 full-array adds —
-    # this stage is memory-bandwidth-bound). Lags 48..63 add only to bits
-    # >= 48, which the mask test never reads.
+    # lags; 6 passes reach 64. Lags 48..63 add only to bits >= 48, which
+    # the mask test never reads. Processed in L2-sized slabs (the scan is
+    # memory-bandwidth-bound when run over a whole batch: 6 passes × 8 B
+    # per payload byte of DRAM traffic otherwise); slabs overlap by 63
+    # bytes so windows never cross a slab seam.
+    gear = _gear_table()
+    n = len(data)
+    out = np.empty(n, dtype=np.uint64)
+    SLAB = 64 * 1024  # 512 KiB of uint64 working set — fits L2
     with np.errstate(over="ignore"):
-        for shift in (1, 2, 4, 8, 16, 32):
-            w[shift:] += w[:-shift] << np.uint64(shift)
-    return w
+        start = 0
+        while start < n:
+            end = min(start + SLAB, n)
+            lo = max(0, start - 63)
+            w = gear[data[lo:end]]
+            for shift in (1, 2, 4, 8, 16, 32):
+                w[shift:] += w[:-shift] << np.uint64(shift)
+            out[start:end] = w[start - lo:]
+            start = end
+    return out
 
 
 def _fastcdc_scan(d: np.ndarray, base: int, n: int, cand_s: np.ndarray,

@@ -34,9 +34,13 @@ def _write_parquet(ds, out_dir: str) -> int:
 
 def run_backup_job(corpus_dir: str, workdir: str,
                    cfg: EngineConfig | None = None,
-                   force: bool = False) -> dict:
+                   force: bool = False, job_id: int = 0) -> dict:
     """Run (or resume) the full job; returns {stage: (path, resumed)} plus
-    the metrics dict."""
+    the metrics dict.
+
+    `job_id` models destor's backup sequence: the HAR pass persists this
+    job's sparse-container list and inherits job_id-1's
+    (har_rewrite.c:17-59 cross-run state)."""
     cfg = cfg or EngineConfig()
     chash = cfg.config_hash()
     input_id = ckpt.input_identity(corpus_dir)
@@ -86,6 +90,7 @@ def run_backup_job(corpus_dir: str, workdir: str,
     metrics_path = os.path.join(workdir, "metrics.json")
     if force or not ckpt.stage_complete(workdir, "metrics", chash, input_id):
         metrics = job_metrics(manifest, cfg)
+        metrics["har"] = har_cross_run_pass(manifest, workdir, job_id, cfg)
         mdir = ckpt.stage_dir(workdir, "metrics")
         os.makedirs(mdir, exist_ok=True)
         with open(metrics_path, "w") as f:
@@ -230,3 +235,60 @@ def job_metrics(manifest_ds, cfg: EngineConfig | None = None) -> dict:
             "speed_factor": round(restore.speed_factor(data, reads), 4),
         }
     return out
+
+
+def har_cross_run_pass(manifest_ds, workdir: str, job_id: int,
+                       cfg: EngineConfig | None = None) -> dict:
+    """Global HAR state across jobs (har_rewrite.c:17-59, close_har +
+    har_check): aggregate container utilization over the whole manifest
+    (one vectorized groupby), select sparse containers with the close_har
+    trim, persist them for job_id, and count this job's duplicate
+    references into the PREVIOUS job's sparse set (the chunks destor
+    would flag CHUNK_SPARSE)."""
+    import pyarrow.compute as pc
+
+    cfg = cfg or EngineConfig()
+    from ray.data.aggregate import Sum
+    agg = manifest_ds.groupby("container_id").aggregate(
+        Sum("nbytes", alias_name="ref_bytes")).to_pandas()
+    (uniq, tot, util, sel), sparse_ids = rewrite.har_select_sparse(
+        agg.container_id.to_numpy(), agg.ref_bytes.to_numpy(),
+        cfg.rewrite.har_utilization, cfg.rewrite.cbr_limit)
+
+    har_dir = os.path.join(workdir, "har")
+    os.makedirs(har_dir, exist_ok=True)
+    prev_path = os.path.join(har_dir, f"bv{job_id - 1}.sparse.json")
+    inherited: set[int] = set()
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            inherited = set(json.load(f)["sparse_containers"])
+
+    # har_check analog: duplicate rows referencing inherited sparse containers
+    sparse_hits = 0
+    if inherited:
+        import numpy as _np
+        dead = _np.asarray(sorted(inherited), dtype=_np.int64)
+
+        def count_hits(batch: pa.Table) -> pa.Table:
+            cid = batch["container_id"].to_numpy(zero_copy_only=False)
+            dup = batch["is_dup"].to_numpy(zero_copy_only=False)
+            n = int((_np.isin(cid, dead) & dup).sum())
+            return pa.table({"hits": pa.array([n], pa.int64())})
+
+        hits_ds = manifest_ds.map_batches(count_hits, batch_format="pyarrow")
+        sparse_hits = int(hits_ds.to_pandas()["hits"].sum())
+
+    cur_path = os.path.join(har_dir, f"bv{job_id}.sparse.json")
+    tmp = cur_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"job_id": job_id,
+                   "sparse_containers": [int(i) for i in sparse_ids]}, f)
+    os.replace(tmp, cur_path)
+
+    inherited_sparse_num = len(inherited & set(int(i) for i in uniq[sel]))
+    return {
+        "total_container_num": int(len(uniq)),
+        "sparse_container_num": int(sel.sum()),
+        "inherited_sparse_num": inherited_sparse_num,
+        "sparse_chunk_hits": sparse_hits,
+    }

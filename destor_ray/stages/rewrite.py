@@ -178,35 +178,43 @@ def har_utilization(ids: np.ndarray, sizes: np.ndarray,
                     data_size: int | None = None):
     """HAR monitor + close (har_rewrite.c:61-168): per-container
     referenced bytes; containers under the utilization threshold are
-    sparse, trimmed so their total stays under rewrite_limit × data_size
-    (largest-utilization sparse containers dropped first — C sorts
-    ascending by size and accumulates until the limit).
+    sparse. If sparse_size / total_monitored_size exceeds the rewrite
+    limit, the LARGEST sparse containers are trimmed until it fits
+    (close_har:139-150 pops from the end of the size-ascending seq).
 
-    Returns (container_table, sparse_ids): container_table rows are
-    (container_id, referenced_bytes, utilization, is_sparse)."""
+    Returns ((container_ids, referenced_bytes, utilization, is_selected),
+    sparse_ids). `data_size` is ignored (kept for API compat) — the C
+    denominator is the sum of monitored container sizes."""
     dup = ids != TEMPORARY_ID
     if not dup.any():
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float64), np.empty(0, bool)), []
     uniq, inv = np.unique(ids[dup], return_inverse=True)
     tot = np.bincount(inv, weights=sizes[dup]).astype(np.int64)
+    return har_select_sparse(uniq, tot, utilization_threshold, rewrite_limit)
+
+
+def har_select_sparse(uniq: np.ndarray, tot: np.ndarray,
+                      utilization_threshold: float = 0.5,
+                      rewrite_limit: float = 0.05):
+    """Sparse-container selection over an aggregated (container, bytes)
+    table — the close_har core, reusable for the cross-run global pass."""
+    uniq = np.asarray(uniq, dtype=np.int64)
+    tot = np.asarray(tot, dtype=np.int64)
     util = tot / CONTAINER_PAYLOAD
-    sparse_mask = util < utilization_threshold
-    if data_size is None:
-        data_size = int(sizes.sum())
-    limit = rewrite_limit * data_size
-    # C: sequence sorted ascending by size; pops from the END (largest)
-    # while the budget lasts (close_har keeps within rewrite limit)
-    sel = np.zeros(len(uniq), dtype=bool)
-    order = np.argsort(tot, kind="stable")
-    budget = 0.0
-    for j in order[::-1]:
-        if not sparse_mask[j]:
-            continue
-        if budget + tot[j] > limit:
-            continue
-        budget += tot[j]
-        sel[j] = True
+    total_size = int(tot.sum())
+    sel = util < utilization_threshold
+    sparse_size = int(tot[sel].sum())
+    if rewrite_limit < 1:
+        # trim largest sparse first; deterministic tie-break on (size, cid)
+        sparse_idx = np.flatnonzero(sel)
+        order = sparse_idx[np.lexsort((uniq[sparse_idx], tot[sparse_idx]))]
+        k = len(order)
+        while k > 0 and total_size > 0 and sparse_size / total_size > rewrite_limit:
+            j = order[k - 1]
+            sel[j] = False
+            sparse_size -= int(tot[j])
+            k -= 1
     return (uniq, tot, util, sel), uniq[sel].tolist()
 
 

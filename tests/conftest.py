@@ -3,6 +3,9 @@ import sys
 
 import pytest
 
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(128 << 20))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 << 20))
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

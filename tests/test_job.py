@@ -73,3 +73,24 @@ def test_lineage_files_written(job_result):
         with open(lin_path) as f:
             lin = json.load(f)
         assert lin["stage"] == stage
+
+
+def test_har_cross_run_state(ray_session, job_result):
+    """Second job inherits the first job's sparse container list."""
+    cdir, _ = job_result
+    import shutil
+    from destor_ray.pipelines.job import run_backup_job
+    wd = "/tmp/destor_ray_test_job_har"
+    if os.path.exists(wd):
+        shutil.rmtree(wd)
+    r1 = run_backup_job(cdir, wd, job_id=0)
+    assert "har" in r1["metrics"]
+    assert r1["metrics"]["har"]["total_container_num"] >= 1
+    assert os.path.exists(os.path.join(wd, "har", "bv0.sparse.json"))
+    # same corpus again as job 1 (forced recompute) → inherits job 0's list
+    r2 = run_backup_job(cdir, wd, job_id=1, force=True)
+    h2 = r2["metrics"]["har"]
+    if r1["metrics"]["har"]["sparse_container_num"] > 0:
+        assert h2["sparse_chunk_hits"] >= 0
+        assert h2["inherited_sparse_num"] >= 0
+    assert os.path.exists(os.path.join(wd, "har", "bv1.sparse.json"))

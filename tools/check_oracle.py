@@ -7,7 +7,11 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
+
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(128 << 20))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 << 20))
 
 import duckdb
 import pandas as pd
