@@ -31,8 +31,21 @@ def signatures_from_corpus(corpus_ds, cfg: EngineConfig | None = None):
         batch_size=256, concurrency=None)
 
 
+def buckets_for(n_rows: int) -> int:
+    """Band-shuffle bucket count (the band table is ~18 rows per corpus
+    row). Too few buckets makes per-bucket pandas work superlinear; too
+    many pays per-group scheduling."""
+    return max(64, min(4096, n_rows // 200))
+
+
+def cc_buckets_for(n_rows: int) -> int:
+    """Connected-components bucket count — pair tables are far smaller
+    than the band table; oversharding costs more than it saves."""
+    return max(64, min(512, n_rows // 1000))
+
+
 def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
-                   cc_rounds: int = 2):
+                   cc_rounds: int = 2, n_rows_hint: int | None = None):
     """corpus Dataset → cluster assignment Dataset (image_id, cluster_id).
 
     The signature table fans out to three consumers (LSH edges, exact
@@ -45,15 +58,19 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
 
     cfg = cfg or EngineConfig()
     sigs = signatures_from_corpus(corpus_ds, cfg).materialize()
+    n_rows = n_rows_hint if n_rows_hint is not None else sigs.count()
+    nb = buckets_for(n_rows)
+    nb_cc = cc_buckets_for(n_rows)
     # exact dedup rides the sha1 band channel inside candidate_edges —
     # no separate D2 shuffle in the flagship path (exact.exact_edges
     # remains the standalone operator)
-    edges = candidates.candidate_edges(sigs, cfg)
+    edges = candidates.candidate_edges(sigs, cfg, num_buckets=nb)
     ids = sigs.select_columns(["image_id"])
-    return assign_clusters_strings(ids, edges, rounds=cc_rounds)
+    return assign_clusters_strings(ids, edges, rounds=cc_rounds, num_buckets=nb_cc)
 
 
-def assign_clusters_strings(image_ids_ds, edges_int_ds, rounds: int = 2):
+def assign_clusters_strings(image_ids_ds, edges_int_ds, rounds: int = 2,
+                            num_buckets: int = 64):
     """Cluster assignment keyed by image_id strings: converts to int64
     node ids at the boundary, runs the int-keyed CC, formats back."""
     import pyarrow as pa
@@ -63,7 +80,8 @@ def assign_clusters_strings(image_ids_ds, edges_int_ds, rounds: int = 2):
             candidates.parse_nid(batch["image_id"].to_pylist()), pa.int64())})
 
     ids = image_ids_ds.map_batches(to_nodes, batch_format="pyarrow")
-    assign = cluster.assign_clusters(ids, edges_int_ds, rounds=rounds)
+    assign = cluster.assign_clusters(ids, edges_int_ds, rounds=rounds,
+                                     num_buckets=num_buckets)
 
     def to_strings(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -77,5 +95,7 @@ def assign_clusters_strings(image_ids_ds, edges_int_ds, rounds: int = 2):
 
 
 def dedup_pipeline_from_dir(corpus_dir: str, cfg: EngineConfig | None = None):
+    import pyarrow.dataset as pads
     ds = ray.data.read_parquet(corpus_dir)
-    return dedup_pipeline(ds, cfg)
+    n_rows = pads.dataset(corpus_dir).count_rows()  # metadata-only
+    return dedup_pipeline(ds, cfg, n_rows_hint=n_rows)

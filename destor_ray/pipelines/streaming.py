@@ -39,7 +39,7 @@ def events_windowed(sf_dir: str, window_sec: int = 3600):
         })
         g = df.groupby(["user_id", "win"], sort=False).agg(
             n_events=("n", "sum"), sum_value=("v", "sum")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ray.data.aggregate import Sum
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -48,7 +48,7 @@ def events_windowed(sf_dir: str, window_sec: int = 3600):
         g = df.groupby(["user_id", "win"], sort=False).agg(
             n_events=("n_events", "sum"), sum_value=("sum_value", "sum")).reset_index()
         g["sum_value"] = g["sum_value"].round(6)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     from ..stages.grouped import bucketed_group_map
 
@@ -107,6 +107,6 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
         g["session_idx"] = g.groupby("user_id", sort=False).cumcount()
         return pa.Table.from_pandas(
             g[["user_id", "session_idx", "n_events", "start_us", "end_us"]],
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     return bucketed_group_map(keyed, "user_id", sessions, num_buckets=32)

@@ -121,6 +121,15 @@ def explode_bands(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
     })
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _triu_cached(g: int) -> tuple[np.ndarray, np.ndarray]:
+    iu = np.triu_indices(g, k=1)
+    return iu[0].astype(np.int64), iu[1].astype(np.int64)
+
+
 def _pair_indices(g: int, full_pair_cap: int) -> tuple[np.ndarray, np.ndarray]:
     """Pair index arrays for a group of size g (members sorted)."""
     if g <= full_pair_cap:
@@ -162,9 +171,21 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     coll = counts >= 2
     if not coll.any():
         return empty_edges_table()
+    starts_c = starts[coll]
+    counts_c = counts[coll]
+    cap = cfg.lsh.full_pair_cap
     li_parts, ri_parts = [], []
-    for s, c in zip(starts[coll], counts[coll]):
-        gl, gr = _pair_indices(int(c), cfg.lsh.full_pair_cap)
+    # all-pairs groups, vectorized per DISTINCT size (<= cap sizes total):
+    # tile the cached triu index template across every group of that size
+    small = counts_c <= cap
+    for c in np.unique(counts_c[small]):
+        gl, gr = _triu_cached(int(c))
+        st = starts_c[small][counts_c[small] == c]
+        li_parts.append((st[:, None] + gl[None, :]).ravel())
+        ri_parts.append((st[:, None] + gr[None, :]).ravel())
+    # big groups (hot bands): star+chain, rare — loop is fine
+    for s, c in zip(starts_c[~small], counts_c[~small]):
+        gl, gr = _pair_indices(int(c), cap)
         li_parts.append(gl + s)
         ri_parts.append(gr + s)
     li = np.concatenate(li_parts)
@@ -181,7 +202,7 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
         "right_id": ids[ri[ok]],
         "psnr": np.minimum(psnr[ok], 1e9),
     }).drop_duplicates(["left_id", "right_id"])  # same pair via several bands
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,
