@@ -45,7 +45,8 @@ def cc_buckets_for(n_rows: int) -> int:
 
 
 def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
-                   cc_rounds: int = 2, n_rows_hint: int | None = None):
+                   cc_rounds: int = 2, n_rows_hint: int | None = None,
+                   driver_cc_threshold: int = 1_000_000):
     """corpus Dataset → cluster assignment Dataset (image_id, cluster_id).
 
     The signature table fans out to three consumers (LSH edges, exact
@@ -64,9 +65,41 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
     # exact dedup rides the sha1 band channel inside candidate_edges —
     # no separate D2 shuffle in the flagship path (exact.exact_edges
     # remains the standalone operator)
-    edges = candidates.candidate_edges(sigs, cfg, num_buckets=nb)
+    edges = candidates.candidate_edges(sigs, cfg, num_buckets=nb).materialize()
     ids = sigs.select_columns(["image_id"])
+    n_edges = edges.count()
+    if n_edges <= driver_cc_threshold:
+        # small verified-edge set: exact driver union-find (the guide's
+        # "union-find on the driver only if the candidate set is provably
+        # small") — saves 3 chained shuffles; the distributed hash-to-min
+        # path below is the 10^12-row route and is tested equal.
+        return _assign_clusters_driver(ids, edges)
     return assign_clusters_strings(ids, edges, rounds=cc_rounds, num_buckets=nb_cc)
+
+
+def _assign_clusters_driver(image_ids_ds, edges_int_ds):
+    import pyarrow as pa
+    import ray
+
+    from ..stages.cluster import union_find_driver
+    dsu = union_find_driver(edges_int_ds.iter_batches(batch_format="pyarrow"))
+    comp = dsu.components()
+    rep: dict = {}
+    for x, r in comp.items():
+        rep[r] = min(rep.get(r, x), x)
+    label = {x: rep[r] for x, r in comp.items()}
+    ref = ray.put(label)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lab = ray.get(ref)
+        nids = candidates.parse_nid(batch["image_id"].to_pylist())
+        out = [lab.get(int(n), int(n)) for n in nids]
+        return pa.table({
+            "image_id": batch["image_id"],
+            "cluster_id": candidates.format_nid(out),
+        })
+
+    return image_ids_ds.map_batches(assign, batch_format="pyarrow")
 
 
 def assign_clusters_strings(image_ids_ds, edges_int_ds, rounds: int = 2,

@@ -77,6 +77,8 @@ def test_dsu_matches_distributed(ray_session, corpus_dir):
     driver_df = cluster.clusters_from_dsu(dsu, list(range(N)))
     driver = {f"img{n:010d}": f"img{c:010d}"
               for n, c in zip(driver_df.node, driver_df.cluster)}
-    dist_df = dedup_pipeline_from_dir(corpus_dir).to_pandas()
+    # force the DISTRIBUTED hash-to-min path (driver_cc_threshold=0)
+    from destor_ray.pipelines.dedup import dedup_pipeline
+    dist_df = dedup_pipeline(ds, driver_cc_threshold=0).to_pandas()
     dist = dict(zip(dist_df.image_id, dist_df.cluster_id))
     assert driver == dist
