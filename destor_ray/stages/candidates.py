@@ -200,22 +200,120 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     out = pd.DataFrame({
         "left_id": ids[li[ok]],
         "right_id": ids[ri[ok]],
-        "psnr": np.minimum(psnr[ok], 1e9),
+        "psnr": np.minimum(psnr[ok], 1e9).astype(np.float64),
     }).drop_duplicates(["left_id", "right_id"])  # same pair via several bands
     return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,
-                    num_buckets: int = 64):
+                    num_buckets: int = 64, salt_hot_bands: bool = False):
     """signatures Dataset → verified edge Dataset
     (left_id:int64, right_id:int64, psnr).
 
     One shuffle: band rows bucketed by hash(band_key) →
-    vectorized per-bucket verification (see grouped.py)."""
+    vectorized per-bucket verification (see grouped.py).
+
+    salt_hot_bands=True adds the explicit two-pass hot-band salting
+    demanded at 10^12-row scale (BASELINE.json north_rule): a vectorized
+    count pass finds band keys whose group exceeds cfg.lsh.max_band_group;
+    their rows are split into sub-keys (band_key, hash(nid) % S) so no
+    single reducer ever receives a degenerate band whole. Connectivity
+    across sub-groups is restored by a second tiny shuffle of per-sub-
+    group minima ("linker" rows, S per hot key). Off by default at test
+    scale — the in-bucket star+chain cap already keeps work linear."""
     from .grouped import bucketed_group_map
     cfg = cfg or EngineConfig()
     bands = signatures_ds.map_batches(
         lambda b: explode_bands(b, cfg), batch_format="pyarrow")
-    return bucketed_group_map(bands, "band_key",
-                              lambda df: verify_bucket(df, cfg),
-                              num_buckets=num_buckets)
+    if not salt_hot_bands:
+        return bucketed_group_map(bands, "band_key",
+                                  lambda df: verify_bucket(df, cfg),
+                                  num_buckets=num_buckets)
+    return _salted_candidate_edges(bands, cfg, num_buckets)
+
+
+def _salted_candidate_edges(bands, cfg: EngineConfig, num_buckets: int):
+    import ray
+    from ray.data.aggregate import Count
+    from .grouped import bucketed_group_map
+
+    bands = bands.materialize()  # consumed by count pass + salted pass
+    counts = bands.groupby("band_key").aggregate(Count(alias_name="n"))
+    hot = counts.filter(lambda r: r["n"] > cfg.lsh.max_band_group) \
+        .select_columns(["band_key"]).to_pandas()
+    if "band_key" in hot.columns and len(hot):
+        hot_keys = np.asarray(np.sort(hot.band_key.to_numpy()), dtype=np.int64)
+    else:
+        hot_keys = np.empty(0, dtype=np.int64)
+    hot_ref = ray.put(hot_keys)
+    S = max(2, cfg.lsh.max_band_group // cfg.lsh.full_pair_cap)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        key = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nid = batch["nid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hot = np.isin(key, hk)
+        sub = np.where(
+            is_hot,
+            mix_u64(nid.view(np.uint64), 0x5A17).view(np.int64) % S + 1,
+            np.int64(0))
+        salted = np.where(is_hot,
+                          mix_u64(key.view(np.uint64) ^ np.uint64(sub).astype(np.uint64),
+                                  0xC0FE).view(np.int64),
+                          key)
+        t = pa.table({
+            "band_key": pa.array(salted, pa.int64()),
+            "nid": batch["nid"],
+            "thumb": batch["thumb"],
+            "orig_key": pa.array(np.where(is_hot, key, np.int64(0)), pa.int64()),
+            "is_hot": pa.array(is_hot, pa.bool_()),
+        })
+        return t
+
+    salted = bands.map_batches(salt, batch_format="pyarrow")
+
+    def verify_and_link(df: pd.DataFrame) -> pa.Table:
+        edges = verify_bucket(df[["band_key", "nid", "thumb"]], cfg)
+        # linker rows: min nid of each hot sub-group (with its thumb),
+        # re-keyed by the ORIGINAL band key for the second-level shuffle —
+        # they get PSNR-verified against the other sub-minima there
+        hotdf = df[df["is_hot"]]
+        e = pa.table({
+            "key": pa.array(np.zeros(edges.num_rows, np.int64), pa.int64()),
+            "left_id": edges["left_id"],
+            "right_id": edges["right_id"],
+            "psnr": edges["psnr"],
+            "thumb": pa.array([None] * edges.num_rows, pa.binary()),
+            "is_link": pa.array([False] * edges.num_rows, pa.bool_()),
+        })
+        if not len(hotdf):
+            return e
+        g = hotdf.sort_values(["band_key", "nid"], kind="stable") \
+            .groupby("band_key", sort=False).first().reset_index()
+        l = pa.table({
+            "key": pa.array(g["orig_key"].to_numpy().astype(np.int64), pa.int64()),
+            "left_id": pa.array(g["nid"].to_numpy().astype(np.int64), pa.int64()),
+            "right_id": pa.array(np.zeros(len(g), np.int64), pa.int64()),
+            "psnr": pa.array(np.zeros(len(g)), pa.float64()),
+            "thumb": pa.array(list(g["thumb"]), pa.binary()),
+            "is_link": pa.array([True] * len(g), pa.bool_()),
+        })
+        return pa.concat_tables([e, l])
+
+    mixed = bucketed_group_map(salted, "band_key",
+                               verify_and_link, num_buckets=num_buckets)
+    mixed = mixed.materialize()
+    edges = mixed.filter(lambda r: not r["is_link"]).select_columns(
+        ["left_id", "right_id", "psnr"])
+
+    def link_pairs(df: pd.DataFrame) -> pa.Table:
+        # df rows: key = orig hot band key, left_id = sub-group min nid,
+        # thumb = its verify signature → PSNR-verify min-to-min pairs
+        sub = pd.DataFrame({"band_key": df["key"], "nid": df["left_id"],
+                            "thumb": df["thumb"]})
+        return verify_bucket(sub, cfg)
+
+    links = mixed.filter(lambda r: bool(r["is_link"]))
+    link_edges = bucketed_group_map(links, "key", link_pairs,
+                                    num_buckets=max(8, num_buckets // 8))
+    return edges.union(link_edges)
