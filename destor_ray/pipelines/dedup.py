@@ -46,7 +46,7 @@ def cc_buckets_for(n_rows: int) -> int:
 
 def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
                    cc_rounds: int = 2, n_rows_hint: int | None = None,
-                   driver_cc_threshold: int = 1_000_000):
+                   driver_cc_threshold: int = 10_000_000):
     """corpus Dataset → cluster assignment Dataset (image_id, cluster_id).
 
     The signature table fans out to three consumers (LSH edges, exact
@@ -78,22 +78,32 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
 
 
 def _assign_clusters_driver(image_ids_ds, edges_int_ds):
+    import numpy as np
     import pyarrow as pa
     import ray
 
-    from ..stages.cluster import union_find_driver
-    dsu = union_find_driver(edges_int_ds.iter_batches(batch_format="pyarrow"))
-    comp = dsu.components()
-    rep: dict = {}
-    for x, r in comp.items():
-        rep[r] = min(rep.get(r, x), x)
-    label = {x: rep[r] for x, r in comp.items()}
-    ref = ray.put(label)
+    from ..stages.cluster import connected_components_numpy
+    ls, rs = [], []
+    for b in edges_int_ds.iter_batches(batch_format="pyarrow"):
+        ls.append(b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        rs.append(b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+    if ls:
+        nodes, labels = connected_components_numpy(
+            np.concatenate(ls), np.concatenate(rs))
+    else:
+        nodes = np.empty(0, dtype=np.int64)
+        labels = np.empty(0, dtype=np.int64)
+    ref = ray.put((nodes, labels))  # broadcast once; looked up per batch
 
     def assign(batch: pa.Table) -> pa.Table:
-        lab = ray.get(ref)
+        nd, lb = ray.get(ref)
         nids = candidates.parse_nid(batch["image_id"].to_pylist())
-        out = [lab.get(int(n), int(n)) for n in nids]
+        out = nids.copy()
+        if len(nd):
+            pos = np.searchsorted(nd, nids)
+            pos = np.minimum(pos, len(nd) - 1)
+            hit = nd[pos] == nids
+            out[hit] = lb[pos[hit]]
         return pa.table({
             "image_id": batch["image_id"],
             "cluster_id": candidates.format_nid(out),
