@@ -36,11 +36,25 @@ def _caption_shingle_flat(captions: list[str], k: int) -> tuple[np.ndarray, np.n
     return flat, offsets
 
 
+def binary_column_views(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy access to a (Large)Binary column: (data, offsets) numpy
+    views over the Arrow buffers. Row i's payload is
+    data[offsets[i]:offsets[i+1]] — a view, never a Python bytes copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset: col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    return data, offsets.astype(np.int64)
+
+
 def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
     cfg = cfg or EngineConfig()
-    payloads = batch["bytes"].to_pylist()
+    data, offs = binary_column_views(batch["bytes"])
+    n = batch.num_rows
+    payloads = [data[offs[i]:offs[i + 1]] for i in range(n)]  # numpy views
     captions = batch["caption"].to_pylist()
-    n = len(payloads)
 
     sha1 = hashing.sha1_hex_batch(payloads)
 
@@ -65,7 +79,7 @@ def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.T
     out = pa.table({
         "image_id": batch["image_id"],
         "phash": batch["phash"],
-        "nbytes": pa.array([len(p) for p in payloads], pa.int64()),
+        "nbytes": pa.array(np.diff(offs), pa.int64()),
         "sha1": pa.array(sha1, pa.string()),
         "thumb": pa.array(thumbs, pa.binary()),
         "cap_sig": pa.array([s.view(np.int64) for s in cap_sig], pa.list_(pa.int64())),
