@@ -94,3 +94,29 @@ def test_har_cross_run_state(ray_session, job_result):
         assert h2["sparse_chunk_hits"] >= 0
         assert h2["inherited_sparse_num"] >= 0
     assert os.path.exists(os.path.join(wd, "har", "bv1.sparse.json"))
+
+
+def test_partial_job_resume(ray_session, job_result):
+    """Simulated mid-job kill: later stages' lineage missing → only they
+    recompute; the signatures stage is reused untouched."""
+    cdir, _ = job_result
+    import shutil
+    from destor_ray.pipelines.job import run_backup_job
+    wd = "/tmp/destor_ray_test_job_partial"
+    if os.path.exists(wd):
+        shutil.rmtree(wd)
+    run_backup_job(cdir, wd)
+    # "kill" after signatures: drop everything downstream
+    for stage in ["edges", "clusters", "manifest", "metrics"]:
+        shutil.rmtree(os.path.join(wd, stage))
+    os.remove(os.path.join(wd, "metrics.json"))
+    sig_dir = os.path.join(wd, "signatures")
+    before = sorted((f, os.stat(os.path.join(sig_dir, f)).st_mtime_ns)
+                    for f in os.listdir(sig_dir))
+    res = run_backup_job(cdir, wd)
+    after = sorted((f, os.stat(os.path.join(sig_dir, f)).st_mtime_ns)
+                   for f in os.listdir(sig_dir))
+    assert res["resumed"]["signatures"] is True
+    assert res["resumed"]["edges"] is False
+    assert before == after
+    assert res["metrics"]["n_rows"] == 400
