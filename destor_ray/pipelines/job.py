@@ -104,6 +104,21 @@ def run_backup_job(corpus_dir: str, workdir: str,
             metrics = json.load(f)
         status["resumed"]["metrics"] = True
 
+    # per-stage wall times from lineage (destor's per-phase throughput,
+    # do_backup.c:136-153) + backup throughput MB/s (do_backup.c:116-117)
+    stage_wall = {}
+    for stage in ["signatures", "edges", "clusters", "manifest"]:
+        lin = ckpt.load_lineage(workdir, stage)
+        if lin and lin.get("wall_sec") is not None:
+            stage_wall[stage] = lin["wall_sec"]
+    metrics["stage_wall_sec"] = stage_wall
+    total_wall = sum(stage_wall.values()) or None
+    if total_wall and metrics.get("data_size"):
+        metrics["backup_throughput_mb_s"] = round(
+            metrics["data_size"] / (1024 * 1024 * total_wall), 3)
+    with open(metrics_path, "w") as f:
+        json.dump(metrics, f, indent=1)
+
     status["metrics"] = metrics
     return status
 
