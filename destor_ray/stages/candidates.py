@@ -205,6 +205,104 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
+def pair_gen_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
+    """Candidate PAIR generation without verification (thumbless band
+    rows): same grouping/cap logic as verify_bucket, emits
+    (left_id, right_id) for downstream join-verify."""
+    cfg = cfg or EngineConfig()
+    df = df.drop_duplicates(["band_key", "nid"])
+    df = df.sort_values(["band_key", "nid"], kind="stable")
+    keys = df["band_key"].to_numpy()
+    n = len(df)
+    empty = pa.table({"left_id": pa.array([], pa.int64()),
+                      "right_id": pa.array([], pa.int64())})
+    if n < 2:
+        return empty
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    coll = counts >= 2
+    if not coll.any():
+        return empty
+    starts_c = starts[coll]
+    counts_c = counts[coll]
+    cap = cfg.lsh.full_pair_cap
+    li_parts, ri_parts = [], []
+    small = counts_c <= cap
+    for c in np.unique(counts_c[small]):
+        gl, gr = _triu_cached(int(c))
+        st = starts_c[small][counts_c[small] == c]
+        li_parts.append((st[:, None] + gl[None, :]).ravel())
+        ri_parts.append((st[:, None] + gr[None, :]).ravel())
+    for s, c in zip(starts_c[~small], counts_c[~small]):
+        gl, gr = _pair_indices(int(c), cap)
+        li_parts.append(gl + s)
+        ri_parts.append(gr + s)
+    li = np.concatenate(li_parts)
+    ri = np.concatenate(ri_parts)
+    ids = df["nid"].to_numpy()
+    out = pd.DataFrame({"left_id": ids[li], "right_id": ids[ri]}) \
+        .drop_duplicates(["left_id", "right_id"])
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+def candidate_edges_joinverify(signatures_ds, cfg: EngineConfig | None = None,
+                               num_buckets: int = 64, join_partitions: int = 32):
+    """Low-volume variant of candidate_edges: the big band shuffle moves
+    only (band_key, nid) — 16 B/row instead of ~90 — and thumbnails are
+    attached to the (much smaller) candidate-pair table by two
+    hash-partitioned joins against the per-row thumb table, then verified
+    in a vectorized map. Same verified-edge semantics as the thumb-
+    carrying path (tested equal). Measured on this Ray build the two
+    joins cost MORE than the saved shuffle volume (47 s vs 12.5 s at
+    400k rows / 1.76M pairs) — kept as the demonstration of the
+    partitioned-hash-join verify topology; revisit when Dataset.join's
+    aggregator constant drops."""
+    from .grouped import bucketed_group_map
+    cfg = cfg or EngineConfig()
+
+    def explode_nothumb(batch: pa.Table) -> pa.Table:
+        t = explode_bands(batch, cfg)
+        return t.select(["band_key", "nid"])
+
+    bands = signatures_ds.map_batches(explode_nothumb, batch_format="pyarrow")
+    pairs = bucketed_group_map(bands, "band_key",
+                               lambda df: pair_gen_bucket(df, cfg),
+                               num_buckets=num_buckets)
+
+    def thumbs_tbl(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tnid": pa.array(parse_nid(batch["image_id"].to_pylist()), pa.int64()),
+            "thumb": batch["thumb"],
+        })
+
+    thumbs = signatures_ds.map_batches(thumbs_tbl, batch_format="pyarrow")
+    j1 = pairs.join(thumbs, "inner", join_partitions,
+                    on=("left_id",), right_on=("tnid",))
+    j1 = j1.map_batches(lambda b: pa.table({
+        "left_id": b["left_id"], "right_id": b["right_id"],
+        "lthumb": b["thumb"]}), batch_format="pyarrow")
+    j2 = j1.join(thumbs, "inner", join_partitions,
+                 on=("right_id",), right_on=("tnid",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return empty_edges_table()
+        lt = np.frombuffer(b"".join(batch["lthumb"].to_pylist()), dtype=np.uint8).reshape(n, -1)
+        rt = np.frombuffer(b"".join(batch["thumb"].to_pylist()), dtype=np.uint8).reshape(n, -1)
+        diff = lt.astype(np.float32) - rt.astype(np.float32)
+        mse = np.mean(diff * diff, axis=1)
+        with np.errstate(divide="ignore"):
+            psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
+        ok = psnr >= cfg.verify.psnr_threshold
+        return pa.table({
+            "left_id": batch["left_id"].filter(pa.array(ok)),
+            "right_id": batch["right_id"].filter(pa.array(ok)),
+            "psnr": pa.array(np.minimum(psnr[ok], 1e9).astype(np.float64), pa.float64()),
+        })
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,
                     num_buckets: int = 64, salt_hot_bands: bool = False):
     """signatures Dataset → verified edge Dataset

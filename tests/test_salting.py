@@ -44,3 +44,14 @@ def test_salting_noop_when_no_hot_bands(ray_session):
     salted = candidates.candidate_edges(sigs, cfg, salt_hot_bands=True).to_pandas()
     assert set(zip(plain.left_id, plain.right_id)) == \
         set(zip(salted.left_id, salted.right_id))
+
+
+def test_joinverify_matches_thumb_carrying(ray_session):
+    import ray.data
+    from destor_ray.pipelines.dedup import signatures_from_corpus
+    from destor_ray.stages import candidates
+    d = corpus.ensure_corpus_parquet(N, seed=42)
+    sigs = signatures_from_corpus(ray.data.read_parquet(d)).materialize()
+    a = candidates.candidate_edges(sigs).to_pandas()
+    b = candidates.candidate_edges_joinverify(sigs, join_partitions=4).to_pandas()
+    assert set(zip(a.left_id, a.right_id)) == set(zip(b.left_id, b.right_id))
