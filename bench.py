@@ -43,9 +43,19 @@ def run_scaling() -> None:
 
     def best(ncpu: int) -> dict:
         # run-to-run variance on this sandbox VM is large; take the best
-        # of two fresh processes per level (same input, warm page cache)
-        a, b = one(ncpu), one(ncpu)
-        return a if a["value"] <= b["value"] else b
+        # of two fresh processes per level (same input, warm page cache);
+        # tolerate one transient failure
+        results = []
+        for _ in range(3):
+            try:
+                results.append(one(ncpu))
+            except subprocess.CalledProcessError:
+                continue
+            if len(results) == 2:
+                break
+        if not results:
+            raise RuntimeError(f"all bench runs failed at num_cpus={ncpu}")
+        return min(results, key=lambda r: r["value"])
 
     lo, hi = best(8), best(32)
     rate_lo = lo["images_per_sec"]
@@ -64,8 +74,14 @@ def main() -> None:
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # hash shuffle avoids the sort-shuffle constant (~2.3s/groupby); the
+    # aggregator partition count MUST stay below schedulable CPUs or the
+    # aggregator actors never start (see NOTES.md)
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.default_hash_shuffle_parallelism = max(4, NCPU * 3 // 4)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from destor_ray import corpus
