@@ -10,6 +10,7 @@ queries() entries map to SURVEY.md §2 operators:
   lang_id              text analysis: language-ID heuristic (rows-only)
   doc_fingerprint      document fingerprinting: SimHash + MinHash (rows-only)
   minhash_lsh_docs     D3/D4 similarity join: MinHash-LSH near-dup clusters (rows-only)
+  segment_routing      D3 champion top-k segment routing with feature trim (rows-only)
   container_refs       HAR utilization aggregate (R4 analog)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog)
   docs_stats_by_lang   per-job counters (W5 analog)
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
         "minhash_lsh_docs": text.minhash_lsh_docs,
+        "segment_routing": text.segment_routing,
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,

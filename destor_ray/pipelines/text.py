@@ -265,3 +265,82 @@ def docs_stats_by_lang(sf_dir: str):
         Sum("n_chars", alias_name="sum_chars"),
         Min("n_chars", alias_name="min_chars"),
         Max("n_chars", alias_name="max_chars"))
+
+
+# ---------------------------------------------------------------------------
+# D3 parity: similarity-sampled segment routing with champion selection
+# ---------------------------------------------------------------------------
+
+def segment_routing(sf_dir: str, top_k: int = 2, ratio: int = 16,
+                    value_len: int = 8):
+    """Extreme-Binning/SiLo-style segment routing (SURVEY.md §2.5 D3):
+    doc = segment, features = min-sampled shingle fingerprints
+    (sampling_method.c:12-75), feature → last `value_len` segment ids
+    (the kv-store FIFO, kvstore_htable.c:46-54, here min-ids for
+    determinism), and per query segment the greedy champion top-k with
+    feature trim ported from top_segment_select
+    (similarity_detection.c:49-126). Returns
+    (doc_id, champion_rank, champion_doc_id); rows-only check."""
+    from ..functions import sampling
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def features_fn(batch: pa.Table) -> pa.Table:
+        ids, feats = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = hashing.char_shingles_u64(t, 5)
+            fs = sampling.sample_min(sh, ratio)
+            ids.append(np.full(len(fs), did, dtype=np.int64))
+            feats.append(fs.view(np.int64))
+        return pa.table({
+            "feature": pa.array(np.concatenate(feats), pa.int64()),
+            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+        })
+
+    feat_rows = ds.map_batches(features_fn, batch_format="pyarrow")
+
+    def postings_bucket(df: pd.DataFrame) -> pa.Table:
+        # feature → candidate pairs (query_doc, cand_doc, feature), with the
+        # posting list truncated to `value_len` ids (kv-store value length)
+        df = df.drop_duplicates(["feature", "doc_id"]).sort_values(
+            ["feature", "doc_id"], kind="stable")
+        feats = df["feature"].to_numpy()
+        docs = df["doc_id"].to_numpy()
+        _, starts, counts = np.unique(feats, return_index=True, return_counts=True)
+        q, c, f = [], [], []
+        for s0, cnt in zip(starts, counts):
+            if cnt < 2:
+                continue
+            members = docs[s0:s0 + min(cnt, value_len)]
+            for a in members:
+                for b in members:
+                    if a != b:
+                        q.append(a)
+                        c.append(b)
+                        f.append(feats[s0])
+        return pa.table({"query_doc": pa.array(q, pa.int64()),
+                         "cand_doc": pa.array(c, pa.int64()),
+                         "feature": pa.array(f, pa.int64())})
+
+    pairs = bucketed_group_map(feat_rows, "feature", postings_bucket,
+                               num_buckets=32)
+
+    def champions_bucket(df: pd.DataFrame) -> pa.Table:
+        from ..functions.sampling import select_champions
+        out_q, out_r, out_c = [], [], []
+        for qd, g in df.groupby("query_doc", sort=False):
+            cands: dict[int, set] = {}
+            for cd, ft in zip(g["cand_doc"], g["feature"]):
+                cands.setdefault(int(cd), set()).add(int(ft))
+            champs = select_champions(cands, top_k)
+            for rank, ch in enumerate(champs):
+                out_q.append(int(qd))
+                out_r.append(rank)
+                out_c.append(ch)
+        return pa.table({"doc_id": pa.array(out_q, pa.int64()),
+                         "champion_rank": pa.array(out_r, pa.int64()),
+                         "champion_doc_id": pa.array(out_c, pa.int64())})
+
+    return bucketed_group_map(pairs, "query_doc", champions_bucket,
+                              num_buckets=32)

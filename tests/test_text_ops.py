@@ -66,3 +66,25 @@ def test_lsh_bucket_topk_recall(ray_session):
     fast = em.queries()["lsh_bucket_topk"](SF).to_pandas()
     overlap = len(set(brute.vec_id) & set(fast.vec_id))
     assert overlap >= 4, overlap
+
+
+def test_segment_routing_champions(ray_session):
+    """D3 champion routing: every champion shares >= 1 sampled feature
+    with its query doc; ranks are contiguous from 0."""
+    import numpy as np
+    import __ray_entry__ as em
+    from destor_ray.functions import hashing, sampling
+    out = em.queries()["segment_routing"](SF).to_pandas()
+    assert set(out.columns) == {"doc_id", "champion_rank", "champion_doc_id"}
+    assert len(out) > 0
+    assert (out.groupby("doc_id").champion_rank.min() == 0).all()
+    # spot-check feature overlap for a few routed docs
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs.doc_id, docs.text))
+    feats = {d: set(sampling.sample_min(
+        hashing.char_shingles_u64(texts[d], 5), 16).tolist())
+        for d in out.doc_id.head(5).tolist() + out.champion_doc_id.head(5).tolist()}
+    for _, row in out.head(5).iterrows():
+        assert feats[row.doc_id] & feats[row.champion_doc_id]
