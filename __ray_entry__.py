@@ -122,8 +122,11 @@ def _cdc_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from destor_ray.pipelines import ann, streaming, text
+    from destor_ray.pipelines import ann, relational, streaming, text
     return {
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "customer_order_stats": relational.customer_order_stats,
+        "top_parts_by_quantity": relational.top_parts_by_quantity,
         "events_windowed": streaming.events_windowed,
         "events_type_stats": streaming.events_type_stats,
         "events_sessionize": streaming.events_sessionize,
@@ -150,6 +153,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "customer_order_stats": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "top_parts_by_quantity": """
+            SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY total_qty DESC, l_partkey ASC
+            LIMIT 10
+        """,
         "events_windowed": """
             SELECT user_id,
                    CAST(floor(epoch(ts)/3600) AS BIGINT) AS win,

@@ -11,7 +11,8 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "lineitem", "orders", "customer",
+              "events"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
 
@@ -38,6 +39,8 @@ def _check(name, con, ray_session):
     "exact_dedup_docs", "token_count", "quality_score",
     "container_refs", "cap_top_containers", "docs_stats_by_lang",
     "ann_topk", "embedding_dedup_pairs",
+    "lineitem_pricing_summary", "customer_order_stats",
+    "top_parts_by_quantity",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
