@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "lsh_bucket_topk": ann.lsh_bucket_topk,
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
+        "embedding_clusters": ann.embedding_clusters,
         "corpus_dedup_clusters": _corpus_clusters,
         "corpus_exact_dedup": _corpus_exact,
         "corpus_fidelity": _corpus_fidelity,

@@ -412,7 +412,7 @@ def _rabin_windowed(d: np.ndarray) -> np.ndarray:
     n = len(d)
     idx = d.astype(np.intp)
     w = C[0][idx].copy()
-    for k in range(1, _WINSIZE):
+    for k in range(1, min(_WINSIZE, n)):  # lags beyond the buffer are empty
         w[k:] ^= C[k][idx[: n - k]]
     return w
 

@@ -154,3 +154,31 @@ def lsh_bucket_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def embedding_clusters(sf_dir: str, threshold: float = 0.27):
+    """Embedding-cosine near-dup clusters: connected components over
+    embedding_dedup_pairs (vec_id, cluster_id = min vec_id of component).
+    Rows-only check (clusters aren't tidily SQL-expressible)."""
+    import pyarrow as pa
+
+    from ..stages import cluster as cl
+    pairs = embedding_dedup_pairs(sf_dir, threshold)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"left_id": batch["left_vec"],
+                         "right_id": batch["right_vec"]})
+
+    edges = pairs.map_batches(rename, batch_format="pyarrow")
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["vec_id"]})
+
+    ids = _read_embeddings(sf_dir).select_columns(["vec_id"]) \
+        .map_batches(nodes, batch_format="pyarrow")
+    assign = cl.assign_clusters(ids, edges, rounds=2, num_buckets=16)
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": batch["node"], "cluster_id": batch["cluster"]})
+
+    return assign.map_batches(out, batch_format="pyarrow")
