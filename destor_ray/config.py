@@ -48,6 +48,10 @@ class LSHConfig:
 class VerifyConfig:
     thumb_size: int = 8
     psnr_threshold: float = 25.0      # thumbnail PSNR to accept an image pair
+    sim_hamming_max: int = 9          # phash distance accepted in simulation mode
+    # (9 rejects every planted distractor (ham>=10) but misses heavy-crop
+    #  tails — simulation mode is an approximate metadata-path dry run,
+    #  like destor's simulation levels, not the correctness path)
     cache_size: int = 4096            # per-actor LRU of representatives (D5 analog)
     batch_size: int = 1024
     concurrency: int = 4
@@ -81,6 +85,11 @@ class EngineConfig:
     restore: RestoreConfig = field(default_factory=RestoreConfig)
     container_rows: int = 4096        # rows per output "container" partition
     use_byte_cdc_channel: bool = True # destor-parity candidate channel over `bytes`
+    # simulation mode — destor's simulation levels analog (destor.h:55-59,
+    # SURVEY.md §4.1): payloads are never decoded; verification degrades to
+    # phash Hamming <= verify.sim_hamming_max. Metadata-only dry runs for
+    # CI and 10^12-row capacity planning.
+    simulation: bool = False
     seed: int = 0x5EED
 
     def config_hash(self) -> str:

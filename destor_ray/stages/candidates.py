@@ -192,11 +192,20 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     ri = np.concatenate(ri_parts)
     ids = df["nid"].to_numpy()
     thumbs = np.frombuffer(b"".join(df["thumb"]), dtype=np.uint8).reshape(n, -1)
-    diff = thumbs[li].astype(np.float32) - thumbs[ri].astype(np.float32)
-    mse = np.mean(diff * diff, axis=1)
-    with np.errstate(divide="ignore"):
-        psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
-    ok = psnr >= cfg.verify.psnr_threshold
+    if cfg.simulation:
+        # metadata-only probe: phash Hamming distance (thumb = 8-byte phash)
+        from .. import codec as _codec
+        a = thumbs[li].copy().view(">i8").ravel()
+        b = thumbs[ri].copy().view(">i8").ravel()
+        ham = _codec.hamming64(a, b)
+        ok = ham <= cfg.verify.sim_hamming_max
+        psnr = np.where(ok, 100.0 - ham, 0.0).astype(np.float64)
+    else:
+        diff = thumbs[li].astype(np.float32) - thumbs[ri].astype(np.float32)
+        mse = np.mean(diff * diff, axis=1)
+        with np.errstate(divide="ignore"):
+            psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
+        ok = psnr >= cfg.verify.psnr_threshold
     out = pd.DataFrame({
         "left_id": ids[li[ok]],
         "right_id": ids[ri[ok]],

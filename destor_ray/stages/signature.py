@@ -58,15 +58,21 @@ def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.T
 
     sha1 = hashing.sha1_hex_batch(payloads)
 
-    thumbs = []
-    for p in payloads:
-        thumbs.append(codec.thumbnail(codec.decode(p), cfg.verify.thumb_size))
+    if cfg.simulation:
+        # simulation mode: no decode — the "thumb" is the 8-byte phash so
+        # the verify stage can fall back to Hamming distance
+        ph = np.asarray(batch["phash"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        thumbs = [int(v).to_bytes(8, "big", signed=True) for v in ph]
+    else:
+        thumbs = []
+        for p in payloads:
+            thumbs.append(codec.thumbnail(codec.decode(p), cfg.verify.thumb_size))
 
     flat, offsets = _caption_shingle_flat(captions, cfg.lsh.shingle_k)
     cap_sig = minhash.minhash_signatures_flat(flat, offsets, cfg.lsh.num_perms, cfg.seed)
 
     cdc_feats: list[np.ndarray] = []
-    if cfg.use_byte_cdc_channel:
+    if cfg.use_byte_cdc_channel and not cfg.simulation:
         params = chunking.ChunkParams(cfg.chunking.min_size, cfg.chunking.avg_size,
                                       cfg.chunking.max_size)
         fps_list = chunking.chunk_hashes_multi(payloads, cfg.chunking.algorithm, params)

@@ -82,3 +82,27 @@ def test_dsu_matches_distributed(ray_session, corpus_dir):
     dist_df = dedup_pipeline(ds, driver_cc_threshold=0).to_pandas()
     dist = dict(zip(dist_df.image_id, dist_df.cluster_id))
     assert driver == dist
+
+
+def test_simulation_mode(ray_session, corpus_dir):
+    """Metadata-only dry run (destor simulation-levels analog): no decode,
+    phash-Hamming verify; recall degrades gracefully, no distractors."""
+    import ray.data
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.dedup import dedup_pipeline
+    cfg = EngineConfig(simulation=True)
+    out = dedup_pipeline(ray.data.read_parquet(corpus_dir), cfg,
+                         n_rows_hint=N).to_pandas()
+    pred = dict(zip(out.image_id, out.cluster_id))
+    plan = corpus.dup_plan_table(N)
+    hits = total = joined = 0
+    for l, r, k in zip(plan["left_id"].to_pylist(), plan["right_id"].to_pylist(),
+                       plan["kind"].to_pylist()):
+        same = pred[l] == pred[r]
+        if k == "distractor_near_miss":
+            joined += int(same)
+        else:
+            total += 1
+            hits += int(same)
+    assert joined == 0
+    assert hits / total >= 0.9, hits / total
