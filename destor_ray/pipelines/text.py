@@ -221,17 +221,34 @@ def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6):
 
     edges = bucketed_group_map(bands, "band_key", verify_bucket_docs, num_buckets=64)
 
-    # connected components over int64 doc ids directly
-    def to_nodes(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["doc_id"]})
+    # doc tables are small-side: exact driver CC (vectorized min-label
+    # propagation) + broadcast assignment — same hybrid as the flagship
+    import ray
 
-    ids_ds = ds.select_columns(["doc_id"]).map_batches(to_nodes, batch_format="pyarrow")
-    assign = cl.assign_clusters(ids_ds, edges, rounds=2)
+    from ..stages.cluster import connected_components_numpy
+    ls, rs = [], []
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        ls.append(np.asarray(b["left_id"].to_numpy(zero_copy_only=False), dtype=np.int64))
+        rs.append(np.asarray(b["right_id"].to_numpy(zero_copy_only=False), dtype=np.int64))
+    if ls and sum(len(x) for x in ls):
+        nodes, labels = connected_components_numpy(np.concatenate(ls), np.concatenate(rs))
+    else:
+        nodes = np.empty(0, dtype=np.int64)
+        labels = np.empty(0, dtype=np.int64)
+    ref = ray.put((nodes, labels))
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch["node"], "cluster_id": batch["cluster"]})
+    def assign(batch: pa.Table) -> pa.Table:
+        nd, lb = ray.get(ref)
+        dids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        out = dids.copy()
+        if len(nd):
+            pos = np.minimum(np.searchsorted(nd, dids), len(nd) - 1)
+            hit = nd[pos] == dids
+            out[hit] = lb[pos[hit]]
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "cluster_id": pa.array(out, pa.int64())})
 
-    return assign.map_batches(rename, batch_format="pyarrow")
+    return ds.select_columns(["doc_id"]).map_batches(assign, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
