@@ -47,6 +47,19 @@ def _corpus_clusters(sf_dir: str):
     return dedup_pipeline_from_dir(d)
 
 
+def _corpus_dedup_simulation(sf_dir: str):
+    """Flagship in simulation mode (metadata-only dry run — destor's
+    simulation levels analog): no payload decode, phash-Hamming verify."""
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.dedup import dedup_pipeline
+    n = _corpus_rows_for(sf_dir)
+    d = corpus.ensure_corpus_parquet(n, seed=42)
+    return dedup_pipeline(ray.data.read_parquet(d),
+                          EngineConfig(simulation=True), n_rows_hint=n)
+
+
 def _corpus_exact(sf_dir: str):
     import ray.data
     from destor_ray import corpus
@@ -147,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": ann.embedding_clusters,
         "corpus_dedup_clusters": _corpus_clusters,
         "corpus_exact_dedup": _corpus_exact,
+        "corpus_dedup_simulation": _corpus_dedup_simulation,
         "corpus_fidelity": _corpus_fidelity,
         "cdc_stats": _cdc_stats,
     }

@@ -69,9 +69,13 @@ def run_backup_job(corpus_dir: str, workdir: str,
 
     # ---- stage 3: cluster assignment ----
     def produce_clusters(out: str):
-        from .dedup import assign_clusters_strings
+        from .dedup import _assign_clusters_driver, assign_clusters_strings
         ids = sigs.select_columns(["image_id"])
-        return _write_parquet(assign_clusters_strings(ids, edges), out)
+        if edges.count() <= 10_000_000:
+            assign = _assign_clusters_driver(ids, edges)
+        else:
+            assign = assign_clusters_strings(ids, edges)
+        return _write_parquet(assign, out)
 
     assign, resumed = ckpt.run_stage(workdir, "clusters", chash, input_id,
                                      produce_clusters, force=force)
