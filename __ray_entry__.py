@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,
         "minhash_lsh_docs": text.minhash_lsh_docs,
         "segment_routing": text.segment_routing,
+        "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,

@@ -361,3 +361,70 @@ def segment_routing(sf_dir: str, top_k: int = 2, ratio: int = 16,
 
     return bucketed_group_map(pairs, "query_doc", champions_bucket,
                               num_buckets=32)
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5):
+    """Exact n-gram Jaccard near-dup pairs: LSH candidates verified by the
+    TRUE shingle-set Jaccard (not the MinHash estimate). The text table is
+    the small side and broadcast once (ray.put); candidate generation is
+    the same salted band shuffle. Returns (left_id, right_id, jaccard
+    rounded 6); rows-only check."""
+    import ray
+
+    from ..stages.grouped import bucketed_group_map
+    cfg = EngineConfig()
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    tref = ray.put(texts)
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        txts = batch["text"].to_pylist()
+        parts = [hashing.char_shingles_u64(t, n) for t in txts]
+        offs = np.zeros(len(parts) + 1, dtype=np.int64)
+        np.cumsum([len(p) for p in parts], out=offs[1:])
+        flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+        sig = minhash.minhash_signatures_flat(flat, offs, cfg.lsh.num_perms, cfg.seed)
+        bands = minhash.band_keys(sig, cfg.lsh.num_bands, cfg.lsh.rows_per_band, cfg.seed)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "band_key": pa.array(bands.reshape(-1).view(np.int64), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, cfg.lsh.num_bands), pa.int64()),
+        })
+
+    bands = ds.map_batches(sig_fn, batch_format="pyarrow")
+
+    def pairs_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"], kind="stable")
+        keys = df["band_key"].to_numpy()
+        _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+        docs = df["doc_id"].to_numpy()
+        li, ri = [], []
+        for s0, c0 in zip(starts[counts >= 2], counts[counts >= 2]):
+            gl, gr = np.triu_indices(int(c0), k=1)
+            li.append(docs[gl + s0])
+            ri.append(docs[gr + s0])
+        if not li:
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        lv = np.concatenate(li)
+        rv = np.concatenate(ri)
+        uniq = pd.DataFrame({"l": lv, "r": rv}).drop_duplicates()
+        txts = ray.get(tref)
+        out_l, out_r, out_j = [], [], []
+        for l, r in zip(uniq.l, uniq.r):
+            j = minhash.jaccard(hashing.char_shingles_u64(txts[int(l)], n),
+                                hashing.char_shingles_u64(txts[int(r)], n))
+            if j >= threshold:
+                out_l.append(int(l))
+                out_r.append(int(r))
+                out_j.append(round(j, 6))
+        return pa.table({"left_id": pa.array(out_l, pa.int64()),
+                         "right_id": pa.array(out_r, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return bucketed_group_map(bands, "band_key", pairs_bucket, num_buckets=32)

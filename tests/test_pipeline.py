@@ -106,3 +106,26 @@ def test_simulation_mode(ray_session, corpus_dir):
             hits += int(same)
     assert joined == 0
     assert hits / total >= 0.9, hits / total
+
+
+def test_recall_on_different_seed(ray_session):
+    """Generator-generalization guard: a corpus from a different seed
+    (different pixels, captions, sizes) still hits full recall."""
+    import ray.data
+    from destor_ray.pipelines.dedup import dedup_pipeline_from_dir
+    d = corpus.ensure_corpus_parquet(N, seed=7)
+    out = dedup_pipeline_from_dir(d).to_pandas()
+    pred = dict(zip(out.image_id, out.cluster_id))
+    hits = total = joined = 0
+    for i in range(N):
+        kind, src = corpus.plan_for_row(i)
+        if kind == "original":
+            continue
+        same = pred[f"img{i:010d}"] == pred[f"img{src:010d}"]
+        if kind == "distractor_near_miss":
+            joined += int(same)
+        else:
+            total += 1
+            hits += int(same)
+    assert joined == 0
+    assert hits / total >= 0.99, hits / total
