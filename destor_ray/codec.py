@@ -6,8 +6,10 @@ deterministic container format ("DRI1") with two codecs:
   * fmt="png"  — lossless: zlib over raw RGB bytes.
   * fmt="jpeg" — lossy: uniform per-pixel quantization with step
     ``max(1, (100 - quality) // 4)`` then zlib. Decoding reconstructs the
-    quantization-bin midpoint, so PSNR vs the source is deterministic and
-    >= 40 dB for quality >= 60 (step <= 10 would be ~39 dB; //4 keeps step <= 7 at q70 → ~42 dB).
+    quantization-bin midpoint, so PSNR vs the source is deterministic:
+    >= 40 dB is guaranteed for quality >= 68 (step <= 8 → ~40.9 dB);
+    quality 64-67 gives step 9 → ~39.8 dB, just under the bar. The corpus
+    generator only emits quality >= 80 (step <= 5 → ~45 dB).
 
 The *semantics* mirror what a real image pipeline needs: a lossy
 re-encode produces different bytes but near-identical pixels (a planted

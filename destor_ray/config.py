@@ -62,9 +62,11 @@ class RewriteConfig:
     enable: bool = False
     algorithm: str = "cap"            # cfl|cbr|cap|har
     cfl_require: float = 0.6          # rewrite_cfl_require analog
-    cbr_limit: float = 0.05           # global rewrite limit (cbr_rewrite.c)
+    cfl_usage_threshold: float = 0.03 # rewrite_cfl_usage_threshold analog
+    cbr_limit: float = 0.05           # CBR rewrite limit (cbr_rewrite.c)
     cap_level: int = 16               # capping level (cap_rewrite.c)
     har_utilization: float = 0.5      # HAR sparse threshold (har_rewrite.c)
+    har_rewrite_limit: float = 0.05   # HAR close_har trim limit (har_rewrite.c:87-168)
     window: int = 1024                # rewrite buffer size (rewrite_phase.c)
 
 

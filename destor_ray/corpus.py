@@ -123,6 +123,35 @@ def truth_cluster(i: int) -> int:
     return src
 
 
+def source_pixels(seed: int, i: int) -> tuple[np.ndarray, str, str]:
+    """Row i's PRE-ENCODE pixels, fmt and caption — the fidelity oracle
+    (restore-as-oracle, SURVEY.md §5.1.4). Replays the pixel branch of
+    generate_row without encoding, so a decode-verify stage can check the
+    decoded payload against the true source (PSNR >= 40 for lossy)."""
+    kind, src = plan_for_row(i)
+    if kind == "original":
+        pixels, w, h, fmt, _ = _base_pixels(seed, i)
+        caption = _base_caption(seed, i)
+    else:
+        pixels, w, h, fmt, _ = _base_pixels(seed, src)
+        caption = _base_caption(seed, src)
+        if kind == "reencode":
+            fmt = "jpeg"
+        elif kind == "crop":
+            cw = max(1, w // 64)
+            chh = max(1, h // 64)
+            pixels = pixels[chh:h - chh, cw:w - cw]
+            fmt = "jpeg"
+        elif kind == "caption_para":
+            caption = _paraphrase(caption, seed, i)
+        elif kind == "distractor_near_miss":
+            rng = _rng(seed, i, stream=4)
+            noise = rng.normal(0, 40, pixels.shape)
+            pixels = np.clip(pixels.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+            caption = _base_caption(seed, i)
+    return pixels, fmt, caption
+
+
 def generate_row(seed: int, i: int) -> dict:
     """Materialize row i: returns dict with the corpus schema fields."""
     kind, src = plan_for_row(i)

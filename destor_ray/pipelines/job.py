@@ -139,7 +139,13 @@ def build_manifest(assign_ds, sigs_ds, cfg: EngineConfig | None = None):
     cfg = cfg or EngineConfig()
     rows_per = cfg.container_rows
     sizes = sigs_ds.select_columns(["image_id", "nbytes"])
-    joined = assign_ds.join(sizes, "inner", num_partitions=16,
+    # join partitions sized to the cluster (clamped below schedulable
+    # CPUs — hash-shuffle aggregator actors can't start otherwise, see
+    # NOTES.md) and to the data (≥1 partition per ~64k rows)
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    nparts = max(4, min(max(cpus * 3 // 4, 4), 64))
+    joined = assign_ds.join(sizes, "inner", num_partitions=nparts,
                             on=("image_id",))
 
     def derive(batch: pa.Table) -> pa.Table:
@@ -176,14 +182,14 @@ def _partition_metrics(df: pd.DataFrame, cfg: EngineConfig) -> pa.Table:
     stored = int(sizes[~is_dup].sum())
     rcfg = cfg.rewrite
     cfl_flags = rewrite.cfl_rewrite_flags(rw_ids, sizes,
-                                          usage_threshold=rcfg.cfl_require * 0.05,
+                                          usage_threshold=rcfg.cfl_usage_threshold,
                                           buffer_size=rcfg.window)
     cbr_flags = rewrite.cbr_rewrite_flags(rw_ids, sizes, window=rcfg.window,
                                           rewrite_limit=rcfg.cbr_limit)
     cap_flags = rewrite.cap_rewrite_flags(rw_ids, sizes, window=rcfg.window,
                                           capping_level=rcfg.cap_level)
     (_, _, _, har_sparse), sparse_ids = rewrite.har_utilization(
-        rw_ids, sizes, rcfg.har_utilization, rcfg.cbr_limit, data_size)
+        rw_ids, sizes, rcfg.har_utilization, rcfg.har_rewrite_limit, data_size)
     cfl, ocf, ccf = rewrite.cfl_monitor(rs_ids, sizes, cfg.restore.cache_size)
     reads_lru = restore.lru_restore_sim(rs_ids, cfg.restore.cache_size)
     reads_opt = restore.opt_restore_sim(rs_ids, cfg.restore.cache_size,
@@ -272,7 +278,7 @@ def har_cross_run_pass(manifest_ds, workdir: str, job_id: int,
         Sum("nbytes", alias_name="ref_bytes")).to_pandas()
     (uniq, tot, util, sel), sparse_ids = rewrite.har_select_sparse(
         agg.container_id.to_numpy(), agg.ref_bytes.to_numpy(),
-        cfg.rewrite.har_utilization, cfg.rewrite.cbr_limit)
+        cfg.rewrite.har_utilization, cfg.rewrite.har_rewrite_limit)
 
     har_dir = os.path.join(workdir, "har")
     os.makedirs(har_dir, exist_ok=True)

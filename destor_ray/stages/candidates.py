@@ -382,6 +382,7 @@ def _salted_candidate_edges(bands, cfg: EngineConfig, num_buckets: int):
         t = pa.table({
             "band_key": pa.array(salted, pa.int64()),
             "nid": batch["nid"],
+            "phash": batch["phash"],
             "thumb": batch["thumb"],
             "orig_key": pa.array(np.where(is_hot, key, np.int64(0)), pa.int64()),
             "is_hot": pa.array(is_hot, pa.bool_()),
@@ -391,16 +392,19 @@ def _salted_candidate_edges(bands, cfg: EngineConfig, num_buckets: int):
     salted = bands.map_batches(salt, batch_format="pyarrow")
 
     def verify_and_link(df: pd.DataFrame) -> pa.Table:
-        edges = verify_bucket(df[["band_key", "nid", "thumb"]], cfg)
-        # linker rows: min nid of each hot sub-group (with its thumb),
-        # re-keyed by the ORIGINAL band key for the second-level shuffle —
-        # they get PSNR-verified against the other sub-minima there
+        # phash rides along so the Hamming<=5 second-opinion channel of
+        # verify_bucket is identical between the salted and default paths
+        edges = verify_bucket(df[["band_key", "nid", "phash", "thumb"]], cfg)
+        # linker rows: min nid of each hot sub-group (with its thumb +
+        # phash), re-keyed by the ORIGINAL band key for the second-level
+        # shuffle — they get PSNR-verified against the other sub-minima
         hotdf = df[df["is_hot"]]
         e = pa.table({
             "key": pa.array(np.zeros(edges.num_rows, np.int64), pa.int64()),
             "left_id": edges["left_id"],
             "right_id": edges["right_id"],
             "psnr": edges["psnr"],
+            "phash": pa.array(np.zeros(edges.num_rows, np.int64), pa.int64()),
             "thumb": pa.array([None] * edges.num_rows, pa.binary()),
             "is_link": pa.array([False] * edges.num_rows, pa.bool_()),
         })
@@ -413,6 +417,7 @@ def _salted_candidate_edges(bands, cfg: EngineConfig, num_buckets: int):
             "left_id": pa.array(g["nid"].to_numpy().astype(np.int64), pa.int64()),
             "right_id": pa.array(np.zeros(len(g), np.int64), pa.int64()),
             "psnr": pa.array(np.zeros(len(g)), pa.float64()),
+            "phash": pa.array(g["phash"].to_numpy().astype(np.int64), pa.int64()),
             "thumb": pa.array(list(g["thumb"]), pa.binary()),
             "is_link": pa.array([True] * len(g), pa.bool_()),
         })
@@ -428,7 +433,7 @@ def _salted_candidate_edges(bands, cfg: EngineConfig, num_buckets: int):
         # df rows: key = orig hot band key, left_id = sub-group min nid,
         # thumb = its verify signature → PSNR-verify min-to-min pairs
         sub = pd.DataFrame({"band_key": df["key"], "nid": df["left_id"],
-                            "thumb": df["thumb"]})
+                            "phash": df["phash"], "thumb": df["thumb"]})
         return verify_bucket(sub, cfg)
 
     links = mixed.filter(lambda r: bool(r["is_link"]))

@@ -150,7 +150,17 @@ def cap_rewrite_flags(ids: np.ndarray, sizes: np.ndarray,
                       window: int = 1024, capping_level: int = 16) -> np.ndarray:
     """CAP capping (cap_rewrite.c): per disjoint window, rank containers
     by referenced bytes (desc; ties by insertion via stable container-id
-    order) and mark duplicates of all but the top `capping_level`."""
+    order) and mark duplicates of all but the top `capping_level`.
+
+    Documented deviations from the C reference (benign for the emitted
+    metrics, noted because this module advertises ports):
+      * ties in the ranking resolve deterministically to the SMALLER
+        container id (stable lexsort); the reference's g_sequence_sort
+        makes no stability guarantee, so its tie order is unspecified;
+      * the reference's end-of-stream drain (cap_rewrite.c final-buffer
+        path) judges a short tail window that can also mark non-duplicate
+        chunks OUT_OF_ORDER; here the tail window only ever flags
+        duplicates, like every full window."""
     n = len(ids)
     flags = np.zeros(n, dtype=bool)
     for s in range(0, n, window):

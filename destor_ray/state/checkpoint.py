@@ -80,12 +80,19 @@ def run_stage(workdir: str, stage: str, config_hash: str, input_id: str,
 
 
 def input_identity(path: str) -> str:
-    """Cheap input fingerprint: sorted (name, size, mtime) of parquet parts."""
+    """Cheap input fingerprint: globally sorted (root-relative path, size,
+    mtime_ns) of every parquet part. Including the relative path and the
+    mtime means a file rewritten in place with unchanged size, or parts
+    rearranged across subdirectories, produces a DIFFERENT identity, so a
+    resumed job recomputes instead of silently reading stale parquet."""
     import hashlib
     entries = []
     for root, _, files in os.walk(path):
-        for fn in sorted(files):
+        for fn in files:
             if fn.endswith(".parquet"):
-                st = os.stat(os.path.join(root, fn))
-                entries.append(f"{fn}:{st.st_size}")
+                full = os.path.join(root, fn)
+                st = os.stat(full)
+                rel = os.path.relpath(full, path)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    entries.sort()  # os.walk order must not perturb the hash
     return hashlib.sha1(";".join(entries).encode()).hexdigest()[:16]
