@@ -46,45 +46,73 @@ def cc_buckets_for(n_rows: int) -> int:
 
 def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
                    cc_rounds: int = 2, n_rows_hint: int | None = None,
-                   driver_cc_threshold: int = 10_000_000):
+                   driver_cc_threshold: int = 10_000_000, ids_ds=None):
     """corpus Dataset → cluster assignment Dataset (image_id, cluster_id).
 
-    The signature table fans out to three consumers (LSH edges, exact
-    edges, id list); without pinning it Ray Data re-executes the stage
-    per consumer, so it is materialized here (it is narrow — the wide
-    `bytes` column never leaves the read stage). The checkpointed job
-    pipeline (pipelines/job.py) writes it to parquet instead — the path
-    for corpora that exceed the object store."""
+    When `ids_ds` (a Dataset with just the `image_id` column, e.g. a
+    column-pruned re-read of the corpus) is supplied, the signature
+    stage has a SINGLE consumer — the band shuffle — so the whole
+    read → signature → bands → verify path fuses into one streaming
+    execution with no signature materialization (the scale path; saves
+    an object-store round trip of the signature table). Without it the
+    signature table fans out to two consumers (LSH edges, id list) and
+    must be pinned, or Ray Data re-executes the stage per consumer.
+    The checkpointed job pipeline (pipelines/job.py) writes signatures
+    to parquet instead — the path for corpora that exceed the object
+    store."""
     import pyarrow as pa
 
     cfg = cfg or EngineConfig()
-    sigs = signatures_from_corpus(corpus_ds, cfg).materialize()
-    n_rows = n_rows_hint if n_rows_hint is not None else sigs.count()
+    sigs = signatures_from_corpus(corpus_ds, cfg)
+    if ids_ds is None:
+        sigs = sigs.materialize()
+        ids = sigs.select_columns(["image_id"])
+        n_rows = n_rows_hint if n_rows_hint is not None else sigs.count()
+    else:
+        ids = ids_ds
+        n_rows = n_rows_hint if n_rows_hint is not None else corpus_ds.count()
     nb = buckets_for(n_rows)
     nb_cc = cc_buckets_for(n_rows)
     # exact dedup rides the sha1 band channel inside candidate_edges —
     # no separate D2 shuffle in the flagship path (exact.exact_edges
     # remains the standalone operator)
-    edges = candidates.candidate_edges(sigs, cfg, num_buckets=nb).materialize()
-    ids = sigs.select_columns(["image_id"])
-    n_edges = edges.count()
-    if n_edges <= driver_cc_threshold:
-        # small verified-edge set: exact driver union-find (the guide's
-        # "union-find on the driver only if the candidate set is provably
-        # small") — saves 3 chained shuffles; the distributed hash-to-min
-        # path below is the 10^12-row route and is tested equal.
-        return _assign_clusters_driver(ids, edges)
-    return assign_clusters_strings(ids, edges, rounds=cc_rounds, num_buckets=nb_cc)
+    edges = candidates.candidate_edges(sigs, cfg, num_buckets=nb)
+    if driver_cc_threshold <= 0:
+        # caller opted into the distributed route up front (the 10^12-row
+        # configuration): materialize edges once, run hash-to-min CC
+        return assign_clusters_strings(ids, edges.materialize(),
+                                       rounds=cc_rounds, num_buckets=nb_cc)
+    # optimistic single pass: STREAM edge batches to the driver (no
+    # materialize barrier — blocks arrive as the verify buckets finish)
+    # until the threshold is exceeded. 10M edges ≈ 240 MB, driver-safe.
+    # Only past-threshold edge sets pay the fallback re-execution + the
+    # distributed hash-to-min shuffles (tested equal).
+    pulled: list = []
+    n_edges = 0
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        pulled.append(b)
+        n_edges += b.num_rows
+        if n_edges > driver_cc_threshold:
+            pulled = None
+            break
+    if pulled is not None:
+        return _assign_clusters_driver(ids, pulled)
+    return assign_clusters_strings(ids, edges.materialize(),
+                                   rounds=cc_rounds, num_buckets=nb_cc)
 
 
-def _assign_clusters_driver(image_ids_ds, edges_int_ds):
+def _assign_clusters_driver(image_ids_ds, edges):
+    """`edges` is either a Dataset or a pre-pulled list of pyarrow batches
+    (dedup_pipeline's single-pass route decision)."""
     import numpy as np
     import pyarrow as pa
     import ray
 
     from ..stages.cluster import connected_components_numpy
+    batches = (edges if isinstance(edges, list)
+               else edges.iter_batches(batch_format="pyarrow"))
     ls, rs = [], []
-    for b in edges_int_ds.iter_batches(batch_format="pyarrow"):
+    for b in batches:
         ls.append(b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64))
         rs.append(b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64))
     if ls:
@@ -141,4 +169,7 @@ def dedup_pipeline_from_dir(corpus_dir: str, cfg: EngineConfig | None = None):
     import pyarrow.dataset as pads
     ds = ray.data.read_parquet(corpus_dir)
     n_rows = pads.dataset(corpus_dir).count_rows()  # metadata-only
-    return dedup_pipeline(ds, cfg, n_rows_hint=n_rows)
+    # column-pruned id read → single-consumer signature stage (fused,
+    # never materialized); the id list itself is a cheap 1-column scan
+    ids = ray.data.read_parquet(corpus_dir, columns=["image_id"])
+    return dedup_pipeline(ds, cfg, n_rows_hint=n_rows, ids_ds=ids)
