@@ -115,16 +115,18 @@ def _cdc_stats(sf_dir: str):
     params = chunking.ChunkParams(512, 4096, 65536)
 
     def stats(batch: pa.Table) -> pa.Table:
+        # zero-copy payload views over the Arrow buffers (the same access
+        # pattern as stages/signature.py) — no per-row bytes copies
+        from destor_ray.stages.signature import binary_column_views
+        data, offs = binary_column_views(batch["bytes"])
+        payloads = [data[offs[i]:offs[i + 1]] for i in range(batch.num_rows)]
+        total_bytes = int(offs[-1] - offs[0]) if len(offs) > 1 else 0
         rows = []
-        payloads = batch["bytes"].to_pylist()
         for algo in ["fixed", "rabin", "normalized_rabin", "tttd", "ae", "fastcdc", "file"]:
-            n_chunks = 0
-            n_bytes = 0
-            for p in payloads:
-                cuts = chunking.chunk_offsets(p, algo, params)
-                n_chunks += len(cuts)
-                n_bytes += len(p)
-            rows.append({"algo": algo, "n_chunks": n_chunks, "n_bytes": n_bytes})
+            n_chunks = sum(len(chunking.chunk_offsets(p, algo, params))
+                           for p in payloads)
+            rows.append({"algo": algo, "n_chunks": n_chunks,
+                         "n_bytes": total_bytes})
         return pa.Table.from_pylist(rows)
 
     from ray.data.aggregate import Sum
@@ -140,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "customer_order_stats": relational.customer_order_stats,
         "top_parts_by_quantity": relational.top_parts_by_quantity,
+        "part_type_revenue": relational.part_type_revenue,
+        "supplier_region_stats": relational.supplier_region_stats,
         "events_windowed": streaming.events_windowed,
         "events_type_stats": streaming.events_type_stats,
         "events_sessionize": streaming.events_sessionize,
@@ -150,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
         "minhash_lsh_docs": text.minhash_lsh_docs,
+        "simhash_dup_pairs": text.simhash_dup_pairs,
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
         "container_refs": text.container_refs,
@@ -158,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "lsh_bucket_topk": ann.lsh_bucket_topk,
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
+        "embedding_lsh_pairs": ann.embedding_lsh_pairs,
         "embedding_clusters": ann.embedding_clusters,
         "corpus_dedup_clusters": _corpus_clusters,
         "corpus_exact_dedup": _corpus_exact,
@@ -188,6 +194,60 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_partkey
             ORDER BY total_qty DESC, l_partkey ASC
             LIMIT 10
+        """,
+        "part_type_revenue": """
+            SELECT p.p_brand,
+                   count(*) AS n_items,
+                   CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_revenue_cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "supplier_region_stats": """
+            SELECT r.r_name,
+                   count(*) AS n_suppliers,
+                   CAST(sum(CAST(round(s.s_acctbal*100) AS BIGINT)) AS BIGINT) AS sum_acctbal_cents
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "events_sessionize": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts_us,
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+                FROM e
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "lang_id": """
+            WITH t AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                    len(list_filter(toks, x -> x IN ('the','and','of','a','to','in','is','for','on','with'))) AS c_en,
+                    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','zu','mit','von','auf'))) AS c_de,
+                    len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','de','dans','pour'))) AS c_fr,
+                    len(list_filter(toks, x -> x IN ('el','la','los','y','es','un','una','de','en','por'))) AS c_es
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'unknown'
+                        WHEN c_fr >= c_en AND c_fr >= c_de AND c_fr >= c_es THEN 'fr'
+                        WHEN c_es >= c_en AND c_es >= c_de THEN 'es'
+                        WHEN c_en >= c_de THEN 'en'
+                        ELSE 'de' END AS pred_lang
+            FROM s
         """,
         "events_windowed": """
             SELECT user_id,

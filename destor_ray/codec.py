@@ -1,9 +1,13 @@
 """Deterministic pure-numpy image codec.
 
-This sandbox has no PIL/libjpeg, so the corpus carries images in a
-deterministic container format ("DRI1") with two codecs:
+This sandbox has no PIL/libjpeg. Lossless rows are REAL PNG files
+(pure-Python encoder/decoder below — RFC 2083 signature/IHDR/IDAT/IEND
+chunks, zlib-compressed filtered scanlines, CRC32; the decoder handles
+all five filter types, 8-bit gray/RGB/RGBA, non-interlaced — so rows
+round-trip through any standard image tool). Lossy rows use the
+deterministic "DRI1" container:
 
-  * fmt="png"  — lossless: zlib over raw RGB bytes.
+  * fmt="png"  — real PNG (lossless).
   * fmt="jpeg" — lossy: uniform per-pixel quantization with step
     ``max(1, (100 - quality) // 4)`` then zlib. Decoding reconstructs the
     quantization-bin midpoint, so PSNR vs the source is deterministic:
@@ -39,33 +43,154 @@ _HDR = struct.Struct("<4sBBHHB")
 LOSSLESS_FMTS = {"png"}
 LOSSY_FMTS = {"jpeg"}
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def is_png(data) -> bool:
+    """Signature check that works on bytes AND numpy uint8 views."""
+    return len(data) >= 8 and bytes(data[:8]) == PNG_SIG
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Real PNG encode of an (h, w, 3) uint8 RGB array: 8-bit color type
+    2, non-interlaced, filter type 0 on every scanline (always valid;
+    zlib does the compression work on this synthetic content)."""
+    h, w = pixels.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 (None) per scanline
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    return (PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(data: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (types 0-4) on the decompressed
+    byte stream → (h, w, ch) uint8. The common all-None case (what our
+    encoder emits) is a pure reshape; Sub is a vectorized per-lane
+    cumsum; Up a vectorized running add; Average/Paeth fall back to the
+    spec's sequential recurrences per scanline."""
+    stride = 1 + w * ch
+    rows = data[: h * stride].reshape(h, stride)
+    ftypes = rows[:, 0]
+    body = rows[:, 1:].reshape(h, w, ch).astype(np.int32)
+    if not ftypes.any():
+        return body.astype(np.uint8)
+    out = np.zeros((h, w, ch), dtype=np.int32)
+    for y in range(h):
+        ft = int(ftypes[y])
+        cur = body[y]
+        prev = out[y - 1] if y > 0 else np.zeros((w, ch), dtype=np.int32)
+        if ft == 0:
+            out[y] = cur
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-1]
+            out[y] = np.cumsum(cur, axis=0) % 256
+        elif ft == 2:  # Up
+            out[y] = (cur + prev) % 256
+        elif ft == 3:  # Average (left dependency ⇒ sequential in x)
+            r = out[y]
+            for x in range(w):
+                left = r[x - 1] if x > 0 else np.zeros(ch, dtype=np.int32)
+                r[x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            r = out[y]
+            for x in range(w):
+                a = r[x - 1] if x > 0 else np.zeros(ch, dtype=np.int32)
+                b = prev[x]
+                c = prev[x - 1] if x > 0 else np.zeros(ch, dtype=np.int32)
+                p = a + b - c
+                pa_ = np.abs(p - a)
+                pb_ = np.abs(p - b)
+                pc_ = np.abs(p - c)
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                                np.where(pb_ <= pc_, b, c))
+                r[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"unsupported PNG filter type {ft}")
+    return out.astype(np.uint8)
+
+
+def png_decode(data) -> np.ndarray:
+    """Real PNG decode → (h, w, 3) uint8 RGB. Supports 8-bit gray (0),
+    RGB (2) and RGBA (6, alpha dropped), non-interlaced, filters 0-4,
+    multiple IDAT chunks. Accepts bytes or any uint8 buffer view (the
+    signature stage passes zero-copy numpy views over Arrow buffers)."""
+    if not is_png(data):
+        raise ValueError("bad signature; not a PNG")
+    pos = 8
+    w = h = None
+    ctype = None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = bytes(data[pos + 4: pos + 8])
+        payload = data[pos + 8: pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", bytes(payload))
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+            if ctype not in (0, 2, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"IDAT":
+            idat.append(bytes(payload))
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG")
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    arr = _png_unfilter(raw, h, w, ch)
+    if ch == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif ch == 4:
+        arr = arr[:, :, :3]
+    return arr
+
+
+def png_meta(data) -> tuple[int, int]:
+    """(w, h) from the IHDR without decompressing."""
+    if not is_png(data):
+        raise ValueError("not a PNG")
+    w, h = struct.unpack_from(">II", data, 16)
+    return w, h
+
 
 def _lossy_step(quality: int) -> int:
     return max(1, (100 - int(quality)) // 4)
 
 
 def encode(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
-    """Encode an (h, w, 3) uint8 array into the deterministic container."""
+    """Encode an (h, w, 3) uint8 array: fmt="png" → a REAL PNG file;
+    fmt="jpeg" → the deterministic lossy DRI1 container."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
     h, w = pixels.shape[:2]
     if fmt in LOSSLESS_FMTS:
-        codec, qual, payload = 0, 100, pixels
-    elif fmt in LOSSY_FMTS:
+        return png_encode(pixels)
+    if fmt in LOSSY_FMTS:
         step = _lossy_step(quality)
-        codec, qual = 1, int(quality)
         payload = (pixels // step).astype(np.uint8)
-    else:
-        raise ValueError(f"unknown fmt {fmt!r}")
-    hdr = _HDR.pack(MAGIC, codec, qual, w, h, 3)
-    return hdr + zlib.compress(payload.tobytes(), 6)
+        hdr = _HDR.pack(MAGIC, 1, int(quality), w, h, 3)
+        return hdr + zlib.compress(payload.tobytes(), 6)
+    raise ValueError(f"unknown fmt {fmt!r}")
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode container bytes back into an (h, w, 3) uint8 array."""
+    """Decode payload bytes (PNG or DRI1, dispatched on the signature)
+    back into an (h, w, 3) uint8 array."""
+    if is_png(data):
+        return png_decode(data)
     magic, codec, qual, w, h, chans = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
-        raise ValueError("bad magic; not a DRI1 payload")
+        raise ValueError("bad magic; neither PNG nor DRI1")
     raw = np.frombuffer(zlib.decompress(data[_HDR.size:]), dtype=np.uint8)
     arr = raw.reshape(h, w, chans)
     if codec == 1:
@@ -76,9 +201,12 @@ def decode(data: bytes) -> np.ndarray:
 
 def decode_meta(data: bytes) -> tuple[str, int, int, int]:
     """(fmt, quality, w, h) from the header without decompressing."""
+    if is_png(data):
+        w, h = png_meta(data)
+        return ("png", 100, w, h)
     magic, codec, qual, w, h, _ = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
-        raise ValueError("bad magic; not a DRI1 payload")
+        raise ValueError("bad magic; neither PNG nor DRI1")
     return ("png" if codec == 0 else "jpeg", qual, w, h)
 
 

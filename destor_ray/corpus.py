@@ -233,7 +233,8 @@ def row_index_of(image_id: str) -> int:
 # Materialization (Ray Data when available, local pyarrow for tiny corpora)
 # ---------------------------------------------------------------------------
 
-CORPUS_VERSION = 3  # bump when codec/generator bytes or layout change (busts /tmp cache)
+CORPUS_VERSION = 4  # bump when codec/generator bytes or layout change (busts /tmp cache)
+# v4: fmt="png" rows are REAL PNG files (codec.png_encode)
 
 
 def corpus_dir(n_rows: int, seed: int = 42, root: str = "/tmp/destor_ray_corpus") -> str:

@@ -66,32 +66,156 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0):
     return scored.sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
 
 
-def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.27):
+def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.27,
+                          grid: int | None = None, cell_rows: int = 4096):
     """Embedding-cosine near-dup pairs (left_vec < right_vec, cos >=
-    threshold). Block-wise: each batch is scored against a broadcast
-    normalized matrix of the whole (small-side) table — the broadcast-
-    join pattern; for two large sides this becomes an LSH-bucketed
-    self-join (see lsh_bucket_topk)."""
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    full = _emb_matrix(tbl)
-    fnorm = full / np.maximum(np.linalg.norm(full, axis=1, keepdims=True), 1e-12)
-    full_ids = tbl["vec_id"].to_numpy()
-    ref = ray.put((fnorm, full_ids))
+    threshold) via a block-grid distributed self-join — EXACT (the
+    DuckDB oracle hash-matches) with NO driver-side table read and NO
+    full-matrix broadcast.
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        fn_mat, fids = ray.get(ref)
+    Theta-join grid: rows are hashed into `grid` blocks; every unordered
+    block pair (i <= j) is one shuffle group; each group's task matmuls
+    block i against block j (triangular within i == j). Per-task memory
+    is O(cell_rows²) regardless of N, and the O(N²) FLOPs — inherent to
+    an exact low-threshold self-join — are spread over grid(grid+1)/2
+    independent tasks instead of pinned to a broadcast matrix per worker.
+    Replication factor is `grid` (each row joins `grid` groups), so pick
+    grid ≈ N / cell_rows: shuffle volume N·grid·d stays ~N·d·(N/cell).
+    For the sparse high-threshold regime use embedding_lsh_pairs — the
+    sub-quadratic approximate path."""
+    import pyarrow.dataset as pads
+
+    from ..functions.hashing import mix_u64
+    from ..stages.grouped import bucketed_group_map
+
+    n = pads.dataset(f"{sf_dir}/embeddings.parquet").count_rows()  # metadata-only
+    B = grid or max(1, -(-n // cell_rows))
+
+    def explode_grid(batch: pa.Table) -> pa.Table:
+        # float64 throughout: the DuckDB oracle compares cosine at DOUBLE
+        # precision, and borderline pairs must not flip
         m = _emb_matrix(batch)
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        sims = mn @ fn_mat.T
-        li, ri = np.nonzero(sims >= threshold)
-        lv, rv = ids[li], fids[ri]
-        keep = lv < rv
-        return pa.table({"left_vec": pa.array(lv[keep], pa.int64()),
-                         "right_vec": pa.array(rv[keep], pa.int64())})
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = (mix_u64(ids.view(np.uint64), 0xE4B) % np.uint64(B)).astype(np.int64)
+        # each row → B group rows: group id of block-pair (min(b,o), max(b,o))
+        o = np.arange(B, dtype=np.int64)
+        bi = np.minimum(blk[:, None], o[None, :])
+        bj = np.maximum(blk[:, None], o[None, :])
+        gid = (bi * B + bj).ravel()
+        rep = np.repeat(np.arange(len(ids)), B)
+        return pa.table({
+            "gid": pa.array(gid, pa.int64()),
+            "blk": pa.array(blk[rep], pa.int64()),
+            "vec_id": pa.array(ids[rep], pa.int64()),
+            "emb": pa.array(list(mn[rep]), pa.list_(pa.float64())),
+        })
 
-    return _read_embeddings(sf_dir).map_batches(pairs, batch_format="pyarrow")
+    def cell_pairs(df) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"left_vec": pa.array([], pa.int64()),
+                          "right_vec": pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        out_l, out_r = [], []
+        for gid, g in df.groupby("gid", sort=False):
+            g = g.drop_duplicates("vec_id")
+            bi, bj = divmod(int(gid), B)
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            m = np.asarray([np.asarray(e, dtype=np.float64) for e in g["emb"]])
+            if bi == bj:
+                sims = m @ m.T
+                li, ri = np.nonzero(sims >= threshold)
+                keep = ids[li] < ids[ri]
+                out_l.append(ids[li][keep])
+                out_r.append(ids[ri][keep])
+            else:
+                blk = g["blk"].to_numpy().astype(np.int64)
+                a = blk == bi
+                b = blk == bj
+                if not a.any() or not b.any():
+                    continue
+                sims = m[a] @ m[b].T
+                li, ri = np.nonzero(sims >= threshold)
+                lv, rv = ids[a][li], ids[b][ri]
+                out_l.append(np.minimum(lv, rv))
+                out_r.append(np.maximum(lv, rv))
+        if not out_l:
+            return empty
+        lv = np.concatenate(out_l)
+        rv = np.concatenate(out_r)
+        return pa.table({"left_vec": pa.array(lv, pa.int64()),
+                         "right_vec": pa.array(rv, pa.int64())})
+
+    grid_rows = _read_embeddings(sf_dir).map_batches(explode_grid,
+                                                     batch_format="pyarrow")
+    nb = min(max(8, B * (B + 1) // 2), 512)
+    return bucketed_group_map(grid_rows, "gid", cell_pairs, num_buckets=nb)
+
+
+def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.4,
+                        bits_per_band: int = 4, num_bands: int = 32,
+                        cell_rows: int = 4096):
+    """Approximate embedding near-dup pairs for the HIGH-threshold regime
+    — the sub-quadratic scale path. Random-hyperplane SimHash bands:
+    rows colliding on any band's code land in one shuffle group and are
+    exactly re-ranked there (cosine >= threshold). Collision probability
+    per band is (1 - θ/π)^bits — defaults (4 bits × 32 bands) give
+    ~0.996 recall at cos 0.4 on any data; the PRUNING power, however, is
+    intrinsic to the data: clustered embeddings prune well, while
+    near-orthogonal random vectors (the synthetic driver table) collide
+    broadly and degrade toward the quadratic grid. Recall vs the exact
+    grid join is measured in tests, not assumed."""
+    from ..functions.hashing import mix_u64
+    from ..stages.grouped import bucketed_group_map
+
+    hashers = [_HyperplaneHasher(seed=0xB0B + 31 * b, bits=bits_per_band)
+               for b in range(num_bands)]
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch).astype(np.float32)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, idx = [], []
+        for b, h in enumerate(hashers):
+            code = h.codes(mn).view(np.int64)
+            keys.append(mix_u64(code.view(np.uint64), 0xD1CE + b).view(np.int64))
+            idx.append(np.arange(len(ids)))
+        key = np.concatenate(keys)
+        rep = np.concatenate(idx)
+        return pa.table({
+            "band_key": pa.array(key, pa.int64()),
+            "vec_id": pa.array(ids[rep], pa.int64()),
+            "emb": pa.array(list(mn[rep]), pa.list_(pa.float32())),
+        })
+
+    def verify_group(df) -> pa.Table:
+        empty = pa.table({"left_vec": pa.array([], pa.int64()),
+                          "right_vec": pa.array([], pa.int64())})
+        out_l, out_r = [], []
+        for _, g in df.groupby("band_key", sort=False):
+            g = g.drop_duplicates("vec_id")
+            if len(g) < 2:
+                continue
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            m = np.asarray([np.asarray(e, dtype=np.float32) for e in g["emb"]])
+            sims = m @ m.T
+            li, ri = np.nonzero(sims >= threshold)
+            keep = ids[li] < ids[ri]
+            out_l.append(ids[li][keep])
+            out_r.append(ids[ri][keep])
+        if not out_l:
+            return empty
+        import pandas as pd
+        lv = np.concatenate(out_l)
+        rv = np.concatenate(out_r)
+        u = pd.DataFrame({"l": lv, "r": rv}).drop_duplicates()
+        return pa.table({"left_vec": pa.array(u.l.to_numpy(), pa.int64()),
+                         "right_vec": pa.array(u.r.to_numpy(), pa.int64())})
+
+    bands = _read_embeddings(sf_dir).map_batches(explode_bands,
+                                                 batch_format="pyarrow")
+    return bucketed_group_map(bands, "band_key", verify_group, num_buckets=64)
 
 
 class _HyperplaneHasher:
@@ -156,13 +280,18 @@ def lsh_bucket_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
-def embedding_clusters(sf_dir: str, threshold: float = 0.27):
+def embedding_clusters(sf_dir: str, threshold: float = 0.27,
+                       driver_cc_threshold: int = 10_000_000):
     """Embedding-cosine near-dup clusters: connected components over
     embedding_dedup_pairs (vec_id, cluster_id = min vec_id of component).
-    Rows-only check (clusters aren't tidily SQL-expressible)."""
+    Hybrid CC like the flagship (pipelines/dedup.py): stream-pull edges
+    up to the threshold for exact driver CC, else distributed
+    hash-to-min. Rows-only check (clusters aren't tidily
+    SQL-expressible)."""
     import pyarrow as pa
 
     from ..stages import cluster as cl
+    from ..stages.cluster import connected_components_numpy
     pairs = embedding_dedup_pairs(sf_dir, threshold)
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -170,15 +299,48 @@ def embedding_clusters(sf_dir: str, threshold: float = 0.27):
                          "right_id": batch["right_vec"]})
 
     edges = pairs.map_batches(rename, batch_format="pyarrow")
+    ids_ds = _read_embeddings(sf_dir).select_columns(["vec_id"])
 
-    def nodes(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["vec_id"]})
+    ls, rs = [], []
+    n_edges = 0
+    over = False
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        ls.append(b["left_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        rs.append(b["right_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        n_edges += len(ls[-1])
+        if n_edges > driver_cc_threshold:
+            over = True
+            break
+    if over:
+        def nodes(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch["vec_id"]})
 
-    ids = _read_embeddings(sf_dir).select_columns(["vec_id"]) \
-        .map_batches(nodes, batch_format="pyarrow")
-    assign = cl.assign_clusters(ids, edges, rounds=2, num_buckets=16)
+        ids = ids_ds.map_batches(nodes, batch_format="pyarrow")
+        assign = cl.assign_clusters(ids, edges.materialize(),
+                                    rounds=2, num_buckets=64)
 
-    def out(batch: pa.Table) -> pa.Table:
-        return pa.table({"vec_id": batch["node"], "cluster_id": batch["cluster"]})
+        def out(batch: pa.Table) -> pa.Table:
+            return pa.table({"vec_id": batch["node"],
+                             "cluster_id": batch["cluster"]})
 
-    return assign.map_batches(out, batch_format="pyarrow")
+        return assign.map_batches(out, batch_format="pyarrow")
+    if ls and sum(len(x) for x in ls):
+        nodes_arr, labels = connected_components_numpy(
+            np.concatenate(ls), np.concatenate(rs))
+    else:
+        nodes_arr = np.empty(0, dtype=np.int64)
+        labels = np.empty(0, dtype=np.int64)
+    ref = ray.put((nodes_arr, labels))
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        nd, lb = ray.get(ref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = vids.copy()
+        if len(nd):
+            pos = np.minimum(np.searchsorted(nd, vids), len(nd) - 1)
+            hit = nd[pos] == vids
+            out[hit] = lb[pos[hit]]
+        return pa.table({"vec_id": pa.array(vids, pa.int64()),
+                         "cluster_id": pa.array(out, pa.int64())})
+
+    return ids_ds.map_batches(assign_fn, batch_format="pyarrow")

@@ -97,3 +97,98 @@ def top_parts_by_quantity(sf_dir: str, k: int = 10):
 
     return agg.map_batches(normalize, batch_format="pyarrow") \
         .sort(["total_qty", "l_partkey"], descending=[True, False]).limit(k)
+
+
+def part_type_revenue(sf_dir: str):
+    """Lineitem ⋈ part on partkey, grouped by part brand — the engine's
+    BROADCAST map-join surface: the part table is the small dimension
+    side, shipped once via ray.put and probed per batch inside
+    map_batches (no shuffle of the big fact side; SURVEY.md §2.10
+    "broadcast small sides ... instead of a shuffle join")."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    dim = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    pk = dim["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    pk_sorted = pk[order]
+    brand_sorted = np.asarray(dim["p_brand"].to_pylist(), dtype=object)[order]
+    ref = ray.put((pk_sorted, brand_sorted))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_extendedprice"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys, brands = ray.get(ref)
+        lp = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lp)
+        pos = np.minimum(pos, len(keys) - 1)
+        hit = keys[pos] == lp
+        cents = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "p_brand": pa.array(brands[pos[hit]], pa.string()),
+            "price_cents": pa.array(cents[hit], pa.int64()),
+        })
+
+    agg = ds.map_batches(probe, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+            Count(alias_name="n_items"),
+            Sum("price_cents", alias_name="sum_revenue_cents"))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "n_items": batch["n_items"],
+            "sum_revenue_cents": pc.cast(batch["sum_revenue_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(normalize, batch_format="pyarrow")
+
+
+def supplier_region_stats(sf_dir: str, num_partitions: int = 4):
+    """Multi-way join supplier ⋈ nation ⋈ region grouped by region name:
+    one hash-partitioned Dataset.join (supplier⋈nation) plus one
+    broadcast probe (region — tiny) and a grouped aggregate."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = reg["r_regionkey"].to_numpy()
+    order = np.argsort(rk)
+    rk_sorted = rk[order]
+    rname_sorted = np.asarray(reg["r_name"].to_pylist(), dtype=object)[order]
+    ref = ray.put((rk_sorted, rname_sorted))
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    joined = sup.join(nat, "inner", num_partitions,
+                      on=("s_nationkey",), right_on=("n_nationkey",))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref)
+        nk = batch["n_regionkey"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+        hit = keys[pos] == nk
+        cents = np.round(batch["s_acctbal"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "r_name": pa.array(names[pos[hit]], pa.string()),
+            "acctbal_cents": pa.array(cents[hit], pa.int64()),
+        })
+
+    agg = joined.map_batches(probe, batch_format="pyarrow") \
+        .groupby("r_name").aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="sum_acctbal_cents"))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch["r_name"],
+            "n_suppliers": batch["n_suppliers"],
+            "sum_acctbal_cents": pc.cast(batch["sum_acctbal_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(normalize, batch_format="pyarrow")

@@ -56,12 +56,14 @@ def exact_dedup_docs(sf_dir: str):
 
 def token_count(sf_dir: str):
     """(doc_id, n_tokens) where n_tokens counts single-space splits —
-    semantics chosen to be oracle-expressible (len(string_split(text,' '')))."""
+    semantics chosen to be oracle-expressible (len(string_split(text,' '))).
+    Vectorized: pc.count_substring(" ") + 1 ≡ len(t.split(" "))."""
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        n = [len(t.split(" ")) for t in batch["text"].to_pylist()]
-        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+        n = pc.add(pc.count_substring(batch["text"], " "), 1)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pc.cast(n, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -73,16 +75,18 @@ _ALPHA_RE = re.compile(r"[A-Za-z]")
 def quality_score(sf_dir: str):
     """(doc_id, text_len, n_punct, n_alpha) — length/punctuation/alpha
     counts (quality-scoring features; all integer so the oracle hash is
-    exact)."""
+    exact). Vectorized with pyarrow.compute re2 kernels; the re2 patterns
+    match the Python-re semantics for the ASCII document corpus
+    (re2 \\w = [0-9A-Za-z_], same class the oracle's POSIX regex uses)."""
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        texts = batch["text"]
         return pa.table({
             "doc_id": batch["doc_id"],
-            "text_len": pa.array([len(t) for t in texts], pa.int64()),
-            "n_punct": pa.array([len(_PUNCT_RE.findall(t)) for t in texts], pa.int64()),
-            "n_alpha": pa.array([len(_ALPHA_RE.findall(t)) for t in texts], pa.int64()),
+            "text_len": pc.cast(pc.utf8_length(texts), pa.int64()),
+            "n_punct": pc.cast(pc.count_substring_regex(texts, r"[^\w\s]"), pa.int64()),
+            "n_alpha": pc.cast(pc.count_substring_regex(texts, r"[A-Za-z]"), pa.int64()),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -147,13 +151,28 @@ def doc_fingerprint(sf_dir: str):
 # Near-dup dedup over documents (MinHash-LSH / SimHash / n-gram Jaccard)
 # ---------------------------------------------------------------------------
 
-def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6):
-    """Near-dup clusters over document text via MinHash-LSH + verified
-    n-gram Jaccard + connected components. Returns (doc_id, cluster_id)
-    for every doc. Rows-only check (clusters are not SQL-expressible)."""
+def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6,
+                     verify_perms: int = 16,
+                     driver_cc_threshold: int = 10_000_000):
+    """Near-dup clusters over document text via MinHash-LSH + in-bucket
+    signature verification + connected components. Returns
+    (doc_id, cluster_id) for every doc. Rows-only check (clusters are
+    not SQL-expressible).
+
+    Scale shape: each band row carries only (band_key, doc_id) plus a
+    `verify_perms`-slot verification signature DISJOINT from the banded
+    slots (bands hash perms [0, num_bands·rows_per_band); verification
+    estimates Jaccard over perms [32, 32+verify_perms)) — disjointness
+    keeps the estimate unbiased for colliding pairs, and the band shuffle
+    ships 16 slots instead of all 64 (~4× fewer signature bytes/row).
+    Driver CC runs only below `driver_cc_threshold` verified edges, else
+    the distributed hash-to-min path takes over (same hybrid as
+    pipelines/dedup.py)."""
     from ..stages import cluster as cl
     cfg = EngineConfig()
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    v0 = cfg.lsh.num_bands * cfg.lsh.rows_per_band  # first verify slot (32)
+    v1 = min(v0 + verify_perms, cfg.lsh.num_perms)
 
     def sig_fn(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -167,28 +186,16 @@ def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6):
         n = len(ids)
         key = bands.reshape(-1).view(np.int64)
         rep_ids = np.repeat(np.asarray(ids, dtype=np.int64), cfg.lsh.num_bands)
-        sigl = np.repeat(sig.view(np.int64)[:, None, :], cfg.lsh.num_bands, axis=1).reshape(n * cfg.lsh.num_bands, -1)
+        vs = sig.view(np.int64)[:, v0:v1]
+        vsl = np.repeat(vs[:, None, :], cfg.lsh.num_bands, axis=1) \
+            .reshape(n * cfg.lsh.num_bands, -1)
         return pa.table({
             "band_key": pa.array(key, pa.int64()),
             "doc_id": pa.array(rep_ids, pa.int64()),
-            "sig": pa.array(list(sigl), pa.list_(pa.int64())),
+            "vsig": pa.array(list(vsl), pa.list_(pa.int64())),
         })
 
     bands = ds.map_batches(sig_fn, batch_format="pyarrow")
-
-    def verify(df: pd.DataFrame) -> pa.Table:
-        df = df.drop_duplicates("doc_id").sort_values("doc_id")
-        g = len(df)
-        if g < 2:
-            return pa.table({"left_id": pa.array([], pa.int64()),
-                             "right_id": pa.array([], pa.int64())})
-        sigs = np.asarray([np.asarray(s) for s in df["sig"]], dtype=np.int64)
-        ids = df["doc_id"].to_numpy()
-        li, ri = np.triu_indices(g, k=1)
-        est = (sigs[li] == sigs[ri]).mean(axis=1)
-        ok = est >= threshold
-        return pa.table({"left_id": pa.array(ids[li[ok]], pa.int64()),
-                         "right_id": pa.array(ids[ri[ok]], pa.int64())})
 
     from ..stages.grouped import bucketed_group_map
 
@@ -212,24 +219,45 @@ def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6):
             ri_p.append(gr + s0)
         li = np.concatenate(li_p)
         ri = np.concatenate(ri_p)
-        sigs = np.asarray([np.asarray(x) for x in df["sig"]], dtype=np.int64)
+        sigs = np.asarray([np.asarray(x) for x in df["vsig"]], dtype=np.int64)
         ids = df["doc_id"].to_numpy()
         est = (sigs[li] == sigs[ri]).mean(axis=1)
         ok = est >= threshold
-        return pa.table({"left_id": pa.array(ids[li[ok]], pa.int64()),
-                         "right_id": pa.array(ids[ri[ok]], pa.int64())})
+        out = pd.DataFrame({"left_id": ids[li[ok]], "right_id": ids[ri[ok]]}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     edges = bucketed_group_map(bands, "band_key", verify_bucket_docs, num_buckets=64)
 
-    # doc tables are small-side: exact driver CC (vectorized min-label
-    # propagation) + broadcast assignment — same hybrid as the flagship
+    # hybrid CC (same gate as the flagship): stream-pull edges up to the
+    # threshold for exact driver CC; past it, distributed hash-to-min
     import ray
 
     from ..stages.cluster import connected_components_numpy
     ls, rs = [], []
+    n_edges = 0
+    over = False
     for b in edges.iter_batches(batch_format="pyarrow"):
         ls.append(np.asarray(b["left_id"].to_numpy(zero_copy_only=False), dtype=np.int64))
         rs.append(np.asarray(b["right_id"].to_numpy(zero_copy_only=False), dtype=np.int64))
+        n_edges += len(ls[-1])
+        if n_edges > driver_cc_threshold:
+            over = True
+            break
+    if over:
+        def nodes_tbl(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": batch["doc_id"]})
+
+        def out_tbl(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch["node"],
+                             "cluster_id": batch["cluster"]})
+
+        nodes_ds = ds.select_columns(["doc_id"]).map_batches(
+            nodes_tbl, batch_format="pyarrow")
+        assign_ds = cl.assign_clusters(nodes_ds, edges.materialize(),
+                                       rounds=2, num_buckets=64)
+        return assign_ds.map_batches(out_tbl, batch_format="pyarrow")
     if ls and sum(len(x) for x in ls):
         nodes, labels = connected_components_numpy(np.concatenate(ls), np.concatenate(rs))
     else:
@@ -319,37 +347,52 @@ def segment_routing(sf_dir: str, top_k: int = 2, ratio: int = 16,
 
     def postings_bucket(df: pd.DataFrame) -> pa.Table:
         # feature → candidate pairs (query_doc, cand_doc, feature), with the
-        # posting list truncated to `value_len` ids (kv-store value length)
+        # posting list truncated to `value_len` ids (kv-store value length).
+        # Vectorized per DISTINCT truncated group size: an ordered-pair
+        # index template is tiled across every posting of that size.
         df = df.drop_duplicates(["feature", "doc_id"]).sort_values(
             ["feature", "doc_id"], kind="stable")
         feats = df["feature"].to_numpy()
         docs = df["doc_id"].to_numpy()
         _, starts, counts = np.unique(feats, return_index=True, return_counts=True)
-        q, c, f = [], [], []
-        for s0, cnt in zip(starts, counts):
-            if cnt < 2:
-                continue
-            members = docs[s0:s0 + min(cnt, value_len)]
-            for a in members:
-                for b in members:
-                    if a != b:
-                        q.append(a)
-                        c.append(b)
-                        f.append(feats[s0])
-        return pa.table({"query_doc": pa.array(q, pa.int64()),
-                         "cand_doc": pa.array(c, pa.int64()),
-                         "feature": pa.array(f, pa.int64())})
+        counts_t = np.minimum(counts, value_len)
+        coll = counts_t >= 2
+        empty = pa.table({"query_doc": pa.array([], pa.int64()),
+                          "cand_doc": pa.array([], pa.int64()),
+                          "feature": pa.array([], pa.int64())})
+        if not coll.any():
+            return empty
+        starts_c = starts[coll]
+        counts_c = counts_t[coll]
+        q_p, c_p, f_p = [], [], []
+        for csz in np.unique(counts_c):
+            idx = np.arange(csz, dtype=np.int64)
+            gl, gr = np.meshgrid(idx, idx, indexing="ij")
+            keep = (gl != gr).ravel()
+            gl = gl.ravel()[keep]
+            gr = gr.ravel()[keep]
+            st = starts_c[counts_c == csz]
+            q_p.append(docs[(st[:, None] + gl[None, :]).ravel()])
+            c_p.append(docs[(st[:, None] + gr[None, :]).ravel()])
+            f_p.append(np.repeat(feats[st], len(gl)))
+        return pa.table({"query_doc": pa.array(np.concatenate(q_p), pa.int64()),
+                         "cand_doc": pa.array(np.concatenate(c_p), pa.int64()),
+                         "feature": pa.array(np.concatenate(f_p), pa.int64())})
 
     pairs = bucketed_group_map(feat_rows, "feature", postings_bucket,
                                num_buckets=32)
 
     def champions_bucket(df: pd.DataFrame) -> pa.Table:
+        # candidate feature-sets built by one vectorized pandas groupby;
+        # the greedy set-cover trim (select_champions, the ported
+        # top_segment_select) is inherently sequential per query doc but
+        # runs over the small aggregated dict, not over raw rows
         from ..functions.sampling import select_champions
+        agg = df.drop_duplicates().groupby(
+            ["query_doc", "cand_doc"], sort=False)["feature"].agg(set)
         out_q, out_r, out_c = [], [], []
-        for qd, g in df.groupby("query_doc", sort=False):
-            cands: dict[int, set] = {}
-            for cd, ft in zip(g["cand_doc"], g["feature"]):
-                cands.setdefault(int(cd), set()).add(int(ft))
+        for qd, sub in agg.groupby(level=0, sort=False):
+            cands = {int(cd): fs for (_, cd), fs in sub.items()}
             champs = select_champions(cands, top_k)
             for rank, ch in enumerate(champs):
                 out_q.append(int(qd))
@@ -363,22 +406,35 @@ def segment_routing(sf_dir: str, top_k: int = 2, ratio: int = 16,
                               num_buckets=32)
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5):
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
+                        max_driver_pairs: int = 50_000_000):
     """Exact n-gram Jaccard near-dup pairs: LSH candidates verified by the
-    TRUE shingle-set Jaccard (not the MinHash estimate). The text table is
-    the small side and broadcast once (ray.put); candidate generation is
-    the same salted band shuffle. Returns (left_id, right_id, jaccard
-    rounded 6); rows-only check."""
+    TRUE shingle-set Jaccard (not the MinHash estimate), computed by a
+    rendezvous-by-pair shuffle — the text table is NEVER read on the
+    driver or broadcast, and no document is ever re-shingled per pair.
+
+    Topology (all volumes proportional to the CANDIDATE set, not the
+    corpus):
+      1. slim band shuffle: (band_key, doc_id) rows only (16 B/row) →
+         per-bucket candidate pair generation;
+      2. the candidate pair list (output-scale, like the flagship's
+         verified edge set) is pulled once; docs that participate get a
+         pair-id routing map broadcast via ray.put — a dict of int lists,
+         size O(pairs), NOT the text;
+      3. each participating doc ships its deduped shingle-hash set to
+         every pair it belongs to (key = pair id); the pair's bucket
+         computes exact |A∩B|/|A∪B| via np.intersect1d. Shuffle volume
+         = Σ_pairs (|A|+|B|) hashes.
+    `max_driver_pairs` gates step 2 the same way the flagship gates
+    driver CC (dedup.py); above it, callers should raise the LSH
+    threshold/bands — an exact verify of a super-massive candidate set
+    is mis-parameterized, not a bigger cluster's job.
+    Returns (left_id, right_id, jaccard rounded 6); rows-only check."""
     import ray
 
     from ..stages.grouped import bucketed_group_map
     cfg = EngineConfig()
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
-
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
-    tref = ray.put(texts)
 
     def sig_fn(batch: pa.Table) -> pa.Table:
         txts = batch["text"].to_pylist()
@@ -409,22 +465,157 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5):
             ri.append(docs[gr + s0])
         if not li:
             return pa.table({"left_id": pa.array([], pa.int64()),
-                             "right_id": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        lv = np.concatenate(li)
-        rv = np.concatenate(ri)
-        uniq = pd.DataFrame({"l": lv, "r": rv}).drop_duplicates()
-        txts = ray.get(tref)
+                             "right_id": pa.array([], pa.int64())})
+        uniq = pd.DataFrame({"left_id": np.concatenate(li),
+                             "right_id": np.concatenate(ri)}).drop_duplicates()
+        return pa.Table.from_pandas(uniq, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cand = bucketed_group_map(bands, "band_key", pairs_bucket, num_buckets=32)
+
+    # step 2: pull the candidate pair list (the output-sized set), dedupe
+    # across buckets, build doc → pair-id routing
+    seen: set[tuple[int, int]] = set()
+    pair_left: list[int] = []
+    pair_right: list[int] = []
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        for l, r in zip(b["left_id"].to_pylist(), b["right_id"].to_pylist()):
+            key = (l, r) if l < r else (r, l)
+            if key not in seen:
+                seen.add(key)
+                pair_left.append(key[0])
+                pair_right.append(key[1])
+        if len(seen) > max_driver_pairs:
+            raise ValueError(
+                f"candidate pairs exceed max_driver_pairs={max_driver_pairs}; "
+                "raise the LSH threshold or band selectivity")
+    routing: dict[int, list[int]] = {}
+    for pid, (l, r) in enumerate(zip(pair_left, pair_right)):
+        routing.setdefault(l, []).append(pid)
+        routing.setdefault(r, []).append(pid)
+    rref = ray.put(routing)
+    empty_out = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+    if not pair_left:
+        return ray.data.from_arrow(empty_out)
+
+    def ship_shingles(batch: pa.Table) -> pa.Table:
+        rmap = ray.get(rref)
+        out_pid, out_did, out_sh = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            pids = rmap.get(did)
+            if not pids:
+                continue
+            sh = np.unique(hashing.char_shingles_u64(t, n)).view(np.int64)
+            for pid in pids:
+                out_pid.append(pid)
+                out_did.append(did)
+                out_sh.append(sh)
+        if not out_pid:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.list_(pa.int64()))})
+        return pa.table({"pid": pa.array(out_pid, pa.int64()),
+                         "doc_id": pa.array(out_did, pa.int64()),
+                         "shingles": pa.array(out_sh, pa.list_(pa.int64()))})
+
+    shards = ds.map_batches(ship_shingles, batch_format="pyarrow")
+    lref = ray.put((np.asarray(pair_left, dtype=np.int64),
+                    np.asarray(pair_right, dtype=np.int64)))
+
+    def jaccard_bucket(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty_out
+        pl, pr = ray.get(lref)
         out_l, out_r, out_j = [], [], []
-        for l, r in zip(uniq.l, uniq.r):
-            j = minhash.jaccard(hashing.char_shingles_u64(txts[int(l)], n),
-                                hashing.char_shingles_u64(txts[int(r)], n))
+        for pid, g in df.groupby("pid", sort=False):
+            g = g.drop_duplicates("doc_id")
+            if len(g) != 2:
+                continue  # a side was filtered out (shouldn't happen)
+            a = np.asarray(g["shingles"].iloc[0], dtype=np.int64)
+            b = np.asarray(g["shingles"].iloc[1], dtype=np.int64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            # two empty shingle sets are identical ⇒ J = 1 (minhash.jaccard)
+            j = inter / union if union else 1.0
             if j >= threshold:
-                out_l.append(int(l))
-                out_r.append(int(r))
+                out_l.append(int(pl[pid]))
+                out_r.append(int(pr[pid]))
                 out_j.append(round(j, 6))
         return pa.table({"left_id": pa.array(out_l, pa.int64()),
                          "right_id": pa.array(out_r, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    return bucketed_group_map(bands, "band_key", pairs_bucket, num_buckets=32)
+    return bucketed_group_map(shards, "pid", jaccard_bucket, num_buckets=32)
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, num_bands: int = 8):
+    """SimHash near-dup pairs over document text: 64-bit SimHash per doc
+    (same fingerprint as doc_fingerprint), banded into `num_bands` 8-bit
+    bands — by pigeonhole any pair with Hamming <= num_bands-1 collides
+    on >= 1 band — then EXACT Hamming <= max_hamming verification inside
+    the colliding bucket (vectorized popcount). Returns (left_id,
+    right_id, hamming); pairs found via several bands are deduped
+    globally by the pair's (min,max) ordering inside each bucket and the
+    band channel never leaves ids + one int64. Rows-only check (SimHash
+    is not SQL-expressible); pytest verifies against the brute-force
+    O(n²) Hamming pairs at small n."""
+    from .. import codec
+    from ..functions.hashing import mix_u64
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    width = 64 // num_bands
+
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        sims = []
+        for t in batch["text"].to_pylist():
+            sh = hashing.char_shingles_u64(t, 5)
+            sims.append(np.uint64(minhash.simhash64(sh)) if len(sh) else np.uint64(0))
+        sim = np.asarray(sims, dtype=np.uint64)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        keys, idx = [], []
+        for b in range(num_bands):
+            band = (sim >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
+            keys.append(mix_u64(band, 0x51A5 + b).view(np.int64))
+            idx.append(np.arange(len(ids)))
+        rep = np.concatenate(idx)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys), pa.int64()),
+            "doc_id": pa.array(ids[rep], pa.int64()),
+            "simhash": pa.array(sim[rep].view(np.int64), pa.int64()),
+        })
+
+    bands = ds.map_batches(sig_fn, batch_format="pyarrow")
+
+    def verify_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["band_key", "doc_id"]).sort_values(
+            ["band_key", "doc_id"], kind="stable")
+        keys = df["band_key"].to_numpy()
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if len(df) < 2:
+            return empty
+        _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+        coll = counts >= 2
+        if not coll.any():
+            return empty
+        li_p, ri_p = [], []
+        for s0, c0 in zip(starts[coll], counts[coll]):
+            gl, gr = np.triu_indices(int(c0), k=1)
+            li_p.append(gl + s0)
+            ri_p.append(gr + s0)
+        li = np.concatenate(li_p)
+        ri = np.concatenate(ri_p)
+        ids = df["doc_id"].to_numpy()
+        sh = df["simhash"].to_numpy().astype(np.int64)
+        ham = codec.hamming64(sh[li], sh[ri])
+        ok = ham <= max_hamming
+        out = pd.DataFrame({"left_id": ids[li[ok]], "right_id": ids[ri[ok]],
+                            "hamming": ham[ok]}).drop_duplicates(["left_id", "right_id"])
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return bucketed_group_map(bands, "band_key", verify_bucket, num_buckets=32)

@@ -68,3 +68,110 @@ def test_thumbnail_and_thumb_psnr():
     t = codec.thumbnail(img)
     assert len(t) == 256
     assert codec.thumb_psnr(t, t) == float("inf")
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec
+# ---------------------------------------------------------------------------
+
+def test_png_is_real_png():
+    img = _img(8)
+    data = codec.encode(img, "png")
+    assert data[:8] == codec.PNG_SIG
+    assert b"IHDR" in data[:33] and data.endswith(
+        b"IEND" + data[-4:])  # IEND tag then CRC
+    assert codec.png_meta(data) == (img.shape[1], img.shape[0])
+    fmt, q, w, h = codec.decode_meta(data)
+    assert (fmt, w, h) == ("png", img.shape[1], img.shape[0])
+
+
+def test_png_roundtrip():
+    img = _img(9, 33, 17)  # odd sizes
+    assert np.array_equal(codec.png_decode(codec.png_encode(img)), img)
+
+
+def _forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Reference PNG scanline filter (RFC 2083 §6) to exercise the
+    decoder's unfilter paths our encoder never emits."""
+    h, w, ch = img.shape
+    px = img.astype(np.int32)
+    out = bytearray()
+    for y in range(h):
+        out.append(ftype)
+        for x in range(w):
+            for c in range(ch):
+                raw = px[y, x, c]
+                a = px[y, x - 1, c] if x > 0 else 0          # left
+                b = px[y - 1, x, c] if y > 0 else 0          # up
+                cc = px[y - 1, x - 1, c] if (x > 0 and y > 0) else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # Paeth
+                    p = a + b - cc
+                    pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else cc)
+                out.append((raw - pred) % 256)
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_unfilter_all_types(ftype):
+    import struct
+    import zlib
+    img = _img(10 + ftype, 9, 7)
+    h, w, _ = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = _forward_filter(img, ftype)
+    data = (codec.PNG_SIG
+            + codec._png_chunk(b"IHDR", ihdr)
+            + codec._png_chunk(b"IDAT", zlib.compress(raw))
+            + codec._png_chunk(b"IEND", b""))
+    assert np.array_equal(codec.png_decode(data), img)
+
+
+def test_png_gray_and_rgba():
+    import struct
+    import zlib
+    rng = np.random.default_rng(3)
+    # gray (color type 0) → replicated to RGB
+    g = rng.integers(0, 256, (5, 6, 1), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 0, 0, 0, 0)
+    raw = np.concatenate([np.zeros((5, 1), np.uint8), g.reshape(5, 6)], axis=1)
+    data = (codec.PNG_SIG + codec._png_chunk(b"IHDR", ihdr)
+            + codec._png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + codec._png_chunk(b"IEND", b""))
+    out = codec.png_decode(data)
+    assert np.array_equal(out, np.repeat(g, 3, axis=2))
+    # RGBA (color type 6) → alpha dropped
+    rgba = rng.integers(0, 256, (4, 3, 4), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", 3, 4, 8, 6, 0, 0, 0)
+    raw = np.concatenate([np.zeros((4, 1), np.uint8), rgba.reshape(4, 12)], axis=1)
+    data = (codec.PNG_SIG + codec._png_chunk(b"IHDR", ihdr)
+            + codec._png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + codec._png_chunk(b"IEND", b""))
+    assert np.array_equal(codec.png_decode(data), rgba[:, :, :3])
+
+
+def test_png_crc_and_multi_idat():
+    import struct
+    import zlib
+    img = _img(20, 8, 8)
+    data = codec.png_encode(img)
+    # split the IDAT into two chunks; decoder must concatenate
+    sig, rest = data[:8], data[8:]
+    (l1,) = struct.unpack_from(">I", rest, 0)
+    ihdr_chunk = rest[: 12 + l1]
+    (l2,) = struct.unpack_from(">I", rest, 12 + l1)
+    idat_payload = rest[12 + l1 + 8: 12 + l1 + 8 + l2]
+    half = len(idat_payload) // 2
+    rebuilt = (sig + ihdr_chunk
+               + codec._png_chunk(b"IDAT", idat_payload[:half])
+               + codec._png_chunk(b"IDAT", idat_payload[half:])
+               + codec._png_chunk(b"IEND", b""))
+    assert np.array_equal(codec.png_decode(rebuilt), img)

@@ -12,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 def con():
     c = duckdb.connect()
     for t in ["documents", "embeddings", "lineitem", "orders", "customer",
-              "events"]:
+              "events", "part", "supplier", "nation", "region"]:
         c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return c
 
@@ -40,7 +40,8 @@ def _check(name, con, ray_session):
     "container_refs", "cap_top_containers", "docs_stats_by_lang",
     "ann_topk", "embedding_dedup_pairs",
     "lineitem_pricing_summary", "customer_order_stats",
-    "top_parts_by_quantity",
+    "top_parts_by_quantity", "part_type_revenue", "supplier_region_stats",
+    "events_sessionize", "lang_id",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -91,3 +92,94 @@ def test_segment_routing_champions(ray_session):
         for d in out.doc_id.head(5).tolist() + out.champion_doc_id.head(5).tolist()}
     for _, row in out.head(5).iterrows():
         assert feats[row.doc_id] & feats[row.champion_doc_id]
+
+
+def test_ngram_jaccard_matches_local_ground_truth(ray_session):
+    """The rendezvous-by-pair impl reproduces the candidates-with-true-
+    Jaccard semantics: every emitted pair has exact shingle-set Jaccard
+    >= threshold, and every pair that collides in >= 1 MinHash band AND
+    has true Jaccard >= threshold is emitted exactly once."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import __ray_entry__ as em
+    from destor_ray.config import EngineConfig
+    from destor_ray.functions import hashing, minhash
+
+    out = em.queries()["ngram_jaccard_pairs"](SF).to_pandas()
+    # uniqueness: global pair dedup (the old impl double-counted pairs
+    # colliding in bands that hashed to different buckets)
+    assert not out.duplicated(["left_id", "right_id"]).any()
+
+    cfg = EngineConfig()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sh = {d: hashing.char_shingles_u64(t, 5) for d, t in zip(docs.doc_id, docs.text)}
+    ids = docs.doc_id.to_numpy()
+    # replicate band keys
+    parts = [sh[d] for d in ids]
+    offs = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum([len(p) for p in parts], out=offs[1:])
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
+    sig = minhash.minhash_signatures_flat(flat, offs, cfg.lsh.num_perms, cfg.seed)
+    bands = minhash.band_keys(sig, cfg.lsh.num_bands, cfg.lsh.rows_per_band, cfg.seed)
+    from collections import defaultdict
+    buckets = defaultdict(set)
+    for i, did in enumerate(ids):
+        for b in range(cfg.lsh.num_bands):
+            buckets[(b, int(bands[i, b]))].add(int(did))
+    expect = {}
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                l, r = ms[i], ms[j]
+                if (l, r) in expect:
+                    continue
+                jac = minhash.jaccard(sh[l], sh[r])
+                if jac >= 0.5:
+                    expect[(l, r)] = round(jac, 6)
+    got = {(int(a), int(b)): round(float(j), 6)
+           for a, b, j in zip(out.left_id, out.right_id, out.jaccard)}
+    assert got == expect
+
+
+def test_simhash_dup_pairs_vs_bruteforce(ray_session):
+    """Banded SimHash pairs == brute-force O(n²) Hamming<=3 pairs
+    (pigeonhole: 8 bands guarantee collision for Hamming <= 7)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import __ray_entry__ as em
+    from destor_ray import codec
+    from destor_ray.functions import hashing, minhash
+
+    out = em.queries()["simhash_dup_pairs"](SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sims = {}
+    for d, t in zip(docs.doc_id, docs.text):
+        sh = hashing.char_shingles_u64(t, 5)
+        sims[int(d)] = np.uint64(minhash.simhash64(sh)) if len(sh) else np.uint64(0)
+    ids = sorted(sims)
+    arr = np.asarray([sims[i] for i in ids], dtype=np.uint64).view(np.int64)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ham = codec.hamming64(arr[iu], arr[ju])
+    ok = ham <= 3
+    expect = {(ids[a], ids[b]): int(h)
+              for a, b, h in zip(iu[ok], ju[ok], ham[ok])}
+    got = {(int(a), int(b)): int(h)
+           for a, b, h in zip(out.left_id, out.right_id, out.hamming)}
+    assert got == expect
+
+
+def test_embedding_lsh_pairs_recall(ray_session):
+    """Approximate hyperplane-band path recovers >= 90% of the exact
+    grid-join pairs at its default threshold."""
+    import __ray_entry__ as em
+    from destor_ray.pipelines import ann
+    exact = ann.embedding_dedup_pairs(SF, threshold=0.4).to_pandas()
+    approx = em.queries()["embedding_lsh_pairs"](SF).to_pandas()
+    e = set(zip(exact.left_vec, exact.right_vec))
+    a = set(zip(approx.left_vec, approx.right_vec)) if len(approx) else set()
+    assert a <= e  # exact re-rank ⇒ no false positives
+    if e:
+        assert len(a & e) / len(e) >= 0.9, (len(a & e), len(e))
