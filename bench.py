@@ -61,10 +61,14 @@ def run_scaling() -> None:
     rate_lo = lo["images_per_sec"]
     rate_hi = hi["images_per_sec"]
     eff = (rate_hi / rate_lo) / (32 / 8)
+    eff_med = ((hi.get("images_per_sec_median", rate_hi)
+                / lo.get("images_per_sec_median", rate_lo)) / (32 / 8))
     print(json.dumps({
         "sec_8": lo["value"], "sec_32": hi["value"],
         "images_per_sec_8": rate_lo, "images_per_sec_32": rate_hi,
         "scaling_efficiency": round(eff, 3),
+        "median_sec_8": lo.get("median_sec"), "median_sec_32": hi.get("median_sec"),
+        "scaling_efficiency_median": round(eff_med, 3),
         "corpus_rows": BENCH_CORPUS_ROWS,
     }))
 
@@ -102,13 +106,30 @@ def main() -> None:
         batch_format="pyarrow")
     warm.groupby("x").count().materialize()
 
-    headline = None
-    for _ in range(2):  # best-of-2: the sandbox host is noisy (BASELINE.md)
+    # 3 timed runs: report best (headline, comparable to round 1) AND
+    # median (robust to this host's 2-3x run-to-run noise), plus the
+    # per-stage wall split of the best run so round-over-round deltas
+    # are attributable (VERDICT r1 #9)
+    runs = []
+    for _ in range(3):
+        st: dict = {}
         t0 = time.time()
-        n_out = dedup_pipeline_from_dir(cdir).count()
+        n_out = dedup_pipeline_from_dir(cdir, stage_times=st).count()
         dt = time.time() - t0
-        headline = dt if headline is None else min(headline, dt)
         assert n_out == BENCH_CORPUS_ROWS
+        st["total"] = round(dt, 3)
+        runs.append(st)
+    runs.sort(key=lambda s: s["total"])
+    headline = runs[0]["total"]
+    median = runs[len(runs) // 2]["total"]
+    best = runs[0]
+    stage_split = {
+        "sig_bands_verify_pull": best.get("sig_bands_verify_pull"),
+        "driver_cc": best.get("driver_cc"),
+        "assign_consume": round(headline - best.get("sig_bands_verify_pull", 0)
+                                - best.get("driver_cc", 0), 3),
+        "n_edges": best.get("n_edges"),
+    }
     timings["corpus_dedup_clusters"] = round(headline, 3)
 
     # operator queries over the driver tables at SF_DIR
@@ -134,6 +155,9 @@ def main() -> None:
         "num_cpus": NCPU,
         "corpus_rows": BENCH_CORPUS_ROWS,
         "images_per_sec": round(BENCH_CORPUS_ROWS / headline, 1),
+        "median_sec": median,
+        "images_per_sec_median": round(BENCH_CORPUS_ROWS / median, 1),
+        "headline_stages": stage_split,
         "total_sec": round(total, 3),
     }))
     ray.shutdown()

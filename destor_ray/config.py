@@ -42,6 +42,12 @@ class LSHConfig:
     # groups up to this size verify all pairs; larger → star+chain (linear)
     full_pair_cap: int = 32
     caption_jaccard_threshold: float = 0.55
+    # destor-parity champion selection (similarity_detection.c:85-123):
+    # 0 = off (exhaustive-within-cap verify, the default flagship path);
+    # k > 0 = per query row, greedily pick the top-k candidates by
+    # shared-feature count with feature trim between picks, and verify
+    # only those pairs (candidate-COUNT parity with the reference)
+    champion_top_k: int = 0
 
 
 @dataclass(frozen=True)
@@ -110,4 +116,8 @@ PRESETS: dict[str, EngineConfig] = {
     "sparse_index": EngineConfig(sampling=SamplingConfig("random", 64)),
     # SiLo: fixed segments, min sampling
     "silo": EngineConfig(sampling=SamplingConfig("min", 128)),
+    # destor-parity champion selection in the flagship verify
+    # (similarity_detection.c top-k with feature trim; k=2 is the
+    # reference script default for segment prefetch)
+    "champion": EngineConfig(lsh=LSHConfig(champion_top_k=2)),
 }

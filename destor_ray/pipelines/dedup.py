@@ -46,7 +46,8 @@ def cc_buckets_for(n_rows: int) -> int:
 
 def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
                    cc_rounds: int = 2, n_rows_hint: int | None = None,
-                   driver_cc_threshold: int = 10_000_000, ids_ds=None):
+                   driver_cc_threshold: int = 10_000_000, ids_ds=None,
+                   stage_times: dict | None = None):
     """corpus Dataset → cluster assignment Dataset (image_id, cluster_id).
 
     When `ids_ds` (a Dataset with just the `image_id` column, e.g. a
@@ -87,6 +88,8 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
     # until the threshold is exceeded. 10M edges ≈ 240 MB, driver-safe.
     # Only past-threshold edge sets pay the fallback re-execution + the
     # distributed hash-to-min shuffles (tested equal).
+    import time as _time
+    t0 = _time.time()
     pulled: list = []
     n_edges = 0
     for b in edges.iter_batches(batch_format="pyarrow"):
@@ -95,8 +98,15 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
         if n_edges > driver_cc_threshold:
             pulled = None
             break
+    if stage_times is not None:  # per-stage wall times (bench reporting)
+        stage_times["sig_bands_verify_pull"] = round(_time.time() - t0, 3)
+        stage_times["n_edges"] = n_edges
     if pulled is not None:
-        return _assign_clusters_driver(ids, pulled)
+        t1 = _time.time()
+        out = _assign_clusters_driver(ids, pulled)
+        if stage_times is not None:
+            stage_times["driver_cc"] = round(_time.time() - t1, 3)
+        return out
     return assign_clusters_strings(ids, edges.materialize(),
                                    rounds=cc_rounds, num_buckets=nb_cc)
 
@@ -165,11 +175,13 @@ def assign_clusters_strings(image_ids_ds, edges_int_ds, rounds: int = 2,
     return assign.map_batches(to_strings, batch_format="pyarrow")
 
 
-def dedup_pipeline_from_dir(corpus_dir: str, cfg: EngineConfig | None = None):
+def dedup_pipeline_from_dir(corpus_dir: str, cfg: EngineConfig | None = None,
+                            stage_times: dict | None = None):
     import pyarrow.dataset as pads
     ds = ray.data.read_parquet(corpus_dir)
     n_rows = pads.dataset(corpus_dir).count_rows()  # metadata-only
     # column-pruned id read → single-consumer signature stage (fused,
     # never materialized); the id list itself is a cheap 1-column scan
     ids = ray.data.read_parquet(corpus_dir, columns=["image_id"])
-    return dedup_pipeline(ds, cfg, n_rows_hint=n_rows, ids_ds=ids)
+    return dedup_pipeline(ds, cfg, n_rows_hint=n_rows, ids_ds=ids,
+                          stage_times=stage_times)

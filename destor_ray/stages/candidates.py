@@ -224,6 +224,88 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
+def verify_bucket_champions(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
+    """Champion-mode verify (destor parity preset, cfg.lsh.champion_top_k
+    > 0): instead of exhaustively verifying every in-group pair, each row
+    scores its band-collision partners by SHARED band-key count (the
+    "#shared features" score of top_segment_select,
+    /root/reference/src/index/similarity_detection.c:85-123), greedily
+    selects the top-k champions with feature trim between picks
+    (functions/sampling.select_champions — the ported kernel), and only
+    (row, champion) pairs are PSNR/phash verified. Bounds verification
+    work to k pairs per row — the reference's candidate-count behavior —
+    at a measured recall delta vs the exhaustive path (tests)."""
+    from ..functions.sampling import select_champions
+    cfg = cfg or EngineConfig()
+    df = df.drop_duplicates(["band_key", "nid"])
+    df = df.sort_values(["band_key", "nid"], kind="stable")
+    keys = df["band_key"].to_numpy()
+    n = len(df)
+    if n < 2:
+        return empty_edges_table()
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    coll = counts >= 2
+    if not coll.any():
+        return empty_edges_table()
+    starts_c = starts[coll]
+    counts_c = counts[coll]
+    cap = cfg.lsh.full_pair_cap
+    li_parts, ri_parts = [], []
+    small = counts_c <= cap
+    for c in np.unique(counts_c[small]):
+        gl, gr = _triu_cached(int(c))
+        st = starts_c[small][counts_c[small] == c]
+        li_parts.append((st[:, None] + gl[None, :]).ravel())
+        ri_parts.append((st[:, None] + gr[None, :]).ravel())
+    for s, c in zip(starts_c[~small], counts_c[~small]):
+        gl, gr = _pair_indices(int(c), cap)
+        li_parts.append(gl + s)
+        ri_parts.append(gr + s)
+    li = np.concatenate(li_parts)
+    ri = np.concatenate(ri_parts)
+    ids = df["nid"].to_numpy()
+    # candidate scoring: one row per (pair, shared band key) BEFORE any
+    # dedup — multiplicity IS the shared-feature count
+    cand = pd.DataFrame({"q": ids[li], "c": ids[ri], "k": keys[li]})
+    both = pd.concat([cand, cand.rename(columns={"q": "c", "c": "q"})])
+    chosen: set[tuple[int, int]] = set()
+    for q, g in both.groupby("q", sort=False):
+        feats: dict[int, set] = {}
+        for c_, k_ in zip(g["c"], g["k"]):
+            feats.setdefault(int(c_), set()).add(int(k_))
+        for ch in select_champions(feats, cfg.lsh.champion_top_k):
+            chosen.add((min(int(q), ch), max(int(q), ch)))
+    if not chosen:
+        return empty_edges_table()
+    # verify the chosen pairs (thumb PSNR + phash second opinion), using
+    # each nid's first occurrence in the bucket for its signature columns
+    first = df.drop_duplicates("nid")
+    nid_arr = first["nid"].to_numpy()
+    order = np.argsort(nid_arr)
+    nid_sorted = nid_arr[order]
+    thumbs = np.frombuffer(b"".join(first["thumb"]), dtype=np.uint8) \
+        .reshape(len(first), -1)[order]
+    ph = first["phash"].to_numpy().astype(np.int64)[order] \
+        if "phash" in first.columns else None
+    pl = np.fromiter((p[0] for p in chosen), dtype=np.int64, count=len(chosen))
+    pr = np.fromiter((p[1] for p in chosen), dtype=np.int64, count=len(chosen))
+    il = np.searchsorted(nid_sorted, pl)
+    ir = np.searchsorted(nid_sorted, pr)
+    diff = thumbs[il].astype(np.float32) - thumbs[ir].astype(np.float32)
+    mse = np.mean(diff * diff, axis=1)
+    with np.errstate(divide="ignore"):
+        psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
+    ok = psnr >= cfg.verify.psnr_threshold
+    if ph is not None:
+        from .. import codec as _codec
+        ok = ok | (_codec.hamming64(ph[il], ph[ir]) <= 5)
+    return pa.table({
+        "left_id": pa.array(pl[ok], pa.int64()),
+        "right_id": pa.array(pr[ok], pa.int64()),
+        "psnr": pa.array(np.minimum(psnr[ok], 1e9).astype(np.float64), pa.float64()),
+    })
+
+
 def pair_gen_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
     """Candidate PAIR generation without verification (thumbless band
     rows): same grouping/cap logic as verify_bucket, emits
@@ -344,8 +426,10 @@ def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,
     bands = signatures_ds.map_batches(
         lambda b: explode_bands(b, cfg), batch_format="pyarrow")
     if not salt_hot_bands:
+        bucket_fn = (verify_bucket_champions if cfg.lsh.champion_top_k > 0
+                     else verify_bucket)
         return bucketed_group_map(bands, "band_key",
-                                  lambda df: verify_bucket(df, cfg),
+                                  lambda df: bucket_fn(df, cfg),
                                   num_buckets=num_buckets)
     return _salted_candidate_edges(bands, cfg, num_buckets)
 

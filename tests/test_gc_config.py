@@ -8,7 +8,7 @@ from destor_ray.config import PRESETS, EngineConfig
 
 
 def test_presets_exist_and_hash_distinctly():
-    assert set(PRESETS) == {"default", "ddfs", "extreme_binning",
+    assert set(PRESETS) == {"default", "ddfs", "extreme_binning", "champion",
                             "sparse_index", "silo"}
     hashes = {name: cfg.config_hash() for name, cfg in PRESETS.items()}
     assert len(set(hashes.values())) == len(hashes)
@@ -65,3 +65,31 @@ def test_pipeline_recall_under_presets(ray_session):
         pred = dict(zip(out.image_id, out.cluster_id))
         truth = {f"img{i:010d}": f"img{corpus.truth_cluster(i):010d}" for i in range(200)}
         assert pred == truth, preset
+
+
+def test_champion_preset_recall(ray_session):
+    """Champion top-k preset (destor-parity candidate counts): flagship
+    recall stays >= 0.99 with per-row verification bounded to k champions
+    per bucket, and no distractor merges."""
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.config import PRESETS
+    from destor_ray.pipelines.dedup import dedup_pipeline
+    N = 400
+    d = corpus.ensure_corpus_parquet(N, seed=42)
+    out = dedup_pipeline(ray.data.read_parquet(d), PRESETS["champion"],
+                         n_rows_hint=N).to_pandas()
+    pred = dict(zip(out.image_id, out.cluster_id))
+    hits = total = joined = 0
+    for i in range(N):
+        kind, src = corpus.plan_for_row(i)
+        if kind == "original":
+            continue
+        same = pred[f"img{i:010d}"] == pred[f"img{src:010d}"]
+        if kind == "distractor_near_miss":
+            joined += int(same)
+        else:
+            total += 1
+            hits += int(same)
+    assert joined == 0
+    assert hits / total >= 0.99, hits / total
