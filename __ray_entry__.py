@@ -5,18 +5,28 @@ here calls ray.init()/ray.shutdown().
 
 queries() entries map to SURVEY.md §2 operators:
   exact_dedup_docs     D2 exact-lookup analog (groupby content-hash keep-first)
-  token_count          text analysis: token counting
-  quality_score        text analysis: quality features
-  lang_id              text analysis: language-ID heuristic (rows-only)
+  token_count          text analysis: token counting (oracle)
+  quality_score        text analysis: quality features (oracle)
+  lang_id              text analysis: language-ID heuristic (oracle)
   doc_fingerprint      document fingerprinting: SimHash + MinHash (rows-only)
   minhash_lsh_docs     D3/D4 similarity join: MinHash-LSH near-dup clusters (rows-only)
+  simhash_dup_pairs    SimHash banded near-dup pairs, exact Hamming verify (rows-only)
   segment_routing      D3 champion top-k segment routing with feature trim (rows-only)
-  container_refs       HAR utilization aggregate (R4 analog)
-  cap_top_containers   CAP top-k by referenced bytes (R3 analog)
-  docs_stats_by_lang   per-job counters (W5 analog)
-  ann_topk             brute-force cosine top-k similarity search
+  ngram_jaccard_pairs  exact n-gram Jaccard over LSH candidates (rows-only)
+  jaccard_join_exact   inverted-index set-similarity join, ALL pairs (oracle)
+  container_refs       HAR utilization aggregate (R4 analog, oracle)
+  cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
+  docs_stats_by_lang   per-job counters (W5 analog, oracle)
+  events_windowed / events_type_stats / events_sessionize  stream shapes (oracles)
+  lineitem_pricing_summary / customer_order_stats / top_parts_by_quantity /
+  part_type_revenue / supplier_region_stats  relational surface (oracles;
+                       partitioned join, broadcast map-join, multi-way join)
+  ann_topk             brute-force cosine top-k similarity search (oracle)
   lsh_bucket_topk      LSH-bucketed ANN (scale path; rows-only)
-  embedding_dedup_pairs embedding-cosine near-dup pairs
+  embedding_dedup_pairs exact block-grid cosine self-join (oracle)
+  embedding_lsh_pairs  approximate hyperplane-band pairs (rows-only)
+  embedding_clusters   CC over cosine pairs (rows-only)
+  fsl_trace_stats      S4 FSL hashfile trace reader → parquet → aggregate (rows-only)
   corpus_dedup_clusters flagship: image+caption near-dup clustering (rows-only)
   corpus_exact_dedup   flagship exact channel on the synthetic corpus (rows-only)
 """
@@ -136,6 +146,46 @@ def _cdc_stats(sf_dir: str):
         Sum("n_bytes", alias_name="total_bytes"))
 
 
+def _fsl_trace_stats(sf_dir: str):
+    """S4 FSL hashfile reader end-to-end: write a deterministic
+    version-7 trace (cached), parse it (format conformance-tested
+    against the reference libhashfile writer in tests/test_fsl.py),
+    convert to partitioned parquet, and aggregate per-file chunk
+    counts/bytes + global dedup stats with Ray."""
+    import os
+    import numpy as np
+    import ray.data
+    from destor_ray.sources import fsl
+
+    root = "/tmp/destor_ray_fsl"
+    os.makedirs(root, exist_ok=True)
+    hf = os.path.join(root, "synthetic_v7.hashfile")
+    if not os.path.exists(hf):
+        rng = np.random.default_rng(11)
+        files = []
+        for i in range(20):
+            n = int(rng.integers(2, 30))
+            chunks = []
+            for _ in range(n):
+                # ~30% planted duplicate hashes exercise the dedup path
+                if chunks and rng.random() < 0.3:
+                    chunks.append(chunks[int(rng.integers(len(chunks)))])
+                else:
+                    chunks.append((bytes(rng.integers(0, 256, 6, dtype=np.uint8)),
+                                   int(rng.integers(600, 60000))))
+            files.append((f"/fsl/file{i:03d}", chunks))
+        fsl.write_fsl_hashfile(hf + ".tmp", files)
+        os.rename(hf + ".tmp", hf)
+    pq_dir = os.path.join(root, "trace_pq")
+    if not os.path.exists(os.path.join(pq_dir, "part-000000.parquet")):
+        fsl.fsl_to_parquet(hf, pq_dir, rows_per_file=64)
+    ds = ray.data.read_parquet(pq_dir)
+    from ray.data.aggregate import Count, Min, Sum
+    return ds.groupby("file_path").aggregate(
+        Count(alias_name="n_chunks"),
+        Sum("size", alias_name="bytes"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from destor_ray.pipelines import ann, relational, streaming, text
     return {
@@ -157,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": text.simhash_dup_pairs,
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
+        "jaccard_join_exact": text.jaccard_join_exact,
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,
@@ -165,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
         "embedding_lsh_pairs": ann.embedding_lsh_pairs,
         "embedding_clusters": ann.embedding_clusters,
+        "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,
         "corpus_exact_dedup": _corpus_exact,
         "corpus_dedup_simulation": _corpus_dedup_simulation,
@@ -262,6 +314,27 @@ def oracle_sql() -> dict[str, str]:
                    min(value) AS min_value,
                    max(value) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "jaccard_join_exact": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, length(text) - 3)) AS i
+                      FROM documents)
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       count(*) AS n_common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.left_id, i.right_id,
+                   round(i.n_common * 1.0 / (ca.n + cb.n - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN cnt ca ON ca.doc_id = i.left_id
+            JOIN cnt cb ON cb.doc_id = i.right_id
+            WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= 0.5
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS h,

@@ -296,3 +296,62 @@ def hamming64(a, b) -> np.ndarray:
         cnt += _POPCOUNT8[np.bitwise_and(x, np.uint64(0xFF)).astype(np.intp)]
         x = np.right_shift(x, np.uint64(8))
     return cnt
+
+
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF PCM) audio codec — pure struct/numpy, no libsndfile
+# ---------------------------------------------------------------------------
+
+def wav_encode(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode mono float32 samples in [-1, 1] as a real 16-bit PCM WAV
+    file (RIFF/WAVE fmt+data chunks, readable by any audio tool)."""
+    x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    i16 = np.round(x * 32767.0).astype("<i2")
+    data = i16.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    riff = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def wav_decode(data) -> tuple[np.ndarray, int]:
+    """Decode a real WAV file → (mono float32 samples in [-1, 1],
+    sample_rate). Supports PCM (format 1) and IEEE float (format 3),
+    8/16/32-bit, any channel count (downmixed to mono by averaging).
+    Accepts bytes or uint8 buffer views."""
+    if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sr = None
+    fmt_code = nch = bits = None
+    samples = None
+    n = len(data)
+    while pos + 8 <= n:
+        tag = bytes(data[pos: pos + 4])
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8: pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            fmt_code, nch, sr, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if fmt_code not in (1, 3):
+                raise ValueError(f"unsupported WAV format code {fmt_code}")
+        elif tag == b"data":
+            if fmt_code is None:
+                raise ValueError("WAV data chunk before fmt chunk")
+            if fmt_code == 3:
+                x = np.frombuffer(bytes(body), dtype="<f4").astype(np.float32)
+            elif bits == 16:
+                x = np.frombuffer(bytes(body), dtype="<i2").astype(np.float32) / 32767.0
+            elif bits == 8:  # unsigned
+                x = (np.frombuffer(bytes(body), dtype=np.uint8).astype(np.float32) - 128.0) / 127.0
+            elif bits == 32:
+                x = np.frombuffer(bytes(body), dtype="<i4").astype(np.float32) / 2147483647.0
+            else:
+                raise ValueError(f"unsupported WAV bit depth {bits}")
+            if nch and nch > 1:
+                x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
+            samples = x.astype(np.float32)
+    if samples is None or sr is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    return samples, int(sr)

@@ -619,3 +619,102 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, num_bands: int = 8):
             .replace_schema_metadata(None)
 
     return bucketed_group_map(bands, "band_key", verify_bucket, num_buckets=32)
+
+
+def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5):
+    """EXACT all-pairs n-gram Jaccard >= threshold via an inverted-index
+    set-similarity join — the classic shingle-posting topology, fully
+    distributed and DuckDB-oracle-checkable (no LSH candidate filter):
+
+      docs → distinct k-char shingle STRINGS (exact SQL parity — no
+      hashing) → groupby(shingle): emit (l, r, partial-count, |A|, |B|)
+      pairs per posting, pre-aggregated per bucket (map-side combine) →
+      groupby(pair): sum intersections → J = c / (|A|+|B|-c).
+
+    Scale caveat (documented, inherent): exactness forbids posting-list
+    caps, so a stop-shingle shared by M docs costs O(M²) pair rows —
+    this is the price of the exact join; ngram_jaccard_pairs (LSH
+    candidates + rendezvous verify) is the skew-safe approximate path.
+    Returns (left_id, right_id, jaccard rounded 6)."""
+    from ..functions.hashing import mix_u64
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        out_s, out_d, out_n = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sset = {t[i:i + k] for i in range(len(t) - k + 1)}
+            if not sset:
+                continue
+            out_s.extend(sset)
+            out_d.extend([did] * len(sset))
+            out_n.extend([len(sset)] * len(sset))
+        return pa.table({"s": pa.array(out_s, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def posting_pairs(df: pd.DataFrame) -> pa.Table:
+        # all (l<r) pairs per shingle group, pre-aggregated within the
+        # bucket (one row per pair with its local intersection count)
+        df = df.sort_values(["s", "doc_id"], kind="stable")
+        svals = df["s"].to_numpy()
+        docs = df["doc_id"].to_numpy()
+        ns = df["n"].to_numpy()
+        _, starts, counts = np.unique(svals, return_index=True, return_counts=True)
+        coll = counts >= 2
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "nl": pa.array([], pa.int64()),
+                          "nr": pa.array([], pa.int64())})
+        if not coll.any():
+            return empty
+        li_p, ri_p = [], []
+        starts_c, counts_c = starts[coll], counts[coll]
+        for csz in np.unique(counts_c):
+            gl, gr = np.triu_indices(int(csz), k=1)
+            st = starts_c[counts_c == csz]
+            li_p.append((st[:, None] + gl[None, :]).ravel())
+            ri_p.append((st[:, None] + gr[None, :]).ravel())
+        li = np.concatenate(li_p)
+        ri = np.concatenate(ri_p)
+        g = pd.DataFrame({"left_id": docs[li], "right_id": docs[ri],
+                          "nl": ns[li], "nr": ns[ri]}) \
+            .groupby(["left_id", "right_id"], sort=False) \
+            .agg(c=("nl", "size"), nl=("nl", "first"), nr=("nr", "first")) \
+            .reset_index()
+        return pa.Table.from_pandas(g[["left_id", "right_id", "c", "nl", "nr"]],
+                                    preserve_index=False).replace_schema_metadata(None)
+
+    partials = bucketed_group_map(shingles, "s", posting_pairs, num_buckets=64)
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        l = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = mix_u64((l * np.int64(1_000_003) + r).view(np.uint64), 0x9A7).view(np.int64)
+        return batch.append_column("pk", pa.array(pk, pa.int64()))
+
+    keyed = partials.map_batches(add_pair_key, batch_format="pyarrow")
+
+    def reduce_pairs(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        g = df.groupby(["left_id", "right_id"], sort=False) \
+            .agg(c=("c", "sum"), nl=("nl", "first"), nr=("nr", "first")) \
+            .reset_index()
+        jac = g["c"].to_numpy() / (g["nl"].to_numpy() + g["nr"].to_numpy() - g["c"].to_numpy())
+        ok = jac >= threshold
+        return pa.table({
+            "left_id": pa.array(g["left_id"].to_numpy()[ok].astype(np.int64), pa.int64()),
+            "right_id": pa.array(g["right_id"].to_numpy()[ok].astype(np.int64), pa.int64()),
+            "jaccard": pa.array(np.round(jac[ok], 6), pa.float64()),
+        })
+
+    return bucketed_group_map(keyed, "pk",
+                              lambda df: reduce_pairs(df.drop(columns=[])),
+                              num_buckets=32)

@@ -2,13 +2,15 @@
 binary columns with typed metadata, processed by actor-pool map_batches
 stages.
 
-The image path is REAL (the deterministic DRI1 codec). This container
-ships no audio/video libraries, so those decoders are STUBS with a
-clearly-marked seam: `decoder="fake"` produces deterministic synthetic
-samples/frames (hash-seeded) so the Ray-side plumbing — schema, batch
-sizing, actor signature, output layout — is exercised end-to-end;
-`decoder="real"` raises NotImplementedError where libsndfile/ffmpeg
-would be called.
+The image path is REAL (PNG via codec.png_decode, lossy via the
+deterministic DRI1 codec). The audio path is REAL for RIFF/WAVE PCM
+payloads (codec.wav_decode — pure numpy, no libsndfile); compressed
+audio (mp3/flac/ogg) and all video remain STUBS with a clearly-marked
+seam: `decoder="fake"` produces deterministic synthetic samples/frames
+(hash-seeded) so the Ray-side plumbing — schema, batch sizing, actor
+signature, output layout — is exercised end-to-end; the real-decoder
+path raises NotImplementedError where libsndfile/ffmpeg would be
+called.
 
 All stages are callable classes (actor pools): heavy setup belongs in
 __init__, per-batch work in __call__, small batch_size because rows
@@ -60,12 +62,15 @@ class AudioFeatures:
     Schema out: (clip_id, n_samples: int64, rms: float64,
                  mfcc_like: list<float> fixed 13)
 
-    decoder="fake": deterministic synthetic PCM derived from the payload
-    hash — exercises batching/actor plumbing. decoder="real": the seam
-    where libsndfile/soundfile would decode; unavailable here.
+    decoder="real": REAL RIFF/WAVE PCM parsing (codec.wav_decode — pure
+    numpy, 8/16/32-bit + float, multi-channel downmix; no libsndfile
+    needed); non-WAV payloads (mp3/flac/ogg) still raise at the
+    libsndfile seam. decoder="fake": deterministic synthetic PCM derived
+    from the payload hash — exercises batching/actor plumbing without
+    any payload format assumption.
     """
 
-    def __init__(self, decoder: str = "fake", frame: int = 1024):
+    def __init__(self, decoder: str = "real", frame: int = 1024):
         if decoder not in ("fake", "real"):
             raise ValueError(decoder)
         self.decoder = decoder
@@ -73,8 +78,11 @@ class AudioFeatures:
 
     def _decode(self, data: bytes, sr: int) -> np.ndarray:
         if self.decoder == "real":
+            if len(data) >= 12 and bytes(data[:4]) == b"RIFF":
+                pcm, _ = codec.wav_decode(data)
+                return pcm
             raise NotImplementedError(
-                "no audio codec in this environment; plug libsndfile here")
+                "non-WAV audio payload; plug libsndfile/ffmpeg here")
         # deterministic fake: 1 second of hash-seeded samples
         rng = np.random.Generator(np.random.Philox(key=_payload_seed(data)))
         return rng.standard_normal(sr).astype(np.float32)

@@ -65,3 +65,17 @@ def test_dup_plan_table():
     t = corpus.dup_plan_table(100)
     assert set(t.column_names) == {"left_id", "right_id", "kind", "cluster_id"}
     assert t.num_rows == 25  # 5 dup slots per 20-row block
+
+
+def test_sources_dispatch(ray_session):
+    """sources.read_table: parquet path works (column-pruned); lance
+    paths raise a clear error while the package is absent."""
+    import pytest
+    from destor_ray import corpus, sources
+    d = corpus.ensure_corpus_parquet(40, seed=42)
+    ds = sources.read_table(d, columns=["image_id"])
+    assert ds.count() == 40
+    assert ds.schema().names == ["image_id"]
+    if not sources.have_lance():
+        with pytest.raises(ImportError):
+            sources.read_table("/tmp/nonexistent.lance")

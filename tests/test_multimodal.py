@@ -30,10 +30,57 @@ def test_audio_fake_decoder_deterministic():
     assert all(len(f) == 13 for f in a["mfcc_like"].to_pylist())
 
 
-def test_audio_real_decoder_is_explicit_stub():
+def test_audio_real_decoder_is_explicit_stub_for_non_wav():
+    # non-RIFF payloads still hit the libsndfile seam
     st = mm.AudioFeatures(decoder="real")
     with pytest.raises(NotImplementedError):
         st(_audio_batch())
+
+
+def _wav_batch(n=4, sr=8000):
+    from destor_ray import codec
+    rows = []
+    for i in range(n):
+        t = np.arange(sr, dtype=np.float32) / sr
+        pcm = (0.5 * np.sin(2 * np.pi * (220 + 55 * i) * t)).astype(np.float32)
+        rows.append(codec.wav_encode(pcm, sr))
+    return pa.table({
+        "clip_id": [f"w{i}" for i in range(n)],
+        "bytes": rows,
+        "sample_rate": pa.array([sr] * n, pa.int32()),
+    })
+
+
+def test_audio_real_wav_decoder():
+    """decoder="real" parses genuine RIFF/WAVE PCM payloads."""
+    st = mm.AudioFeatures(decoder="real")
+    out = st(_wav_batch())
+    assert out.num_rows == 4
+    assert all(n == 8000 for n in out["n_samples"].to_pylist())
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2) ≈ 0.354
+    assert all(abs(r - 0.3536) < 0.01 for r in out["rms"].to_pylist())
+
+
+def test_wav_roundtrip_and_formats():
+    from destor_ray import codec
+    rng = np.random.default_rng(1)
+    pcm = rng.uniform(-1, 1, 1000).astype(np.float32)
+    dec, sr = codec.wav_decode(codec.wav_encode(pcm, 44100))
+    assert sr == 44100
+    assert np.max(np.abs(dec - pcm)) < 1.0 / 32000
+    # stereo 16-bit downmix
+    import struct
+    inter = np.empty(2000, dtype="<i2")
+    inter[0::2] = 1000
+    inter[1::2] = 3000
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    raw = (b"RIFF" + struct.pack("<I", 36 + 4000) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 4000) + inter.tobytes())
+    mono, sr2 = codec.wav_decode(raw)
+    assert sr2 == 8000
+    assert len(mono) == 1000
+    assert abs(mono[0] - 2000 / 32767.0) < 1e-6
 
 
 def test_video_frame_sampling_layout():
@@ -65,6 +112,6 @@ def test_image_decode_resize_real(ray_session):
 
 def test_audio_stage_in_ray(ray_session):
     import ray.data
-    ds = ray.data.from_arrow(_audio_batch(32))
+    ds = ray.data.from_arrow(_wav_batch(32))
     out = mm.audio_features(ds, concurrency=2, batch_size=8).to_pandas()
     assert len(out) == 32

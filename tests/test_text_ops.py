@@ -41,7 +41,7 @@ def _check(name, con, ray_session):
     "ann_topk", "embedding_dedup_pairs",
     "lineitem_pricing_summary", "customer_order_stats",
     "top_parts_by_quantity", "part_type_revenue", "supplier_region_stats",
-    "events_sessionize", "lang_id",
+    "events_sessionize", "lang_id", "jaccard_join_exact",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
