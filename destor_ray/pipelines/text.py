@@ -109,13 +109,17 @@ class LangIdStage:
         self.word_re = re.compile(r"[a-zA-Z]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
         preds = []
         for t in batch["text"].to_pylist():
-            toks = [w.lower() for w in self.word_re.findall(t)]
-            if not toks:
+            counts = Counter(w.lower() for w in self.word_re.findall(t))
+            if not counts:
                 preds.append("unknown")
                 continue
-            scores = {lang: sum(w in tbl for w in toks) for lang, tbl in self.tables.items()}
+            # one token-count pass; per-lang score = Σ counts over its
+            # stopword table (token multiplicity preserved)
+            scores = {lang: sum(counts[w] for w in tbl if w in counts)
+                      for lang, tbl in self.tables.items()}
             best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
             preds.append(best[0] if best[1] > 0 else "unknown")
         return pa.table({"doc_id": batch["doc_id"],
