@@ -27,6 +27,7 @@ queries() entries map to SURVEY.md §2 operators:
   embedding_lsh_pairs  approximate hyperplane-band pairs (rows-only)
   embedding_clusters   CC over cosine pairs (rows-only)
   fsl_trace_stats      S4 FSL hashfile trace reader → parquet → aggregate (rows-only)
+  corpus_restore       T1-T5 real restore: gather payloads from cluster reps + decode-verify (rows-only)
   corpus_dedup_clusters flagship: image+caption near-dup clustering (rows-only)
   corpus_exact_dedup   flagship exact channel on the synthetic corpus (rows-only)
 """
@@ -146,6 +147,25 @@ def _cdc_stats(sf_dir: str):
         Sum("n_bytes", alias_name="total_bytes"))
 
 
+def _corpus_restore(sf_dir: str):
+    """T1-T5 as a REAL data path: restore every row's payload from its
+    cluster representative (hash-partitioned gather join over the
+    manifest — the container-read analog) and decode-verify against the
+    original source pixels. Returns per-row (image_id, is_dup, psnr,
+    ok)."""
+    import os
+    from destor_ray import corpus
+    from destor_ray.pipelines.job import (restore_corpus,
+                                          restore_fidelity_stats,
+                                          run_backup_job)
+    n = _corpus_rows_for(sf_dir)
+    cdir = corpus.ensure_corpus_parquet(n, seed=42)
+    workdir = f"/tmp/destor_ray_job/n{n}"
+    run_backup_job(cdir, workdir)
+    restored = restore_corpus(cdir, workdir)
+    return restore_fidelity_stats(restored, seed=42)
+
+
 def _fsl_trace_stats(sf_dir: str):
     """S4 FSL hashfile reader end-to-end: write a deterministic
     version-7 trace (cached), parse it (format conformance-tested
@@ -221,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_exact_dedup": _corpus_exact,
         "corpus_dedup_simulation": _corpus_dedup_simulation,
         "corpus_fidelity": _corpus_fidelity,
+        "corpus_restore": _corpus_restore,
         "cdc_stats": _cdc_stats,
     }
 

@@ -317,3 +317,80 @@ def har_cross_run_pass(manifest_ds, workdir: str, job_id: int,
         "inherited_sparse_num": inherited_sparse_num,
         "sparse_chunk_hits": sparse_hits,
     }
+
+
+def restore_corpus(corpus_dir: str, workdir: str,
+                   cfg: EngineConfig | None = None,
+                   num_partitions: int | None = None):
+    """The RESTORE data path (T1-T5, do_restore.c:191-287) as a real
+    payload-moving pipeline, not a cache simulation: read the manifest
+    (recipe analog) in restore order, gather each row's payload from its
+    cluster REPRESENTATIVE (the stored unique — near-dup consolidation
+    stores one payload per cluster, so members restore to their
+    representative's bytes), and emit (image_id, cluster_id, is_dup,
+    bytes). The gather is a hash-partitioned Dataset.join of the
+    manifest against the representatives' payload table — the analog of
+    container reads, and the only stage in the engine where payload
+    bytes legitimately cross a shuffle.
+
+    Returns the restored Dataset; fidelity of the result vs the
+    original source pixels is measured by restore_fidelity_stats."""
+    import ray as _ray
+    cfg = cfg or EngineConfig()
+    manifest = ray.data.read_parquet(os.path.join(workdir, "manifest"))
+    corpus_ds = ray.data.read_parquet(corpus_dir)
+
+    if num_partitions is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(4, min(max(cpus * 3 // 4, 4), 64))
+
+    # representatives' payloads: rows whose id is a cluster id.
+    # rep set == keys of the manifest's cluster_id column; an inner join
+    # against it prunes non-representative payloads before the gather.
+    def rep_payloads(batch: pa.Table) -> pa.Table:
+        return pa.table({"rep_id": batch["image_id"], "bytes": batch["bytes"]})
+
+    reps = corpus_ds.map_batches(rep_payloads, batch_format="pyarrow")
+    joined = manifest.select_columns(["image_id", "cluster_id", "is_dup"]) \
+        .join(reps, "inner", num_partitions,
+              on=("cluster_id",), right_on=("rep_id",))
+    return joined
+
+
+def restore_fidelity_stats(restored_ds, seed: int = 42,
+                           psnr_lossy_min: float = 25.0,
+                           concurrency: int = 2):
+    """Decode-verify of a restored corpus vs the ORIGINAL source pixels
+    (restore-as-oracle, do_restore write path + diff): exact-cluster
+    members must round-trip bit-identically through their representative
+    (PSNR inf); near-dup members restore to their representative's
+    pixels, whose PSNR vs their own source quantifies the consolidation
+    loss. Returns per-row (image_id, is_dup, psnr, ok)."""
+    from .. import codec
+    from .. import corpus as corpus_mod
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        dups = batch["is_dup"].to_pylist()
+        payloads = batch["bytes"].to_pylist()
+        psnrs, oks = [], []
+        for rid, data in zip(ids, payloads):
+            row = corpus_mod.row_index_of(rid)
+            ref, _, _ = corpus_mod.source_pixels(seed, row)
+            got = codec.decode(data)
+            if got.shape != ref.shape:
+                # representative has different dims (e.g. crop member):
+                # compare on the representative's grid via NN resize
+                got = codec.resize_nn(got, ref.shape[0], ref.shape[1])
+            p = codec.psnr(got, ref)
+            psnrs.append(min(p, 1e9))
+            oks.append(bool(p >= psnr_lossy_min))
+        return pa.table({
+            "image_id": batch["image_id"],
+            "is_dup": batch["is_dup"],
+            "psnr": pa.array(psnrs, pa.float64()),
+            "ok": pa.array(oks, pa.bool_()),
+        })
+
+    return restored_ds.map_batches(verify, batch_format="pyarrow",
+                                   batch_size=64, concurrency=concurrency)

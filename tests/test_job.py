@@ -120,3 +120,37 @@ def test_partial_job_resume(ray_session, job_result):
     assert res["resumed"]["edges"] is False
     assert before == after
     assert res["metrics"]["n_rows"] == 400
+
+
+def test_restore_corpus_fidelity(ray_session, tmp_path):
+    """Real restore path: every row reconstructs from its cluster
+    representative; exact-dup members restore BIT-identically (their rep
+    has identical bytes); near-dup members restore within the PSNR
+    consolidation bound; no row is lost."""
+    import numpy as np
+    from destor_ray import corpus
+    from destor_ray.pipelines.job import (restore_corpus,
+                                          restore_fidelity_stats,
+                                          run_backup_job)
+    N = 200
+    cdir = corpus.ensure_corpus_parquet(N, seed=42)
+    wd = str(tmp_path / "job")
+    run_backup_job(cdir, wd)
+    out = restore_fidelity_stats(restore_corpus(cdir, wd), seed=42).to_pandas()
+    assert len(out) == N
+    assert out.image_id.is_unique
+    assert out.ok.all(), out[~out.ok].head()
+    psnr = dict(zip(out.image_id, out.psnr))
+    for i in range(N):
+        kind, src = corpus.plan_for_row(i)
+        me = psnr[f"img{i:010d}"]
+        if kind in ("exact", "caption_para"):
+            # byte-identical members restore to EXACTLY the representative
+            # payload, so their fidelity equals the representative row's
+            # own (bounded only by the rep's encode loss; inf for PNG)
+            assert me == psnr[f"img{src:010d}"], (i, kind, me)
+        if kind in ("original", "distractor_near_miss"):
+            # self-representative: restored bytes are the row's own, so
+            # PSNR vs source = pure encode loss: inf (PNG) or >= 40
+            # (lossy at generator quality >= 80)
+            assert me >= 40.0, (i, kind, me)
