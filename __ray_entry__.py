@@ -26,6 +26,7 @@ queries() entries map to SURVEY.md §2 operators:
   embedding_dedup_pairs exact block-grid cosine self-join (oracle)
   embedding_lsh_pairs  approximate hyperplane-band pairs (rows-only)
   embedding_clusters   CC over cosine pairs (rows-only)
+  job_gc_stats         X1-X3 CMA GC across two jobs: refcounts + invalidation (rows-only)
   fsl_trace_stats      S4 FSL hashfile trace reader → parquet → aggregate (rows-only)
   corpus_restore       T1-T5 real restore: gather payloads from cluster reps + decode-verify (rows-only)
   corpus_dedup_clusters flagship: image+caption near-dup clustering (rows-only)
@@ -166,6 +167,51 @@ def _corpus_restore(sf_dir: str):
     return restore_fidelity_stats(restored, seed=42)
 
 
+def _job_gc_stats(sf_dir: str):
+    """X1-X3 CMA GC across two backup jobs: job 0 backs up the FULL
+    corpus, job 1 only its first half. Container ids derive from global
+    cluster (row-range) ids, so the shared prefix containers are
+    re-referenced by job 1 while the tail containers are referenced by
+    job 0 alone. The CMA manifest (container → last-referencing-job) is
+    a groupby Max aggregate over the union; deleting job 0 invalidates
+    exactly the tail containers (last_job <= 0), which the registry
+    purge (broadcast anti-join, stages/gc.py) would reclaim. Returns one
+    row per container with (refs, ref_bytes, last_job, invalid)."""
+    import pyarrow as pa
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.job import run_backup_job
+    from destor_ray.stages import gc as gcs
+    import os
+
+    n = _corpus_rows_for(sf_dir)
+    cfg = EngineConfig(container_rows=64)  # small containers for a visible spread
+    half = corpus.ensure_corpus_parquet(n // 2, seed=42)
+    full = corpus.ensure_corpus_parquet(n, seed=42)
+    wd0 = f"/tmp/destor_ray_job/gcfull_n{n}"
+    wd1 = f"/tmp/destor_ray_job/gchalf_n{n//2}"
+    run_backup_job(full, wd0, cfg=cfg, job_id=0)
+    run_backup_job(half, wd1, cfg=cfg, job_id=1)
+
+    def with_job(path: str, jid: int):
+        ds = ray.data.read_parquet(os.path.join(path, "manifest"))
+        return ds.map_batches(
+            lambda b, j=jid: b.append_column(
+                "job_id", pa.array([j] * b.num_rows, pa.int64())),
+            batch_format="pyarrow")
+
+    manifest = with_job(wd0, 0).union(with_job(wd1, 1))
+    ref = gcs.container_refcounts(manifest)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.append_column(
+            "invalid", pc.less_equal(batch["last_job"], 0))
+
+    return ref.map_batches(mark, batch_format="pyarrow")
+
+
 def _fsl_trace_stats(sf_dir: str):
     """S4 FSL hashfile reader end-to-end: write a deterministic
     version-7 trace (cached), parse it (format conformance-tested
@@ -236,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
         "embedding_lsh_pairs": ann.embedding_lsh_pairs,
         "embedding_clusters": ann.embedding_clusters,
+        "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,
         "corpus_exact_dedup": _corpus_exact,
