@@ -6,6 +6,7 @@ here calls ray.init()/ray.shutdown().
 queries() entries map to SURVEY.md §2 operators:
   exact_dedup_docs     D2 exact-lookup analog (groupby content-hash keep-first)
   token_count          text analysis: token counting (oracle)
+  token_count_bpe      BPE-ish regex pre-tokenizer count (oracle)
   quality_score        text analysis: quality features (oracle)
   lang_id              text analysis: language-ID heuristic (oracle)
   doc_fingerprint      document fingerprinting: SimHash + MinHash (rows-only)
@@ -23,6 +24,7 @@ queries() entries map to SURVEY.md §2 operators:
                        partitioned join, broadcast map-join, multi-way join)
   ann_topk             brute-force cosine top-k similarity search (oracle)
   lsh_bucket_topk      LSH-bucketed ANN (scale path; rows-only)
+  ivf_topk             IVF ANN: deterministic k-means coarse quantizer + n_probe cells (rows-only)
   embedding_dedup_pairs exact block-grid cosine self-join (oracle)
   embedding_lsh_pairs  approximate hyperplane-band pairs (rows-only)
   embedding_clusters   CC over cosine pairs (rows-only)
@@ -266,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
+        "token_count_bpe": text.token_count_bpe,
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
@@ -279,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stats_by_lang": text.docs_stats_by_lang,
         "ann_topk": ann.ann_topk,
         "lsh_bucket_topk": ann.lsh_bucket_topk,
+        "ivf_topk": ann.ivf_topk,
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
         "embedding_lsh_pairs": ann.embedding_lsh_pairs,
         "embedding_clusters": ann.embedding_clusters,
@@ -412,6 +416,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_tokens_bpe
             FROM documents
         """,
         "quality_score": r"""

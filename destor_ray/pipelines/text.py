@@ -722,3 +722,25 @@ def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5):
     return bucketed_group_map(keyed, "pk",
                               lambda df: reduce_pairs(df.drop(columns=[])),
                               num_buckets=32)
+
+
+# BPE-ish pre-tokenizer: GPT-2-style word/number/punct/space classes,
+# restricted to RE2-safe constructs (no lookahead) so pyarrow's re2
+# kernel and the DuckDB oracle match byte-for-byte.
+BPE_TOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(sf_dir: str):
+    """(doc_id, n_tokens_bpe): BPE-style pre-tokenization count — the
+    GPT-2 pattern's word/number/punctuation/whitespace classes, counted
+    with the vectorized re2 kernel (pc.count_substring_regex). The
+    identical pattern runs in the DuckDB oracle (both engines are RE2),
+    so the count hash-matches exactly."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], BPE_TOKEN_RE)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens_bpe": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

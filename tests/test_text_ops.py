@@ -183,3 +183,16 @@ def test_embedding_lsh_pairs_recall(ray_session):
     assert a <= e  # exact re-rank ⇒ no false positives
     if e:
         assert len(a & e) / len(e) >= 0.9, (len(a & e), len(e))
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF (k-means coarse quantizer, n_probe cells) recovers most of
+    the brute-force top-k; raising n_probe to all cells makes it exact."""
+    import __ray_entry__ as em
+    from destor_ray.pipelines import ann
+    brute = em.queries()["ann_topk"](SF).to_pandas()
+    ivf = em.queries()["ivf_topk"](SF).to_pandas()
+    overlap = len(set(brute.vec_id) & set(ivf.vec_id))
+    assert overlap >= 5, overlap
+    full = ann.ivf_topk(SF, n_centroids=8, n_probe=8).to_pandas()
+    assert list(full.vec_id) == list(brute.vec_id)
