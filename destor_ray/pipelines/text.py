@@ -216,9 +216,24 @@ def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6,
         coll = counts >= 2
         if not coll.any():
             return empty
+        # hot-band skew cap (same policy as the flagship verify_bucket,
+        # stages/candidates.py): groups above full_pair_cap emit
+        # star-to-min + adjacent-chain pairs — linear in group size, and
+        # connectivity-preserving for the downstream CC, so degenerate
+        # bands (boilerplate docs) never cost quadratic verify work
+        cap = cfg.lsh.full_pair_cap
         li_p, ri_p = [], []
         for s0, c0 in zip(starts[coll], counts[coll]):
-            gl, gr = np.triu_indices(int(c0), k=1)
+            c0 = int(c0)
+            if c0 <= cap:
+                gl, gr = np.triu_indices(c0, k=1)
+            else:
+                star_l = np.zeros(c0 - 1, dtype=np.int64)
+                star_r = np.arange(1, c0, dtype=np.int64)
+                chain_l = np.arange(1, c0 - 1, dtype=np.int64)
+                chain_r = np.arange(2, c0, dtype=np.int64)
+                gl = np.concatenate([star_l, chain_l])
+                gr = np.concatenate([star_r, chain_r])
             li_p.append(gl + s0)
             ri_p.append(gr + s0)
         li = np.concatenate(li_p)
