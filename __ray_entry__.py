@@ -18,7 +18,8 @@ queries() entries map to SURVEY.md §2 operators:
   container_refs       HAR utilization aggregate (R4 analog, oracle)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
-  events_windowed / events_type_stats / events_sessionize  stream shapes (oracles)
+  events_windowed / events_type_stats / events_sessionize /
+  events_user_daily_topk  stream + ranked-window shapes (oracles)
   lineitem_pricing_summary / customer_order_stats / top_parts_by_quantity /
   part_type_revenue / supplier_region_stats  relational surface (oracles;
                        partitioned join, broadcast map-join, multi-way join)
@@ -265,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": streaming.events_windowed,
         "events_type_stats": streaming.events_type_stats,
         "events_sessionize": streaming.events_sessionize,
+        "events_user_daily_topk": streaming.events_user_daily_topk,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -352,6 +354,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM s GROUP BY user_id, session_idx
+        """,
+        "events_user_daily_topk": """
+            WITH c AS (
+                SELECT CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+                       user_id, count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT day, user_id, n_events,
+                       row_number() OVER (PARTITION BY day
+                           ORDER BY n_events DESC, user_id ASC) AS rnk
+                FROM c
+            )
+            SELECT day, rnk, user_id, n_events FROM r WHERE rnk <= 3
         """,
         "lang_id": """
             WITH t AS (

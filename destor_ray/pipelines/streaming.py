@@ -110,3 +110,43 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
             preserve_index=False).replace_schema_metadata(None)
 
     return bucketed_group_map(keyed, "user_id", sessions, num_buckets=32)
+
+
+def events_user_daily_topk(sf_dir: str, k: int = 3):
+    """Ranked-window shape: per DAY, the top-k users by event count with
+    their rank (1-based; ties broken by smaller user_id — deterministic).
+    Map-side pre-aggregation per (day, user) partials, then one bucketed
+    groupby(day) with a vectorized per-day partial sort. Oracle: SQL
+    row_number() OVER (PARTITION BY day ORDER BY cnt DESC, user_id)."""
+    import pandas as pd
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_pandas()
+        day = (ts.astype("int64") // 1_000_000 // 86400).to_numpy()
+        df = pd.DataFrame({"day": day,
+                           "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                           "n": 1})
+        g = df.groupby(["day", "user_id"], sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def topk_per_day(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["day", "user_id"], sort=False)["n"].sum().reset_index()
+        g = g.sort_values(["day", "n", "user_id"],
+                          ascending=[True, False, True], kind="stable")
+        g["rnk"] = g.groupby("day", sort=False).cumcount() + 1
+        g = g[g["rnk"] <= k]
+        return pa.table({
+            "day": pa.array(g["day"].to_numpy().astype(np.int64), pa.int64()),
+            "rnk": pa.array(g["rnk"].to_numpy().astype(np.int64), pa.int64()),
+            "user_id": pa.array(g["user_id"].to_numpy().astype(np.int64), pa.int64()),
+            "n_events": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(partials, "day", topk_per_day, num_buckets=16)
