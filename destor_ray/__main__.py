@@ -2,6 +2,7 @@
 restore / make-trace / delete) recast for the Ray engine:
 
   python -m destor_ray backup  <corpus_dir> <workdir> [--simulation] [--job-id N]
+  python -m destor_ray restore <corpus_dir> <workdir> <out_dir>   # destor -r analog
   python -m destor_ray metrics <workdir>
   python -m destor_ray gen     <n_rows> [--seed S]
   python -m destor_ray stat    <workdir>        # destor -s analog
@@ -43,6 +44,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="metadata-only dry run (no payload decode)")
     b.add_argument("--job-id", type=int, default=0)
 
+    r = sub.add_parser("restore", help="restore rows from cluster "
+                       "representatives + write restored parquet "
+                       "(destor -rN analog)")
+    r.add_argument("corpus_dir")
+    r.add_argument("workdir")
+    r.add_argument("out_dir")
+    r.add_argument("--seed", type=int, default=42,
+                   help="generator seed for the fidelity check")
+
     m = sub.add_parser("metrics", help="print a finished job's metrics")
     m.add_argument("workdir")
 
@@ -74,6 +84,28 @@ def main(argv: list[str] | None = None) -> int:
                           "metrics": res["metrics"]}, indent=1))
         ray.shutdown()
         return 0
+
+    if args.cmd == "restore":
+        ray = _ray_session()
+        from destor_ray.pipelines.job import (restore_corpus,
+                                              restore_fidelity_stats)
+        restored = restore_corpus(args.corpus_dir, args.workdir)
+        restored.write_parquet(args.out_dir)
+        import ray.data as rd
+        stats = restore_fidelity_stats(
+            rd.read_parquet(args.out_dir), seed=args.seed).to_pandas()
+        n = len(stats)
+        n_ok = int(stats.ok.sum())
+        finite = stats.psnr[stats.psnr < 1e9]
+        print(json.dumps({
+            "rows_restored": n,
+            "fidelity_ok": n_ok,
+            "exact_rows": int((stats.psnr >= 1e9).sum()),
+            "min_psnr": round(float(finite.min()), 2) if len(finite) else None,
+            "mean_psnr": round(float(finite.mean()), 2) if len(finite) else None,
+        }))
+        ray.shutdown()
+        return 0 if n_ok == n else 1
 
     if args.cmd in ("metrics", "stat"):
         path = os.path.join(args.workdir, "metrics.json")
