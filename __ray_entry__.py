@@ -15,6 +15,7 @@ queries() entries map to SURVEY.md §2 operators:
   segment_routing      D3 champion top-k segment routing with feature trim (rows-only)
   ngram_jaccard_pairs  exact n-gram Jaccard over LSH candidates (rows-only)
   jaccard_join_exact   inverted-index set-similarity join, ALL pairs (oracle)
+  jaccard_join_ppjoin  same result via AllPairs/PPJoin prefix+length pruning (oracle)
   container_refs       HAR utilization aggregate (R4 analog, oracle)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
@@ -279,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
         "jaccard_join_exact": text.jaccard_join_exact,
+        "jaccard_join_ppjoin": text.jaccard_join_ppjoin,
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,
@@ -403,6 +405,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "jaccard_join_exact": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, length(text) - 3)) AS i
+                      FROM documents)
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       count(*) AS n_common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.left_id, i.right_id,
+                   round(i.n_common * 1.0 / (ca.n + cb.n - i.n_common), 6) AS jaccard
+            FROM inter i
+            JOIN cnt ca ON ca.doc_id = i.left_id
+            JOIN cnt cb ON cb.doc_id = i.right_id
+            WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= 0.5
+        """,
+        "jaccard_join_ppjoin": """
             WITH sh AS (
                 SELECT DISTINCT doc_id, substr(text, i, 5) AS s
                 FROM (SELECT doc_id, text,

@@ -759,3 +759,177 @@ def token_count_bpe(sf_dir: str):
                          "n_tokens_bpe": pc.cast(n, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def jaccard_join_ppjoin(sf_dir: str, threshold: float = 0.5, k: int = 5,
+                        max_driver_pairs: int = 50_000_000):
+    """EXACT all-pairs n-gram Jaccard >= threshold — same result set as
+    jaccard_join_exact (the DuckDB oracle hash-matches both) — via the
+    skew-safe AllPairs/PPJoin topology (Bayardo et al., WWW'07; Xiao et
+    al., WWW'08):
+
+      * each doc's distinct k-shingles are packed into collision-FREE
+        uint64 keys (k <= 8 ASCII bytes → injective; non-ASCII falls
+        back to the counting join) and sorted under that global order;
+      * only the PREFIX of size |d| - ceil(t*|d|) + 1 is emitted as
+        posting keys — safe: for any pair with J >= t and |A| <= |B|,
+        the overlap o >= ceil(t*|B|), and prefixes of size
+        |d| - ceil(t*|d|) + 1 >= |d| - ceil(t*|B|) + 1 must share an
+        element under a common total order;
+      * inside each posting bucket the LENGTH filter drops pairs with
+        |A| < t*|B| (impossible for J >= t) before emission;
+      * surviving candidate pairs are exactly verified by the
+        rendezvous-by-pair shuffle (full packed-shingle sets shipped
+        per pair, np.intersect1d) — no approximation anywhere.
+
+    Stop-shingle postings shrink by the prefix factor (~(1-t)) and the
+    quadratic blowup applies only to candidates that also pass the
+    length filter — the exactness-preserving answer to
+    jaccard_join_exact's documented skew cost."""
+    import ray
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def _packed_shingles(t: str) -> np.ndarray | None:
+        b = t.encode("utf-8")
+        if len(b) != len(t):  # non-ASCII: chars+bytes diverge → fallback
+            return None
+        n = len(b)
+        if n < k:
+            return np.empty(0, dtype=np.uint64)
+        a = np.frombuffer(b, dtype=np.uint8)
+        v = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):  # big-endian pack → lexicographic byte order
+            v = (v << np.uint64(8)) | a[j:n - k + 1 + j].astype(np.uint64)
+        return np.unique(v)
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        out_s, out_d, out_n = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sv = _packed_shingles(t)
+            if sv is None:
+                raise ValueError(
+                    "non-ASCII document: use jaccard_join_exact (packed-"
+                    "shingle order is only injective for ASCII)")
+            d = len(sv)
+            if d == 0:
+                continue
+            pi = d - int(np.ceil(threshold * d)) + 1
+            out_s.append(sv[:pi].view(np.int64))
+            out_d.append(np.full(pi, did, dtype=np.int64))
+            out_n.append(np.full(pi, d, dtype=np.int64))
+        if not out_s:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"s": pa.array(np.concatenate(out_s), pa.int64()),
+                         "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+                         "n": pa.array(np.concatenate(out_n), pa.int64())})
+
+    prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def candidate_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["s", "doc_id"]).sort_values(
+            ["s", "doc_id"], kind="stable")
+        svals = df["s"].to_numpy()
+        docs = df["doc_id"].to_numpy()
+        ns = df["n"].to_numpy()
+        _, starts, counts = np.unique(svals, return_index=True, return_counts=True)
+        coll = counts >= 2
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64())})
+        if not coll.any():
+            return empty
+        li_p, ri_p = [], []
+        starts_c, counts_c = starts[coll], counts[coll]
+        for csz in np.unique(counts_c):
+            gl, gr = np.triu_indices(int(csz), k=1)
+            st = starts_c[counts_c == csz]
+            li_p.append((st[:, None] + gl[None, :]).ravel())
+            ri_p.append((st[:, None] + gr[None, :]).ravel())
+        li = np.concatenate(li_p)
+        ri = np.concatenate(ri_p)
+        # LENGTH filter: J >= t requires min(|A|,|B|) >= t * max(|A|,|B|)
+        nl, nr = ns[li], ns[ri]
+        ok = np.minimum(nl, nr) >= threshold * np.maximum(nl, nr)
+        out = pd.DataFrame({"left_id": docs[li[ok]], "right_id": docs[ri[ok]]}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cand = bucketed_group_map(prefixes, "s", candidate_bucket, num_buckets=64)
+
+    # rendezvous verify (same pattern as ngram_jaccard_pairs): candidate
+    # pairs are output-scale; ship each participating doc's FULL packed
+    # set to its pairs and compute exact Jaccard there
+    seen: set[tuple[int, int]] = set()
+    pl: list[int] = []
+    pr: list[int] = []
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        for l, r in zip(b["left_id"].to_pylist(), b["right_id"].to_pylist()):
+            key = (l, r) if l < r else (r, l)
+            if key not in seen:
+                seen.add(key)
+                pl.append(key[0])
+                pr.append(key[1])
+        if len(seen) > max_driver_pairs:
+            raise ValueError("candidate pairs exceed max_driver_pairs")
+    empty_out = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+    if not pl:
+        return ray.data.from_arrow(empty_out)
+    routing: dict[int, list[int]] = {}
+    for pid, (l, r) in enumerate(zip(pl, pr)):
+        routing.setdefault(l, []).append(pid)
+        routing.setdefault(r, []).append(pid)
+    rref = ray.put(routing)
+    lref = ray.put((np.asarray(pl, dtype=np.int64), np.asarray(pr, dtype=np.int64)))
+
+    def ship_sets(batch: pa.Table) -> pa.Table:
+        rmap = ray.get(rref)
+        out_pid, out_did, out_sh = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            pids = rmap.get(did)
+            if not pids:
+                continue
+            sv = _packed_shingles(t).view(np.int64)
+            for pid in pids:
+                out_pid.append(pid)
+                out_did.append(did)
+                out_sh.append(sv)
+        if not out_pid:
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.list_(pa.int64()))})
+        return pa.table({"pid": pa.array(out_pid, pa.int64()),
+                         "doc_id": pa.array(out_did, pa.int64()),
+                         "shingles": pa.array(out_sh, pa.list_(pa.int64()))})
+
+    shards = ds.map_batches(ship_sets, batch_format="pyarrow")
+
+    def jaccard_bucket(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return empty_out
+        apl, apr = ray.get(lref)
+        out_l, out_r, out_j = [], [], []
+        for pid, g in df.groupby("pid", sort=False):
+            g = g.drop_duplicates("doc_id")
+            if len(g) != 2:
+                continue
+            a = np.asarray(g["shingles"].iloc[0], dtype=np.int64)
+            b = np.asarray(g["shingles"].iloc[1], dtype=np.int64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                out_l.append(int(apl[pid]))
+                out_r.append(int(apr[pid]))
+                out_j.append(round(j, 6))
+        return pa.table({"left_id": pa.array(out_l, pa.int64()),
+                         "right_id": pa.array(out_r, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return bucketed_group_map(shards, "pid", jaccard_bucket, num_buckets=32)

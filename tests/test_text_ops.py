@@ -42,7 +42,7 @@ def _check(name, con, ray_session):
     "lineitem_pricing_summary", "customer_order_stats",
     "top_parts_by_quantity", "part_type_revenue", "supplier_region_stats",
     "events_sessionize", "lang_id", "jaccard_join_exact",
-    "token_count_bpe", "events_user_daily_topk",
+    "token_count_bpe", "events_user_daily_topk", "jaccard_join_ppjoin",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
