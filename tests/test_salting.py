@@ -55,3 +55,40 @@ def test_joinverify_matches_thumb_carrying(ray_session):
     a = candidates.candidate_edges(sigs).to_pandas()
     b = candidates.candidate_edges_joinverify(sigs, join_partitions=4).to_pandas()
     assert set(zip(a.left_id, a.right_id)) == set(zip(b.left_id, b.right_id))
+
+
+def test_verify_bucket_champions_selection():
+    """Champion-mode bucket verify: per query row, only the top-k
+    candidates by shared-band count (greedy, with feature trim —
+    select_champions semantics) are verified; identical thumbs pass."""
+    import numpy as np
+    import pandas as pd
+    from destor_ray.config import EngineConfig, LSHConfig
+    from destor_ray.stages.candidates import verify_bucket_champions
+
+    cfg = EngineConfig(lsh=LSHConfig(champion_top_k=1))
+    thumb = bytes(range(64))
+    # nid 1 collides with nid 2 on TWO band keys, with nid 3 on ONE:
+    # champion for 1 is 2 (more shared features); pair (1,3) must NOT
+    # be emitted by 1's selection — but 3's own top-1 is 1 (its only
+    # candidate), so (1,3) appears via 3's side. nid 4 shares one band
+    # with 3 only.
+    rows = []
+    for key, members in [(10, [1, 2]), (11, [1, 2]), (12, [1, 3]),
+                         (13, [3, 4])]:
+        for m in members:
+            rows.append({"band_key": key, "nid": m, "phash": 0,
+                         "thumb": thumb})
+    df = pd.DataFrame(rows)
+    out = verify_bucket_champions(df, cfg)
+    pairs = set(zip(out["left_id"].to_pylist(), out["right_id"].to_pylist()))
+    # 1→2 (top by 2 shared), 2→1, 3→1 (ties: larger candidate-id wins in
+    # select_champions, 1 vs 4 share one feature each → champion is 4? —
+    # order: most features first, tie → LARGER id (g_segment_cmp), so 3's
+    # champion among {1:1 feat, 4:1 feat} is 4
+    assert (1, 2) in pairs
+    assert (3, 4) in pairs
+    # pair (1,3): neither 1 (champion=2) nor 3 (champion=4) selects it
+    assert (1, 3) not in pairs
+    # every emitted pair passed PSNR (identical thumbs → inf, capped 1e9)
+    assert all(p >= 1e9 for p in out["psnr"].to_pylist())
