@@ -16,6 +16,10 @@ queries() entries map to SURVEY.md §2 operators:
   ngram_jaccard_pairs  exact n-gram Jaccard over LSH candidates (rows-only)
   jaccard_join_exact   inverted-index set-similarity join, ALL pairs (oracle)
   jaccard_join_ppjoin  same result via AllPairs/PPJoin prefix+length pruning (oracle)
+  common_substring_pairs suffix-array channel: winnowing fingerprint candidates,
+                       exact shared min_len-gram counts (oracle)
+  lcs_pairs            exact longest-common-substring length via generalized
+                       suffix array + Kasai LCP (rows-only; pytest vs DP)
   container_refs       HAR utilization aggregate (R4 analog, oracle)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
@@ -257,7 +261,7 @@ def _fsl_trace_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from destor_ray.pipelines import ann, relational, streaming, text
+    from destor_ray.pipelines import ann, relational, streaming, substring, text
     return {
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "customer_order_stats": relational.customer_order_stats,
@@ -281,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
         "jaccard_join_exact": text.jaccard_join_exact,
         "jaccard_join_ppjoin": text.jaccard_join_ppjoin,
+        "common_substring_pairs": substring.common_substring_pairs,
+        "lcs_pairs": substring.lcs_pairs,
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,
@@ -445,6 +451,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = i.left_id
             JOIN cnt cb ON cb.doc_id = i.right_id
             WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= 0.5
+        """,
+        "common_substring_pairs": """
+            WITH g AS (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 24) AS gm
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, length(text) - 22)) AS i
+                      FROM documents)
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   count(*) AS n_shared
+            FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS h,
