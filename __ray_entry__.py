@@ -20,6 +20,10 @@ queries() entries map to SURVEY.md §2 operators:
                        exact shared min_len-gram counts (oracle)
   lcs_pairs            exact longest-common-substring length via generalized
                        suffix array + Kasai LCP (rows-only; pytest vs DP)
+  stopword_scrub       curation: boilerplate stop-phrase removal, re2 (oracle)
+  dataset_split        curation: deterministic md5 train/val split (oracle)
+  decontaminate        curation: benchmark n-gram decontamination via
+                       broadcast gram set (oracle)
   container_refs       HAR utilization aggregate (R4 analog, oracle)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
@@ -261,7 +265,8 @@ def _fsl_trace_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from destor_ray.pipelines import ann, relational, streaming, substring, text
+    from destor_ray.pipelines import (ann, curation, relational, streaming,
+                                      substring, text)
     return {
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "customer_order_stats": relational.customer_order_stats,
@@ -287,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_ppjoin": text.jaccard_join_ppjoin,
         "common_substring_pairs": substring.common_substring_pairs,
         "lcs_pairs": substring.lcs_pairs,
+        "stopword_scrub": curation.stopword_scrub,
+        "dataset_split": curation.dataset_split,
+        "decontaminate": curation.decontaminate,
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,
@@ -463,6 +471,37 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_shared
             FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "stopword_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(text, '\b(table|row|data)\b', '', 'g') AS clean_text,
+                   len(regexp_extract_all(text, '\b(table|row|data)\b')) AS n_removed
+            FROM documents
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents
+        """,
+        "decontaminate": """
+            WITH pos AS (
+                SELECT doc_id, source, text,
+                       unnest(range(1, length(text) - 22)) AS i
+                FROM documents
+            ), bg AS (
+                SELECT DISTINCT substr(text, CAST(i AS INT), 24) AS gm
+                FROM pos WHERE source = 'src0'
+            ), dg AS (
+                SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 24) AS gm
+                FROM pos WHERE source <> 'src0'
+            ), hits AS (
+                SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gm)
+            )
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.source <> 'src0'
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS h,

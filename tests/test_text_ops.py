@@ -43,7 +43,8 @@ def _check(name, con, ray_session):
     "top_parts_by_quantity", "part_type_revenue", "supplier_region_stats",
     "events_sessionize", "lang_id", "jaccard_join_exact",
     "token_count_bpe", "events_user_daily_topk", "jaccard_join_ppjoin",
-    "common_substring_pairs",
+    "common_substring_pairs", "stopword_scrub", "dataset_split",
+    "decontaminate",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
