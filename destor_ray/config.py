@@ -42,6 +42,12 @@ class LSHConfig:
     # groups up to this size verify all pairs; larger → star+chain (linear)
     full_pair_cap: int = 32
     caption_jaccard_threshold: float = 0.55
+    # suffix-array substring-fingerprint channel (functions/suffixes.py):
+    # winnowing gram/window over the caption — detects shared exact
+    # substrings >= gram + window - 1 chars (verbatim quotation /
+    # template reuse) that shingle-set Jaccard under-weights
+    substring_gram: int = 16
+    substring_window: int = 9
     # destor-parity champion selection (similarity_detection.c:85-123):
     # 0 = off (exhaustive-within-cap verify, the default flagship path);
     # k > 0 = per query row, greedily pick the top-k candidates by
@@ -93,6 +99,11 @@ class EngineConfig:
     restore: RestoreConfig = field(default_factory=RestoreConfig)
     container_rows: int = 4096        # rows per output "container" partition
     use_byte_cdc_channel: bool = True # destor-parity candidate channel over `bytes`
+    # caption winnowing-fingerprint band channel (the north-star's
+    # suffix-array substring signature); off by default — the four stock
+    # channels already saturate recall on the planted plan, so this adds
+    # band rows only when substring-level caption dup matters
+    use_substring_channel: bool = False
     # simulation mode — destor's simulation levels analog (destor.h:55-59,
     # SURVEY.md §4.1): payloads are never decoded; verification degrades to
     # phash Hamming <= verify.sim_hamming_max. Metadata-only dry runs for
@@ -120,4 +131,6 @@ PRESETS: dict[str, EngineConfig] = {
     # (similarity_detection.c top-k with feature trim; k=2 is the
     # reference script default for segment prefetch)
     "champion": EngineConfig(lsh=LSHConfig(champion_top_k=2)),
+    # + suffix-array substring fingerprints over captions (5th channel)
+    "substring": EngineConfig(use_substring_channel=True),
 }

@@ -38,6 +38,7 @@ CH_CAPTION = 1
 CH_PHASH = 2
 CH_CDC = 3
 CH_SHA1 = 4
+CH_SUB = 5   # caption winnowing substring fingerprints (suffixes.py)
 
 _EMPTY64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
@@ -104,6 +105,20 @@ def explode_bands(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.Table:
         if flat:
             out_key.append(mix_u64(np.concatenate(flat), CH_CDC))
             out_idx.append(np.concatenate(fidx))
+
+    # substring channel: each caption winnow fingerprint is a key —
+    # catches long verbatim caption overlap that shingle-Jaccard bands
+    # under-weight (same posting topology as the CDC channel)
+    if cfg.use_substring_channel and "sub_fps" in batch.column_names:
+        sfps = batch["sub_fps"].to_pylist()
+        sflat, sidx = [], []
+        for i, f in enumerate(sfps):
+            if f:
+                sflat.append(np.asarray(f, dtype=np.int64).view(np.uint64))
+                sidx.append(np.full(len(f), i, dtype=np.int64))
+        if sflat:
+            out_key.append(mix_u64(np.concatenate(sflat), CH_SUB))
+            out_idx.append(np.concatenate(sidx))
 
     # exact channel: byte-identical payloads share a sha1 band (folds the
     # D2 exact-dedup shuffle into this one; such pairs verify trivially —

@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .. import codec
 from ..config import EngineConfig
-from ..functions import chunking, hashing, minhash, sampling
+from ..functions import chunking, hashing, minhash, sampling, suffixes
 
 
 def _caption_shingle_flat(captions: list[str], k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -82,6 +82,16 @@ def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.T
     else:
         cdc_feats = [np.empty(0, dtype=np.int64)] * n
 
+    # suffix-array substring channel: caption winnowing fingerprints
+    # (functions/suffixes.py) — shared >= gram+window-1 char substrings
+    # guarantee a shared fingerprint value
+    if cfg.use_substring_channel:
+        sub_fps = [suffixes.winnow_fingerprints(
+            c or "", cfg.lsh.substring_gram, cfg.lsh.substring_window).view(np.int64)
+            for c in captions]
+    else:
+        sub_fps = [np.empty(0, dtype=np.int64)] * n
+
     out = pa.table({
         "image_id": batch["image_id"],
         "phash": batch["phash"],
@@ -90,6 +100,7 @@ def compute_signatures(batch: pa.Table, cfg: EngineConfig | None = None) -> pa.T
         "thumb": pa.array(thumbs, pa.binary()),
         "cap_sig": pa.array([s.view(np.int64) for s in cap_sig], pa.list_(pa.int64())),
         "cdc_feats": pa.array(list(cdc_feats), pa.list_(pa.int64())),
+        "sub_fps": pa.array(list(sub_fps), pa.list_(pa.int64())),
     })
     return out
 

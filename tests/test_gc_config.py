@@ -9,7 +9,7 @@ from destor_ray.config import PRESETS, EngineConfig
 
 def test_presets_exist_and_hash_distinctly():
     assert set(PRESETS) == {"default", "ddfs", "extreme_binning", "champion",
-                            "sparse_index", "silo"}
+                            "sparse_index", "silo", "substring"}
     hashes = {name: cfg.config_hash() for name, cfg in PRESETS.items()}
     assert len(set(hashes.values())) == len(hashes)
 
@@ -60,7 +60,7 @@ def test_pipeline_recall_under_presets(ray_session):
     from destor_ray import corpus
     from destor_ray.pipelines.dedup import dedup_pipeline
     d = corpus.ensure_corpus_parquet(200, seed=42)
-    for preset in ["sparse_index", "silo"]:
+    for preset in ["sparse_index", "silo", "substring"]:
         out = dedup_pipeline(ray.data.read_parquet(d), PRESETS[preset]).to_pandas()
         pred = dict(zip(out.image_id, out.cluster_id))
         truth = {f"img{i:010d}": f"img{corpus.truth_cluster(i):010d}" for i in range(200)}
