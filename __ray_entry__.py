@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,
         "ann_topk": ann.ann_topk,
+        "ann_topk_multi": ann.ann_topk_multi,
         "lsh_bucket_topk": ann.lsh_bucket_topk,
         "ivf_topk": ann.ivf_topk,
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
@@ -557,5 +558,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS left_vec, b.vec_id AS right_vec
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.27
+        """,
+        "ann_topk_multi": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 8
+            )
+            SELECT q.query_id, e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            QUALIFY row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
+                         e.vec_id DESC) <= 10
+        """,
+        "embedding_clusters": """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS l, b.vec_id AS r
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.27
+            ), edges AS (
+                SELECT l AS a, r AS b FROM pairs UNION ALL SELECT r, l FROM pairs
+            ), reach(v, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.b, rc.r FROM reach rc JOIN edges e ON e.a = rc.v
+            )
+            SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v
         """,
     }

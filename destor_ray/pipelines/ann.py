@@ -66,6 +66,63 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0):
     return scored.sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
 
 
+def ann_topk_multi(sf_dir: str, k: int = 10, n_queries: int = 8):
+    """Batched multi-query brute-force ANN — the broadcast-query-matrix
+    pattern: the `n_queries` query vectors (rows with vec_id <
+    n_queries) are normalized into ONE small matrix, ray.put once, and
+    every batch scores against all queries in a single (batch × d) @
+    (d × n_queries) matmul with per-query local top-k pruning; a final
+    per-query bucket reduce keeps the global top-k. Per-query work and
+    output are identical to ann_topk, but one pass over the corpus
+    serves every query. Oracle: cross join + QUALIFY row_number.
+    Returns (query_id, vec_id, cos_sim rounded 6)."""
+    import pyarrow.dataset as pads
+
+    from ..stages.grouped import bucketed_group_map
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    tbl = dset.to_table(filter=pads.field("vec_id") < n_queries)
+    order = np.argsort(np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64))
+    qm = np.asarray([np.asarray(e, dtype=np.float64)
+                     for e in tbl["embedding"].to_pylist()])[order]
+    qids = np.asarray(tbl["vec_id"].to_pylist(), dtype=np.int64)[order]
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    qref = ray.put((qn, qids))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv, qi = ray.get(qref)
+        m = _emb_matrix(batch)
+        norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        cos = (m / norms) @ qv.T          # (batch, n_queries)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_q, out_v, out_c = [], [], []
+        for j in range(cos.shape[1]):     # local top-k per query column
+            c = cos[:, j]
+            sel = np.argpartition(-c, k)[:k] if len(c) > k else np.arange(len(c))
+            out_q.append(np.full(len(sel), qi[j], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_c.append(np.round(c[sel], 6))
+        return pa.table({"query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                         "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                         "cos_sim": pa.array(np.concatenate(out_c), pa.float64())})
+
+    scored = _read_embeddings(sf_dir).map_batches(score, batch_format="pyarrow")
+
+    def topk_bucket(df) -> pa.Table:
+        if not len(df):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        g = df.sort_values(["query_id", "cos_sim", "vec_id"],
+                           ascending=[True, False, False], kind="stable") \
+            .groupby("query_id", sort=False).head(k)
+        return pa.table({"query_id": pa.array(g["query_id"].to_numpy(), pa.int64()),
+                         "vec_id": pa.array(g["vec_id"].to_numpy(), pa.int64()),
+                         "cos_sim": pa.array(g["cos_sim"].to_numpy(), pa.float64())})
+
+    return bucketed_group_map(scored, "query_id", topk_bucket, num_buckets=8)
+
+
 def embedding_dedup_pairs(sf_dir: str, threshold: float = 0.27,
                           grid: int | None = None, cell_rows: int = 4096):
     """Embedding-cosine near-dup pairs (left_vec < right_vec, cos >=

@@ -44,7 +44,7 @@ def _check(name, con, ray_session):
     "events_sessionize", "lang_id", "jaccard_join_exact",
     "token_count_bpe", "events_user_daily_topk", "jaccard_join_ppjoin",
     "common_substring_pairs", "stopword_scrub", "dataset_split",
-    "decontaminate",
+    "decontaminate", "ann_topk_multi", "embedding_clusters",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
