@@ -29,6 +29,10 @@ queries() entries map to SURVEY.md §2 operators:
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
   events_windowed / events_type_stats / events_sessionize /
   events_user_daily_topk  stream + ranked-window shapes (oracles)
+  events_asof_join     as-of join: latest strictly-preceding right event
+                       per left event, co-partitioned by user (oracle)
+  events_range_join    range join: right-event count in the preceding
+                       window, binary-search probe per bucket (oracle)
   lineitem_pricing_summary / customer_order_stats / top_parts_by_quantity /
   part_type_revenue / supplier_region_stats  relational surface (oracles;
                        partitioned join, broadcast map-join, multi-way join)
@@ -277,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": streaming.events_type_stats,
         "events_sessionize": streaming.events_sessionize,
         "events_user_daily_topk": streaming.events_user_daily_topk,
+        "events_asof_join": streaming.events_asof_join,
+        "events_range_join": streaming.events_range_join,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -384,6 +390,32 @@ def oracle_sql() -> dict[str, str]:
                 FROM c
             )
             SELECT day, rnk, user_id, n_events FROM r WHERE rnk <= 3
+        """,
+        "events_asof_join": """
+            WITH u AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                       max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                         OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         AS last_right_us
+                FROM events WHERE event_type IN ('click', 'purchase')
+            )
+            SELECT event_id, user_id, ts_us, last_right_us
+            FROM u WHERE event_type = 'purchase'
+        """,
+        "events_range_join": """
+            WITH u AS (
+                SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+                       count(CASE WHEN event_type = 'click' THEN 1 END)
+                         OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts)
+                               RANGE BETWEEN 3599999999 PRECEDING AND 1 PRECEDING)
+                         AS n_right
+                FROM events WHERE event_type IN ('click', 'purchase')
+            )
+            SELECT event_id, user_id, ts_us, CAST(n_right AS BIGINT) AS n_right
+            FROM u WHERE event_type = 'purchase'
         """,
         "lang_id": """
             WITH t AS (

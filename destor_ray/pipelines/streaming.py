@@ -78,7 +78,7 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
     gap_sec starts a new session. Returns (user_id, session_idx,
     n_events, start_us, end_us). Partition-local ordering inside each
     user group (the reference's total-stream-order concern scoped per
-    key, SURVEY.md §2.10). Rows-only check (no tidy ANSI-SQL form)."""
+    key, SURVEY.md §2.10). Oracle: lag() gaps-and-islands SQL."""
     from ..stages.grouped import bucketed_group_map
     ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
 
@@ -110,6 +110,146 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
             preserve_index=False).replace_schema_metadata(None)
 
     return bucketed_group_map(keyed, "user_id", sessions, num_buckets=32)
+
+
+def events_asof_join(sf_dir: str, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """AS-OF join — a custom operator Ray Data lacks natively: for every
+    `left_type` event, attach the user's most recent STRICTLY-PRECEDING
+    `right_type` event time (NULL when none). Expressed as a composition
+    the Dataset API allows: filter both sides at the read, bucket by
+    user_id (co-partitioning key), sort inside the bucket by
+    (ts_us, event_id), and forward-scan with a vectorized running
+    maximum over the right side's times — no driver state, volume
+    proportional to the two filtered sides. Deterministic tie rule:
+    same-timestamp rows order by event_id, so a right event with ts
+    equal to the left's counts only if its event_id is smaller (both
+    the Ray scan and the SQL window use the identical (ts_us, event_id)
+    ROWS-preceding frame). Returns
+    (event_id, user_id, ts_us, last_right_us nullable)."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "ts", "user_id",
+                                              "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        sub = batch.filter(keep)
+        return pa.table({
+            "event_id": sub["event_id"],
+            "user_id": sub["user_id"],
+            "ts_us": sub["ts"].cast(pa.int64()),
+            "is_left": pc.equal(sub["event_type"], left_type),
+        })
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow")
+
+    def asof(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "ts_us": pa.array([], pa.int64()),
+                          "last_right_us": pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        df = df.sort_values(["user_id", "ts_us", "event_id"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        left = df["is_left"].to_numpy()
+        # right-side times (else a sentinel), shifted one row forward so a
+        # row never sees itself, then a segmented running max that resets
+        # at user boundaries (pandas groupby cummax — vectorized C)
+        SENT = np.iinfo(np.int64).min
+        rt = np.where(~left, ts, SENT)
+        prev = np.empty(len(df), dtype=np.int64)
+        prev[0] = SENT
+        prev[1:] = rt[:-1]
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        prev[new_user] = SENT
+        seg = np.cumsum(new_user) - 1
+        run = pd.Series(prev).groupby(seg).cummax().to_numpy()
+        out = df[left]
+        sel = left.nonzero()[0]
+        last = run[sel]
+        valid = last != SENT
+        last_col = pd.array(last, dtype="Int64")
+        last_col[~valid] = pd.NA
+        return pa.table({
+            "event_id": pa.array(out["event_id"].to_numpy().astype(np.int64), pa.int64()),
+            "user_id": pa.array(out["user_id"].to_numpy().astype(np.int64), pa.int64()),
+            "ts_us": pa.array(out["ts_us"].to_numpy().astype(np.int64), pa.int64()),
+            "last_right_us": pa.array(last_col, pa.int64()),
+        })
+
+    return bucketed_group_map(keyed, "user_id", asof, num_buckets=32)
+
+
+def events_range_join(sf_dir: str, left_type: str = "purchase",
+                      right_type: str = "click", window_sec: int = 3600):
+    """RANGE join: for every `left_type` event, the count of the user's
+    `right_type` events in the half-open window [ts - window, ts) —
+    same co-partitioning topology as events_asof_join (filter at the
+    read, bucket by user_id), with the in-bucket probe vectorized as
+    two binary searches per left row over the user's sorted right-side
+    times (searchsorted(t) - searchsorted(t - window)). Strictly-
+    preceding semantics: right events at the exact left timestamp are
+    excluded (mirrors the SQL RANGE ... 1 PRECEDING frame). Returns
+    (event_id, user_id, ts_us, n_right)."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "ts", "user_id",
+                                              "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        sub = batch.filter(keep)
+        return pa.table({
+            "event_id": sub["event_id"],
+            "user_id": sub["user_id"],
+            "ts_us": sub["ts"].cast(pa.int64()),
+            "is_left": pc.equal(sub["event_type"], left_type),
+        })
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow")
+    win_us = np.int64(window_sec) * 1_000_000
+
+    def probe(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "ts_us": pa.array([], pa.int64()),
+                          "n_right": pa.array([], pa.int64())})
+        if not len(df):
+            return empty
+        out_e, out_u, out_t, out_n = [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            lf = g[g["is_left"]]
+            if not len(lf):
+                continue
+            rts = np.sort(g.loc[~g["is_left"], "ts_us"].to_numpy())
+            lt = lf["ts_us"].to_numpy()
+            # window is OPEN at both ends: (t - win, t) — matches the SQL
+            # frame RANGE BETWEEN win-1us PRECEDING AND 1 PRECEDING
+            n = (np.searchsorted(rts, lt, side="left")
+                 - np.searchsorted(rts, lt - win_us, side="right"))
+            out_e.append(lf["event_id"].to_numpy().astype(np.int64))
+            out_u.append(np.full(len(lf), uid, dtype=np.int64))
+            out_t.append(lt.astype(np.int64))
+            out_n.append(n.astype(np.int64))
+        if not out_e:
+            return empty
+        return pa.table({
+            "event_id": pa.array(np.concatenate(out_e), pa.int64()),
+            "user_id": pa.array(np.concatenate(out_u), pa.int64()),
+            "ts_us": pa.array(np.concatenate(out_t), pa.int64()),
+            "n_right": pa.array(np.concatenate(out_n), pa.int64()),
+        })
+
+    return bucketed_group_map(keyed, "user_id", probe, num_buckets=32)
 
 
 def events_user_daily_topk(sf_dir: str, k: int = 3):

@@ -45,6 +45,7 @@ def _check(name, con, ray_session):
     "token_count_bpe", "events_user_daily_topk", "jaccard_join_ppjoin",
     "common_substring_pairs", "stopword_scrub", "dataset_split",
     "decontaminate", "ann_topk_multi", "embedding_clusters",
+    "events_asof_join", "events_range_join",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
