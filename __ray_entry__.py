@@ -33,12 +33,21 @@ queries() entries map to SURVEY.md §2 operators:
                        per left event, co-partitioned by user (oracle)
   events_range_join    range join: right-event count in the preceding
                        window, binary-search probe per bucket (oracle)
+  events_funnel        ordered funnel: strict view→click→purchase
+                       progression per user, bucket-local counts (oracle)
+  top_ngrams           global top-k bigrams via map-side combiner (oracle)
+  repetition_scores    Gopher-style repetition features per doc (oracle)
+  distinct_token_stats HyperLogLog distinct-token cardinality, mergeable
+                       registers, no shuffle (rows-only; pytest error bound)
   lineitem_pricing_summary / customer_order_stats / top_parts_by_quantity /
   part_type_revenue / supplier_region_stats  relational surface (oracles;
                        partitioned join, broadcast map-join, multi-way join)
   ann_topk             brute-force cosine top-k similarity search (oracle)
   lsh_bucket_topk      LSH-bucketed ANN (scale path; rows-only)
   ivf_topk             IVF ANN: deterministic k-means coarse quantizer + n_probe cells (rows-only)
+  ivf_index_topk       IVF over a MATERIALIZED hive-partitioned index —
+                       probe cells pruned at the read (rows-only; pytest
+                       asserts equality with ivf_topk)
   embedding_dedup_pairs exact block-grid cosine self-join (oracle)
   embedding_lsh_pairs  approximate hyperplane-band pairs (rows-only)
   embedding_clusters   CC over cosine pairs (rows-only)
@@ -283,10 +292,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_daily_topk": streaming.events_user_daily_topk,
         "events_asof_join": streaming.events_asof_join,
         "events_range_join": streaming.events_range_join,
+        "events_funnel": streaming.events_funnel,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
+        "top_ngrams": text.top_ngrams,
+        "repetition_scores": text.repetition_scores,
+        "distinct_token_stats": text.distinct_token_stats,
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
@@ -308,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_multi": ann.ann_topk_multi,
         "lsh_bucket_topk": ann.lsh_bucket_topk,
         "ivf_topk": ann.ivf_topk,
+        "ivf_index_topk": ann.ivf_index_topk,
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
         "embedding_lsh_pairs": ann.embedding_lsh_pairs,
         "embedding_clusters": ann.embedding_clusters,
@@ -416,6 +430,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, ts_us, CAST(n_right AS BIGINT) AS n_right
             FROM u WHERE event_type = 'purchase'
+        """,
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT * FROM (
+                SELECT 1::BIGINT AS funnel_step, count(*)::BIGINT AS n_users FROM s1
+                UNION ALL SELECT 2::BIGINT, count(*)::BIGINT FROM s2
+                UNION ALL SELECT 3::BIGINT, count(*)::BIGINT FROM s3)
         """,
         "lang_id": """
             WITH t AS (
@@ -550,6 +580,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_tokens_bpe
             FROM documents
+        """,
+        "top_ngrams": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram
+                  FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i) t)
+            SELECT gram, count(*)::BIGINT AS cnt FROM g
+            GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+        """,
+        "repetition_scores": """
+            WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            per AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok)
+            SELECT doc_id,
+                   sum(c)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_distinct,
+                   max(c)::BIGINT AS top_tok_n
+            FROM per GROUP BY doc_id
         """,
         "quality_score": r"""
             SELECT doc_id,

@@ -472,3 +472,100 @@ def ivf_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
 
     scored = emb.map_batches(score, batch_format="pyarrow")
     return scored.sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
+
+
+def _ivf_index_dir(sf_dir: str, n_centroids: int, train_sample: int) -> str:
+    import hashlib
+    import os
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_centroids}:"
+                      f"{train_sample}:v1".encode()).hexdigest()[:12]
+    return f"/tmp/destor_ray_ivf/{key}"
+
+
+def build_ivf_index(sf_dir: str, n_centroids: int = 16,
+                    train_sample: int = 4096, index_dir: str | None = None):
+    """Materialize the IVF index on disk: the corpus rewritten ONCE as
+    hive-partitioned parquet keyed by cell_id (nearest spherical-k-means
+    centroid) plus a centroids sidecar. This is the build-once/probe-many
+    scale path ivf_topk's scan-with-prune approximates: at query time
+    only the n_probe matching partitions are READ (partition pruning at
+    the storage layer — ~n_probe/n_centroids of the bytes), instead of
+    scanning every row to discover its cell. The directory layout is the
+    resumable-output pattern: one partition per cell, atomic rename on
+    completion, rebuilt only when absent. Returns (data_dir, centroids)."""
+    import os
+
+    idx = index_dir or _ivf_index_dir(sf_dir, n_centroids, train_sample)
+    data_dir = os.path.join(idx, "cells")
+    cfile = os.path.join(idx, "centroids.npy")
+    if os.path.exists(cfile):
+        return data_dir, np.load(cfile)
+
+    emb = _read_embeddings(sf_dir)
+    sample_tbl = pa.Table.from_pylist(emb.limit(train_sample).take_all())
+    m = np.asarray([np.asarray(e, dtype=np.float64)
+                    for e in sample_tbl["embedding"].to_pylist()])
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    cents = _kmeans_train(mn, min(n_centroids, len(mn)))
+    ref = ray.put(cents)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cts = ray.get(ref)
+        mm = _emb_matrix(batch)
+        nn = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(nn @ cts.T, axis=1).astype(np.int64)
+        return batch.append_column("cell_id", pa.array(cell, pa.int64()))
+
+    tmp = idx + ".tmp"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    emb.map_batches(tag, batch_format="pyarrow") \
+        .write_parquet(os.path.join(tmp, "cells"), partition_cols=["cell_id"])
+    np.save(os.path.join(tmp, "centroids.npy"), cents)
+    os.makedirs("/tmp/destor_ray_ivf", exist_ok=True)
+    try:
+        os.rename(tmp, idx)
+    except OSError:  # concurrent builder won the rename; use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return data_dir, np.load(cfile)
+
+
+def ivf_index_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                   n_centroids: int = 16, n_probe: int = 4,
+                   train_sample: int = 4096):
+    """IVF ANN over the MATERIALIZED index: probe cells are chosen from
+    the sidecar centroids on the driver, and read_parquet prunes to the
+    n_probe hive partitions — non-probed cells never leave storage
+    (contrast ivf_topk, which scans all rows and drops non-probed ones
+    after the read). Identical training sample/seed ⇒ identical
+    centroids ⇒ result rows equal ivf_topk's at the same parameters
+    (asserted in tests)."""
+    import pyarrow.compute as pc
+
+    data_dir, cents = build_ivf_index(sf_dir, n_centroids, train_sample)
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    probe = np.argsort(-(cents @ qn))[:n_probe].astype(np.int64)
+
+    from ray.data.datasource.partitioning import PathPartitionFilter
+    probe_set = set(probe.tolist())
+    ds = ray.data.read_parquet(
+        data_dir,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: int(kv["cell_id"]) in probe_set, style="hive"))
+    qref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        mm = _emb_matrix(batch)
+        nn = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-12)
+        cos = nn @ qv
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if len(cos) > k:
+            sel = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[sel], cos[sel]
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                         "cos_sim": pa.array(np.round(cos, 6), pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)

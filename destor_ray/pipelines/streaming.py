@@ -290,3 +290,58 @@ def events_user_daily_topk(sf_dir: str, k: int = 3):
         })
 
     return bucketed_group_map(partials, "day", topk_per_day, num_buckets=16)
+
+
+def events_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase")):
+    """Ordered funnel analysis — for each user, the strict progression
+    step1 < step2 < step3 by timestamp: t1 = first `view`, t2 = first
+    `click` AFTER t1, t3 = first `purchase` AFTER t2 (strict `>` on ts;
+    a same-microsecond event does not advance the funnel). Returns
+    (funnel_step, n_users) = how many users reach at least each step.
+
+    Scale shape: events filter to the step types at the map, users
+    hash-bucket once (the same co-partitioning key every per-user op
+    here uses), the per-bucket progression is three vectorized pandas
+    merge+min passes, and only per-bucket COUNTS leave the bucket — the
+    final groupby sums ~3 rows per bucket. User cardinality never hits
+    the driver."""
+    import pyarrow.compute as pc
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id", "event_type"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(list(steps)))
+        sub = batch.filter(keep)
+        return pa.table({
+            "user_id": sub["user_id"],
+            "ts_us": sub["ts"].cast(pa.int64()),
+            "step": pc.index_in(sub["event_type"],
+                                value_set=pa.array(list(steps))).cast(pa.int64()),
+        })
+
+    keyed = ds.map_batches(prep, batch_format="pyarrow")
+
+    def funnel_counts(df: pd.DataFrame) -> pa.Table:
+        counts = []
+        cur = None  # (user_id, t_prev) frontier for users still in the funnel
+        for s in range(len(steps)):
+            ev = df[df["step"] == s]
+            if cur is None:
+                cur = ev.groupby("user_id")["ts_us"].min().reset_index(name="t")
+            else:
+                m = ev.merge(cur, on="user_id")
+                m = m[m["ts_us"] > m["t"]]
+                cur = m.groupby("user_id")["ts_us"].min().reset_index(name="t")
+            counts.append(len(cur))
+        return pa.table({
+            "funnel_step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+            "n_users": pa.array(counts, pa.int64()),
+        })
+
+    partials = bucketed_group_map(keyed, "user_id", funnel_counts,
+                                  num_buckets=32)
+    from ray.data.aggregate import Sum
+    return partials.groupby("funnel_step").aggregate(
+        Sum("n_users", alias_name="n_users"))

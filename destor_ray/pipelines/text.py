@@ -68,6 +68,113 @@ def token_count(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def top_ngrams(sf_dir: str, k: int = 20):
+    """Global top-k word bigrams over the corpus — the map-side COMBINER
+    pattern that must precede any big groupby at 100 TB: each batch
+    collapses its token stream into (gram, partial_count) rows first, so
+    the shuffle carries ~|vocab²∩batch| rows instead of one row per
+    token occurrence (the corpus vocabulary is tiny next to the token
+    count). The groupby sums partials; a per-batch local top-k then
+    bounds the final sort to k rows per block before the tiny global
+    sort. Ties at the k-boundary break on gram ASC — the oracle sorts
+    identically, so the selected SET is deterministic."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            ws = t.split(" ")
+            cnt.update(zip(ws, ws[1:]))
+        return pa.table({
+            "gram": pa.array([f"{a} {b}" for a, b in cnt], pa.string()),
+            "cnt": pa.array(list(cnt.values()), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("cnt", "descending"),
+                                                ("gram", "ascending")])
+        return batch.take(idx[:k])
+
+    return agg.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["cnt", "gram"], descending=[True, False]).limit(k)
+
+
+def repetition_scores(sf_dir: str):
+    """(doc_id, n_tokens, n_distinct, top_tok_n) — Gopher-style
+    repetition features: total tokens, distinct tokens, and the count of
+    the single most frequent token. A curation filter drops rows where
+    top_tok_n/n_tokens or 1-n_distinct/n_tokens exceeds a threshold; the
+    columns stay integer so the oracle hash is exact. Embarrassingly
+    parallel (no shuffle); the per-row Counter is bounded by doc length."""
+    from collections import Counter
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        nt, nd, tp = [], [], []
+        for t in batch["text"].to_pylist():
+            c = Counter(t.split(" "))
+            nt.append(sum(c.values()))
+            nd.append(len(c))
+            tp.append(max(c.values()))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "n_distinct": pa.array(nd, pa.int64()),
+                         "top_tok_n": pa.array(tp, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def distinct_token_stats(sf_dir: str, p: int = 14):
+    """(hll_distinct_tokens, n_tokens) — corpus-wide distinct-token
+    cardinality via a mergeable HyperLogLog, the shuffle-FREE answer to
+    "how many distinct keys" at 100 TB: each batch sketches locally
+    (2^p bytes), partial registers tree-reduce through a 16-bucket
+    groupby (register-wise max), and the driver merges <=16 tiny rows —
+    no token ever crosses the wire. Exact-count parity is bounded in
+    tests (rel. error ~1.04/sqrt(2^p)); n_tokens is exact."""
+    from ..functions.sketch import HyperLogLog
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list = []
+        for t in batch["text"].to_pylist():
+            toks.extend(t.split(" "))
+        hll = HyperLogLog(p=p)
+        hll.add_hashes(pd.util.hash_array(np.asarray(toks, dtype=object)))
+        bucket = int(batch["doc_id"][0].as_py()) % 16 if len(batch) else 0
+        return pa.table({"bucket": pa.array([bucket], pa.int64()),
+                         "registers": pa.array([hll.to_bytes()], pa.binary()),
+                         "n_tokens": pa.array([len(toks)], pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_bucket(df: pd.DataFrame) -> pa.Table:
+        hll = HyperLogLog(p=p)
+        for b in df["registers"]:
+            hll.merge(HyperLogLog.from_bytes(b))
+        return pa.table({"registers": pa.array([hll.to_bytes()], pa.binary()),
+                         "n_tokens": pa.array([int(df["n_tokens"].sum())], pa.int64())})
+
+    merged = bucketed_group_map(partials, "bucket", merge_bucket, num_buckets=4)
+    final = HyperLogLog(p=p)
+    n_tokens = 0
+    for row in merged.take_all():  # <=16 rows of 2^p bytes
+        final.merge(HyperLogLog.from_bytes(row["registers"]))
+        n_tokens += int(row["n_tokens"])
+    return pd.DataFrame({"hll_distinct_tokens": [int(round(final.estimate()))],
+                         "n_tokens": [n_tokens]})
+
+
 _PUNCT_RE = re.compile(r"[^\w\s]")
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 

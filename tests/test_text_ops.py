@@ -46,6 +46,7 @@ def _check(name, con, ray_session):
     "common_substring_pairs", "stopword_scrub", "dataset_split",
     "decontaminate", "ann_topk_multi", "embedding_clusters",
     "events_asof_join", "events_range_join",
+    "top_ngrams", "repetition_scores", "events_funnel",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -200,3 +201,21 @@ def test_ivf_topk_recall(ray_session):
     assert overlap >= 5, overlap
     full = ann.ivf_topk(SF, n_centroids=8, n_probe=8).to_pandas()
     assert list(full.vec_id) == list(brute.vec_id)
+
+
+def test_ivf_index_topk_matches_scan(ray_session):
+    """The materialized hive-partitioned IVF index (partition-pruned
+    probe reads) returns exactly the scan-with-prune ivf_topk result:
+    same training sample/seed => same centroids => same probe set."""
+    import shutil
+
+    import __ray_entry__ as em
+    from destor_ray.pipelines import ann
+    shutil.rmtree(ann._ivf_index_dir(SF, 16, 4096), ignore_errors=True)
+    scan = em.queries()["ivf_topk"](SF).to_pandas()
+    idx = em.queries()["ivf_index_topk"](SF).to_pandas()
+    pd.testing.assert_frame_equal(scan.reset_index(drop=True),
+                                  idx.reset_index(drop=True))
+    # second call hits the cached index (build-once/probe-many)
+    again = em.queries()["ivf_index_topk"](SF).to_pandas()
+    pd.testing.assert_frame_equal(idx, again)
