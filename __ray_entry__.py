@@ -278,8 +278,8 @@ def _fsl_trace_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from destor_ray.pipelines import (ann, curation, relational, streaming,
-                                      substring, text)
+    from destor_ray.pipelines import (ann, curation, relational, stats,
+                                      streaming, substring, text)
     return {
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "customer_order_stats": relational.customer_order_stats,
@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_ppjoin": text.jaccard_join_ppjoin,
         "common_substring_pairs": substring.common_substring_pairs,
         "lcs_pairs": substring.lcs_pairs,
+        "column_quantiles": stats.column_quantiles,
+        "quantile_sketch_stats": stats.quantile_sketch_stats,
         "stopword_scrub": curation.stopword_scrub,
         "dataset_split": curation.dataset_split,
         "decontaminate": curation.decontaminate,
@@ -534,6 +536,20 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_shared
             FROM g a JOIN g b ON a.gm = b.gm AND a.doc_id < b.doc_id
             GROUP BY 1, 2
+        """,
+        "column_quantiles": """
+            WITH c AS (
+                SELECT l_quantity AS v, count(*) AS cnt
+                FROM lineitem GROUP BY 1
+            ), cum AS (
+                SELECT v, sum(cnt) OVER (ORDER BY v) AS cw FROM c
+            ), t AS (SELECT count(*) AS total FROM lineitem),
+            qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.9), (0.99))
+            SELECT CAST(qs.q AS DOUBLE) AS q,
+                   CAST(min(cum.v) AS BIGINT) AS value
+            FROM qs, t, cum
+            WHERE cum.cw >= greatest(1, CAST(ceil(qs.q * t.total) AS BIGINT))
+            GROUP BY qs.q
         """,
         "stopword_scrub": r"""
             SELECT doc_id,

@@ -78,3 +78,118 @@ class HyperLogLog:
         h = cls(p=p)
         h.registers = reg.copy()
         return h
+
+
+class QuantileSketch:
+    """Mergeable quantile sketch (deterministic MRL/KLL-style compactor
+    ladder, Manku-Rajagopalan-Lindsay 1998 / Karnin-Lang-Liberty 2016,
+    public papers) — the streaming answer to "what is the p99 of this
+    column" at 100 TB, where an exact quantile needs a full sort (an
+    all-to-all shuffle of every row) or a value-count groupby that only
+    works for low-cardinality columns.
+
+    Level i holds a sorted buffer whose items each represent 2^i input
+    rows. When a level overflows `k` items it compacts: keep every other
+    element, alternating the start offset deterministically per level
+    (no RNG — results are reproducible across runs; the alternation
+    keeps the one-sided compaction bias from accumulating). Merging
+    concatenates per level and re-compacts, so per-batch partials
+    tree-reduce exactly like the HLL registers: only O(k·log(n/k))
+    float64s per task ever move.
+
+    Worst-case rank error is O(log²(n/k)/k) — for k=256 and n up to
+    10^12 that is well under 1% of rank; the pytest bound asserts 2%
+    against exact np.quantile ranks.
+    """
+
+    def __init__(self, k: int = 256):
+        assert k >= 8 and k % 2 == 0
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self._offset: list[bool] = [False]
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact_from(0)
+
+    def _compact_from(self, i: int) -> None:
+        while i < len(self.levels) and len(self.levels[i]) > self.k:
+            buf = np.sort(self.levels[i], kind="stable")
+            off = int(self._offset[i])
+            self._offset[i] = not self._offset[i]
+            if len(buf) % 2:
+                # odd length: retain one end item at this level (weight
+                # preserved: 1·2^i + (n-1)/2·2^(i+1) = n·2^i), alternating
+                # ends so no systematic min/max bias accumulates
+                keep, buf = (buf[:1], buf[1:]) if off else (buf[-1:], buf[:-1])
+            else:
+                keep = buf[:0]
+            promoted = buf[off::2]  # every other survivor, weight doubled
+            self.levels[i] = keep
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self._offset.append(False)
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        assert self.k == other.k
+        for i, buf in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.float64))
+                self._offset.append(False)
+            self.levels[i] = np.concatenate([self.levels[i], buf])
+        self._compact_from(0)
+        return self
+
+    def n_items(self) -> int:
+        return int(sum(len(b) << i for i, b in enumerate(self.levels)))
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Weighted lower quantiles: smallest item whose cumulative
+        weight reaches ceil(q * total_weight)."""
+        vals = np.concatenate(self.levels) if any(len(b) for b in self.levels) \
+            else np.empty(0, dtype=np.float64)
+        if not len(vals):
+            return np.full(len(list(qs)), np.nan)
+        wts = np.concatenate([np.full(len(b), 1 << i, dtype=np.int64)
+                              for i, b in enumerate(self.levels)])
+        order = np.argsort(vals, kind="stable")
+        vals, cum = vals[order], np.cumsum(wts[order])
+        total = cum[-1]
+        out = np.empty(len(list(qs)), dtype=np.float64)
+        for j, q in enumerate(qs):
+            target = max(1, int(np.ceil(q * total)))
+            out[j] = vals[np.searchsorted(cum, target, side="left")]
+        return out
+
+    def to_bytes(self) -> bytes:
+        import struct
+        head = struct.pack("<HH", self.k, len(self.levels))
+        lens = struct.pack(f"<{len(self.levels)}I",
+                           *[len(b) for b in self.levels])
+        offs = bytes(int(o) for o in self._offset)
+        return head + lens + offs + b"".join(
+            np.ascontiguousarray(b).tobytes() for b in self.levels)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "QuantileSketch":
+        import struct
+        k, nlev = struct.unpack_from("<HH", data, 0)
+        lens = struct.unpack_from(f"<{nlev}I", data, 4)
+        pos = 4 + 4 * nlev
+        offs = data[pos:pos + nlev]
+        pos += nlev
+        s = cls(k=k)
+        s.levels, s._offset = [], []
+        for i in range(nlev):
+            nb = lens[i] * 8
+            s.levels.append(np.frombuffer(data, dtype=np.float64,
+                                          count=lens[i], offset=pos).copy())
+            s._offset.append(bool(offs[i]))
+            pos += nb
+        return s

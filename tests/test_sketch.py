@@ -60,3 +60,93 @@ def test_distinct_token_stats_query(ray_session):
     assert int(out["n_tokens"][0]) == exact[1]
     rel = abs(int(out["hll_distinct_tokens"][0]) - exact[0]) / exact[0]
     assert rel < 0.05
+
+
+# --- QuantileSketch (MRL/KLL compactor ladder) ---
+
+from destor_ray.functions.sketch import QuantileSketch
+
+QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _exact_lower_quantiles(vals, qs):
+    """Ground truth under the sketch's own definition: smallest item
+    whose cumulative weight reaches ceil(q*n)."""
+    v = np.sort(np.asarray(vals, dtype=np.float64))
+    return np.array([v[max(1, int(np.ceil(q * len(v)))) - 1] for q in qs])
+
+
+def test_quantile_exact_below_k():
+    rng = np.random.default_rng(0)
+    vals = rng.normal(size=200)
+    s = QuantileSketch(k=256)
+    s.add(vals)
+    # never compacted: lower quantiles are exact
+    np.testing.assert_array_equal(s.quantiles(QS),
+                                  _exact_lower_quantiles(vals, QS))
+    assert s.n_items() == 200
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "zipf_heavy"])
+def test_quantile_rank_error_bound(dist):
+    rng = np.random.default_rng(17)
+    n = 300_000
+    if dist == "uniform":
+        vals = rng.uniform(0, 1e6, size=n)
+    elif dist == "lognormal":
+        vals = rng.lognormal(3, 2, size=n)
+    else:  # heavy-tailed discrete (skewed duplicates)
+        vals = rng.zipf(1.3, size=n).astype(np.float64)
+    s = QuantileSketch(k=256)
+    for chunk in np.array_split(vals, 37):
+        s.add(chunk)
+    assert s.n_items() == n  # weight preserved through compaction
+    got = s.quantiles(QS)
+    srt = np.sort(vals)
+    for q, g in zip(QS, got):
+        # verify by RANK error (value error is unbounded for skewed data);
+        # a tied value occupies a rank INTERVAL [lo, hi) — correct iff q
+        # falls within 2% of that interval
+        lo = np.searchsorted(srt, g, side="left") / n
+        hi = np.searchsorted(srt, g, side="right") / n
+        assert lo - 0.02 < q < hi + 0.02, (dist, q, lo, hi)
+
+
+def test_quantile_merge_matches_and_roundtrips():
+    rng = np.random.default_rng(5)
+    vals = rng.exponential(10, size=120_000)
+    merged = QuantileSketch(k=128)
+    for chunk in np.array_split(vals, 9):
+        part = QuantileSketch(k=128)
+        part.add(chunk)
+        # serialize/deserialize each partial as the pipeline does
+        merged.merge(QuantileSketch.from_bytes(part.to_bytes()))
+    assert merged.n_items() == len(vals)
+    srt = np.sort(vals)
+    for q, g in zip(QS, merged.quantiles(QS)):
+        rank = np.searchsorted(srt, g, side="right") / len(vals)
+        assert abs(rank - q) < 0.03, (q, rank)
+    # byte round-trip of the merged sketch is lossless
+    back = QuantileSketch.from_bytes(merged.to_bytes())
+    np.testing.assert_array_equal(back.quantiles(QS), merged.quantiles(QS))
+    assert back.n_items() == merged.n_items()
+
+
+def test_quantile_deterministic():
+    rng = np.random.default_rng(9)
+    vals = rng.normal(size=50_000)
+    a, b = QuantileSketch(k=64), QuantileSketch(k=64)
+    for chunk in np.array_split(vals, 11):
+        a.add(chunk)
+        b.add(chunk)
+    assert a.to_bytes() == b.to_bytes()  # no RNG anywhere
+
+
+def test_quantile_nan_and_empty():
+    s = QuantileSketch(k=8)
+    s.add(np.array([np.nan, np.nan]))
+    assert s.n_items() == 0
+    assert np.all(np.isnan(s.quantiles([0.5])))
+    s.add(np.array([1.0, np.nan, 3.0]))
+    assert s.n_items() == 2
+    np.testing.assert_array_equal(s.quantiles([0.5, 1.0]), [1.0, 3.0])

@@ -47,6 +47,7 @@ def _check(name, con, ray_session):
     "decontaminate", "ann_topk_multi", "embedding_clusters",
     "events_asof_join", "events_range_join",
     "top_ngrams", "repetition_scores", "events_funnel",
+    "column_quantiles",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -219,3 +220,21 @@ def test_ivf_index_topk_matches_scan(ray_session):
     # second call hits the cached index (build-once/probe-many)
     again = em.queries()["ivf_index_topk"](SF).to_pandas()
     pd.testing.assert_frame_equal(idx, again)
+
+
+def test_quantile_sketch_stats_rank_bound(con, ray_session):
+    """Sketch quantiles vs DuckDB exact: n_rows exact, each reported
+    quantile's true rank within 2% of its target."""
+    import __ray_entry__ as em
+    out = em.queries()["quantile_sketch_stats"](SF)
+    n_exact = con.sql("SELECT count(*) FROM lineitem").fetchone()[0]
+    assert int(out["n_rows"][0]) == n_exact
+    vals = con.sql("SELECT l_extendedprice FROM lineitem").df()[
+        "l_extendedprice"].to_numpy()
+    import numpy as np
+    srt = np.sort(vals)
+    for q, col in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]:
+        g = float(out[col][0])
+        lo = np.searchsorted(srt, g, side="left") / len(srt)
+        hi = np.searchsorted(srt, g, side="right") / len(srt)
+        assert lo - 0.02 < q < hi + 0.02, (q, lo, hi)
