@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_scrub": curation.stopword_scrub,
         "dataset_split": curation.dataset_split,
         "decontaminate": curation.decontaminate,
+        "curation_pipeline": curation.curation_pipeline,
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,
@@ -581,6 +582,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.source <> 'src0'
+        """,
+        "curation_pipeline": r"""
+            WITH c AS (
+                SELECT doc_id,
+                       regexp_replace(text, '\b(table|row|data)\b', '', 'g') AS ct
+                FROM documents
+            ), f AS (
+                SELECT doc_id, ct, length(ct) AS text_len,
+                       length(regexp_replace(ct, '[^A-Za-z]', '', 'g')) AS na
+                FROM c
+            ), kept AS (
+                SELECT * FROM f
+                WHERE text_len >= 200 AND na * 100 >= 78 * text_len
+            ), g AS (
+                SELECT min(doc_id) AS doc_id, min(text_len) AS text_len,
+                       count(*) AS n_copies
+                FROM kept GROUP BY md5(ct)
+            )
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+                        THEN 'val' ELSE 'train' END AS split,
+                   text_len, n_copies
+            FROM g
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS h,

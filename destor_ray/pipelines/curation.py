@@ -76,6 +76,68 @@ def dataset_split(sf_dir: str, val_pct: int = 10):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def curation_pipeline(sf_dir: str, min_len: int = 200,
+                      alpha_pct: int = 78, val_pct: int = 10):
+    """The composed end-to-end curation pass — what a real 100 TB text
+    pipeline chains in ONE streaming job:
+
+      1. scrub   — stop-phrase removal (re2, vectorized);
+      2. quality — features on the CLEANED text; drop docs with
+                   len < min_len or alpha-ratio < alpha_pct% (the ratio
+                   test is integer-exact: n_alpha*100 >= alpha_pct*len,
+                   so Ray and the SQL oracle agree bit-for-bit at the
+                   boundary — no float division on either side);
+      3. dedup   — exact near-zero-cost keep-first on md5(clean_text):
+                   the ONLY shuffle in the job (hash-partition by
+                   content hash, min(doc_id) wins);
+      4. split   — deterministic md5 train/val bucketing of survivors.
+
+    Returns one row per SURVIVING document: (doc_id, split, text_len,
+    n_copies). Steps 1/2/4 are map-only and fuse into a single
+    map_batches stage ahead of the one groupby — per-doc features never
+    cross the wire for dropped docs, and the shuffle carries only
+    (hash, doc_id, text_len) for the ~2/3 that survive the filter."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def scrub_filter_hash(batch: pa.Table) -> pa.Table:
+        clean = pc.replace_substring_regex(batch["text"], SCRUB_PATTERN, "")
+        tlen = pc.cast(pc.utf8_length(clean), pa.int64())
+        nalpha = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(clean, "[^A-Za-z]", "")), pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(tlen, min_len),
+            pc.greater_equal(pc.multiply(nalpha, 100),
+                             pc.multiply(tlen, alpha_pct)))
+        sub = pa.table({"doc_id": batch["doc_id"], "clean": clean,
+                        "text_len": tlen}).filter(keep)
+        h = [hashlib.md5(t.encode()).hexdigest()
+             for t in sub["clean"].to_pylist()]
+        return pa.table({"doc_id": sub["doc_id"],
+                         "h": pa.array(h, pa.string()),
+                         "text_len": sub["text_len"]})
+
+    hashed = ds.map_batches(scrub_filter_hash, batch_format="pyarrow")
+    groups = hashed.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("text_len", alias_name="text_len"),
+        Count(alias_name="n_copies"))
+
+    def assign_split(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        buckets = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+             for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(buckets < val_pct, "val", "train")
+        return pa.table({"doc_id": batch["doc_id"],
+                         "split": pa.array(split.tolist(), pa.string()),
+                         "text_len": batch["text_len"],
+                         "n_copies": batch["n_copies"]})
+
+    return groups.map_batches(assign_split, batch_format="pyarrow")
+
+
 def decontaminate(sf_dir: str, benchmark_source: str = "src0",
                   gram: int = 24):
     """(doc_id, contaminated) for every NON-benchmark document: flagged

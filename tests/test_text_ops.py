@@ -47,7 +47,7 @@ def _check(name, con, ray_session):
     "decontaminate", "ann_topk_multi", "embedding_clusters",
     "events_asof_join", "events_range_join",
     "top_ngrams", "repetition_scores", "events_funnel",
-    "column_quantiles",
+    "column_quantiles", "curation_pipeline",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -238,3 +238,33 @@ def test_quantile_sketch_stats_rank_bound(con, ray_session):
         lo = np.searchsorted(srt, g, side="left") / len(srt)
         hi = np.searchsorted(srt, g, side="right") / len(srt)
         assert lo - 0.02 < q < hi + 0.02, (q, lo, hi)
+
+
+def test_curation_pipeline_dedups_planted_copies(ray_session, tmp_path):
+    """The corpus has no exact dups, so plant some: the dedup leg must
+    keep min(doc_id) per clean-text group and count copies — including
+    docs identical only AFTER the scrub."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.curation import curation_pipeline
+    base = "x" * 150 + "the quick brown fox jumps over the lazy dog " * 3
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([
+            base,                   # keeper of group A
+            base,                   # exact dup of 1
+            base + " table",        # dup of 1 after scrub ("table" removed,
+                                    # trailing space survives -> distinct)
+            base + "tail",          # distinct survivor
+            "short",                # dropped: len < 200
+            base,                   # dup of 1
+        ], pa.string()),
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = curation_pipeline(str(d)).to_pandas().set_index("doc_id")
+    assert 2 not in out.index and 6 not in out.index and 5 not in out.index
+    assert int(out.loc[1, "n_copies"]) == 3
+    assert int(out.loc[4, "n_copies"]) == 1
+    assert 3 in out.index  # trailing-space variant stays distinct
