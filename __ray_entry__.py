@@ -278,8 +278,8 @@ def _fsl_trace_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from destor_ray.pipelines import (ann, curation, relational, stats,
-                                      streaming, substring, text)
+    from destor_ray.pipelines import (ann, curation, ranking, relational,
+                                      stats, streaming, substring, text)
     return {
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "customer_order_stats": relational.customer_order_stats,
@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": curation.dataset_split,
         "decontaminate": curation.decontaminate,
         "curation_pipeline": curation.curation_pipeline,
+        "tfidf_top_terms": ranking.tfidf_top_terms,
+        "bm25_scores": ranking.bm25_scores,
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,
@@ -582,6 +584,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.source <> 'src0'
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*)::BIGINT AS tf
+                FROM toks GROUP BY 1, 2
+            ), df AS (
+                SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1
+            ), n AS (SELECT count(*) AS n FROM documents),
+            s AS (
+                SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS score
+                FROM tf JOIN df USING (term), n
+            )
+            SELECT doc_id, term, tf, df, score FROM s
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, term ASC) <= 3
+        """,
+        "bm25_scores": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ), dl AS (
+                SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+            ), stats AS (
+                SELECT count(*)::DOUBLE AS n,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM dl
+            ), tfs AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN term = 'table'  THEN 1 ELSE 0 END) AS DOUBLE) AS tf0,
+                       CAST(sum(CASE WHEN term = 'data'   THEN 1 ELSE 0 END) AS DOUBLE) AS tf1,
+                       CAST(sum(CASE WHEN term = 'system' THEN 1 ELSE 0 END) AS DOUBLE) AS tf2
+                FROM toks GROUP BY 1
+            ), dfs AS (
+                SELECT CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+                FROM tfs
+            ), s AS (
+                SELECT t.doc_id,
+                    ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * (1.2 + 1)
+                      / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                  + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * (1.2 + 1)
+                      / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                  + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * tf2 * (1.2 + 1)
+                      / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS score
+                FROM tfs t JOIN dl USING (doc_id), stats, dfs
+            )
+            SELECT doc_id, round(score, 6) AS bm25 FROM s WHERE score > 0
         """,
         "curation_pipeline": r"""
             WITH c AS (

@@ -48,6 +48,7 @@ def _check(name, con, ray_session):
     "events_asof_join", "events_range_join",
     "top_ngrams", "repetition_scores", "events_funnel",
     "column_quantiles", "curation_pipeline",
+    "tfidf_top_terms", "bm25_scores",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
