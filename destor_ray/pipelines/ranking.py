@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -47,17 +48,16 @@ def tfidf_top_terms(sf_dir: str, k: int = 3, num_partitions: int = 8):
     n_docs = float(ds.count())  # parquet metadata, no scan
 
     def postings(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs = [], [], []
-        for d, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            uniq, cnt = np.unique(np.asarray(t.split(" "), dtype=object),
-                                  return_counts=True)
-            ids.extend([d] * len(uniq))
-            terms.extend(uniq.tolist())
-            tfs.extend(cnt.tolist())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64())})
+        # vectorized: one Arrow split over the whole batch, doc ids
+        # repeated by token-list length, then a single C-level groupby
+        # over (doc_id, term) — no per-row Python loop
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        did = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), lens)
+        flat = pc.list_flatten(toks)
+        g = pa.table({"doc_id": pa.array(did, pa.int64()), "term": flat}) \
+            .group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return g.rename_columns(["doc_id", "term", "tf"])
 
     posts = ds.map_batches(postings, batch_format="pyarrow")
     df = posts.groupby("term").aggregate(Count(alias_name="df"))
@@ -93,19 +93,19 @@ def bm25_scores(sf_dir: str, query: tuple[str, ...] = DEFAULT_BM25_QUERY,
     q = list(query)
 
     def featurize(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        dl = np.empty(len(texts), dtype=np.int64)
-        tf = np.zeros((len(q), len(texts)), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = t.split(" ")
-            dl[i] = len(toks)
-            for j, term in enumerate(q):
-                tf[j, i] = toks.count(term)
+        # vectorized: dl = spaces+1 (== len(split(' '))); per-term tf via
+        # one list-equality reduce per query term — no Python tokenizing
+        toks = pc.split_pattern(batch["text"], " ").combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        row = np.repeat(np.arange(len(batch)), lens)
         cols = {"doc_id": batch["doc_id"],
-                "dl": pa.array(dl, pa.int64())}
-        for j in range(len(q)):
-            cols[f"tf{j}"] = pa.array(tf[j], pa.int64())
-            cols[f"hit{j}"] = pa.array((tf[j] > 0).astype(np.int64), pa.int64())
+                "dl": pa.array(lens.astype(np.int64), pa.int64())}
+        for j, term in enumerate(q):
+            hit = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            tf = np.bincount(row[hit], minlength=len(batch)).astype(np.int64)
+            cols[f"tf{j}"] = pa.array(tf, pa.int64())
+            cols[f"hit{j}"] = pa.array((tf > 0).astype(np.int64), pa.int64())
         return pa.table(cols)
 
     # narrow per-doc feature table: 2 + 2*len(q) int64s per doc — the
