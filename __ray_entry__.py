@@ -24,6 +24,10 @@ queries() entries map to SURVEY.md §2 operators:
   dataset_split        curation: deterministic md5 train/val split (oracle)
   decontaminate        curation: benchmark n-gram decontamination via
                        broadcast gram set (oracle)
+  segment_dedup        curation: line-level (k-token window) keep-first
+                       dedup, per-doc survivor counts (oracle)
+  pii_scrub            curation: email/phone/IP regex redaction over
+                       deterministically planted PII (oracle)
   container_refs       HAR utilization aggregate (R4 analog, oracle)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
@@ -317,6 +321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": curation.dataset_split,
         "decontaminate": curation.decontaminate,
         "curation_pipeline": curation.curation_pipeline,
+        "segment_dedup": curation.segment_dedup,
+        "pii_scrub": curation.pii_scrub,
         "tfidf_top_terms": ranking.tfidf_top_terms,
         "bm25_scores": ranking.bm25_scores,
         "container_refs": text.container_refs,
@@ -659,6 +665,59 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val' ELSE 'train' END AS split,
                    text_len, n_copies
             FROM g
+        """,
+        "segment_dedup": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), segs AS (
+                SELECT doc_id, seg_idx,
+                       array_to_string(t[seg_idx*8+1 : seg_idx*8+8], ' ') AS seg
+                FROM toks,
+                     UNNEST(range(0, CAST(ceil(len(t) / 8.0) AS BIGINT))) AS u(seg_idx)
+            ), marked AS (
+                SELECT doc_id,
+                       CASE WHEN row_number() OVER (
+                                PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+                            THEN 1 ELSE 0 END AS kept
+                FROM segs
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_segs,
+                   CAST(sum(kept) AS BIGINT) AS n_kept
+            FROM marked GROUP BY doc_id
+        """,
+        "pii_scrub": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id || '@example.com call '
+                            || (doc_id % 900 + 100) || '-555-'
+                            || (doc_id % 9000 + 1000)
+                            || ' from 10.' || (doc_id % 256) || '.0.'
+                            || (doc_id % 100 + 1)
+                            || CASE WHEN doc_id % 3 = 0
+                                    THEN ' alt admin@test.org' ELSE '' END AS a
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(a,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                       regexp_replace(a,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '[EMAIL]', 'g') AS c1
+                FROM aug
+            ), s2 AS (
+                SELECT doc_id, n_email,
+                       CAST(len(regexp_extract_all(c1,
+                           '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+                       regexp_replace(c1, '\b\d{3}-\d{3}-\d{4}\b',
+                                      '[PHONE]', 'g') AS c2
+                FROM s1
+            )
+            SELECT doc_id, n_email, n_phone,
+                   CAST(len(regexp_extract_all(c2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                   regexp_replace(c2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                                  '[IP]', 'g') AS clean_text
+            FROM s2
         """,
         "exact_dedup_docs": """
             SELECT md5(text) AS h,

@@ -138,6 +138,129 @@ def curation_pipeline(sf_dir: str, min_len: int = 200,
     return groups.map_batches(assign_split, batch_format="pyarrow")
 
 
+def segment_dedup(sf_dir: str, k: int = 8):
+    """(doc_id, n_segs, n_kept): line-level dedup (C4/RefinedWeb style)
+    recast for this corpus — documents have no newlines, so a "line" is
+    a non-overlapping window of `k` whitespace tokens. An occurrence of
+    a segment is KEPT iff it is the globally first occurrence (ordered
+    by doc_id, then position); later repeats would be removed when
+    rebuilding the doc. Reports per-doc segment totals and survivors.
+
+    Shape (2 shuffles, both narrow):
+      1. map      — Arrow split_pattern + numpy offset arithmetic build
+                    the per-doc k-token segment strings with a single
+                    C-level binary_join (no per-row Python);
+      2. shuffle  — hash-partition by segment content; keep-first
+                    resolved per bucket with one lexsort (first row of
+                    each segment run wins);
+      3. reduce   — per-doc Count/Sum aggregate.
+
+    The shuffle ships the segment STRINGS (like line-dedup must ship
+    lines) so equality semantics match the SQL oracle exactly; at
+    10^12 rows ship a 128-bit hash of the segment instead and accept
+    the collision odds. Mirrors destor's chunk-level exact dedup (D2,
+    /root/reference/src/dedup_phase.c) one level up: segments are the
+    "chunks" of a text corpus."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def segs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        off = np.asarray(toks.offsets)
+        counts = np.diff(off)
+        nseg = -(-counts // k)
+        ndocs = len(counts)
+        doc_rep = np.repeat(np.arange(ndocs), nseg)
+        first = np.concatenate(([0], np.cumsum(nseg)[:-1]))
+        seg_idx = np.arange(nseg.sum()) - np.repeat(first, nseg)
+        starts = off[doc_rep] + seg_idx * k
+        # segments tile each doc contiguously, so each segment's end is
+        # the next segment's start and the final end is off[-1]
+        seg_offsets = np.append(starts, off[-1]).astype(np.int64)
+        seg_list = pa.LargeListArray.from_arrays(
+            seg_offsets, toks.values.cast(pa.large_string()))
+        seg = pc.binary_join(seg_list, pa.scalar(" ", pa.large_string()))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seg": seg.cast(pa.string()),
+            "doc_id": pa.array(ids[doc_rep], pa.int64()),
+            "seg_idx": pa.array(seg_idx, pa.int64()),
+        })
+
+    occurrences = ds.map_batches(segs, batch_format="pyarrow")
+
+    def keep_first(df) -> pa.Table:
+        seg = df["seg"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        idx = df["seg_idx"].to_numpy()
+        order = np.lexsort((idx, doc, seg))
+        seg_s = seg[order]
+        kept = np.empty(len(seg_s), dtype=np.int64)
+        if len(seg_s):
+            kept[0] = 1
+            kept[1:] = (seg_s[1:] != seg_s[:-1]).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc[order], pa.int64()),
+                         "kept": pa.array(kept, pa.int64())})
+
+    marked = bucketed_group_map(occurrences, "seg", keep_first)
+    return marked.groupby("doc_id").aggregate(
+        Count(alias_name="n_segs"), Sum("kept", alias_name="n_kept"))
+
+
+# RE2 patterns shared verbatim with the DuckDB oracle (both engines use
+# RE2 semantics). Replacement order is fixed: email, phone, ip.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(sf_dir: str):
+    """(doc_id, clean_text, n_email, n_phone, n_ip): PII redaction —
+    email / phone / IPv4 regex replacement with per-category counts.
+
+    The synthetic corpus text contains no PII, so the query plants
+    deterministic PII derived from doc_id (an email, a phone, an IP,
+    and for every third doc a second email) into each document on BOTH
+    the Ray side and the SQL oracle side, then scrubs it; the
+    hash-verified clean_text proves the patterns and replacement
+    semantics match RE2-for-RE2. Map-only: no shuffle, streams at
+    corpus bandwidth."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        idn = ids.to_numpy(zero_copy_only=False)
+        sid = pc.cast(ids, pa.string())
+        alt = pa.array(np.where(idn % 3 == 0, " alt admin@test.org", ""),
+                       pa.string())
+        aug = pc.binary_join_element_wise(
+            batch["text"].cast(pa.string()),
+            " contact user", sid, "@example.com call ",
+            pc.cast(pa.array(idn % 900 + 100, pa.int64()), pa.string()),
+            "-555-",
+            pc.cast(pa.array(idn % 9000 + 1000, pa.int64()), pa.string()),
+            " from 10.",
+            pc.cast(pa.array(idn % 256, pa.int64()), pa.string()),
+            ".0.",
+            pc.cast(pa.array(idn % 100 + 1, pa.int64()), pa.string()),
+            alt, "")
+        n_email = pc.cast(pc.count_substring_regex(aug, PII_EMAIL), pa.int64())
+        clean = pc.replace_substring_regex(aug, PII_EMAIL, "[EMAIL]")
+        n_phone = pc.cast(pc.count_substring_regex(clean, PII_PHONE),
+                          pa.int64())
+        clean = pc.replace_substring_regex(clean, PII_PHONE, "[PHONE]")
+        n_ip = pc.cast(pc.count_substring_regex(clean, PII_IP), pa.int64())
+        clean = pc.replace_substring_regex(clean, PII_IP, "[IP]")
+        return pa.table({"doc_id": ids, "clean_text": clean,
+                         "n_email": n_email, "n_phone": n_phone,
+                         "n_ip": n_ip})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def decontaminate(sf_dir: str, benchmark_source: str = "src0",
                   gram: int = 24):
     """(doc_id, contaminated) for every NON-benchmark document: flagged

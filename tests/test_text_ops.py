@@ -49,6 +49,7 @@ def _check(name, con, ray_session):
     "top_ngrams", "repetition_scores", "events_funnel",
     "column_quantiles", "curation_pipeline",
     "tfidf_top_terms", "bm25_scores",
+    "segment_dedup", "pii_scrub",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -239,6 +240,43 @@ def test_quantile_sketch_stats_rank_bound(con, ray_session):
         lo = np.searchsorted(srt, g, side="left") / len(srt)
         hi = np.searchsorted(srt, g, side="right") / len(srt)
         assert lo - 0.02 < q < hi + 0.02, (q, lo, hi)
+
+
+def test_segment_dedup_planted_windows(ray_session, tmp_path):
+    """Plant known shared k-token windows: keep-first must credit the
+    lowest (doc_id, position) occurrence and count partial tail
+    segments as segments."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.curation import segment_dedup
+    shared = " ".join(f"s{i}" for i in range(8))       # one full window
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            shared + " " + uniq("a", 8),   # 2 segs, both first-seen
+            shared + " " + uniq("b", 8),   # seg0 dup of doc1's seg0
+            uniq("c", 12),                 # 2 segs (tail of 4), all kept
+            shared + " " + shared,         # seg0 dup; seg1 == seg0 text
+        ], pa.string()),
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = segment_dedup(str(d)).to_pandas().set_index("doc_id")
+    assert (int(out.loc[1, "n_segs"]), int(out.loc[1, "n_kept"])) == (2, 2)
+    assert (int(out.loc[2, "n_segs"]), int(out.loc[2, "n_kept"])) == (2, 1)
+    assert (int(out.loc[3, "n_segs"]), int(out.loc[3, "n_kept"])) == (2, 2)
+    assert (int(out.loc[4, "n_segs"]), int(out.loc[4, "n_kept"])) == (2, 0)
+
+
+def test_pii_scrub_redacts_all_planted(ray_session):
+    import __ray_entry__ as em
+    out = em.queries()["pii_scrub"](SF).to_pandas()
+    assert not out["clean_text"].str.contains("@").any()
+    assert out["clean_text"].str.contains(r"\[EMAIL\]", regex=True).all()
+    assert (out["n_phone"] == 1).all() and (out["n_ip"] == 1).all()
+    assert (out["n_email"] == 1 + (out["doc_id"] % 3 == 0)).all()
 
 
 def test_curation_pipeline_dedups_planted_copies(ray_session, tmp_path):
