@@ -28,6 +28,12 @@ queries() entries map to SURVEY.md §2 operators:
                        dedup, per-doc survivor counts (oracle)
   pii_scrub            curation: email/phone/IP regex redaction over
                        deterministically planted PII (oracle)
+  customers_without_urgent_orders  distributed tag-and-union shuffle
+                       anti-join, map-side key dedup (oracle)
+  orders_running_total partitioned window function: per-customer
+                       running sum + rank, segmented cumsum (oracle)
+  events_grouped_sample deterministic per-group reservoir sample via
+                       min-wise hashing, map-side partial top-k (oracle)
   container_refs       HAR utilization aggregate (R4 analog, oracle)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
@@ -290,6 +296,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_quantity": relational.top_parts_by_quantity,
         "part_type_revenue": relational.part_type_revenue,
         "supplier_region_stats": relational.supplier_region_stats,
+        "customers_without_urgent_orders":
+            relational.customers_without_urgent_orders,
+        "orders_running_total": relational.orders_running_total,
+        "events_grouped_sample": streaming.events_grouped_sample,
         "events_windowed": streaming.events_windowed,
         "events_type_stats": streaming.events_type_stats,
         "events_sessionize": streaming.events_sessionize,
@@ -665,6 +675,38 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'val' ELSE 'train' END AS split,
                    text_len, n_copies
             FROM g
+        """,
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "orders_running_total": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+                        OVER w AS BIGINT) AS run_total_cents,
+                   row_number() OVER w AS order_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        "events_grouped_sample": """
+            WITH p AS (
+                SELECT event_type, event_id,
+                       CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) AS prio
+                FROM events
+            ), r AS (
+                SELECT event_type, event_id,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY prio, event_id) AS sample_rank
+                FROM p
+            )
+            SELECT event_type, sample_rank, event_id
+            FROM r WHERE sample_rank <= 20
         """,
         "segment_dedup": """
             WITH toks AS (

@@ -146,6 +146,124 @@ def part_type_revenue(sf_dir: str):
     return agg.map_batches(normalize, batch_format="pyarrow")
 
 
+def customers_without_urgent_orders(sf_dir: str):
+    """(c_custkey, c_mktsegment, acctbal_cents) for customers with NO
+    '1-URGENT' order — the engine's distributed ANTI-join surface
+    (destor's index reclamation X3 uses the same shape: survivors =
+    left rows whose key never appears on the right,
+    /root/reference/src/index/index.c delete path).
+
+    Scale shape: tag-and-union shuffle anti-join. The right side is
+    map-side reduced to DISTINCT keys per batch before the shuffle
+    (orders with the same custkey collapse early), both sides hash-
+    partition by key once, and each bucket resolves membership with one
+    vectorized isin — no broadcast, works when BOTH sides are huge."""
+    from ..stages.grouped import bucketed_group_map
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "c_mktsegment": batch["c_mktsegment"],
+            "acctbal_cents": pa.array(cents, pa.int64()),
+            "src": pa.array(np.zeros(len(batch), np.int8), pa.int8()),
+        })
+
+    def right_keys(batch: pa.Table) -> pa.Table:
+        urgent = batch.filter(
+            pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        keys = np.unique(urgent["o_custkey"].to_numpy(zero_copy_only=False))
+        n = len(keys)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "c_mktsegment": pa.array([None] * n, pa.string()),
+            "acctbal_cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "src": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    tagged = cust.map_batches(left_rows, batch_format="pyarrow").union(
+        orders.map_batches(right_keys, batch_format="pyarrow"))
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        present = df.loc[df["src"] == 1, "key"].to_numpy()
+        left = df[df["src"] == 0]
+        keep = ~np.isin(left["key"].to_numpy(), present)
+        sub = left[keep]
+        return pa.table({
+            "c_custkey": pa.array(sub["key"].to_numpy(), pa.int64()),
+            "c_mktsegment": pa.array(sub["c_mktsegment"].tolist(),
+                                     pa.string()),
+            "acctbal_cents": pa.array(sub["acctbal_cents"].to_numpy(),
+                                      pa.int64()),
+        })
+
+    return bucketed_group_map(tagged, "key", anti)
+
+
+def orders_running_total(sf_dir: str):
+    """(o_orderkey, o_custkey, run_total_cents, order_rank): per-customer
+    running order-value total and order sequence number, ordered by
+    (o_orderdate, o_orderkey) — the engine's PARTITIONED WINDOW FUNCTION
+    surface. Hash-partition by customer, then one lexsort + segmented
+    cumsum per bucket (vectorized: the per-group reset is a subtract of
+    the group-start prefix, no Python loop over groups). Keys never
+    straddle buckets, so partition-local windows are exact — the same
+    co-partitioning contract as events_asof_join."""
+    from ..stages.grouped import bucketed_group_map
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "o_custkey": batch["o_custkey"].cast(pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "date_us": batch["o_orderdate"].cast(pa.timestamp("us"))
+                       .cast(pa.int64()),
+        })
+
+    narrow = orders.map_batches(to_cents, batch_format="pyarrow")
+
+    def window(df: pd.DataFrame) -> pa.Table:
+        cust = df["o_custkey"].to_numpy()
+        date = df["date_us"].to_numpy()
+        okey = df["o_orderkey"].to_numpy()
+        cents = df["cents"].to_numpy()
+        order = np.lexsort((okey, date, cust))
+        cust_s, cents_s = cust[order], cents[order]
+        cum = np.cumsum(cents_s)
+        # group starts: first row of each customer run
+        new = np.empty(len(cust_s), dtype=bool)
+        if len(cust_s):
+            new[0] = True
+            new[1:] = cust_s[1:] != cust_s[:-1]
+        starts = np.flatnonzero(new)
+        # prefix before each group, broadcast to its rows
+        sizes = np.diff(np.append(starts, len(cust_s)))
+        base = np.repeat(np.where(starts > 0, cum[starts - 1], 0), sizes)
+        rank = np.arange(len(cust_s)) - np.repeat(starts, sizes) + 1
+        return pa.table({
+            "o_orderkey": pa.array(okey[order], pa.int64()),
+            "o_custkey": pa.array(cust_s, pa.int64()),
+            "run_total_cents": pa.array(cum - base, pa.int64()),
+            "order_rank": pa.array(rank, pa.int64()),
+        })
+
+    return bucketed_group_map(narrow, "o_custkey", window)
+
+
 def supplier_region_stats(sf_dir: str, num_partitions: int = 4):
     """Multi-way join supplier ⋈ nation ⋈ region grouped by region name:
     one hash-partitioned Dataset.join (supplier⋈nation) plus one

@@ -292,6 +292,61 @@ def events_user_daily_topk(sf_dir: str, k: int = 3):
     return bucketed_group_map(partials, "day", topk_per_day, num_buckets=16)
 
 
+def events_grouped_sample(sf_dir: str, k: int = 20):
+    """(event_type, sample_rank, event_id): a deterministic uniform
+    sample of k events PER event_type — distributed reservoir sampling
+    via min-wise hashing. Each event's priority is the first 8 hex
+    digits of md5(event_id); the k smallest priorities per group win
+    (same idiom as curation.dataset_split: hash-derived, never RNG, so
+    the sample is stable across runs, partitions, and cluster sizes,
+    and any shard can be recomputed independently — what a resumable
+    100 TB sampling job needs).
+
+    Scale shape: map-side partial top-k per batch (a batch contributes
+    at most k rows per group to the shuffle), then one tiny bucketed
+    reduce per group. Shuffle volume is O(k * n_groups * n_batches),
+    independent of corpus size."""
+    import hashlib
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "event_type"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"].to_numpy(zero_copy_only=False)
+        etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        prio = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids), dtype=np.int64, count=len(ids))
+        df = pd.DataFrame({"event_type": etype, "event_id": ids,
+                           "prio": prio})
+        df = df.sort_values(["event_type", "prio", "event_id"],
+                            kind="stable")
+        keep = df.groupby("event_type", sort=False).cumcount() < k
+        sub = df[keep]
+        return pa.table({
+            "event_type": pa.array(sub["event_type"].tolist(), pa.string()),
+            "event_id": pa.array(sub["event_id"].to_numpy(), pa.int64()),
+            "prio": pa.array(sub["prio"].to_numpy(), pa.int64()),
+        })
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["event_type", "prio", "event_id"],
+                            kind="stable")
+        rnk = df.groupby("event_type", sort=False).cumcount() + 1
+        sub = df[rnk <= k]
+        return pa.table({
+            "event_type": pa.array(sub["event_type"].tolist(), pa.string()),
+            "sample_rank": pa.array(rnk[rnk <= k].to_numpy(), pa.int64()),
+            "event_id": pa.array(sub["event_id"].to_numpy(), pa.int64()),
+        })
+
+    return bucketed_group_map(partials, "event_type", final_topk,
+                              num_buckets=8)
+
+
 def events_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase")):
     """Ordered funnel analysis — for each user, the strict progression
     step1 < step2 < step3 by timestamp: t1 = first `view`, t2 = first

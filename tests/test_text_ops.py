@@ -50,6 +50,8 @@ def _check(name, con, ray_session):
     "column_quantiles", "curation_pipeline",
     "tfidf_top_terms", "bm25_scores",
     "segment_dedup", "pii_scrub",
+    "customers_without_urgent_orders", "orders_running_total",
+    "events_grouped_sample",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
