@@ -34,6 +34,12 @@ queries() entries map to SURVEY.md §2 operators:
                        running sum + rank, segmented cumsum (oracle)
   events_grouped_sample deterministic per-group reservoir sample via
                        min-wise hashing, map-side partial top-k (oracle)
+  events_sliding_window ROWS-frame sliding aggregate per user,
+                       prefix-sum per bucket (oracle)
+  events_type_percentiles exact rank-based per-group percentiles (oracle)
+  user_event_pivot     pivot/crosstab via conditional aggregation (oracle)
+  filtered_ann_topk    composed filter ⋈ ANN: predicate on documents,
+                       narrow post-score join, partial top-k (oracle)
   container_refs       HAR utilization aggregate (R4 analog, oracle)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
@@ -338,7 +344,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "container_refs": text.container_refs,
         "cap_top_containers": text.cap_top_containers,
         "docs_stats_by_lang": text.docs_stats_by_lang,
+        "events_sliding_window": streaming.events_sliding_window,
+        "events_type_percentiles": streaming.events_type_percentiles,
+        "user_event_pivot": streaming.user_event_pivot,
         "ann_topk": ann.ann_topk,
+        "filtered_ann_topk": ann.filtered_ann_topk,
         "ann_topk_multi": ann.ann_topk_multi,
         "lsh_bucket_topk": ann.lsh_bucket_topk,
         "ivf_topk": ann.ivf_topk,
@@ -819,6 +829,57 @@ def oracle_sql() -> dict[str, str]:
                    min(n_chars) AS min_chars,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang
+        """,
+        "events_sliding_window": """
+            WITH v AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value*1000000) AS BIGINT) AS vmic
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(vmic) OVER w AS BIGINT) AS roll_sum_micro,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n
+            FROM v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_type_percentiles": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value*1000000) AS BIGINT) AS vmic
+                FROM events
+            ), r AS (
+                SELECT event_type, vmic,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY vmic) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM v
+            )
+            SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+                   max(CASE WHEN rn = CAST(ceil(0.5*n) AS BIGINT)
+                            THEN vmic END) AS p50_micro,
+                   max(CASE WHEN rn = CAST(ceil(0.9*n) AS BIGINT)
+                            THEN vmic END) AS p90_micro
+            FROM r GROUP BY event_type
+        """,
+        "user_event_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type='view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(sum(CASE WHEN event_type='click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY user_id
+        """,
+        "filtered_ann_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings e
+            JOIN documents d ON e.vec_id = d.doc_id, q
+            WHERE length(d.text) >= 300
+            ORDER BY cos_sim DESC, e.vec_id DESC
+            LIMIT 10
         """,
         "ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

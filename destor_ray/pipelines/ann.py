@@ -66,6 +66,63 @@ def ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0):
     return scored.sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
 
 
+def filtered_ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+                      min_len: int = 300, num_partitions: int = 4):
+    """(vec_id, cos_sim): brute-force cosine top-k restricted to vectors
+    whose DOCUMENT passes a quality predicate (len(text) >= min_len) —
+    the composed filter⋈search shape a curation pipeline runs ("ANN
+    over the kept slice"). The predicate is evaluated on the documents
+    table and joined to embeddings by id with one hash-partitioned
+    Dataset.join (column-pruned: only (doc_id) survivors ship), then
+    the scored side follows ann_topk's partial-top-k-per-batch →
+    tiny-global-sort shape. The wide list<float> column never enters
+    the shuffle: scoring is map-only, so the join ships 16-byte
+    (vec_id, cos_sim) rows against the id-only kept side (Acero also
+    rejects list payloads in join non-key fields — scoring first is
+    both required and the cheaper topology)."""
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def keep_ids(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.greater_equal(pc.utf8_length(batch["text"]), min_len)
+        return pa.table({"doc_id": batch.filter(keep)["doc_id"]
+                         .cast(pa.int64())})
+
+    kept = docs.map_batches(keep_ids, batch_format="pyarrow")
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (m @ qv) / norms
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cos_sim": pa.array(np.round(cos, 6), pa.float64())})
+
+    scored = _read_embeddings(sf_dir).select_columns(["vec_id", "embedding"]) \
+        .map_batches(score, batch_format="pyarrow") \
+        .join(kept, "inner", num_partitions,
+              on=("vec_id",), right_on=("doc_id",))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) > k:
+            cos = batch["cos_sim"].to_numpy(zero_copy_only=False)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            # tie-stable local prune: same (cos DESC, vec_id DESC) order
+            # as the global sort, so boundary ties survive correctly
+            batch = batch.take(np.lexsort((-ids, -cos))[:k])
+        return batch
+
+    return scored.map_batches(local_topk, batch_format="pyarrow") \
+        .sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
+
+
 def ann_topk_multi(sf_dir: str, k: int = 10, n_queries: int = 8):
     """Batched multi-query brute-force ANN — the broadcast-query-matrix
     pattern: the `n_queries` query vectors (rows with vec_id <

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 
@@ -345,6 +346,137 @@ def events_grouped_sample(sf_dir: str, k: int = 20):
 
     return bucketed_group_map(partials, "event_type", final_topk,
                               num_buckets=8)
+
+
+def events_sliding_window(sf_dir: str, w: int = 5):
+    """(event_id, user_id, roll_sum_micro, roll_n): sliding-window
+    aggregate — per user, the sum/count of `value` over the last `w`
+    events (ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW frame, ordered
+    by ts then event_id). Values are converted to exact integer
+    micro-units BEFORE summing so Ray and SQL agree bit-for-bit.
+
+    Scale shape: hash-partition by user once; per bucket one lexsort +
+    prefix-sum, with the frame resolved as cum[i] - cum[lo-1] where
+    lo = max(i-w+1, group_start) — fully vectorized, no per-row or
+    per-group Python loop."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "vmic": pa.array(vmic, pa.int64()),
+        })
+
+    def roll(df: pd.DataFrame) -> pa.Table:
+        user = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        vmic = df["vmic"].to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user_s, vmic_s = user[order], vmic[order]
+        n = len(user_s)
+        cum = np.cumsum(vmic_s)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = user_s[1:] != user_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        gstart = np.repeat(starts, sizes)
+        lo = np.maximum(np.arange(n) - w + 1, gstart)
+        # cum[lo-1] is the prefix BEFORE the frame; lo==0 means the
+        # frame starts at the global first row (prefix 0)
+        roll_sum = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        roll_n = np.arange(n) - lo + 1
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(user_s, pa.int64()),
+            "roll_sum_micro": pa.array(roll_sum, pa.int64()),
+            "roll_n": pa.array(roll_n, pa.int64()),
+        })
+
+    return bucketed_group_map(ds.map_batches(narrow, batch_format="pyarrow"),
+                              "user_id", roll)
+
+
+def events_type_percentiles(sf_dir: str):
+    """(event_type, n, p50_micro, p90_micro): EXACT per-group
+    percentiles by rank — the value at 1-based rank ceil(q*n) of the
+    ascending sort (a deterministic, tie-stable definition both engines
+    express identically; the mergeable-sketch variant for when a group
+    exceeds one worker is quantile_sketch_stats). All values of a group
+    co-locate (inherent to exact percentiles); the shuffle ships the
+    narrow (event_type, vmic) projection only."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_type", "value"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "vmic": pa.array(vmic, pa.int64())})
+
+    def pct(df: pd.DataFrame) -> pa.Table:
+        etype = np.asarray(df["event_type"].tolist(), dtype=object)
+        vmic = df["vmic"].to_numpy()
+        order = np.lexsort((vmic, etype))
+        et_s, v_s = etype[order], vmic[order]
+        n = len(et_s)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = et_s[1:] != et_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        p50 = v_s[starts + np.ceil(0.5 * sizes).astype(np.int64) - 1]
+        p90 = v_s[starts + np.ceil(0.9 * sizes).astype(np.int64) - 1]
+        return pa.table({
+            "event_type": pa.array(et_s[starts], pa.string()),
+            "n": pa.array(sizes.astype(np.int64), pa.int64()),
+            "p50_micro": pa.array(p50, pa.int64()),
+            "p90_micro": pa.array(p90, pa.int64()),
+        })
+
+    return bucketed_group_map(ds.map_batches(narrow, batch_format="pyarrow"),
+                              "event_type", pct, num_buckets=8)
+
+
+def user_event_pivot(sf_dir: str):
+    """(user_id, n_view, n_click, n_purchase, n_signup, n_error): pivot
+    / crosstab — event-type counts widened into one column per type.
+    Map-only conditional projection + one hash aggregate (Ray's
+    groupby.aggregate already combines partials map-side), so the
+    shuffle moves one short row per (user, batch)."""
+    from ray.data.aggregate import Sum
+
+    types = ["view", "click", "purchase", "signup", "error"]
+    ds = _read_events(sf_dir).select_columns(["user_id", "event_type"])
+
+    def onehot(batch: pa.Table) -> pa.Table:
+        cols = {"user_id": batch["user_id"].cast(pa.int64())}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(batch["event_type"], t), pa.int64())
+        return pa.table(cols)
+
+    agg = ds.map_batches(onehot, batch_format="pyarrow").groupby("user_id") \
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in types])
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": batch["user_id"]}
+            | {f"n_{t}": pc.cast(batch[f"n_{t}"], pa.int64())
+               for t in types})
+
+    return agg.map_batches(normalize, batch_format="pyarrow")
 
 
 def events_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase")):

@@ -51,7 +51,8 @@ def _check(name, con, ray_session):
     "tfidf_top_terms", "bm25_scores",
     "segment_dedup", "pii_scrub",
     "customers_without_urgent_orders", "orders_running_total",
-    "events_grouped_sample",
+    "events_grouped_sample", "events_sliding_window",
+    "events_type_percentiles", "user_event_pivot", "filtered_ann_topk",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
