@@ -28,6 +28,8 @@ queries() entries map to SURVEY.md §2 operators:
                        dedup, per-doc survivor counts (oracle)
   pii_scrub            curation: email/phone/IP regex redaction over
                        deterministically planted PII (oracle)
+  incremental_dedup    dedup of arriving docs against an ingested index
+                       partition, one fp shuffle, no broadcast (oracle)
   customers_without_urgent_orders  distributed tag-and-union shuffle
                        anti-join, map-side key dedup (oracle)
   orders_running_total partitioned window function: per-customer
@@ -338,6 +340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": curation.decontaminate,
         "curation_pipeline": curation.curation_pipeline,
         "segment_dedup": curation.segment_dedup,
+        "incremental_dedup": curation.incremental_dedup,
         "pii_scrub": curation.pii_scrub,
         "tfidf_top_terms": ranking.tfidf_top_terms,
         "bm25_scores": ranking.bm25_scores,
@@ -736,6 +739,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_segs,
                    CAST(sum(kept) AS BIGINT) AS n_kept
             FROM marked GROUP BY doc_id
+        """,
+        "incremental_dedup": """
+            WITH p AS (
+                SELECT doc_id, source,
+                       array_to_string(string_split(text, ' ')[1:8], ' ') AS fp
+                FROM documents
+            ), idx AS (
+                SELECT DISTINCT fp FROM p WHERE source = 'src0'
+            ), new AS (
+                SELECT doc_id, fp FROM p WHERE source <> 'src0'
+            ), firsts AS (
+                SELECT fp, min(doc_id) AS first_doc FROM new GROUP BY fp
+            )
+            SELECT n.doc_id,
+                   CASE WHEN n.fp IN (SELECT fp FROM idx) THEN 'dup_index'
+                        WHEN n.doc_id <> f.first_doc THEN 'dup_new'
+                        ELSE 'unique' END AS status
+            FROM new n JOIN firsts f ON n.fp = f.fp
         """,
         "pii_scrub": r"""
             WITH aug AS (

@@ -210,6 +210,70 @@ def segment_dedup(sf_dir: str, k: int = 8):
         Count(alias_name="n_segs"), Sum("kept", alias_name="n_kept"))
 
 
+def incremental_dedup(sf_dir: str, k: int = 8, index_source: str = "src0"):
+    """(doc_id, status) for every NEW document — incremental dedup
+    against an already-ingested index, the production destor topology
+    (D2 exact lookup: new chunks probe the fingerprint kv-store built
+    by prior jobs, /root/reference/src/index/kvstore_htable.c). Docs
+    with source == index_source play the prior ingest; everything else
+    is the arriving batch. Fingerprint = the doc's first `k` tokens
+    (a content-prefix fingerprint; the corpus has no full-text dups).
+
+      status = 'dup_index'  fingerprint already in the index;
+               'dup_new'    first seen earlier (lower doc_id) in THIS
+                            arriving batch;
+               'unique'     first occurrence anywhere.
+
+    One shuffle: both sides hash-partition by fingerprint (the index
+    side ships (fp, flag) only), and each bucket resolves all three
+    states with segmented numpy reductions — no broadcast of the index,
+    so it scales when the index side is 10^12 rows."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "source", "text"])
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        fp = pc.binary_join(pc.list_slice(toks, 0, k), " ")
+        is_index = pc.cast(pc.equal(batch["source"], index_source),
+                           pa.int8())
+        return pa.table({"fp": fp, "doc_id": batch["doc_id"].cast(pa.int64()),
+                         "is_index": is_index})
+
+    rows = ds.map_batches(fingerprint, batch_format="pyarrow")
+
+    def resolve(df: pd.DataFrame) -> pa.Table:
+        fp = df["fp"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        isx = df["is_index"].to_numpy().astype(bool)
+        order = np.lexsort((doc, fp))
+        fp_s, doc_s, isx_s = fp[order], doc[order], isx[order]
+        n = len(fp_s)
+        if not n:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "status": pa.array([], pa.string())})
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = fp_s[1:] != fp_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        seg = np.repeat(np.arange(len(starts)), sizes)
+        has_index = np.maximum.reduceat(isx_s.astype(np.int8), starts) > 0
+        # min doc_id among NEW rows per segment: mask index rows to +inf
+        doc_new = np.where(isx_s, np.iinfo(np.int64).max, doc_s)
+        first_new = np.minimum.reduceat(doc_new, starts)
+        is_new_row = ~isx_s
+        status = np.where(
+            has_index[seg], "dup_index",
+            np.where(doc_s == first_new[seg], "unique", "dup_new"))
+        return pa.table({
+            "doc_id": pa.array(doc_s[is_new_row], pa.int64()),
+            "status": pa.array(status[is_new_row].tolist(), pa.string()),
+        })
+
+    return bucketed_group_map(rows, "fp", resolve)
+
+
 # RE2 patterns shared verbatim with the DuckDB oracle (both engines use
 # RE2 semantics). Replacement order is fixed: email, phone, ip.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -53,6 +53,7 @@ def _check(name, con, ray_session):
     "customers_without_urgent_orders", "orders_running_total",
     "events_grouped_sample", "events_sliding_window",
     "events_type_percentiles", "user_event_pivot", "filtered_ann_topk",
+    "incremental_dedup",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -271,6 +272,34 @@ def test_segment_dedup_planted_windows(ray_session, tmp_path):
     assert (int(out.loc[2, "n_segs"]), int(out.loc[2, "n_kept"])) == (2, 1)
     assert (int(out.loc[3, "n_segs"]), int(out.loc[3, "n_kept"])) == (2, 2)
     assert (int(out.loc[4, "n_segs"]), int(out.loc[4, "n_kept"])) == (2, 0)
+
+
+def test_incremental_dedup_planted_statuses(ray_session, tmp_path):
+    """All three states on planted data: fp hits the ingested index ->
+    dup_index (even when another new doc saw it first); first new
+    occurrence of a fresh fp -> unique; later ones -> dup_new."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.curation import incremental_dedup
+    fpA = " ".join(f"a{i}" for i in range(8))   # in the index
+    fpB = " ".join(f"b{i}" for i in range(8))   # new-only, repeated
+    fpC = " ".join(f"c{i}" for i in range(8))   # new-only, once
+    rows = {
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "source": pa.array(["src0", "srcX", "srcX", "srcX", "srcX"],
+                           pa.string()),
+        "text": pa.array([fpA + " tail0", fpA + " tail1", fpB + " t2",
+                          fpB + " t3", fpC + " t4"], pa.string()),
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = incremental_dedup(str(d)).to_pandas().set_index("doc_id")
+    assert 1 not in out.index                      # index rows not emitted
+    assert out.loc[2, "status"] == "dup_index"
+    assert out.loc[3, "status"] == "unique"
+    assert out.loc[4, "status"] == "dup_new"
+    assert out.loc[5, "status"] == "unique"
 
 
 def test_pii_scrub_redacts_all_planted(ray_session):
