@@ -42,6 +42,13 @@ queries() entries map to SURVEY.md §2 operators:
   user_event_pivot     pivot/crosstab via conditional aggregation (oracle)
   filtered_ann_topk    composed filter ⋈ ANN: predicate on documents,
                        narrow post-score join, partial top-k (oracle)
+  label_centroids      per-label embedding centroids, segmented partial
+                       sums then tiny (label,dim) aggregate (oracle)
+  kmeans_assign        Lloyd's assignment step vs broadcast centroids,
+                       one matmul per batch (oracle)
+  events_value_histogram fixed-width integer-exact histogram (oracle)
+  corpus_phash_topk    image similarity search by phash Hamming
+                       distance, local top-k per batch (rows-only)
   container_refs       HAR utilization aggregate (R4 analog, oracle)
   cap_top_containers   CAP top-k by referenced bytes (R3 analog, oracle)
   docs_stats_by_lang   per-job counters (W5 analog, oracle)
@@ -122,6 +129,44 @@ def _corpus_exact(sf_dir: str):
     from destor_ray.stages.exact import exact_dedup
     d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
     return exact_dedup(signatures_from_corpus(ray.data.read_parquet(d)))
+
+
+def _corpus_phash_topk(sf_dir: str, k: int = 10):
+    """Image similarity search: top-k corpus images nearest the first
+    image by perceptual-hash Hamming distance — the metadata-only image
+    analog of ann_topk (the 64-bit phash column stands in for an
+    embedding; destor's similarity detection D3 ranks by shared
+    features the same way). Per-batch vectorized XOR+popcount with
+    local top-k pruning, then a tiny global sort; ties to smaller
+    image_id. The query phash comes from a one-row pushed-down read."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.codec import hamming64
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    dset = pads.dataset(d)
+    first = dset.head(1, columns=["image_id", "phash"])
+    qid = first["image_id"][0].as_py()
+    qhash = first["phash"][0].as_py()
+
+    def score(batch: pa.Table) -> pa.Table:
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        dist = hamming64(ph, np.int64(qhash))
+        ids = np.asarray(batch["image_id"].to_pylist(), dtype=object)
+        keep = ids != qid
+        ids, dist = ids[keep], dist[keep]
+        if len(dist) > k:
+            order = np.lexsort((ids, dist))[:k]
+            ids, dist = ids[order], dist[order]
+        return pa.table({"image_id": pa.array(ids.tolist(), pa.string()),
+                         "hamming": pa.array(dist, pa.int64())})
+
+    ds = ray.data.read_parquet(d, columns=["image_id", "phash"])
+    return ds.map_batches(score, batch_format="pyarrow") \
+        .sort(["hamming", "image_id"]).limit(k)
 
 
 def entry() -> Any:
@@ -359,6 +404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
         "embedding_lsh_pairs": ann.embedding_lsh_pairs,
         "embedding_clusters": ann.embedding_clusters,
+        "label_centroids": ann.label_centroids,
+        "kmeans_assign": ann.kmeans_assign,
+        "events_value_histogram": streaming.events_value_histogram,
+        "corpus_phash_topk": _corpus_phash_topk,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,
@@ -891,6 +940,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type='signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(sum(CASE WHEN event_type='error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY user_id
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i - 1 AS BIGINT) AS dim,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+            FROM embeddings, UNNEST(generate_series(1, 64)) t(i)
+            GROUP BY label, i
+        """,
+        "kmeans_assign": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 10
+            )
+            SELECT e.vec_id, c.cid AS centroid_id,
+                   round(list_distance(CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS dist
+            FROM embeddings e CROSS JOIN c
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce),
+                         c.cid) = 1
+        """,
+        "events_value_histogram": """
+            WITH v AS (
+                SELECT CAST(round(value*1000000) AS BIGINT) AS vmic
+                FROM events
+            )
+            SELECT vmic // 50000000 AS bin,
+                   count(*) AS n,
+                   CAST(sum(vmic) AS BIGINT) AS sum_micro
+            FROM v GROUP BY bin
         """,
         "filtered_ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

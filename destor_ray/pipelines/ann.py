@@ -123,6 +123,85 @@ def filtered_ann_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
         .sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
 
 
+def label_centroids(sf_dir: str):
+    """(label, dim, mean_val): per-label centroid of the embedding
+    column in long format — the vector-aggregation pattern behind
+    k-means / IVF training. Each batch reduces to ONE partial
+    (label, dim, s, n) block via a segmented numpy sum (at most
+    n_labels × 64 rows per batch), so the shuffle moves partials, not
+    vectors; a tiny (label, dim) hash aggregate finishes the mean."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_embeddings(sf_dir).select_columns(["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        sums = np.add.reduceat(m[order], starts, axis=0)   # (g, 64)
+        counts = np.diff(np.append(starts, len(lab_s)))
+        g, d = sums.shape
+        return pa.table({
+            "label": pa.array(np.repeat(lab_s[starts], d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d), g), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.float64()),
+            "n": pa.array(np.repeat(counts, d).astype(np.int64), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": batch["label"].cast(pa.int64()),
+            "dim": batch["dim"].cast(pa.int64()),
+            "mean_val": pa.array(np.round(s / n, 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def kmeans_assign(sf_dir: str, n_centroids: int = 10):
+    """(vec_id, centroid_id, dist): one Lloyd's assignment step —
+    nearest centroid by euclidean distance, ties to the smaller
+    centroid id. Centroids are the first `n_centroids` table rows
+    (deterministic, oracle-expressible); they broadcast once via
+    ray.put and every batch resolves assignments with a single
+    (batch × d) @ (d × k) matmul — the map-only model-scoring shape
+    (the trained-quantizer version of this stage is ivf_topk's)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    ctbl = dset.to_table(filter=pads.field("vec_id") < n_centroids,
+                         columns=["vec_id", "embedding"])
+    order = np.argsort(ctbl["vec_id"].to_numpy())
+    C = np.asarray(ctbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _emb_matrix(batch)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2, argmin over centroids;
+        # argmin returns the FIRST minimum = smallest centroid id
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+            + (c * c).sum(axis=1)[None, :]
+        best = np.argmin(d2, axis=1)
+        dist = np.sqrt(np.maximum(d2[np.arange(len(m)), best], 0.0))
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "centroid_id": pa.array(best.astype(np.int64), pa.int64()),
+            "dist": pa.array(np.round(dist, 6), pa.float64()),
+        })
+
+    return _read_embeddings(sf_dir).select_columns(["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow")
+
+
 def ann_topk_multi(sf_dir: str, k: int = 10, n_queries: int = 8):
     """Batched multi-query brute-force ANN — the broadcast-query-matrix
     pattern: the `n_queries` query vectors (rows with vec_id <

@@ -449,6 +449,32 @@ def events_type_percentiles(sf_dir: str):
                               "event_type", pct, num_buckets=8)
 
 
+def events_value_histogram(sf_dir: str, bin_micro: int = 50_000_000):
+    """(bin, n, sum_micro): fixed-width histogram of `value` (bins of
+    `bin_micro` exact integer micro-units, i.e. 50.0 per bin). Map-only
+    binning + one tiny hash aggregate over ~10 bins — Ray's groupby
+    combines partials map-side, so the shuffle is O(bins × batches)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_events(sf_dir).select_columns(["value"])
+
+    def binit(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({"bin": pa.array(vmic // bin_micro, pa.int64()),
+                         "vmic": pa.array(vmic, pa.int64())})
+
+    agg = ds.map_batches(binit, batch_format="pyarrow").groupby("bin") \
+        .aggregate(Count(alias_name="n"), Sum("vmic", alias_name="sum_micro"))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"bin": batch["bin"], "n": batch["n"],
+                         "sum_micro": pc.cast(batch["sum_micro"],
+                                              pa.int64())})
+
+    return agg.map_batches(normalize, batch_format="pyarrow")
+
+
 def user_event_pivot(sf_dir: str):
     """(user_id, n_view, n_click, n_purchase, n_signup, n_error): pivot
     / crosstab — event-type counts widened into one column per type.

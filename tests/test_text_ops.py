@@ -53,7 +53,8 @@ def _check(name, con, ray_session):
     "customers_without_urgent_orders", "orders_running_total",
     "events_grouped_sample", "events_sliding_window",
     "events_type_percentiles", "user_event_pivot", "filtered_ann_topk",
-    "incremental_dedup",
+    "incremental_dedup", "label_centroids", "kmeans_assign",
+    "events_value_histogram",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -272,6 +273,18 @@ def test_segment_dedup_planted_windows(ray_session, tmp_path):
     assert (int(out.loc[2, "n_segs"]), int(out.loc[2, "n_kept"])) == (2, 1)
     assert (int(out.loc[3, "n_segs"]), int(out.loc[3, "n_kept"])) == (2, 2)
     assert (int(out.loc[4, "n_segs"]), int(out.loc[4, "n_kept"])) == (2, 0)
+
+
+def test_corpus_phash_topk_sane(ray_session):
+    import numpy as np
+    import __ray_entry__ as em
+    out = em.queries()["corpus_phash_topk"](SF).to_pandas()
+    assert len(out) == 10
+    d = out["hamming"].to_numpy()
+    assert (np.diff(d) >= 0).all() and (d >= 0).all() and (d <= 64).all()
+    # the query image itself is excluded, so no zero-distance self-hit
+    # unless a genuine phash twin exists — either way ids are unique
+    assert out["image_id"].is_unique
 
 
 def test_incremental_dedup_planted_statuses(ray_session, tmp_path):
