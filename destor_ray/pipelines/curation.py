@@ -138,6 +138,34 @@ def curation_pipeline(sf_dir: str, min_len: int = 200,
     return groups.map_batches(assign_split, batch_format="pyarrow")
 
 
+def token_window_segments(text_arr: pa.Array, k: int):
+    """Vectorized k-token non-overlapping window extraction: for an
+    Arrow string array of whitespace-joined docs, returns (seg, doc_rep,
+    seg_idx) where seg[j] is the space-joined window, doc_rep[j] the
+    source row index, seg_idx[j] the within-doc window number. One
+    split_pattern + numpy offset arithmetic + one C-level binary_join —
+    no per-row Python."""
+    if len(text_arr) == 0:
+        return (pa.array([], pa.string()), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    toks = pc.split_pattern(text_arr, " ")
+    off = np.asarray(toks.offsets)
+    counts = np.diff(off)
+    nseg = -(-counts // k)
+    ndocs = len(counts)
+    doc_rep = np.repeat(np.arange(ndocs), nseg)
+    first = np.concatenate(([0], np.cumsum(nseg)[:-1]))
+    seg_idx = np.arange(nseg.sum()) - np.repeat(first, nseg)
+    starts = off[doc_rep] + seg_idx * k
+    # segments tile each doc contiguously, so each segment's end is
+    # the next segment's start and the final end is off[-1]
+    seg_offsets = np.append(starts, off[-1]).astype(np.int64)
+    seg_list = pa.LargeListArray.from_arrays(
+        seg_offsets, toks.values.cast(pa.large_string()))
+    seg = pc.binary_join(seg_list, pa.scalar(" ", pa.large_string()))
+    return seg.cast(pa.string()), doc_rep, seg_idx
+
+
 def segment_dedup(sf_dir: str, k: int = 8):
     """(doc_id, n_segs, n_kept): line-level dedup (C4/RefinedWeb style)
     recast for this corpus — documents have no newlines, so a "line" is
@@ -168,24 +196,11 @@ def segment_dedup(sf_dir: str, k: int = 8):
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
 
     def segs(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
-        off = np.asarray(toks.offsets)
-        counts = np.diff(off)
-        nseg = -(-counts // k)
-        ndocs = len(counts)
-        doc_rep = np.repeat(np.arange(ndocs), nseg)
-        first = np.concatenate(([0], np.cumsum(nseg)[:-1]))
-        seg_idx = np.arange(nseg.sum()) - np.repeat(first, nseg)
-        starts = off[doc_rep] + seg_idx * k
-        # segments tile each doc contiguously, so each segment's end is
-        # the next segment's start and the final end is off[-1]
-        seg_offsets = np.append(starts, off[-1]).astype(np.int64)
-        seg_list = pa.LargeListArray.from_arrays(
-            seg_offsets, toks.values.cast(pa.large_string()))
-        seg = pc.binary_join(seg_list, pa.scalar(" ", pa.large_string()))
+        seg, doc_rep, seg_idx = token_window_segments(
+            batch["text"].combine_chunks(), k)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "seg": seg.cast(pa.string()),
+            "seg": seg,
             "doc_id": pa.array(ids[doc_rep], pa.int64()),
             "seg_idx": pa.array(seg_idx, pa.int64()),
         })

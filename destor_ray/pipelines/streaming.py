@@ -348,6 +348,30 @@ def events_grouped_sample(sf_dir: str, k: int = 20):
                               num_buckets=8)
 
 
+def segmented_rolling_sum(keys_sorted: np.ndarray, vals: np.ndarray,
+                          w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-key sliding sums over the last `w` rows (ROWS frame), for
+    arrays already sorted by key then frame order. Returns (roll_sum,
+    roll_n). One prefix sum; the frame is cum[i] - cum[lo-1] with
+    lo = max(i-w+1, key_run_start) — fully vectorized."""
+    n = len(keys_sorted)
+    if not n:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    cum = np.cumsum(vals)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = keys_sorted[1:] != keys_sorted[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, n))
+    gstart = np.repeat(starts, sizes)
+    lo = np.maximum(np.arange(n) - w + 1, gstart)
+    # cum[lo-1] is the prefix BEFORE the frame; lo==0 means the frame
+    # starts at the global first row (prefix 0)
+    roll_sum = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+    roll_n = np.arange(n) - lo + 1
+    return roll_sum, roll_n
+
+
 def events_sliding_window(sf_dir: str, w: int = 5):
     """(event_id, user_id, roll_sum_micro, roll_n): sliding-window
     aggregate — per user, the sum/count of `value` over the last `w`
@@ -380,21 +404,8 @@ def events_sliding_window(sf_dir: str, w: int = 5):
         eid = df["event_id"].to_numpy()
         vmic = df["vmic"].to_numpy()
         order = np.lexsort((eid, ts, user))
-        user_s, vmic_s = user[order], vmic[order]
-        n = len(user_s)
-        cum = np.cumsum(vmic_s)
-        new = np.empty(n, dtype=bool)
-        if n:
-            new[0] = True
-            new[1:] = user_s[1:] != user_s[:-1]
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, n))
-        gstart = np.repeat(starts, sizes)
-        lo = np.maximum(np.arange(n) - w + 1, gstart)
-        # cum[lo-1] is the prefix BEFORE the frame; lo==0 means the
-        # frame starts at the global first row (prefix 0)
-        roll_sum = cum - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
-        roll_n = np.arange(n) - lo + 1
+        user_s = user[order]
+        roll_sum, roll_n = segmented_rolling_sum(user_s, vmic[order], w)
         return pa.table({
             "event_id": pa.array(eid[order], pa.int64()),
             "user_id": pa.array(user_s, pa.int64()),

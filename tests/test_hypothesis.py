@@ -55,3 +55,46 @@ def test_sampling_subset_property(vals, ratio):
         sset = set(fps.tolist())
         for f in out.tolist():
             assert f in sset or f in (0, 0xFFFFFFFFFFFFFFFF)
+
+
+@settings(max_examples=25, deadline=None)
+@given(docs=st.lists(st.lists(st.text(alphabet="abcz", min_size=1,
+                                      max_size=4), min_size=0, max_size=30),
+                     min_size=0, max_size=12),
+       k=st.integers(min_value=1, max_value=9))
+def test_token_window_segments_matches_python(docs, k):
+    import pyarrow as pa
+    from destor_ray.pipelines.curation import token_window_segments
+    texts = [" ".join(d) for d in docs]
+    seg, doc_rep, seg_idx = token_window_segments(
+        pa.array(texts, pa.string()), k)
+    got = list(zip(doc_rep.tolist(), seg_idx.tolist(), seg.to_pylist()))
+    want = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")  # NB: "" splits to [""], matching Arrow/SQL
+        for j in range(-(-len(toks) // k)):
+            want.append((i, j, " ".join(toks[j * k:(j + 1) * k])))
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(min_value=0, max_value=3),
+                               st.integers(min_value=-1000, max_value=1000)),
+                     min_size=0, max_size=60),
+       w=st.integers(min_value=1, max_value=7))
+def test_segmented_rolling_sum_matches_pandas(rows, w):
+    import pandas as pd
+    from destor_ray.pipelines.streaming import segmented_rolling_sum
+    rows = sorted(rows)  # sort by key (frame order = input order per key)
+    keys = np.array([r[0] for r in rows], dtype=np.int64)
+    vals = np.array([r[1] for r in rows], dtype=np.int64)
+    roll_sum, roll_n = segmented_rolling_sum(keys, vals, w)
+    if len(rows):
+        s = pd.Series(vals)
+        g = s.groupby(keys)
+        want_sum = g.rolling(w, min_periods=1).sum().reset_index(drop=True)
+        want_n = g.rolling(w, min_periods=1).count().reset_index(drop=True)
+        assert roll_sum.tolist() == want_sum.astype(int).tolist()
+        assert roll_n.tolist() == want_n.astype(int).tolist()
+    else:
+        assert len(roll_sum) == 0 and len(roll_n) == 0
