@@ -137,7 +137,9 @@ def main() -> None:
     qs = em.queries()
     for name in ["exact_dedup_docs", "minhash_lsh_docs", "ann_topk",
                  "embedding_dedup_pairs", "container_refs",
-                 "cap_top_containers", "token_count"]:
+                 "cap_top_containers", "token_count",
+                 "curation_pipeline", "segment_dedup", "bm25_scores",
+                 "orders_running_total", "events_sliding_window"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver
