@@ -131,6 +131,24 @@ def _corpus_exact(sf_dir: str):
     return exact_dedup(signatures_from_corpus(ray.data.read_parquet(d)))
 
 
+def _curation_job_metrics(sf_dir: str):
+    """Runs the checkpointed resumable curation job (S2/S3 analog for
+    the text pipeline) under a /tmp workdir and returns its metrics as
+    a one-row table; a second driver run in the same round resumes
+    every stage from parquet+lineage."""
+    import os
+    import pyarrow as pa
+    from destor_ray.pipelines.curation import run_curation_job
+
+    wd = os.path.join("/tmp/destor_ray_jobs",
+                      "curation_" + os.path.basename(os.path.normpath(sf_dir)))
+    status = run_curation_job(sf_dir, wd)
+    m = status["metrics"]
+    n_resumed = sum(bool(v) for v in status["resumed"].values())
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in m.items()}
+                    | {"stages_resumed": pa.array([n_resumed], pa.int64())})
+
+
 def _corpus_phash_topk(sf_dir: str, k: int = 10):
     """Image similarity search: top-k corpus images nearest the first
     image by perceptual-hash Hamming distance — the metadata-only image
@@ -408,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": ann.kmeans_assign,
         "events_value_histogram": streaming.events_value_histogram,
         "corpus_phash_topk": _corpus_phash_topk,
+        "curation_job_metrics": _curation_job_metrics,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,

@@ -135,6 +135,11 @@ def label_centroids(sf_dir: str):
     ds = _read_embeddings(sf_dir).select_columns(["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
         m = _emb_matrix(batch)
         lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(lab, kind="stable")

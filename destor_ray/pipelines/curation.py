@@ -100,7 +100,17 @@ def curation_pipeline(sf_dir: str, min_len: int = 200,
     from ray.data.aggregate import Count, Min
 
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    hashed = ds.map_batches(_scrub_filter_hash_fn(min_len, alpha_pct),
+                            batch_format="pyarrow")
+    groups = hashed.groupby("h").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("text_len", alias_name="text_len"),
+        Count(alias_name="n_copies"))
+    return groups.map_batches(_assign_split_fn(val_pct),
+                              batch_format="pyarrow")
 
+
+def _scrub_filter_hash_fn(min_len: int, alpha_pct: int):
     def scrub_filter_hash(batch: pa.Table) -> pa.Table:
         clean = pc.replace_substring_regex(batch["text"], SCRUB_PATTERN, "")
         tlen = pc.cast(pc.utf8_length(clean), pa.int64())
@@ -117,25 +127,21 @@ def curation_pipeline(sf_dir: str, min_len: int = 200,
         return pa.table({"doc_id": sub["doc_id"],
                          "h": pa.array(h, pa.string()),
                          "text_len": sub["text_len"]})
+    return scrub_filter_hash
 
-    hashed = ds.map_batches(scrub_filter_hash, batch_format="pyarrow")
-    groups = hashed.groupby("h").aggregate(
-        Min("doc_id", alias_name="doc_id"),
-        Min("text_len", alias_name="text_len"),
-        Count(alias_name="n_copies"))
 
+def _assign_split_fn(val_pct: int):
     def assign_split(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         buckets = np.fromiter(
             (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
              for i in ids), dtype=np.int64, count=len(ids))
         split = np.where(buckets < val_pct, "val", "train")
-        return pa.table({"doc_id": batch["doc_id"],
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "split": pa.array(split.tolist(), pa.string()),
                          "text_len": batch["text_len"],
-                         "n_copies": batch["n_copies"]})
-
-    return groups.map_batches(assign_split, batch_format="pyarrow")
+                         "n_copies": pc.cast(batch["n_copies"], pa.int64())})
+    return assign_split
 
 
 def token_window_segments(text_arr: pa.Array, k: int):
@@ -223,6 +229,115 @@ def segment_dedup(sf_dir: str, k: int = 8):
     marked = bucketed_group_map(occurrences, "seg", keep_first)
     return marked.groupby("doc_id").aggregate(
         Count(alias_name="n_segs"), Sum("kept", alias_name="n_kept"))
+
+
+def run_curation_job(sf_dir: str, workdir: str, min_len: int = 200,
+                     alpha_pct: int = 78, val_pct: int = 10,
+                     force: bool = False) -> dict:
+    """Checkpointed, resumable version of `curation_pipeline` — the text
+    pipeline run as a destor-style job (S2/S3 trace analog, same
+    machinery as pipelines/job.run_backup_job): each stage writes
+    partitioned parquet + `_lineage.json`; a re-run with unchanged
+    config and input resumes every finished stage without recompute.
+
+      stage 1 `hashed`    scrub → integer-exact quality filter →
+                          content hash (map-only; the corpus never
+                          crosses a shuffle);
+      stage 2 `survivors` keep-first dedup on the content hash (the
+                          job's ONE shuffle);
+      stage 3 `final`     deterministic md5 train/val split;
+      metrics.json        per-job accounting (survivor/copy counts,
+                          split sizes) — destor's backup.log analog.
+
+    Returns {"resumed": {stage: bool}, "metrics": {...},
+    "final_dir": path}."""
+    import hashlib as _hl
+    import json
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from ..state import checkpoint as ckpt
+
+    cfg_hash = _hl.sha1(
+        f"curation:v1:{min_len}:{alpha_pct}:{val_pct}".encode()
+    ).hexdigest()[:12]
+    doc_path = f"{sf_dir}/documents.parquet"
+    st = os.stat(doc_path)
+    input_id = f"{os.path.basename(doc_path)}:{st.st_size}:{st.st_mtime_ns}"
+    os.makedirs(workdir, exist_ok=True)
+    status: dict = {"resumed": {}}
+
+    def produce_hashed(out: str):
+        ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+        ds.map_batches(_scrub_filter_hash_fn(min_len, alpha_pct),
+                       batch_format="pyarrow").write_parquet(out)
+        return None
+
+    hashed, resumed = ckpt.run_stage(workdir, "hashed", cfg_hash, input_id,
+                                     produce_hashed, force=force)
+    status["resumed"]["hashed"] = resumed
+
+    def produce_survivors(out: str):
+        groups = hashed.groupby("h").aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("text_len", alias_name="text_len"),
+            Count(alias_name="n_copies"))
+        groups.write_parquet(out)
+        return None
+
+    survivors, resumed = ckpt.run_stage(workdir, "survivors", cfg_hash,
+                                        input_id, produce_survivors,
+                                        force=force)
+    status["resumed"]["survivors"] = resumed
+
+    def produce_final(out: str):
+        survivors.map_batches(_assign_split_fn(val_pct),
+                              batch_format="pyarrow").write_parquet(out)
+        return None
+
+    final, resumed = ckpt.run_stage(workdir, "final", cfg_hash, input_id,
+                                    produce_final, force=force)
+    status["resumed"]["final"] = resumed
+
+    metrics_path = os.path.join(workdir, "metrics.json")
+    if force or not ckpt.stage_complete(workdir, "metrics", cfg_hash,
+                                        input_id):
+        from ray.data.aggregate import Sum
+        mrow = final.map_batches(
+            lambda b: pa.table({
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                "copies": b["n_copies"].cast(pa.int64()),
+                "is_val": pc.cast(pc.equal(b["split"], "val"), pa.int64()),
+            }), batch_format="pyarrow").aggregate(
+                Sum("one", alias_name="survivors"),
+                Sum("copies", alias_name="kept_docs"),
+                Sum("is_val", alias_name="n_val"))
+        metrics = {
+            "survivors": int(mrow["survivors"]),
+            "kept_docs_after_filter": int(mrow["kept_docs"]),
+            "duplicates_removed": int(mrow["kept_docs"] - mrow["survivors"]),
+            "n_val": int(mrow["n_val"]),
+            "n_train": int(mrow["survivors"] - mrow["n_val"]),
+        }
+        mdir = ckpt.stage_dir(workdir, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        with open(metrics_path, "w") as f:
+            json.dump(metrics, f, indent=1)
+        lineage = {"stage": "metrics", "config_hash": cfg_hash,
+                   "input_id": input_id, "rows": 1}
+        with open(os.path.join(mdir, ckpt.LINEAGE), "w") as f:
+            json.dump(lineage, f, indent=1)
+        status["resumed"]["metrics"] = False
+    else:
+        with open(metrics_path) as f:
+            metrics = json.load(f)
+        status["resumed"]["metrics"] = True
+
+    status["metrics"] = metrics
+    status["final_dir"] = ckpt.stage_dir(workdir, "final")
+    return status
 
 
 def incremental_dedup(sf_dir: str, k: int = 8, index_source: str = "src0"):

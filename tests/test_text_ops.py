@@ -324,6 +324,31 @@ def test_pii_scrub_redacts_all_planted(ray_session):
     assert (out["n_email"] == 1 + (out["doc_id"] % 3 == 0)).all()
 
 
+def test_curation_job_resumes_and_matches_pipeline(ray_session, tmp_path):
+    """The checkpointed curation job: first run computes all stages,
+    second run resumes every stage from parquet+lineage; the final
+    output equals the one-shot streaming pipeline; metrics line up."""
+    import pandas as pd
+    import ray.data
+    from destor_ray.pipelines.curation import (curation_pipeline,
+                                               run_curation_job)
+    wd = str(tmp_path / "job")
+    s1 = run_curation_job(SF, wd)
+    assert not any(s1["resumed"].values())
+    s2 = run_curation_job(SF, wd)
+    assert all(s2["resumed"].values())
+    assert s1["metrics"] == s2["metrics"]
+    out = ray.data.read_parquet(s1["final_dir"]).to_pandas()
+    ref = curation_pipeline(SF).to_pandas()
+    a = out[sorted(out.columns)].sort_values("doc_id").reset_index(drop=True)
+    b = ref[sorted(ref.columns)].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    m = s1["metrics"]
+    assert m["survivors"] == len(ref)
+    assert m["n_val"] + m["n_train"] == m["survivors"]
+    assert m["duplicates_removed"] == int(ref["n_copies"].sum()) - len(ref)
+
+
 def test_curation_pipeline_dedups_planted_copies(ray_session, tmp_path):
     """The corpus has no exact dups, so plant some: the dedup leg must
     keep min(doc_id) per clean-text group and count copies — including
