@@ -12,6 +12,8 @@ queries() entries map to SURVEY.md §2 operators:
   doc_fingerprint      document fingerprinting: SimHash + MinHash (rows-only)
   minhash_lsh_docs     D3/D4 similarity join: MinHash-LSH near-dup clusters (rows-only)
   simhash_dup_pairs    SimHash banded near-dup pairs, exact Hamming verify (rows-only)
+  minhash_lsh_oph      one-permutation-hashing MinHash-LSH, md5 slots —
+                       the hash-VERIFIED LSH candidate join (oracle)
   segment_routing      D3 champion top-k segment routing with feature trim (rows-only)
   ngram_jaccard_pairs  exact n-gram Jaccard over LSH candidates (rows-only)
   jaccard_join_exact   inverted-index set-similarity join, ALL pairs (oracle)
@@ -389,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
         "minhash_lsh_docs": text.minhash_lsh_docs,
+        "minhash_lsh_oph": text.minhash_lsh_oph,
         "simhash_dup_pairs": text.simhash_dup_pairs,
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
@@ -807,6 +810,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_segs,
                    CAST(sum(kept) AS BIGINT) AS n_kept
             FROM marked GROUP BY doc_id
+        """,
+        "minhash_lsh_oph": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(t)-1)) u(i)
+                WHERE len(t) >= 3
+            ), hv AS (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+                FROM sh
+            ), bm AS (
+                SELECT doc_id, h % 16 AS band, min(h) AS mv
+                FROM hv GROUP BY doc_id, band
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   count(*) AS n_shared
+            FROM bm a JOIN bm b
+              ON a.band = b.band AND a.mv = b.mv AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "incremental_dedup": """
             WITH p AS (

@@ -262,6 +262,104 @@ def doc_fingerprint(sf_dir: str):
 # Near-dup dedup over documents (MinHash-LSH / SimHash / n-gram Jaccard)
 # ---------------------------------------------------------------------------
 
+def minhash_lsh_oph(sf_dir: str, w: int = 3, bands: int = 16):
+    """(left_id, right_id, n_shared): MinHash-LSH candidate pairs via
+    ONE-PERMUTATION HASHING with an md5 hash — the hash-verifiable
+    twin of minhash_lsh_docs. Each doc's w-token shingles hash to
+    60-bit ints (first 15 hex of md5 — SQL-mirrorable, unlike the
+    splitmix permutations of the fast path); band b = h % bands and the
+    band's signature slot is min(h) over the doc's shingles in b (Li,
+    Owen, Zhang — one permutation hashing, NIPS'12). Docs sharing a
+    (band, min) slot are candidates; n_shared counts agreeing bands
+    (16/16 ≈ near-identical shingle sets).
+
+    Scale shape identical to the flagship's band exchange: band rows
+    (min, band, doc_id) hash-partition by the min value, pairs expand
+    in-bucket per (band, min) group, then one (left,right) aggregate
+    counts shared bands. The md5 loop is the price of oracle parity —
+    production uses minhash_lsh_docs' vectorized splitmix path."""
+    from ray.data.aggregate import Count
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def band_minima(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"mv": pa.array([], pa.int64()),
+                          "band": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        off = np.asarray(toks.offsets).astype(np.int64)
+        counts = np.diff(off)
+        nsh = np.maximum(counts - (w - 1), 0)
+        total = int(nsh.sum())
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(len(counts)), nsh)
+        first = np.concatenate(([0], np.cumsum(nsh)[:-1]))
+        within = np.arange(total) - np.repeat(first, nsh)
+        pos = off[doc_rep] + within
+        vals = toks.values
+        parts = [pc.take(vals, pa.array(pos + j)) for j in range(w)]
+        shingle = pc.binary_join_element_wise(*parts, " ")
+        h = np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+             for s in shingle.to_pylist()),
+            dtype=np.int64, count=total)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[doc_rep]
+        # distinct (doc, h), then per-(doc, band) min = first of each
+        # run under (doc, band, h) ordering
+        band = h % bands
+        order = np.lexsort((h, band, ids))
+        ids_s, band_s, h_s = ids[order], band[order], h[order]
+        firstrun = np.r_[True, (ids_s[1:] != ids_s[:-1])
+                         | (band_s[1:] != band_s[:-1])]
+        return pa.table({
+            "mv": pa.array(h_s[firstrun], pa.int64()),
+            "band": pa.array(band_s[firstrun], pa.int64()),
+            "doc_id": pa.array(ids_s[firstrun], pa.int64()),
+        })
+
+    rows = ds.map_batches(band_minima, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        mv = df["mv"].to_numpy()
+        band = df["band"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        order = np.lexsort((doc, band, mv))
+        mv_s, band_s, doc_s = mv[order], band[order], doc[order]
+        n = len(mv_s)
+        ls, rs = [], []
+        if n:
+            new = np.r_[True, (mv_s[1:] != mv_s[:-1])
+                        | (band_s[1:] != band_s[:-1])]
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.append(starts, n))
+            for s, g in zip(starts[sizes > 1], sizes[sizes > 1]):
+                d = doc_s[s:s + g]          # sorted ascending, distinct
+                i, j = np.triu_indices(g, 1)
+                ls.append(d[i])
+                rs.append(d[j])
+        l = np.concatenate(ls) if ls else np.zeros(0, np.int64)
+        r = np.concatenate(rs) if rs else np.zeros(0, np.int64)
+        return pa.table({"left_id": pa.array(l, pa.int64()),
+                         "right_id": pa.array(r, pa.int64())})
+
+    cand = bucketed_group_map(rows, "mv", pairs)
+    agg = cand.groupby(["left_id", "right_id"]).aggregate(
+        Count(alias_name="n_shared"))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"left_id": batch["left_id"],
+                         "right_id": batch["right_id"],
+                         "n_shared": pc.cast(batch["n_shared"], pa.int64())})
+
+    return agg.map_batches(normalize, batch_format="pyarrow")
+
+
 def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6,
                      verify_perms: int = 16,
                      driver_cc_threshold: int = 10_000_000):
