@@ -14,6 +14,8 @@ queries() entries map to SURVEY.md §2 operators:
   simhash_dup_pairs    SimHash banded near-dup pairs, exact Hamming verify (rows-only)
   minhash_lsh_oph      one-permutation-hashing MinHash-LSH, md5 slots —
                        the hash-VERIFIED LSH candidate join (oracle)
+  simhash_md5_pairs    weighted SimHash pairs with EXACT-recall
+                       pigeonhole banding + popcount verify (oracle)
   segment_routing      D3 champion top-k segment routing with feature trim (rows-only)
   ngram_jaccard_pairs  exact n-gram Jaccard over LSH candidates (rows-only)
   jaccard_join_exact   inverted-index set-similarity join, ALL pairs (oracle)
@@ -392,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,
         "minhash_lsh_docs": text.minhash_lsh_docs,
         "minhash_lsh_oph": text.minhash_lsh_oph,
+        "simhash_md5_pairs": text.simhash_md5_pairs,
         "simhash_dup_pairs": text.simhash_dup_pairs,
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
@@ -810,6 +813,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_segs,
                    CAST(sum(kept) AS BIGINT) AS n_kept
             FROM marked GROUP BY doc_id
+        """,
+        "simhash_md5_pairs": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, tok, count(*) AS c
+                FROM toks GROUP BY doc_id, tok
+            ), h AS (
+                SELECT doc_id, c,
+                       CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+                FROM tc
+            ), bits AS (
+                SELECT doc_id, j,
+                       CASE WHEN sum(CASE WHEN (hv >> j) & 1 = 1
+                                          THEN c ELSE -c END) > 0
+                            THEN CAST(1 AS BIGINT) << j ELSE 0 END AS bitval
+                FROM h, UNNEST(range(0, 60)) u(j) GROUP BY doc_id, j
+            ), fp AS (
+                SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS f
+                FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 5
         """,
         "minhash_lsh_oph": """
             WITH toks AS (

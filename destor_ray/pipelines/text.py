@@ -360,6 +360,123 @@ def minhash_lsh_oph(sf_dir: str, w: int = 3, bands: int = 16):
     return agg.map_batches(normalize, batch_format="pyarrow")
 
 
+def simhash_md5_pairs(sf_dir: str, t: int = 5, nbits: int = 60,
+                      nbands: int = 6):
+    """(left_id, right_id, hamming): ALL document pairs whose weighted
+    SimHash fingerprints differ in at most `t` of `nbits` bits — the
+    hash-VERIFIED SimHash twin of simhash_dup_pairs (which uses the
+    fast splitmix hash). Fingerprint: per distinct token, a 60-bit md5
+    hash weighted by its in-doc count; bit j of the fingerprint is
+    sign(Σ ±count). Banding is EXACT-recall by pigeonhole: with
+    nbands = t+1 disjoint bit-bands, any pair within Hamming t agrees
+    exactly on ≥1 band (Charikar'02 + the Manku-Jain-Sarma banding),
+    so LSH + in-bucket popcount verify reproduces the brute-force SQL
+    join bit-for-bit — no recall tuning, which is what makes the
+    DuckDB oracle a hash match rather than a recall bound.
+
+    Scale: band rows are (band_key, doc_id, fp) = 24 B; the only
+    O(N²) risk is a band-key hot bucket (near-identical corpora) —
+    bounded the same way as the flagship's star+chain if it appears."""
+    from ray.data.aggregate import Min
+
+    from ..stages.grouped import bucketed_group_map
+
+    assert nbands == t + 1 and nbits % nbands == 0
+    bw = nbits // nbands
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fingerprints(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        off = np.asarray(toks.offsets).astype(np.int64)
+        doc_rep = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False),
+                            np.diff(off))
+        tc = pa.table({"doc_id": pa.array(doc_rep, pa.int64()),
+                       "term": toks.values}) \
+            .group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        terms = tc["term"].to_pylist()
+        uniq = {}
+        for s in terms:
+            if s not in uniq:
+                uniq[s] = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        h = np.fromiter((uniq[s] for s in terms), dtype=np.int64,
+                        count=len(terms))
+        c = tc["count_all"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = tc["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        doc_s, h_s, c_s = doc[order], h[order], c[order]
+        starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+        bits = ((h_s[:, None] >> np.arange(nbits)) & 1) * 2 - 1  # ±1
+        weighted = bits * c_s[:, None]
+        sums = np.add.reduceat(weighted, starts, axis=0)
+        fp = ((sums > 0).astype(np.int64)
+              << np.arange(nbits)).sum(axis=1)
+        return pa.table({"doc_id": pa.array(doc_s[starts], pa.int64()),
+                         "fp": pa.array(fp, pa.int64())})
+
+    fps = ds.map_batches(fingerprints, batch_format="pyarrow")
+
+    mask = (np.int64(1) << bw) - 1
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        fp = batch["fp"].to_numpy(zero_copy_only=False)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys, docs, fls = [], [], []
+        for b in range(nbands):
+            bits = (fp >> (b * bw)) & mask
+            keys.append((np.int64(b) << bw) | bits)
+            docs.append(doc)
+            fls.append(fp)
+        return pa.table({
+            "band_key": pa.array(np.concatenate(keys), pa.int64()),
+            "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+            "fp": pa.array(np.concatenate(fls), pa.int64()),
+        })
+
+    rows = fps.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        from ..codec import hamming64
+        key = df["band_key"].to_numpy()
+        doc = df["doc_id"].to_numpy()
+        fp = df["fp"].to_numpy()
+        order = np.lexsort((doc, key))
+        key_s, doc_s, fp_s = key[order], doc[order], fp[order]
+        n = len(key_s)
+        ls, rs, hs = [], [], []
+        if n:
+            starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+            sizes = np.diff(np.append(starts, n))
+            for s, g in zip(starts[sizes > 1], sizes[sizes > 1]):
+                d, f = doc_s[s:s + g], fp_s[s:s + g]
+                i, j = np.triu_indices(g, 1)
+                hm = hamming64(f[i], f[j])
+                ok = hm <= t
+                ls.append(d[i][ok])
+                rs.append(d[j][ok])
+                hs.append(hm[ok])
+        l = np.concatenate(ls) if ls else np.zeros(0, np.int64)
+        r = np.concatenate(rs) if rs else np.zeros(0, np.int64)
+        hmv = np.concatenate(hs) if hs else np.zeros(0, np.int64)
+        return pa.table({"left_id": pa.array(l, pa.int64()),
+                         "right_id": pa.array(r, pa.int64()),
+                         "hamming": pa.array(hmv, pa.int64())})
+
+    cand = bucketed_group_map(rows, "band_key", verify)
+    # a pair found in several agreeing bands appears once per band;
+    # Min dedups (the hamming value is identical in each)
+    agg = cand.groupby(["left_id", "right_id"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"left_id": batch["left_id"],
+                         "right_id": batch["right_id"],
+                         "hamming": pc.cast(batch["hamming"], pa.int64())})
+
+    return agg.map_batches(normalize, batch_format="pyarrow")
+
+
 def minhash_lsh_docs(sf_dir: str, threshold: float = 0.6,
                      verify_perms: int = 16,
                      driver_cc_threshold: int = 10_000_000):

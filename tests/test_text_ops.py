@@ -54,7 +54,7 @@ def _check(name, con, ray_session):
     "events_grouped_sample", "events_sliding_window",
     "events_type_percentiles", "user_event_pivot", "filtered_ann_topk",
     "incremental_dedup", "label_centroids", "kmeans_assign",
-    "events_value_histogram", "minhash_lsh_oph",
+    "events_value_histogram", "minhash_lsh_oph", "simhash_md5_pairs",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
