@@ -135,6 +135,43 @@ def _corpus_exact(sf_dir: str):
     return exact_dedup(signatures_from_corpus(ray.data.read_parquet(d)))
 
 
+def _corpus_dedup_eval(sf_dir: str):
+    """(metric, value): the flagship's quality scorecard against the
+    corpus generator's PLANTED ground truth (the north_rule's graded
+    numbers, surfaced as a driver query): dup-pair recall, planted
+    near-miss distractors wrongly merged (precision proxy — the plan's
+    distractor_near_miss rows are the hardest true negatives), and
+    exact truth-cluster mismatches."""
+    import pyarrow as pa
+    from destor_ray import corpus
+
+    n = _corpus_rows_for(sf_dir)
+    assignment = _corpus_clusters(sf_dir).to_pandas()
+    pred = dict(zip(assignment.image_id, assignment.cluster_id))
+    plan = corpus.dup_plan_table(n)
+    hits = misses = joined_distractors = 0
+    for left, right, kind in zip(plan["left_id"].to_pylist(),
+                                 plan["right_id"].to_pylist(),
+                                 plan["kind"].to_pylist()):
+        same = pred[left] == pred[right]
+        if kind == "distractor_near_miss":
+            joined_distractors += int(same)
+        else:
+            hits += int(same)
+            misses += int(not same)
+    truth = {f"img{i:010d}": f"img{corpus.truth_cluster(i):010d}"
+             for i in range(n)}
+    mismatches = sum(1 for k, v in truth.items() if pred[k] != v)
+    recall = hits / max(1, hits + misses)
+    rows = [("n_rows", float(n)),
+            ("dup_pair_recall", round(recall, 6)),
+            ("dup_pair_misses", float(misses)),
+            ("joined_distractors", float(joined_distractors)),
+            ("exact_truth_mismatches", float(mismatches))]
+    return pa.table({"metric": pa.array([r[0] for r in rows], pa.string()),
+                     "value": pa.array([r[1] for r in rows], pa.float64())})
+
+
 def _curation_job_metrics(sf_dir: str):
     """Runs the checkpointed resumable curation job (S2/S3 analog for
     the text pipeline) under a /tmp workdir and returns its metrics as
@@ -433,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": streaming.events_value_histogram,
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
+        "corpus_dedup_eval": _corpus_dedup_eval,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,
