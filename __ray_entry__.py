@@ -16,6 +16,13 @@ queries() entries map to SURVEY.md §2 operators:
                        the hash-VERIFIED LSH candidate join (oracle)
   simhash_md5_pairs    weighted SimHash pairs with EXACT-recall
                        pigeonhole banding + popcount verify (oracle)
+  pagerank_tokens      iterative distributed PageRank: partitioned rank
+                       vector, tag-and-union rank⋈edges shuffle per
+                       iteration, unrolled-CTE oracle (oracle)
+  corpus_dedup_eval    flagship scorecard vs planted truth (rows-only)
+  corpus_resize_stats  multimodal image decode→resize actor-pool stage,
+                       per-format stats (rows-only)
+  curation_job_metrics resumable checkpointed curation job (rows-only)
   segment_routing      D3 champion top-k segment routing with feature trim (rows-only)
   ngram_jaccard_pairs  exact n-gram Jaccard over LSH candidates (rows-only)
   jaccard_join_exact   inverted-index set-similarity join, ALL pairs (oracle)
@@ -133,6 +140,64 @@ def _corpus_exact(sf_dir: str):
     from destor_ray.stages.exact import exact_dedup
     d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
     return exact_dedup(signatures_from_corpus(ray.data.read_parquet(d)))
+
+
+def _corpus_resize_stats(sf_dir: str, out_size: int = 32):
+    """(fmt, n, sum_thumb_bytes, mean_w, mean_h): the multimodal image
+    actor-pool stage (decode → resize → gray thumbnail) driven
+    end-to-end over the corpus, reduced to per-format stats. The
+    decode stage is a callable CLASS on an actor pool (setup once per
+    actor), concurrency-bounded; only the small thumb stats reach the
+    aggregate."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from destor_ray import corpus
+    from destor_ray.stages.multimodal import ImageDecodeResize
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = ray.data.read_parquet(d, columns=["image_id", "bytes", "fmt"])
+
+    cls = ImageDecodeResize
+    # keep fmt alongside: wrap the stage so the group key survives
+    class WithFmt(cls):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            tb = np.fromiter((len(t) for t in out["thumb"].to_pylist()),
+                             dtype=np.int64, count=len(out))
+            return pa.table({
+                "fmt": batch["fmt"],
+                "thumb_bytes": pa.array(tb, pa.int64()),
+                "w": out["w"].cast(pa.int64()),
+                "h": out["h"].cast(pa.int64()),
+            })
+
+    stats = ds.map_batches(WithFmt, concurrency=4, batch_size=256,
+                           fn_constructor_kwargs={"out_size": out_size},
+                           batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Count(alias_name="n"),
+            Sum("thumb_bytes", alias_name="sum_thumb_bytes"),
+            Sum("w", alias_name="sum_w"),
+            Sum("h", alias_name="sum_h"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "fmt": batch["fmt"],
+            "n": batch["n"],
+            "sum_thumb_bytes": pc.cast(batch["sum_thumb_bytes"], pa.int64()),
+            "mean_w": pa.array(np.round(
+                batch["sum_w"].to_numpy(zero_copy_only=False) / n, 3),
+                pa.float64()),
+            "mean_h": pa.array(np.round(
+                batch["sum_h"].to_numpy(zero_copy_only=False) / n, 3),
+                pa.float64()),
+        })
+
+    return stats.map_batches(finish, batch_format="pyarrow")
 
 
 def _corpus_dedup_eval(sf_dir: str):
@@ -400,9 +465,11 @@ def _fsl_trace_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from destor_ray.pipelines import (ann, curation, ranking, relational,
-                                      stats, streaming, substring, text)
+    from destor_ray.pipelines import (ann, curation, graph, ranking,
+                                      relational, stats, streaming,
+                                      substring, text)
     return {
+        "pagerank_tokens": graph.pagerank_tokens,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "customer_order_stats": relational.customer_order_stats,
         "top_parts_by_quantity": relational.top_parts_by_quantity,
@@ -471,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
         "corpus_dedup_eval": _corpus_dedup_eval,
+        "corpus_resize_stats": _corpus_resize_stats,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,
@@ -851,6 +919,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_segs,
                    CAST(sum(kept) AS BIGINT) AS n_kept
             FROM marked GROUP BY doc_id
+        """,
+        "pagerank_tokens": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            e0 AS (SELECT ws[i] AS src, ws[i+1] AS dst
+                   FROM w, UNNEST(generate_series(1, len(ws)-1)) t(i)),
+            e AS (SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+                  FROM e0 GROUP BY src, dst),
+            outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY src),
+            ep AS (SELECT e.src, e.dst, e.w / outw.ow AS p
+                   FROM e JOIN outw ON e.src = outw.src),
+            nodes AS (SELECT DISTINCT tok FROM
+                      (SELECT src AS tok FROM e
+                       UNION ALL SELECT dst FROM e) q),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT tok, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+            c1 AS (SELECT ep.dst AS tok, sum(r0.r * ep.p) AS c
+                   FROM ep JOIN r0 ON ep.src = r0.tok GROUP BY ep.dst),
+            r1 AS (SELECT nodes.tok, (1 - 0.85) / nn.n
+                          + 0.85 * coalesce(c1.c, 0) AS r
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN c1 ON nodes.tok = c1.tok),
+            c2 AS (SELECT ep.dst AS tok, sum(r1.r * ep.p) AS c
+                   FROM ep JOIN r1 ON ep.src = r1.tok GROUP BY ep.dst),
+            r2 AS (SELECT nodes.tok, (1 - 0.85) / nn.n
+                          + 0.85 * coalesce(c2.c, 0) AS r
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN c2 ON nodes.tok = c2.tok),
+            c3 AS (SELECT ep.dst AS tok, sum(r2.r * ep.p) AS c
+                   FROM ep JOIN r2 ON ep.src = r2.tok GROUP BY ep.dst),
+            r3 AS (SELECT nodes.tok, (1 - 0.85) / nn.n
+                          + 0.85 * coalesce(c3.c, 0) AS r
+                   FROM nodes CROSS JOIN nn
+                   LEFT JOIN c3 ON nodes.tok = c3.tok)
+            SELECT tok, round(r, 9) AS rank FROM r3
         """,
         "simhash_md5_pairs": """
             WITH toks AS (
