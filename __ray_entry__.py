@@ -87,6 +87,8 @@ queries() entries map to SURVEY.md §2 operators:
   embedding_dedup_pairs exact block-grid cosine self-join (oracle)
   embedding_lsh_pairs  approximate hyperplane-band pairs (rows-only)
   embedding_clusters   CC over cosine pairs (rows-only)
+  semantic_dedup       SemDeDup: k-means partition + in-cluster cosine
+                       prune, keep-lowest-id representative (oracle)
   job_gc_stats         X1-X3 CMA GC across two jobs: refcounts + invalidation (rows-only)
   fsl_trace_stats      S4 FSL hashfile trace reader → parquet → aggregate (rows-only)
   corpus_restore       T1-T5 real restore: gather payloads from cluster reps + decode-verify (rows-only)
@@ -534,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": ann.embedding_clusters,
         "label_centroids": ann.label_centroids,
         "kmeans_assign": ann.kmeans_assign,
+        "semantic_dedup": ann.semantic_dedup,
         "events_value_histogram": streaming.events_value_histogram,
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
@@ -1217,6 +1220,29 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY q.query_id
                 ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) DESC,
                          e.vec_id DESC) <= 10
+        """,
+        "semantic_dedup": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 10
+            ), assigned AS (
+                SELECT e.vec_id, c.cid AS centroid_id,
+                       CAST(e.embedding AS DOUBLE[]) AS emb
+                FROM embeddings e CROSS JOIN c
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.ce),
+                             c.cid) = 1
+            ), dups AS (
+                SELECT b.vec_id
+                FROM assigned a JOIN assigned b
+                  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+                GROUP BY b.vec_id
+            )
+            SELECT a.vec_id, a.centroid_id,
+                   (d.vec_id IS NOT NULL) AS is_dup
+            FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
         """,
         "embedding_clusters": """
             WITH RECURSIVE pairs AS (

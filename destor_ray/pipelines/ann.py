@@ -710,3 +710,85 @@ def ivf_index_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return scored.sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
+
+
+def semantic_dedup(sf_dir: str, n_centroids: int = 10,
+                   threshold: float = 0.35, num_buckets: int = 16,
+                   block: int = 4096):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) over the
+    embeddings table: one deterministic k-means assignment step
+    (centroids = the first n_centroids rows, nearest by euclidean
+    distance, ties to the smaller centroid id — the kmeans_assign
+    rule), then within each cluster mark a vector as a semantic
+    duplicate iff some LOWER-id vector of the same cluster has cosine
+    >= threshold. Keep-lowest-id representative (the paper keeps the
+    vector farthest from the centroid; lowest-id is the deterministic,
+    oracle-expressible variant). Returns (vec_id, centroid_id, is_dup)
+    for every row — the keep-list is the is_dup=False slice.
+
+    Scale shape: assignment is map-only against an O(k·d) centroid
+    matrix broadcast once via ray.put; the within-cluster pass is ONE
+    hash shuffle keyed on centroid_id. k is SemDeDup's size control
+    (k ∝ N keeps per-cluster work O((N/k)²) bounded); inside a cluster
+    the cosine matrix is evaluated in `block`-column strips so per-task
+    memory stays O(g·block) for cluster size g. Float64 throughout so
+    borderline cosines agree with the DOUBLE-precision DuckDB oracle.
+    """
+    import pyarrow.dataset as pads
+
+    from ..stages.grouped import bucketed_group_map
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    ctbl = dset.to_table(filter=pads.field("vec_id") < n_centroids,
+                         columns=["vec_id", "embedding"])
+    order = np.argsort(ctbl["vec_id"].to_numpy())
+    C = np.asarray(ctbl["embedding"].to_pylist(), dtype=np.float64)[order]
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _emb_matrix(batch)
+        d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+            + (c * c).sum(axis=1)[None, :]
+        best = np.argmin(d2, axis=1)  # first minimum = smallest centroid id
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "centroid_id": pa.array(best.astype(np.int64), pa.int64()),
+            "emb": pa.array(list(mn), pa.list_(pa.float64())),
+        })
+
+    assigned = _read_embeddings(sf_dir) \
+        .select_columns(["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pyarrow")
+
+    def mark(df) -> pa.Table:
+        empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                          "centroid_id": pa.array([], pa.int64()),
+                          "is_dup": pa.array([], pa.bool_())})
+        if not len(df):
+            return empty
+        out = [empty]
+        for cid, g in df.groupby("centroid_id", sort=False):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy().astype(np.int64)
+            m = np.asarray([np.asarray(e, dtype=np.float64)
+                            for e in g["emb"]])
+            n = len(ids)
+            dup = np.zeros(n, dtype=bool)
+            for s in range(0, n, block):  # column strips bound memory
+                e = min(n, s + block)
+                hit = (m @ m[s:e].T) >= threshold
+                # column j (global s+j) is a dup iff any row i < s+j hits
+                lower = np.arange(n)[:, None] < np.arange(s, e)[None, :]
+                dup[s:e] = (hit & lower).any(axis=0)
+            out.append(pa.table({
+                "vec_id": pa.array(ids, pa.int64()),
+                "centroid_id": pa.array(np.full(n, cid, dtype=np.int64),
+                                        pa.int64()),
+                "is_dup": pa.array(dup, pa.bool_()),
+            }))
+        return pa.concat_tables(out)
+
+    return bucketed_group_map(assigned, "centroid_id", mark,
+                              num_buckets=min(num_buckets, n_centroids))
