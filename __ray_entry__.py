@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts_by_quantity": relational.top_parts_by_quantity,
         "part_type_revenue": relational.part_type_revenue,
         "supplier_region_stats": relational.supplier_region_stats,
+        "lineitem_rollup": relational.lineitem_rollup,
         "customers_without_urgent_orders":
             relational.customers_without_urgent_orders,
         "orders_running_total": relational.orders_running_total,
@@ -581,6 +582,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_revenue_cents
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand
+        """,
+        "lineitem_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   count(*) AS n_items
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
         """,
         "supplier_region_stats": """
             SELECT r.r_name,

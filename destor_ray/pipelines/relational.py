@@ -310,3 +310,56 @@ def supplier_region_stats(sf_dir: str, num_partitions: int = 4):
         })
 
     return agg.map_batches(normalize, batch_format="pyarrow")
+
+
+def lineitem_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) in one output:
+    (flag, status) detail rows plus (flag, 'ALL') subtotals plus the
+    ('ALL', 'ALL') grand total, over exact integer cents.
+
+    Scale shape — rollup-from-finest: the fact table is scanned and
+    aggregated ONCE (map-side pre-aggregation inside Ray's hash
+    aggregate); the coarser levels re-aggregate the FINEST RESULT,
+    which is bounded by |returnflag|x|linestatus| rows, so the extra
+    levels cost shuffles over a kilobyte-scale table instead of a
+    rescan per level. Rolled-up key columns carry the sentinel 'ALL'
+    (mirrored by COALESCE in the oracle) so the value hash is stable
+    across pandas/DuckDB NULL renderings."""
+    from ray.data.aggregate import Count, Sum
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "price_cents": pa.array(cents, pa.int64()),
+        })
+
+    finest = ds.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="n_items")) \
+        .materialize()  # tiny (key-cardinality rows); feeds 3 levels
+
+    # The finest level is the ONLY pass over the fact table; the coarser
+    # rollup levels re-aggregate it on the driver — a key-cardinality-
+    # bounded table (|flag|x|status| rows at any data scale), i.e. the
+    # legitimate small-result case, not a driver loop over the input.
+    fin = finest.to_pandas()
+    fin["sum_price_cents"] = fin["sum_price_cents"].astype(np.int64)
+    fin["n_items"] = fin["n_items"].astype(np.int64)
+    lvl2 = fin.groupby("l_returnflag", as_index=False)[
+        ["sum_price_cents", "n_items"]].sum()
+    lvl2["l_linestatus"] = "ALL"
+    lvl3 = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "sum_price_cents": [fin["sum_price_cents"].sum()],
+        "n_items": [fin["n_items"].sum()],
+    })
+    cols = ["l_returnflag", "l_linestatus", "sum_price_cents", "n_items"]
+    return pd.concat([fin[cols], lvl2[cols], lvl3[cols]],
+                     ignore_index=True)

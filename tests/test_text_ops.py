@@ -55,7 +55,7 @@ def _check(name, con, ray_session):
     "events_type_percentiles", "user_event_pivot", "filtered_ann_topk",
     "incremental_dedup", "label_centroids", "kmeans_assign",
     "events_value_histogram", "minhash_lsh_oph", "simhash_md5_pairs",
-    "pagerank_tokens", "semantic_dedup",
+    "pagerank_tokens", "semantic_dedup", "lineitem_rollup",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
