@@ -73,6 +73,8 @@ queries() entries map to SURVEY.md §2 operators:
                        progression per user, bucket-local counts (oracle)
   top_ngrams           global top-k bigrams via map-side combiner (oracle)
   repetition_scores    Gopher-style repetition features per doc (oracle)
+  distinct_tokens_exact exact per-lang distinct tokens: local dedup →
+                       one token-keyed shuffle → partial counts (oracle)
   distinct_token_stats HyperLogLog distinct-token cardinality, mergeable
                        registers, no shuffle (rows-only; pytest error bound)
   lineitem_pricing_summary / customer_order_stats / top_parts_by_quantity /
@@ -496,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": text.top_ngrams,
         "repetition_scores": text.repetition_scores,
         "distinct_token_stats": text.distinct_token_stats,
+        "distinct_tokens_exact": text.distinct_tokens_exact,
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
@@ -1116,6 +1119,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
             ORDER BY ref_bytes DESC, source ASC
             LIMIT 10
+        """,
+        "distinct_tokens_exact": """
+            SELECT lang,
+                   count(DISTINCT tok) AS n_distinct_tokens
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) GROUP BY lang
         """,
         "docs_stats_by_lang": """
             SELECT lang,
