@@ -73,6 +73,8 @@ queries() entries map to SURVEY.md §2 operators:
                        progression per user, bucket-local counts (oracle)
   top_ngrams           global top-k bigrams via map-side combiner (oracle)
   repetition_scores    Gopher-style repetition features per doc (oracle)
+  unigram_logprob      unigram LM quality score: train counts → top-V
+                       broadcast model → map-only scoring (oracle)
   distinct_tokens_exact exact per-lang distinct tokens: local dedup →
                        one token-keyed shuffle → partial counts (oracle)
   distinct_token_stats HyperLogLog distinct-token cardinality, mergeable
@@ -499,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": text.repetition_scores,
         "distinct_token_stats": text.distinct_token_stats,
         "distinct_tokens_exact": text.distinct_tokens_exact,
+        "unigram_logprob": text.unigram_logprob,
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
@@ -1119,6 +1122,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
             ORDER BY ref_bytes DESC, source ASC
             LIMIT 10
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), counts AS (
+                SELECT tok, CAST(count(*) AS DOUBLE) AS c
+                FROM toks GROUP BY tok
+            ), total AS (
+                SELECT sum(c) AS n FROM counts
+            ), vocab AS (
+                SELECT tok, c FROM counts ORDER BY c DESC, tok LIMIT 1024
+            )
+            SELECT t.doc_id,
+                   CAST(sum(CASE WHEN v.tok IS NOT NULL
+                        THEN CAST(round(ln(v.c / (SELECT n FROM total)) * 1000000) AS BIGINT)
+                        ELSE CAST(round(ln(0.5 / (SELECT n FROM total)) * 1000000) AS BIGINT)
+                        END) AS BIGINT) AS logprob_micro
+            FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+            GROUP BY t.doc_id
         """,
         "distinct_tokens_exact": """
             SELECT lang,

@@ -1305,3 +1305,63 @@ def distinct_tokens_exact(sf_dir: str, num_buckets: int = 32):
         })
 
     return out.map_batches(norm, batch_format="pyarrow")
+
+
+def unigram_logprob(sf_dir: str, vocab_size: int = 1024):
+    """(doc_id, logprob_micro) — unigram language-model score per
+    document, the classic perplexity-style quality filter: tokens are
+    scored by their corpus-wide frequency, rare/OOV tokens by a smoothed
+    floor (0.5/N), and the per-document sum flags gibberish (very
+    negative) vs templated text (near zero).
+
+    Phase 1 trains the model: local per-batch token counts (arrow
+    group_by — only a batch's distinct tokens enter the exchange), one
+    token-keyed groupby-sum, then the top-`vocab_size` rows (count DESC,
+    token ASC — deterministic) and the total token count N come back to
+    the driver: the MODEL is vocab-bounded tiny, the token table never
+    is. Phase 2 broadcasts {token: round(ln(c/N)*1e6)} once via ray.put
+    and scores every document map-only (vectorized hash lookup + segment
+    sum). Per-token log-probs are quantized to integer micros BEFORE
+    summing so the doc sum is an exact int64 — immune to float
+    accumulation order, hash-stable vs the DuckDB oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        return flat.group_by("token").aggregate([([], "count_all")]) \
+            .rename_columns(["token", "c"])
+
+    counts = ds.map_batches(local_counts, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("c", alias_name="c")) \
+        .materialize()  # token-cardinality table; feeds total + top-V
+    n_total = int(counts.sum("c"))
+    vocab = counts.sort(["c", "token"], descending=[True, False]) \
+        .limit(vocab_size).to_pandas()
+    logp_micro = np.round(
+        np.log(vocab["c"].to_numpy(dtype=np.float64) / n_total) * 1e6
+    ).astype(np.int64)
+    model = dict(zip(vocab["token"], logp_micro))
+    oov = int(np.round(np.log(0.5 / n_total) * 1e6))
+    model_ref = ray.put(model)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pd.Series(pc.list_flatten(toks).to_pylist(), dtype=object)
+        micro = flat.map(m).fillna(oov).to_numpy(dtype=np.int64)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(sums, parents, micro)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "logprob_micro": pa.array(sums, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
