@@ -73,6 +73,8 @@ queries() entries map to SURVEY.md §2 operators:
                        progression per user, bucket-local counts (oracle)
   top_ngrams           global top-k bigrams via map-side combiner (oracle)
   repetition_scores    Gopher-style repetition features per doc (oracle)
+  training_mix_sample  mixture construction: per-source hash-ranked
+                       quotas hitting target weights (oracle)
   unigram_logprob      unigram LM quality score: train counts → top-V
                        broadcast model → map-only scoring (oracle)
   distinct_tokens_exact exact per-lang distinct tokens: local dedup →
@@ -519,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketch_stats": stats.quantile_sketch_stats,
         "stopword_scrub": curation.stopword_scrub,
         "dataset_split": curation.dataset_split,
+        "training_mix_sample": curation.training_mix_sample,
         "decontaminate": curation.decontaminate,
         "curation_pipeline": curation.curation_pipeline,
         "segment_dedup": curation.segment_dedup,
@@ -787,6 +790,23 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(text, '\b(table|row|data)\b', '', 'g') AS clean_text,
                    len(regexp_extract_all(text, '\b(table|row|data)\b')) AS n_removed
             FROM documents
+        """,
+        "training_mix_sample": """
+            WITH w AS (
+                SELECT source,
+                       (CAST(substr(source, 4) AS INT) % 4) + 1 AS wt
+                FROM (SELECT DISTINCT source FROM documents)
+            ), q AS (
+                SELECT source, (200 * wt) // sum(wt) OVER () AS quota
+                FROM w
+            )
+            SELECT d.doc_id, d.source,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS rk
+            FROM documents d JOIN q USING (source)
+            QUALIFY rk <= q.quota
         """,
         "dataset_split": """
             SELECT doc_id,

@@ -493,3 +493,62 @@ def decontaminate(sf_dir: str, benchmark_source: str = "src0",
                          "contaminated": pa.array(flags, pa.bool_())})
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def training_mix_sample(sf_dir: str, target: int = 200, mod: int = 4):
+    """(doc_id, source, rk) — training-mixture construction: sample a
+    deterministic subset of documents per source so the output matches
+    target mixture weights (the mix-building pass that precedes
+    tokenization in an LLM data pipeline). Source s gets quota
+    floor(target * w_s / Σw) rows where w_s = (int(s[3:]) % mod) + 1 (a
+    deterministic stand-in for editorial per-source weights); within a
+    source, rows are ranked by md5(str(doc_id)) — hash-derived, never
+    RNG, so the sample is stable across runs, partitions, and cluster
+    sizes, and under-quota sources simply contribute everything.
+
+    Scale shape: the weight/quota table is |sources| rows (one tiny
+    count groupby → driver → closure); ranking keys are computed
+    map-only; the ONLY data shuffle is one source-keyed exchange of
+    (source, doc_id, h) triples — 40 bytes/row, never the text — and
+    each bucket's top-quota selection is a vectorized per-group sort.
+    The md5 loop is the price of oracle parity (cf. minhash_lsh_oph)."""
+    import pandas as pd
+
+    from ..stages.grouped import bucketed_group_map
+
+    srcs = sorted(_read_documents(sf_dir)
+                  .select_columns(["source"]).unique("source"))
+    wts = {s: (int(s[3:]) % mod) + 1 for s in srcs}
+    sumw = sum(wts.values())
+    quota = {s: (target * w) // sumw for s, w in wts.items()}
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "source"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "source": batch["source"],
+                         "h": pa.array(hs, pa.string())})
+
+    def take_quota(df: pd.DataFrame) -> pa.Table:
+        out = []
+        for s, g in df.groupby("source", sort=False):
+            g = g.sort_values(["h", "doc_id"]).head(quota.get(s, 0))
+            out.append(pa.table({
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64),
+                                   pa.int64()),
+                "source": pa.array(g["source"].to_numpy(dtype=object),
+                                   pa.string()),
+                "rk": pa.array(np.arange(1, len(g) + 1, dtype=np.int64),
+                               pa.int64()),
+            }))
+        if not out:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "source": pa.array([], pa.string()),
+                             "rk": pa.array([], pa.int64())})
+        return pa.concat_tables(out)
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return bucketed_group_map(keyed_ds, "source", take_quota,
+                              num_buckets=16)

@@ -56,7 +56,7 @@ def _check(name, con, ray_session):
     "incremental_dedup", "label_centroids", "kmeans_assign",
     "events_value_histogram", "minhash_lsh_oph", "simhash_md5_pairs",
     "pagerank_tokens", "semantic_dedup", "lineitem_rollup",
-    "distinct_tokens_exact", "unigram_logprob",
+    "distinct_tokens_exact", "unigram_logprob", "training_mix_sample",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
