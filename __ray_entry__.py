@@ -73,6 +73,10 @@ queries() entries map to SURVEY.md §2 operators:
                        progression per user, bucket-local counts (oracle)
   top_ngrams           global top-k bigrams via map-side combiner (oracle)
   repetition_scores    Gopher-style repetition features per doc (oracle)
+  events_type_mad      exact by-rank median + MAD per group, two-pass
+                       broadcast-back (oracle)
+  events_user_mode     grouped mode/argmax via map-side-combined pair
+                       counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
                        quotas hitting target weights (oracle)
   unigram_logprob      unigram LM quality score: train counts → top-V
@@ -534,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stats_by_lang": text.docs_stats_by_lang,
         "events_sliding_window": streaming.events_sliding_window,
         "events_type_percentiles": streaming.events_type_percentiles,
+        "events_type_mad": streaming.events_type_mad,
+        "events_user_mode": streaming.events_user_mode,
         "user_event_pivot": streaming.user_event_pivot,
         "ann_topk": ann.ann_topk,
         "filtered_ann_topk": ann.filtered_ann_topk,
@@ -1191,6 +1197,39 @@ def oracle_sql() -> dict[str, str]:
             FROM v
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "events_type_mad": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(round(value * 1000000) AS BIGINT) AS vmic
+                FROM events
+            ), med AS (
+                SELECT event_type, vmic AS m FROM (
+                    SELECT event_type, vmic,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY vmic) AS rk,
+                           count(*) OVER (PARTITION BY event_type) AS n
+                    FROM v
+                ) WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)
+            )
+            SELECT event_type, n, median_micro, mad_micro FROM (
+                SELECT v.event_type,
+                       med.m AS median_micro,
+                       abs(v.vmic - med.m) AS dev,
+                       row_number() OVER (PARTITION BY v.event_type
+                                          ORDER BY abs(v.vmic - med.m)) AS rk,
+                       count(*) OVER (PARTITION BY v.event_type) AS n
+                FROM v JOIN med USING (event_type)
+            ) sub(event_type, median_micro, mad_micro, rk, n)
+            WHERE rk = CAST(ceil(0.5 * n) AS BIGINT)
+        """,
+        "events_user_mode": """
+            SELECT user_id, event_type AS mode_event_type, n FROM (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type
+            )
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n DESC, event_type) = 1
         """,
         "events_type_percentiles": """
             WITH v AS (

@@ -569,3 +569,89 @@ def events_funnel(sf_dir: str, steps: tuple = ("view", "click", "purchase")):
     from ray.data.aggregate import Sum
     return partials.groupby("funnel_step").aggregate(
         Sum("n_users", alias_name="n_users"))
+
+
+def events_type_mad(sf_dir: str):
+    """(event_type, n, median_micro, mad_micro) — robust per-group
+    location/scale: median and median-absolute-deviation, both EXACT
+    by-rank (value at 1-based rank ceil(0.5*n) of the ascending sort,
+    in integer micros — the events_type_percentiles definition, immune
+    to interpolation/float drift). The canonical two-pass broadcast-back
+    statistic: pass 1 reuses the exact-percentile reducer for the
+    medians; that table is group-cardinality tiny so it rides into
+    pass 2 as a closure, where |v - median| deviations are computed
+    map-side and reduced by the same exact rank-select. Only narrow
+    (event_type, int64) projections ever shuffle."""
+    from ..stages.grouped import bucketed_group_map
+
+    med_df = events_type_percentiles(sf_dir).to_pandas()
+    med = dict(zip(med_df["event_type"], med_df["p50_micro"].astype(np.int64)))
+
+    ds = _read_events(sf_dir).select_columns(["event_type", "value"])
+
+    def dev(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        et = batch["event_type"].to_pylist()
+        m = np.fromiter((med[e] for e in et), dtype=np.int64, count=len(et))
+        return pa.table({"event_type": batch["event_type"],
+                         "adev": pa.array(np.abs(vmic - m), pa.int64())})
+
+    def mad(df: pd.DataFrame) -> pa.Table:
+        etype = np.asarray(df["event_type"].tolist(), dtype=object)
+        adev = df["adev"].to_numpy()
+        order = np.lexsort((adev, etype))
+        et_s, d_s = etype[order], adev[order]
+        n = len(et_s)
+        new = np.empty(n, dtype=bool)
+        if n:
+            new[0] = True
+            new[1:] = et_s[1:] != et_s[:-1]
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
+        m50 = d_s[starts + np.ceil(0.5 * sizes).astype(np.int64) - 1]
+        types = et_s[starts]
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(sizes.astype(np.int64), pa.int64()),
+            "median_micro": pa.array(
+                np.fromiter((med[t] for t in types), dtype=np.int64,
+                            count=len(types)), pa.int64()),
+            "mad_micro": pa.array(m50, pa.int64()),
+        })
+
+    return bucketed_group_map(ds.map_batches(dev, batch_format="pyarrow"),
+                              "event_type", mad, num_buckets=8)
+
+
+def events_user_mode(sf_dir: str):
+    """(user_id, mode_event_type, n) — most frequent event type per
+    user, ties to the lexicographically smaller type: grouped argmax.
+    Shape: ONE hash-aggregated groupby over (user_id, event_type) —
+    map-side combined, so the exchange carries one row per distinct
+    pair, not per event — then the per-user top-1 is a vectorized
+    rank-select over that already-tiny pair table."""
+    from ray.data.aggregate import Count
+
+    from ..stages.grouped import bucketed_group_map
+
+    pairs = _read_events(sf_dir).select_columns(["user_id", "event_type"]) \
+        .groupby(["user_id", "event_type"]).aggregate(Count(alias_name="n"))
+
+    def top1(df: pd.DataFrame) -> pa.Table:
+        uid = df["user_id"].to_numpy(np.int64)
+        et = np.asarray(df["event_type"].tolist(), dtype=object)
+        n = df["n"].to_numpy(np.int64)
+        order = np.lexsort((et, -n, uid))  # per user: n DESC, type ASC
+        u_s, e_s, n_s = uid[order], et[order], n[order]
+        first = np.empty(len(u_s), dtype=bool)
+        if len(u_s):
+            first[0] = True
+            first[1:] = u_s[1:] != u_s[:-1]
+        return pa.table({
+            "user_id": pa.array(u_s[first], pa.int64()),
+            "mode_event_type": pa.array(e_s[first], pa.string()),
+            "n": pa.array(n_s[first], pa.int64()),
+        })
+
+    return bucketed_group_map(pairs, "user_id", top1, num_buckets=8)
