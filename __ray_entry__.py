@@ -79,6 +79,8 @@ queries() entries map to SURVEY.md §2 operators:
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
                        quotas hitting target weights (oracle)
+  bigram_pmi           collocation mining: top-k bigrams by PMI,
+                       micro-quantized (oracle)
   unigram_logprob      unigram LM quality score: train counts → top-V
                        broadcast model → map-only scoring (oracle)
   distinct_tokens_exact exact per-lang distinct tokens: local dedup →
@@ -508,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_token_stats": text.distinct_token_stats,
         "distinct_tokens_exact": text.distinct_tokens_exact,
         "unigram_logprob": text.unigram_logprob,
+        "bigram_pmi": text.bigram_pmi,
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
@@ -1148,6 +1151,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
             ORDER BY ref_bytes DESC, source ASC
             LIMIT 10
+        """,
+        "bigram_pmi": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+            ), seq AS (
+                SELECT doc_id, unnest(ts) AS tok,
+                       generate_subscripts(ts, 1) AS i
+                FROM toks
+            ), big AS (
+                SELECT a.tok AS t1, b.tok AS t2, count(*) AS cxy
+                FROM seq a JOIN seq b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY 1, 2
+            ), uni AS (
+                SELECT tok, count(*) AS c FROM seq GROUP BY tok
+            ), tot AS (
+                SELECT (SELECT sum(c) FROM uni) AS n,
+                       (SELECT sum(cxy) FROM big) AS m
+            )
+            SELECT t1, t2, cxy,
+                   CAST(round(ln((CAST(cxy AS DOUBLE) / m)
+                        / ((CAST(u1.c AS DOUBLE) / n)
+                           * (CAST(u2.c AS DOUBLE) / n))) * 1000000)
+                        AS BIGINT) AS pmi_micro
+            FROM big CROSS JOIN tot
+            JOIN uni u1 ON big.t1 = u1.tok
+            JOIN uni u2 ON big.t2 = u2.tok
+            WHERE cxy >= 5
+            ORDER BY pmi_micro DESC, t1, t2 LIMIT 50
         """,
         "unigram_logprob": """
             WITH toks AS (

@@ -1365,3 +1365,94 @@ def unigram_logprob(sf_dir: str, vocab_size: int = 1024):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50):
+    """(t1, t2, cxy, pmi_micro) — collocation mining: the top-k
+    consecutive token pairs by pointwise mutual information, the
+    phrase-mining / tokenizer-merge-candidate pass of a text pipeline.
+    PMI = ln(p(xy) / (p(x)·p(y))) with p(xy) = cxy/M, p(x) = cx/N,
+    quantized to integer micros with the SAME operand order as the SQL
+    oracle (IEEE division/multiplication are correctly rounded, so
+    identical operand order ⇒ identical doubles ⇒ identical micros).
+
+    Shape: bigram and unigram counts are each ONE map-side-combined
+    groupby (vectorized arrow slicing for the pair windows — no row
+    loop; only a batch's distinct pairs enter the exchange). The
+    unigram table is vocab-bounded, so it broadcasts as a dict and PMI
+    is computed map-only over the bigram count table with per-batch
+    top-k pruning ahead of the tiny global sort. At open-web scale,
+    swap the full-vocab broadcast for the top-V + floor treatment of
+    unigram_logprob (documented deviation: oracle exactness here wants
+    every token's count)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pa.table({"token": pc.list_flatten(toks)})
+        return flat.group_by("token").aggregate([([], "count_all")]) \
+            .rename_columns(["token", "c"])
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat) < 2:
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "cxy": pa.array([], pa.int64())})
+        same = parents[1:] == parents[:-1]  # consecutive within one doc
+        pairs = pa.table({"t1": flat.slice(0, len(flat) - 1),
+                          "t2": flat.slice(1)}).filter(pa.array(same))
+        return pairs.group_by(["t1", "t2"]).aggregate([([], "count_all")]) \
+            .rename_columns(["t1", "t2", "cxy"])
+
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("c", alias_name="c")).to_pandas()
+    n_total = int(uni["c"].sum())
+    cmap = dict(zip(uni["token"], uni["c"].astype(np.int64)))
+    cref = ray.put(cmap)
+
+    big = ds.map_batches(bi_partial, batch_format="pyarrow") \
+        .groupby(["t1", "t2"]).aggregate(Sum("cxy", alias_name="cxy")) \
+        .materialize()  # pair-count table: feeds M and the scoring pass
+    m_total = int(big.sum("cxy"))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        cxy = batch["cxy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cxy >= min_count
+        if not keep.any():
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "cxy": pa.array([], pa.int64()),
+                             "pmi_micro": pa.array([], pa.int64())})
+        t1 = np.asarray(batch["t1"].to_pylist(), dtype=object)[keep]
+        t2 = np.asarray(batch["t2"].to_pylist(), dtype=object)[keep]
+        cxy = cxy[keep]
+        c1 = np.fromiter((cm[t] for t in t1), dtype=np.float64,
+                         count=len(t1))
+        c2 = np.fromiter((cm[t] for t in t2), dtype=np.float64,
+                         count=len(t2))
+        # operand order mirrors the oracle exactly
+        pmi = np.log((cxy.astype(np.float64) / m_total)
+                     / ((c1 / n_total) * (c2 / n_total)))
+        micro = np.round(pmi * 1e6).astype(np.int64)
+        t = pa.table({"t1": pa.array(t1, pa.string()),
+                      "t2": pa.array(t2, pa.string()),
+                      "cxy": pa.array(cxy, pa.int64()),
+                      "pmi_micro": pa.array(micro, pa.int64())})
+        if len(t) > k:  # tie-stable local prune: full (pmi DESC, t1, t2)
+            idx = np.lexsort((t2, t1, -micro))[:k]
+            t = t.take(idx)
+        return t
+
+    return big.map_batches(score, batch_format="pyarrow") \
+        .sort(["pmi_micro", "t1", "t2"],
+              descending=[True, False, False]).limit(k)

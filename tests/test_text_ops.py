@@ -57,7 +57,7 @@ def _check(name, con, ray_session):
     "events_value_histogram", "minhash_lsh_oph", "simhash_md5_pairs",
     "pagerank_tokens", "semantic_dedup", "lineitem_rollup",
     "distinct_tokens_exact", "unigram_logprob", "training_mix_sample",
-    "events_type_mad", "events_user_mode",
+    "events_type_mad", "events_user_mode", "bigram_pmi",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
