@@ -75,6 +75,24 @@ queries() entries map to SURVEY.md §2 operators:
   repetition_scores    Gopher-style repetition features per doc (oracle)
   events_type_mad      exact by-rank median + MAD per group, two-pass
                        broadcast-back (oracle)
+  user_retention_cohorts cohort-retention matrix: batch-local
+                       (user, day) dedup, one user-keyed shuffle,
+                       tiny (cohort, offset) aggregate (oracle)
+  events_upsert_latest SCD/upsert merge compaction: delta-priority
+                       latest-wins per key, one key shuffle (oracle)
+  lineitem_corr_stats  exact grouped Pearson corr via limb-decomposed
+                       128-bit moment sums, HUGEINT-mirrored (oracle)
+  triangle_count       degree-ordered oriented wedge⋈edge triangle
+                       counting over the token graph (oracle)
+  events_zscore_outliers exact integer z-score outlier detection:
+                       tiny limb-sum moment pass, map-only flag via
+                       isqrt threshold (oracle)
+  bloom_semi_join      Bloom-pruned semi-join: mergeable per-block
+                       filters, map-only probe, match-proportional
+                       exact verify shuffle (oracle)
+  orders_decile_stats  exact distributed ntile via two-pass counting
+                       sort (value-count table → cutoffs → map-only
+                       assign) (oracle)
   events_user_mode     grouped mode/argmax via map-side-combined pair
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
@@ -501,6 +519,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": streaming.events_asof_join,
         "events_range_join": streaming.events_range_join,
         "events_funnel": streaming.events_funnel,
+        "user_retention_cohorts": streaming.user_retention_cohorts,
+        "events_upsert_latest": streaming.events_upsert_latest,
+        "lineitem_corr_stats": relational.lineitem_corr_stats,
+        "triangle_count": graph.triangle_count,
+        "events_zscore_outliers": streaming.events_zscore_outliers,
+        "bloom_semi_join": relational.bloom_semi_join,
+        "orders_decile_stats": relational.orders_decile_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -1262,6 +1287,118 @@ def oracle_sql() -> dict[str, str]:
             )
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY n DESC, event_type) = 1
+        """,
+        "user_retention_cohorts": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), c AS (
+                SELECT user_id, min(day) AS cohort FROM ud GROUP BY user_id
+            )
+            SELECT CAST(c.cohort AS VARCHAR) AS cohort_day,
+                   CAST(datediff('day', c.cohort, ud.day) AS BIGINT)
+                       AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM ud JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "events_upsert_latest": """
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id,
+                   CAST(round(value * 1000000) AS BIGINT) AS value_micro,
+                   CASE WHEN event_id % 2 = 1 THEN 'delta' ELSE 'base' END
+                       AS src
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY (event_id % 2) DESC, ts DESC, event_id DESC) = 1
+        """,
+        "lineitem_corr_stats": """
+            WITH m AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       sum(CAST(l_quantity AS HUGEINT)) AS sx,
+                       sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                           AS sy,
+                       sum(CAST(l_quantity AS HUGEINT)
+                           * CAST(round(l_extendedprice * 100) AS HUGEINT))
+                           AS sxy,
+                       sum(CAST(l_quantity AS HUGEINT)
+                           * CAST(l_quantity AS HUGEINT)) AS sxx,
+                       sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                           * CAST(round(l_extendedprice * 100) AS HUGEINT))
+                           AS syy
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sum_qty,
+                   CAST(sy AS BIGINT) AS sum_price_cents,
+                   CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000.0
+                              / sqrt(CAST((n * sxx - sx * sx)
+                                          * (n * syy - sy * sy) AS DOUBLE)))
+                        AS BIGINT) AS corr_micro
+            FROM m
+        """,
+        "triangle_count": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            bg AS (SELECT ws[i] AS u, ws[i+1] AS v
+                   FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1))
+                                    AS i) t),
+            e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                  FROM bg WHERE u <> v),
+            nodes AS (SELECT a AS x FROM e UNION SELECT b FROM e)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM e e1 JOIN e e2 ON e2.a = e1.b
+                              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+                       AS n_triangles
+        """,
+        "events_zscore_outliers": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 1000000) AS HUGEINT) AS vmic
+                FROM events
+            ), m AS (
+                SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                       sum(vmic) AS s, sum(vmic * vmic) AS sxx
+                FROM v GROUP BY event_type
+            )
+            SELECT event_id, v.event_type,
+                   CAST(vmic AS BIGINT) AS value_micro,
+                   CAST(n * vmic - s AS BIGINT) AS dev_scaled
+            FROM v JOIN m ON v.event_type = m.event_type
+            WHERE (n * vmic - s) * (n * vmic - s) > 9 * (n * sxx - s * s)
+        """,
+        "bloom_semi_join": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "orders_decile_stats": """
+            WITH vc AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+                       count(*) AS cnt
+                FROM orders GROUP BY 1
+            ), cs AS (
+                SELECT c, cnt,
+                       sum(cnt) OVER (ORDER BY c) AS cum,
+                       sum(cnt) OVER () AS n
+                FROM vc
+            ), b AS (
+                SELECT c, cnt,
+                       CAST(((cum - 1) * 10) // n AS BIGINT) AS decile
+                FROM cs
+            )
+            SELECT decile,
+                   CAST(sum(cnt) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(c AS HUGEINT) * cnt) AS BIGINT) AS sum_cents,
+                   min(c) AS min_cents, max(c) AS max_cents
+            FROM b GROUP BY decile
         """,
         "events_type_percentiles": """
             WITH v AS (

@@ -139,7 +139,9 @@ def main() -> None:
                  "embedding_dedup_pairs", "container_refs",
                  "cap_top_containers", "token_count",
                  "curation_pipeline", "segment_dedup", "bm25_scores",
-                 "orders_running_total", "events_sliding_window"]:
+                 "orders_running_total", "events_sliding_window",
+                 "user_retention_cohorts", "bloom_semi_join",
+                 "triangle_count"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver

@@ -174,3 +174,155 @@ def pagerank_tokens(sf_dir: str, d: float = 0.85, iters: int = 3):
             "rank": pa.array(np.round(
                 b["r"].to_numpy(zero_copy_only=False), 9), pa.float64()),
         }), batch_format="pyarrow")
+
+
+def triangle_count(sf_dir: str):
+    """One row (n_nodes, n_edges, n_triangles): exact triangle count of
+    the undirected token co-occurrence graph — the standard distributed
+    scheme (degree-ordered orientation + wedge⋈edge join, Cohen 2009 /
+    Suri-Vassilvitskii 2011):
+
+      1. distinct undirected edges: batch-local dedup map-side, then one
+         (a, b) hash aggregate — the only pass over the corpus;
+      2. degrees from the edge table (|V|-bounded, like bigram_pmi's
+         vocab broadcast) are shipped once via ray.put;
+      3. every edge is oriented low→high by (degree, token) — a total
+         order, so each triangle is counted exactly once, from its
+         lowest vertex — bounding every oriented out-degree by
+         O(sqrt(|E|)), which is what keeps wedge generation from
+         exploding on hub tokens (a plain src-grouped expansion is
+         quadratic in the hub's degree; the oriented one is not);
+      4. wedges (v, w) expand per src-bucket with the cached-triu
+         template (one vectorized expansion per distinct group size),
+         pre-counted per bucket;
+      5. a tag-and-union rendezvous on the wedge key counts wedges whose
+         closing edge exists — no edge set is ever broadcast.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.candidates import _triu_cached
+    from ..stages.grouped import bucketed_group_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        off = np.asarray(toks.offsets).astype(np.int64)
+        counts = np.diff(off)
+        nbi = np.maximum(counts - 1, 0)
+        total = int(nbi.sum())
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        if total == 0:
+            return empty
+        doc_rep = np.repeat(np.arange(len(counts)), nbi)
+        first = np.concatenate(([0], np.cumsum(nbi)[:-1]))
+        within = np.arange(total) - np.repeat(first, nbi)
+        pos = off[doc_rep] + within
+        u = pc.take(toks.values, pa.array(pos))
+        v = pc.take(toks.values, pa.array(pos + 1))
+        ne = pc.not_equal(u, v)
+        u, v = u.filter(ne), v.filter(ne)
+        lo = pc.min_element_wise(u, v)
+        hi = pc.max_element_wise(u, v)
+        if len(lo) == 0:
+            return empty
+        return pa.table({"a": lo, "b": hi}).group_by(["a", "b"]) \
+            .aggregate([]).select(["a", "b"])
+
+    edges = ds.map_batches(edge_partial, batch_format="pyarrow") \
+        .groupby(["a", "b"]).aggregate(Count(alias_name="_c")) \
+        .select_columns(["a", "b"]).materialize()  # narrow 2-col reuse
+
+    deg_ds = edges.map_batches(
+        lambda b: pa.concat_tables(
+            [b.select(["a"]).rename_columns(["tok"]),
+             b.select(["b"]).rename_columns(["tok"])]),
+        batch_format="pyarrow").groupby("tok") \
+        .aggregate(Count(alias_name="deg"))
+    deg_df = deg_ds.to_pandas()  # |V|-bounded, as in bigram_pmi
+    n_nodes = len(deg_df)
+    n_edges = edges.count()
+    import ray as _ray
+    deg_ref = _ray.put(dict(zip(deg_df["tok"], deg_df["deg"].astype(np.int64))))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        deg = _ray.get(deg_ref)
+        a = np.asarray(batch["a"].to_pylist(), dtype=object)
+        b = np.asarray(batch["b"].to_pylist(), dtype=object)
+        da = np.fromiter((deg[t] for t in a), np.int64, count=len(a))
+        db = np.fromiter((deg[t] for t in b), np.int64, count=len(b))
+        # low→high by (degree, token); (a, b) is already token-ordered,
+        # so a degree tie keeps (a, b) — a total order overall
+        a_first = da <= db
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        sd = np.fromiter((deg[t] for t in dst), np.int64, count=len(dst))
+        return pa.table({"src": pa.array(src, pa.string()),
+                         "dst": pa.array(dst, pa.string()),
+                         "ddeg": pa.array(sd, pa.int64())})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(df: pd.DataFrame) -> pa.Table:
+        src = np.asarray(df["src"].tolist(), dtype=object)
+        dst = np.asarray(df["dst"].tolist(), dtype=object)
+        ddeg = df["ddeg"].to_numpy(np.int64)
+        order = np.lexsort((dst, ddeg, src))  # per src: (deg, tok) asc
+        src_s, dst_s = src[order], dst[order]
+        n = len(src_s)
+        if n == 0:
+            return pa.table({"wkey": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        firsts = np.empty(n, dtype=bool)
+        firsts[0] = True
+        firsts[1:] = src_s[1:] != src_s[:-1]
+        starts = np.flatnonzero(firsts)
+        counts = np.diff(np.append(starts, n))
+        li_parts, ri_parts = [], []
+        for c in np.unique(counts[counts >= 2]):
+            gl, gr = _triu_cached(int(c))
+            st = starts[counts == c]
+            li_parts.append((st[:, None] + gl[None, :]).ravel())
+            ri_parts.append((st[:, None] + gr[None, :]).ravel())
+        if not li_parts:
+            return pa.table({"wkey": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        li = np.concatenate(li_parts)
+        ri = np.concatenate(ri_parts)
+        # wedge endpoints inherit the (deg, tok) order → canonical key
+        key = np.char.add(np.char.add(dst_s[li].astype(str), "|"),
+                          dst_s[ri].astype(str))
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"wkey": pa.array(uniq, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    wedge_counts = bucketed_group_map(oriented, "src", wedges, num_buckets=8)
+
+    edge_keys = oriented.map_batches(
+        lambda b: pa.table({
+            "wkey": pc.binary_join_element_wise(b["src"], b["dst"], "|"),
+            "n": pa.array(np.zeros(len(b), np.int64), pa.int64()),
+            "is_edge": pa.array(np.ones(len(b), np.int8), pa.int8()),
+        }), batch_format="pyarrow")
+    tagged = wedge_counts.map_batches(
+        lambda b: b.append_column(
+            "is_edge", pa.array(np.zeros(len(b), np.int8), pa.int8())),
+        batch_format="pyarrow").union(edge_keys)
+
+    def close_count(df: pd.DataFrame) -> pa.Table:
+        isw = df["is_edge"].to_numpy(np.int8) == 0
+        closed = set(df.loc[~isw, "wkey"])
+        wk = df.loc[isw]
+        hit = wk["wkey"].isin(closed).to_numpy()
+        return pa.table({"tri": pa.array(
+            [int(wk["n"].to_numpy(np.int64)[hit].sum())], pa.int64())})
+
+    tri = bucketed_group_map(tagged, "wkey", close_count, num_buckets=8) \
+        .aggregate(Sum("tri", alias_name="n_triangles"))
+
+    return pd.DataFrame({"n_nodes": pd.array([n_nodes], "int64"),
+                         "n_edges": pd.array([n_edges], "int64"),
+                         "n_triangles": pd.array(
+                             [int(tri["n_triangles"])], "int64")})

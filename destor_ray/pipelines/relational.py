@@ -363,3 +363,248 @@ def lineitem_rollup(sf_dir: str):
     cols = ["l_returnflag", "l_linestatus", "sum_price_cents", "n_items"]
     return pd.concat([fin[cols], lvl2[cols], lvl3[cols]],
                      ignore_index=True)
+
+
+def lineitem_corr_stats(sf_dir: str):
+    """(l_returnflag, n, sum_qty, sum_price_cents, corr_micro) — exact
+    grouped Pearson correlation of quantity vs extended price via
+    mergeable MOMENT partials, the one-pass distributed statistic
+    (Welford/Chan parallel variance, but in exact integer arithmetic).
+
+    The scale problem this solves: sum(y^2) of cent-quantized prices
+    overflows int64 at ~10^5 rows x (10^7 cents)^2, and float partials
+    are accumulation-order-dependent — neither survives a deterministic
+    128-bit-exact aggregate. So each batch emits its five moment sums
+    (n, Sx, Sy, Sxy, Sxx, Syy) LIMB-DECOMPOSED into (hi, lo) int64
+    pairs (lo = sum mod 2^32, hi = sum >> 32; per-batch sums provably
+    fit int64 at batch_size <= 8192). Ray's int64 Sum aggregate then
+    reduces each limb independently — 2^31 batches before lo itself
+    can overflow — and the driver recombines hi*2^32 + lo in Python
+    bigints, mirroring DuckDB's HUGEINT sums bit-for-bit. The final
+    corr is computed double-precision in the exact operand order the
+    oracle uses, rounded half-away-from-zero to integer micros.
+
+    Shape: ONE map-side-combined groupby whose exchange carries 13
+    int64s per (batch x group) — never a data row."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    LIMB = np.int64(1) << np.int64(32)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        flag = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        x = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.round(batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        order = np.argsort(flag, kind="stable")
+        f_s, x_s, y_s = flag[order], x[order], y[order]
+        first = np.empty(len(f_s), dtype=bool)
+        if len(f_s):
+            first[0] = True
+            first[1:] = f_s[1:] != f_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(f_s))
+        out = {"l_returnflag": pa.array(f_s[starts], pa.string()),
+               "n": pa.array(ends - starts, pa.int64())}
+        for name, v in (("sx", x_s), ("sy", y_s), ("sxy", x_s * y_s),
+                        ("sxx", x_s * x_s), ("syy", y_s * y_s)):
+            s = np.add.reduceat(v, starts) if len(starts) else \
+                np.array([], np.int64)
+            out[f"{name}_hi"] = pa.array(s >> np.int64(32), pa.int64())
+            out[f"{name}_lo"] = pa.array(s & (LIMB - 1), pa.int64())
+        return pa.table(out)
+
+    aggs = [Sum("n", alias_name="n")]
+    for name in ("sx", "sy", "sxy", "sxx", "syy"):
+        aggs += [Sum(f"{name}_hi", alias_name=f"{name}_hi"),
+                 Sum(f"{name}_lo", alias_name=f"{name}_lo")]
+    part = ds.map_batches(moments, batch_format="pyarrow",
+                          batch_size=8192) \
+        .groupby("l_returnflag").aggregate(*aggs).to_pandas()
+
+    rows = []
+    for _, r in part.iterrows():
+        n = int(r["n"])
+        s = {k: (int(r[f"{k}_hi"]) << 32) + int(r[f"{k}_lo"])
+             for k in ("sx", "sy", "sxy", "sxx", "syy")}
+        num = n * s["sxy"] - s["sx"] * s["sy"]
+        d1 = n * s["sxx"] - s["sx"] * s["sx"]
+        d2 = n * s["syy"] - s["sy"] * s["sy"]
+        # operand order mirrors the oracle: num->double, *1e6, /sqrt(d1*d2)
+        corr = float(num) * 1_000_000.0 / math.sqrt(float(d1 * d2))
+        corr_micro = math.floor(corr + 0.5) if corr >= 0 \
+            else -math.floor(-corr + 0.5)  # round half away, as DuckDB
+        rows.append((r["l_returnflag"], n, s["sx"], s["sy"], corr_micro))
+    out = pd.DataFrame(rows, columns=[
+        "l_returnflag", "n", "sum_qty", "sum_price_cents", "corr_micro"])
+    return out.astype({"n": "int64", "sum_qty": "int64",
+                       "sum_price_cents": "int64", "corr_micro": "int64"})
+
+
+def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT"):
+    """(l_returnflag, n_items, sum_qty) over lineitems whose order is
+    urgent — the Bloom-pruned distributed semi-join (the reference's B1
+    DDFS filter, §2.5, earning its keep on the relational surface):
+
+      1. build: each build-side block adds its urgent o_orderkeys to a
+         BloomFilter; the per-block filters are OR-merged (mergeable by
+         construction) — at scale a tree reduce, here a driver fold;
+      2. probe: ONE compact bit-array (2^20 bits here, vs 8 B/key for an
+         exact set) ships to every prober via ray.put; the fact table is
+         pruned MAP-ONLY to candidates = true matches + bounded false
+         positives;
+      3. exact verify: only the pruned candidates enter a tag-and-union
+         rendezvous with the build keys — the shuffle is proportional to
+         the MATCH volume, never the fact table — and per-bucket partial
+         (flag, count, qty) aggregates reduce to a tiny final groupby.
+
+    False positives cost only wasted verify rows, never wrong output."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.bloom import BloomFilter
+    from ..stages.grouped import bucketed_group_map
+
+    build = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def block_filter(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        sel = np.asarray(
+            pc.equal(batch["o_orderpriority"],
+                     priority).to_numpy(zero_copy_only=False), bool)
+        bf = BloomFilter()
+        bf.add(keys[sel].astype(np.uint64))
+        return pa.table({"blob": pa.array([bf.to_bytes()], pa.binary())})
+
+    merged = BloomFilter()
+    for row in build.map_batches(block_filter,
+                                 batch_format="pyarrow").iter_rows():
+        merged = merged.merge(BloomFilter.from_bytes(row["blob"]))
+    bf_ref = _ray.put(merged.to_bytes())
+
+    fact = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter.from_bytes(_ray.get(bf_ref))
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        hit = bf.contains(keys.astype(np.uint64))
+        m = pa.array(hit)
+        return pa.table({
+            "key": batch["l_orderkey"].filter(m),
+            "l_returnflag": batch["l_returnflag"].filter(m),
+            "qty": pa.array(batch["l_quantity"].to_numpy(
+                zero_copy_only=False)[hit].astype(np.int64), pa.int64()),
+            "is_build": pa.array(np.zeros(int(hit.sum()), np.int8), pa.int8()),
+        })
+
+    def build_rows(b: pa.Table) -> pa.Table:
+        keys = b["o_orderkey"].filter(pc.equal(b["o_orderpriority"],
+                                               priority))
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "l_returnflag": pa.array([""] * n, pa.string()),
+            "qty": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_build": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    tagged = fact.map_batches(probe, batch_format="pyarrow") \
+        .union(build.map_batches(build_rows, batch_format="pyarrow"))
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        isb = df["is_build"].to_numpy(np.int8) == 1
+        good = set(df.loc[isb, "key"].to_numpy(np.int64).tolist())
+        cand = df.loc[~isb]
+        hit = cand["key"].isin(good).to_numpy()
+        sel = cand.loc[hit]
+        if not len(sel):
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "n_items": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.int64())})
+        g = sel.groupby("l_returnflag", as_index=False).agg(
+            n_items=("qty", "size"), sum_qty=("qty", "sum"))
+        return pa.table({
+            "l_returnflag": pa.array(g["l_returnflag"].tolist(), pa.string()),
+            "n_items": pa.array(g["n_items"].to_numpy(np.int64), pa.int64()),
+            "sum_qty": pa.array(g["sum_qty"].to_numpy(np.int64), pa.int64()),
+        })
+
+    agg = bucketed_group_map(tagged, "key", verify, num_buckets=8) \
+        .groupby("l_returnflag").aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("sum_qty", alias_name="sum_qty"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n_items": pc.cast(b["n_items"], pa.int64()),
+            "sum_qty": pc.cast(b["sum_qty"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def orders_decile_stats(sf_dir: str, n_buckets: int = 10):
+    """(decile, n_orders, sum_cents, min_cents, max_cents) — exact
+    quantile BUCKETING (the distributed ntile): every order lands in a
+    price decile, ties resolved value-stable (all rows of one value get
+    the decile of that value's LAST global rank — a deterministic,
+    row-order-independent rule both sides mirror).
+
+    Shape: the classic two-pass counting-sort scheme — pass 1 reduces
+    the fact table to a value-count table (bounded by the value DOMAIN,
+    here distinct cent amounts, not by row count) from which the driver
+    derives the <=9 bucket cutoffs; pass 2 is a MAP-ONLY searchsorted
+    assignment plus a |buckets|-cardinality aggregate. No global sort,
+    no row ever shuffles twice. Same skeleton as stats.column_quantiles,
+    upgraded from point lookups to a full partition assignment."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        return pa.table({"c": pa.array(c, pa.int64())})
+
+    vc = ds.map_batches(cents, batch_format="pyarrow") \
+        .groupby("c").aggregate(Count(alias_name="cnt")).to_pandas() \
+        .sort_values("c")
+    cum = vc["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1])
+    vals = vc["c"].to_numpy(np.int64)
+    decile_of_val = (cum - 1) * n_buckets // n
+    # cutoff_d = smallest value with decile >= d, for d = 1..n_buckets-1;
+    # DUPLICATES must stay (a heavy value spanning several deciles makes
+    # consecutive cutoffs equal, and searchsorted must count each), so
+    # decile(v) = #{d : cutoff_d <= v} = searchsorted(cutoffs, v, right)
+    idx = np.searchsorted(decile_of_val, np.arange(1, n_buckets),
+                          side="left")
+    cutoffs = vals[idx[idx < len(vals)]]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = np.round(batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        d = np.searchsorted(cutoffs, c, side="right")
+        return pa.table({"decile": pa.array(d.astype(np.int64), pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    agg = ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("decile").aggregate(
+            Count(alias_name="n_orders"), Sum("c", alias_name="sum_cents"),
+            Min("c", alias_name="min_cents"), Max("c", alias_name="max_cents"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "decile": b["decile"],
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "sum_cents": pc.cast(b["sum_cents"], pa.int64()),
+            "min_cents": pc.cast(b["min_cents"], pa.int64()),
+            "max_cents": pc.cast(b["max_cents"], pa.int64()),
+        }), batch_format="pyarrow")

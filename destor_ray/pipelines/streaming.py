@@ -655,3 +655,229 @@ def events_user_mode(sf_dir: str):
         })
 
     return bucketed_group_map(pairs, "user_id", top1, num_buckets=8)
+
+
+def user_retention_cohorts(sf_dir: str):
+    """(cohort_day, day_offset, n_users) — classic cohort-retention
+    matrix: each user's cohort is their first active day; cell
+    (c, k) counts users from cohort c active again k days later.
+
+    Scale shape (the analytics pass every event warehouse runs):
+      1. map-side: project events to (user_id, day) and DEDUP inside
+         each batch, so the exchange carries at most one 16-byte row
+         per (user, day) per batch — never one per event;
+      2. ONE user-keyed hash shuffle (bucketed_group_map) completes the
+         global (user, day) dedup, takes each user's min day as the
+         cohort, and emits per-bucket PARTIAL (cohort, offset) counts
+         (users' histories never leave their bucket);
+      3. a final tiny (cohort_day, day_offset) aggregate over
+         |cohorts| x |offsets| partial rows.
+    No broadcast; bucket fn is linear in bucket size. At 10^12 events
+    the only large exchange is step 2, proportional to distinct
+    user-days, and user_id hash-partitions evenly by construction."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def user_days(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].to_numpy(zero_copy_only=False)
+        day = us.astype("datetime64[D]").astype(np.int64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        packed = np.unique(uid.astype(np.int64) << np.int64(20) | day)
+        return pa.table({
+            "user_id": pa.array(packed >> np.int64(20), pa.int64()),
+            "day": pa.array(packed & np.int64((1 << 20) - 1), pa.int64()),
+        })
+
+    def cohort_partials(df: pd.DataFrame) -> pa.Table:
+        uid = df["user_id"].to_numpy(np.int64)
+        day = df["day"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        u_s, d_s = uid[order], day[order]
+        keep = np.empty(len(u_s), dtype=bool)  # global (user, day) dedup
+        if len(u_s):
+            keep[0] = True
+            keep[1:] = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+        u_s, d_s = u_s[keep], d_s[keep]
+        first = np.empty(len(u_s), dtype=bool)
+        if len(u_s):
+            first[0] = True
+            first[1:] = u_s[1:] != u_s[:-1]
+        seg = np.cumsum(first) - 1
+        cohort = d_s[np.flatnonzero(first)][seg]  # each user's min day
+        pairs = np.stack([cohort, d_s - cohort], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table({
+            "cohort": pa.array(uniq[:, 0], pa.int64()),
+            "day_offset": pa.array(uniq[:, 1], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    agg = bucketed_group_map(ds.map_batches(user_days, batch_format="pyarrow"),
+                             "user_id", cohort_partials, num_buckets=8) \
+        .groupby(["cohort", "day_offset"]).aggregate(Sum("n", alias_name="n_users"))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        days = batch["cohort"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        return pa.table({
+            "cohort_day": pa.array(days.astype(str), pa.string()),
+            "day_offset": batch["day_offset"],
+            "n_users": pc.cast(batch["n_users"], pa.int64()),
+        })
+
+    return agg.map_batches(normalize, batch_format="pyarrow")
+
+
+def events_upsert_latest(sf_dir: str):
+    """(user_id, event_type, ts_us, event_id, value_micro, src) — SCD /
+    upsert merge compaction: a base snapshot (even event_ids) is merged
+    with an arriving delta (odd event_ids); per (user_id, event_type)
+    key the DELTA row wins if any exists (upsert priority), latest
+    (ts, event_id) breaks ties within a side.
+
+    Shape: narrow 5-column projection map-side, then ONE hash shuffle
+    on the merge key (bucketed_group_map over a packed key column) and
+    a vectorized per-bucket rank-select — the same single-exchange
+    compaction a log-structured table (Iceberg/Delta MERGE, destor's
+    index-update U1 analog) performs per partition at scale. No state
+    is broadcast; bucket work is sort + boundary scan, linear-log in
+    bucket size."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["user_id"], pa.string()), batch["event_type"], "|")
+        return pa.table({
+            "key": key,
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "event_id": batch["event_id"],
+            "value_micro": pa.array(vmic, pa.int64()),
+            "is_delta": pa.array((eid % 2).astype(np.int8), pa.int8()),
+        })
+
+    def latest(df: pd.DataFrame) -> pa.Table:
+        key = np.asarray(df["key"].tolist(), dtype=object)
+        isd = df["is_delta"].to_numpy(np.int8)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        # per key: delta-first, then ts DESC, then event_id DESC
+        order = np.lexsort((-eid, -ts, -isd, key))
+        first = np.empty(len(key), dtype=bool)
+        if len(key):
+            first[0] = True
+            first[1:] = key[order][1:] != key[order][:-1]
+        idx = order[first]
+        sel = df.iloc[idx]
+        return pa.table({
+            "user_id": pa.array(sel["user_id"].to_numpy(np.int64), pa.int64()),
+            "event_type": pa.array(sel["event_type"].tolist(), pa.string()),
+            "ts_us": pa.array(sel["ts_us"].to_numpy(np.int64), pa.int64()),
+            "event_id": pa.array(sel["event_id"].to_numpy(np.int64), pa.int64()),
+            "value_micro": pa.array(sel["value_micro"].to_numpy(np.int64), pa.int64()),
+            "src": pa.array(np.where(sel["is_delta"].to_numpy(np.int8) == 1,
+                                     "delta", "base"), pa.string()),
+        })
+
+    return bucketed_group_map(ds.map_batches(narrow, batch_format="pyarrow"),
+                              "key", latest, num_buckets=8)
+
+
+def events_zscore_outliers(sf_dir: str, k_sigma: int = 3):
+    """(event_id, event_type, value_micro, dev_scaled) — EXACT
+    distributed outlier detection: rows whose value deviates from their
+    group mean by more than k_sigma population standard deviations,
+    decided in integer arithmetic (no float mean/std, no accumulation-
+    order drift): |n·v − S| > isqrt(k²·(n·Sxx − S²)) over integer
+    micros, which is exactly (v − S/n)² > k²·var without ever forming
+    a fraction (a² > K ⇔ a > isqrt(K) for integer a ≥ 0).
+
+    Shape: pass 1 is a tiny per-type moment aggregate (n, S, Sxx
+    limb-decomposed as in lineitem_corr_stats — Sxx of micro values
+    overflows int64 at ~10^4 rows); the |types|-bounded constants ride
+    into pass 2 as a closure; pass 2 is MAP-ONLY. int64 guard: n·v
+    stays below 2^63 up to ~1.8·10^10 rows per group at value ≤ 490 —
+    beyond that, rescale to millis or split the group key."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        order = np.argsort(et, kind="stable")
+        e_s, v_s = et[order], v[order]
+        first = np.empty(len(e_s), dtype=bool)
+        if len(e_s):
+            first[0] = True
+            first[1:] = e_s[1:] != e_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(e_s))
+        s = np.add.reduceat(v_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        # per-row squares fit int64 (< 2.5e17) but an 8192-row batch sum
+        # does not — split each SQUARE into (hi, lo) limbs and reduceat
+        # the limbs independently; limbs need not stay canonical (< 2^32)
+        # because recombination is just Σhi·2^32 + Σlo on the driver
+        LIMB = np.int64(1) << np.int64(32)
+        sq = v_s * v_s
+        if len(starts):
+            hi_acc = np.add.reduceat(sq >> np.int64(32), starts)
+            lo_acc = np.add.reduceat(sq & (LIMB - 1), starts)
+        else:
+            hi_acc = lo_acc = np.array([], np.int64)
+        return pa.table({
+            "event_type": pa.array(e_s[starts], pa.string()),
+            "n": pa.array(ends - starts, pa.int64()),
+            "s_hi": pa.array(s >> np.int64(32), pa.int64()),
+            "s_lo": pa.array(s & (LIMB - 1), pa.int64()),
+            "sxx_hi": pa.array(hi_acc, pa.int64()),
+            "sxx_lo": pa.array(lo_acc, pa.int64()),
+        })
+
+    import math
+
+    part = ds.map_batches(moments, batch_format="pyarrow",
+                          batch_size=8192) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s_hi", alias_name="s_hi"), Sum("s_lo", alias_name="s_lo"),
+            Sum("sxx_hi", alias_name="sxx_hi"),
+            Sum("sxx_lo", alias_name="sxx_lo")).to_pandas()
+    const = {}
+    for _, r in part.iterrows():
+        n = int(r["n"])
+        s = (int(r["s_hi"]) << 32) + int(r["s_lo"])
+        sxx = (int(r["sxx_hi"]) << 32) + int(r["sxx_lo"])
+        t = math.isqrt(k_sigma * k_sigma * (n * sxx - s * s))
+        const[r["event_type"]] = (n, s, t)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        n = np.fromiter((const[e][0] for e in et), np.int64, count=len(et))
+        s = np.fromiter((const[e][1] for e in et), np.int64, count=len(et))
+        t = np.fromiter((const[e][2] for e in et), np.int64, count=len(et))
+        dev = n * v - s
+        keep = np.abs(dev) > t
+        return pa.table({
+            "event_id": batch["event_id"].filter(pa.array(keep)),
+            "event_type": batch["event_type"].filter(pa.array(keep)),
+            "value_micro": pa.array(v[keep], pa.int64()),
+            "dev_scaled": pa.array(dev[keep], pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")

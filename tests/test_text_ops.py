@@ -58,6 +58,9 @@ def _check(name, con, ray_session):
     "pagerank_tokens", "semantic_dedup", "lineitem_rollup",
     "distinct_tokens_exact", "unigram_logprob", "training_mix_sample",
     "events_type_mad", "events_user_mode", "bigram_pmi",
+    "user_retention_cohorts", "events_upsert_latest",
+    "lineitem_corr_stats", "triangle_count",
+    "events_zscore_outliers", "bloom_semi_join", "orders_decile_stats",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -380,3 +383,106 @@ def test_curation_pipeline_dedups_planted_copies(ray_session, tmp_path):
     assert int(out.loc[1, "n_copies"]) == 3
     assert int(out.loc[4, "n_copies"]) == 1
     assert 3 in out.index  # trailing-space variant stays distinct
+
+
+def test_retention_cohorts_invariants(ray_session, con):
+    import __ray_entry__ as em
+    out = em.queries()["user_retention_cohorts"](SF).to_pandas()
+    # offset 0 counts each user exactly once (their cohort day itself)
+    n_users = con.sql(
+        "SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert int(out.loc[out["day_offset"] == 0, "n_users"].sum()) == n_users
+    assert (out["day_offset"] >= 0).all()
+    # retention can never exceed the cohort's own size
+    base = out[out["day_offset"] == 0].set_index("cohort_day")["n_users"]
+    for _, r in out.iterrows():
+        assert r["n_users"] <= base[r["cohort_day"]]
+
+
+def test_upsert_latest_delta_priority(ray_session, con):
+    import __ray_entry__ as em
+    out = em.queries()["events_upsert_latest"](SF).to_pandas()
+    # one surviving row per key
+    assert not out.duplicated(["user_id", "event_type"]).any()
+    # any key that has at least one delta (odd event_id) row in the
+    # input must surface a delta row, regardless of base timestamps
+    has_delta = con.sql("""
+        SELECT user_id, event_type FROM events
+        GROUP BY 1, 2 HAVING sum(CASE WHEN event_id % 2 = 1 THEN 1
+                                      ELSE 0 END) > 0""").df()
+    keys = set(map(tuple, has_delta.to_numpy()))
+    for _, r in out.iterrows():
+        expected = "delta" if (r["user_id"], r["event_type"]) in keys \
+            else "base"
+        assert r["src"] == expected
+
+
+def test_corr_micro_bounded(ray_session):
+    import __ray_entry__ as em
+    out = em.queries()["lineitem_corr_stats"](SF)
+    assert (out["corr_micro"].abs() <= 1_000_000).all()
+    assert (out["n"] > 0).all()
+
+
+def test_triangle_count_matches_networkx_free_bruteforce(ray_session):
+    """Cross-check the distributed count against a driver-side brute
+    force over the (tiny at sf0.001) distinct-edge set."""
+    import itertools
+
+    import __ray_entry__ as em
+    out = em.queries()["triangle_count"](SF)
+    import duckdb as d
+    edges = d.sql(f"""
+        WITH w AS (SELECT string_split(text, ' ') AS ws
+                   FROM read_parquet('{SF}/documents.parquet')),
+        bg AS (SELECT ws[i] AS u, ws[i+1] AS v
+               FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws)-1))
+                                AS i) t)
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        FROM bg WHERE u <> v""").df()
+    eset = set(map(tuple, edges.to_numpy()))
+    adj = {}
+    for a, b in eset:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = sum(1 for a, b in eset
+              for c in adj[a] & adj[b] if (min(a, c), max(a, c)) in eset
+              and (min(b, c), max(b, c)) in eset) // 3
+    # each triangle found once per edge (3x)
+    assert int(out["n_triangles"].iloc[0]) == tri
+    assert int(out["n_nodes"].iloc[0]) == len(adj)
+    assert int(out["n_edges"].iloc[0]) == len(eset)
+
+
+def test_zscore_outliers_exactness_vs_driver(ray_session, con):
+    """The integer isqrt threshold reproduces the literal
+    (v - mean)^2 > 9 var comparison done in exact rational arithmetic."""
+    from fractions import Fraction
+
+    import __ray_entry__ as em
+    out = em.queries()["events_zscore_outliers"](SF).to_pandas()
+    ev = con.sql("SELECT event_id, event_type, "
+                 "CAST(round(value*1000000) AS BIGINT) AS v "
+                 "FROM events").df()
+    expect = set()
+    for et, g in ev.groupby("event_type"):
+        v = g["v"].to_numpy()
+        n = len(v)
+        mean = Fraction(int(v.sum()), n)
+        var = Fraction(int((v.astype(object) ** 2).sum()), n) - mean * mean
+        for eid, x in zip(g["event_id"], v):
+            if (Fraction(int(x)) - mean) ** 2 > 9 * var:
+                expect.add(int(eid))
+    assert set(out["event_id"]) == expect
+
+
+def test_decile_stats_cover_all_orders(ray_session, con):
+    import __ray_entry__ as em
+    out = em.queries()["orders_decile_stats"](SF).to_pandas()
+    n = con.sql("SELECT count(*) FROM orders").fetchone()[0]
+    assert int(out["n_orders"].sum()) == n
+    assert sorted(out["decile"]) == list(range(len(out)))
+    # bucket ranges must not overlap
+    o = out.sort_values("decile")
+    assert (o["min_cents"].to_numpy()[1:]
+            > o["max_cents"].to_numpy()[:-1]).all()
