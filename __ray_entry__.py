@@ -93,6 +93,24 @@ queries() entries map to SURVEY.md §2 operators:
   orders_decile_stats  exact distributed ntile via two-pass counting
                        sort (value-count table → cutoffs → map-only
                        assign) (oracle)
+  q3_shipping_priority TPC-H Q3 3-way join: segment-customer key set
+                       broadcast, orders⋈lineitem tag-and-union with
+                       map-side revenue partials, per-bucket top-k (oracle)
+  events_value_rank    ties-inclusive cumulative rank (cume_dist
+                       numerator) via domain-bounded value-count pass
+                       + map-only searchsorted (oracle)
+  events_type_sketch_percentiles grouped KLL sketch percentiles —
+                       scale path when a group can't co-locate
+                       (rows-only; rank-bound pytest)
+  orders_lineitem_left_join LEFT OUTER join via tag-and-union +
+                       per-bucket zero-fill (oracle)
+  events_value_delta   lag window: per-user consecutive value delta,
+                       nullable firsts (oracle)
+  docs_jsonl_stats     JSONL ingest round trip through the
+                       sources.read_table format dispatch (oracle)
+  lineitem_cube        GROUP BY CUBE, cube-from-finest (oracle)
+  source_token_entropy per-source Shannon entropy of the token
+                       distribution, integer-micro quantized (oracle)
   events_user_mode     grouped mode/argmax via map-side-combined pair
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
@@ -497,7 +515,7 @@ def _fsl_trace_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from destor_ray.pipelines import (ann, curation, graph, ranking,
+    from destor_ray.pipelines import (ann, curation, graph, ingest, ranking,
                                       relational, stats, streaming,
                                       substring, text)
     return {
@@ -526,6 +544,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_outliers": streaming.events_zscore_outliers,
         "bloom_semi_join": relational.bloom_semi_join,
         "orders_decile_stats": relational.orders_decile_stats,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "events_value_rank": streaming.events_value_rank,
+        "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
+        "orders_lineitem_left_join": relational.orders_lineitem_left_join,
+        "events_value_delta": streaming.events_value_delta,
+        "docs_jsonl_stats": ingest.docs_jsonl_stats,
+        "lineitem_cube": relational.lineitem_cube,
+        "source_token_entropy": text.source_token_entropy,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -1353,6 +1379,88 @@ def oracle_sql() -> dict[str, str]:
                     FROM e e1 JOIN e e2 ON e2.a = e1.b
                               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
                        AS n_triangles
+        """,
+        "lineitem_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "source_token_entropy": """
+            WITH tc AS (
+                SELECT source, tok, count(*) AS c FROM (
+                    SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                ) GROUP BY source, tok
+            ), tot AS (
+                SELECT source, sum(c) AS n FROM tc GROUP BY source
+            )
+            SELECT tc.source,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(-sum(c * CAST(round(
+                        ln(CAST(c AS DOUBLE) / n) * 1000000) AS BIGINT))
+                        AS BIGINT) AS entropy_scaled
+            FROM tc JOIN tot ON tc.source = tot.source
+            GROUP BY tc.source
+        """,
+        "orders_lineitem_left_join": """
+            SELECT o_orderkey,
+                   CAST(count(l.l_orderkey) AS BIGINT) AS n_late_items,
+                   CAST(coalesce(sum(CAST(l.l_quantity AS BIGINT)), 0)
+                        AS BIGINT) AS late_qty
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate > TIMESTAMP '2001-01-01'
+            GROUP BY o_orderkey
+        """,
+        "events_value_delta": """
+            WITH v AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value * 1000000) AS BIGINT) AS vmic
+                FROM events
+            )
+            SELECT event_id, user_id, vmic AS value_micro,
+                   vmic - lag(vmic) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       AS delta_micro
+            FROM v
+        """,
+        "docs_jsonl_stats": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+                   o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                            * (100 - CAST(round(l_discount * 100) AS HUGEINT)))
+                        AS BIGINT) AS revenue_scaled
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_scaled DESC, l_orderkey
+            LIMIT 10
+        """,
+        "events_value_rank": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 1000000) AS BIGINT) AS vmic
+                FROM events
+            )
+            SELECT event_id, event_type, vmic AS value_micro,
+                   CAST(count(*) OVER (PARTITION BY event_type
+                                       ORDER BY vmic) AS BIGINT) AS n_le
+            FROM v
         """,
         "events_zscore_outliers": """
             WITH v AS (

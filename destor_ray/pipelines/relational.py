@@ -608,3 +608,242 @@ def orders_decile_stats(sf_dir: str, n_buckets: int = 10):
             "min_cents": pc.cast(b["min_cents"], pa.int64()),
             "max_cents": pc.cast(b["max_cents"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1998-06-01", k: int = 10):
+    """(l_orderkey, o_orderdate, o_orderpriority, revenue_scaled) — the
+    TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem with per-side date
+    predicates, grouped revenue, global top-k. Exercises the 3-way join
+    composition: the SMALL dimension (segment customers) broadcasts as
+    a key set; the two FACT sides meet in ONE tag-and-union hash
+    shuffle on orderkey with the lineitem side pre-aggregated per batch
+    (partial revenue per orderkey), so the exchange carries partials
+    and order headers, never line items. Per-bucket top-k then a tiny
+    driver merge — the k·buckets rows are all that leave the reducers.
+
+    revenue_scaled = Σ price_cents · (100 − disc_pct): exact int64
+    (≤ 10^9 per item), accumulation-order-free on both sides."""
+    import pyarrow.parquet as pq_
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+
+    cust = pq_.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], segment))["c_custkey"] \
+        .to_numpy()
+    cust_ref = _ray.put(np.sort(keys))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        ck = _ray.get(cust_ref)
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        custk = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck, custk)
+        pos[pos >= len(ck)] = 0
+        sel = (ck[pos] == custk) & (od < cut) if len(ck) else \
+            np.zeros(len(custk), bool)
+        m = pa.array(sel)
+        n = int(sel.sum())
+        return pa.table({
+            "key": batch["o_orderkey"].filter(m),
+            "o_date": pa.array(od[sel], pa.int64()),
+            "o_orderpriority": batch["o_orderpriority"].filter(m),
+            "rev": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_order": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = sd > cut
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[sel] * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False)[sel] * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        order = np.argsort(okey, kind="stable")
+        ok_s, rev_s = okey[order], rev[order]
+        first = np.empty(len(ok_s), dtype=bool)
+        if len(ok_s):
+            first[0] = True
+            first[1:] = ok_s[1:] != ok_s[:-1]
+        starts = np.flatnonzero(first)
+        psum = np.add.reduceat(rev_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        n = len(starts)
+        return pa.table({
+            "key": pa.array(ok_s[starts], pa.int64()),
+            "o_date": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "o_orderpriority": pa.array([""] * n, pa.string()),
+            "rev": pa.array(psum, pa.int64()),
+            "is_order": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def bucket_topk(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_order"].to_numpy(np.int8) == 1
+        ords = df.loc[iso].drop_duplicates("key")
+        rev = df.loc[~iso].groupby("key", as_index=False)["rev"].sum()
+        j = ords.merge(rev, on="key", how="inner", suffixes=("_z", ""))
+        if not len(j):
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "o_date": pa.array([], pa.int64()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "revenue_scaled": pa.array([], pa.int64())})
+        j = j.sort_values(["rev", "key"], ascending=[False, True]).head(k)
+        return pa.table({
+            "l_orderkey": pa.array(j["key"].to_numpy(np.int64), pa.int64()),
+            "o_date": pa.array(j["o_date"].to_numpy(np.int64), pa.int64()),
+            "o_orderpriority": pa.array(j["o_orderpriority"].tolist(),
+                                        pa.string()),
+            "revenue_scaled": pa.array(j["rev"].to_numpy(np.int64),
+                                       pa.int64()),
+        })
+
+    cand = bucketed_group_map(tagged, "key", bucket_topk, num_buckets=8) \
+        .to_pandas()  # ≤ k × buckets rows
+    cand = cand.sort_values(["revenue_scaled", "l_orderkey"],
+                            ascending=[False, True]).head(k)
+    out = pd.DataFrame({
+        "l_orderkey": cand["l_orderkey"].to_numpy(np.int64),
+        "o_orderdate": cand["o_date"].to_numpy(np.int64)
+        .astype("datetime64[us]").astype("datetime64[D]").astype(str),
+        "o_orderpriority": cand["o_orderpriority"].to_numpy(object),
+        "revenue_scaled": cand["revenue_scaled"].to_numpy(np.int64),
+    })
+    return out.reset_index(drop=True)
+
+
+def orders_lineitem_left_join(sf_dir: str, cutoff: str = "2001-01-01"):
+    """(o_orderkey, n_late_items, late_qty) for EVERY order — LEFT OUTER
+    join: orders with no lineitem shipped after the cutoff keep a
+    0-count row (the join-type matrix: inner ✓ customer_order_stats,
+    broadcast ✓ part_type_revenue, anti ✓ customers_without_urgent,
+    semi ✓ bloom_semi_join, as-of/range ✓ events — this adds LEFT).
+
+    Shape: the lineitem side pre-aggregates per batch to (orderkey,
+    partial count, partial qty) BEFORE the exchange, the orders side
+    ships bare keys; one tag-and-union hash shuffle, per-bucket
+    zero-fill for keys with no fact partials. Exchange volume =
+    orders + distinct-orderkey partials, never raw line items."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey"])
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity", "l_shipdate"])
+
+    def left_keys(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["o_orderkey"],
+            "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "qty": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_left": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def fact_partials(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = sd > cut
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        qty = batch["l_quantity"].to_numpy(
+            zero_copy_only=False)[sel].astype(np.int64)
+        order = np.argsort(okey, kind="stable")
+        ok_s, q_s = okey[order], qty[order]
+        first = np.empty(len(ok_s), dtype=bool)
+        if len(ok_s):
+            first[0] = True
+            first[1:] = ok_s[1:] != ok_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(ok_s))
+        psum = np.add.reduceat(q_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        return pa.table({
+            "key": pa.array(ok_s[starts], pa.int64()),
+            "n": pa.array(ends - starts, pa.int64()),
+            "qty": pa.array(psum, pa.int64()),
+            "is_left": pa.array(np.zeros(len(starts), np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(left_keys, batch_format="pyarrow") \
+        .union(lineitem.map_batches(fact_partials, batch_format="pyarrow"))
+
+    def zero_fill(df: pd.DataFrame) -> pa.Table:
+        isl = df["is_left"].to_numpy(np.int8) == 1
+        left = df.loc[isl, "key"].drop_duplicates()
+        f = df.loc[~isl].groupby("key", as_index=False)[["n", "qty"]].sum()
+        j = pd.DataFrame({"key": left}).merge(f, on="key", how="left") \
+            .fillna(0)
+        return pa.table({
+            "o_orderkey": pa.array(j["key"].to_numpy(np.int64), pa.int64()),
+            "n_late_items": pa.array(j["n"].to_numpy(np.int64), pa.int64()),
+            "late_qty": pa.array(j["qty"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(tagged, "key", zero_fill, num_buckets=8)
+
+
+def lineitem_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets — detail, per-flag, per-status, grand total — completing the
+    grouping-sets family next to lineitem_rollup. Same
+    cube-from-finest shape: ONE fact-table pass produces the
+    |flag|×|status|-bounded finest result; the three coarser levels
+    re-aggregate that tiny table on the driver. 'ALL' sentinels keep
+    the hash stable across NULL renderings (COALESCE in the oracle)."""
+    from ray.data.aggregate import Count, Sum
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "price_cents": pa.array(cents, pa.int64()),
+        })
+
+    fin = ds.map_batches(to_cents, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="n_items")).to_pandas()
+    fin["sum_price_cents"] = fin["sum_price_cents"].astype(np.int64)
+    fin["n_items"] = fin["n_items"].astype(np.int64)
+    vals = ["sum_price_cents", "n_items"]
+    by_flag = fin.groupby("l_returnflag", as_index=False)[vals].sum()
+    by_flag["l_linestatus"] = "ALL"
+    by_status = fin.groupby("l_linestatus", as_index=False)[vals].sum()
+    by_status["l_returnflag"] = "ALL"
+    total = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "sum_price_cents": [fin["sum_price_cents"].sum()],
+        "n_items": [fin["n_items"].sum()],
+    })
+    cols = ["l_returnflag", "l_linestatus", "sum_price_cents", "n_items"]
+    return pd.concat([fin[cols], by_flag[cols], by_status[cols],
+                      total[cols]], ignore_index=True)

@@ -90,3 +90,58 @@ def quantile_sketch_stats(sf_dir: str, k: int = 256, num_buckets: int = 4):
     p50, p90, p99 = final.quantiles([0.5, 0.9, 0.99])
     return pd.DataFrame({"n_rows": pd.array([final.n_items()], "int64"),
                          "p50": [p50], "p90": [p90], "p99": [p99]})
+
+
+def events_type_sketch_percentiles(sf_dir: str, k: int = 256,
+                                   num_buckets: int = 4):
+    """(event_type, n, p50_micro, p90_micro) APPROXIMATE — the grouped
+    twin of quantile_sketch_stats: per-batch per-type partial KLL
+    sketches (each O(k log(n/k)) float64s regardless of group size),
+    merged through a type-keyed groupby, quantiles read off the merged
+    sketch. The scale path when one group's values can't co-locate for
+    the exact rank-select (events_type_percentiles); rank error is
+    bounded by the sketch guarantee and asserted against the exact
+    reducer in tests."""
+    import ray.data  # noqa: F811 (module-level import is for readers)
+
+    from ..functions.sketch import QuantileSketch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        types, blobs, ns = [], [], []
+        for t in np.unique(et):
+            m = et == t
+            sk = QuantileSketch(k=k)
+            sk.add(v[m].astype(np.float64))
+            types.append(t)
+            blobs.append(sk.to_bytes())
+            ns.append(int(m.sum()))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "blob": pa.array(blobs, pa.binary()),
+                         "n": pa.array(ns, pa.int64())})
+
+    def merge_group(df: pd.DataFrame) -> pa.Table:
+        types, p50, p90, ns = [], [], [], []
+        for t, g in df.groupby("event_type"):
+            sk = QuantileSketch(k=k)
+            for blob in g["blob"]:
+                sk = sk.merge(QuantileSketch.from_bytes(blob))
+            q = sk.quantiles([0.5, 0.9])
+            types.append(t)
+            p50.append(int(q[0]))
+            p90.append(int(q[1]))
+            ns.append(int(g["n"].sum()))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "p50_micro": pa.array(p50, pa.int64()),
+                         "p90_micro": pa.array(p90, pa.int64())})
+
+    from ..stages.grouped import bucketed_group_map
+    return bucketed_group_map(ds.map_batches(partial, batch_format="pyarrow"),
+                              "event_type", merge_group,
+                              num_buckets=num_buckets)

@@ -881,3 +881,110 @@ def events_zscore_outliers(sf_dir: str, k_sigma: int = 3):
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def events_value_rank(sf_dir: str):
+    """(event_id, event_type, value_micro, n_le) — ties-inclusive
+    cumulative rank within group (the cume_dist numerator: how many
+    events of this type have value <= mine), the per-row window
+    statistic behind percentile-rank features.
+
+    Distributed WITHOUT a per-group sort of the fact table: pass 1
+    reduces events to the per-type VALUE-COUNT table (domain-bounded,
+    like orders_decile_stats); the driver turns it into per-type
+    (sorted values, inclusive cumulative counts); pass 2 is MAP-ONLY —
+    one searchsorted per batch against the broadcast tables. At an
+    unbounded value domain, swap pass 1 for the KLL sketch and emit
+    approximate ranks instead."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "event_type", "value"])
+
+    def vmic(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "v": pa.array(v, pa.int64())})
+
+    vc = ds.map_batches(vmic, batch_format="pyarrow") \
+        .groupby(["event_type", "v"]).aggregate(Count(alias_name="cnt")) \
+        .to_pandas()
+    tables = {}
+    for et, g in vc.groupby("event_type"):
+        g = g.sort_values("v")
+        tables[et] = (g["v"].to_numpy(np.int64),
+                      g["cnt"].to_numpy(np.int64).cumsum())
+    ref = _ray.put(tables)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        tb = _ray.get(ref)
+        et = batch["event_type"].to_pylist()
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        n_le = np.empty(len(v), np.int64)
+        # group rows by type within the batch, one searchsorted per type
+        et_arr = np.asarray(et, dtype=object)
+        for t in np.unique(et_arr):
+            m = et_arr == t
+            vals, cum = tb[t]
+            n_le[m] = cum[np.searchsorted(vals, v[m], side="left")]
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "value_micro": pa.array(v, pa.int64()),
+            "n_le": pa.array(n_le, pa.int64()),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def events_value_delta(sf_dir: str):
+    """(event_id, user_id, value_micro, delta_micro nullable) — lag
+    window: each event's value minus the same user's PREVIOUS event
+    value in (ts, event_id) order; a user's first event gets NULL.
+    Completes the window surface (running total ✓, sliding frame ✓,
+    rank ✓, cume ✓ — this adds lag/lead).
+
+    Shape: narrow projection, ONE user-keyed shuffle, per-bucket
+    lexsort + shifted vectorized difference with user-boundary masking
+    — the same segmented-scan skeleton as events_sessionize."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "vmic": pa.array(np.round(batch["value"].to_numpy(
+                zero_copy_only=False) * 1_000_000).astype(np.int64),
+                pa.int64()),
+        })
+
+    def delta(df: pd.DataFrame) -> pa.Table:
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["vmic"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], v[order]
+        d = np.empty(len(v_s), np.int64)
+        valid = np.empty(len(v_s), bool)
+        if len(v_s):
+            d[0] = 0
+            valid[0] = False
+            d[1:] = v_s[1:] - v_s[:-1]
+            valid[1:] = u_s[1:] == u_s[:-1]
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(u_s, pa.int64()),
+            "value_micro": pa.array(v_s, pa.int64()),
+            "delta_micro": pa.array(d, pa.int64(), mask=~valid),
+        })
+
+    return bucketed_group_map(ds.map_batches(narrow, batch_format="pyarrow"),
+                              "user_id", delta, num_buckets=8)

@@ -1456,3 +1456,70 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, k: int = 50):
     return big.map_batches(score, batch_format="pyarrow") \
         .sort(["pmi_micro", "t1", "t2"],
               descending=[True, False, False]).limit(k)
+
+
+def source_token_entropy(sf_dir: str):
+    """(source, n_tokens, n_distinct, entropy_scaled) — per-source
+    token-distribution Shannon entropy (×n, integer-micro quantized):
+    entropy_scaled = −Σ_tok c·round(ln(c/n)·1e6). The corpus-profiling
+    statistic behind "is this source templated or diverse?" mixture
+    decisions; n·H rather than H so the result stays an exact int64
+    (divide by n_tokens·1e6 for nats/token downstream).
+
+    Shape: batch-local (source, token) counts (arrow group_by) so only
+    a batch's distinct pairs enter the ONE source+token-keyed
+    map-side-combined groupby; entropy then reduces per source inside
+    a source-keyed bucket (every source's token rows co-locate) —
+    token-cardinality work, never corpus-cardinality. Per-token terms
+    are quantized to integer micros BEFORE the sum, the
+    unigram_logprob convention that makes the int64 sum hash-stable
+    against the DuckDB oracle."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["source", "text"])
+
+    def local_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_per = np.diff(np.asarray(toks.offsets).astype(np.int64))
+        src_rep = pa.array(np.repeat(
+            np.asarray(batch["source"].to_pylist(), dtype=object), n_per),
+            pa.string())
+        flat = pa.table({"source": src_rep, "token": pc.list_flatten(toks)})
+        return flat.group_by(["source", "token"]) \
+            .aggregate([([], "count_all")]) \
+            .rename_columns(["source", "token", "c"])
+
+    pairs = ds.map_batches(local_counts, batch_format="pyarrow") \
+        .groupby(["source", "token"]).aggregate(Sum("c", alias_name="c"))
+
+    def entropy(df: pd.DataFrame) -> pa.Table:
+        src = np.asarray(df["source"].tolist(), dtype=object)
+        c = df["c"].to_numpy(np.int64)
+        order = np.argsort(src, kind="stable")
+        s_s, c_s = src[order], c[order]
+        first = np.empty(len(s_s), dtype=bool)
+        if len(s_s):
+            first[0] = True
+            first[1:] = s_s[1:] != s_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(s_s))
+        n_tok = np.add.reduceat(c_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        n_tot = np.repeat(n_tok, ends - starts)
+        logp_micro = np.round(
+            np.log(c_s.astype(np.float64) / n_tot) * 1e6).astype(np.int64)
+        terms = c_s * logp_micro
+        ent = -(np.add.reduceat(terms, starts)) if len(starts) else \
+            np.array([], np.int64)
+        return pa.table({
+            "source": pa.array(s_s[starts], pa.string()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_distinct": pa.array(ends - starts, pa.int64()),
+            "entropy_scaled": pa.array(ent, pa.int64()),
+        })
+
+    return bucketed_group_map(pairs, "source", entropy, num_buckets=4)

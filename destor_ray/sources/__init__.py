@@ -5,6 +5,7 @@ The north_rule input is a Lance table; this sandbox does not ship the
 available and on the path's format:
 
   read_table("x.lance" | dir with .lance)  → ray.data.read_lance
+  read_table("x.jsonl" | dir with .jsonl)  → ray.data.read_json
   read_table(dir with parquet | x.parquet) → ray.data.read_parquet
 
 Everything downstream consumes a ray.data.Dataset either way — swapping
@@ -32,8 +33,17 @@ def is_lance_path(path: str) -> bool:
         for name in os.listdir(path)) if os.path.isdir(path) else False
 
 
+def is_jsonl_path(path: str) -> bool:
+    if path.endswith((".jsonl", ".json")):
+        return True
+    return os.path.isdir(path) and any(
+        name.endswith((".jsonl", ".json")) for name in os.listdir(path))
+
+
 def read_table(path: str, columns: list[str] | None = None):
-    """Dataset over a Lance or parquet table (column-pruned when asked)."""
+    """Dataset over a Lance, JSONL, or parquet table (column-pruned
+    when asked; JSON has no column pushdown — prune with a
+    select_columns immediately after the read)."""
     import ray.data
 
     if is_lance_path(path):
@@ -42,4 +52,7 @@ def read_table(path: str, columns: list[str] | None = None):
                 "path looks like a Lance dataset but the `lance` package "
                 "is not installed in this environment (see NOTES.md)")
         return ray.data.read_lance(path, columns=columns)
+    if is_jsonl_path(path):
+        ds = ray.data.read_json(path)
+        return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns)

@@ -61,6 +61,9 @@ def _check(name, con, ray_session):
     "user_retention_cohorts", "events_upsert_latest",
     "lineitem_corr_stats", "triangle_count",
     "events_zscore_outliers", "bloom_semi_join", "orders_decile_stats",
+    "q3_shipping_priority", "events_value_rank",
+    "orders_lineitem_left_join", "events_value_delta", "docs_jsonl_stats",
+    "lineitem_cube", "source_token_entropy",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -486,3 +489,25 @@ def test_decile_stats_cover_all_orders(ray_session, con):
     o = out.sort_values("decile")
     assert (o["min_cents"].to_numpy()[1:]
             > o["max_cents"].to_numpy()[:-1]).all()
+
+
+def test_grouped_sketch_percentiles_rank_bound(ray_session, con):
+    """Sketch p50/p90 per type must land within the KLL rank-error
+    envelope of the exact by-rank percentiles."""
+    import __ray_entry__ as em
+    approx = em.queries()["events_type_sketch_percentiles"](SF) \
+        .to_pandas().set_index("event_type")
+    exact = em.queries()["events_type_percentiles"](SF) \
+        .to_pandas().set_index("event_type")
+    for et in exact.index:
+        vals = con.sql(
+            "SELECT CAST(round(value*1000000) AS BIGINT) AS v FROM events "
+            f"WHERE event_type = '{et}' ORDER BY v").df()["v"].to_numpy()
+        n = len(vals)
+        assert int(approx.loc[et, "n"]) == n
+        for col, q in (("p50_micro", 0.5), ("p90_micro", 0.9)):
+            got = int(approx.loc[et, col])
+            # rank of the sketch's answer must be within 5% of target
+            import numpy as np
+            rank = np.searchsorted(vals, got, side="right") / n
+            assert abs(rank - q) < 0.05, (et, col, rank)
