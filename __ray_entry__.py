@@ -111,6 +111,10 @@ queries() entries map to SURVEY.md §2 operators:
   lineitem_cube        GROUP BY CUBE, cube-from-finest (oracle)
   source_token_entropy per-source Shannon entropy of the token
                        distribution, integer-micro quantized (oracle)
+  events_props_stats   semi-structured JSON-field extraction via
+                       vectorized regex, then grouped stats (oracle)
+  cust_orders_full_join FULL OUTER join via tag-and-union +
+                       two-sided zero-fill (oracle)
   events_user_mode     grouped mode/argmax via map-side-combined pair
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
@@ -129,6 +133,9 @@ queries() entries map to SURVEY.md §2 operators:
   ann_topk             brute-force cosine top-k similarity search (oracle)
   lsh_bucket_topk      LSH-bucketed ANN (scale path; rows-only)
   ivf_topk             IVF ANN: deterministic k-means coarse quantizer + n_probe cells (rows-only)
+  pq_index_topk        product-quantization ADC top-k over a
+                       materialized uint8-codes index (32x compressed
+                       scan; recall-tested vs brute force)
   ivf_index_topk       IVF over a MATERIALIZED hive-partitioned index —
                        probe cells pruned at the read (rows-only; pytest
                        asserts equality with ivf_topk)
@@ -552,6 +559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_stats": ingest.docs_jsonl_stats,
         "lineitem_cube": relational.lineitem_cube,
         "source_token_entropy": text.source_token_entropy,
+        "events_props_stats": streaming.events_props_stats,
+        "cust_orders_full_join": relational.cust_orders_full_join,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -601,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_topk": ann.lsh_bucket_topk,
         "ivf_topk": ann.ivf_topk,
         "ivf_index_topk": ann.ivf_index_topk,
+        "pq_index_topk": ann.pq_index_topk,
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
         "embedding_lsh_pairs": ann.embedding_lsh_pairs,
         "embedding_clusters": ann.embedding_clusters,
@@ -1379,6 +1389,30 @@ def oracle_sql() -> dict[str, str]:
                     FROM e e1 JOIN e e2 ON e2.a = e1.b
                               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
                        AS n_triangles
+        """,
+        "events_props_stats": """
+            WITH v AS (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM v WHERE k IS NOT NULL GROUP BY event_type
+        """,
+        "cust_orders_full_join": """
+            WITH c AS (
+                SELECT c_custkey AS k, 1 AS is_building FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            ), o AS (
+                SELECT o_custkey AS k, count(*) AS n_urgent FROM orders
+                WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+            )
+            SELECT coalesce(c.k, o.k) AS custkey,
+                   CAST(coalesce(is_building, 0) AS BIGINT) AS is_building,
+                   CAST(coalesce(n_urgent, 0) AS BIGINT) AS n_urgent
+            FROM c FULL OUTER JOIN o ON c.k = o.k
         """,
         "lineitem_cube": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

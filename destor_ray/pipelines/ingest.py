@@ -32,16 +32,21 @@ def _jsonl_export_dir(sf_dir: str) -> str:
     """Deterministic cached JSONL export of the documents table."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out = f"/tmp/destor_ray_jsonl/{tag}"
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    if os.path.isdir(out):
         return out
-    os.makedirs(out, exist_ok=True)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "lang", "text"])
-    # one shard per block: partitioned, resumable output layout
-    ds.write_json(out)
-    with open(done, "w") as f:
-        f.write("ok")
+    # one shard per block (partitioned, resumable layout), staged in a
+    # private dir and atomically renamed so a concurrent exporter can
+    # never double the shards
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    ds.write_json(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost the race; the winner's export is identical
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 

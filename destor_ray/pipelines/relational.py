@@ -847,3 +847,61 @@ def lineitem_cube(sf_dir: str):
     cols = ["l_returnflag", "l_linestatus", "sum_price_cents", "n_items"]
     return pd.concat([fin[cols], by_flag[cols], by_status[cols],
                       total[cols]], ignore_index=True)
+
+
+def cust_orders_full_join(sf_dir: str, segment: str = "BUILDING",
+                          priority: str = "1-URGENT"):
+    """(custkey, is_building, n_urgent) — FULL OUTER join of two
+    filtered key sets (segment customers ⟗ urgent-order counts): rows
+    survive when EITHER side matches, missing sides zero-fill. Closes
+    the join matrix (inner/broadcast/left/anti/semi/asof/range + this).
+
+    Shape: identical single tag-and-union exchange as the left join —
+    outer-ness is purely a per-bucket property (emit keys seen on
+    either side), so full outer costs exactly what inner does. The
+    orders side pre-reduces to per-batch (custkey, count) partials."""
+    from ..stages.grouped import bucketed_group_map
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderpriority"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = batch["c_custkey"].filter(
+            pc.equal(batch["c_mktsegment"], segment))
+        n = len(keys)
+        return pa.table({
+            "key": keys,
+            "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].filter(
+            pc.equal(batch["o_orderpriority"], priority)) \
+            .to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table({
+            "key": pa.array(uniq, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "is_cust": pa.array(np.zeros(len(uniq), np.int8), pa.int8()),
+        })
+
+    tagged = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(order_partials, batch_format="pyarrow"))
+
+    def outer_merge(df: pd.DataFrame) -> pa.Table:
+        isc = df["is_cust"].to_numpy(np.int8) == 1
+        ckeys = df.loc[isc, "key"].drop_duplicates()
+        o = df.loc[~isc].groupby("key", as_index=False)["n"].sum()
+        j = pd.DataFrame({"key": ckeys, "is_building": 1}) \
+            .merge(o, on="key", how="outer").fillna(0)
+        return pa.table({
+            "custkey": pa.array(j["key"].to_numpy(np.int64), pa.int64()),
+            "is_building": pa.array(j["is_building"].to_numpy(np.int64),
+                                    pa.int64()),
+            "n_urgent": pa.array(j["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(tagged, "key", outer_merge, num_buckets=8)

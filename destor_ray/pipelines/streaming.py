@@ -988,3 +988,37 @@ def events_value_delta(sf_dir: str):
 
     return bucketed_group_map(ds.map_batches(narrow, batch_format="pyarrow"),
                               "user_id", delta, num_buckets=8)
+
+
+def events_props_stats(sf_dir: str):
+    """(event_type, n, sum_k, max_k) — semi-structured extraction: the
+    JSON `props` payload is parsed MAP-ONLY with a compiled vectorized
+    regex (pyarrow extract_regex — C, no per-row Python json.loads),
+    then the usual map-side-combined aggregate. The shape every
+    log-ingest pipeline needs: schema-on-read over a string column
+    without a row loop. Rows whose props lack the key drop out (none
+    in this corpus; the oracle mirrors with json_extract)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read_events(sf_dir).select_columns(["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        valid = pc.is_valid(m)
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({
+            "event_type": pc.filter(batch["event_type"], valid),
+            "k": pc.filter(k, valid),
+        })
+
+    agg = ds.map_batches(extract, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n"), Sum("k", alias_name="sum_k"),
+            Max("k", alias_name="max_k"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_k": pc.cast(b["sum_k"], pa.int64()),
+            "max_k": pc.cast(b["max_k"], pa.int64()),
+        }), batch_format="pyarrow")
