@@ -115,6 +115,11 @@ queries() entries map to SURVEY.md §2 operators:
                        vectorized regex, then grouped stats (oracle)
   cust_orders_full_join FULL OUTER join via tag-and-union +
                        two-sided zero-fill (oracle)
+  events_weighted_sample deterministic weighted sampling w/o
+                       replacement (exponential ranks, hash uniform,
+                       k per group) (oracle)
+  events_version_diff  two-snapshot reconciliation: added/removed/
+                       changed/same in one tag-and-union pass (oracle)
   events_user_mode     grouped mode/argmax via map-side-combined pair
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
@@ -561,6 +566,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_entropy": text.source_token_entropy,
         "events_props_stats": streaming.events_props_stats,
         "cust_orders_full_join": relational.cust_orders_full_join,
+        "events_weighted_sample": streaming.events_weighted_sample,
+        "events_version_diff": streaming.events_version_diff,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -1389,6 +1396,41 @@ def oracle_sql() -> dict[str, str]:
                     FROM e e1 JOIN e e2 ON e2.a = e1.b
                               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
                        AS n_triangles
+        """,
+        "events_weighted_sample": """
+            WITH r AS (
+                SELECT event_type, event_id,
+                       CAST(round(-ln(
+                           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                                1, 13)) AS BIGINT)
+                           / 4503599627370496.0) / value * 1000000)
+                            AS BIGINT) AS rank_micro
+                FROM events WHERE value > 0
+            )
+            SELECT event_type, event_id, rank_micro FROM r
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                                       ORDER BY rank_micro, event_id) <= 10
+        """,
+        "events_version_diff": """
+            WITH v AS (
+                SELECT event_id,
+                       CAST(round(value * 1000000) AS BIGINT) AS vmic
+                FROM events
+            ), b AS (
+                SELECT event_id AS k,
+                       CASE WHEN event_id % 5 = 0 THEN vmic + 1000000
+                            ELSE vmic END AS bv
+                FROM v WHERE event_id % 3 <> 0
+            ), c AS (
+                SELECT event_id AS k, vmic AS cv FROM v
+                WHERE event_id % 7 <> 0
+            )
+            SELECT coalesce(b.k, c.k) AS event_id,
+                   CASE WHEN b.k IS NULL THEN 'added'
+                        WHEN c.k IS NULL THEN 'removed'
+                        WHEN bv = cv THEN 'same'
+                        ELSE 'changed' END AS status
+            FROM b FULL OUTER JOIN c ON b.k = c.k
         """,
         "events_props_stats": """
             WITH v AS (

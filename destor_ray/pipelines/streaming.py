@@ -1022,3 +1022,122 @@ def events_props_stats(sf_dir: str):
             "sum_k": pc.cast(b["sum_k"], pa.int64()),
             "max_k": pc.cast(b["max_k"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+def events_weighted_sample(sf_dir: str, k: int = 10):
+    """(event_type, event_id, rank_micro) — deterministic WEIGHTED
+    sampling without replacement, k per group: the A-ExpJ / exponential-
+    rank scheme (Efraimidis–Spirakis) with a hash-derived uniform
+    instead of an RNG, so the sample is stable across runs, partitions
+    and cluster sizes. rank = −ln(u)/w with w = value; the k smallest
+    ranks per group are the weighted sample (P(selection) ∝ weight).
+
+    u is md5-derived EXACTLY as the oracle computes it (first 13 hex
+    digits = 52 bits / 2^52, exactly representable in a double), and
+    ranks are quantized to integer micros before the per-group
+    rank-select so both sides order identically. Shape: map-only rank
+    computation, per-batch partial top-k per group, one small keyed
+    exchange — the grouped-sample skeleton with weights."""
+    import hashlib
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "event_type", "value"])
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        # weights must be strictly positive (P ∝ w); drop w <= 0 rows,
+        # mirrored by WHERE value > 0 in the oracle
+        batch = batch.filter(pc.greater(batch["value"], 0.0))
+        ids = batch["event_id"].to_pylist()
+        u = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+             for i in ids), dtype=np.int64, count=len(ids)) / float(1 << 52)
+        w = batch["value"].to_numpy(zero_copy_only=False)
+        rank = -np.log(u) / w
+        rmic = np.round(rank * 1e6).astype(np.int64)
+        df = pa.table({
+            "event_type": batch["event_type"],
+            "event_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "rank_micro": pa.array(rmic, pa.int64()),
+        })
+        # per-batch partial top-k per group: only candidates travel
+        pdf = df.to_pandas()
+        pdf = pdf.sort_values(["event_type", "rank_micro", "event_id"]) \
+            .groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(pdf, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def final_topk(df: pd.DataFrame) -> pa.Table:
+        g = df.sort_values(["event_type", "rank_micro", "event_id"]) \
+            .groupby("event_type", sort=False).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return bucketed_group_map(ds.map_batches(ranks, batch_format="pyarrow"),
+                              "event_type", final_topk, num_buckets=4)
+
+
+def events_version_diff(sf_dir: str):
+    """(event_id, status) — dataset-VERSION diff, the reconciliation /
+    audit op every versioned table store runs between two snapshots:
+    per key, 'added' (current only), 'removed' (base only), 'changed'
+    (both, payload differs), 'same'. Snapshots are carved
+    deterministically from events so all four statuses occur:
+      base    = event_id % 3 != 0, with value bumped +1 when
+                event_id % 5 == 0 (the "stale" rows)
+      current = event_id % 7 != 0, true values
+    Shape: both sides project to (key, value_micro) map-side, ONE
+    key-hash tag-and-union exchange, per-bucket vectorized classify —
+    the diff of two 10^12-row snapshots costs exactly one co-partition
+    pass, no broadcast, no driver state."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "value"])
+
+    def sides(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        in_base = eid % 3 != 0
+        bv = np.where(eid % 5 == 0, vmic + 1_000_000, vmic)
+        in_cur = eid % 7 != 0
+        return pa.table({
+            "key": pa.array(np.concatenate([eid[in_base], eid[in_cur]]),
+                            pa.int64()),
+            "vmic": pa.array(np.concatenate([bv[in_base], vmic[in_cur]]),
+                             pa.int64()),
+            "is_base": pa.array(np.concatenate(
+                [np.ones(int(in_base.sum()), np.int8),
+                 np.zeros(int(in_cur.sum()), np.int8)]), pa.int8()),
+        })
+
+    def classify(df: pd.DataFrame) -> pa.Table:
+        key = df["key"].to_numpy(np.int64)
+        v = df["vmic"].to_numpy(np.int64)
+        isb = df["is_base"].to_numpy(np.int8)
+        order = np.lexsort((isb, key))
+        k_s, v_s, b_s = key[order], v[order], isb[order]
+        first = np.empty(len(k_s), dtype=bool)
+        if len(k_s):
+            first[0] = True
+            first[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(k_s)))
+        # sizes is 1 (one side) or 2 (both; cur sorts first, base second)
+        status = np.empty(len(starts), dtype=object)
+        single = sizes == 1
+        status[single & (b_s[starts] == 1)] = "removed"
+        status[single & (b_s[starts] == 0)] = "added"
+        both = ~single
+        same = both & (v_s[starts] == v_s[np.minimum(starts + 1,
+                                                     len(k_s) - 1)])
+        status[both & same] = "same"
+        status[both & ~same] = "changed"
+        return pa.table({
+            "event_id": pa.array(k_s[starts], pa.int64()),
+            "status": pa.array(status, pa.string()),
+        })
+
+    return bucketed_group_map(ds.map_batches(sides, batch_format="pyarrow"),
+                              "key", classify, num_buckets=8)
