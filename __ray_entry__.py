@@ -120,6 +120,8 @@ queries() entries map to SURVEY.md §2 operators:
                        k per group) (oracle)
   events_version_diff  two-snapshot reconciliation: added/removed/
                        changed/same in one tag-and-union pass (oracle)
+  user_event_paths     grouped ORDERED string_agg: per-user event
+                       journey, width-bounded (oracle)
   events_user_mode     grouped mode/argmax via map-side-combined pair
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
@@ -568,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cust_orders_full_join": relational.cust_orders_full_join,
         "events_weighted_sample": streaming.events_weighted_sample,
         "events_version_diff": streaming.events_version_diff,
+        "user_event_paths": streaming.user_event_paths,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -1396,6 +1399,17 @@ def oracle_sql() -> dict[str, str]:
                     FROM e e1 JOIN e e2 ON e2.a = e1.b
                               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
                        AS n_triangles
+        """,
+        "user_event_paths": """
+            WITH r AS (
+                SELECT user_id, event_type, ts, event_id FROM events
+                QUALIFY row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) <= 20
+            )
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                   CAST(count(*) AS BIGINT) AS n_steps
+            FROM r GROUP BY user_id
         """,
         "events_weighted_sample": """
             WITH r AS (

@@ -1141,3 +1141,45 @@ def events_version_diff(sf_dir: str):
 
     return bucketed_group_map(ds.map_batches(sides, batch_format="pyarrow"),
                               "key", classify, num_buckets=8)
+
+
+def user_event_paths(sf_dir: str, max_steps: int = 20):
+    """(user_id, path, n_steps) — grouped ORDERED string aggregation:
+    each user's first max_steps event types concatenated in (ts,
+    event_id) order with '>' — the "user journey" sequence feature
+    (and the engine's string_agg/collect_list aggregate family).
+
+    Shape: narrow 3-column projection, ONE user-keyed shuffle, per-
+    bucket lexsort + segmented head-N + a C-level join (pandas agg) —
+    order-dependent aggregation co-locates a group by definition, the
+    same contract as events_sessionize. max_steps bounds the output
+    row width, so a 10^9-event user cannot produce an unbounded
+    string."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "event_type"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+        })
+
+    def paths(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="stable")
+        head = df.groupby("user_id", sort=False).head(max_steps)
+        g = head.groupby("user_id", sort=False)["event_type"] \
+            .agg(lambda s: ">".join(s))
+        n = head.groupby("user_id", sort=False)["event_type"].size()
+        return pa.table({
+            "user_id": pa.array(g.index.to_numpy(np.int64), pa.int64()),
+            "path": pa.array(g.to_numpy(object), pa.string()),
+            "n_steps": pa.array(n.to_numpy(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(ds.map_batches(narrow, batch_format="pyarrow"),
+                              "user_id", paths, num_buckets=8)

@@ -65,7 +65,7 @@ def _check(name, con, ray_session):
     "orders_lineitem_left_join", "events_value_delta", "docs_jsonl_stats",
     "lineitem_cube", "source_token_entropy",
     "events_props_stats", "cust_orders_full_join",
-    "events_weighted_sample", "events_version_diff",
+    "events_weighted_sample", "events_version_diff", "user_event_paths",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
