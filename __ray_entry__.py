@@ -122,6 +122,9 @@ queries() entries map to SURVEY.md §2 operators:
                        changed/same in one tag-and-union pass (oracle)
   user_event_paths     grouped ORDERED string_agg: per-user event
                        journey, width-bounded (oracle)
+  audio_wav_stats      audio multimodal path: real WAV PCM decode via
+                       the AudioFeatures actor pool (rows-only;
+                       exact pytest)
   events_user_mode     grouped mode/argmax via map-side-combined pair
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
@@ -571,6 +574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_sample": streaming.events_weighted_sample,
         "events_version_diff": streaming.events_version_diff,
         "user_event_paths": streaming.user_event_paths,
+        "audio_wav_stats": ingest.audio_wav_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,

@@ -73,3 +73,81 @@ def docs_jsonl_stats(sf_dir: str):
             "n_docs": pc.cast(b["n_docs"], pa.int64()),
             "sum_chars": pc.cast(b["sum_chars"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+def _wav_corpus_dir(n_clips: int = 512, sr: int = 8000) -> str:
+    """Deterministic cached synthetic WAV corpus (real RIFF/WAVE PCM
+    payloads — the audio analog of corpus.ensure_corpus_parquet)."""
+    import numpy as np
+
+    out = f"/tmp/destor_ray_wav/n{n_clips}_sr{sr}"
+    if os.path.isdir(out):
+        return out
+    from .. import codec
+    rows, ids = [], []
+    t = np.arange(sr, dtype=np.float32) / sr
+    for i in range(n_clips):
+        pcm = (0.5 * np.sin(2 * np.pi * (110 + 13 * i) * t)) \
+            .astype(np.float32)
+        rows.append(codec.wav_encode(pcm, sr))
+        ids.append(f"clip{i:05d}")
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(rows, pa.binary()),
+        "sample_rate": pa.array([sr] * n_clips, pa.int32()),
+    }), f"{tmp}/clips.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def audio_wav_stats(sf_dir: str, n_clips: int = 512):
+    """(sample_rate, n_clips, total_samples, rms_micro_mean) — the
+    AUDIO multimodal path as a driver-visible query: genuine RIFF/WAVE
+    PCM payloads decoded by the actor-pool AudioFeatures stage
+    (decoder="real", stateless numpy WAV parser — the libsndfile seam
+    stays for compressed formats), features aggregated per sample
+    rate. `sf_dir` is unused (the corpus is the cached deterministic
+    WAV set — 0.5-amplitude sines, so per-clip RMS ≈ 0.5/√2); it keeps
+    the standard queries() signature."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.multimodal import audio_features
+
+    ds = ray.data.read_parquet(_wav_corpus_dir(n_clips))
+    feats = audio_features(ds, concurrency=2, batch_size=64)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        rms_micro = np.round(batch["rms"].to_numpy(zero_copy_only=False)
+                             * 1_000_000).astype(np.int64)
+        return pa.table({
+            "sample_rate": pa.array(np.full(batch.num_rows, 8000, np.int64),
+                                    pa.int64()),
+            "n_samples": batch["n_samples"],
+            "rms_micro": pa.array(rms_micro, pa.int64()),
+        })
+
+    agg = feats.map_batches(narrow, batch_format="pyarrow") \
+        .groupby("sample_rate").aggregate(
+            Count(alias_name="n_clips"),
+            Sum("n_samples", alias_name="total_samples"),
+            Sum("rms_micro", alias_name="rms_micro_sum"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "sample_rate": b["sample_rate"],
+            "n_clips": pc.cast(b["n_clips"], pa.int64()),
+            "total_samples": pc.cast(b["total_samples"], pa.int64()),
+            "rms_micro_mean": pa.array(
+                pc.cast(b["rms_micro_sum"], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                // pc.cast(b["n_clips"], pa.int64()).to_numpy(
+                    zero_copy_only=False), pa.int64()),
+        }), batch_format="pyarrow")

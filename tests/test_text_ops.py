@@ -565,3 +565,15 @@ def test_weighted_sample_prefers_heavy_rows(ray_session, con):
     # weighted selection should beat the unweighted mean for most types
     beats = (picked > overall.loc[picked.index]).sum()
     assert beats >= max(1, len(picked) - 1), (picked, overall)
+
+
+def test_audio_wav_stats_exact(ray_session):
+    """Real WAV decode through the actor pool: every clip is one second
+    at 8 kHz and a 0.5-amplitude sine (RMS 0.5/sqrt(2))."""
+    import __ray_entry__ as em
+    out = em.queries()["audio_wav_stats"](SF).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r["n_clips"]) == 512
+    assert int(r["total_samples"]) == 512 * 8000
+    assert abs(int(r["rms_micro_mean"]) - 353553) < 300
