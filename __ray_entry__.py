@@ -146,6 +146,8 @@ queries() entries map to SURVEY.md §2 operators:
   pq_index_topk        product-quantization ADC top-k over a
                        materialized uint8-codes index (32x compressed
                        scan; recall-tested vs brute force)
+  ivfpq_topk           IVF+PQ composed index: probed-cell scan +
+                       residual ADC + exact re-rank (recall-tested)
   ivf_index_topk       IVF over a MATERIALIZED hive-partitioned index —
                        probe cells pruned at the read (rows-only; pytest
                        asserts equality with ivf_topk)
@@ -625,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": ann.ivf_topk,
         "ivf_index_topk": ann.ivf_index_topk,
         "pq_index_topk": ann.pq_index_topk,
+        "ivfpq_topk": ann.ivfpq_topk,
         "embedding_dedup_pairs": ann.embedding_dedup_pairs,
         "embedding_lsh_pairs": ann.embedding_lsh_pairs,
         "embedding_clusters": ann.embedding_clusters,

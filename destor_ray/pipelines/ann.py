@@ -955,3 +955,157 @@ def pq_index_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     return _read_embeddings(sf_dir) \
         .map_batches(rerank, batch_format="pyarrow") \
         .sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
+
+
+def _ivfpq_index_dir(sf_dir: str, n_centroids: int, n_sub: int,
+                     n_codes: int, train_sample: int) -> str:
+    import hashlib
+    import os
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{n_centroids}:{n_sub}:{n_codes}:"
+        f"{train_sample}:v1".encode()).hexdigest()[:12]
+    return f"/tmp/destor_ray_ivfpq/{key}"
+
+
+def build_ivfpq_index(sf_dir: str, n_centroids: int = 16, n_sub: int = 16,
+                      n_codes: int = 32, train_sample: int = 4096,
+                      index_dir: str | None = None):
+    """IVF+PQ — the composed FAISS-style index (Jégou et al. 2011):
+    a coarse spherical-k-means quantizer partitions the space into
+    cells; per-vector RESIDUALS (v − centroid[cell]) are product-
+    quantized, so the fine codebooks spend their bits on within-cell
+    variation. The codes table stores (vec_id, cell, 16 uint8 codes);
+    query-time scans read ONLY the probed cells' rows and score by
+    q·c[cell] + ADC(residual codes) — both pruning AND compression,
+    which is what 10^12-vector retrieval actually runs. Training uses
+    one bounded driver-side sample; encoding is one map-only pass."""
+    import os
+    import pickle
+
+    out = index_dir or _ivfpq_index_dir(sf_dir, n_centroids, n_sub,
+                                        n_codes, train_sample)
+    if os.path.isdir(out):
+        return out
+
+    emb = _read_embeddings(sf_dir)
+    sample_tbl = pa.Table.from_pylist(emb.limit(train_sample).take_all())
+    m = np.asarray([np.asarray(e, dtype=np.float64)
+                    for e in sample_tbl["embedding"].to_pylist()])
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    d = mn.shape[1]
+    assert d % n_sub == 0
+    sub_d = d // n_sub
+    cents = _kmeans_train(mn, min(n_centroids, len(mn)))
+    cell = np.argmax(mn @ cents.T, axis=1)
+    resid = mn - cents[cell]
+    books = np.stack([
+        _lloyd_train(resid[:, s * sub_d:(s + 1) * sub_d], n_codes,
+                     seed=0xCD + s)
+        for s in range(n_sub)])
+    ref = ray.put((cents, books))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        cts, bks = ray.get(ref)
+        mm = _emb_matrix(batch)
+        nn = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True),
+                             1e-12)
+        cl = np.argmax(nn @ cts.T, axis=1)
+        rs = nn - cts[cl]
+        codes = np.empty((len(nn), n_sub), np.uint8)
+        for s in range(n_sub):
+            sv = rs[:, s * sub_d:(s + 1) * sub_d]
+            d2 = ((sv[:, None, :] - bks[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        flat = codes.tobytes()
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cell": pa.array(cl.astype(np.int64), pa.int64()),
+            "codes": pa.array([flat[i * n_sub:(i + 1) * n_sub]
+                               for i in range(len(nn))], pa.binary()),
+        })
+
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    emb.map_batches(encode, batch_format="pyarrow").write_parquet(tmp)
+    with open(os.path.join(tmp, "_model.pkl"), "wb") as f:
+        pickle.dump({"cents": cents, "books": books,
+                     "n_sub": n_sub, "sub_d": sub_d}, f)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def ivfpq_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
+               n_centroids: int = 16, n_probe: int = 8, n_sub: int = 16,
+               n_codes: int = 32, train_sample: int = 4096,
+               rerank_factor: int = 4):
+    """(vec_id, cos_sim) — IVF cell pruning + residual-PQ ADC shortlist
+    + exact re-rank: reads only the probed cells' code rows (a
+    map-only predicate on the materialized index), scores them with
+    q·centroid[cell] + residual lookup tables, then re-ranks the
+    rerank_factor·k shortlist against the true float vectors."""
+    import pickle
+
+    idx_dir = build_ivfpq_index(sf_dir, n_centroids, n_sub, n_codes,
+                                train_sample)
+    with open(f"{idx_dir}/_model.pkl", "rb") as f:
+        meta = pickle.load(f)
+    cents, books, sub_d = meta["cents"], meta["books"], meta["sub_d"]
+    n_sub_ = meta["n_sub"]
+
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    cell_score = cents @ qn                      # q·c per cell
+    probe = np.argsort(-cell_score)[:n_probe]
+    lut = np.stack([books[s] @ qn[s * sub_d:(s + 1) * sub_d]
+                    for s in range(n_sub_)])
+    ref = ray.put((set(probe.tolist()), cell_score, lut))
+    short_n = k * rerank_factor
+
+    codes_ds = ray.data.read_parquet(idx_dir)
+
+    def adc(batch: pa.Table) -> pa.Table:
+        pset, cscore, tbl = ray.get(ref)
+        cl = batch["cell"].to_numpy(zero_copy_only=False)
+        keep = np.isin(cl, list(pset))
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "adc_score": pa.array([], pa.float64())})
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
+        raw = b"".join(np.asarray(batch["codes"].to_pylist(),
+                                  dtype=object)[keep])
+        codes = np.frombuffer(raw, np.uint8).reshape(-1, tbl.shape[0])
+        score = cscore[cl[keep]] + \
+            tbl[np.arange(tbl.shape[0])[None, :], codes].sum(axis=1)
+        if len(score) > short_n:
+            sel = np.argpartition(-score, short_n)[:short_n]
+            ids, score = ids[sel], score[sel]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "adc_score": pa.array(score, pa.float64())})
+
+    shortlist = codes_ds.map_batches(adc, batch_format="pyarrow") \
+        .sort(["adc_score", "vec_id"], descending=[True, True]) \
+        .limit(short_n).to_pandas()
+    short_ids = np.sort(shortlist["vec_id"].to_numpy(np.int64))
+    sref = ray.put((short_ids, qn))
+
+    def rerank(batch: pa.Table) -> pa.Table:
+        sids, qv = ray.get(sref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sids, ids)
+        pos[pos >= len(sids)] = 0
+        hit = sids[pos] == ids if len(sids) else np.zeros(len(ids), bool)
+        mm = _emb_matrix(batch)[hit]
+        nn = mm / np.maximum(np.linalg.norm(mm, axis=1, keepdims=True),
+                             1e-12)
+        return pa.table({
+            "vec_id": pa.array(ids[hit], pa.int64()),
+            "cos_sim": pa.array(np.round(nn @ qv, 6), pa.float64()),
+        })
+
+    return _read_embeddings(sf_dir) \
+        .map_batches(rerank, batch_format="pyarrow") \
+        .sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)

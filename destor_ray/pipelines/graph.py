@@ -245,20 +245,25 @@ def triangle_count(sf_dir: str):
     n_nodes = len(deg_df)
     n_edges = edges.count()
     import ray as _ray
-    deg_ref = _ray.put(dict(zip(deg_df["tok"], deg_df["deg"].astype(np.int64))))
+    vocab_sorted = np.sort(deg_df["tok"].to_numpy(dtype=object))
+    deg_sorted = deg_df.set_index("tok").loc[vocab_sorted, "deg"] \
+        .to_numpy(np.int64)
+    deg_ref = _ray.put((vocab_sorted, deg_sorted))
 
     def orient(batch: pa.Table) -> pa.Table:
-        deg = _ray.get(deg_ref)
+        vocab, degs = _ray.get(deg_ref)
         a = np.asarray(batch["a"].to_pylist(), dtype=object)
         b = np.asarray(batch["b"].to_pylist(), dtype=object)
-        da = np.fromiter((deg[t] for t in a), np.int64, count=len(a))
-        db = np.fromiter((deg[t] for t in b), np.int64, count=len(b))
+        # vectorized degree lookup: binary search on the sorted vocab
+        # (every edge endpoint is in the degree table by construction)
+        da = degs[np.searchsorted(vocab, a)]
+        db = degs[np.searchsorted(vocab, b)]
         # low→high by (degree, token); (a, b) is already token-ordered,
         # so a degree tie keeps (a, b) — a total order overall
         a_first = da <= db
         src = np.where(a_first, a, b)
         dst = np.where(a_first, b, a)
-        sd = np.fromiter((deg[t] for t in dst), np.int64, count=len(dst))
+        sd = np.where(a_first, db, da)
         return pa.table({"src": pa.array(src, pa.string()),
                          "dst": pa.array(dst, pa.string()),
                          "ddeg": pa.array(sd, pa.int64())})

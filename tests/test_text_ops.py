@@ -577,3 +577,18 @@ def test_audio_wav_stats_exact(ray_session):
     assert int(r["n_clips"]) == 512
     assert int(r["total_samples"]) == 512 * 8000
     assert abs(int(r["rms_micro_mean"]) - 353553) < 300
+
+
+def test_ivfpq_topk_recall(ray_session):
+    """IVF pruning + residual-PQ ADC + exact re-rank finds most of the
+    exact top-k (probing half the cells)."""
+    import shutil
+
+    import __ray_entry__ as em
+    from destor_ray.pipelines import ann
+    shutil.rmtree(ann._ivfpq_index_dir(SF, 16, 16, 32, 4096),
+                  ignore_errors=True)
+    brute = em.queries()["ann_topk"](SF).to_pandas()
+    got = em.queries()["ivfpq_topk"](SF).to_pandas()
+    overlap = len(set(brute.vec_id) & set(got.vec_id))
+    assert overlap >= 6, overlap
