@@ -96,6 +96,10 @@ queries() entries map to SURVEY.md §2 operators:
   q3_shipping_priority TPC-H Q3 3-way join: segment-customer key set
                        broadcast, orders⋈lineitem tag-and-union with
                        map-side revenue partials, per-bucket top-k (oracle)
+  q5_local_supplier_volume TPC-H Q5 5-way join: region/nation driver-
+                       resolved, supplier map broadcast, 2 chained
+                       tag-and-union exchanges (custkey → orderkey)
+                       with map-side revenue partials (oracle)
   events_value_rank    ties-inclusive cumulative rank (cume_dist
                        numerator) via domain-bounded value-count pass
                        + map-only searchsorted (oracle)
@@ -564,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "orders_decile_stats": relational.orders_decile_stats,
         "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "orders_lineitem_left_join": relational.orders_lineitem_left_join,
@@ -1531,6 +1536,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                            * (100 - CAST(round(l_discount * 100) AS HUGEINT)))
+                        AS BIGINT) AS revenue_scaled
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue_scaled DESC
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

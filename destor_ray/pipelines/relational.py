@@ -905,3 +905,168 @@ def cust_orders_full_join(sf_dir: str, segment: str = "BUILDING",
         })
 
     return bucketed_group_map(tagged, "key", outer_merge, num_buckets=8)
+
+
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                             date_from: str = "1996-01-01",
+                             date_to: str = "1997-01-01"):
+    """(n_name, revenue_scaled) — the TPC-H Q5 shape: region ⋈ nation ⋈
+    supplier ⋈ customer ⋈ orders ⋈ lineitem where the customer and the
+    supplier must share a nation ("local supplier volume").
+
+    Distributed plan (2 exchanges, never more, regardless of scale):
+      1. region⋈nation resolved on the driver (≤ dozens of rows);
+         supplier restricted to region nations becomes a broadcast
+         suppkey→nationkey map (supplier is ~1000× smaller than
+         lineitem in TPC-H; an int32 pair per supplier stays
+         broadcastable far past 100 TB of fact data).
+      2. Exchange 1 on custkey: in-region customer (custkey, nat) rows
+         meet date-filtered order (custkey, orderkey) rows in one
+         tag-and-union hash shuffle → (orderkey, c_nat).
+      3. Exchange 2 on orderkey: those rows meet lineitem partials —
+         revenue pre-aggregated per (orderkey, s_nat) inside each map
+         batch, so the exchange carries partials, not line items.
+         In-bucket join keeps rows with c_nat == s_nat and emits one
+         (nat, rev) partial per bucket; the driver reduces ≤
+         buckets × nations rows.
+
+    revenue_scaled = Σ price_cents · (100 − disc_pct): exact int64,
+    accumulation-order-free on both sides of the oracle."""
+    import pyarrow.parquet as pq_
+    import ray as _ray
+
+    from ..stages.grouped import bucketed_group_map
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    reg = pq_.read_table(f"{sf_dir}/region.parquet")
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][0].as_py()
+    nat_in = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    nat_keys = np.sort(nat_in["n_nationkey"].to_numpy())
+    nat_names = {int(k): n for k, n in zip(nat_in["n_nationkey"].to_pylist(),
+                                           nat_in["n_name"].to_pylist())}
+
+    supp = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    snat = supp["s_nationkey"].to_numpy()
+    pos = np.searchsorted(nat_keys, snat)
+    pos[pos >= len(nat_keys)] = 0
+    m = nat_keys[pos] == snat if len(nat_keys) else np.zeros(len(snat), bool)
+    sk = supp["s_suppkey"].to_numpy()[m]
+    order = np.argsort(sk)
+    supp_ref = _ray.put((sk[order], snat[m][order].astype(np.int64)))
+    natk_ref = _ray.put(nat_keys)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        nk = _ray.get(natk_ref)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p = np.searchsorted(nk, cn)
+        p[p >= len(nk)] = 0
+        sel = nk[p] == cn if len(nk) else np.zeros(len(cn), bool)
+        n = int(sel.sum())
+        return pa.table({
+            "key": batch["c_custkey"].filter(pa.array(sel)),
+            "nat": pa.array(cn[sel], pa.int64()),
+            "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = (od >= lo) & (od < hi)
+        n = int(sel.sum())
+        msk = pa.array(sel)
+        return pa.table({
+            "key": batch["o_custkey"].filter(msk),
+            "nat": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "okey": batch["o_orderkey"].filter(msk),
+            "is_cust": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged1 = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+
+    def join_cust(df: pd.DataFrame) -> pa.Table:
+        isc = df["is_cust"].to_numpy(np.int8) == 1
+        c = df.loc[isc, ["key", "nat"]].drop_duplicates("key")
+        o = df.loc[~isc, ["key", "okey"]]
+        j = o.merge(c, on="key", how="inner")
+        return pa.table({
+            "key": pa.array(j["okey"].to_numpy(np.int64), pa.int64()),
+            "nat": pa.array(j["nat"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(np.zeros(len(j), np.int64), pa.int64()),
+            "is_ord": pa.array(np.ones(len(j), np.int8), pa.int8()),
+        })
+
+    ord_nat = bucketed_group_map(tagged1, "key", join_cust, num_buckets=16)
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        skeys, snats = _ray.get(supp_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        p = np.searchsorted(skeys, lsk)
+        p[p >= len(skeys)] = 0
+        sel = skeys[p] == lsk if len(skeys) else np.zeros(len(lsk), bool)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        s_nat = snats[p[sel]]
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[sel] * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False)[sel] * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        # partial per (orderkey, s_nat) — nations per region ≤ 5, so the
+        # composite key is okey*32+nat without overflow risk at int64
+        comp = okey * 32 + s_nat
+        order_ = np.argsort(comp, kind="stable")
+        comp_s, rev_s = comp[order_], rev[order_]
+        first = np.empty(len(comp_s), dtype=bool)
+        if len(comp_s):
+            first[0] = True
+            first[1:] = comp_s[1:] != comp_s[:-1]
+        starts = np.flatnonzero(first)
+        psum = np.add.reduceat(rev_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        ck = comp_s[starts] if len(starts) else np.array([], np.int64)
+        return pa.table({
+            "key": pa.array(ck // 32, pa.int64()),
+            "nat": pa.array(ck % 32, pa.int64()),
+            "rev": pa.array(psum, pa.int64()),
+            "is_ord": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+        })
+
+    tagged2 = ord_nat.union(
+        lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def join_local(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "nat"]].drop_duplicates("key") \
+            .rename(columns={"nat": "c_nat"})
+        li = df.loc[~iso, ["key", "nat", "rev"]]
+        j = li.merge(o, on="key", how="inner")
+        j = j.loc[j["nat"].to_numpy() == j["c_nat"].to_numpy()]
+        g = j.groupby("nat", as_index=False)["rev"].sum()
+        return pa.table({
+            "nat": pa.array(g["nat"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged2, "key", join_local, num_buckets=16) \
+        .to_pandas()  # ≤ buckets × nations rows
+    g = part.groupby("nat", as_index=False)["rev"].sum() \
+        .sort_values("rev", ascending=False)
+    return pd.DataFrame({
+        "n_name": [nat_names[int(k)] for k in g["nat"]],
+        "revenue_scaled": g["rev"].to_numpy(np.int64),
+    }).reset_index(drop=True)
