@@ -100,6 +100,9 @@ queries() entries map to SURVEY.md §2 operators:
                        resolved, supplier map broadcast, 2 chained
                        tag-and-union exchanges (custkey → orderkey)
                        with map-side revenue partials (oracle)
+  events_user_hour_ohlc per-(user, hour) OHLC bars: associative
+                       first/last-by-(ts,id) + min/max fold, map-side
+                       partials, bucket merge (oracle)
   events_value_rank    ties-inclusive cumulative rank (cume_dist
                        numerator) via domain-bounded value-count pass
                        + map-only searchsorted (oracle)
@@ -581,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weighted_sample": streaming.events_weighted_sample,
         "events_version_diff": streaming.events_version_diff,
         "user_event_paths": streaming.user_event_paths,
+        "events_user_hour_ohlc": streaming.events_user_hour_ohlc,
         "audio_wav_stats": ingest.audio_wav_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
@@ -1536,6 +1540,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "events_user_hour_ohlc": """
+            WITH v AS (
+                SELECT user_id, event_id, ts,
+                       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id,
+                       CAST(round(value * 1000000) AS BIGINT) AS vmic
+                FROM events
+            ),
+            o AS (
+                SELECT user_id, hour_id, vmic AS open_micro FROM v
+                QUALIFY row_number() OVER (PARTITION BY user_id, hour_id
+                                           ORDER BY ts, event_id) = 1
+            ),
+            c AS (
+                SELECT user_id, hour_id, vmic AS close_micro FROM v
+                QUALIFY row_number() OVER (PARTITION BY user_id, hour_id
+                                           ORDER BY ts DESC, event_id DESC) = 1
+            ),
+            a AS (
+                SELECT user_id, hour_id, CAST(count(*) AS BIGINT) AS n,
+                       min(vmic) AS low_micro, max(vmic) AS high_micro
+                FROM v GROUP BY 1, 2
+            )
+            SELECT a.user_id, a.hour_id, n, open_micro, high_micro,
+                   low_micro, close_micro
+            FROM a JOIN o USING (user_id, hour_id)
+                   JOIN c USING (user_id, hour_id)
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

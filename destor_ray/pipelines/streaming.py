@@ -1183,3 +1183,81 @@ def user_event_paths(sf_dir: str, max_steps: int = 20):
 
     return bucketed_group_map(ds.map_batches(narrow, batch_format="pyarrow"),
                               "user_id", paths, num_buckets=8)
+
+
+def events_user_hour_ohlc(sf_dir: str):
+    """(user_id, hour_id, n, open_micro, high_micro, low_micro,
+    close_micro) — OHLC bars per user per hour: first/last value by
+    (ts, event_id) order plus min/max, the canonical ORDERED mergeable
+    aggregate (destor's per-container first/last chunk accounting,
+    job.c counters, is the same fold).
+
+    Map-side partial: each batch is lexsorted by (key, ts, event_id)
+    once; reduceat gives n/min/max and the group edges give open/close
+    candidates — one partial row per (user, hour) per batch, so the
+    exchange carries bars, not events. The bucket merge repeats the
+    identical fold over partials (open = candidate with min
+    (ts, event_id); the fold is associative, so any merge tree gives
+    the same bar). Values are quantized to integer micros before
+    aggregation — bars hash-match the SQL oracle exactly."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    def fold(uh, ots, oeid, ov, cts, ceid, cv, vmin, vmax, n):
+        """Associative OHLC fold over (possibly partial) bar rows."""
+        order = np.lexsort((oeid, ots, uh))
+        uh_s = uh[order]
+        first = np.empty(len(uh_s), dtype=bool)
+        first[0] = True
+        first[1:] = uh_s[1:] != uh_s[:-1]
+        starts = np.flatnonzero(first)
+        # open: min (ts, event_id) per group = first row in this order
+        o_ts, o_eid, o_v = ots[order][starts], oeid[order][starts], ov[order][starts]
+        # close: max (ts, event_id) per group = last row of each group
+        # in (uh, cts, ceid) order
+        order2 = np.lexsort((ceid, cts, uh))
+        ends = np.r_[starts[1:], len(uh_s)] - 1
+        c_ts, c_eid, c_v = cts[order2][ends], ceid[order2][ends], cv[order2][ends]
+        lo = np.minimum.reduceat(vmin[order], starts)
+        hi = np.maximum.reduceat(vmax[order], starts)
+        cnt = np.add.reduceat(n[order], starts)
+        return uh_s[starts], o_ts, o_eid, o_v, c_ts, c_eid, c_v, lo, hi, cnt
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({c: pa.array([], pa.int64()) for c in
+                             ["uh", "ots", "oeid", "ov", "cts", "ceid",
+                              "cv", "vmin", "vmax", "n"]})
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        hour = ts // 3_600_000_000
+        uh = uid * (1 << 24) + hour
+        r = fold(uh, ts, eid, vmic, ts, eid, vmic, vmic, vmic,
+                 np.ones(len(uh), np.int64))
+        names = ["uh", "ots", "oeid", "ov", "cts", "ceid", "cv",
+                 "vmin", "vmax", "n"]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in zip(names, r)})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        r = fold(*(df[c].to_numpy(np.int64) for c in
+                   ["uh", "ots", "oeid", "ov", "cts", "ceid", "cv",
+                    "vmin", "vmax", "n"]))
+        uh, _, _, ov, _, _, cv, lo, hi, cnt = r
+        return pa.table({
+            "user_id": pa.array(uh >> 24, pa.int64()),
+            "hour_id": pa.array(uh & ((1 << 24) - 1), pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+            "open_micro": pa.array(ov, pa.int64()),
+            "high_micro": pa.array(hi, pa.int64()),
+            "low_micro": pa.array(lo, pa.int64()),
+            "close_micro": pa.array(cv, pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return bucketed_group_map(parts, "uh", merge, num_buckets=16)
