@@ -100,6 +100,9 @@ queries() entries map to SURVEY.md §2 operators:
                        resolved, supplier map broadcast, 2 chained
                        tag-and-union exchanges (custkey → orderkey)
                        with map-side revenue partials (oracle)
+  keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
+                       prefix-fp shuffle of 30 B rows, per-bucket
+                       lexsort winner pick (oracle)
   events_user_hour_ohlc per-(user, hour) OHLC bars: associative
                        first/last-by-(ts,id) + min/max fold, map-side
                        partials, bucket merge (oracle)
@@ -618,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": curation.curation_pipeline,
         "segment_dedup": curation.segment_dedup,
         "incremental_dedup": curation.incremental_dedup,
+        "keep_best_dedup": curation.keep_best_dedup,
         "pii_scrub": curation.pii_scrub,
         "tfidf_top_terms": ranking.tfidf_top_terms,
         "bm25_scores": ranking.bm25_scores,
@@ -1540,6 +1544,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "keep_best_dedup": """
+            WITH f AS (
+                SELECT doc_id, n_chars,
+                       array_to_string(list_slice(string_split(text, ' '),
+                                                  1, 4), ' ') AS fp
+                FROM documents
+            ),
+            c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_dups
+                  FROM f GROUP BY fp)
+            SELECT doc_id, n_dups
+            FROM f JOIN c USING (fp)
+            QUALIFY row_number() OVER (PARTITION BY fp
+                                       ORDER BY n_chars DESC, doc_id) = 1
         """,
         "events_user_hour_ohlc": """
             WITH v AS (

@@ -552,3 +552,53 @@ def training_mix_sample(sf_dir: str, target: int = 200, mod: int = 4):
     keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
     return bucketed_group_map(keyed_ds, "source", take_quota,
                               num_buckets=16)
+
+
+def keep_best_dedup(sf_dir: str, k: int = 4):
+    """(doc_id, n_dups) for every KEPT document — dedup with a
+    keep-BEST policy: docs sharing a content-prefix fingerprint (first
+    `k` tokens) collapse to the highest-quality member (here: max
+    n_chars, ties to the smaller doc_id), the CC-Net-style "keep the
+    best variant" rule, vs exact_dedup_docs' keep-first rule (destor's
+    D2 keeps the first-seen chunk, similarity_detection keeps the
+    champion — this is the champion policy applied to whole docs).
+
+    One fp-hash shuffle carrying (fp, doc_id, n_chars) only — ~30 B/row
+    regardless of document size; the winner per group falls out of one
+    lexsort + group-edge pick per bucket."""
+    import pandas as pd
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text", "n_chars"])
+
+    def fingerprint(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        fp = pc.binary_join(pc.list_slice(toks, 0, k), " ")
+        return pa.table({"fp": fp,
+                         "doc_id": batch["doc_id"].cast(pa.int64()),
+                         "n_chars": batch["n_chars"].cast(pa.int64())})
+
+    rows = ds.map_batches(fingerprint, batch_format="pyarrow")
+
+    def best(df: pd.DataFrame) -> pa.Table:
+        fp = df["fp"].to_numpy()
+        doc = df["doc_id"].to_numpy(np.int64)
+        nch = df["n_chars"].to_numpy(np.int64)
+        if not len(fp):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_dups": pa.array([], pa.int64())})
+        # winner = first row in (fp asc, n_chars desc, doc_id asc) order
+        order = np.lexsort((doc, -nch, fp))
+        fp_s = fp[order]
+        first = np.empty(len(fp_s), dtype=bool)
+        first[0] = True
+        first[1:] = fp_s[1:] != fp_s[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.r_[starts, len(fp_s)])
+        return pa.table({
+            "doc_id": pa.array(doc[order][starts], pa.int64()),
+            "n_dups": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(rows, "fp", best, num_buckets=16)
