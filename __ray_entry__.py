@@ -100,6 +100,9 @@ queries() entries map to SURVEY.md §2 operators:
                        resolved, supplier map broadcast, 2 chained
                        tag-and-union exchanges (custkey → orderkey)
                        with map-side revenue partials (oracle)
+  heavy_hitter_tokens  Misra-Gries/Space-Saving frequent items:
+                       capacity-bounded per-batch sketches, token-sum
+                       merge, error mass tracked (oracle exact regime)
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
@@ -577,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
+        "heavy_hitter_tokens": stats.heavy_hitter_tokens,
         "orders_lineitem_left_join": relational.orders_lineitem_left_join,
         "events_value_delta": streaming.events_value_delta,
         "docs_jsonl_stats": ingest.docs_jsonl_stats,
@@ -1544,6 +1548,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "heavy_hitter_tokens": """
+            WITH t AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS est_count,
+                   CAST(0 AS BIGINT) AS max_err
+            FROM t GROUP BY token
+            ORDER BY est_count DESC, token
+            LIMIT 10
         """,
         "keep_best_dedup": """
             WITH f AS (

@@ -193,3 +193,25 @@ class QuantileSketch:
             s._offset.append(bool(offs[i]))
             pos += nb
         return s
+
+
+def mg_compress(tokens: np.ndarray, counts: np.ndarray, capacity: int
+                ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Misra-Gries / Space-Saving compression of an exact (token, count)
+    table down to <= `capacity` counters: subtract the (capacity+1)-th
+    largest count from every counter and drop the non-positive ones.
+
+    Returns (tokens, counts, delta). The subtracted `delta` is the
+    per-compression error mass: after merging any number of compressed
+    partials by summing counts per token, every estimate satisfies
+        true_count - sum(deltas) <= est <= true_count,
+    the standard MG merge bound (Agarwal et al., "Mergeable
+    Summaries", PODS'12). delta == 0 (exact) whenever the input had
+    <= capacity distinct tokens."""
+    if len(tokens) <= capacity:
+        return tokens, counts, 0
+    # (capacity+1)-th largest count via partition (O(n))
+    kth = np.partition(counts, len(counts) - capacity - 1)[
+        len(counts) - capacity - 1]
+    keep = counts > kth
+    return tokens[keep], counts[keep] - kth, int(kth)

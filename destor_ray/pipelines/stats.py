@@ -145,3 +145,70 @@ def events_type_sketch_percentiles(sf_dir: str, k: int = 256,
     return bucketed_group_map(ds.map_batches(partial, batch_format="pyarrow"),
                               "event_type", merge_group,
                               num_buckets=num_buckets)
+
+
+def heavy_hitter_tokens(sf_dir: str, k: int = 10, capacity: int = 256):
+    """(token, est_count, max_err) for the k most frequent corpus
+    tokens — distributed Misra-Gries / Space-Saving heavy hitters, the
+    frequent-items member of the engine's mergeable-sketch family
+    (HyperLogLog ✓ distinct_token_stats, KLL ✓ quantile_sketch_stats;
+    destor's top-k container ranking, cap_rewrite.c, is the exact
+    counterpart computed exactly because container ids fit in memory).
+
+    Each batch tokenizes, counts exactly (np.unique), and MG-compresses
+    to <= `capacity` counters (functions/sketch.mg_compress), so the
+    exchange carries at most capacity rows per batch no matter how
+    large the vocabulary; per-batch error mass rides along as a
+    sentinel row. One token-hash groupby sums the partials; per-bucket
+    partial top-k rows + the tiny driver merge bound the reducer
+    output at k rows per bucket.
+
+    est_count is EXACT (max_err == 0) whenever every batch sees
+    <= capacity distinct tokens — the oracle pins that regime; the
+    sketch regime's bound (est in [true - Σdeltas, true]) is pinned by
+    tests/test_sketch.py with capacity < vocabulary."""
+    import pyarrow.compute as pc
+
+    from ..functions.sketch import mg_compress
+    from ..stages.grouped import bucketed_group_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    DELTA = "\x00__mg_delta__"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        arr = toks.to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        uniq, cnt, delta = mg_compress(uniq, cnt.astype(np.int64), capacity)
+        tok = np.r_[uniq, [DELTA]]
+        n = np.r_[cnt, [delta]].astype(np.int64)
+        return pa.table({"token": pa.array(tok, pa.string()),
+                         "n": pa.array(n, pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def bucket_topk(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("token", as_index=False)["n"].sum()
+        isd = g["token"].to_numpy() == DELTA
+        dsum = int(g.loc[isd, "n"].sum())
+        g = g.loc[~isd].sort_values(["n", "token"],
+                                    ascending=[False, True]).head(k)
+        return pa.table({
+            "token": pa.array(np.r_[g["token"].to_numpy(object), [DELTA]],
+                              pa.string()),
+            "n": pa.array(np.r_[g["n"].to_numpy(np.int64),
+                                [dsum]].astype(np.int64), pa.int64()),
+        })
+
+    cand = bucketed_group_map(parts, "token", bucket_topk, num_buckets=8) \
+        .to_pandas()  # <= (k+1) x buckets rows
+    isd = cand["token"].to_numpy() == DELTA
+    max_err = int(cand.loc[isd, "n"].sum())
+    top = cand.loc[~isd].sort_values(["n", "token"],
+                                     ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "token": top["token"].to_numpy(object),
+        "est_count": top["n"].to_numpy(np.int64),
+        "max_err": np.full(len(top), max_err, np.int64),
+    }).reset_index(drop=True)

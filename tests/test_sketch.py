@@ -150,3 +150,68 @@ def test_quantile_nan_and_empty():
     s.add(np.array([1.0, np.nan, 3.0]))
     assert s.n_items() == 2
     np.testing.assert_array_equal(s.quantiles([0.5, 1.0]), [1.0, 3.0])
+
+
+def test_mg_compress_exact_when_under_capacity():
+    from destor_ray.functions.sketch import mg_compress
+    toks = np.array(["a", "b", "c"])
+    cnts = np.array([5, 3, 1], np.int64)
+    t, c, d = mg_compress(toks, cnts, 8)
+    assert d == 0
+    np.testing.assert_array_equal(t, toks)
+    np.testing.assert_array_equal(c, cnts)
+
+
+def test_mg_merge_error_bound():
+    """Merged MG partials: true - Σdeltas <= est <= true, and every
+    token with true count > Σdeltas survives (heavy hitters are never
+    lost)."""
+    from destor_ray.functions.sketch import mg_compress
+    rng = np.random.RandomState(7)
+    vocab = np.array([f"t{i:03d}" for i in range(120)])
+    # zipf-ish stream split into 10 batches
+    stream = vocab[np.minimum(rng.zipf(1.3, 20000) - 1, 119)]
+    true = {t: int(n) for t, n in zip(*np.unique(stream, return_counts=True))}
+    est: dict[str, int] = {}
+    deltas = 0
+    for chunk in np.array_split(stream, 10):
+        u, c = np.unique(chunk, return_counts=True)
+        u, c, d = mg_compress(u, c.astype(np.int64), 16)  # < 120 vocab
+        deltas += d
+        for t, n in zip(u, c):
+            est[t] = est.get(t, 0) + int(n)
+    assert deltas > 0  # sketch regime actually exercised
+    for t, n in true.items():
+        e = est.get(t, 0)
+        assert e <= n
+        assert e >= n - deltas
+        if n > deltas:
+            assert t in est
+
+
+def test_heavy_hitter_tokens_sketch_regime_matches_exact_topk(ray_session):
+    """With capacity >= per-batch distinct the query is exact (oracle
+    pins that); with tiny capacity the top-1 heavy hitter must still
+    surface with est within max_err of truth."""
+    import duckdb
+
+    import __ray_entry__ as em
+    sf = "/root/testdata/sf0.001"
+    out = em.queries()["heavy_hitter_tokens"](sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    exact = con.sql(em.oracle_sql()["heavy_hitter_tokens"]).df()
+    assert (out["max_err"] == 0).all()
+    assert list(out["token"]) == list(exact["token"])
+
+    from destor_ray.pipelines.stats import heavy_hitter_tokens
+    sk = heavy_hitter_tokens(sf, k=5, capacity=4)  # vocab 31 > 4
+    truth = {t: n for t, n in zip(exact["token"], exact["est_count"])}
+    err = int(sk["max_err"].iloc[0])
+    assert err > 0  # sketch regime exercised
+    # MG guarantee: every estimate is in [true - err, true]; ordering
+    # is only preserved for gaps > err, so assert the bound, not rank
+    for _, r in sk.iterrows():
+        if r["token"] in truth:
+            assert r["est_count"] <= truth[r["token"]]
+            assert r["est_count"] >= truth[r["token"]] - err
