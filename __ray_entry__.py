@@ -106,6 +106,9 @@ queries() entries map to SURVEY.md §2 operators:
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
+  events_ewma          per-user EWMA (α=1/2, K-term): exact dyadic-
+                       rational weighted ROWS frame, one user shuffle,
+                       shifted-array fold (oracle)
   events_user_hour_ohlc per-(user, hour) OHLC bars: associative
                        first/last-by-(ts,id) + min/max fold, map-side
                        partials, bucket merge (oracle)
@@ -592,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_version_diff": streaming.events_version_diff,
         "user_event_paths": streaming.user_event_paths,
         "events_user_hour_ohlc": streaming.events_user_hour_ohlc,
+        "events_ewma": streaming.events_ewma,
         "audio_wav_stats": ingest.audio_wav_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
@@ -1548,6 +1552,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "events_ewma": """
+            WITH v AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value * 1000000) AS BIGINT) AS vmic
+                FROM events
+            ),
+            l AS (
+                SELECT event_id, user_id, vmic,
+                       lag(vmic, 1) OVER w AS l1,
+                       lag(vmic, 2) OVER w AS l2,
+                       lag(vmic, 3) OVER w AS l3
+                FROM v
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id, user_id,
+                   CAST(8 * vmic + 4 * coalesce(l1, 0)
+                        + 2 * coalesce(l2, 0)
+                        + 1 * coalesce(l3, 0) AS BIGINT) AS ewma_num,
+                   CAST(8 + CASE WHEN l1 IS NULL THEN 0 ELSE 4 END
+                          + CASE WHEN l2 IS NULL THEN 0 ELSE 2 END
+                          + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS ewma_den
+            FROM l
         """,
         "heavy_hitter_tokens": """
             WITH t AS (

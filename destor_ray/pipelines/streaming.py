@@ -1261,3 +1261,73 @@ def events_user_hour_ohlc(sf_dir: str):
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return bucketed_group_map(parts, "uh", merge, num_buckets=16)
+
+
+def events_ewma(sf_dir: str, K: int = 4):
+    """(event_id, user_id, ewma_num, ewma_den) — exponentially-weighted
+    moving average of each user's value series (α = 1/2, truncated at
+    `K` terms): the EWMA-family sequential fold expressed as a bounded
+    weighted ROWS frame, destor's restore-cache hit-ratio smoothing
+    (restore.c LRU statistics) generalized per key.
+
+    Dyadic weights make it EXACT: term j back gets weight 2^(K-1-j), so
+    (ewma_num, ewma_den) is an int64 rational (the EWMA is num/den)
+    that is bit-stable across any execution order — it hash-matches an
+    explicit lag-term SQL mirror with no float or integer-division
+    semantics in play.
+
+    One user-hash shuffle; inside each bucket one lexsort by
+    (user, ts, event_id) and K shifted-array multiplies with the
+    cross-user boundary masked — no per-row loop, no iteration, and
+    state never exceeds the bucket (users are never split across
+    buckets, the partitioning assumption this op relies on)."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": pa.array(batch["ts"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64), pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "vmic": pa.array(vmic, pa.int64()),
+        })
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def smooth(df: pd.DataFrame) -> pa.Table:
+        eid = df["event_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        v = df["vmic"].to_numpy(np.int64)
+        if not len(eid):
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ewma_num": pa.array([], pa.int64()),
+                             "ewma_den": pa.array([], pa.int64())})
+        order = np.lexsort((eid, ts, uid))
+        uid_s, v_s = uid[order], v[order]
+        num = np.zeros(len(v_s), np.int64)
+        den = np.zeros(len(v_s), np.int64)
+        for j in range(K):
+            w = 1 << (K - 1 - j)
+            if j == 0:
+                num += w * v_s
+                den += w
+                continue
+            valid = np.zeros(len(v_s), bool)
+            valid[j:] = uid_s[j:] == uid_s[:-j]  # same user j rows back
+            num[valid] += w * np.roll(v_s, j)[valid]
+            den += np.where(valid, w, 0)
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "user_id": pa.array(uid_s, pa.int64()),
+            "ewma_num": pa.array(num, pa.int64()),
+            "ewma_den": pa.array(den, pa.int64()),
+        })
+
+    return bucketed_group_map(rows, "user_id", smooth, num_buckets=16)

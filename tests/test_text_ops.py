@@ -67,7 +67,7 @@ def _check(name, con, ray_session):
     "events_props_stats", "cust_orders_full_join",
     "events_weighted_sample", "events_version_diff", "user_event_paths",
     "q5_local_supplier_volume", "events_user_hour_ohlc",
-    "keep_best_dedup", "heavy_hitter_tokens",
+    "keep_best_dedup", "heavy_hitter_tokens", "events_ewma",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
