@@ -963,7 +963,7 @@ def _ivfpq_index_dir(sf_dir: str, n_centroids: int, n_sub: int,
     import os
     key = hashlib.md5(
         f"{os.path.abspath(sf_dir)}:{n_centroids}:{n_sub}:{n_codes}:"
-        f"{train_sample}:v1".encode()).hexdigest()[:12]
+        f"{train_sample}:v2".encode()).hexdigest()[:12]
     return f"/tmp/destor_ray_ivfpq/{key}"
 
 
@@ -974,11 +974,13 @@ def build_ivfpq_index(sf_dir: str, n_centroids: int = 16, n_sub: int = 16,
     a coarse spherical-k-means quantizer partitions the space into
     cells; per-vector RESIDUALS (v − centroid[cell]) are product-
     quantized, so the fine codebooks spend their bits on within-cell
-    variation. The codes table stores (vec_id, cell, 16 uint8 codes);
-    query-time scans read ONLY the probed cells' rows and score by
-    q·c[cell] + ADC(residual codes) — both pruning AND compression,
-    which is what 10^12-vector retrieval actually runs. Training uses
-    one bounded driver-side sample; encoding is one map-only pass."""
+    variation. The codes table stores (vec_id, 16 uint8 codes) HIVE-
+    PARTITIONED by cell — query-time probes prune at the STORAGE layer
+    (only the n_probe partitions' files are opened, ~n_probe/n_cells
+    of the code bytes leave disk) and score by q·c[cell] +
+    ADC(residual codes) — pruning AND compression, which is what
+    10^12-vector retrieval actually runs. Training uses one bounded
+    driver-side sample; encoding is one map-only pass."""
     import os
     import pickle
 
@@ -1026,7 +1028,8 @@ def build_ivfpq_index(sf_dir: str, n_centroids: int = 16, n_sub: int = 16,
 
     tmp = f"{out}.tmp.{os.getpid()}"
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    emb.map_batches(encode, batch_format="pyarrow").write_parquet(tmp)
+    emb.map_batches(encode, batch_format="pyarrow") \
+        .write_parquet(os.path.join(tmp, "cells"), partition_cols=["cell"])
     with open(os.path.join(tmp, "_model.pkl"), "wb") as f:
         pickle.dump({"cents": cents, "books": books,
                      "n_sub": n_sub, "sub_d": sub_d}, f)
@@ -1043,10 +1046,11 @@ def ivfpq_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
                n_codes: int = 32, train_sample: int = 4096,
                rerank_factor: int = 4):
     """(vec_id, cos_sim) — IVF cell pruning + residual-PQ ADC shortlist
-    + exact re-rank: reads only the probed cells' code rows (a
-    map-only predicate on the materialized index), scores them with
-    q·centroid[cell] + residual lookup tables, then re-ranks the
-    rerank_factor·k shortlist against the true float vectors."""
+    + exact re-rank: the read itself is PARTITION-PRUNED to the probed
+    cells' hive directories (non-probed code bytes never leave
+    storage), scoring is q·centroid[cell] + residual lookup tables,
+    then the rerank_factor·k shortlist re-ranks against the true
+    float vectors."""
     import pickle
 
     idx_dir = build_ivfpq_index(sf_dir, n_centroids, n_sub, n_codes,
@@ -1062,23 +1066,27 @@ def ivfpq_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     probe = np.argsort(-cell_score)[:n_probe]
     lut = np.stack([books[s] @ qn[s * sub_d:(s + 1) * sub_d]
                     for s in range(n_sub_)])
-    ref = ray.put((set(probe.tolist()), cell_score, lut))
+    ref = ray.put((cell_score, lut))
     short_n = k * rerank_factor
 
-    codes_ds = ray.data.read_parquet(idx_dir)
+    from ray.data.datasource.partitioning import PathPartitionFilter
+    probe_set = set(int(c) for c in probe)
+    codes_ds = ray.data.read_parquet(
+        f"{idx_dir}/cells",
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: int(kv["cell"]) in probe_set, style="hive"))
 
     def adc(batch: pa.Table) -> pa.Table:
-        pset, cscore, tbl = ray.get(ref)
-        cl = batch["cell"].to_numpy(zero_copy_only=False)
-        keep = np.isin(cl, list(pset))
-        if not keep.any():
+        cscore, tbl = ray.get(ref)
+        if batch.num_rows == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "adc_score": pa.array([], pa.float64())})
-        ids = batch["vec_id"].to_numpy(zero_copy_only=False)[keep]
-        raw = b"".join(np.asarray(batch["codes"].to_pylist(),
-                                  dtype=object)[keep])
+        # hive partition values come back as strings
+        cl = batch["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        raw = b"".join(batch["codes"].to_pylist())
         codes = np.frombuffer(raw, np.uint8).reshape(-1, tbl.shape[0])
-        score = cscore[cl[keep]] + \
+        score = cscore[cl] + \
             tbl[np.arange(tbl.shape[0])[None, :], codes].sum(axis=1)
         if len(score) > short_n:
             sel = np.argpartition(-score, short_n)[:short_n]
