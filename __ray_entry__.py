@@ -20,6 +20,9 @@ queries() entries map to SURVEY.md §2 operators:
                        vector, tag-and-union rank⋈edges shuffle per
                        iteration, unrolled-CTE oracle (oracle)
   corpus_dedup_eval    flagship scorecard vs planted truth (rows-only)
+  corpus_preset_sweep  exhaustive vs champion-top-k verify: edge counts
+                       + recall per preset (similarity_detection.c
+                       candidate-count parity; rows-only)
   corpus_resize_stats  multimodal image decode→resize actor-pool stage,
                        per-format stats (rows-only)
   curation_job_metrics resumable checkpointed curation job (rows-only)
@@ -320,6 +323,58 @@ def _corpus_dedup_eval(sf_dir: str):
             ("exact_truth_mismatches", float(mismatches))]
     return pa.table({"metric": pa.array([r[0] for r in rows], pa.string()),
                      "value": pa.array([r[1] for r in rows], pa.float64())})
+
+
+def _corpus_preset_sweep(sf_dir: str):
+    """(preset, n_verified_edges, dup_pair_recall, joined_distractors,
+    exact_truth_mismatches) — the destor candidate-selection parity
+    sweep: the flagship on the SAME corpus under (a) exhaustive-
+    within-cap verify (default) and (b) champion top-k selection, the
+    port of top_segment_select's greedy feature-trimmed ranking
+    (/root/reference/src/index/similarity_detection.c:85-123, D3).
+    Champion mode bounds verification to k pairs per row — the edge
+    count drop vs default IS the reference's candidate-count
+    behavior; the recall column is the measured cost of that bound
+    against the planted ground truth."""
+    import pyarrow as pa
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.config import PRESETS
+    from destor_ray.pipelines.dedup import dedup_pipeline
+
+    n = _corpus_rows_for(sf_dir)
+    d = corpus.ensure_corpus_parquet(n, seed=42)
+    plan = corpus.dup_plan_table(n)
+    truth = {f"img{i:010d}": f"img{corpus.truth_cluster(i):010d}"
+             for i in range(n)}
+    rows = []
+    for preset in ("default", "champion"):
+        st: dict = {}
+        assignment = dedup_pipeline(
+            ray.data.read_parquet(d), PRESETS[preset],
+            n_rows_hint=n, stage_times=st).to_pandas()
+        pred = dict(zip(assignment.image_id, assignment.cluster_id))
+        hits = misses = dist = 0
+        for left, right, kind in zip(plan["left_id"].to_pylist(),
+                                     plan["right_id"].to_pylist(),
+                                     plan["kind"].to_pylist()):
+            same = pred[left] == pred[right]
+            if kind == "distractor_near_miss":
+                dist += int(same)
+            else:
+                hits += int(same)
+                misses += int(not same)
+        mism = sum(1 for k, v in truth.items() if pred[k] != v)
+        rows.append((preset, int(st.get("n_edges", -1)),
+                     round(hits / max(1, hits + misses), 6),
+                     dist, mism))
+    return pa.table({
+        "preset": pa.array([r[0] for r in rows], pa.string()),
+        "n_verified_edges": pa.array([r[1] for r in rows], pa.int64()),
+        "dup_pair_recall": pa.array([r[2] for r in rows], pa.float64()),
+        "joined_distractors": pa.array([r[3] for r in rows], pa.int64()),
+        "exact_truth_mismatches": pa.array([r[4] for r in rows], pa.int64()),
+    })
 
 
 def _curation_job_metrics(sf_dir: str):
@@ -659,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
         "corpus_dedup_eval": _corpus_dedup_eval,
+        "corpus_preset_sweep": _corpus_preset_sweep,
         "corpus_resize_stats": _corpus_resize_stats,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
