@@ -106,6 +106,13 @@ queries() entries map to SURVEY.md §2 operators:
   heavy_hitter_tokens  Misra-Gries/Space-Saving frequent items:
                        capacity-bounded per-batch sketches, token-sum
                        merge, error mass tracked (oracle exact regime)
+  quality_percentile_filter learned per-lang quantile cutoff (value-
+                       count profile pass → broadcast thresholds →
+                       map-only filter) (oracle)
+  degree_distribution  out-degree histogram of the token digraph:
+                       skew-profiling pass before iterative jobs (oracle)
+  docs_csv_stats       CSV leg of the format dispatch, round-trip
+                       certified against the parquet original (oracle)
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
@@ -610,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       substring, text)
     return {
         "pagerank_tokens": graph.pagerank_tokens,
+        "degree_distribution": graph.degree_distribution,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "customer_order_stats": relational.customer_order_stats,
         "top_parts_by_quantity": relational.top_parts_by_quantity,
@@ -642,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_lineitem_left_join": relational.orders_lineitem_left_join,
         "events_value_delta": streaming.events_value_delta,
         "docs_jsonl_stats": ingest.docs_jsonl_stats,
+        "docs_csv_stats": ingest.docs_csv_stats,
         "lineitem_cube": relational.lineitem_cube,
         "source_token_entropy": text.source_token_entropy,
         "events_props_stats": streaming.events_props_stats,
@@ -685,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_dedup": curation.segment_dedup,
         "incremental_dedup": curation.incremental_dedup,
         "keep_best_dedup": curation.keep_best_dedup,
+        "quality_percentile_filter": curation.quality_percentile_filter,
         "pii_scrub": curation.pii_scrub,
         "tfidf_top_terms": ranking.tfidf_top_terms,
         "bm25_scores": ranking.bm25_scores,
@@ -1122,6 +1132,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_segs,
                    CAST(sum(kept) AS BIGINT) AS n_kept
             FROM marked GROUP BY doc_id
+        """,
+        "degree_distribution": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            e0 AS (SELECT ws[i] AS src, ws[i+1] AS dst
+                   FROM w, UNNEST(generate_series(1, len(ws)-1)) t(i)),
+            d AS (SELECT src, count(DISTINCT dst) AS out_degree
+                  FROM e0 GROUP BY src)
+            SELECT CAST(out_degree AS BIGINT) AS out_degree,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM d GROUP BY out_degree
         """,
         "pagerank_tokens": """
             WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
@@ -1609,6 +1629,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
         """,
+        "docs_csv_stats": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY source
+        """,
         "events_ewma": """
             WITH v AS (
                 SELECT event_id, user_id, ts,
@@ -1643,6 +1669,23 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY token
             ORDER BY est_count DESC, token
             LIMIT 10
+        """,
+        "quality_percentile_filter": """
+            WITH r AS (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            ),
+            thr AS (
+                SELECT lang, min(n_chars) AS cut
+                FROM r WHERE rn >= ceil(0.75 * n)
+                GROUP BY lang
+            )
+            SELECT doc_id, d.lang, n_chars
+            FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE n_chars >= cut
         """,
         "keep_best_dedup": """
             WITH f AS (

@@ -602,3 +602,58 @@ def keep_best_dedup(sf_dir: str, k: int = 4):
         })
 
     return bucketed_group_map(rows, "fp", best, num_buckets=16)
+
+
+def quality_percentile_filter(sf_dir: str, pct: float = 0.75):
+    """(doc_id, lang, n_chars) for documents at or above their
+    language's `pct` length quantile — the learned-threshold filter
+    composition every curation pipeline runs (profile the corpus,
+    pick per-group cutoffs, filter): CC-Net's per-language perplexity
+    buckets with length standing in for the score.
+
+    Two passes, both shuffle-light: (1) a (lang, n_chars) value-count
+    groupby reduces the corpus to |langs|·|distinct lengths| tiny rows
+    and the driver scans cumulative weights for each language's exact
+    lower-quantile cutoff (the column_quantiles rule); (2) the cutoff
+    dict broadcasts via ray.put and the filter is map-only — document
+    text never shuffles anywhere."""
+    import pandas as pd
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+            "n_chars": pa.array(g["n_chars"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
+
+    vc = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby(["lang", "n_chars"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()  # |langs| x |distinct lengths| rows — tiny
+    thr: dict[str, int] = {}
+    for lang, g in vc.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["n"].cumsum().to_numpy()
+        total = int(cum[-1])
+        rank = int(np.ceil(pct * total))  # 1-indexed target rank
+        thr[lang] = int(g["n_chars"].to_numpy()[np.searchsorted(cum, rank)])
+    thr_ref = _ray.put(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = _ray.get(thr_ref)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        cut = np.array([t[l] for l in langs], np.int64)
+        m = pa.array(nch >= cut)
+        return pa.table({
+            "doc_id": batch["doc_id"].filter(m).cast(pa.int64()),
+            "lang": batch["lang"].filter(m),
+            "n_chars": batch["n_chars"].filter(m).cast(pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -331,3 +331,32 @@ def triangle_count(sf_dir: str):
                          "n_edges": pd.array([n_edges], "int64"),
                          "n_triangles": pd.array(
                              [int(tri["n_triangles"])], "int64")})
+
+
+def degree_distribution(sf_dir: str):
+    """(out_degree, n_tokens) — distribution of distinct-successor
+    out-degrees in the token co-occurrence digraph: the profiling
+    pass run before any iterative graph job to find skewed hubs
+    (whether a PageRank/triangle shuffle needs salting is read
+    straight off this table; destor's container-utilization histogram,
+    har_rewrite.c, is the same shape over containers).
+
+    Reuses the bigram edge aggregate, then two tiny groupbys: distinct
+    (src, dst) pairs → per-src degree count → per-degree counts. Each
+    stage's output is vocabulary-bounded, so everything after the
+    map-side-combined edge extraction is negligible."""
+    from ray.data.aggregate import Count
+
+    edges = _bigram_edges(sf_dir)
+    deg = edges.groupby("src").aggregate(Count(alias_name="out_degree"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "out_degree": pc.cast(batch["out_degree"], pa.int64())})
+
+    return deg.map_batches(shape, batch_format="pyarrow") \
+        .groupby("out_degree").aggregate(Count(alias_name="n_tokens")) \
+        .map_batches(lambda b: pa.table({
+            "out_degree": pc.cast(b["out_degree"], pa.int64()),
+            "n_tokens": pc.cast(b["n_tokens"], pa.int64())}),
+            batch_format="pyarrow")

@@ -151,3 +151,53 @@ def audio_wav_stats(sf_dir: str, n_clips: int = 512):
                 // pc.cast(b["n_clips"], pa.int64()).to_numpy(
                     zero_copy_only=False), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def _csv_export_dir(sf_dir: str) -> str:
+    """Deterministic cached CSV export of the documents table (the
+    JSONL fixture's CSV sibling; same staged-rename discipline)."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/destor_ray_csv/{tag}"
+    if os.path.isdir(out):
+        return out
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "text"])
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    ds.write_csv(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:  # lost the race; the winner's export is identical
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def docs_csv_stats(sf_dir: str):
+    """(source, n_docs, sum_chars) aggregated from the CSV round trip —
+    proves the CSV leg of sources.read_table's format dispatch the same
+    way docs_jsonl_stats proves JSONL: the oracle runs over the
+    ORIGINAL parquet, so a hash match certifies export → read_csv →
+    Dataset loses nothing (quoting included — document text contains
+    the delimiter-adjacent space but Arrow CSV quotes on write)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(_csv_export_dir(sf_dir),
+                    columns=["doc_id", "source", "text"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch["source"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    agg = ds.map_batches(narrow, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="sum_chars"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "sum_chars": pc.cast(b["sum_chars"], pa.int64()),
+        }), batch_format="pyarrow")

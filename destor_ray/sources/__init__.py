@@ -6,6 +6,7 @@ available and on the path's format:
 
   read_table("x.lance" | dir with .lance)  → ray.data.read_lance
   read_table("x.jsonl" | dir with .jsonl)  → ray.data.read_json
+  read_table("x.csv"   | dir with .csv)    → ray.data.read_csv
   read_table(dir with parquet | x.parquet) → ray.data.read_parquet
 
 Everything downstream consumes a ray.data.Dataset either way — swapping
@@ -40,9 +41,16 @@ def is_jsonl_path(path: str) -> bool:
         name.endswith((".jsonl", ".json")) for name in os.listdir(path))
 
 
+def is_csv_path(path: str) -> bool:
+    if path.endswith(".csv"):
+        return True
+    return os.path.isdir(path) and any(
+        name.endswith(".csv") for name in os.listdir(path))
+
+
 def read_table(path: str, columns: list[str] | None = None):
-    """Dataset over a Lance, JSONL, or parquet table (column-pruned
-    when asked; JSON has no column pushdown — prune with a
+    """Dataset over a Lance, JSONL, CSV, or parquet table (column-
+    pruned when asked; JSON/CSV have no column pushdown — prune with a
     select_columns immediately after the read)."""
     import ray.data
 
@@ -54,5 +62,8 @@ def read_table(path: str, columns: list[str] | None = None):
         return ray.data.read_lance(path, columns=columns)
     if is_jsonl_path(path):
         ds = ray.data.read_json(path)
+        return ds.select_columns(columns) if columns else ds
+    if is_csv_path(path):
+        ds = ray.data.read_csv(path)
         return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns)
