@@ -113,6 +113,9 @@ queries() entries map to SURVEY.md §2 operators:
                        skew-profiling pass before iterative jobs (oracle)
   docs_csv_stats       CSV leg of the format dispatch, round-trip
                        certified against the parquet original (oracle)
+  video_frame_stats    VIDEO multimodal path: binary payloads fan out
+                       through the frame-sample actor pool (ffmpeg
+                       seam stubbed; Ray plumbing real + exact pytest)
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
@@ -661,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hour_ohlc": streaming.events_user_hour_ohlc,
         "events_ewma": streaming.events_ewma,
         "audio_wav_stats": ingest.audio_wav_stats,
+        "video_frame_stats": ingest.video_frame_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,

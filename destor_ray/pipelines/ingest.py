@@ -201,3 +201,99 @@ def docs_csv_stats(sf_dir: str):
             "n_docs": pc.cast(b["n_docs"], pa.int64()),
             "sum_chars": pc.cast(b["sum_chars"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+def _video_corpus_dir(n_videos: int = 256) -> str:
+    """Deterministic cached synthetic video corpus: opaque binary
+    payloads (the engine treats video as bytes + typed metadata; real
+    containers would come from a crawler) with varying frame counts."""
+    import hashlib
+
+    out = f"/tmp/destor_ray_video/n{n_videos}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs, nframes = [], [], []
+    for i in range(n_videos):
+        ids.append(f"vid{i:05d}")
+        # payload bytes are an md5 chain — opaque, deterministic, and
+        # distinct per video (the fake decoder keys frames off them)
+        seed = hashlib.md5(f"video:{i}".encode()).digest()
+        blobs.append(seed * (8 + i % 17))
+        nframes.append(24 * (1 + i % 10))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "n_frames": pa.array(nframes, pa.int32()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def video_frame_stats(sf_dir: str, n_videos: int = 256):
+    """(n_frames, n_videos, n_sampled, mean_lum_micro) — the VIDEO
+    multimodal path as a driver-visible query: binary payloads fan out
+    through the VideoFrameSample actor pool (decoder="fake" — the
+    ffmpeg seam is the declared stub; everything Ray-side is real:
+    flat-map expansion, actor-pool batching, grayscale thumb layout)
+    and the sampled frames aggregate per source frame count.
+    Deterministic end-to-end (Philox frames keyed on payload hash), so
+    the exact pytest pins every column; `sf_dir` is unused but keeps
+    the standard queries() signature."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.multimodal import video_frame_samples
+
+    vids = ray.data.read_parquet(_video_corpus_dir(n_videos))
+    nf_by_vid = ray.data.read_parquet(
+        _video_corpus_dir(n_videos), columns=["video_id", "n_frames"])
+    frames = video_frame_samples(vids, concurrency=2, batch_size=32)
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        lum = [int(np.frombuffer(t, np.uint8).mean() * 1_000_000)
+               for t in batch["frame_thumb"].to_pylist()]
+        return pa.table({
+            "video_id": batch["video_id"],
+            "lum_micro": pa.array(lum, pa.int64()),
+        })
+
+    # frames carry no n_frames column — join it back via a broadcast of
+    # the (tiny) id→n_frames map; at scale this map is one int per
+    # video, ~16 B/row, broadcastable far past the payload scale
+    import ray as _ray
+    m = nf_by_vid.to_pandas()
+    nf_ref = _ray.put(dict(zip(m["video_id"], m["n_frames"].astype(int))))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        d = _ray.get(nf_ref)
+        nf = np.array([d[v] for v in batch["video_id"].to_pylist()],
+                      np.int64)
+        return batch.append_column("n_frames", pa.array(nf, pa.int64()))
+
+    agg = frames.map_batches(narrow, batch_format="pyarrow") \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("n_frames").aggregate(
+            Count(alias_name="n_sampled"),
+            Sum("lum_micro", alias_name="lum_sum"))
+
+    def final(b: pa.Table) -> pa.Table:
+        ns = pc.cast(b["n_sampled"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ls = pc.cast(b["lum_sum"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "n_frames": pc.cast(b["n_frames"], pa.int64()),
+            "n_videos": pa.array(ns // 3, pa.int64()),  # 3 samples/video
+            "n_sampled": pa.array(ns, pa.int64()),
+            "mean_lum_micro": pa.array(ls // ns, pa.int64()),
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")

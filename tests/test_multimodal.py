@@ -115,3 +115,24 @@ def test_audio_stage_in_ray(ray_session):
     ds = ray.data.from_arrow(_wav_batch(32))
     out = mm.audio_features(ds, concurrency=2, batch_size=8).to_pandas()
     assert len(out) == 32
+
+
+def test_video_frame_stats_query_exact(ray_session):
+    """The driver video query is deterministic and structurally exact:
+    256 videos spread over 10 distinct frame counts (24..240), 3
+    sampled frames per video, and a stable luminance aggregate across
+    repeated runs."""
+    from destor_ray.pipelines.ingest import video_frame_stats
+    a = video_frame_stats("unused").to_pandas().sort_values("n_frames") \
+        .reset_index(drop=True)
+    b = video_frame_stats("unused").to_pandas().sort_values("n_frames") \
+        .reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) == 10
+    assert list(a["n_frames"]) == [24 * (i + 1) for i in range(10)]
+    # 256 videos over 10 residue classes: i % 10 in {0..5} gets 26,
+    # {6..9} gets 25
+    assert a["n_videos"].sum() == 256
+    assert (a["n_sampled"] == 3 * a["n_videos"]).all()
+    # fake frames are uniform bytes; grayscale mean ~127.5e6 micro
+    assert ((a["mean_lum_micro"] - 127_500_000).abs() < 3_000_000).all()
