@@ -116,6 +116,8 @@ queries() entries map to SURVEY.md §2 operators:
   video_frame_stats    VIDEO multimodal path: binary payloads fan out
                        through the frame-sample actor pool (ffmpeg
                        seam stubbed; Ray plumbing real + exact pytest)
+  edit_distance_pairs  exact-Levenshtein near-dup channel: prefix-fp
+                       banding + vectorized two-row DP verify (oracle)
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
@@ -688,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_join_ppjoin": text.jaccard_join_ppjoin,
         "common_substring_pairs": substring.common_substring_pairs,
         "lcs_pairs": substring.lcs_pairs,
+        "edit_distance_pairs": substring.edit_distance_pairs,
         "column_quantiles": stats.column_quantiles,
         "quantile_sketch_stats": stats.quantile_sketch_stats,
         "stopword_scrub": curation.stopword_scrub,
@@ -1632,6 +1635,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(length(text)) AS BIGINT) AS sum_chars
             FROM documents GROUP BY lang
+        """,
+        "edit_distance_pairs": """
+            WITH f AS (
+                SELECT doc_id, text,
+                       array_to_string(list_slice(string_split(text, ' '),
+                                                  1, 4), ' ') AS fp
+                FROM documents
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 10
         """,
         "docs_csv_stats": """
             SELECT source,

@@ -136,3 +136,36 @@ def winnow_fingerprints(data: bytes | str | np.ndarray, gram: int = 16,
         return np.unique(hs.min(keepdims=True))
     mins = np.lib.stride_tricks.sliding_window_view(hs, window).min(axis=1)
     return np.unique(mins)
+
+
+def levenshtein_rowdp(a: bytes, b: bytes) -> int:
+    """Exact Levenshtein distance via the vectorized two-row DP.
+
+    The inner row update has a sequential left-neighbor (deletion)
+    dependency; it is removed with the classic scan identity
+        d[j] = j_cost + min_{k<=j} (m[k] - k_cost)
+    (m = row after substitution/insertion only), so each of the
+    len(a) iterations is pure numpy over len(b) cells — no Python
+    inner loop. O(len(a)·len(b)) work, O(len(b)) memory."""
+    import numpy as np
+
+    if a == b:
+        return 0
+    bv = np.frombuffer(b, dtype=np.uint8).astype(np.int32)
+    n = len(bv)
+    prev = np.arange(n + 1, dtype=np.int32)
+    idx = np.arange(1, n + 1, dtype=np.int32)
+    cur = np.empty(n + 1, dtype=np.int32)
+    for i, ca in enumerate(a, start=1):
+        cost = (bv != ca).astype(np.int32)
+        # substitution / insertion candidates
+        m = np.minimum(prev[:-1] + cost, prev[1:] + 1)
+        # deletion (left) dependency folded in via a prefix-min scan:
+        # cur[j] = min(m[j], min_{k<j}(cur[k] + (j-k)))
+        #        = j + min over prefix of (candidate - position)
+        head = np.concatenate(([np.int32(i)], m - idx))
+        cur[:] = np.minimum.accumulate(head) + np.arange(n + 1,
+                                                         dtype=np.int32)
+        cur[0] = i
+        prev, cur = cur, prev
+    return int(prev[-1])

@@ -236,3 +236,57 @@ def lcs_pairs(sf_dir: str, min_len: int = 24,
                          "lcs_len": pa.array(out_n, pa.int64())})
 
     return bucketed_group_map(shards, "pid", verify_bucket, num_buckets=32)
+
+
+def edit_distance_pairs(sf_dir: str, k: int = 4, max_dist: int = 10):
+    """(left_id, right_id, edit_dist) — near-duplicate pairs by EXACT
+    Levenshtein distance <= max_dist among documents sharing a
+    first-`k`-token content prefix: the edit-distance dedup channel
+    (the fourth signature family next to MinHash/SimHash/substring
+    fingerprints — catches small in-place edits that shift every
+    downstream shingle).
+
+    One fp-hash shuffle ships (fp, doc_id, text); inside a bucket every
+    prefix-collision pair runs the VECTORIZED two-row DP
+    (functions/suffixes.levenshtein_rowdp — numpy scan per character,
+    no Python inner loop). Work is O(pairs · len²) and pairs are
+    bounded by the prefix banding (same candidate discipline the
+    reference's similarity detection applies before verify,
+    similarity_detection.c D3); the SQL oracle mirrors the banding so
+    the match is exact, not sampled."""
+    import pyarrow.compute as pc
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        fp = pc.binary_join(pc.list_slice(toks, 0, k), " ")
+        return pa.table({"fp": fp, "doc_id": batch["doc_id"].cast(pa.int64()),
+                         "text": batch["text"]})
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow")
+
+    def verify(df: pd.DataFrame) -> pa.Table:
+        out_l, out_r, out_d = [], [], []
+        for _, g in df.groupby("fp", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy(np.int64)
+            texts = [t.encode() for t in g["text"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if abs(len(texts[i]) - len(texts[j])) > max_dist:
+                        continue  # length bound: dist >= len gap
+                    d = suffixes.levenshtein_rowdp(texts[i], texts[j])
+                    if d <= max_dist:
+                        out_l.append(ids[i])
+                        out_r.append(ids[j])
+                        out_d.append(d)
+        return pa.table({
+            "left_id": pa.array(out_l, pa.int64()),
+            "right_id": pa.array(out_r, pa.int64()),
+            "edit_dist": pa.array(out_d, pa.int64()),
+        })
+
+    return bucketed_group_map(rows, "fp", verify, num_buckets=16)

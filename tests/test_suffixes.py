@@ -126,3 +126,29 @@ def test_common_substring_pairs_nonempty(ray_session):
     assert len(out) > 0
     assert (out["n_shared"] >= 1).all()
     assert (out["left_id"] < out["right_id"]).all()
+
+
+def test_levenshtein_rowdp_matches_bruteforce():
+    import random
+
+    from destor_ray.functions.suffixes import levenshtein_rowdp
+
+    def ref(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    rng = random.Random(11)
+    for _ in range(200):
+        a = bytes(rng.choices(b"abcd ", k=rng.randint(0, 16)))
+        b = bytes(rng.choices(b"abcd ", k=rng.randint(0, 16)))
+        assert levenshtein_rowdp(a, b) == ref(a, b), (a, b)
+    assert levenshtein_rowdp(b"", b"xyz") == 3
+    assert levenshtein_rowdp(b"kitten", b"sitting") == 3
