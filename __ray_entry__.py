@@ -111,6 +111,12 @@ queries() entries map to SURVEY.md §2 operators:
                        map-only filter) (oracle)
   degree_distribution  out-degree histogram of the token digraph:
                        skew-profiling pass before iterative jobs (oracle)
+  token_communities    hash-VERIFIED min-label propagation CC (the
+                       flagship's hash-to-min topology pinned by an
+                       unrolled-CTE oracle, 3 sync rounds) (oracle)
+  sequence_pack        GPT-style fixed-length sequence packing via the
+                       global-prefix-sum primitive (hierarchical scan
+                       pattern documented) (oracle)
   docs_csv_stats       CSV leg of the format dispatch, round-trip
                        certified against the parquet original (oracle)
   video_frame_stats    VIDEO multimodal path: binary payloads fan out
@@ -623,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "pagerank_tokens": graph.pagerank_tokens,
         "degree_distribution": graph.degree_distribution,
+        "token_communities": graph.token_communities,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "customer_order_stats": relational.customer_order_stats,
         "top_parts_by_quantity": relational.top_parts_by_quantity,
@@ -702,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": curation.incremental_dedup,
         "keep_best_dedup": curation.keep_best_dedup,
         "quality_percentile_filter": curation.quality_percentile_filter,
+        "sequence_pack": curation.sequence_pack,
         "pii_scrub": curation.pii_scrub,
         "tfidf_top_terms": ranking.tfidf_top_terms,
         "bm25_scores": ranking.bm25_scores,
@@ -1139,6 +1147,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_segs,
                    CAST(sum(kept) AS BIGINT) AS n_kept
             FROM marked GROUP BY doc_id
+        """,
+        "token_communities": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            e0 AS (SELECT ws[i] AS src, ws[i+1] AS dst
+                   FROM w, UNNEST(generate_series(1, len(ws)-1)) t(i)),
+            e AS (SELECT DISTINCT src, dst FROM
+                  (SELECT src, dst FROM e0
+                   UNION ALL SELECT dst, src FROM e0) q),
+            n AS (SELECT DISTINCT src AS tok FROM e),
+            l0 AS (SELECT tok, tok AS lab FROM n),
+            l1 AS (SELECT x.tok, min(lab) AS lab FROM
+                   (SELECT e.dst AS tok, l0.lab FROM e
+                    JOIN l0 ON e.src = l0.tok
+                    UNION ALL SELECT tok, lab FROM l0) x GROUP BY x.tok),
+            l2 AS (SELECT x.tok, min(lab) AS lab FROM
+                   (SELECT e.dst AS tok, l1.lab FROM e
+                    JOIN l1 ON e.src = l1.tok
+                    UNION ALL SELECT tok, lab FROM l1) x GROUP BY x.tok),
+            l3 AS (SELECT x.tok, min(lab) AS lab FROM
+                   (SELECT e.dst AS tok, l2.lab FROM e
+                    JOIN l2 ON e.src = l2.tok
+                    UNION ALL SELECT tok, lab FROM l2) x GROUP BY x.tok)
+            SELECT tok, lab AS label FROM l3
         """,
         "degree_distribution": """
             WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
@@ -1688,6 +1719,19 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY token
             ORDER BY est_count DESC, token
             LIMIT 10
+        """,
+        "sequence_pack": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            t AS (SELECT doc_id, i
+                  FROM d, UNNEST(generate_series(1, len(ws))) s(i)),
+            r AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY doc_id, i) - 1 AS gp
+                  FROM t)
+            SELECT CAST(gp // 128 AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM r GROUP BY 1
         """,
         "quality_percentile_filter": """
             WITH r AS (

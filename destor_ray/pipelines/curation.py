@@ -657,3 +657,81 @@ def quality_percentile_filter(sf_dir: str, pct: float = 0.75):
             "n_chars": batch["n_chars"].filter(m).cast(pa.int64())})
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sequence_pack(sf_dir: str, seq_len: int = 128):
+    """(seq_id, n_tokens, n_docs) — fixed-length training-sequence
+    packing: the corpus token stream in (doc_id, position) order is cut
+    into back-to-back `seq_len` windows (GPT-style pretraining packing,
+    documents concatenated, sequences spanning doc boundaries), and
+    each sequence reports its token count (== seq_len except the tail)
+    and how many documents it spans.
+
+    The primitive being exercised is the GLOBAL PREFIX SUM: pass 1 is
+    a map-only per-doc token count whose (doc_id, n_tokens) rows are
+    cumsum'd into per-doc start offsets (driver-side here — one int64
+    pair per document; at 100 TB the same cumsum runs hierarchically:
+    per-partition subtotals, a tiny exclusive scan over partitions,
+    then a map-only rebase — the offsets table stays metadata-sized
+    either way). Pass 2 is map-only: each doc knows its offset, so its
+    tokens' sequence ids are arithmetic, and per-(seq, doc) partials
+    make the final seq-keyed exchange output-bounded."""
+    import pandas as pd
+    import ray as _ray
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def doc_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n = pc.list_value_length(toks).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "n_toks": n})
+
+    counts = ds.map_batches(doc_counts, batch_format="pyarrow") \
+        .to_pandas().sort_values("doc_id")
+    start = np.zeros(len(counts), np.int64)
+    start[1:] = np.cumsum(counts["n_toks"].to_numpy(np.int64))[:-1]
+    off_ref = _ray.put((counts["doc_id"].to_numpy(np.int64), start))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_keys, starts = _ray.get(off_ref)
+        toks = pc.split_pattern(batch["text"], " ")
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(doc_keys, docs)
+        st = starts[pos]
+        total = int(n.sum())
+        if total == 0:
+            return pa.table({"seq_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        doc_rep = np.repeat(np.arange(len(docs)), n)
+        first = np.concatenate(([0], np.cumsum(n)[:-1]))
+        within = np.arange(total) - np.repeat(first, n)
+        gp = np.repeat(st, n) + within
+        seq = gp // seq_len
+        comp = seq * (1 << 22) + doc_rep  # docs-per-batch < 2^22
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "seq_id": pa.array(uniq >> 22, pa.int64()),
+            "doc_id": pa.array(docs[(uniq & ((1 << 22) - 1))], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    rows = ds.map_batches(partials, batch_format="pyarrow")
+
+    def reduce_seq(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("seq_id").agg(
+            n_tokens=("n", "sum"), n_docs=("doc_id", "nunique")) \
+            .reset_index()
+        return pa.table({
+            "seq_id": pa.array(g["seq_id"].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(rows, "seq_id", reduce_seq, num_buckets=8)

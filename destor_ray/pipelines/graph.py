@@ -360,3 +360,97 @@ def degree_distribution(sf_dir: str):
             "out_degree": pc.cast(b["out_degree"], pa.int64()),
             "n_tokens": pc.cast(b["n_tokens"], pa.int64())}),
             batch_format="pyarrow")
+
+
+def token_communities(sf_dir: str, iters: int = 3):
+    """(tok, label) — synchronous min-label propagation (hash-to-min
+    connected components) over the UNDIRECTED token co-occurrence
+    graph, `iters` rounds: label(v) ← min over (neighbors ∪ self) of
+    the previous labels, labels initialized to the token itself
+    (string min = lexicographic, identical in numpy and SQL).
+
+    This is the HASH-VERIFIED twin of the flagship's distributed CC
+    (stages/cluster.py hash-to-min, Rastogi et al.) — same per-round
+    topology, two exchanges per iteration (tag-and-union co-locating
+    each src's label with its out-edges, then a min-reduce keyed by
+    dst), rank/label vector partitioned, never broadcast — but over a
+    vocabulary-sized graph where an unrolled-CTE DuckDB oracle can pin
+    every label exactly. After `iters` rounds labels equal true
+    components out to radius `iters`; the oracle mirrors the SAME
+    round count, so the hash match is exact regardless of diameter."""
+    from ..stages.grouped import bucketed_group_map
+
+    edges = _bigram_edges(sf_dir)
+
+    # symmetrize + dedup: one groupby on the (tiny) vocab-bounded pairs
+    def both_dirs(b: pa.Table) -> pa.Table:
+        src = np.asarray(b["src"].to_pylist(), dtype=object)
+        dst = np.asarray(b["dst"].to_pylist(), dtype=object)
+        return pa.table({
+            "src": pa.array(np.concatenate([src, dst]).tolist(), pa.string()),
+            "dst": pa.array(np.concatenate([dst, src]).tolist(), pa.string()),
+        })
+
+    sym = edges.map_batches(both_dirs, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count().drop_columns(["count()"]) \
+        .materialize()
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        toks = np.unique(np.asarray(b["src"].to_pylist(), dtype=object))
+        return pa.table({"tok": pa.array(toks.tolist(), pa.string())})
+
+    nodes = sym.map_batches(node_rows, batch_format="pyarrow") \
+        .groupby("tok").count().drop_columns(["count()"]).materialize()
+
+    labels = nodes.map_batches(
+        lambda b: pa.table({"tok": b["tok"], "lab": b["tok"]}),
+        batch_format="pyarrow")
+
+    def spread_bucket(df: pd.DataFrame) -> pa.Table:
+        key = df["key"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        dst_s = df["dst"].to_numpy()[order]
+        lab_s = df["lab"].to_numpy()[order]
+        isl = df["is_lab"].to_numpy()[order].astype(bool)
+        starts = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+        sizes = np.diff(np.append(starts, len(key_s)))
+        seg = np.repeat(np.arange(len(starts)), sizes)
+        lab_per_seg = np.empty(len(starts), dtype=object)
+        lab_per_seg[seg[isl]] = lab_s[isl]  # exactly one label row per key
+        edge = ~isl
+        # contributions to each neighbor + the self row
+        out_tok = np.concatenate([dst_s[edge], key_s[starts]])
+        out_lab = np.concatenate([lab_per_seg[seg[edge]],
+                                  lab_per_seg])
+        return pa.table({"tok": pa.array(out_tok.tolist(), pa.string()),
+                         "lab": pa.array(out_lab.tolist(), pa.string())})
+
+    def min_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("tok", as_index=False)["lab"].min()
+        return pa.table({"tok": pa.array(g["tok"].to_numpy(object),
+                                         pa.string()),
+                         "lab": pa.array(g["lab"].to_numpy(object),
+                                         pa.string())})
+
+    for _ in range(iters):
+        tagged = sym.map_batches(
+            lambda b: pa.table({
+                "key": b["src"], "dst": b["dst"],
+                "lab": pa.array([""] * b.num_rows, pa.string()),
+                "is_lab": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }), batch_format="pyarrow") \
+            .union(labels.map_batches(
+                lambda b: pa.table({
+                    "key": b["tok"], "dst": b["tok"], "lab": b["lab"],
+                    "is_lab": pa.array(np.ones(b.num_rows, np.int8),
+                                       pa.int8()),
+                }), batch_format="pyarrow"))
+        contrib = bucketed_group_map(tagged, "key", spread_bucket,
+                                     num_buckets=8)
+        labels = bucketed_group_map(contrib, "tok", min_bucket,
+                                    num_buckets=8).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({"tok": b["tok"], "label": b["lab"]}),
+        batch_format="pyarrow")

@@ -69,7 +69,7 @@ def _check(name, con, ray_session):
     "q5_local_supplier_volume", "events_user_hour_ohlc",
     "keep_best_dedup", "heavy_hitter_tokens", "events_ewma",
     "quality_percentile_filter", "degree_distribution", "docs_csv_stats",
-    "edit_distance_pairs",
+    "edit_distance_pairs", "token_communities", "sequence_pack",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
