@@ -127,6 +127,8 @@ queries() entries map to SURVEY.md §2 operators:
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
+  events_time_weighted_avg LOCF time-weighted mean over irregular
+                       timelines, exact int64 rational (oracle)
   events_ewma          per-user EWMA (α=1/2, K-term): exact dyadic-
                        rational weighted ROWS frame, one user shuffle,
                        shifted-array fold (oracle)
@@ -672,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_paths": streaming.user_event_paths,
         "events_user_hour_ohlc": streaming.events_user_hour_ohlc,
         "events_ewma": streaming.events_ewma,
+        "events_time_weighted_avg": streaming.events_time_weighted_avg,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "job_partition_metrics": _job_partition_metrics,
@@ -1678,6 +1681,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "events_time_weighted_avg": """
+            WITH v AS (
+                SELECT user_id, event_id,
+                       epoch_us(ts) // 1000000 AS ts_sec,
+                       CAST(round(value * 1000000) AS BIGINT) AS vmic
+                FROM events
+            ),
+            l AS (
+                SELECT user_id, vmic, ts_sec,
+                       lead(ts_sec) OVER (PARTITION BY user_id
+                                          ORDER BY ts_sec, event_id) AS nxt
+                FROM v
+            )
+            SELECT user_id,
+                   CAST(coalesce(sum(vmic * (nxt - ts_sec)), 0)
+                        AS BIGINT) AS twa_num,
+                   CAST(coalesce(sum(nxt - ts_sec), 0) AS BIGINT) AS twa_den
+            FROM l GROUP BY user_id
         """,
         "docs_csv_stats": """
             SELECT source,

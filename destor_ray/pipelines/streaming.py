@@ -1331,3 +1331,64 @@ def events_ewma(sf_dir: str, K: int = 4):
         })
 
     return bucketed_group_map(rows, "user_id", smooth, num_buckets=16)
+
+
+def events_time_weighted_avg(sf_dir: str):
+    """(user_id, twa_num, twa_den) — time-weighted average of each
+    user's value over their irregular event timeline: every event's
+    value holds until the user's next event (last-observation-carried-
+    forward), so the average weights values by holding DURATION, not by
+    sample count — the canonical sensor/telemetry aggregate that plain
+    mean gets wrong on irregular sampling.
+
+    Exact rational output (num = Σ value_micro · duration_sec,
+    den = Σ duration_sec, both int64; per-term magnitude ≤ 1e6·1e8 so
+    no overflow until ~10^4 years of per-user span): hash-stable with
+    no float or division semantics crossing engines. One user-hash
+    shuffle; per bucket one lexsort + shifted-diff for durations with
+    the cross-user boundary masked (each user's LAST event has no
+    duration and drops, mirroring the SQL lead())."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "value"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts_sec": pa.array(batch["ts"].to_numpy(zero_copy_only=False)
+                               .astype(np.int64) // 1_000_000, pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "vmic": pa.array(vmic, pa.int64()),
+        })
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def twa(df: pd.DataFrame) -> pa.Table:
+        eid = df["event_id"].to_numpy(np.int64)
+        ts = df["ts_sec"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        v = df["vmic"].to_numpy(np.int64)
+        if not len(eid):
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "twa_num": pa.array([], pa.int64()),
+                             "twa_den": pa.array([], pa.int64())})
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, v_s = uid[order], ts[order], v[order]
+        same = np.zeros(len(uid_s), bool)
+        same[:-1] = uid_s[1:] == uid_s[:-1]  # row has a successor
+        dur = np.zeros(len(uid_s), np.int64)
+        dur[:-1] = ts_s[1:] - ts_s[:-1]
+        num = v_s * dur * same
+        den = dur * same
+        first = np.r_[True, uid_s[1:] != uid_s[:-1]]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "user_id": pa.array(uid_s[starts], pa.int64()),
+            "twa_num": pa.array(np.add.reduceat(num, starts), pa.int64()),
+            "twa_den": pa.array(np.add.reduceat(den, starts), pa.int64()),
+        })
+
+    return bucketed_group_map(rows, "user_id", twa, num_buckets=16)
