@@ -127,6 +127,8 @@ queries() entries map to SURVEY.md §2 operators:
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
+  events_type_top_values dense-rank <= k per type, ties included:
+                       value-count profile + broadcast cutoffs (oracle)
   events_time_weighted_avg LOCF time-weighted mean over irregular
                        timelines, exact int64 rational (oracle)
   events_ewma          per-user EWMA (α=1/2, K-term): exact dyadic-
@@ -675,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hour_ohlc": streaming.events_user_hour_ohlc,
         "events_ewma": streaming.events_ewma,
         "events_time_weighted_avg": streaming.events_time_weighted_avg,
+        "events_type_top_values": streaming.events_type_top_values,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "job_partition_metrics": _job_partition_metrics,
@@ -1681,6 +1684,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "events_type_top_values": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 1000000) AS BIGINT) AS value_micro
+                FROM events
+            )
+            SELECT event_id, event_type, value_micro
+            FROM v
+            QUALIFY dense_rank() OVER (PARTITION BY event_type
+                                       ORDER BY value_micro DESC) <= 3
         """,
         "events_time_weighted_avg": """
             WITH v AS (

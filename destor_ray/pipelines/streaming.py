@@ -1392,3 +1392,57 @@ def events_time_weighted_avg(sf_dir: str):
         })
 
     return bucketed_group_map(rows, "user_id", twa, num_buckets=16)
+
+
+def events_type_top_values(sf_dir: str, k: int = 3):
+    """(event_id, event_type, value_micro) — all rows whose value is
+    among their event type's `k` largest DISTINCT values (dense-rank
+    <= k semantics: ties are INCLUDED, completing the ranked-window
+    family next to row_number-based topk and cume_dist).
+
+    Two passes, no per-type sort of the data: (1) the same
+    (type, value) value-count profile as the percentile machinery —
+    the k-th largest distinct value per type falls out of a tiny
+    driver scan; (2) cutoffs broadcast, the filter is map-only. The
+    exchange carries one row per distinct (type, value) per batch,
+    never events."""
+    import ray as _ray
+    from ray.data.aggregate import Count
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "event_type", "value"])
+
+    def vc(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        df = pd.DataFrame({"event_type":
+                           batch["event_type"].to_numpy(zero_copy_only=False),
+                           "vmic": vmic})
+        g = df.groupby(["event_type", "vmic"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(object),
+                                   pa.string()),
+            "vmic": pa.array(g["vmic"].to_numpy(np.int64), pa.int64())})
+
+    prof = ds.map_batches(vc, batch_format="pyarrow") \
+        .groupby(["event_type", "vmic"]).aggregate(Count(alias_name="n")) \
+        .to_pandas()  # |types| x |distinct values| rows
+    cut: dict[str, int] = {}
+    for t, g in prof.groupby("event_type"):
+        vals = np.sort(g["vmic"].to_numpy(np.int64))[::-1]
+        cut[t] = int(vals[min(k, len(vals)) - 1])
+    cut_ref = _ray.put(cut)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cut_ref)
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        types = batch["event_type"].to_numpy(zero_copy_only=False)
+        th = np.array([c[t] for t in types], np.int64)
+        m = pa.array(vmic >= th)
+        return pa.table({
+            "event_id": batch["event_id"].filter(m).cast(pa.int64()),
+            "event_type": batch["event_type"].filter(m),
+            "value_micro": pa.array(vmic[vmic >= th], pa.int64())})
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -70,7 +70,7 @@ def _check(name, con, ray_session):
     "keep_best_dedup", "heavy_hitter_tokens", "events_ewma",
     "quality_percentile_filter", "degree_distribution", "docs_csv_stats",
     "edit_distance_pairs", "token_communities", "sequence_pack",
-    "events_time_weighted_avg",
+    "events_time_weighted_avg", "events_type_top_values",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
