@@ -114,6 +114,8 @@ queries() entries map to SURVEY.md §2 operators:
   token_communities    hash-VERIFIED min-label propagation CC (the
                        flagship's hash-to-min topology pinned by an
                        unrolled-CTE oracle, 3 sync rounds) (oracle)
+  tokenize_to_ids      frequency-ranked vocab build + map-only integer
+                       encode (searchsorted vs broadcast vocab) (oracle)
   sequence_pack        GPT-style fixed-length sequence packing via the
                        global-prefix-sum primitive (hierarchical scan
                        pattern documented) (oracle)
@@ -684,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
+        "tokenize_to_ids": text.tokenize_to_ids,
         "top_ngrams": text.top_ngrams,
         "repetition_scores": text.repetition_scores,
         "distinct_token_stats": text.distinct_token_stats,
@@ -1755,6 +1758,21 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY token
             ORDER BY est_count DESC, token
             LIMIT 10
+        """,
+        "tokenize_to_ids": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            t AS (SELECT doc_id, i, ws[i] AS tok
+                  FROM d, UNNEST(generate_series(1, len(ws))) s(i)),
+            c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+            v AS (SELECT tok,
+                         row_number() OVER (ORDER BY n DESC, tok) - 1
+                             AS token_id
+                  FROM c)
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+                   CAST(token_id AS BIGINT) AS token_id
+            FROM t JOIN v USING (tok)
+            WHERE i <= 8
         """,
         "sequence_pack": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -1523,3 +1523,64 @@ def source_token_entropy(sf_dir: str):
         })
 
     return bucketed_group_map(pairs, "source", entropy, num_buckets=4)
+
+
+def tokenize_to_ids(sf_dir: str, max_pos: int = 8):
+    """(doc_id, pos, token_id) — vocabulary construction + integer
+    encoding, the tokenizer step every pretraining pipeline runs before
+    sequence packing: token ids are FREQUENCY-RANKED (count desc, then
+    token lexicographic — the classic id assignment where id 0 is the
+    most frequent token), and each document's first `max_pos` positions
+    are emitted encoded.
+
+    Pass 1 builds the vocab with the map-side-combined token-count
+    groupby (exchange carries per-batch partials); the ranked vocab is
+    driver-materialized and broadcast — vocabularies are config-bounded
+    (a BPE vocab is ~10^5 entries ≈ MBs) no matter the corpus size, the
+    same broadcast-the-small-side rule as the unigram LM. Pass 2 is
+    map-only: split, slice, searchsorted against the sorted vocab —
+    no shuffle touches per-token rows at all; output is bounded by
+    docs × max_pos."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        arr = toks.to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    vc = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()  # vocabulary-bounded
+    vc = vc.sort_values(["n", "token"], ascending=[False, True]) \
+        .reset_index(drop=True)
+    toks_sorted = np.sort(vc["token"].to_numpy(object))
+    ids_for_sorted = np.empty(len(vc), np.int64)
+    # rank in frequency order; map back onto the lex-sorted lookup array
+    lexpos = np.searchsorted(toks_sorted, vc["token"].to_numpy(object))
+    ids_for_sorted[lexpos] = np.arange(len(vc), dtype=np.int64)
+    vocab_ref = _ray.put((toks_sorted, ids_for_sorted))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vt, vi = _ray.get(vocab_ref)
+        toks = pc.list_slice(pc.split_pattern(batch["text"], " "),
+                             0, max_pos)
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        docs = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n)
+        first = np.concatenate(([0], np.cumsum(n)[:-1])) if len(n) else \
+            np.array([], np.int64)
+        pos = np.arange(len(flat)) - np.repeat(first, n)
+        tid = vi[np.searchsorted(vt, flat)]
+        return pa.table({
+            "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+            "pos": pa.array(pos.astype(np.int64), pa.int64()),
+            "token_id": pa.array(tid, pa.int64()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
