@@ -129,6 +129,8 @@ queries() entries map to SURVEY.md §2 operators:
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
+  event_type_cooccurrence market-basket pair support counts: local
+                       distinct, user-keyed expand, pair-sum (oracle)
   events_type_top_values dense-rank <= k per type, ties included:
                        value-count profile + broadcast cutoffs (oracle)
   events_time_weighted_avg LOCF time-weighted mean over irregular
@@ -680,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma": streaming.events_ewma,
         "events_time_weighted_avg": streaming.events_time_weighted_avg,
         "events_type_top_values": streaming.events_type_top_values,
+        "event_type_cooccurrence": streaming.event_type_cooccurrence,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "job_partition_metrics": _job_partition_metrics,
@@ -1687,6 +1690,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "event_type_cooccurrence": """
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
         """,
         "events_type_top_values": """
             WITH v AS (

@@ -141,7 +141,10 @@ def main() -> None:
                  "curation_pipeline", "segment_dedup", "bm25_scores",
                  "orders_running_total", "events_sliding_window",
                  "user_retention_cohorts", "bloom_semi_join",
-                 "triangle_count"]:
+                 "triangle_count",
+                 "q5_local_supplier_volume", "sequence_pack",
+                 "heavy_hitter_tokens", "events_user_hour_ohlc",
+                 "keep_best_dedup"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver

@@ -1446,3 +1446,66 @@ def events_type_top_values(sf_dir: str, k: int = 3):
             "value_micro": pa.array(vmic[vmic >= th], pa.int64())})
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def event_type_cooccurrence(sf_dir: str):
+    """(type_a, type_b, n_users) with type_a < type_b — market-basket
+    co-occurrence: for every unordered pair of event types, how many
+    users performed BOTH (the association-mining support count; the
+    basket is the user's distinct type set).
+
+    One user-keyed exchange carrying per-batch-DISTINCT (user, type)
+    pairs only (local dedup before the shuffle, the same discipline as
+    the exact distinct-token count); each bucket dedups its users
+    globally, expands each user's k types into k(k-1)/2 pairs (k is
+    bounded by the type vocabulary, so expansion is O(|types|²) per
+    user worst case — a domain constant, not data-scale), and emits
+    map-side pair partials; a tiny final pair-keyed aggregate sums
+    them. Type pairs are domain-bounded, so the last exchange is
+    metadata-sized."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["user_id", "event_type"])
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy(np.int64), pa.int64()),
+            "event_type": pa.array(df["event_type"].to_numpy(object),
+                                   pa.string())})
+
+    rows = ds.map_batches(local_distinct, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates()
+        out_a, out_b, out_n = [], [], []
+        # per-user sorted type lists; expansion is domain-bounded
+        agg: dict[tuple, int] = {}
+        for _, g in df.groupby("user_id", sort=False):
+            ts = sorted(set(g["event_type"]))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    key = (ts[i], ts[j])
+                    agg[key] = agg.get(key, 0) + 1
+        for (a, b), n in agg.items():
+            out_a.append(a)
+            out_b.append(b)
+            out_n.append(n)
+        return pa.table({
+            "type_a": pa.array(out_a, pa.string()),
+            "type_b": pa.array(out_b, pa.string()),
+            "n": pa.array(out_n, pa.int64())})
+
+    part = bucketed_group_map(rows, "user_id", pairs, num_buckets=16)
+    out = part.groupby(["type_a", "type_b"]).aggregate(
+        Sum("n", alias_name="n_users"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "type_a": b["type_a"], "type_b": b["type_b"],
+            "n_users": pc.cast(b["n_users"], pa.int64())}),
+        batch_format="pyarrow")

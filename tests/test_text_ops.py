@@ -71,7 +71,7 @@ def _check(name, con, ray_session):
     "quality_percentile_filter", "degree_distribution", "docs_csv_stats",
     "edit_distance_pairs", "token_communities", "sequence_pack",
     "events_time_weighted_avg", "events_type_top_values",
-    "tokenize_to_ids",
+    "tokenize_to_ids", "event_type_cooccurrence",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
