@@ -124,11 +124,20 @@ queries() entries map to SURVEY.md §2 operators:
   video_frame_stats    VIDEO multimodal path: binary payloads fan out
                        through the frame-sample actor pool (ffmpeg
                        seam stubbed; Ray plumbing real + exact pytest)
+  jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
+                       Annex K tables) decoded by the flagship's
+                       actor pool; PSNR pinned by pytest (rows-only)
   edit_distance_pairs  exact-Levenshtein near-dup channel: prefix-fp
                        banding + vectorized two-row DP verify (oracle)
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
+  source_length_gini   per-source Gini inequality coefficient as an
+                       exact int64 rational over value-count profiles
+                       (oracle)
+  orders_monthly_stats calendar-month resample (date_trunc-equivalent
+                       datetime64[M] bucketing, map-side partials)
+                       (oracle)
   event_type_cooccurrence market-basket pair support counts: local
                        distinct, user-keyed expand, pair-sum (oracle)
   events_type_top_values dense-rank <= k per type, ties included:
@@ -664,9 +673,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_decile_stats": relational.orders_decile_stats,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
+        "orders_monthly_stats": relational.orders_monthly_stats,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
+        "source_length_gini": stats.source_length_gini,
         "orders_lineitem_left_join": relational.orders_lineitem_left_join,
         "events_value_delta": streaming.events_value_delta,
         "docs_jsonl_stats": ingest.docs_jsonl_stats,
@@ -685,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": streaming.event_type_cooccurrence,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
+        "jfif_decode_stats": ingest.jfif_decode_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -1759,6 +1771,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS ewma_den
             FROM l
         """,
+        "source_length_gini": """
+            WITH r AS (
+                SELECT source, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars) AS rn
+                FROM documents
+            )
+            SELECT source,
+                   CAST(2 * sum(rn * n_chars)
+                        - (count(*) + 1) * sum(n_chars) AS BIGINT)
+                       AS gini_num,
+                   CAST(count(*) * sum(n_chars) AS BIGINT) AS gini_den
+            FROM r GROUP BY source
+        """,
         "heavy_hitter_tokens": """
             WITH t AS (
                 SELECT unnest(string_split(text, ' ')) AS token
@@ -1855,6 +1881,14 @@ def oracle_sql() -> dict[str, str]:
                    low_micro, close_micro
             FROM a JOIN o USING (user_id, hour_id)
                    JOIN c USING (user_id, hour_id)
+        """,
+        "orders_monthly_stats": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM orders GROUP BY 1
         """,
         "q5_local_supplier_volume": """
             SELECT n_name,

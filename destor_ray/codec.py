@@ -17,10 +17,17 @@ deterministic "DRI1" container:
 
 The *semantics* mirror what a real image pipeline needs: a lossy
 re-encode produces different bytes but near-identical pixels (a planted
-near-duplicate), a lossless encode round-trips exactly. Swapping in a
-real JPEG codec later only changes this module.
+near-duplicate), a lossless encode round-trips exactly.
 
-Header layout (little-endian):
+A REAL baseline JFIF JPEG codec also exists (destor_ray.jpeg —
+ITU-T T.81 baseline sequential, Annex K tables, pure numpy):
+`decode`/`decode_meta` dispatch 0xFFD8 payloads to it, and
+`encode(fmt="jfif")` produces interchange-format JPEG bytes. The
+synthetic benchmark corpus keeps DRI1 for its lossy rows so headline
+throughput stays comparable across rounds; a real corpus's JPEGs
+decode through the same seam.
+
+DRI1 header layout (little-endian):
   magic  4s  b"DRI1"
   codec  u8  0=lossless 1=lossy
   qual   u8  quality (100 for lossless)
@@ -169,12 +176,19 @@ def _lossy_step(quality: int) -> int:
 
 def encode(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
     """Encode an (h, w, 3) uint8 array: fmt="png" → a REAL PNG file;
-    fmt="jpeg" → the deterministic lossy DRI1 container."""
+    fmt="jfif" → a REAL baseline JFIF JPEG (destor_ray.jpeg, pure
+    numpy); fmt="jpeg" → the deterministic lossy DRI1 container the
+    synthetic benchmark corpus uses (kept for round-over-round
+    throughput comparability — real corpora ship JFIF and decode()
+    dispatches them transparently)."""
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h,w,3) uint8, got {pixels.shape} {pixels.dtype}")
     h, w = pixels.shape[:2]
     if fmt in LOSSLESS_FMTS:
         return png_encode(pixels)
+    if fmt == "jfif":
+        from . import jpeg as _jpeg
+        return _jpeg.encode(pixels, quality)
     if fmt in LOSSY_FMTS:
         step = _lossy_step(quality)
         payload = (pixels // step).astype(np.uint8)
@@ -184,13 +198,16 @@ def encode(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode payload bytes (PNG or DRI1, dispatched on the signature)
-    back into an (h, w, 3) uint8 array."""
+    """Decode payload bytes (PNG, real JFIF JPEG, or DRI1 — dispatched
+    on the byte signature) back into an (h, w, 3) uint8 array."""
     if is_png(data):
         return png_decode(data)
+    if bytes(data[:2]) == b"\xff\xd8":
+        from . import jpeg as _jpeg
+        return _jpeg.decode(data)
     magic, codec, qual, w, h, chans = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
-        raise ValueError("bad magic; neither PNG nor DRI1")
+        raise ValueError("bad magic; not PNG, JFIF, or DRI1")
     raw = np.frombuffer(zlib.decompress(data[_HDR.size:]), dtype=np.uint8)
     arr = raw.reshape(h, w, chans)
     if codec == 1:
@@ -204,9 +221,13 @@ def decode_meta(data: bytes) -> tuple[str, int, int, int]:
     if is_png(data):
         w, h = png_meta(data)
         return ("png", 100, w, h)
+    if bytes(data[:2]) == b"\xff\xd8":
+        from . import jpeg as _jpeg
+        w, h = _jpeg.meta(data)
+        return ("jpeg", 0, w, h)  # JFIF carries no quality field
     magic, codec, qual, w, h, _ = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
-        raise ValueError("bad magic; neither PNG nor DRI1")
+        raise ValueError("bad magic; not PNG, JFIF, or DRI1")
     return ("png" if codec == 0 else "jpeg", qual, w, h)
 
 

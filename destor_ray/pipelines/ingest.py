@@ -297,3 +297,84 @@ def video_frame_stats(sf_dir: str, n_videos: int = 256):
         })
 
     return agg.map_batches(final, batch_format="pyarrow")
+
+
+def _jfif_corpus_dir(n_images: int = 256, quality: int = 85) -> str:
+    """Deterministic cached corpus of REAL baseline JFIF JPEGs
+    (destor_ray.jpeg encoder over the procedural corpus pixels) — the
+    fixture that proves the engine ingests interchange-format JPEG, not
+    just its own containers."""
+    from .. import corpus as corpus_mod
+
+    out = f"/tmp/destor_ray_jfif/n{n_images}_q{quality}"
+    if os.path.isdir(out):
+        return out
+    from ..jpeg import encode as jfif_encode
+    ids, blobs, ws, hs = [], [], [], []
+    for i in range(n_images):
+        px, w, h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
+        ids.append(f"jf{i:05d}")
+        blobs.append(jfif_encode(px, quality))
+        ws.append(w)
+        hs.append(h)
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def jfif_decode_stats(sf_dir: str, n_images: int = 256):
+    """(w, h, n_images, mean_lum_micro) — REAL JPEG ingestion: a corpus
+    of interchange-format baseline JFIF files (SOI/DQT/SOF0/DHT/SOS,
+    Annex K tables — any standard viewer opens them) decoded by the
+    SAME ImageDecodeResize actor pool the flagship uses (codec.decode
+    dispatches on the 0xFFD8 signature), aggregated per source
+    dimension. Closes the round-1 "a real corpus would not decode"
+    gap end-to-end in Ray; per-image PSNR vs the generator pixels is
+    pinned by tests/test_jpeg.py. `sf_dir` unused (cached deterministic
+    fixture), standard queries() signature."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.multimodal import ImageDecodeResize
+
+    ds = ray.data.read_parquet(f"{_jfif_corpus_dir(n_images)}/images.parquet")
+    thumbs = ds.map_batches(ImageDecodeResize, batch_format="pyarrow",
+                            batch_size=64, concurrency=2,
+                            fn_constructor_kwargs={"out_size": 16})
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        lum = [int(np.frombuffer(t, np.uint8).mean() * 1_000_000)
+               for t in batch["thumb"].to_pylist()]
+        return pa.table({
+            "w": pc.cast(batch["w"], pa.int64()),
+            "h": pc.cast(batch["h"], pa.int64()),
+            "lum_micro": pa.array(lum, pa.int64()),
+        })
+
+    agg = thumbs.map_batches(narrow, batch_format="pyarrow") \
+        .groupby(["w", "h"]).aggregate(
+            Count(alias_name="n_images"),
+            Sum("lum_micro", alias_name="lum_sum"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "w": b["w"], "h": b["h"],
+            "n_images": pc.cast(b["n_images"], pa.int64()),
+            "mean_lum_micro": pa.array(
+                pc.cast(b["lum_sum"], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                // pc.cast(b["n_images"], pa.int64()).to_numpy(
+                    zero_copy_only=False), pa.int64()),
+        }), batch_format="pyarrow")

@@ -1070,3 +1070,39 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         "n_name": [nat_names[int(k)] for k in g["nat"]],
         "revenue_scaled": g["rev"].to_numpy(np.int64),
     }).reset_index(drop=True)
+
+
+def orders_monthly_stats(sf_dir: str):
+    """(month, n_orders, sum_price_cents) — calendar-month resample of
+    the orders table: CALENDAR bucketing (variable-length months via
+    datetime64[M] truncation, matching SQL date_trunc), distinct from
+    the engine's fixed-width epoch windows (events_windowed). Map-side
+    partials per (batch, month) make the exchange month-cardinality-
+    sized; exact integer cents."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        months = ts.astype("datetime64[M]").astype(str)  # "YYYY-MM"
+        cents = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({"month": months, "cents": cents})
+        g = df.groupby("month", as_index=False).agg(
+            n=("cents", "size"), s=("cents", "sum"))
+        return pa.table({
+            "month": pa.array(g["month"].to_numpy(object), pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(g["s"].to_numpy(np.int64), pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("month").aggregate(Sum("n", alias_name="n_orders"),
+                                    Sum("s", alias_name="sum_price_cents"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "month": b["month"],
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "sum_price_cents": pc.cast(b["sum_price_cents"], pa.int64())}),
+        batch_format="pyarrow")

@@ -1,0 +1,109 @@
+"""Real baseline JFIF JPEG codec (destor_ray.jpeg) — round-trip
+fidelity, interchange-format structure, and codec-dispatch tests."""
+
+import numpy as np
+import pytest
+
+from destor_ray import codec, jpeg
+
+
+def _smooth(seed: int = 3, h: int = 32, w: int = 32) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    for _ in range(4):
+        cx, cy, r = rng.uniform(0, w), rng.uniform(0, h), rng.uniform(4, 10)
+        amp = rng.uniform(-60, 60, 3)
+        m = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r)))
+        img += m[..., None] * amp
+    return np.clip(img + 128, 0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 10 * np.log10(255 ** 2 / max(mse, 1e-12))
+
+
+@pytest.mark.parametrize("q,minpsnr", [(95, 45), (90, 42), (75, 38),
+                                       (50, 34)])
+def test_roundtrip_psnr_smooth(q, minpsnr):
+    img = _smooth()
+    out = jpeg.decode(jpeg.encode(img, q))
+    assert out.shape == img.shape
+    assert _psnr(img, out) >= minpsnr
+
+
+def test_roundtrip_edge_cases():
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.randint(0, 256, (24, 40, 3), dtype=np.uint8),  # noise/ZRL
+        np.zeros((16, 16, 3), np.uint8),
+        np.full((16, 16, 3), 255, np.uint8),
+        rng.randint(0, 256, (3, 5, 3), dtype=np.uint8),    # tiny, padded
+        _smooth(9, 27, 29),                                # odd dims
+    ]
+    for img in cases:
+        out = jpeg.decode(jpeg.encode(img, 90))
+        assert out.shape == img.shape
+        assert _psnr(img, out) >= 15
+
+
+def test_interchange_structure():
+    """Every marker a baseline decoder requires, in a legal order."""
+    data = jpeg.encode(_smooth(), 85)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"JFIF\x00" in data[:32]
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in data
+    # 4 Huffman tables (DC/AC x luma/chroma), 2 quant tables
+    assert data.count(b"\xff\xc4") >= 4
+    assert data.count(b"\xff\xdb") >= 2
+    w, h = jpeg.meta(data)
+    assert (w, h) == (32, 32)
+
+
+def test_quality_monotonic_size_and_fidelity():
+    img = _smooth(5)
+    sizes, psnrs = [], []
+    for q in (30, 60, 90):
+        d = jpeg.encode(img, q)
+        sizes.append(len(d))
+        psnrs.append(_psnr(img, jpeg.decode(d)))
+    assert sizes == sorted(sizes)
+    assert psnrs == sorted(psnrs)
+
+
+def test_codec_dispatch():
+    img = _smooth(7)
+    d = codec.encode(img, "jfif", 90)
+    assert codec.decode_meta(d) == ("jpeg", 0, 32, 32)
+    out = codec.decode(d)
+    assert _psnr(img, out) >= 40
+    # DRI1 and PNG dispatch unchanged
+    assert codec.decode_meta(codec.encode(img, "jpeg", 90))[0] == "jpeg"
+    assert codec.decode_meta(codec.encode(img, "png"))[0] == "png"
+
+
+def test_decoder_rejects_progressive():
+    data = bytearray(jpeg.encode(_smooth(), 90))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # claim progressive
+    with pytest.raises(NotImplementedError):
+        jpeg.decode(bytes(data))
+
+
+def test_jfif_corpus_psnr_vs_generator():
+    """Every fixture image decodes within lossy tolerance of the
+    procedural source pixels (the fidelity bound jfif_decode_stats
+    relies on)."""
+    from destor_ray import corpus as corpus_mod
+    from destor_ray.pipelines.ingest import _jfif_corpus_dir
+    import pyarrow.parquet as pq
+
+    d = _jfif_corpus_dir(n_images=32)
+    t = pq.read_table(f"{d}/images.parquet")
+    for i, data in enumerate(t["bytes"].to_pylist()):
+        px, w, h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
+        out = codec.decode(data)
+        assert out.shape == (h, w, 3)
+        assert _psnr(px, out) >= 35, i

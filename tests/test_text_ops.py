@@ -72,6 +72,7 @@ def _check(name, con, ray_session):
     "edit_distance_pairs", "token_communities", "sequence_pack",
     "events_time_weighted_avg", "events_type_top_values",
     "tokenize_to_ids", "event_type_cooccurrence",
+    "source_length_gini", "orders_monthly_stats",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
