@@ -258,8 +258,13 @@ def video_frame_stats(sf_dir: str, n_videos: int = 256):
     frames = video_frame_samples(vids, concurrency=2, batch_size=32)
 
     def narrow(batch: pa.Table) -> pa.Table:
-        lum = [int(np.frombuffer(t, np.uint8).mean() * 1_000_000)
-               for t in batch["frame_thumb"].to_pylist()]
+        # fixed-size thumbs: one frombuffer over the concatenated
+        # binary column, row means vectorized
+        raw = np.frombuffer(b"".join(batch["frame_thumb"].to_pylist()),
+                            np.uint8)
+        px = raw.reshape(batch.num_rows, -1)
+        lum = (px.sum(axis=1, dtype=np.int64) * 1_000_000
+               // px.shape[1])
         return pa.table({
             "video_id": batch["video_id"],
             "lum_micro": pa.array(lum, pa.int64()),
@@ -356,8 +361,10 @@ def jfif_decode_stats(sf_dir: str, n_images: int = 256):
                             fn_constructor_kwargs={"out_size": 16})
 
     def narrow(batch: pa.Table) -> pa.Table:
-        lum = [int(np.frombuffer(t, np.uint8).mean() * 1_000_000)
-               for t in batch["thumb"].to_pylist()]
+        raw = np.frombuffer(b"".join(batch["thumb"].to_pylist()), np.uint8)
+        px = raw.reshape(batch.num_rows, -1)
+        lum = (px.sum(axis=1, dtype=np.int64) * 1_000_000
+               // px.shape[1])
         return pa.table({
             "w": pc.cast(batch["w"], pa.int64()),
             "h": pc.cast(batch["h"], pa.int64()),

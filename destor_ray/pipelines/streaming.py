@@ -1483,19 +1483,30 @@ def event_type_cooccurrence(sf_dir: str):
 
     def pairs(df: pd.DataFrame) -> pa.Table:
         df = df.drop_duplicates()
+        # vectorized basket expansion: the type DOMAIN is small (≤ 64),
+        # so each user's basket is a bitmask — one bitwise_or.reduceat
+        # per bucket, then |types|²/2 vectorized popcount passes over
+        # the user-mask array (domain² work, never a per-user loop)
+        vocab, tcode = np.unique(df["event_type"].to_numpy(object),
+                                 return_inverse=True)
+        if len(vocab) > 64:
+            raise ValueError("type domain exceeds the 64-bit basket mask")
+        uid = df["user_id"].to_numpy(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid_s = uid[order]
+        bits = (np.uint64(1) << tcode[order].astype(np.uint64))
+        starts = np.flatnonzero(np.r_[True, uid_s[1:] != uid_s[:-1]])
+        masks = np.bitwise_or.reduceat(bits, starts)
         out_a, out_b, out_n = [], [], []
-        # per-user sorted type lists; expansion is domain-bounded
-        agg: dict[tuple, int] = {}
-        for _, g in df.groupby("user_id", sort=False):
-            ts = sorted(set(g["event_type"]))
-            for i in range(len(ts)):
-                for j in range(i + 1, len(ts)):
-                    key = (ts[i], ts[j])
-                    agg[key] = agg.get(key, 0) + 1
-        for (a, b), n in agg.items():
-            out_a.append(a)
-            out_b.append(b)
-            out_n.append(n)
+        for i in range(len(vocab)):
+            mi = (masks >> np.uint64(i)) & np.uint64(1)
+            for j in range(i + 1, len(vocab)):
+                n = int((mi & ((masks >> np.uint64(j))
+                               & np.uint64(1))).sum())
+                if n:
+                    out_a.append(vocab[i])
+                    out_b.append(vocab[j])
+                    out_n.append(n)
         return pa.table({
             "type_a": pa.array(out_a, pa.string()),
             "type_b": pa.array(out_b, pa.string()),
