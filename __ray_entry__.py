@@ -132,6 +132,9 @@ queries() entries map to SURVEY.md §2 operators:
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
+  docs_embedding_join_stats cross-modal text⋈embedding join on doc id
+                       (narrow rows both sides, vectors never move)
+                       (oracle)
   source_length_gini   per-source Gini inequality coefficient as an
                        exact int64 rational over value-count profiles
                        (oracle)
@@ -759,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": ann.label_centroids,
         "kmeans_assign": ann.kmeans_assign,
         "semantic_dedup": ann.semantic_dedup,
+        "docs_embedding_join_stats": ann.docs_embedding_join_stats,
         "events_value_histogram": streaming.events_value_histogram,
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
@@ -1770,6 +1774,13 @@ def oracle_sql() -> dict[str, str]:
                           + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS ewma_den
             FROM l
+        """,
+        "docs_embedding_join_stats": """
+            SELECT lang, CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            GROUP BY 1, 2
         """,
         "source_length_gini": """
             WITH r AS (

@@ -1117,3 +1117,73 @@ def ivfpq_topk(sf_dir: str, k: int = 10, query_vec_id: int = 0,
     return _read_embeddings(sf_dir) \
         .map_batches(rerank, batch_format="pyarrow") \
         .sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
+
+
+def docs_embedding_join_stats(sf_dir: str):
+    """(lang, label, n_docs, sum_chars) — the CROSS-MODAL join: the
+    text table meets its embedding table on document id (vec_id ==
+    doc_id in the driver fixtures) and aggregates per (language,
+    embedding-cluster label) — the "which semantic clusters does each
+    language fill" audit every multimodal curation run does before
+    choosing mixture weights.
+
+    Both sides project to NARROW rows before the single id-keyed
+    tag-and-union exchange (docs ship 3 int/str fields, embeddings
+    ship (id, label) — the float vectors never move); the per-bucket
+    join emits (lang, label) partials, and the final aggregate is
+    domain-sized (|langs|·|labels|)."""
+    import pandas as pd
+
+    from ..stages.grouped import bucketed_group_map
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "label"])
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["doc_id"].cast(pa.int64()),
+            "lang": b["lang"],
+            "n_chars": b["n_chars"].cast(pa.int64()),
+            "label": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+        })
+
+    def emb_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["vec_id"].cast(pa.int64()),
+            "lang": pa.array([""] * b.num_rows, pa.string()),
+            "n_chars": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            "label": b["label"].cast(pa.int64()),
+        })
+
+    tagged = docs.map_batches(doc_rows, batch_format="pyarrow") \
+        .union(emb.map_batches(emb_rows, batch_format="pyarrow"))
+
+    def join_agg(df: pd.DataFrame) -> pa.Table:
+        isd = df["label"].to_numpy(np.int64) == -1
+        d = df.loc[isd, ["key", "lang", "n_chars"]]
+        e = df.loc[~isd, ["key", "label"]]
+        j = d.merge(e, on="key", how="inner")
+        g = j.groupby(["lang", "label"], as_index=False).agg(
+            n_docs=("key", "size"), sum_chars=("n_chars", "sum"))
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+            "label": pa.array(g["label"].to_numpy(np.int64), pa.int64()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+            "sum_chars": pa.array(g["sum_chars"].to_numpy(np.int64),
+                                  pa.int64())})
+
+    part = bucketed_group_map(tagged, "key", join_agg, num_buckets=16)
+    # partials are domain-bounded; one tiny final aggregate
+    from ray.data.aggregate import Sum
+    out = part.groupby(["lang", "label"]).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"))
+    import pyarrow.compute as pc
+    return out.map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"], "label": b["label"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "sum_chars": pc.cast(b["sum_chars"], pa.int64())}),
+        batch_format="pyarrow")
