@@ -217,15 +217,11 @@ class _BitWriter:
         ends = np.cumsum(nb)               # bit index AFTER each value
         pad = (-total) % 8
         nbytes = (total + pad) // 8
-        # expand every value into its bit positions
-        starts = ends - nb
-        flat = np.zeros(total, np.uint8)
-        # positions of each value's bits, MSB first
-        idx = np.repeat(starts, nb) + \
-            (np.arange(total) - np.repeat(starts, nb))
-        shifts = np.repeat(ends, nb) - 1 - idx  # shift for each bit
-        flat[idx] = ((np.repeat(va, nb) >> shifts.astype(np.uint64))
-                     & np.uint64(1)).astype(np.uint8)
+        # expand every value into its bit positions (MSB first): bit i
+        # of the stream takes bit (end_of_its_value - 1 - i) of the value
+        shifts = np.repeat(ends, nb) - 1 - np.arange(total)
+        flat = ((np.repeat(va, nb) >> shifts.astype(np.uint64))
+                & np.uint64(1)).astype(np.uint8)
         flat = np.concatenate([flat, np.ones(pad, np.uint8)])  # 1-pad
         by = np.packbits(flat.reshape(nbytes, 8), axis=1).ravel()
         # byte stuffing: 0xFF → 0xFF 0x00
