@@ -107,3 +107,29 @@ def test_jfif_corpus_psnr_vs_generator():
         out = codec.decode(data)
         assert out.shape == (h, w, 3)
         assert _psnr(px, out) >= 35, i
+
+
+def test_jpeg_hypothesis_roundtrip():
+    """Property: any uint8 RGB image of any small odd/even size at any
+    quality round-trips without error, preserving shape; flat regions
+    reconstruct near-exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 20), w=st.integers(1, 20),
+        q=st.integers(1, 100), seed=st.integers(0, 2 ** 16),
+        flat=st.booleans(),
+    )
+    def prop(h, w, q, seed, flat):
+        rng = np.random.RandomState(seed)
+        if flat:
+            img = np.full((h, w, 3), rng.randint(0, 256), np.uint8)
+        else:
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        out = jpeg.decode(jpeg.encode(img, q))
+        assert out.shape == img.shape
+        if flat and q >= 50:
+            assert _psnr(img, out) >= 30
+
+    prop()
