@@ -132,6 +132,9 @@ queries() entries map to SURVEY.md §2 operators:
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
+  embedding_model_scores batched model inference on an actor pool:
+                       weights once per actor, one quantized matmul
+                       per batch, oracle-exact scores (oracle)
   docs_embedding_join_stats cross-modal text⋈embedding join on doc id
                        (narrow rows both sides, vectors never move)
                        (oracle)
@@ -763,6 +766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": ann.kmeans_assign,
         "semantic_dedup": ann.semantic_dedup,
         "docs_embedding_join_stats": ann.docs_embedding_join_stats,
+        "embedding_model_scores": ann.embedding_model_scores,
         "events_value_histogram": streaming.events_value_histogram,
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
@@ -781,6 +785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from destor_ray.pipelines.ann import model_weights_sql_literal
+    _wlit = model_weights_sql_literal()
     return {
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1774,6 +1780,19 @@ def oracle_sql() -> dict[str, str]:
                           + CASE WHEN l3 IS NULL THEN 0 ELSE 1 END
                         AS BIGINT) AS ewma_den
             FROM l
+        """,
+        "embedding_model_scores": f"""
+            WITH u AS (
+                SELECT vec_id, unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS i
+                FROM embeddings
+            ),
+            w AS (SELECT {_wlit} AS wl)
+            SELECT vec_id,
+                   CAST(sum(wl[i] * CAST(round(CAST(x AS DOUBLE) * 1000000)
+                                         AS BIGINT)) AS BIGINT)
+                       AS score_micro
+            FROM u, w GROUP BY vec_id
         """,
         "docs_embedding_join_stats": """
             SELECT lang, CAST(label AS BIGINT) AS label,

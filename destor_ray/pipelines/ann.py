@@ -1187,3 +1187,48 @@ def docs_embedding_join_stats(sf_dir: str):
             "n_docs": pc.cast(b["n_docs"], pa.int64()),
             "sum_chars": pc.cast(b["sum_chars"], pa.int64())}),
         batch_format="pyarrow")
+
+
+class _LinearScorer:
+    """Batched model inference as an actor-pool stage: weights land in
+    __init__ (once per actor — the destor rule: stateful setup never
+    runs per batch), __call__ is one quantized matmul per batch."""
+
+    def __init__(self, dim: int = 64, seed: int = 0x5EED) -> None:
+        import hashlib
+        raw = b"".join(hashlib.md5(f"{seed}:{i}".encode()).digest()
+                       for i in range((dim * 8 + 15) // 16))
+        # deterministic small integer weights in [-8, 7]
+        self.w = (np.frombuffer(raw[:dim * 8], np.uint64) % 16) \
+            .astype(np.int64) - 8
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)                       # float64 (n, dim)
+        xmic = np.round(m * 1_000_000).astype(np.int64)
+        score = xmic @ self.w                        # exact int64
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()),
+            "score_micro": pa.array(score, pa.int64()),
+        })
+
+
+def embedding_model_scores(sf_dir: str, dim: int = 64):
+    """(vec_id, score_micro) — BATCHED MODEL INFERENCE over the
+    embedding column: a deterministic linear scorer (md5-seeded integer
+    weights standing in for a learned quality/reward head) applied by
+    an actor pool — weights load once per actor in __init__, every
+    batch is one matmul, nothing shuffles (map-only). Inputs quantize
+    to integer micros BEFORE the dot product, so scores are exact
+    int64 and hash-match an UNNEST-with-ordinality SQL mirror — the
+    inference path itself is oracle-verified, which a float model
+    could never be."""
+    ds = _read_embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+    return ds.map_batches(_LinearScorer, batch_format="pyarrow",
+                          batch_size=256, concurrency=2,
+                          fn_constructor_kwargs={"dim": dim})
+
+
+def model_weights_sql_literal(dim: int = 64, seed: int = 0x5EED) -> str:
+    """The scorer's weight vector as a SQL list literal (oracle side)."""
+    w = _LinearScorer(dim, seed).w
+    return "[" + ", ".join(str(int(x)) for x in w) + "]"

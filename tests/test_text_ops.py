@@ -73,7 +73,7 @@ def _check(name, con, ray_session):
     "events_time_weighted_avg", "events_type_top_values",
     "tokenize_to_ids", "event_type_cooccurrence",
     "source_length_gini", "orders_monthly_stats",
-    "docs_embedding_join_stats",
+    "docs_embedding_join_stats", "embedding_model_scores",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
