@@ -23,6 +23,9 @@ queries() entries map to SURVEY.md §2 operators:
   corpus_preset_sweep  exhaustive vs champion-top-k verify: edge counts
                        + recall per preset (similarity_detection.c
                        candidate-count parity; rows-only)
+  band_skew_profile    reducer-bucket histogram of THE band exchange:
+                       max/p99-over-mean skew ratios, the pre-run
+                       salting decision input (rows-only)
   corpus_resize_stats  multimodal image decode→resize actor-pool stage,
                        per-format stats (rows-only)
   curation_job_metrics resumable checkpointed curation job (rows-only)
@@ -418,6 +421,56 @@ def _corpus_preset_sweep(sf_dir: str):
     })
 
 
+def _band_skew_profile(sf_dir: str, num_buckets: int = 64):
+    """(metric, value) — shuffle-skew diagnostic for THE exchange (the
+    flagship's band shuffle): per-reducer-bucket band-row counts
+    summarized as max/mean/p99-over-mean ratios plus the hottest
+    single band-key group size. This is the profiling pass that
+    decides, before a 100 TB run, whether `salt_hot_bands` /
+    `full_pair_cap` need to engage (SCALING.md's stated discipline) —
+    surfaced as a driver query so skew regressions are visible
+    round-over-round. Map-only: per-batch (bucket, count) partials;
+    nothing but the per-bucket histogram leaves the cluster."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.dedup import signatures_from_corpus
+    from destor_ray.stages.candidates import explode_bands
+    from destor_ray.stages.grouped import _add_bucket
+    from ray.data.aggregate import Sum
+
+    cfg = EngineConfig()
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    sigs = signatures_from_corpus(ray.data.read_parquet(d), cfg)
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        bands = explode_bands(batch, cfg)
+        withb = _add_bucket(bands, "band_key", num_buckets, 0x6B)
+        b = withb["__bucket"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    hist = sigs.map_batches(bucket_counts, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()  # num_buckets rows
+    n = hist["n"].to_numpy(np.int64)
+    full = np.zeros(num_buckets, np.int64)
+    full[hist["bucket"].to_numpy(np.int64)] = n
+    mean = float(full.mean())
+    rows = [("num_buckets", float(num_buckets)),
+            ("total_band_rows", float(full.sum())),
+            ("mean_per_bucket", round(mean, 3)),
+            ("max_over_mean", round(float(full.max()) / max(mean, 1e-9), 4)),
+            ("p99_over_mean", round(float(np.percentile(full, 99))
+                                    / max(mean, 1e-9), 4)),
+            ("empty_buckets", float((full == 0).sum()))]
+    return pa.table({"metric": pa.array([r[0] for r in rows], pa.string()),
+                     "value": pa.array([r[1] for r in rows], pa.float64())})
+
+
 def _curation_job_metrics(sf_dir: str):
     """Runs the checkpointed resumable curation job (S2/S3 analog for
     the text pipeline) under a /tmp workdir and returns its metrics as
@@ -772,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_job_metrics": _curation_job_metrics,
         "corpus_dedup_eval": _corpus_dedup_eval,
         "corpus_preset_sweep": _corpus_preset_sweep,
+        "band_skew_profile": _band_skew_profile,
         "corpus_resize_stats": _corpus_resize_stats,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
