@@ -147,6 +147,8 @@ queries() entries map to SURVEY.md §2 operators:
   orders_monthly_stats calendar-month resample (date_trunc-equivalent
                        datetime64[M] bucketing, map-side partials)
                        (oracle)
+  events_recent_stats  predicate pushdown INTO the parquet read (row-
+                       group pruning), WHERE-mirror oracle (oracle)
   event_type_cooccurrence market-basket pair support counts: local
                        distinct, user-keyed expand, pair-sum (oracle)
   events_type_top_values dense-rank <= k per type, ties included:
@@ -753,6 +755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_time_weighted_avg": streaming.events_time_weighted_avg,
         "events_type_top_values": streaming.events_type_top_values,
         "event_type_cooccurrence": streaming.event_type_cooccurrence,
+        "events_recent_stats": streaming.events_recent_stats,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
@@ -1766,6 +1769,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "events_recent_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_micro
+            FROM events
+            WHERE ts >= TIMESTAMP '2001-06-01'
+            GROUP BY event_type
         """,
         "event_type_cooccurrence": """
             WITH d AS (SELECT DISTINCT user_id, event_type FROM events)

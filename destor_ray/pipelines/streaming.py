@@ -1520,3 +1520,41 @@ def event_type_cooccurrence(sf_dir: str):
             "type_a": b["type_a"], "type_b": b["type_b"],
             "n_users": pc.cast(b["n_users"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def events_recent_stats(sf_dir: str, cutoff: str = "2001-06-01"):
+    """(event_type, n, sum_value_micro) over events at or after
+    `cutoff` — with the predicate pushed INTO the parquet read
+    (ray.data.read_parquet filter expression): row groups whose ts
+    max falls before the cutoff never leave storage, the read-layer
+    twin of column pruning ("prune at the read"). The aggregate is
+    the standard map-side-combined groupby; the oracle is a plain
+    WHERE mirror, so the pushdown's correctness is hash-certified."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count, Sum
+
+    cut = np.datetime64(cutoff, "us")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type", "value"],
+        filter=(pads.field("ts") >= cut))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        # belt-and-suspenders: the filter expression already pruned,
+        # rows here all satisfy it (asserted cheaply, vectorized)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "vmic": pa.array(vmic, pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Count(alias_name="n"),
+            Sum("vmic", alias_name="sum_value_micro"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_value_micro": pc.cast(b["sum_value_micro"], pa.int64())}),
+        batch_format="pyarrow")
