@@ -144,6 +144,9 @@ queries() entries map to SURVEY.md §2 operators:
   source_length_gini   per-source Gini inequality coefficient as an
                        exact int64 rational over value-count profiles
                        (oracle)
+  q6_forecast_revenue  TPC-H Q6 scan-filter-aggregate: read-layer date
+                       pruning + one exact int64 partial per block
+                       (oracle)
   orders_monthly_stats calendar-month resample (date_trunc-equivalent
                        datetime64[M] bucketing, map-side partials)
                        (oracle)
@@ -735,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "orders_monthly_stats": relational.orders_monthly_stats,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -1976,6 +1980,16 @@ def oracle_sql() -> dict[str, str]:
                    low_micro, close_micro
             FROM a JOIN o USING (user_id, hour_id)
                    JOIN c USING (user_id, hour_id)
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                            * CAST(round(l_discount * 100) AS HUGEINT))
+                        AS BIGINT) AS revenue_scaled
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_quantity < 24
+              AND round(l_discount * 100) BETWEEN 5 AND 7
         """,
         "orders_monthly_stats": """
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')

@@ -1106,3 +1106,39 @@ def orders_monthly_stats(sf_dir: str):
             "n_orders": pc.cast(b["n_orders"], pa.int64()),
             "sum_price_cents": pc.cast(b["sum_price_cents"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def q6_forecast_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                        date_to: str = "1997-01-01"):
+    """(revenue_scaled,) — TPC-H Q6: the canonical scan-filter-aggregate
+    (shipdate window, discount band, quantity cap → Σ price·discount).
+    Pure map-combine: the date window pushes into the parquet read as
+    a filter expression (row-group pruning), the remaining predicates
+    and the exact int64 partial sum are vectorized per batch, and ONE
+    number per block crosses the wire."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        sel = (qty < 24) & (disc >= 5) & (disc <= 7)
+        rev = int((cents[sel] * disc[sel]).sum())
+        return pa.table({"rev": pa.array([rev], pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .aggregate(Sum("rev", alias_name="revenue_scaled"))
+    import pandas as pd
+    return pd.DataFrame({"revenue_scaled":
+                         [np.int64(out["revenue_scaled"])]})

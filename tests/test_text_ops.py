@@ -74,7 +74,7 @@ def _check(name, con, ray_session):
     "tokenize_to_ids", "event_type_cooccurrence",
     "source_length_gini", "orders_monthly_stats",
     "docs_embedding_join_stats", "embedding_model_scores",
-    "events_recent_stats",
+    "events_recent_stats", "q6_forecast_revenue",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
