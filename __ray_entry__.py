@@ -144,6 +144,10 @@ queries() entries map to SURVEY.md §2 operators:
   source_length_gini   per-source Gini inequality coefficient as an
                        exact int64 rational over value-count profiles
                        (oracle)
+  q10_returned_revenue TPC-H Q10 top-k customers by returned revenue:
+                       2 chained exchanges, per-bucket top-k (oracle)
+  q13_order_count_distribution TPC-H Q13 left-join-then-histogram with
+                       zero-order customers kept (oracle)
   q6_forecast_revenue  TPC-H Q6 scan-filter-aggregate: read-layer date
                        pruning + one exact int64 partial per block
                        (oracle)
@@ -739,6 +743,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "orders_monthly_stats": relational.orders_monthly_stats,
         "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q10_returned_revenue": relational.q10_returned_revenue,
+        "q13_order_count_distribution":
+            relational.q13_order_count_distribution,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -1980,6 +1987,30 @@ def oracle_sql() -> dict[str, str]:
                    low_micro, close_micro
             FROM a JOIN o USING (user_id, hour_id)
                    JOIN c USING (user_id, hour_id)
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                            * (100 - CAST(round(l_discount * 100) AS HUGEINT)))
+                        AS BIGINT) AS revenue_scaled
+            FROM customer, orders, lineitem
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue_scaled DESC, c_custkey
+            LIMIT 20
+        """,
+        "q13_order_count_distribution": """
+            WITH co AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM co GROUP BY c_count
         """,
         "q6_forecast_revenue": """
             SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)

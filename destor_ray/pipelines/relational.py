@@ -1142,3 +1142,182 @@ def q6_forecast_revenue(sf_dir: str, date_from: str = "1996-01-01",
     import pandas as pd
     return pd.DataFrame({"revenue_scaled":
                          [np.int64(out["revenue_scaled"])]})
+
+
+def q10_returned_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                         date_to: str = "1996-07-01", k: int = 20):
+    """(c_custkey, c_name, revenue_scaled) — TPC-H Q10: top-k customers
+    by revenue lost to returns (returnflag = 'R') in a quarter-ish
+    window. Same 2-exchange discipline as Q5: orders in the window ship
+    (custkey, orderkey) through exchange 1 keyed on orderkey to meet
+    per-(orderkey) lineitem revenue partials (map-side combined,
+    'R'-filtered); exchange 2 keys the (custkey, rev) partials on
+    custkey to meet the (broadcast-free) customer rows; per-bucket
+    top-k then a tiny driver merge."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.grouped import bucketed_group_map
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = (od >= lo) & (od < hi)
+        msk = pa.array(sel)
+        n = int(sel.sum())
+        return pa.table({
+            "key": batch["o_orderkey"].filter(msk),
+            "cust": batch["o_custkey"].filter(msk),
+            "rev": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_ord": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        sel = pc.equal(batch["l_returnflag"], "R").to_numpy(
+            zero_copy_only=False)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[sel] * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False)[sel] * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        order = np.argsort(okey, kind="stable")
+        ok_s, rev_s = okey[order], rev[order]
+        first = np.r_[True, ok_s[1:] != ok_s[:-1]] if len(ok_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        psum = np.add.reduceat(rev_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        n = len(starts)
+        return pa.table({
+            "key": pa.array(ok_s[starts] if n else np.array([], np.int64),
+                            pa.int64()),
+            "cust": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "rev": pa.array(psum, pa.int64()),
+            "is_ord": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged1 = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def join_orders(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "cust"]].drop_duplicates("key")
+        li = df.loc[~iso].groupby("key", as_index=False)["rev"].sum()
+        j = o.merge(li, on="key", how="inner")
+        g = j.groupby("cust", as_index=False)["rev"].sum()
+        return pa.table({
+            "cust": pa.array(g["cust"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+        })
+
+    cust_rev = bucketed_group_map(tagged1, "key", join_orders,
+                                  num_buckets=16)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": batch["c_custkey"].cast(pa.int64()),
+            "rev": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            "c_name": batch["c_name"],
+        })
+
+    def rev_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": batch["cust"],
+            "rev": batch["rev"],
+            "c_name": pa.array([""] * batch.num_rows, pa.string()),
+        })
+
+    tagged2 = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(cust_rev.map_batches(rev_rows, batch_format="pyarrow"))
+
+    def bucket_topk(df: pd.DataFrame) -> pa.Table:
+        isc = df["c_name"].to_numpy() != ""
+        c = df.loc[isc, ["cust", "c_name"]].drop_duplicates("cust")
+        r = df.loc[~isc].groupby("cust", as_index=False)["rev"].sum()
+        j = r.merge(c, on="cust", how="inner")
+        j = j.sort_values(["rev", "cust"], ascending=[False, True]).head(k)
+        return pa.table({
+            "c_custkey": pa.array(j["cust"].to_numpy(np.int64), pa.int64()),
+            "c_name": pa.array(j["c_name"].to_numpy(object), pa.string()),
+            "revenue_scaled": pa.array(j["rev"].to_numpy(np.int64),
+                                       pa.int64()),
+        })
+
+    cand = bucketed_group_map(tagged2, "cust", bucket_topk,
+                              num_buckets=8).to_pandas()
+    cand = cand.sort_values(["revenue_scaled", "c_custkey"],
+                            ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)
+
+
+def q13_order_count_distribution(sf_dir: str):
+    """(c_count, custdist) — TPC-H Q13: the distribution of per-customer
+    order counts INCLUDING zero-order customers (the left-join-then-
+    histogram shape). One custkey exchange: customer id rows meet
+    per-batch order-count partials; buckets emit per-customer counts
+    (zero-filled), and the count-of-counts is a domain-sized final
+    aggregate."""
+    from ray.data.aggregate import Count
+
+    from ..stages.grouped import bucketed_group_map
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "n": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table({
+            "key": pa.array(uniq, pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            "is_cust": pa.array(np.zeros(len(uniq), np.int8), pa.int8()),
+        })
+
+    tagged = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(order_partials, batch_format="pyarrow"))
+
+    def per_cust(df: pd.DataFrame) -> pa.Table:
+        isc = df["is_cust"].to_numpy(np.int8) == 1
+        c = df.loc[isc, ["key"]].drop_duplicates()
+        o = df.loc[~isc].groupby("key", as_index=False)["n"].sum()
+        j = c.merge(o, on="key", how="left").fillna(0)
+        uniq, cnt = np.unique(j["n"].to_numpy(np.int64),
+                              return_counts=True)
+        return pa.table({
+            "c_count": pa.array(uniq, pa.int64()),
+            "d": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged, "key", per_cust, num_buckets=16)
+    from ray.data.aggregate import Sum
+    out = part.groupby("c_count").aggregate(Sum("d", alias_name="custdist"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "c_count": pc.cast(b["c_count"], pa.int64()),
+            "custdist": pc.cast(b["custdist"], pa.int64())}),
+        batch_format="pyarrow")

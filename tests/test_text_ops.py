@@ -75,6 +75,7 @@ def _check(name, con, ray_session):
     "source_length_gini", "orders_monthly_stats",
     "docs_embedding_join_stats", "embedding_model_scores",
     "events_recent_stats", "q6_forecast_revenue",
+    "q10_returned_revenue", "q13_order_count_distribution",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
