@@ -144,6 +144,13 @@ queries() entries map to SURVEY.md §2 operators:
   source_length_gini   per-source Gini inequality coefficient as an
                        exact int64 rational over value-count profiles
                        (oracle)
+  q4_order_priority_check TPC-H Q4 EXISTS semi-join (late-lineitem
+                       adaptation), vectorized in-bucket EXISTS (oracle)
+  q14_promo_revenue_share TPC-H Q14 broadcast part map + conditional
+                       revenue partials, exact rational share (oracle)
+  q18_large_volume_orders TPC-H Q18 HAVING-over-join top-k (oracle)
+  q22_global_sales_opportunity TPC-H Q22 scalar-subquery threshold
+                       (exact rational) + anti-join + aggregate (oracle)
   q10_returned_revenue TPC-H Q10 top-k customers by returned revenue:
                        2 chained exchanges, per-bucket top-k (oracle)
   q13_order_count_distribution TPC-H Q13 left-join-then-histogram with
@@ -746,6 +753,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": relational.q10_returned_revenue,
         "q13_order_count_distribution":
             relational.q13_order_count_distribution,
+        "q4_order_priority_check": relational.q4_order_priority_check,
+        "q14_promo_revenue_share": relational.q14_promo_revenue_share,
+        "q18_large_volume_orders": relational.q18_large_volume_orders,
+        "q22_global_sales_opportunity":
+            relational.q22_global_sales_opportunity,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -1987,6 +1999,58 @@ def oracle_sql() -> dict[str, str]:
                    low_micro, close_micro
             FROM a JOIN o USING (user_id, hour_id)
                    JOIN c USING (user_id, hour_id)
+        """,
+        "q4_order_priority_check": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "q14_promo_revenue_share": """
+            SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN
+                            CAST(round(l_extendedprice * 100) AS HUGEINT)
+                            * (100 - CAST(round(l_discount * 100) AS HUGEINT))
+                            ELSE 0 END) AS BIGINT) AS promo_scaled,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                            * (100 - CAST(round(l_discount * 100) AS HUGEINT)))
+                        AS BIGINT) AS total_scaled
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-02-01'
+        """,
+        "q18_large_volume_orders": """
+            SELECT l_orderkey AS o_orderkey,
+                   min(o_custkey) AS o_custkey,
+                   CAST(sum(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 300
+            ORDER BY total_qty DESC, o_orderkey
+            LIMIT 20
+        """,
+        "q22_global_sales_opportunity": """
+            WITH avgbal AS (
+                SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                       count(*) AS n
+                FROM customer
+                WHERE round(c_acctbal * 100) > 0
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS sum_acctbal_cents
+            FROM customer, avgbal
+            WHERE CAST(round(c_acctbal * 100) AS HUGEINT) * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey
         """,
         "q10_returned_revenue": """
             SELECT c_custkey, c_name,

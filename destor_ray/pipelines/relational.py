@@ -1321,3 +1321,303 @@ def q13_order_count_distribution(sf_dir: str):
             "c_count": pc.cast(b["c_count"], pa.int64()),
             "custdist": pc.cast(b["custdist"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def q4_order_priority_check(sf_dir: str, date_from: str = "1996-01-01",
+                            date_to: str = "1996-04-01", late_days: int = 90):
+    """(o_orderpriority, order_count) — TPC-H Q4 shape: count orders in
+    a window having AT LEAST ONE late lineitem (adapted predicate:
+    shipped more than `late_days` after the order date, since the
+    driver lineitem has no commit/receipt dates — the EXISTS semi-join
+    is the thing being exercised). One orderkey exchange: window-order
+    headers meet per-batch DISTINCT lineitem (orderkey, shipdate-max)
+    partials; the bucket evaluates EXISTS vectorized, and the final
+    priority aggregate is domain-sized."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+    late_us = late_days * 86_400_000_000
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = (od >= lo) & (od < hi)
+        msk = pa.array(sel)
+        return pa.table({
+            "key": batch["o_orderkey"].filter(msk),
+            "ts": pa.array(od[sel], pa.int64()),
+            "prio": batch["o_orderpriority"].filter(msk),
+            "is_ord": pa.array(np.ones(int(sel.sum()), np.int8), pa.int8()),
+        })
+
+    lineitem = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                     columns=["l_orderkey", "l_shipdate"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(okey, kind="stable")
+        ok_s, sd_s = okey[order], sd[order]
+        first = np.r_[True, ok_s[1:] != ok_s[:-1]] if len(ok_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        mx = np.maximum.reduceat(sd_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        n = len(starts)
+        return pa.table({
+            "key": pa.array(ok_s[starts] if n else np.array([], np.int64),
+                            pa.int64()),
+            "ts": pa.array(mx, pa.int64()),
+            "prio": pa.array([""] * n, pa.string()),
+            "is_ord": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def exists_check(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "ts", "prio"]].drop_duplicates("key")
+        li = df.loc[~iso].groupby("key", as_index=False)["ts"].max() \
+            .rename(columns={"ts": "ship_max"})
+        j = o.merge(li, on="key", how="inner")
+        late = j["ship_max"].to_numpy(np.int64) > \
+            j["ts"].to_numpy(np.int64) + late_us
+        g = j.loc[late].groupby("prio", as_index=False).size()
+        return pa.table({
+            "o_orderpriority": pa.array(g["prio"].to_numpy(object),
+                                        pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged, "key", exists_check, num_buckets=16)
+    out = part.groupby("o_orderpriority").aggregate(
+        Sum("n", alias_name="order_count"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "order_count": pc.cast(b["order_count"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q14_promo_revenue_share(sf_dir: str, date_from: str = "1996-01-01",
+                            date_to: str = "1996-02-01"):
+    """(promo_scaled, total_scaled) — TPC-H Q14: the promo share of a
+    month's revenue as an exact int64 rational (share = promo/total;
+    the float percentage is the caller's division). The part table's
+    (partkey → is_promo) map broadcasts once (1 bit + key per part —
+    TPC-H part is 5× smaller than orders, broadcastable to very large
+    SF; past that it becomes a partkey exchange like Q5's supplier
+    note); lineitem does one map-combine pass, ONE pair of numbers per
+    block crosses the wire."""
+    import pyarrow.parquet as pq_
+    import pyarrow.dataset as pads
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+
+    part = pq_.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    pk = part["p_partkey"].to_numpy()
+    promo = pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    pref = _ray.put((pk[order], promo[order]))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys, isp = _ray.get(pref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lpk)
+        pos[pos >= len(keys)] = 0
+        hit = keys[pos] == lpk if len(keys) else np.zeros(len(lpk), bool)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        rev = rev[hit]
+        is_promo = isp[pos[hit]]
+        return pa.table({
+            "p": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "t": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    out = ds.map_batches(partials, batch_format="pyarrow") \
+        .aggregate(Sum("p", alias_name="promo_scaled"),
+                   Sum("t", alias_name="total_scaled"))
+    return pd.DataFrame({
+        "promo_scaled": [np.int64(out["promo_scaled"])],
+        "total_scaled": [np.int64(out["total_scaled"])],
+    })
+
+
+def q18_large_volume_orders(sf_dir: str, min_qty: int = 300, k: int = 20):
+    """(o_orderkey, o_custkey, total_qty) — TPC-H Q18: orders whose
+    total lineitem quantity exceeds `min_qty` (the HAVING-over-join
+    shape), top-k by quantity. One orderkey exchange of map-side
+    quantity partials joined to order headers in-bucket; only
+    above-threshold rows (output-scale) survive to the per-bucket
+    top-k + driver merge."""
+    from ..stages.grouped import bucketed_group_map
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["o_orderkey"].cast(pa.int64()),
+            "cust": batch["o_custkey"].cast(pa.int64()),
+            "qty": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_ord": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    lineitem = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                     columns=["l_orderkey", "l_quantity"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(okey, kind="stable")
+        ok_s, q_s = okey[order], qty[order]
+        first = np.r_[True, ok_s[1:] != ok_s[:-1]] if len(ok_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        psum = np.add.reduceat(q_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        n = len(starts)
+        return pa.table({
+            "key": pa.array(ok_s[starts] if n else np.array([], np.int64),
+                            pa.int64()),
+            "cust": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "qty": pa.array(psum, pa.int64()),
+            "is_ord": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def having_topk(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "cust"]].drop_duplicates("key")
+        q = df.loc[~iso].groupby("key", as_index=False)["qty"].sum()
+        q = q.loc[q["qty"].to_numpy() > min_qty]
+        j = q.merge(o, on="key", how="inner")
+        j = j.sort_values(["qty", "key"], ascending=[False, True]).head(k)
+        return pa.table({
+            "o_orderkey": pa.array(j["key"].to_numpy(np.int64), pa.int64()),
+            "o_custkey": pa.array(j["cust"].to_numpy(np.int64), pa.int64()),
+            "total_qty": pa.array(j["qty"].to_numpy(np.int64), pa.int64()),
+        })
+
+    cand = bucketed_group_map(tagged, "key", having_topk,
+                              num_buckets=16).to_pandas()
+    cand = cand.sort_values(["total_qty", "o_orderkey"],
+                            ascending=[False, True]).head(k)
+    return cand.reset_index(drop=True)
+
+
+def q22_global_sales_opportunity(sf_dir: str):
+    """(c_nationkey, n_cust, sum_acctbal_cents) — TPC-H Q22 shape:
+    customers with ABOVE-AVERAGE positive account balance and no
+    URGENT order (the driver fixtures give every customer at least
+    one order, so the classic never-ordered predicate is degenerate —
+    the anti-join is the thing being exercised, so it anti-joins the
+    urgent slice instead). Three patterns in one query: the scalar-
+    subquery average (one tiny global aggregate, broadcast as two
+    int64s — exact rational threshold, no float compare drift), the
+    anti-join (one custkey exchange with map-side order-key dedup),
+    and the final domain-sized aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    # scalar subquery: avg(c_acctbal) over positive balances, exact
+    # rational (sum_cents, n) so the comparison is integer both sides
+    def bal_partials(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        pos = cents > 0
+        return pa.table({"s": pa.array([int(cents[pos].sum())], pa.int64()),
+                         "n": pa.array([int(pos.sum())], pa.int64())})
+
+    agg = cust.map_batches(bal_partials, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    thr_s, thr_n = int(agg["s"]), int(agg["n"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        # cents > avg  ⇔  cents * n > sum (exact integer compare)
+        sel = cents * thr_n > thr_s
+        msk = pa.array(sel)
+        return pa.table({
+            "key": batch["c_custkey"].filter(msk),
+            "nat": pc.cast(batch["c_nationkey"].filter(msk), pa.int64()),
+            "bal": pa.array(cents[sel], pa.int64()),
+            "is_cust": pa.array(np.ones(int(sel.sum()), np.int8), pa.int8()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"])
+
+    def order_keys(batch: pa.Table) -> pa.Table:
+        urgent = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        uniq = np.unique(batch.filter(urgent)["o_custkey"]
+                         .to_numpy(zero_copy_only=False))
+        n = len(uniq)
+        return pa.table({
+            "key": pa.array(uniq, pa.int64()),
+            "nat": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "bal": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_cust": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(order_keys, batch_format="pyarrow"))
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        isc = df["is_cust"].to_numpy(np.int8) == 1
+        have = set(df.loc[~isc, "key"].to_numpy(np.int64).tolist())
+        c = df.loc[isc]
+        keep = ~c["key"].isin(have).to_numpy()
+        g = c.loc[keep].groupby("nat", as_index=False).agg(
+            n_cust=("key", "size"), s=("bal", "sum"))
+        return pa.table({
+            "c_nationkey": pa.array(g["nat"].to_numpy(np.int64), pa.int64()),
+            "n_cust": pa.array(g["n_cust"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged, "key", anti, num_buckets=16)
+    out = part.groupby("c_nationkey").aggregate(
+        Sum("n_cust", alias_name="n_cust"),
+        Sum("s", alias_name="sum_acctbal_cents"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+            "n_cust": pc.cast(b["n_cust"], pa.int64()),
+            "sum_acctbal_cents": pc.cast(b["sum_acctbal_cents"],
+                                         pa.int64())}),
+        batch_format="pyarrow")

@@ -76,6 +76,8 @@ def _check(name, con, ray_session):
     "docs_embedding_join_stats", "embedding_model_scores",
     "events_recent_stats", "q6_forecast_revenue",
     "q10_returned_revenue", "q13_order_count_distribution",
+    "q4_order_priority_check", "q14_promo_revenue_share",
+    "q18_large_volume_orders", "q22_global_sales_opportunity",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
