@@ -161,6 +161,8 @@ queries() entries map to SURVEY.md §2 operators:
   orders_monthly_stats calendar-month resample (date_trunc-equivalent
                        datetime64[M] bucketing, map-side partials)
                        (oracle)
+  events_hourly_active_users exact windowed distinct count: batch-
+                       local pair dedup, one hour-keyed exchange (oracle)
   events_recent_stats  predicate pushdown INTO the parquet read (row-
                        group pruning), WHERE-mirror oracle (oracle)
   event_type_cooccurrence market-basket pair support counts: local
@@ -779,6 +781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_top_values": streaming.events_type_top_values,
         "event_type_cooccurrence": streaming.event_type_cooccurrence,
         "events_recent_stats": streaming.events_recent_stats,
+        "events_hourly_active_users": streaming.events_hourly_active_users,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
@@ -1792,6 +1795,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "events_hourly_active_users": """
+            SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM events GROUP BY 1
         """,
         "events_recent_stats": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

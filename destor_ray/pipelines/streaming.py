@@ -1558,3 +1558,41 @@ def events_recent_stats(sf_dir: str, cutoff: str = "2001-06-01"):
             "n": pc.cast(b["n"], pa.int64()),
             "sum_value_micro": pc.cast(b["sum_value_micro"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def events_hourly_active_users(sf_dir: str):
+    """(hour_id, n_active) — EXACT windowed distinct count (hourly
+    active users), the windowed twin of the global distinct-token
+    count: batch-local (hour, user) dedup means only batch-distinct
+    pairs enter the ONE hour-keyed exchange, and each bucket finishes
+    the dedup + count. Output is window-cardinality-sized; the
+    approximate path at extreme user cardinality is the same topology
+    with an HLL register set per window (functions/sketch.HyperLogLog
+    is mergeable through exactly this shuffle)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def local_pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = ts // 3_600_000_000
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        comp = np.unique(hour * (1 << 22) + uid)  # user_id < 2^22 here
+        return pa.table({
+            "hour_id": pa.array(comp >> 22, pa.int64()),
+            "user_id": pa.array(comp & ((1 << 22) - 1), pa.int64()),
+        })
+
+    rows = ds.map_batches(local_pairs, batch_format="pyarrow")
+
+    def count_distinct(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates().groupby("hour_id", as_index=False).size()
+        return pa.table({
+            "hour_id": pa.array(g["hour_id"].to_numpy(np.int64), pa.int64()),
+            "n_active": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(rows, "hour_id", count_distinct,
+                              num_buckets=16)
