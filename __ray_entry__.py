@@ -135,6 +135,10 @@ queries() entries map to SURVEY.md §2 operators:
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
                        prefix-fp shuffle of 30 B rows, per-bucket
                        lexsort winner pick (oracle)
+  kmeans_iter_assign   distributed ITERATIVE Lloyd training (2 full
+                       rounds: map-only assign, k·d partial-sum update,
+                       1e-6 centroid contract) hash-verified vs an
+                       unrolled-CTE oracle (oracle)
   embedding_model_scores batched model inference on an actor pool:
                        weights once per actor, one quantized matmul
                        per batch, oracle-exact scores (oracle)
@@ -846,6 +850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": ann.embedding_clusters,
         "label_centroids": ann.label_centroids,
         "kmeans_assign": ann.kmeans_assign,
+        "kmeans_iter_assign": ann.kmeans_iter_assign,
         "semantic_dedup": ann.semantic_dedup,
         "docs_embedding_join_stats": ann.docs_embedding_join_stats,
         "embedding_model_scores": ann.embedding_model_scores,
@@ -2224,6 +2229,34 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
             FROM embeddings, UNNEST(generate_series(1, 64)) t(i)
             GROUP BY label, i
+        """,
+        "kmeans_iter_assign": """
+            WITH c0 AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 10
+            ),
+            a0 AS (
+                SELECT e.vec_id, c0.cid FROM embeddings e CROSS JOIN c0
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                           c0.ce), c0.cid) = 1
+            ),
+            u AS (
+                SELECT a0.cid, generate_subscripts(e.embedding, 1) AS i,
+                       unnest(e.embedding) AS x
+                FROM a0 JOIN embeddings e USING (vec_id)
+            ),
+            m AS (SELECT cid, i, round(avg(CAST(x AS DOUBLE)), 6) AS mx
+                  FROM u GROUP BY cid, i),
+            c1 AS (SELECT cid, array_agg(mx ORDER BY i) AS ce
+                   FROM m GROUP BY cid)
+            SELECT e.vec_id, c1.cid AS centroid_id
+            FROM embeddings e CROSS JOIN c1
+            QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(c1.ce AS DOUBLE[])), c1.cid) = 1
         """,
         "kmeans_assign": """
             WITH c AS (

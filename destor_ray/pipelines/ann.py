@@ -1232,3 +1232,73 @@ def model_weights_sql_literal(dim: int = 64, seed: int = 0x5EED) -> str:
     """The scorer's weight vector as a SQL list literal (oracle side)."""
     w = _LinearScorer(dim, seed).w
     return "[" + ", ".join(str(int(x)) for x in w) + "]"
+
+
+def kmeans_iter_assign(sf_dir: str, n_centroids: int = 10, iters: int = 2):
+    """(vec_id, centroid_id) after `iters` full Lloyd iterations —
+    DISTRIBUTED ITERATIVE TRAINING, hash-verified: each round is (a) a
+    map-only assignment against broadcast centroids (one matmul per
+    batch) and (b) the centroid update as per-(cid, dim) partial sums
+    through one small groupby (the label_centroids shape — the
+    exchange carries k·d partials per batch, never vectors). Updated
+    centroids are rounded to 1e-6 on BOTH engines before the next
+    round, so the unrolled-CTE oracle (avg per dim → array_agg →
+    re-assign) sees bit-identical decision inputs; assignments are
+    integers, immune to the residual 1e-15 distance noise.
+
+    At 10^12 rows this is exactly the FAISS/SemDeDup training loop:
+    broadcast O(k·d) floats per round, one domain-sized aggregate per
+    round, zero data-scale shuffles."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Count, Sum
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    ctbl = dset.to_table(filter=pads.field("vec_id") < n_centroids,
+                         columns=["vec_id", "embedding"])
+    order = np.argsort(ctbl["vec_id"].to_numpy())
+    C = np.asarray(ctbl["embedding"].to_pylist(), dtype=np.float64)[order]
+
+    emb = _read_embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+
+    def make_assign(cref, out_partials: bool):
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _emb_matrix(batch)
+            d2 = (m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T) \
+                + (c * c).sum(axis=1)[None, :]
+            best = np.argmin(d2, axis=1).astype(np.int64)
+            if not out_partials:
+                return pa.table({
+                    "vec_id": batch["vec_id"].cast(pa.int64()),
+                    "centroid_id": pa.array(best, pa.int64())})
+            o = np.argsort(best, kind="stable")
+            b_s = best[o]
+            starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+            sums = np.add.reduceat(m[o], starts, axis=0)
+            counts = np.diff(np.append(starts, len(b_s)))
+            g, d = sums.shape
+            return pa.table({
+                "cid": pa.array(np.repeat(b_s[starts], d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d), g), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(counts, d).astype(np.int64),
+                              pa.int64()),
+            })
+        return assign
+
+    for it in range(iters - 1):
+        cref = ray.put(C)
+        part = emb.map_batches(make_assign(cref, True),
+                               batch_format="pyarrow") \
+            .groupby(["cid", "dim"]).aggregate(
+                Sum("s", alias_name="s"), Sum("n", alias_name="n")) \
+            .to_pandas()  # k x d rows
+        C = C.copy()
+        cid = part["cid"].to_numpy(np.int64)
+        dim = part["dim"].to_numpy(np.int64)
+        mean = part["s"].to_numpy() / part["n"].to_numpy()
+        C[cid, dim] = np.round(mean, 6)  # the cross-engine contract
+
+    cref = ray.put(C)
+    return emb.map_batches(make_assign(cref, False),
+                           batch_format="pyarrow")

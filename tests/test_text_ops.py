@@ -78,7 +78,7 @@ def _check(name, con, ray_session):
     "q10_returned_revenue", "q13_order_count_distribution",
     "q4_order_priority_check", "q14_promo_revenue_share",
     "q18_large_volume_orders", "q22_global_sales_opportunity",
-    "events_hourly_active_users",
+    "events_hourly_active_users", "kmeans_iter_assign",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
