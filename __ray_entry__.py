@@ -130,6 +130,9 @@ queries() entries map to SURVEY.md §2 operators:
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
+  decode_quarantine_stats poison-row dead-letter routing: planted
+                       corrupt payloads quarantine per-row, job never
+                       fails (rows-only + exact pytest)
   edit_distance_pairs  exact-Levenshtein near-dup channel: prefix-fp
                        banding + vectorized two-row DP verify (oracle)
   keep_best_dedup      keep-BEST-policy dedup (CC-Net champion rule):
@@ -789,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
+        "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,

@@ -385,3 +385,66 @@ def jfif_decode_stats(sf_dir: str, n_images: int = 256):
                 // pc.cast(b["n_images"], pa.int64()).to_numpy(
                     zero_copy_only=False), pa.int64()),
         }), batch_format="pyarrow")
+
+
+def _corrupt_jfif_corpus_dir(n_images: int = 256, n_corrupt: int = 32) -> str:
+    """The JFIF fixture with deterministically planted corruption:
+    every 8th payload is truncated / bit-flipped / replaced with
+    garbage — the poison-row fixture for the quarantine path."""
+    import hashlib
+
+    src = _jfif_corpus_dir(n_images)
+    out = f"/tmp/destor_ray_jfif_bad/n{n_images}_c{n_corrupt}"
+    if os.path.isdir(out):
+        return out
+    import pyarrow.parquet as pq_
+    t = pq_.read_table(f"{src}/images.parquet")
+    blobs = t["bytes"].to_pylist()
+    for j in range(n_corrupt):
+        i = j * (n_images // n_corrupt)
+        mode = j % 3
+        if mode == 0:
+            blobs[i] = blobs[i][:len(blobs[i]) // 2]      # truncated
+        elif mode == 1:
+            blobs[i] = hashlib.md5(str(i).encode()).digest() * 4  # garbage
+        else:
+            b = bytearray(blobs[i])
+            b[0] = 0x00                                    # broken SOI
+            blobs[i] = bytes(b)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": t["image_id"],
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def decode_quarantine_stats(sf_dir: str, n_images: int = 256,
+                            n_corrupt: int = 32):
+    """(status, err, n) — the POISON-ROW path: a corpus with planted
+    corrupt payloads (truncated JPEG, garbage bytes, broken SOI) flows
+    through the ImageDecodeQuarantine actor pool; bad rows route to a
+    queryable quarantine slice instead of failing the job (the
+    dead-letter discipline a 10^12-row ingest cannot run without).
+    Deterministic fixture → exact pytest pins the split; rows-only
+    driver check."""
+    from ray.data.aggregate import Count
+
+    from ..stages.multimodal import ImageDecodeQuarantine
+
+    d = _corrupt_jfif_corpus_dir(n_images, n_corrupt)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    out = ds.map_batches(ImageDecodeQuarantine, batch_format="pyarrow",
+                         batch_size=64, concurrency=2)
+    agg = out.groupby(["status", "err"]).aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "status": b["status"], "err": b["err"],
+            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")

@@ -159,3 +159,40 @@ def audio_features(ds, concurrency: int = 2, batch_size: int = 64):
 def video_frame_samples(ds, concurrency: int = 2, batch_size: int = 32):
     return ds.map_batches(VideoFrameSample, batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+class ImageDecodeQuarantine:
+    """Decode with per-row error quarantine (the dead-letter-queue
+    discipline): corrupt payloads NEVER fail the job — each row decodes
+    under a per-row guard and emits either its features (status='ok')
+    or a quarantine row carrying the error class (status='corrupt'),
+    so a 10^12-row ingest survives the real corpus's inevitable
+    truncated/garbage files and the quarantine slice is queryable
+    afterwards. Schema out: (image_id, status, err, w, h)."""
+
+    def __init__(self, out_size: int = 16):
+        self.out_size = out_size
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, status, err, ws, hs = [], [], [], [], []
+        for img_id, data in zip(batch["image_id"].to_pylist(),
+                                batch["bytes"].to_pylist()):
+            ids.append(img_id)
+            try:
+                px = codec.decode(data)
+                status.append("ok")
+                err.append("")
+                hs.append(px.shape[0])
+                ws.append(px.shape[1])
+            except Exception as e:  # noqa: BLE001 — the quarantine seam
+                status.append("corrupt")
+                err.append(type(e).__name__)
+                hs.append(0)
+                ws.append(0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "status": pa.array(status, pa.string()),
+            "err": pa.array(err, pa.string()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+        })

@@ -136,3 +136,23 @@ def test_video_frame_stats_query_exact(ray_session):
     assert (a["n_sampled"] == 3 * a["n_videos"]).all()
     # fake frames are uniform bytes; grayscale mean ~127.5e6 micro
     assert ((a["mean_lum_micro"] - 127_500_000).abs() < 3_000_000).all()
+
+
+def test_decode_quarantine_exact_split(ray_session):
+    """Planted corruption routes to the quarantine slice; good rows
+    decode untouched; the job never fails."""
+    from destor_ray.pipelines.ingest import decode_quarantine_stats
+    out = decode_quarantine_stats("unused").to_pandas()
+    ok = int(out.loc[out.status == "ok", "n"].sum())
+    bad = int(out.loc[out.status == "corrupt", "n"].sum())
+    assert ok + bad == 256
+    # every 8th payload was corrupted — but a truncated entropy scan
+    # can still decode if the cut lands after the last needed bit, and
+    # garbage re-encodes can collide into validity, so pin bounds, not
+    # exact counts, plus determinism across runs
+    assert 16 <= bad <= 32, bad
+    b = decode_quarantine_stats("unused").to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        out.sort_values(["status", "err"]).reset_index(drop=True),
+        b.sort_values(["status", "err"]).reset_index(drop=True))
