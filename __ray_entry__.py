@@ -168,6 +168,9 @@ queries() entries map to SURVEY.md §2 operators:
   orders_monthly_stats calendar-month resample (date_trunc-equivalent
                        datetime64[M] bucketing, map-side partials)
                        (oracle)
+  event_transitions    first-order Markov transition counts per user
+                       sequence (lexsort + boundary-masked shift,
+                       domain-sized reduce) (oracle)
   events_hourly_active_users exact windowed distinct count: batch-
                        local pair dedup, one hour-keyed exchange (oracle)
   events_recent_stats  predicate pushdown INTO the parquet read (row-
@@ -789,6 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": streaming.event_type_cooccurrence,
         "events_recent_stats": streaming.events_recent_stats,
         "events_hourly_active_users": streaming.events_hourly_active_users,
+        "event_transitions": streaming.event_transitions,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
@@ -1804,6 +1808,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            )
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "events_hourly_active_users": """
             SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour_id,

@@ -1596,3 +1596,60 @@ def events_hourly_active_users(sf_dir: str):
 
     return bucketed_group_map(rows, "hour_id", count_distinct,
                               num_buckets=16)
+
+
+def event_transitions(sf_dir: str):
+    """(from_type, to_type, n) — first-order Markov transition counts
+    over each user's (ts, event_id)-ordered event sequence: the
+    sequence-model feature extraction behind next-event prediction and
+    bot detection. One user-keyed exchange; per bucket one lexsort +
+    boundary-masked shift produces (prev, cur) pairs, which reduce to
+    domain-sized (|types|²) partials before the tiny final aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "event_type"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts": pa.array(batch["ts"].to_numpy(zero_copy_only=False)
+                           .astype(np.int64), pa.int64()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    rows = ds.map_batches(to_rows, batch_format="pyarrow")
+
+    def transitions(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        eid = df["event_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid_s, et_s = uid[order], et[order]
+        same = uid_s[1:] == uid_s[:-1]
+        g = pd.DataFrame({"from_type": et_s[:-1][same],
+                          "to_type": et_s[1:][same]}) \
+            .groupby(["from_type", "to_type"], as_index=False).size()
+        return pa.table({
+            "from_type": pa.array(g["from_type"].to_numpy(object),
+                                  pa.string()),
+            "to_type": pa.array(g["to_type"].to_numpy(object), pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(rows, "user_id", transitions, num_buckets=16)
+    out = part.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "from_type": b["from_type"], "to_type": b["to_type"],
+            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
