@@ -168,6 +168,9 @@ queries() entries map to SURVEY.md §2 operators:
   orders_monthly_stats calendar-month resample (date_trunc-equivalent
                        datetime64[M] bucketing, map-side partials)
                        (oracle)
+  zorder_layout_stats  Z-order (Morton) layout audit: bit-interleave
+                       tiles bound BOTH dims per tile, interleave
+                       mirrored bit-for-bit in SQL (oracle)
   event_transitions    first-order Markov transition counts per user
                        sequence (lexsort + boundary-masked shift,
                        domain-sized reduce) (oracle)
@@ -793,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_recent_stats": streaming.events_recent_stats,
         "events_hourly_active_users": streaming.events_hourly_active_users,
         "event_transitions": streaming.event_transitions,
+        "zorder_layout_stats": streaming.zorder_layout_stats,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
@@ -883,6 +887,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from destor_ray.pipelines.ann import model_weights_sql_literal
     _wlit = model_weights_sql_literal()
+    _zterms = " + ".join(
+        f"((u // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        f" + ((h // {1 << b}) % 2) * {1 << (2 * b)}"
+        for b in range(8))
     return {
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1808,6 +1816,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "zorder_layout_stats": f"""
+            WITH v AS (
+                SELECT user_id % 256 AS u,
+                       (epoch_us(ts) // 3600000000) % 256 AS h
+                FROM events
+            ),
+            z AS (SELECT u, h, ({_zterms}) AS zval FROM v)
+            SELECT CAST(zval // 256 AS BIGINT) AS tile,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+                   CAST(count(DISTINCT h) AS BIGINT) AS n_hours
+            FROM z GROUP BY 1
         """,
         "event_transitions": """
             WITH s AS (

@@ -1653,3 +1653,53 @@ def event_transitions(sf_dir: str):
             "from_type": b["from_type"], "to_type": b["to_type"],
             "n": pc.cast(b["n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def zorder_layout_stats(sf_dir: str):
+    """(tile, n, n_users, n_hours) — Z-ORDER (Morton) layout audit:
+    events keyed by the bit-interleave of (user_id & 255, hour & 255)
+    and tiled by the top 8 interleaved bits. Each tile then covers a
+    compact 16×16 rectangle in (user, hour) space — BOTH dimensions
+    stay bounded per tile (n_users <= 16 AND n_hours <= 16), which no
+    single-key range partitioning can achieve; this is the layout
+    trick (Delta/Iceberg Z-ordering) that makes two-dimensional
+    predicate pruning work, expressed as a queryable audit with the
+    interleave mirrored bit-for-bit in SQL.
+
+    One tile-keyed exchange of batch-locally deduped (tile, u, h,
+    cnt) partials; per-bucket nunique + sum."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def zrows(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = (ts // 3_600_000_000) & 0xFF
+        u = batch["user_id"].to_numpy(zero_copy_only=False) & 0xFF
+        z = np.zeros(len(u), np.int64)
+        for b in range(8):
+            z |= ((u >> b) & 1) << (2 * b + 1)
+            z |= ((hour >> b) & 1) << (2 * b)
+        df = pd.DataFrame({"tile": z >> 8, "u": u, "h": hour})
+        g = df.groupby(["tile", "u", "h"], as_index=False).size()
+        return pa.table({
+            "tile": pa.array(g["tile"].to_numpy(np.int64), pa.int64()),
+            "u": pa.array(g["u"].to_numpy(np.int64), pa.int64()),
+            "h": pa.array(g["h"].to_numpy(np.int64), pa.int64()),
+            "cnt": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    rows = ds.map_batches(zrows, batch_format="pyarrow")
+
+    def per_tile(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("tile").agg(
+            n=("cnt", "sum"), n_users=("u", "nunique"),
+            n_hours=("h", "nunique")).reset_index()
+        return pa.table({
+            "tile": pa.array(g["tile"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "n_users": pa.array(g["n_users"].to_numpy(np.int64), pa.int64()),
+            "n_hours": pa.array(g["n_hours"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(rows, "tile", per_tile, num_buckets=8)

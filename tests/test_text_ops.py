@@ -79,7 +79,7 @@ def _check(name, con, ray_session):
     "q4_order_priority_check", "q14_promo_revenue_share",
     "q18_large_volume_orders", "q22_global_sales_opportunity",
     "events_hourly_active_users", "kmeans_iter_assign",
-    "event_transitions",
+    "event_transitions", "zorder_layout_stats",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
