@@ -26,6 +26,9 @@ queries() entries map to SURVEY.md §2 operators:
   band_skew_profile    reducer-bucket histogram of THE band exchange:
                        max/p99-over-mean skew ratios, the pre-run
                        salting decision input (rows-only)
+  lsh_param_sweep      LSH tuning curve: candidate volume vs recall
+                       across band counts, self-relative to the most
+                       sensitive configuration (rows-only)
   corpus_resize_stats  multimodal image decode→resize actor-pool stage,
                        per-format stats (rows-only)
   curation_job_metrics resumable checkpointed curation job (rows-only)
@@ -452,6 +455,41 @@ def _corpus_preset_sweep(sf_dir: str):
     })
 
 
+def _lsh_param_sweep(sf_dir: str):
+    """(bands, n_candidate_pairs, n_ref_pairs, recall_vs_ref) — the
+    LSH TUNING harness: the one-permutation MinHash candidate join at
+    increasing band counts, each scored against the MOST-SENSITIVE
+    configuration's pair set (bands=32 — the standard self-relative
+    tuning curve when exhaustive truth is too expensive to compute at
+    corpus scale). More bands → more candidate volume and higher
+    recall; this scorecard is how a 100 TB run picks its (bands, rows)
+    operating point before committing to the expensive exchange,
+    surfaced so the tradeoff is driver-visible per round."""
+    import pyarrow as pa
+    from destor_ray.pipelines import text as text_mod
+
+    ref_df = text_mod.minhash_lsh_oph(sf_dir, bands=32).to_pandas()
+    ref = set(zip(ref_df["left_id"].astype(int),
+                  ref_df["right_id"].astype(int)))
+    rows = []
+    for bands in (4, 8, 16, 32):
+        if bands == 32:
+            pairs = ref
+        else:
+            cand = text_mod.minhash_lsh_oph(sf_dir, bands=bands).to_pandas()
+            pairs = set(zip(cand["left_id"].astype(int),
+                            cand["right_id"].astype(int)))
+        hit = len(pairs & ref)
+        rows.append((bands, len(pairs), len(ref),
+                     round(hit / max(1, len(ref)), 6)))
+    return pa.table({
+        "bands": pa.array([r[0] for r in rows], pa.int64()),
+        "n_candidate_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_ref_pairs": pa.array([r[2] for r in rows], pa.int64()),
+        "recall_vs_ref": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
 def _band_skew_profile(sf_dir: str, num_buckets: int = 64):
     """(metric, value) — shuffle-skew diagnostic for THE exchange (the
     flagship's band shuffle): per-reducer-bucket band-row counts
@@ -872,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_eval": _corpus_dedup_eval,
         "corpus_preset_sweep": _corpus_preset_sweep,
         "band_skew_profile": _band_skew_profile,
+        "lsh_param_sweep": _lsh_param_sweep,
         "corpus_resize_stats": _corpus_resize_stats,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
