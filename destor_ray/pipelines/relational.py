@@ -1599,9 +1599,10 @@ def q22_global_sales_opportunity(sf_dir: str):
 
     def anti(df: pd.DataFrame) -> pa.Table:
         isc = df["is_cust"].to_numpy(np.int8) == 1
-        have = set(df.loc[~isc, "key"].to_numpy(np.int64).tolist())
+        have = np.unique(df.loc[~isc, "key"].to_numpy(np.int64))
         c = df.loc[isc]
-        keep = ~c["key"].isin(have).to_numpy()
+        keep = ~np.isin(c["key"].to_numpy(np.int64), have,
+                        assume_unique=False)
         g = c.loc[keep].groupby("nat", as_index=False).agg(
             n_cust=("key", "size"), s=("bal", "sum"))
         return pa.table({

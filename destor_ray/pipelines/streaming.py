@@ -1579,7 +1579,18 @@ def events_hourly_active_users(sf_dir: str):
         ts = batch["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
         hour = ts // 3_600_000_000
         uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        comp = np.unique(hour * (1 << 22) + uid)  # user_id < 2^22 here
+        if len(uid) and int(uid.max()) >= (1 << 22):
+            # composite packing only fits 22-bit user ids; beyond that
+            # dedup on the 2-column pair directly (same semantics,
+            # slightly larger partials)
+            df = pd.DataFrame({"hour_id": hour, "user_id": uid}) \
+                .drop_duplicates()
+            return pa.table({
+                "hour_id": pa.array(df["hour_id"].to_numpy(np.int64),
+                                    pa.int64()),
+                "user_id": pa.array(df["user_id"].to_numpy(np.int64),
+                                    pa.int64())})
+        comp = np.unique(hour * (1 << 22) + uid)
         return pa.table({
             "hour_id": pa.array(comp >> 22, pa.int64()),
             "user_id": pa.array(comp & ((1 << 22) - 1), pa.int64()),
