@@ -171,6 +171,9 @@ queries() entries map to SURVEY.md §2 operators:
   orders_monthly_stats calendar-month resample (date_trunc-equivalent
                        datetime64[M] bucketing, map-side partials)
                        (oracle)
+  events_incremental_stats materialized-view maintenance: cached base
+                       state + delta partials merge == full recompute,
+                       certified by the full-table oracle (oracle)
   zorder_layout_stats  Z-order (Morton) layout audit: bit-interleave
                        tiles bound BOTH dims per tile, interleave
                        mirrored bit-for-bit in SQL (oracle)
@@ -835,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_active_users": streaming.events_hourly_active_users,
         "event_transitions": streaming.event_transitions,
         "zorder_layout_stats": streaming.zorder_layout_stats,
+        "events_incremental_stats": streaming.events_incremental_stats,
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
@@ -1855,6 +1859,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10
+        """,
+        "events_incremental_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_micro
+            FROM events GROUP BY event_type
         """,
         "zorder_layout_stats": f"""
             WITH v AS (

@@ -1714,3 +1714,73 @@ def zorder_layout_stats(sf_dir: str):
         })
 
     return bucketed_group_map(rows, "tile", per_tile, num_buckets=8)
+
+
+def events_incremental_stats(sf_dir: str, mod: int = 10):
+    """(event_type, n, sum_value_micro) — INCREMENTAL AGGREGATE
+    MAINTENANCE: the base slice's aggregate (event_id % mod != 0,
+    standing in for yesterday's materialized state) is computed once
+    and CACHED as parquet; the arriving delta slice (event_id % mod ==
+    0) contributes only its partials, and the merge of stored state +
+    delta is returned. The oracle aggregates the FULL table, so the
+    hash match certifies merge(state, delta) == full recompute — the
+    contract that lets a 100 TB daily pipeline process only the new
+    day. Commutative-monoid partials (count, sum) make the merge a
+    tiny groupby; the base never re-reads its events."""
+    import os
+
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "event_type", "value"])
+
+    def partials(keep_mod_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            sel = (eid % mod == 0) if keep_mod_zero else (eid % mod != 0)
+            vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                            * 1_000_000).astype(np.int64)[sel]
+            df = pd.DataFrame({
+                "event_type": batch["event_type"].to_numpy(
+                    zero_copy_only=False)[sel],
+                "vmic": vmic})
+            g = df.groupby("event_type", as_index=False).agg(
+                n=("vmic", "size"), s=("vmic", "sum"))
+            return pa.table({
+                "event_type": pa.array(g["event_type"].to_numpy(object),
+                                       pa.string()),
+                "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+                "s": pa.array(g["s"].to_numpy(np.int64), pa.int64())})
+        return fn
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    state = f"/tmp/destor_ray_incr/{tag}_m{mod}"
+    if not os.path.isdir(state):
+        base = ds.map_batches(partials(False), batch_format="pyarrow") \
+            .groupby("event_type").aggregate(Sum("n", alias_name="n"),
+                                             Sum("s", alias_name="s"))
+        tmp = f"{state}.tmp.{os.getpid()}"
+        os.makedirs(os.path.dirname(state), exist_ok=True)
+        base.map_batches(
+            lambda b: pa.table({"event_type": b["event_type"],
+                                "n": pc.cast(b["n"], pa.int64()),
+                                "s": pc.cast(b["s"], pa.int64())}),
+            batch_format="pyarrow").write_parquet(tmp)
+        try:
+            os.rename(tmp, state)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    stored = ray.data.read_parquet(state)
+    delta = ds.map_batches(partials(True), batch_format="pyarrow")
+    merged = stored.union(delta) \
+        .groupby("event_type").aggregate(Sum("n", alias_name="n"),
+                                         Sum("s", alias_name="s"))
+    return merged.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_value_micro": pc.cast(b["s"], pa.int64())}),
+        batch_format="pyarrow")
