@@ -125,6 +125,9 @@ queries() entries map to SURVEY.md §2 operators:
   sequence_pack        GPT-style fixed-length sequence packing via the
                        global-prefix-sum primitive (hierarchical scan
                        pattern documented) (oracle)
+  pretraining_pipeline CAPSTONE composition: quantile filter →
+                       keep-best dedup → sequence packing, certified
+                       end-to-end by one four-CTE oracle (oracle)
   docs_csv_stats       CSV leg of the format dispatch, round-trip
                        certified against the parquet original (oracle)
   video_frame_stats    VIDEO multimodal path: binary payloads fan out
@@ -880,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_best_dedup": curation.keep_best_dedup,
         "quality_percentile_filter": curation.quality_percentile_filter,
         "sequence_pack": curation.sequence_pack,
+        "pretraining_pipeline": curation.pretraining_pipeline,
         "pii_scrub": curation.pii_scrub,
         "tfidf_top_terms": ranking.tfidf_top_terms,
         "bm25_scores": ranking.bm25_scores,
@@ -2017,6 +2021,40 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY token
             ORDER BY est_count DESC, token
             LIMIT 10
+        """,
+        "pretraining_pipeline": """
+            WITH r AS (
+                SELECT doc_id, lang, n_chars, text,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM documents
+            ),
+            thr AS (SELECT lang, min(n_chars) AS cut FROM r
+                    WHERE rn >= ceil(0.5 * cnt) GROUP BY lang),
+            kept0 AS (
+                SELECT doc_id, r.lang, n_chars, text,
+                       array_to_string(list_slice(string_split(text, ' '),
+                                                  1, 4), ' ') AS fp
+                FROM r JOIN thr ON r.lang = thr.lang
+                WHERE n_chars >= cut
+            ),
+            kept AS (
+                SELECT doc_id, text FROM kept0
+                QUALIFY row_number() OVER (PARTITION BY fp
+                                           ORDER BY n_chars DESC,
+                                                    doc_id) = 1
+            ),
+            d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+            t AS (SELECT doc_id, i
+                  FROM d, UNNEST(generate_series(1, len(ws))) s(i)),
+            g AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY doc_id, i) - 1 AS gp
+                  FROM t)
+            SELECT CAST(gp // 128 AS BIGINT) AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM g GROUP BY 1
         """,
         "tokenize_to_ids": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -735,3 +735,140 @@ def sequence_pack(sf_dir: str, seq_len: int = 128):
         })
 
     return bucketed_group_map(rows, "seq_id", reduce_seq, num_buckets=8)
+
+
+def pretraining_pipeline(sf_dir: str, pct: float = 0.5, fp_k: int = 4,
+                         seq_len: int = 128):
+    """(seq_id, n_tokens, n_docs) — the CAPSTONE composition: quality
+    filter (per-language length >= the pct quantile) → keep-best
+    near-dup collapse (prefix-fp groups keep max n_chars, tie smaller
+    doc_id) → GPT-style fixed-length sequence packing over the
+    survivors in doc_id order. Every stage is individually
+    hash-verified elsewhere (quality_percentile_filter,
+    keep_best_dedup, sequence_pack); this query certifies their
+    COMPOSITION against one four-CTE oracle — the end-to-end
+    "raw corpus in, training sequences out" contract.
+
+    Scale shape: the filter is profile-pass + broadcast cutoffs
+    (map-only), the dedup is one 30 B/row fp exchange, and packing is
+    the global-prefix-sum primitive; the kept-id set and per-doc
+    offsets are driver-scanned here (one int64 pair per kept doc) with
+    the hierarchical per-partition scan as the documented 10^12-row
+    path (see sequence_pack)."""
+    import pandas as pd
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(
+        ["doc_id", "lang", "text", "n_chars"])
+
+    # ---- stage 1: per-lang quantile cutoffs (profile pass) ----
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+            "n_chars": pa.array(g["n_chars"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
+
+    vc = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby(["lang", "n_chars"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    thr: dict[str, int] = {}
+    for lang, g in vc.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["n"].cumsum().to_numpy()
+        rank = int(np.ceil(pct * int(cum[-1])))
+        thr[lang] = int(g["n_chars"].to_numpy()[np.searchsorted(cum, rank)])
+    thr_ref = _ray.put(thr)
+
+    # ---- stage 2: filter + fingerprint (map-only) → keep-best ----
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        t = _ray.get(thr_ref)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        cut = np.array([t[l] for l in langs], np.int64)
+        m = pa.array(nch >= cut)
+        kept = batch.filter(m)
+        toks = pc.split_pattern(kept["text"], " ")
+        fp = pc.binary_join(pc.list_slice(toks, 0, fp_k), " ")
+        return pa.table({
+            "fp": fp,
+            "doc_id": kept["doc_id"].cast(pa.int64()),
+            "n_chars": kept["n_chars"].cast(pa.int64()),
+            "n_toks": pc.list_value_length(toks).cast(pa.int64())})
+
+    rows = ds.map_batches(fp_rows, batch_format="pyarrow")
+
+    def best(df: pd.DataFrame) -> pa.Table:
+        fp = df["fp"].to_numpy()
+        doc = df["doc_id"].to_numpy(np.int64)
+        nch = df["n_chars"].to_numpy(np.int64)
+        ntk = df["n_toks"].to_numpy(np.int64)
+        if not len(fp):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_toks": pa.array([], pa.int64())})
+        order = np.lexsort((doc, -nch, fp))
+        fp_s = fp[order]
+        first = np.r_[True, fp_s[1:] != fp_s[:-1]]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "doc_id": pa.array(doc[order][starts], pa.int64()),
+            "n_toks": pa.array(ntk[order][starts], pa.int64())})
+
+    kept = bucketed_group_map(rows, "fp", best, num_buckets=16) \
+        .to_pandas().sort_values("doc_id")  # one int64 pair per kept doc
+
+    # ---- stage 3: pack (global prefix sum over kept docs) ----
+    start = np.zeros(len(kept), np.int64)
+    start[1:] = np.cumsum(kept["n_toks"].to_numpy(np.int64))[:-1]
+    off_ref = _ray.put((kept["doc_id"].to_numpy(np.int64), start))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_keys, starts_ = _ray.get(off_ref)
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(doc_keys, docs)
+        pos[pos >= len(doc_keys)] = 0
+        hit = doc_keys[pos] == docs if len(doc_keys) else \
+            np.zeros(len(docs), bool)
+        sub = batch.filter(pa.array(hit))
+        toks = pc.split_pattern(sub["text"], " ")
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        st = starts_[pos[hit]]
+        total = int(n.sum())
+        if total == 0:
+            return pa.table({"seq_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        docs_k = sub["doc_id"].to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(docs_k)), n)
+        first = np.concatenate(([0], np.cumsum(n)[:-1]))
+        within = np.arange(total) - np.repeat(first, n)
+        gp = np.repeat(st, n) + within
+        seq = gp // seq_len
+        comp = seq * (1 << 22) + doc_rep
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "seq_id": pa.array(uniq >> 22, pa.int64()),
+            "doc_id": pa.array(docs_k[(uniq & ((1 << 22) - 1))], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    packed = ds.select_columns(["doc_id", "text"]) \
+        .map_batches(partials, batch_format="pyarrow")
+
+    def reduce_seq(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("seq_id").agg(
+            n_tokens=("n", "sum"), n_docs=("doc_id", "nunique")) \
+            .reset_index()
+        return pa.table({
+            "seq_id": pa.array(g["seq_id"].to_numpy(np.int64), pa.int64()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64),
+                                 pa.int64()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64())})
+
+    return bucketed_group_map(packed, "seq_id", reduce_seq, num_buckets=8)

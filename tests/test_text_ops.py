@@ -80,7 +80,7 @@ def _check(name, con, ray_session):
     "q18_large_volume_orders", "q22_global_sales_opportunity",
     "events_hourly_active_users", "kmeans_iter_assign",
     "event_transitions", "zorder_layout_stats",
-    "events_incremental_stats",
+    "events_incremental_stats", "pretraining_pipeline",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
