@@ -1248,7 +1248,11 @@ def kmeans_iter_assign(sf_dir: str, n_centroids: int = 10, iters: int = 2):
 
     At 10^12 rows this is exactly the FAISS/SemDeDup training loop:
     broadcast O(k·d) floats per round, one domain-sized aggregate per
-    round, zero data-scale shuffles."""
+    round, zero data-scale shuffles. Edge case: a centroid that loses
+    every member keeps its previous position here while the SQL
+    mirror would drop it — impossible with data-row-seeded centroids
+    on this corpus (each seed is its own nearest member); a real
+    trainer would re-seed empties, which no SQL mirror can express."""
     import pyarrow.dataset as pads
     from ray.data.aggregate import Count, Sum
 
