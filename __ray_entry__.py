@@ -120,6 +120,9 @@ queries() entries map to SURVEY.md §2 operators:
   token_communities    hash-VERIFIED min-label propagation CC (the
                        flagship's hash-to-min topology pinned by an
                        unrolled-CTE oracle, 3 sync rounds) (oracle)
+  doc_feature_hashing  feature-hashing vectorizer (Weinberger 2009):
+                       map-only md5-bucketed bag-of-words, zero
+                       vocabulary coordination (oracle)
   tokenize_to_ids      frequency-ranked vocab build + map-only integer
                        encode (searchsorted vs broadcast vocab) (oracle)
   sequence_pack        GPT-style fixed-length sequence packing via the
@@ -851,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": text.token_count,
         "token_count_bpe": text.token_count_bpe,
         "tokenize_to_ids": text.tokenize_to_ids,
+        "doc_feature_hashing": text.doc_feature_hashing,
         "top_ngrams": text.top_ngrams,
         "repetition_scores": text.repetition_scores,
         "distinct_token_stats": text.distinct_token_stats,
@@ -2021,6 +2025,17 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY token
             ORDER BY est_count DESC, token
             LIMIT 10
+        """,
+        "doc_feature_hashing": """
+            WITH t AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 31, 2)) AS BIGINT) % 64
+                       AS dim,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM t GROUP BY 1, 2
         """,
         "pretraining_pipeline": """
             WITH r AS (

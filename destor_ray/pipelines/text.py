@@ -1584,3 +1584,39 @@ def tokenize_to_ids(sf_dir: str, max_pos: int = 8):
         })
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def doc_feature_hashing(sf_dir: str, dims: int = 64):
+    """(doc_id, dim, v) — the FEATURE-HASHING vectorizer (Weinberger et
+    al. 2009): each document becomes a `dims`-dimensional sparse
+    bag-of-words vector with dimension = md5(token) % dims and value =
+    token count, in long format. Map-only featurization — the stage
+    that turns raw text into model input without any vocabulary
+    coordination (no shuffle, no broadcast, the property that makes
+    hashing the featurizer of choice at 10^12 rows). md5 keeps the
+    hash SQL-mirrorable so the vectors are oracle-exact; the signed
+    variant (± by a second hash bit) is a one-line extension."""
+    import hashlib
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        docs = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n)
+        # vocabulary per batch is tiny — hash each DISTINCT token once
+        uniq, inv = np.unique(flat, return_inverse=True)
+        hdim = np.array([int(hashlib.md5(t.encode()).hexdigest(), 16) % dims
+                         for t in uniq], np.int64)
+        dim = hdim[inv]
+        comp = docs * dims + dim
+        u, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "doc_id": pa.array(u // dims, pa.int64()),
+            "dim": pa.array(u % dims, pa.int64()),
+            "v": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(featurize, batch_format="pyarrow")
