@@ -139,6 +139,8 @@ queries() entries map to SURVEY.md §2 operators:
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
+  partitioned_write_readback hive-partitioned write → pruned read-back
+                       round trip, WHERE-mirror certified (oracle)
   decode_quarantine_stats poison-row dead-letter routing: planted
                        corrupt payloads quarantine per-row, job never
                        fails (rows-only + exact pytest)
@@ -849,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
+        "partitioned_write_readback": ingest.partitioned_write_readback,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -1950,6 +1953,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS twa_num,
                    CAST(coalesce(sum(nxt - ts_sec), 0) AS BIGINT) AS twa_den
             FROM l GROUP BY user_id
+        """,
+        "partitioned_write_readback": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_micro
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY event_type
         """,
         "docs_csv_stats": """
             SELECT source,

@@ -448,3 +448,51 @@ def decode_quarantine_stats(sf_dir: str, n_images: int = 256,
             "status": b["status"], "err": b["err"],
             "n": pc.cast(b["n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def partitioned_write_readback(sf_dir: str, keep_type: str = "purchase"):
+    """(event_type, n, sum_value_micro) — the PARTITIONED-WRITE leg of
+    the storage contract: events are written once as hive-partitioned
+    parquet keyed by event_type (the resumable-output layout every
+    stage of the checkpointed job uses), then ONE partition directory
+    is read back via partition pruning and aggregated. The oracle runs
+    a WHERE over the original table, so a hash match certifies
+    write(partition_cols) → prune → read loses nothing — the
+    engine's sink counterpart to the read-layer pushdown query."""
+    from ray.data.aggregate import Count, Sum
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/destor_ray_evpart/{tag}"
+    if not os.path.isdir(out):
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+
+        def narrow(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                            * 1_000_000).astype("int64")
+            return pa.table({"event_type": batch["event_type"],
+                             "vmic": pa.array(vmic, pa.int64())})
+
+        tmp = f"{out}.tmp.{os.getpid()}"
+        ds.map_batches(narrow, batch_format="pyarrow") \
+            .write_parquet(tmp, partition_cols=["event_type"])
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    pruned = ray.data.read_parquet(
+        out,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv["event_type"] == keep_type, style="hive"))
+    agg = pruned.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("vmic", alias_name="sum_value_micro"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_value_micro": pc.cast(b["sum_value_micro"], pa.int64())}),
+        batch_format="pyarrow")

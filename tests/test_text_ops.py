@@ -81,7 +81,7 @@ def _check(name, con, ray_session):
     "events_hourly_active_users", "kmeans_iter_assign",
     "event_transitions", "zorder_layout_stats",
     "events_incremental_stats", "pretraining_pipeline",
-    "doc_feature_hashing",
+    "doc_feature_hashing", "partitioned_write_readback",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
