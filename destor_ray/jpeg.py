@@ -12,12 +12,14 @@ Closes the round-1 VERDICT gap ("a real corpus would not decode"):
 this module, next to real PNG and the deterministic DRI1 container the
 synthetic benchmark corpus keeps for throughput comparability.
 
-Scale note: the encoder is vectorized end-to-end (blocked matrix DCT,
-table quantization, numpy bit-packing of Huffman codes); the decoder's
-entropy scan is inherently bit-serial and runs as a bounded Python
-loop per coefficient — correct and fine for fixture/verification
-scale, and the documented seam where a 100 TB image corpus would slot
-libjpeg-turbo behind the same `decode()` signature.
+Scale note: the encoder's transform half is vectorized (blocked
+matrix DCT, table quantization, per-block magnitude categories, numpy
+bit-packing + byte stuffing of the final stream); Huffman symbol
+EMISSION is a per-block Python walk over the nonzero coefficients —
+run-length coding is sequential by nature. The decoder's entropy scan
+is likewise bit-serial. Both are correct and sized for
+fixture/verification scale; a 100 TB image corpus slots libjpeg-turbo
+behind the same `encode()`/`decode()` signatures.
 
 Reference: ITU-T T.81 (JPEG), Annex K tables; JFIF 1.02; the quality
 scaling follows libjpeg's jpeg_quality_scaling (public API semantics).
@@ -258,12 +260,17 @@ def encode(pixels: np.ndarray, quality: int = 90) -> bytes:
         qv = np.round(coef / qt).astype(np.int64)
         comp_q.append(qv.reshape(len(qv), 64)[:, ZIGZAG])
 
+    # magnitude categories (SSSS) computed vectorized per component —
+    # no per-coefficient numpy allocations inside the emission walk
+    comp_ss = [_bit_size(q) for q in comp_q]
+
     bwr = _BitWriter()
     pred = [0, 0, 0]
     n_blocks = len(comp_q[0])
     for bi in range(n_blocks):
         for ci in range(3):
             zz = comp_q[ci][bi]
+            ss = comp_ss[ci][bi]
             dc_tbl = ENC_DC_L if ci == 0 else ENC_DC_C
             ac_tbl = ENC_AC_L if ci == 0 else ENC_AC_C
             diff = int(zz[0]) - pred[ci]
@@ -273,25 +280,22 @@ def encode(pixels: np.ndarray, quality: int = 90) -> bytes:
             bwr.put(code, ln)
             if s:
                 bwr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            # AC
-            run = 0
-            nz = np.flatnonzero(zz[1:])
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
+            # AC: walk only the nonzero positions; runs are the gaps
+            nz = np.flatnonzero(zz[1:]) + 1
+            prev = 0
+            for k in nz:
+                run = int(k) - prev - 1
+                prev = int(k)
                 while run > 15:
                     code, ln = ac_tbl[0xF0]          # ZRL
                     bwr.put(code, ln)
                     run -= 16
-                s = int(_bit_size(np.array([v]))[0])
+                v = int(zz[k])
+                s = int(ss[k])
                 code, ln = ac_tbl[(run << 4) | s]
                 bwr.put(code, ln)
                 bwr.put(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
+            if not len(nz) or nz[-1] < 63:
                 code, ln = ac_tbl[0x00]              # EOB
                 bwr.put(code, ln)
 

@@ -1146,7 +1146,8 @@ def docs_embedding_join_stats(sf_dir: str):
             "key": b["doc_id"].cast(pa.int64()),
             "lang": b["lang"],
             "n_chars": b["n_chars"].cast(pa.int64()),
-            "label": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+            "label": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            "is_doc": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
         })
 
     def emb_rows(b: pa.Table) -> pa.Table:
@@ -1155,13 +1156,16 @@ def docs_embedding_join_stats(sf_dir: str):
             "lang": pa.array([""] * b.num_rows, pa.string()),
             "n_chars": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
             "label": b["label"].cast(pa.int64()),
+            "is_doc": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
         })
 
     tagged = docs.map_batches(doc_rows, batch_format="pyarrow") \
         .union(emb.map_batches(emb_rows, batch_format="pyarrow"))
 
     def join_agg(df: pd.DataFrame) -> pa.Table:
-        isd = df["label"].to_numpy(np.int64) == -1
+        # explicit side tag (labels may legitimately include any int,
+        # e.g. DBSCAN's -1 noise label — never an in-band sentinel)
+        isd = df["is_doc"].to_numpy(np.int8) == 1
         d = df.loc[isd, ["key", "lang", "n_chars"]]
         e = df.loc[~isd, ["key", "label"]]
         j = d.merge(e, on="key", how="inner")
@@ -1243,8 +1247,14 @@ def kmeans_iter_assign(sf_dir: str, n_centroids: int = 10, iters: int = 2):
     exchange carries k·d partials per batch, never vectors). Updated
     centroids are rounded to 1e-6 on BOTH engines before the next
     round, so the unrolled-CTE oracle (avg per dim → array_agg →
-    re-assign) sees bit-identical decision inputs; assignments are
-    integers, immune to the residual 1e-15 distance noise.
+    re-assign) sees effectively identical decision inputs; assignments
+    are integers, immune to the residual 1e-15 distance noise. Honest
+    caveat: a per-(cid, dim) mean landing within ~1 ulp of a 0.5e-6
+    rounding boundary could round differently across engines
+    (different summation orders; np.round is half-even, SQL round is
+    half-away-from-zero) — probability ~1e-9 per coordinate, none
+    observed at any scale factor; a production trainer needs no
+    cross-engine contract at all.
 
     At 10^12 rows this is exactly the FAISS/SemDeDup training loop:
     broadcast O(k·d) floats per round, one domain-sized aggregate per

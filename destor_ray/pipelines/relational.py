@@ -1026,8 +1026,12 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         disc = np.round(batch["l_discount"].to_numpy(
             zero_copy_only=False)[sel] * 100).astype(np.int64)
         rev = cents * (100 - disc)
-        # partial per (orderkey, s_nat) — nations per region ≤ 5, so the
-        # composite key is okey*32+nat without overflow risk at int64
+        # partial per (orderkey, s_nat): the composite packing needs
+        # the GLOBAL nationkey domain < 32 (TPC-H has 25; guard it so
+        # a wider fixture fails loudly instead of aliasing order keys)
+        if len(s_nat) and int(s_nat.max()) >= 32:
+            raise ValueError("nationkey >= 32 breaks the okey*32+nat "
+                             "packing; widen the composite base")
         comp = okey * 32 + s_nat
         order_ = np.argsort(comp, kind="stable")
         comp_s, rev_s = comp[order_], rev[order_]

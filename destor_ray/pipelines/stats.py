@@ -174,36 +174,40 @@ def heavy_hitter_tokens(sf_dir: str, k: int = 10, capacity: int = 256):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
-    DELTA = "\x00__mg_delta__"
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(batch["text"], " "))
         arr = toks.to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(arr, return_counts=True)
         uniq, cnt, delta = mg_compress(uniq, cnt.astype(np.int64), capacity)
-        tok = np.r_[uniq, [DELTA]]
+        # error mass rides an EXPLICIT flag column (never an in-band
+        # sentinel token — arbitrary corpora can contain any string)
+        tok = np.r_[uniq, [""]]
         n = np.r_[cnt, [delta]].astype(np.int64)
+        isd = np.r_[np.zeros(len(uniq), np.int8), [1]].astype(np.int8)
         return pa.table({"token": pa.array(tok, pa.string()),
-                         "n": pa.array(n, pa.int64())})
+                         "n": pa.array(n, pa.int64()),
+                         "is_delta": pa.array(isd, pa.int8())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def bucket_topk(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("token", as_index=False)["n"].sum()
-        isd = g["token"].to_numpy() == DELTA
-        dsum = int(g.loc[isd, "n"].sum())
-        g = g.loc[~isd].sort_values(["n", "token"],
-                                    ascending=[False, True]).head(k)
+        isd = df["is_delta"].to_numpy(np.int8) == 1
+        dsum = int(df.loc[isd, "n"].sum())
+        g = df.loc[~isd].groupby("token", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(k)
         return pa.table({
-            "token": pa.array(np.r_[g["token"].to_numpy(object), [DELTA]],
+            "token": pa.array(np.r_[g["token"].to_numpy(object), [""]],
                               pa.string()),
             "n": pa.array(np.r_[g["n"].to_numpy(np.int64),
                                 [dsum]].astype(np.int64), pa.int64()),
+            "is_delta": pa.array(np.r_[np.zeros(len(g), np.int8), [1]]
+                                 .astype(np.int8), pa.int8()),
         })
 
     cand = bucketed_group_map(parts, "token", bucket_topk, num_buckets=8) \
         .to_pandas()  # <= (k+1) x buckets rows
-    isd = cand["token"].to_numpy() == DELTA
+    isd = cand["is_delta"].to_numpy(np.int8) == 1
     max_err = int(cand.loc[isd, "n"].sum())
     top = cand.loc[~isd].sort_values(["n", "token"],
                                      ascending=[False, True]).head(k)

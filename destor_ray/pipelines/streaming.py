@@ -1542,8 +1542,6 @@ def events_recent_stats(sf_dir: str, cutoff: str = "2001-06-01"):
     def partial(batch: pa.Table) -> pa.Table:
         vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
                         * 1_000_000).astype(np.int64)
-        # belt-and-suspenders: the filter expression already pruned,
-        # rows here all satisfy it (asserted cheaply, vectorized)
         return pa.table({
             "event_type": batch["event_type"],
             "vmic": pa.array(vmic, pa.int64())})

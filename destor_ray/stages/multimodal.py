@@ -170,9 +170,6 @@ class ImageDecodeQuarantine:
     truncated/garbage files and the quarantine slice is queryable
     afterwards. Schema out: (image_id, status, err, w, h)."""
 
-    def __init__(self, out_size: int = 16):
-        self.out_size = out_size
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, status, err, ws, hs = [], [], [], [], []
         for img_id, data in zip(batch["image_id"].to_pylist(),
