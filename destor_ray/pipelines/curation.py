@@ -554,6 +554,106 @@ def training_mix_sample(sf_dir: str, target: int = 200, mod: int = 4):
                               num_buckets=16)
 
 
+def _keep_best_order_starts(fp, doc, nch):
+    """Winner-pick kernel shared by keep_best_dedup and the capstone
+    pipeline: sort (fp asc, n_chars desc, doc_id asc); the first row of
+    each fp group is the kept champion. Returns (order, starts)."""
+    order = np.lexsort((doc, -nch, fp))
+    fp_s = fp[order]
+    first = np.empty(len(fp_s), dtype=bool)
+    first[0] = True
+    first[1:] = fp_s[1:] != fp_s[:-1]
+    return order, np.flatnonzero(first)
+
+
+def _lang_length_cutoffs(sf_dir: str, pct: float) -> dict:
+    """Per-language exact lower-quantile length cutoffs via the
+    value-count profile pass (shared by quality_percentile_filter and
+    the capstone pipeline): |langs|·|distinct lengths| rows reach the
+    driver, nothing else."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["lang", "n_chars"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "lang": batch["lang"].to_numpy(zero_copy_only=False),
+            "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
+            "n_chars": pa.array(g["n_chars"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
+
+    vc = ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby(["lang", "n_chars"]).aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    thr: dict = {}
+    for lang, g in vc.groupby("lang"):
+        g = g.sort_values("n_chars")
+        cum = g["n"].cumsum().to_numpy()
+        rank = int(np.ceil(pct * int(cum[-1])))  # 1-indexed target rank
+        thr[lang] = int(g["n_chars"].to_numpy()[np.searchsorted(cum, rank)])
+    return thr
+
+
+def _pack_partials_fn(off_ref, seq_len: int, restrict: bool):
+    """Sequence-packing partials kernel shared by sequence_pack and the
+    capstone pipeline: tokens of each (kept) doc map arithmetically to
+    sequence ids from the broadcast per-doc offsets; emits one
+    (seq_id, doc_id, n) partial per (sequence, doc) per batch. With
+    `restrict`, docs absent from the offsets table are dropped (the
+    capstone packs only dedup survivors)."""
+    import ray as _ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        doc_keys, starts = _ray.get(off_ref)
+        docs_all = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(doc_keys, docs_all)
+        if restrict:
+            pos[pos >= len(doc_keys)] = 0
+            hit = doc_keys[pos] == docs_all if len(doc_keys) else \
+                np.zeros(len(docs_all), bool)
+            batch = batch.filter(pa.array(hit))
+            pos = pos[hit]
+        toks = pc.split_pattern(batch["text"], " ")
+        n = pc.list_value_length(toks).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+        st = starts[pos]
+        total = int(n.sum())
+        if total == 0:
+            return pa.table({"seq_id": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        doc_rep = np.repeat(np.arange(len(docs)), n)
+        first = np.concatenate(([0], np.cumsum(n)[:-1]))
+        within = np.arange(total) - np.repeat(first, n)
+        gp = np.repeat(st, n) + within
+        seq = gp // seq_len
+        comp = seq * (1 << 22) + doc_rep  # docs-per-batch < 2^22
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "seq_id": pa.array(uniq >> 22, pa.int64()),
+            "doc_id": pa.array(docs[(uniq & ((1 << 22) - 1))], pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    return partials
+
+
+def _reduce_seq(df) -> pa.Table:
+    """Shared per-sequence reducer: token sum + distinct-doc count."""
+    g = df.groupby("seq_id").agg(
+        n_tokens=("n", "sum"), n_docs=("doc_id", "nunique")).reset_index()
+    return pa.table({
+        "seq_id": pa.array(g["seq_id"].to_numpy(np.int64), pa.int64()),
+        "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64), pa.int64()),
+        "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
+    })
+
+
 def keep_best_dedup(sf_dir: str, k: int = 4):
     """(doc_id, n_dups) for every KEPT document — dedup with a
     keep-BEST policy: docs sharing a content-prefix fingerprint (first
@@ -588,14 +688,8 @@ def keep_best_dedup(sf_dir: str, k: int = 4):
         if not len(fp):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_dups": pa.array([], pa.int64())})
-        # winner = first row in (fp asc, n_chars desc, doc_id asc) order
-        order = np.lexsort((doc, -nch, fp))
-        fp_s = fp[order]
-        first = np.empty(len(fp_s), dtype=bool)
-        first[0] = True
-        first[1:] = fp_s[1:] != fp_s[:-1]
-        starts = np.flatnonzero(first)
-        counts = np.diff(np.r_[starts, len(fp_s)])
+        order, starts = _keep_best_order_starts(fp, doc, nch)
+        counts = np.diff(np.r_[starts, len(fp)])
         return pa.table({
             "doc_id": pa.array(doc[order][starts], pa.int64()),
             "n_dups": pa.array(counts.astype(np.int64), pa.int64()),
@@ -617,33 +711,10 @@ def quality_percentile_filter(sf_dir: str, pct: float = 0.75):
     lower-quantile cutoff (the column_quantiles rule); (2) the cutoff
     dict broadcasts via ray.put and the filter is map-only — document
     text never shuffles anywhere."""
-    import pandas as pd
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     ds = _read_documents(sf_dir).select_columns(["doc_id", "lang", "n_chars"])
-
-    def counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "lang": batch["lang"].to_numpy(zero_copy_only=False),
-            "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False)})
-        g = df.groupby(["lang", "n_chars"], as_index=False).size()
-        return pa.table({
-            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
-            "n_chars": pa.array(g["n_chars"].to_numpy(np.int64), pa.int64()),
-            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
-
-    vc = ds.map_batches(counts, batch_format="pyarrow") \
-        .groupby(["lang", "n_chars"]).aggregate(Sum("n", alias_name="n")) \
-        .to_pandas()  # |langs| x |distinct lengths| rows — tiny
-    thr: dict[str, int] = {}
-    for lang, g in vc.groupby("lang"):
-        g = g.sort_values("n_chars")
-        cum = g["n"].cumsum().to_numpy()
-        total = int(cum[-1])
-        rank = int(np.ceil(pct * total))  # 1-indexed target rank
-        thr[lang] = int(g["n_chars"].to_numpy()[np.searchsorted(cum, rank)])
-    thr_ref = _ray.put(thr)
+    thr_ref = _ray.put(_lang_length_cutoffs(sf_dir, pct))
 
     def keep(batch: pa.Table) -> pa.Table:
         t = _ray.get(thr_ref)
@@ -676,7 +747,6 @@ def sequence_pack(sf_dir: str, seq_len: int = 128):
     either way). Pass 2 is map-only: each doc knows its offset, so its
     tokens' sequence ids are arithmetic, and per-(seq, doc) partials
     make the final seq-keyed exchange output-bounded."""
-    import pandas as pd
     import ray as _ray
 
     from ..stages.grouped import bucketed_group_map
@@ -695,46 +765,9 @@ def sequence_pack(sf_dir: str, seq_len: int = 128):
     start[1:] = np.cumsum(counts["n_toks"].to_numpy(np.int64))[:-1]
     off_ref = _ray.put((counts["doc_id"].to_numpy(np.int64), start))
 
-    def partials(batch: pa.Table) -> pa.Table:
-        doc_keys, starts = _ray.get(off_ref)
-        toks = pc.split_pattern(batch["text"], " ")
-        n = pc.list_value_length(toks).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(doc_keys, docs)
-        st = starts[pos]
-        total = int(n.sum())
-        if total == 0:
-            return pa.table({"seq_id": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        doc_rep = np.repeat(np.arange(len(docs)), n)
-        first = np.concatenate(([0], np.cumsum(n)[:-1]))
-        within = np.arange(total) - np.repeat(first, n)
-        gp = np.repeat(st, n) + within
-        seq = gp // seq_len
-        comp = seq * (1 << 22) + doc_rep  # docs-per-batch < 2^22
-        uniq, cnt = np.unique(comp, return_counts=True)
-        return pa.table({
-            "seq_id": pa.array(uniq >> 22, pa.int64()),
-            "doc_id": pa.array(docs[(uniq & ((1 << 22) - 1))], pa.int64()),
-            "n": pa.array(cnt.astype(np.int64), pa.int64()),
-        })
-
-    rows = ds.map_batches(partials, batch_format="pyarrow")
-
-    def reduce_seq(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("seq_id").agg(
-            n_tokens=("n", "sum"), n_docs=("doc_id", "nunique")) \
-            .reset_index()
-        return pa.table({
-            "seq_id": pa.array(g["seq_id"].to_numpy(np.int64), pa.int64()),
-            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64),
-                                 pa.int64()),
-            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64()),
-        })
-
-    return bucketed_group_map(rows, "seq_id", reduce_seq, num_buckets=8)
+    rows = ds.map_batches(_pack_partials_fn(off_ref, seq_len, False),
+                          batch_format="pyarrow")
+    return bucketed_group_map(rows, "seq_id", _reduce_seq, num_buckets=8)
 
 
 def pretraining_pipeline(sf_dir: str, pct: float = 0.5, fp_k: int = 4,
@@ -757,34 +790,14 @@ def pretraining_pipeline(sf_dir: str, pct: float = 0.5, fp_k: int = 4,
     path (see sequence_pack)."""
     import pandas as pd
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     from ..stages.grouped import bucketed_group_map
 
     ds = _read_documents(sf_dir).select_columns(
         ["doc_id", "lang", "text", "n_chars"])
 
-    # ---- stage 1: per-lang quantile cutoffs (profile pass) ----
-    def counts(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "lang": batch["lang"].to_numpy(zero_copy_only=False),
-            "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False)})
-        g = df.groupby(["lang", "n_chars"], as_index=False).size()
-        return pa.table({
-            "lang": pa.array(g["lang"].to_numpy(object), pa.string()),
-            "n_chars": pa.array(g["n_chars"].to_numpy(np.int64), pa.int64()),
-            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64())})
-
-    vc = ds.map_batches(counts, batch_format="pyarrow") \
-        .groupby(["lang", "n_chars"]).aggregate(Sum("n", alias_name="n")) \
-        .to_pandas()
-    thr: dict[str, int] = {}
-    for lang, g in vc.groupby("lang"):
-        g = g.sort_values("n_chars")
-        cum = g["n"].cumsum().to_numpy()
-        rank = int(np.ceil(pct * int(cum[-1])))
-        thr[lang] = int(g["n_chars"].to_numpy()[np.searchsorted(cum, rank)])
-    thr_ref = _ray.put(thr)
+    # ---- stage 1: per-lang quantile cutoffs (shared profile kernel) ----
+    thr_ref = _ray.put(_lang_length_cutoffs(sf_dir, pct))
 
     # ---- stage 2: filter + fingerprint (map-only) → keep-best ----
     def fp_rows(batch: pa.Table) -> pa.Table:
@@ -812,10 +825,7 @@ def pretraining_pipeline(sf_dir: str, pct: float = 0.5, fp_k: int = 4,
         if not len(fp):
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_toks": pa.array([], pa.int64())})
-        order = np.lexsort((doc, -nch, fp))
-        fp_s = fp[order]
-        first = np.r_[True, fp_s[1:] != fp_s[:-1]]
-        starts = np.flatnonzero(first)
+        order, starts = _keep_best_order_starts(fp, doc, nch)
         return pa.table({
             "doc_id": pa.array(doc[order][starts], pa.int64()),
             "n_toks": pa.array(ntk[order][starts], pa.int64())})
@@ -828,47 +838,7 @@ def pretraining_pipeline(sf_dir: str, pct: float = 0.5, fp_k: int = 4,
     start[1:] = np.cumsum(kept["n_toks"].to_numpy(np.int64))[:-1]
     off_ref = _ray.put((kept["doc_id"].to_numpy(np.int64), start))
 
-    def partials(batch: pa.Table) -> pa.Table:
-        doc_keys, starts_ = _ray.get(off_ref)
-        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(doc_keys, docs)
-        pos[pos >= len(doc_keys)] = 0
-        hit = doc_keys[pos] == docs if len(doc_keys) else \
-            np.zeros(len(docs), bool)
-        sub = batch.filter(pa.array(hit))
-        toks = pc.split_pattern(sub["text"], " ")
-        n = pc.list_value_length(toks).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        st = starts_[pos[hit]]
-        total = int(n.sum())
-        if total == 0:
-            return pa.table({"seq_id": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        docs_k = sub["doc_id"].to_numpy(zero_copy_only=False)
-        doc_rep = np.repeat(np.arange(len(docs_k)), n)
-        first = np.concatenate(([0], np.cumsum(n)[:-1]))
-        within = np.arange(total) - np.repeat(first, n)
-        gp = np.repeat(st, n) + within
-        seq = gp // seq_len
-        comp = seq * (1 << 22) + doc_rep
-        uniq, cnt = np.unique(comp, return_counts=True)
-        return pa.table({
-            "seq_id": pa.array(uniq >> 22, pa.int64()),
-            "doc_id": pa.array(docs_k[(uniq & ((1 << 22) - 1))], pa.int64()),
-            "n": pa.array(cnt.astype(np.int64), pa.int64())})
-
     packed = ds.select_columns(["doc_id", "text"]) \
-        .map_batches(partials, batch_format="pyarrow")
-
-    def reduce_seq(df: pd.DataFrame) -> pa.Table:
-        g = df.groupby("seq_id").agg(
-            n_tokens=("n", "sum"), n_docs=("doc_id", "nunique")) \
-            .reset_index()
-        return pa.table({
-            "seq_id": pa.array(g["seq_id"].to_numpy(np.int64), pa.int64()),
-            "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64),
-                                 pa.int64()),
-            "n_docs": pa.array(g["n_docs"].to_numpy(np.int64), pa.int64())})
-
-    return bucketed_group_map(packed, "seq_id", reduce_seq, num_buckets=8)
+        .map_batches(_pack_partials_fn(off_ref, seq_len, True),
+                     batch_format="pyarrow")
+    return bucketed_group_map(packed, "seq_id", _reduce_seq, num_buckets=8)
