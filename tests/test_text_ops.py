@@ -608,3 +608,14 @@ def test_ivfpq_topk_recall(ray_session):
     got = em.queries()["ivfpq_topk"](SF).to_pandas()
     overlap = len(set(brute.vec_id) & set(got.vec_id))
     assert overlap >= 6, overlap
+
+
+def test_zorder_tiles_bound_both_dimensions(ray_session):
+    """The docstring's falsifiable claim: every Z-order tile covers a
+    compact 16x16 rectangle, so BOTH distinct-user and distinct-hour
+    counts are <= 16 per tile."""
+    import __ray_entry__ as em
+    out = em.queries()["zorder_layout_stats"](SF).to_pandas()
+    assert (out["n_users"] <= 16).all()
+    assert (out["n_hours"] <= 16).all()
+    assert out["n"].sum() > 0
