@@ -162,6 +162,11 @@ queries() entries map to SURVEY.md §2 operators:
   source_length_gini   per-source Gini inequality coefficient as an
                        exact int64 rational over value-count profiles
                        (oracle)
+  q17_small_quantity_revenue TPC-H Q17 per-group correlated scalar:
+                       each row vs ITS part's average via exact
+                       cross-multiplication, one partkey exchange (oracle)
+  q15_top_supplier     TPC-H Q15 global argmax WITH TIES (view →
+                       max → equality filter) (oracle)
   q4_order_priority_check TPC-H Q4 EXISTS semi-join (late-lineitem
                        adaptation), vectorized in-bucket EXISTS (oracle)
   q14_promo_revenue_share TPC-H Q14 broadcast part map + conditional
@@ -822,6 +827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_orders": relational.q18_large_volume_orders,
         "q22_global_sales_opportunity":
             relational.q22_global_sales_opportunity,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q15_top_supplier": relational.q15_top_supplier,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -2166,6 +2173,34 @@ def oracle_sql() -> dict[str, str]:
                    low_micro, close_micro
             FROM a JOIN o USING (user_id, hour_id)
                    JOIN c USING (user_id, hour_id)
+        """,
+        "q17_small_quantity_revenue": """
+            WITH a AS (
+                SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS qs,
+                       count(*) AS n
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CAST(round(l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS sum_price_cents
+            FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+            WHERE 5 * CAST(l_quantity AS BIGINT) * n < qs
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS HUGEINT))) AS BIGINT)
+                           AS revenue_scaled
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT l_suppkey, revenue_scaled FROM r
+            WHERE revenue_scaled = (SELECT max(revenue_scaled) FROM r)
         """,
         "q4_order_priority_check": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count

@@ -1626,3 +1626,137 @@ def q22_global_sales_opportunity(sf_dir: str):
             "sum_acctbal_cents": pc.cast(b["sum_acctbal_cents"],
                                          pa.int64())}),
         batch_format="pyarrow")
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """(n_rows, sum_price_cents) — TPC-H Q17 shape: lineitems whose
+    quantity is below 20% of their PART's average quantity (the
+    per-group correlated scalar subquery — each row compares against
+    ITS OWN group's aggregate, vs Q22's single global scalar). One
+    partkey exchange: per-batch (partkey, qty-sum, n) partials meet
+    full lineitem rows; the in-bucket compare is the exact integer
+    cross-multiplication 5·qty·n < Σqty (no division, no float), and
+    only the tiny global (count, cents) pair leaves each bucket."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["l_partkey"].cast(pa.int64()),
+            "qty": pa.array(qty, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "cnt": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_row": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(pk, kind="stable")
+        pk_s, q_s = pk[order], qty[order]
+        first = np.r_[True, pk_s[1:] != pk_s[:-1]] if len(pk_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        qsum = np.add.reduceat(q_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        cnt = np.diff(np.append(starts, len(pk_s))).astype(np.int64)
+        n = len(starts)
+        return pa.table({
+            "key": pa.array(pk_s[starts] if n else np.array([], np.int64),
+                            pa.int64()),
+            "qty": pa.array(qsum, pa.int64()),
+            "cents": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "is_row": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged = lineitem.map_batches(li_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def threshold(df: pd.DataFrame) -> pa.Table:
+        isr = df["is_row"].to_numpy(np.int8) == 1
+        agg = df.loc[~isr].groupby("key", as_index=False) \
+            .agg(qs=("qty", "sum"), n=("cnt", "sum"))
+        rows = df.loc[isr, ["key", "qty", "cents"]]
+        j = rows.merge(agg, on="key", how="inner")
+        # qty < 0.2 * (qs / n)  ⇔  5·qty·n < qs  (exact integers)
+        sel = 5 * j["qty"].to_numpy(np.int64) * j["n"].to_numpy(np.int64) \
+            < j["qs"].to_numpy(np.int64)
+        return pa.table({
+            "n_rows": pa.array([int(sel.sum())], pa.int64()),
+            "cents": pa.array([int(j["cents"].to_numpy(np.int64)[sel]
+                                   .sum())], pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged, "key", threshold, num_buckets=16)
+    out = part.aggregate(Sum("n_rows", alias_name="n_rows"),
+                         Sum("cents", alias_name="sum_price_cents"))
+    return pd.DataFrame({
+        "n_rows": [np.int64(out["n_rows"])],
+        "sum_price_cents": [np.int64(out["sum_price_cents"])],
+    })
+
+
+def q15_top_supplier(sf_dir: str, date_from: str = "1996-01-01",
+                     date_to: str = "1996-04-01"):
+    """(l_suppkey, revenue_scaled) — TPC-H Q15: the supplier(s) with
+    MAXIMUM revenue in a window — global argmax WITH TIES (the
+    view-then-filter-equal-max shape, distinct from LIMIT-k top-k):
+    per-supplier revenue partials reduce through one suppkey groupby,
+    the global max is one tiny aggregate, and the equality filter is
+    map-only over the (supplier-cardinality) revenue table."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Max, Sum
+
+    lo = np.datetime64(date_from, "us")
+    hi = np.datetime64(date_to, "us")
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        order = np.argsort(sk, kind="stable")
+        sk_s, rev_s = sk[order], rev[order]
+        first = np.r_[True, sk_s[1:] != sk_s[:-1]] if len(sk_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        psum = np.add.reduceat(rev_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        return pa.table({
+            "l_suppkey": pa.array(sk_s[starts] if len(starts) else
+                                  np.array([], np.int64), pa.int64()),
+            "rev": pa.array(psum, pa.int64()),
+        })
+
+    rev = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("rev", alias_name="rev")) \
+        .materialize()  # supplier-cardinality table, consumed twice
+    mx = int(rev.aggregate(Max("rev", alias_name="m"))["m"])
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch["rev"], mx)
+        return pa.table({
+            "l_suppkey": batch["l_suppkey"].filter(m).cast(pa.int64()),
+            "revenue_scaled": pc.cast(batch["rev"].filter(m), pa.int64()),
+        })
+
+    return rev.map_batches(keep_max, batch_format="pyarrow")

@@ -82,6 +82,7 @@ def _check(name, con, ray_session):
     "event_transitions", "zorder_layout_stats",
     "events_incremental_stats", "pretraining_pipeline",
     "doc_feature_hashing", "partitioned_write_readback",
+    "q17_small_quantity_revenue", "q15_top_supplier",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
