@@ -162,6 +162,11 @@ queries() entries map to SURVEY.md §2 operators:
   source_length_gini   per-source Gini inequality coefficient as an
                        exact int64 rational over value-count profiles
                        (oracle)
+  q9_product_profit    TPC-H Q9 two-dimension group key assembled from
+                       two different joins (supplier nation × order
+                       year), one orderkey exchange (oracle)
+  q19_disjunctive_revenue TPC-H Q19 OR-of-conjunctions predicate across
+                       both join sides, map-only broadcast eval (oracle)
   q17_small_quantity_revenue TPC-H Q17 per-group correlated scalar:
                        each row vs ITS part's average via exact
                        cross-multiplication, one partkey exchange (oracle)
@@ -829,6 +834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.q22_global_sales_opportunity,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q15_top_supplier": relational.q15_top_supplier,
+        "q9_product_profit": relational.q9_product_profit,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -2173,6 +2180,32 @@ def oracle_sql() -> dict[str, str]:
                    low_micro, close_micro
             FROM a JOIN o USING (user_id, hour_id)
                    JOIN c USING (user_id, hour_id)
+        """,
+        "q9_product_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS HUGEINT))) AS BIGINT)
+                       AS profit_scaled
+            FROM lineitem, orders, supplier, nation
+            WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(coalesce(sum(CAST(round(l_extendedprice * 100)
+                                          AS HUGEINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS HUGEINT))), 0) AS BIGINT)
+                       AS revenue_scaled
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND ((p_brand = 'Brand#1' AND p_size <= 10
+                    AND l_quantity < 20)
+                   OR (p_brand = 'Brand#2' AND p_size <= 25
+                       AND l_quantity < 30))
         """,
         "q17_small_quantity_revenue": """
             WITH a AS (

@@ -1760,3 +1760,157 @@ def q15_top_supplier(sf_dir: str, date_from: str = "1996-01-01",
         })
 
     return rev.map_batches(keep_max, batch_format="pyarrow")
+
+
+def q9_product_profit(sf_dir: str):
+    """(n_name, o_year, profit_scaled) — TPC-H Q9 shape: profit
+    (revenue, cost terms absent from the driver schema) grouped by the
+    SUPPLIER's nation and the ORDER's year — a group key assembled
+    from two different joined dimensions. supplier→nation broadcasts
+    (the Q5 map); the order year reaches lineitem partials through ONE
+    orderkey tag-and-union; the final aggregate is
+    |nations|·|years|-sized."""
+    import pyarrow.parquet as pq_
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    nat_names = {int(k): n for k, n in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}
+    supp = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    order_ = np.argsort(sk)
+    supp_ref = _ray.put((sk[order_],
+                         supp["s_nationkey"].to_numpy()[order_]
+                         .astype(np.int64)))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        year = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["o_orderkey"].cast(pa.int64()),
+            "grp": pa.array(year, pa.int64()),   # year on order rows
+            "rev": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_ord": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        skeys, snats = _ray.get(supp_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        p = np.searchsorted(skeys, lsk)
+        p[p >= len(skeys)] = 0
+        nat_ = snats[p]
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        comp = okey * 32 + nat_
+        order2 = np.argsort(comp, kind="stable")
+        c_s, r_s = comp[order2], rev[order2]
+        first = np.r_[True, c_s[1:] != c_s[:-1]] if len(c_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        psum = np.add.reduceat(r_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        ck = c_s[starts] if len(starts) else np.array([], np.int64)
+        return pa.table({
+            "key": pa.array(ck // 32, pa.int64()),
+            "grp": pa.array(ck % 32, pa.int64()),  # nation on li rows
+            "rev": pa.array(psum, pa.int64()),
+            "is_ord": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def join_year(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "grp"]].drop_duplicates("key") \
+            .rename(columns={"grp": "year"})
+        li = df.loc[~iso, ["key", "grp", "rev"]] \
+            .rename(columns={"grp": "nat"})
+        j = li.merge(o, on="key", how="inner")
+        g = j.groupby(["nat", "year"], as_index=False)["rev"].sum()
+        return pa.table({
+            "nat": pa.array(g["nat"].to_numpy(np.int64), pa.int64()),
+            "year": pa.array(g["year"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged, "key", join_year, num_buckets=16) \
+        .to_pandas()
+    g = part.groupby(["nat", "year"], as_index=False)["rev"].sum()
+    return pd.DataFrame({
+        "n_name": [nat_names[int(k)] for k in g["nat"]],
+        "o_year": g["year"].to_numpy(np.int64),
+        "profit_scaled": g["rev"].to_numpy(np.int64),
+    })
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """(n_rows, revenue_scaled) — TPC-H Q19 shape: revenue under an
+    OR-of-conjunctions predicate spanning BOTH sides of a broadcast
+    join ((brand, size) from part × quantity from lineitem): the
+    disjunctive multi-clause filter that defeats simple pushdown —
+    each clause is evaluated vectorized against the broadcast part
+    attributes inside the map, no shuffle at all."""
+    import pyarrow.parquet as pq_
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    part = pq_.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    order_ = np.argsort(pk)
+    brands = part["p_brand"].to_numpy(zero_copy_only=False)[order_]
+    sizes = part["p_size"].to_numpy()[order_].astype(np.int64)
+    pref = _ray.put((pk[order_], brands, sizes))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys, br, sz = _ray.get(pref)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        p = np.searchsorted(keys, lpk)
+        p[p >= len(keys)] = 0
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = br[p]
+        s = sz[p]
+        clause1 = (b == "Brand#1") & (s <= 10) & (qty < 20)
+        clause2 = (b == "Brand#2") & (s <= 25) & (qty < 30)
+        sel = clause1 | clause2
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        return pa.table({
+            "n": pa.array([int(sel.sum())], pa.int64()),
+            "r": pa.array([int(rev[sel].sum())], pa.int64()),
+        })
+
+    out = ds.map_batches(partials, batch_format="pyarrow") \
+        .aggregate(Sum("n", alias_name="n_rows"),
+                   Sum("r", alias_name="revenue_scaled"))
+    return pd.DataFrame({
+        "n_rows": [np.int64(out["n_rows"])],
+        "revenue_scaled": [np.int64(out["revenue_scaled"])],
+    })
