@@ -1150,7 +1150,26 @@ def jaccard_join_ppjoin(sf_dir: str, threshold: float = 0.5, k: int = 5,
                          "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
                          "n": pa.array(np.concatenate(out_n), pa.int64())})
 
-    prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow")
+    prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow") \
+        .materialize()  # consumed by the volume pre-pass AND the join
+
+    # applicability pre-pass: Σ c·(c-1)/2 over per-shingle posting
+    # counts estimates the candidate volume from a distinct-shingle-
+    # sized aggregate — a clean driver-side refusal BEFORE any pair
+    # expansion launches (an in-task raise would be retried by Ray)
+    from ray.data.aggregate import Count
+    pc_counts = prefixes.groupby("s").aggregate(Count(alias_name="c"))
+    est = 0
+    for b in pc_counts.iter_batches(batch_format="pyarrow"):
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        est += int((c * (c - 1) // 2).sum())
+        if est > max_driver_pairs:
+            raise ValueError(
+                f"~{est}+ candidate pairs exceed max_driver_pairs="
+                f"{max_driver_pairs}: the corpus shares too much "
+                "vocabulary for an exact all-pairs join — use "
+                "minhash_lsh_oph / ngram_jaccard_pairs (LSH candidates) "
+                "or raise the threshold")
 
     def candidate_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.drop_duplicates(["s", "doc_id"]).sort_values(
@@ -1164,6 +1183,20 @@ def jaccard_join_ppjoin(sf_dir: str, threshold: float = 0.5, k: int = 5,
                           "right_id": pa.array([], pa.int64())})
         if not coll.any():
             return empty
+        # trip the applicability guard BEFORE expanding: Σ c·(c-1)/2 per
+        # bucket estimates the pair volume; a shared-vocabulary corpus
+        # (every doc collides with every doc on common prefixes) makes
+        # an exact all-pairs join mis-posed — refuse fast and point at
+        # the LSH path instead of grinding toward the driver-side cap
+        est = int((counts[coll].astype(np.int64)
+                   * (counts[coll].astype(np.int64) - 1) // 2).sum())
+        if est > max_driver_pairs:
+            raise ValueError(
+                f"~{est} candidate pairs in one posting bucket exceed "
+                f"max_driver_pairs={max_driver_pairs}: the corpus shares "
+                "too much vocabulary for an exact all-pairs join — use "
+                "minhash_lsh_oph / ngram_jaccard_pairs (LSH candidates) "
+                "or raise the threshold")
         li_p, ri_p = [], []
         starts_c, counts_c = starts[coll], counts[coll]
         for csz in np.unique(counts_c):
