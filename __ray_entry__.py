@@ -162,6 +162,9 @@ queries() entries map to SURVEY.md §2 operators:
   source_length_gini   per-source Gini inequality coefficient as an
                        exact int64 rational over value-count profiles
                        (oracle)
+  q7_nation_volume     TPC-H Q7 nation-PAIR volume matrix: group key
+                       spans both join sides (customer × supplier
+                       nations), |nations|²-sized aggregate (oracle)
   q9_product_profit    TPC-H Q9 two-dimension group key assembled from
                        two different joins (supplier nation × order
                        year), one orderkey exchange (oracle)
@@ -835,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q15_top_supplier": relational.q15_top_supplier,
         "q9_product_profit": relational.q9_product_profit,
+        "q7_nation_volume": relational.q7_nation_volume,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
@@ -2180,6 +2184,23 @@ def oracle_sql() -> dict[str, str]:
                    low_micro, close_micro
             FROM a JOIN o USING (user_id, hour_id)
                    JOIN c USING (user_id, hour_id)
+        """,
+        "q7_nation_volume": """
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS HUGEINT))) AS BIGINT)
+                       AS revenue_scaled
+            FROM customer, orders, lineitem, supplier,
+                 nation cn, nation sn
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = cn.n_nationkey
+              AND s_nationkey = sn.n_nationkey
+              AND cn.n_nationkey != sn.n_nationkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
         """,
         "q9_product_profit": """
             SELECT n_name,

@@ -1914,3 +1914,137 @@ def q19_disjunctive_revenue(sf_dir: str):
         "n_rows": [np.int64(out["n_rows"])],
         "revenue_scaled": [np.int64(out["revenue_scaled"])],
     })
+
+
+def q7_nation_volume(sf_dir: str, date_from: str = "1996-01-01",
+                     date_to: str = "1997-01-01"):
+    """(cust_nation, supp_nation, revenue_scaled) — TPC-H Q7 shape:
+    shipping volume grouped by the PAIR (customer nation, supplier
+    nation), cust_nation != supp_nation — the group key spans both
+    sides of the order⋈lineitem join (Q5 filters the pair to equality;
+    this keeps the full cross matrix). Same two-exchange plan as Q5
+    with the in-bucket equality filter replaced by pair grouping; the
+    final aggregate is |nations|²-sized."""
+    import pyarrow.parquet as pq_
+    import ray as _ray
+
+    from ..stages.grouped import bucketed_group_map
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    nat_names = {int(k): n for k, n in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}
+    supp = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    order_ = np.argsort(sk)
+    supp_ref = _ray.put((sk[order_],
+                         supp["s_nationkey"].to_numpy()[order_]
+                         .astype(np.int64)))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["c_custkey"].cast(pa.int64()),
+            "nat": pc.cast(batch["c_nationkey"], pa.int64()),
+            "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = (od >= lo) & (od < hi)
+        msk = pa.array(sel)
+        n = int(sel.sum())
+        return pa.table({
+            "key": batch["o_custkey"].filter(msk),
+            "nat": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "okey": batch["o_orderkey"].filter(msk),
+            "is_cust": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged1 = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+
+    def join_cust(df: pd.DataFrame) -> pa.Table:
+        isc = df["is_cust"].to_numpy(np.int8) == 1
+        c = df.loc[isc, ["key", "nat"]].drop_duplicates("key")
+        o = df.loc[~isc, ["key", "okey"]]
+        j = o.merge(c, on="key", how="inner")
+        return pa.table({
+            "key": pa.array(j["okey"].to_numpy(np.int64), pa.int64()),
+            "nat": pa.array(j["nat"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(np.zeros(len(j), np.int64), pa.int64()),
+            "is_ord": pa.array(np.ones(len(j), np.int8), pa.int8()),
+        })
+
+    ord_nat = bucketed_group_map(tagged1, "key", join_cust, num_buckets=16)
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        skeys, snats = _ray.get(supp_ref)
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        p = np.searchsorted(skeys, lsk)
+        p[p >= len(skeys)] = 0
+        s_nat = snats[p]
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        comp = okey * 32 + s_nat
+        order2 = np.argsort(comp, kind="stable")
+        c_s, r_s = comp[order2], rev[order2]
+        first = np.r_[True, c_s[1:] != c_s[:-1]] if len(c_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        psum = np.add.reduceat(r_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        ck = c_s[starts] if len(starts) else np.array([], np.int64)
+        return pa.table({
+            "key": pa.array(ck // 32, pa.int64()),
+            "nat": pa.array(ck % 32, pa.int64()),
+            "rev": pa.array(psum, pa.int64()),
+            "is_ord": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+        })
+
+    tagged2 = ord_nat.union(
+        lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def join_pair(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "nat"]].drop_duplicates("key") \
+            .rename(columns={"nat": "c_nat"})
+        li = df.loc[~iso, ["key", "nat", "rev"]] \
+            .rename(columns={"nat": "s_nat"})
+        j = li.merge(o, on="key", how="inner")
+        j = j.loc[j["c_nat"].to_numpy() != j["s_nat"].to_numpy()]
+        g = j.groupby(["c_nat", "s_nat"], as_index=False)["rev"].sum()
+        return pa.table({
+            "c_nat": pa.array(g["c_nat"].to_numpy(np.int64), pa.int64()),
+            "s_nat": pa.array(g["s_nat"].to_numpy(np.int64), pa.int64()),
+            "rev": pa.array(g["rev"].to_numpy(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged2, "key", join_pair, num_buckets=16) \
+        .to_pandas()  # <= buckets x nations² rows
+    g = part.groupby(["c_nat", "s_nat"], as_index=False)["rev"].sum()
+    return pd.DataFrame({
+        "cust_nation": [nat_names[int(k)] for k in g["c_nat"]],
+        "supp_nation": [nat_names[int(k)] for k in g["s_nat"]],
+        "revenue_scaled": g["rev"].to_numpy(np.int64),
+    })

@@ -83,7 +83,7 @@ def _check(name, con, ray_session):
     "events_incremental_stats", "pretraining_pipeline",
     "doc_feature_hashing", "partitioned_write_readback",
     "q17_small_quantity_revenue", "q15_top_supplier",
-    "q9_product_profit", "q19_disjunctive_revenue",
+    "q9_product_profit", "q19_disjunctive_revenue", "q7_nation_volume",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
