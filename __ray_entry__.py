@@ -170,6 +170,16 @@ queries() entries map to SURVEY.md §2 operators:
                        year), one orderkey exchange (oracle)
   q19_disjunctive_revenue TPC-H Q19 OR-of-conjunctions predicate across
                        both join sides, map-only broadcast eval (oracle)
+  q8_market_share      TPC-H Q8 national market share as an exact
+                       (numerator, denominator) int64 pair per order
+                       year: three broadcast dimensions + the Q5/Q7
+                       two-exchange plan (oracle)
+  q12_priority_by_linestatus TPC-H Q12 CASE-counted order priority
+                       grouped by a lineitem attribute, one orderkey
+                       exchange of per-(order, status) partials (oracle)
+  q21_waiting_suppliers TPC-H Q21 sole-late-supplier quantification
+                       (EXISTS peer / NOT EXISTS late peer) evaluated
+                       vectorized per order group (oracle)
   q17_small_quantity_revenue TPC-H Q17 per-group correlated scalar:
                        each row vs ITS part's average via exact
                        cross-multiplication, one partkey exchange (oracle)
@@ -840,6 +850,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_product_profit": relational.q9_product_profit,
         "q7_nation_volume": relational.q7_nation_volume,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q8_market_share": relational.q8_market_share,
+        "q12_priority_by_linestatus":
+            relational.q12_priority_by_linestatus,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -2201,6 +2215,73 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1, 2
+        """,
+        "q8_market_share": """
+            WITH base AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(round(l_discount * 100)
+                                     AS HUGEINT)) AS rev,
+                       sn.n_name AS s_nation
+                FROM part, lineitem, orders, customer,
+                     supplier, nation cn, nation sn, region
+                WHERE p_partkey = l_partkey
+                  AND l_orderkey = o_orderkey
+                  AND o_custkey = c_custkey
+                  AND c_nationkey = cn.n_nationkey
+                  AND cn.n_regionkey = r_regionkey
+                  AND r_name = 'AMERICA'
+                  AND l_suppkey = s_suppkey
+                  AND s_nationkey = sn.n_nationkey
+                  AND p_type = 'ECONOMY'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+            )
+            SELECT o_year,
+                   CAST(sum(CASE WHEN s_nation = 'NATION_6'
+                                 THEN rev ELSE 0 END) AS BIGINT)
+                       AS nation_revenue_scaled,
+                   CAST(sum(rev) AS BIGINT) AS total_revenue_scaled
+            FROM base GROUP BY 1
+        """,
+        "q12_priority_by_linestatus": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                      ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+        "q21_waiting_suppliers": """
+            WITH ls AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(l_shipdate) AS maxship
+                FROM lineitem GROUP BY 1, 2
+            ), j AS (
+                SELECT l_orderkey, l_suppkey,
+                       CASE WHEN maxship > o_orderdate
+                                 + INTERVAL 60 DAY
+                            THEN 1 ELSE 0 END AS late
+                FROM ls JOIN orders ON l_orderkey = o_orderkey
+                WHERE o_orderstatus = 'F'
+            ), per_order AS (
+                SELECT l_orderkey, count(*) AS nsupp,
+                       sum(late) AS nlate
+                FROM j GROUP BY 1
+            )
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM j JOIN per_order USING (l_orderkey)
+                   JOIN supplier ON l_suppkey = s_suppkey
+            WHERE late = 1 AND nsupp >= 2 AND nlate = 1
+            GROUP BY 1
         """,
         "q9_product_profit": """
             SELECT n_name,

@@ -2048,3 +2048,365 @@ def q7_nation_volume(sf_dir: str, date_from: str = "1996-01-01",
         "supp_nation": [nat_names[int(k)] for k in g["s_nat"]],
         "revenue_scaled": g["rev"].to_numpy(np.int64),
     })
+
+
+def q8_market_share(sf_dir: str, region: str = "AMERICA",
+                    nation: str = "NATION_6", p_type: str = "ECONOMY",
+                    date_from: str = "1995-01-01",
+                    date_to: str = "1997-01-01"):
+    """(o_year, nation_revenue_scaled, total_revenue_scaled) — TPC-H Q8
+    shape: the target nation's share of revenue per order year, over
+    ECONOMY-part lineitems sold to customers of one region. Nation's
+    classic Q8 plan needs part, supplier, customer, nation (twice),
+    region, orders and lineitem; here the three small dimensions ride
+    broadcasts (part membership set, supplier→is-target flag,
+    nation→region for the customer filter) and the two big tables meet
+    through the same two exchanges as Q5/Q7: custkey (orders pick up
+    the region-qualified customer) then orderkey (lineitem partials
+    pick up the order year). The share is emitted as the exact
+    (numerator, denominator) int64 pair — no float division crosses
+    the engine/oracle hash."""
+    import pyarrow.parquet as pq_
+    import ray as _ray
+
+    from ..stages.grouped import bucketed_group_map
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq_.read_table(f"{sf_dir}/region.parquet")
+    reg_key = {n: int(k) for k, n in zip(
+        reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())}[region]
+    nat_keys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    nat_region = np.full(int(nat_keys.max()) + 1, -1, np.int64)
+    nat_region[nat_keys] = nat["n_regionkey"].to_numpy().astype(np.int64)
+    target_nat = {n: int(k) for k, n in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}[nation]
+
+    part_t = pq_.read_table(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey", "p_type"])
+    sel_pk = part_t["p_partkey"].to_numpy()[
+        part_t["p_type"].to_numpy(zero_copy_only=False) == p_type]
+    supp = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy()
+    order_ = np.argsort(sk)
+    bcast = _ray.put((np.sort(sel_pk), sk[order_],
+                      supp["s_nationkey"].to_numpy()[order_]
+                      .astype(np.int64) == target_nat))
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = nat_region[cn] == reg_key
+        msk = pa.array(sel)
+        n = int(sel.sum())
+        return pa.table({
+            "key": batch["c_custkey"].filter(msk),
+            "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_cust": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = (od >= lo) & (od < hi)
+        msk = pa.array(sel)
+        yr = (od[sel].astype("datetime64[us]").astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return pa.table({
+            "key": batch["o_custkey"].filter(msk),
+            "okey": batch["o_orderkey"].filter(msk),
+            "year": pa.array(yr, pa.int64()),
+            "is_cust": pa.array(np.zeros(int(sel.sum()), np.int8),
+                                pa.int8()),
+        })
+
+    tagged1 = cust.map_batches(cust_rows, batch_format="pyarrow") \
+        .union(orders.map_batches(order_rows, batch_format="pyarrow"))
+
+    def join_cust(df: pd.DataFrame) -> pa.Table:
+        isc = df["is_cust"].to_numpy(np.int8) == 1
+        c = df.loc[isc, ["key"]].drop_duplicates("key")
+        o = df.loc[~isc, ["key", "okey", "year"]]
+        j = o.merge(c, on="key", how="inner")
+        n = len(j)
+        return pa.table({
+            "key": pa.array(j["okey"].to_numpy(np.int64), pa.int64()),
+            "year": pa.array(j["year"].to_numpy(np.int64), pa.int64()),
+            "rev_t": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "rev_a": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "is_ord": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    qual_orders = bucketed_group_map(tagged1, "key", join_cust,
+                                     num_buckets=16)
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        pkeys, skeys, s_is_t = _ray.get(bcast)
+        lpk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        p = np.searchsorted(pkeys, lpk)
+        p[p >= len(pkeys)] = 0
+        sel = (pkeys[p] == lpk) if len(pkeys) else \
+            np.zeros(len(lpk), bool)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        lsk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[sel]
+        q = np.searchsorted(skeys, lsk)
+        q[q >= len(skeys)] = 0
+        is_t = s_is_t[q]
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False)[sel] * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False)[sel] * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        order2 = np.argsort(okey, kind="stable")
+        k_s = okey[order2]
+        first = np.r_[True, k_s[1:] != k_s[:-1]] if len(k_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        rev_a = np.add.reduceat(rev[order2], starts) if len(starts) \
+            else np.array([], np.int64)
+        rev_t = np.add.reduceat(
+            np.where(is_t, rev, 0)[order2], starts) if len(starts) \
+            else np.array([], np.int64)
+        ck = k_s[starts] if len(starts) else np.array([], np.int64)
+        n = len(ck)
+        return pa.table({
+            "key": pa.array(ck, pa.int64()),
+            "year": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "rev_t": pa.array(rev_t, pa.int64()),
+            "rev_a": pa.array(rev_a, pa.int64()),
+            "is_ord": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged2 = qual_orders.union(
+        lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def join_year(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "year"]].drop_duplicates("key")
+        li = df.loc[~iso, ["key", "rev_t", "rev_a"]]
+        j = li.merge(o, on="key", how="inner")
+        g = j.groupby("year", as_index=False)[["rev_t", "rev_a"]].sum()
+        return pa.table({
+            "year": pa.array(g["year"].to_numpy(np.int64), pa.int64()),
+            "rev_t": pa.array(g["rev_t"].to_numpy(np.int64), pa.int64()),
+            "rev_a": pa.array(g["rev_a"].to_numpy(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged2, "key", join_year, num_buckets=16) \
+        .to_pandas()  # <= buckets x years rows
+    g = part.groupby("year", as_index=False)[["rev_t", "rev_a"]].sum()
+    return pd.DataFrame({
+        "o_year": g["year"].to_numpy(np.int64),
+        "nation_revenue_scaled": g["rev_t"].to_numpy(np.int64),
+        "total_revenue_scaled": g["rev_a"].to_numpy(np.int64),
+    })
+
+
+def q12_priority_by_linestatus(sf_dir: str,
+                               date_from: str = "1996-01-01",
+                               date_to: str = "1997-01-01"):
+    """(l_linestatus, high_line_count, low_line_count) — TPC-H Q12
+    shape: a CASE-counted order attribute grouped by a lineitem
+    attribute across the order⋈lineitem join (the driver schema has no
+    l_shipmode, so l_linestatus plays the grouping role; high priority
+    = 1-URGENT/2-HIGH exactly as in Q12). Lineitems are date-filtered
+    and partial-counted per (orderkey, linestatus) map-side, so the
+    single orderkey exchange carries one row per distinct pair per
+    batch, and the priority CASE resolves vectorized in the bucket."""
+    import ray as _ray
+
+    from ..stages.grouped import bucketed_group_map
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        prio = batch["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = ((prio == "1-URGENT") | (prio == "2-HIGH")) \
+            .astype(np.int64)
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["o_orderkey"].cast(pa.int64()),
+            "ls": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "cnt": pa.array(high, pa.int64()),  # high-flag on order rows
+            "is_ord": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = (sd >= lo) & (sd < hi)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[sel]
+        ls = (batch["l_linestatus"].to_numpy(zero_copy_only=False)[sel]
+              == "O").astype(np.int64)  # 0='F', 1='O'
+        comp = okey * 2 + ls
+        order_ = np.argsort(comp, kind="stable")
+        c_s = comp[order_]
+        first = np.r_[True, c_s[1:] != c_s[:-1]] if len(c_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        cnt = (np.diff(np.r_[starts, len(c_s)]) if len(starts)
+               else np.array([], np.int64)).astype(np.int64)
+        ck = c_s[starts] if len(starts) else np.array([], np.int64)
+        return pa.table({
+            "key": pa.array(ck // 2, pa.int64()),
+            "ls": pa.array(ck % 2, pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "is_ord": pa.array(np.zeros(len(ck), np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def join_count(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "cnt"]].drop_duplicates("key") \
+            .rename(columns={"cnt": "high"})
+        li = df.loc[~iso, ["key", "ls", "cnt"]]
+        j = li.merge(o, on="key", how="inner")
+        hi_ = j["cnt"].to_numpy(np.int64) * j["high"].to_numpy(np.int64)
+        lo_ = j["cnt"].to_numpy(np.int64) - hi_
+        g = pd.DataFrame({"ls": j["ls"], "hi": hi_, "lo": lo_}) \
+            .groupby("ls", as_index=False).sum()
+        return pa.table({
+            "ls": pa.array(g["ls"].to_numpy(np.int64), pa.int64()),
+            "hi": pa.array(g["hi"].to_numpy(np.int64), pa.int64()),
+            "lo": pa.array(g["lo"].to_numpy(np.int64), pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged, "key", join_count,
+                              num_buckets=16).to_pandas()
+    g = part.groupby("ls", as_index=False)[["hi", "lo"]].sum()
+    return pd.DataFrame({
+        "l_linestatus": np.where(g["ls"].to_numpy(np.int64) == 1,
+                                 "O", "F"),
+        "high_line_count": g["hi"].to_numpy(np.int64),
+        "low_line_count": g["lo"].to_numpy(np.int64),
+    })
+
+
+def q21_waiting_suppliers(sf_dir: str, late_days: int = 60):
+    """(s_name, numwait) — TPC-H Q21 shape: suppliers who were the
+    SOLE late supplier on a finalized multi-supplier order — the
+    existential/anti quantification over peers inside the same order
+    group (EXISTS another supplier, NOT EXISTS another LATE supplier).
+    The driver schema has no commit/receipt dates, so "late" is
+    l_shipdate > o_orderdate + late_days. Lineitems pre-reduce to one
+    (orderkey, suppkey, max shipdate) row per batch map-side; the
+    single orderkey exchange then evaluates both quantifiers
+    vectorized per order and emits per-supplier partial counts."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.grouped import bucketed_group_map
+
+    late_us = np.int64(late_days) * 86_400_000_000
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        sel = st == "F"
+        msk = pa.array(sel)
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[sel]
+        n = len(od)
+        return pa.table({
+            "key": batch["o_orderkey"].filter(msk),
+            "val": pa.array(od, pa.int64()),       # orderdate (us)
+            "supp": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "is_ord": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        supp = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order_ = np.lexsort((supp, okey))
+        k_s, s_s, sh_s = okey[order_], supp[order_], ship[order_]
+        first = (np.r_[True, (k_s[1:] != k_s[:-1]) |
+                       (s_s[1:] != s_s[:-1])] if len(k_s)
+                 else np.array([], bool))
+        starts = np.flatnonzero(first)
+        mx = np.maximum.reduceat(sh_s, starts) if len(starts) else \
+            np.array([], np.int64)
+        n = len(starts)
+        return pa.table({
+            "key": pa.array(k_s[starts] if n else
+                            np.array([], np.int64), pa.int64()),
+            "val": pa.array(mx, pa.int64()),       # max shipdate (us)
+            "supp": pa.array(s_s[starts] if n else
+                             np.array([], np.int64), pa.int64()),
+            "is_ord": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(order_rows, batch_format="pyarrow") \
+        .union(lineitem.map_batches(li_partials, batch_format="pyarrow"))
+
+    def quantify(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_ord"].to_numpy(np.int8) == 1
+        o = df.loc[iso, ["key", "val"]].drop_duplicates("key") \
+            .rename(columns={"val": "odate"})
+        # batches may re-emit a (key, supp) pair: re-reduce the max
+        li = df.loc[~iso, ["key", "supp", "val"]] \
+            .groupby(["key", "supp"], as_index=False)["val"].max()
+        j = li.merge(o, on="key", how="inner")
+        late = (j["val"].to_numpy(np.int64)
+                > j["odate"].to_numpy(np.int64) + late_us)
+        per = pd.DataFrame({
+            "key": j["key"], "supp": j["supp"],
+            "late": late.astype(np.int64)})
+        agg = per.groupby("key").agg(
+            nsupp=("supp", "size"), nlate=("late", "sum"))
+        per = per.merge(agg, on="key")
+        hit = per.loc[(per["late"].to_numpy(np.int64) == 1)
+                      & (per["nsupp"].to_numpy(np.int64) >= 2)
+                      & (per["nlate"].to_numpy(np.int64) == 1)]
+        g = hit.groupby("supp", as_index=False).size()
+        return pa.table({
+            "supp": pa.array(g["supp"].to_numpy(np.int64), pa.int64()),
+            "numwait": pa.array(g["size"].to_numpy(np.int64),
+                                pa.int64()),
+        })
+
+    part = bucketed_group_map(tagged, "key", quantify,
+                              num_buckets=16).to_pandas()
+    g = part.groupby("supp", as_index=False)["numwait"].sum()
+    supp_t = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_name"])
+    names = {int(k): n for k, n in zip(
+        supp_t["s_suppkey"].to_pylist(), supp_t["s_name"].to_pylist())}
+    return pd.DataFrame({
+        "s_name": [names[int(k)] for k in g["supp"]],
+        "numwait": g["numwait"].to_numpy(np.int64),
+    })
