@@ -20,9 +20,10 @@ queries() entries map to SURVEY.md §2 operators:
                        vector, tag-and-union rank⋈edges shuffle per
                        iteration, unrolled-CTE oracle (oracle)
   corpus_dedup_eval    flagship scorecard vs planted truth (rows-only)
-  corpus_preset_sweep  exhaustive vs champion-top-k verify: edge counts
-                       + recall per preset (similarity_detection.c
-                       candidate-count parity; rows-only)
+  corpus_preset_sweep  exhaustive vs champion-top-k vs pair-rendezvous
+                       verify: edge counts + recall per preset
+                       (similarity_detection.c candidate-count parity;
+                       rows-only)
   band_skew_profile    reducer-bucket histogram of THE band exchange:
                        max/p99-over-mean skew ratios, the pre-run
                        salting decision input (rows-only)
@@ -447,7 +448,11 @@ def _corpus_preset_sweep(sf_dir: str):
     Champion mode bounds verification to k pairs per row — the edge
     count drop vs default IS the reference's candidate-count
     behavior; the recall column is the measured cost of that bound
-    against the planted ground truth."""
+    against the planted ground truth. (c) rendezvous swaps the verify
+    TOPOLOGY (slim band shuffle + endpoint-keyed thumb attach,
+    stages/candidates.candidate_edges_rendezvous) at identical edge
+    semantics — its row certifies recall parity under the
+    shuffle-volume configuration."""
     import pyarrow as pa
     import ray.data
     from destor_ray import corpus
@@ -460,7 +465,7 @@ def _corpus_preset_sweep(sf_dir: str):
     truth = {f"img{i:010d}": f"img{corpus.truth_cluster(i):010d}"
              for i in range(n)}
     rows = []
-    for preset in ("default", "champion"):
+    for preset in ("default", "champion", "rendezvous"):
         st: dict = {}
         assignment = dedup_pipeline(
             ray.data.read_parquet(d), PRESETS[preset],

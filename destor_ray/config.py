@@ -54,6 +54,12 @@ class LSHConfig:
     # shared-feature count with feature trim between picks, and verify
     # only those pairs (candidate-COUNT parity with the reference)
     champion_top_k: int = 0
+    # "inline" ships thumbs on every band row (one shuffle, default);
+    # "rendezvous" ships 16 B band rows + attaches thumbs to the much
+    # smaller candidate-pair table via two endpoint-keyed exchanges —
+    # ~2.5x less shuffle volume at the 8-byte thumb, more at larger
+    # thumbs; identical verified edges (stages/candidates.py)
+    verify_mode: str = "inline"
 
 
 @dataclass(frozen=True)
@@ -133,4 +139,7 @@ PRESETS: dict[str, EngineConfig] = {
     "champion": EngineConfig(lsh=LSHConfig(champion_top_k=2)),
     # + suffix-array substring fingerprints over captions (5th channel)
     "substring": EngineConfig(use_substring_channel=True),
+    # pair-rendezvous verify: slim band shuffle + endpoint-keyed thumb
+    # attach (the 10^12-row shuffle-volume configuration)
+    "rendezvous": EngineConfig(lsh=LSHConfig(verify_mode="rendezvous")),
 }

@@ -65,9 +65,15 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
 
     cfg = cfg or EngineConfig()
     sigs = signatures_from_corpus(corpus_ds, cfg)
-    if ids_ds is None:
+    rendezvous = cfg.lsh.verify_mode == "rendezvous"
+    if ids_ds is None or rendezvous:
+        # rendezvous consumes the signature table three times (bands +
+        # both endpoint exchanges) — it must be pinned regardless of
+        # ids_ds; the checkpointed job's parquet signatures serve the
+        # same role at corpus sizes beyond the object store
         sigs = sigs.materialize()
-        ids = sigs.select_columns(["image_id"])
+        ids = (ids_ds if ids_ds is not None
+               else sigs.select_columns(["image_id"]))
         n_rows = n_rows_hint if n_rows_hint is not None else sigs.count()
     else:
         ids = ids_ds
@@ -77,7 +83,9 @@ def dedup_pipeline(corpus_ds, cfg: EngineConfig | None = None,
     # exact dedup rides the sha1 band channel inside candidate_edges —
     # no separate D2 shuffle in the flagship path (exact.exact_edges
     # remains the standalone operator)
-    edges = candidates.candidate_edges(sigs, cfg, num_buckets=nb)
+    edges = (candidates.candidate_edges_rendezvous(sigs, cfg, num_buckets=nb)
+             if rendezvous
+             else candidates.candidate_edges(sigs, cfg, num_buckets=nb))
     if driver_cc_threshold <= 0:
         # caller opted into the distributed route up front (the 10^12-row
         # configuration): materialize edges once, run hash-to-min CC

@@ -168,6 +168,36 @@ def empty_edges_table() -> pa.Table:
     })
 
 
+def verify_pair_arrays(lth: np.ndarray, rth: np.ndarray,
+                       lph, rph,
+                       cfg: EngineConfig) -> tuple[np.ndarray, np.ndarray]:
+    """The one verification kernel: pre-gathered pair thumb matrices
+    (n_pairs × thumb_bytes) → (accept mask, psnr). Simulation mode reads
+    the thumbs as big-endian phashes (SignatureStage stores the 8-byte
+    phash in the thumb slot there); otherwise thumbnail PSNR with the
+    phash-Hamming<=5 second opinion when phashes are supplied (a crop
+    can shift the 8x8 thumb grid below the PSNR threshold while the
+    perceptual hash stays near-identical)."""
+    from .. import codec as _codec
+    if cfg.simulation:
+        a = lth.copy().view(">i8").ravel()
+        b = rth.copy().view(">i8").ravel()
+        ham = _codec.hamming64(a, b)
+        ok = ham <= cfg.verify.sim_hamming_max
+        psnr = np.where(ok, 100.0 - ham, 0.0).astype(np.float64)
+        return ok, psnr
+    diff = lth.astype(np.float32) - rth.astype(np.float32)
+    mse = np.mean(diff * diff, axis=1)
+    with np.errstate(divide="ignore"):
+        psnr = np.where(mse > 0, 10.0 * np.log10(
+            255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
+    ok = psnr >= cfg.verify.psnr_threshold
+    if lph is not None:
+        ok = ok | (_codec.hamming64(
+            np.asarray(lph, np.int64), np.asarray(rph, np.int64)) <= 5)
+    return ok, psnr
+
+
 def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
     """Vectorized multi-group verify: one hash-bucket of band rows → all
     verified edges of every band group inside it. Pair-index generation
@@ -209,28 +239,12 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     ri = np.concatenate(ri_parts)
     ids = df["nid"].to_numpy()
     thumbs = np.frombuffer(b"".join(df["thumb"]), dtype=np.uint8).reshape(n, -1)
-    if cfg.simulation:
-        # metadata-only probe: phash Hamming distance (thumb = 8-byte phash)
-        from .. import codec as _codec
-        a = thumbs[li].copy().view(">i8").ravel()
-        b = thumbs[ri].copy().view(">i8").ravel()
-        ham = _codec.hamming64(a, b)
-        ok = ham <= cfg.verify.sim_hamming_max
-        psnr = np.where(ok, 100.0 - ham, 0.0).astype(np.float64)
-    else:
-        diff = thumbs[li].astype(np.float32) - thumbs[ri].astype(np.float32)
-        mse = np.mean(diff * diff, axis=1)
-        with np.errstate(divide="ignore"):
-            psnr = np.where(mse > 0, 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-12)), np.inf)
-        ok = psnr >= cfg.verify.psnr_threshold
-        if "phash" in df.columns:
-            # second opinion: near-identical perceptual hashes accept the
-            # pair even when the 8x8 thumb PSNR dips below threshold (a
-            # crop can shift the thumbnail grid); Hamming <= 5 is far
-            # below the planted-distractor minimum of 10 — precision-safe
-            from .. import codec as _codec
-            ph = df["phash"].to_numpy().astype(np.int64)
-            ok = ok | (_codec.hamming64(ph[li], ph[ri]) <= 5)
+    ph = (df["phash"].to_numpy().astype(np.int64)
+          if "phash" in df.columns and not cfg.simulation else None)
+    ok, psnr = verify_pair_arrays(
+        thumbs[li], thumbs[ri],
+        ph[li] if ph is not None else None,
+        ph[ri] if ph is not None else None, cfg)
     out = pd.DataFrame({
         "left_id": ids[li[ok]],
         "right_id": ids[ri[ok]],
@@ -418,6 +432,126 @@ def candidate_edges_joinverify(signatures_ds, cfg: EngineConfig | None = None,
         })
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def _rdv_sig_rows(batch: pa.Table) -> pa.Table:
+    """Signature rows → rendezvous endpoint rows (one per corpus row):
+    the thumb/phash ship ONCE per exchange, not once per band row."""
+    n = batch.num_rows
+    return pa.table({
+        "key": pa.array(parse_nid(batch["image_id"].to_pylist()), pa.int64()),
+        "other": pa.array(np.full(n, -1, np.int64), pa.int64()),
+        "ph": batch["phash"].cast(pa.int64()),
+        "th": batch["thumb"].cast(pa.binary()),
+        "lph": pa.array(np.zeros(n, np.int64), pa.int64()),
+        "lth": pa.array([b""] * n, pa.binary()),
+        "is_sig": pa.array(np.ones(n, np.int8), pa.int8()),
+    })
+
+
+def candidate_edges_rendezvous(signatures_ds, cfg: EngineConfig | None = None,
+                               num_buckets: int = 64,
+                               endpoint_buckets: int | None = None):
+    """Pair-rendezvous verify — the low-shuffle-volume flagship variant
+    (NOTES.md perf-lever #1): the big band exchange ships only
+    (band_key, nid) — 16 B/row instead of ~90 — and emits UNVERIFIED
+    candidate pairs; thumbnails + phashes then meet each pair through
+    two endpoint-keyed tag-and-union exchanges (the same rendezvous
+    topology as text.ngram_jaccard_pairs, which this Ray build executes
+    far cheaper than Dataset.join — see candidate_edges_joinverify's
+    measured 47 s for the join route). Unlike joinverify this path
+    keeps the phash second opinion, so verified edges match the inline
+    path exactly (tested: identical cluster assignment).
+
+    Shuffle volume: 16 B × bands + 2 × (88 B × n_rows) + ~200 B ×
+    n_pairs, vs ~90 B × bands inline — a ~2.5× cut at the default 8-byte
+    thumb and growing linearly with thumb size (the knob that buys
+    verification fidelity at scale).
+
+    `signatures_ds` is consumed THREE times (bands + both endpoint
+    sides) — pass a materialized or parquet-backed signature table
+    (dedup_pipeline and the checkpointed job do)."""
+    from .grouped import bucketed_group_map
+    cfg = cfg or EngineConfig()
+    eb = endpoint_buckets or max(16, num_buckets // 4)
+
+    def explode_nothumb(batch: pa.Table) -> pa.Table:
+        return explode_bands(batch, cfg).select(["band_key", "nid"])
+
+    bands = signatures_ds.map_batches(explode_nothumb,
+                                      batch_format="pyarrow")
+    pairs = bucketed_group_map(bands, "band_key",
+                               lambda df: pair_gen_bucket(df, cfg),
+                               num_buckets=num_buckets)
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["left_id"].cast(pa.int64()),
+            "other": batch["right_id"].cast(pa.int64()),
+            "ph": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "th": pa.array([b""] * n, pa.binary()),
+            "lph": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "lth": pa.array([b""] * n, pa.binary()),
+            "is_sig": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    half_in = signatures_ds.map_batches(_rdv_sig_rows,
+                                        batch_format="pyarrow") \
+        .union(pairs.map_batches(pair_rows, batch_format="pyarrow"))
+
+    def attach_left(df: pd.DataFrame) -> pa.Table:
+        iss = df["is_sig"].to_numpy(np.int8) == 1
+        sig = df.loc[iss, ["key", "ph", "th"]].drop_duplicates("key")
+        pr = df.loc[~iss, ["key", "other"]]
+        j = pr.merge(sig, on="key", how="inner")
+        n = len(j)
+        # re-key by the RIGHT endpoint; left attrs ride in lph/lth
+        return pa.table({
+            "key": pa.array(j["other"].to_numpy(np.int64), pa.int64()),
+            "other": pa.array(j["key"].to_numpy(np.int64), pa.int64()),
+            "ph": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "th": pa.array([b""] * n, pa.binary()),
+            "lph": pa.array(j["ph"].to_numpy(np.int64), pa.int64()),
+            "lth": pa.array(list(j["th"]), pa.binary()),
+            "is_sig": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    half = bucketed_group_map(half_in, "key", attach_left,
+                              num_buckets=eb)
+    full_in = signatures_ds.map_batches(_rdv_sig_rows,
+                                        batch_format="pyarrow").union(half)
+
+    def attach_right_verify(df: pd.DataFrame) -> pa.Table:
+        iss = df["is_sig"].to_numpy(np.int8) == 1
+        sig = df.loc[iss, ["key", "ph", "th"]].drop_duplicates("key")
+        # the same pair can arrive via several band buckets — this is
+        # the global dedup point (a pair's right endpoint fixes its
+        # bucket, so all copies land here)
+        pr = df.loc[~iss, ["key", "other", "lph", "lth"]] \
+            .drop_duplicates(["key", "other"])
+        j = pr.merge(sig, on="key", how="inner")
+        n = len(j)
+        if n == 0:
+            return empty_edges_table()
+        lth = np.frombuffer(b"".join(j["lth"]), dtype=np.uint8) \
+            .reshape(n, -1)
+        rth = np.frombuffer(b"".join(j["th"]), dtype=np.uint8) \
+            .reshape(n, -1)
+        lph = None if cfg.simulation else j["lph"].to_numpy(np.int64)
+        rph = None if cfg.simulation else j["ph"].to_numpy(np.int64)
+        ok, psnr = verify_pair_arrays(lth, rth, lph, rph, cfg)
+        return pa.table({
+            "left_id": pa.array(j["other"].to_numpy(np.int64)[ok],
+                                pa.int64()),
+            "right_id": pa.array(j["key"].to_numpy(np.int64)[ok],
+                                 pa.int64()),
+            "psnr": pa.array(np.minimum(psnr[ok], 1e9)
+                             .astype(np.float64), pa.float64()),
+        })
+
+    return bucketed_group_map(full_in, "key", attach_right_verify,
+                              num_buckets=eb)
 
 
 def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,

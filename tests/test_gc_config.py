@@ -9,7 +9,8 @@ from destor_ray.config import PRESETS, EngineConfig
 
 def test_presets_exist_and_hash_distinctly():
     assert set(PRESETS) == {"default", "ddfs", "extreme_binning", "champion",
-                            "sparse_index", "silo", "substring"}
+                            "sparse_index", "silo", "substring",
+                            "rendezvous"}
     hashes = {name: cfg.config_hash() for name, cfg in PRESETS.items()}
     assert len(set(hashes.values())) == len(hashes)
 

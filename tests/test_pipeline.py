@@ -129,3 +129,30 @@ def test_recall_on_different_seed(ray_session):
             hits += int(same)
     assert joined == 0
     assert hits / total >= 0.99, hits / total
+
+
+def test_rendezvous_verify_matches_inline(ray_session, corpus_dir, assignment):
+    """Pair-rendezvous verify (slim band shuffle + endpoint-keyed thumb
+    attach) produces the IDENTICAL cluster assignment as the default
+    thumb-on-band-row path, and the identical verified pair set."""
+    import ray.data
+    from destor_ray.config import PRESETS
+    from destor_ray.pipelines.dedup import (dedup_pipeline,
+                                            signatures_from_corpus)
+    from destor_ray.stages import candidates
+
+    ds = ray.data.read_parquet(corpus_dir)
+    out = dedup_pipeline(ds, PRESETS["rendezvous"],
+                         n_rows_hint=N).to_pandas()
+    base = dict(zip(assignment.image_id, assignment.cluster_id))
+    rdv = dict(zip(out.image_id, out.cluster_id))
+    assert base == rdv
+
+    sigs = signatures_from_corpus(ds).materialize()
+    def pair_set(edges_ds):
+        df = edges_ds.to_pandas()
+        return set(zip(df.left_id, df.right_id))
+    inline = pair_set(candidates.candidate_edges(sigs))
+    rdv_pairs = pair_set(
+        candidates.candidate_edges_rendezvous(sigs, num_buckets=64))
+    assert inline == rdv_pairs
