@@ -181,6 +181,12 @@ queries() entries map to SURVEY.md §2 operators:
   q21_waiting_suppliers TPC-H Q21 sole-late-supplier quantification
                        (EXISTS peer / NOT EXISTS late peer) evaluated
                        vectorized per order group (oracle)
+  bfs_token_distances  single-source BFS frontier rounds over the token
+                       bigram graph, distance vector exchanged (never
+                       broadcast), unrolled frontier-SET oracle (oracle)
+  part_pareto_frontier 2-D skyline via local-prune-then-global-prune
+                       (domination transitivity), NOT EXISTS
+                       domination anti-join oracle (oracle)
   q17_small_quantity_revenue TPC-H Q17 per-group correlated scalar:
                        each row vs ITS part's average via exact
                        cross-multiplication, one partkey exchange (oracle)
@@ -859,6 +865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_linestatus":
             relational.q12_priority_by_linestatus,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "bfs_token_distances": graph.bfs_token_distances,
+        "part_pareto_frontier": relational.part_pareto_frontier,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -2220,6 +2228,54 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1, 2
+        """,
+        "bfs_token_distances": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws
+                       FROM documents),
+            e0 AS (SELECT ws[i] AS src, ws[i+1] AS dst
+                   FROM w, UNNEST(generate_series(1, len(ws)-1)) t(i)),
+            e AS (SELECT DISTINCT src, dst FROM e0),
+            d0(node) AS (VALUES ('customer')),
+            f1 AS (SELECT DISTINCT e.dst AS node
+                   FROM e JOIN d0 ON e.src = d0.node),
+            d1 AS (SELECT node FROM f1
+                   WHERE node NOT IN (SELECT node FROM d0)),
+            f2 AS (SELECT DISTINCT e.dst AS node
+                   FROM e JOIN d1 ON e.src = d1.node),
+            d2 AS (SELECT node FROM f2
+                   WHERE node NOT IN (SELECT node FROM d0
+                                      UNION SELECT node FROM d1)),
+            f3 AS (SELECT DISTINCT e.dst AS node
+                   FROM e JOIN d2 ON e.src = d2.node),
+            d3 AS (SELECT node FROM f3
+                   WHERE node NOT IN (SELECT node FROM d0
+                                      UNION SELECT node FROM d1
+                                      UNION SELECT node FROM d2))
+            SELECT node AS token, CAST(0 AS BIGINT) AS dist FROM d0
+            UNION ALL SELECT node, 1 FROM d1
+            UNION ALL SELECT node, 2 FROM d2
+            UNION ALL SELECT node, 3 FROM d3
+        """,
+        "part_pareto_frontier": """
+            WITH a AS (
+                SELECT l_partkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS total_qty,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS HUGEINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS HUGEINT))) AS BIGINT)
+                           AS revenue_scaled
+                FROM lineitem GROUP BY 1
+            )
+            SELECT l_partkey, total_qty, revenue_scaled FROM a p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM a q
+                WHERE q.total_qty >= p.total_qty
+                  AND q.revenue_scaled >= p.revenue_scaled
+                  AND (q.total_qty > p.total_qty
+                       OR q.revenue_scaled > p.revenue_scaled)
+            )
         """,
         "q8_market_share": """
             WITH base AS (

@@ -454,3 +454,69 @@ def token_communities(sf_dir: str, iters: int = 3):
     return labels.map_batches(
         lambda b: pa.table({"tok": b["tok"], "label": b["lab"]}),
         batch_format="pyarrow")
+
+
+def bfs_token_distances(sf_dir: str, source: str = "customer",
+                        max_depth: int = 3):
+    """(token, dist) — single-source BFS hop distances over the
+    DIRECTED token bigram graph, `max_depth` synchronous frontier
+    rounds. Each round is the same two-exchange topology as
+    pagerank/token_communities: a tag-and-union exchange co-locates
+    the current distance vector with the out-edges keyed by src
+    (the distance vector is partitioned, never broadcast), proposals
+    (dst, d+1) then min-reduce keyed by token against the previous
+    distances. Proposing from ALL known nodes each round (not just the
+    newest frontier) costs nothing at vocabulary scale and makes the
+    min-merge idempotent. The DuckDB oracle unrolls the SAME rounds as
+    per-level frontier SETS (d0..dK) — set semantics, not path
+    enumeration, keep the SQL mirror polynomial on cyclic graphs."""
+    from ..stages.grouped import bucketed_group_map
+
+    edges = _bigram_edges(sf_dir).drop_columns(["w"]).materialize()
+    dist = ray.data.from_arrow(pa.table({
+        "tok": pa.array([source], pa.string()),
+        "d": pa.array([0], pa.int64()),
+    }))
+
+    def relax_bucket(df: pd.DataFrame) -> pa.Table:
+        isd = df["is_d"].to_numpy(np.int8) == 1
+        known = df.loc[isd].groupby("key", as_index=False)["d"].min()
+        ed = df.loc[~isd, ["key", "dst"]]
+        j = ed.merge(known, on="key", how="inner")
+        return pa.table({
+            "tok": pa.array(j["dst"].to_numpy(object).tolist(),
+                            pa.string()),
+            "d": pa.array(j["d"].to_numpy(np.int64) + 1, pa.int64()),
+        })
+
+    def min_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("tok", as_index=False)["d"].min()
+        return pa.table({
+            "tok": pa.array(g["tok"].to_numpy(object).tolist(),
+                            pa.string()),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+        })
+
+    for _ in range(max_depth):
+        tagged = edges.map_batches(
+            lambda b: pa.table({
+                "key": b["src"], "dst": b["dst"],
+                "d": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "is_d": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }), batch_format="pyarrow") \
+            .union(dist.map_batches(
+                lambda b: pa.table({
+                    "key": b["tok"],
+                    "dst": pa.array([""] * b.num_rows, pa.string()),
+                    "d": b["d"],
+                    "is_d": pa.array(np.ones(b.num_rows, np.int8),
+                                     pa.int8()),
+                }), batch_format="pyarrow"))
+        props = bucketed_group_map(tagged, "key", relax_bucket,
+                                   num_buckets=8)
+        dist = bucketed_group_map(dist.union(props), "tok", min_bucket,
+                                  num_buckets=8).materialize()
+
+    return dist.map_batches(
+        lambda b: pa.table({"token": b["tok"], "dist": b["d"]}),
+        batch_format="pyarrow")

@@ -2410,3 +2410,96 @@ def q21_waiting_suppliers(sf_dir: str, late_days: int = 60):
         "s_name": [names[int(k)] for k in g["supp"]],
         "numwait": g["numwait"].to_numpy(np.int64),
     })
+
+
+def _skyline_prune(qty: np.ndarray, rev: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D Pareto frontier (maximize both).
+    p is dominated iff some q has qty>= AND rev>= with one strict.
+    Sweep: sort by (qty desc, rev desc); dominated iff the running max
+    rev over STRICTLY greater qty >= own rev, or a same-qty point has
+    strictly greater rev. O(n log n); exact ties both survive."""
+    n = len(qty)
+    order = np.lexsort((-rev, -qty))
+    q_s, r_s = qty[order], rev[order]
+    grp_start = np.r_[True, q_s[1:] != q_s[:-1]]
+    # max rev within each preceding STRICTLY-greater-qty prefix:
+    # cummax of rev taken at group starts, shifted one group back
+    starts = np.flatnonzero(grp_start)
+    grp_id = np.cumsum(grp_start) - 1
+    # rev is sorted desc within a qty group, so group max = rev at start
+    grp_max = r_s[starts]
+    pref = np.maximum.accumulate(grp_max)
+    prev_max = np.full(len(starts), np.iinfo(np.int64).min, np.int64)
+    prev_max[1:] = pref[:-1]
+    dom_a = prev_max[grp_id] >= r_s
+    dom_b = r_s < grp_max[grp_id]
+    keep_sorted = ~(dom_a | dom_b)
+    keep = np.zeros(n, bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+def part_pareto_frontier(sf_dir: str):
+    """(l_partkey, total_qty, revenue_scaled) — the 2-D skyline: parts
+    not dominated on (total quantity, total revenue) by any other part
+    (>= in both, strict in one). The classic distributed-skyline plan:
+    per-part exact int64 aggregates reduce through one partkey
+    exchange, each reducer bucket prunes to its LOCAL frontier
+    (domination is transitive, so pruning by a later-pruned point is
+    safe), and only the tiny union of local frontiers meets the final
+    global prune. The oracle is the NOT EXISTS domination anti-join."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        disc = np.round(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        rev = cents * (100 - disc)
+        order_ = np.argsort(pk, kind="stable")
+        k_s = pk[order_]
+        first = np.r_[True, k_s[1:] != k_s[:-1]] if len(k_s) else \
+            np.array([], bool)
+        starts = np.flatnonzero(first)
+        qs = np.add.reduceat(qty[order_], starts) if len(starts) else \
+            np.array([], np.int64)
+        rs = np.add.reduceat(rev[order_], starts) if len(starts) else \
+            np.array([], np.int64)
+        return pa.table({
+            "key": pa.array(k_s[starts] if len(starts) else
+                            np.array([], np.int64), pa.int64()),
+            "qty": pa.array(qs, pa.int64()),
+            "rev": pa.array(rs, pa.int64()),
+        })
+
+    def bucket_frontier(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("key", as_index=False)[["qty", "rev"]].sum()
+        qty = g["qty"].to_numpy(np.int64)
+        rev = g["rev"].to_numpy(np.int64)
+        keep = _skyline_prune(qty, rev)
+        return pa.table({
+            "key": pa.array(g["key"].to_numpy(np.int64)[keep],
+                            pa.int64()),
+            "qty": pa.array(qty[keep], pa.int64()),
+            "rev": pa.array(rev[keep], pa.int64()),
+        })
+
+    cand = bucketed_group_map(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        "key", bucket_frontier, num_buckets=16).to_pandas()
+    qty = cand["qty"].to_numpy(np.int64)
+    rev = cand["rev"].to_numpy(np.int64)
+    keep = _skyline_prune(qty, rev)
+    return pd.DataFrame({
+        "l_partkey": cand["key"].to_numpy(np.int64)[keep],
+        "total_qty": qty[keep],
+        "revenue_scaled": rev[keep],
+    })

@@ -85,7 +85,8 @@ def _check(name, con, ray_session):
     "q17_small_quantity_revenue", "q15_top_supplier",
     "q9_product_profit", "q19_disjunctive_revenue", "q7_nation_volume",
     "q8_market_share", "q12_priority_by_linestatus",
-    "q21_waiting_suppliers",
+    "q21_waiting_suppliers", "bfs_token_distances",
+    "part_pareto_frontier",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
