@@ -187,6 +187,11 @@ queries() entries map to SURVEY.md §2 operators:
   part_pareto_frontier 2-D skyline via local-prune-then-global-prune
                        (domination transitivity), NOT EXISTS
                        domination anti-join oracle (oracle)
+  corpus_incremental_dedup second-backup workflow (D8 index update):
+                       arriving shard probes the persisted base
+                       signature index, base-base pairs masked, delta
+                       rows anchor into existing cluster ids; combined
+                       == from-scratch job (mismatch 0; rows-only)
   q17_small_quantity_revenue TPC-H Q17 per-group correlated scalar:
                        each row vs ITS part's average via exact
                        cross-multiplication, one partkey exchange (oracle)
@@ -325,6 +330,60 @@ def _corpus_clusters(sf_dir: str):
     from destor_ray.pipelines.dedup import dedup_pipeline_from_dir
     d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
     return dedup_pipeline_from_dir(d)
+
+
+def _corpus_incremental_dedup(sf_dir: str):
+    """(metric, value) — the SECOND-backup workflow (destor D8 index
+    update at corpus scale, pipelines/job.run_incremental_job): a base
+    job persists its signature index + assignment; the arriving tail
+    shard (the last 40% of rows, split mid-block so planted dups cross
+    the boundary) dedups against that index with base-base pairs
+    masked, anchors into existing base clusters through one nid-keyed
+    exchange, and the combined assignment is compared row-for-row
+    against a from-scratch job over everything (mismatch_vs_full = 0
+    is the invariant)."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq_
+    from destor_ray import corpus
+    from destor_ray.pipelines.dedup import dedup_pipeline_from_dir
+    from destor_ray.pipelines.job import run_backup_job, run_incremental_job
+
+    n = _corpus_rows_for(sf_dir)
+    k = (int(n * 0.6) // 20) * 20 + 10  # mid-block split
+    full_dir = corpus.ensure_corpus_parquet(n, seed=42)
+    t = pq_.ParquetDataset(full_dir).read()
+    nid = np.array([int(s[3:]) for s in t["image_id"].to_pylist()])
+    t = t.take(np.argsort(nid))
+    root = f"/tmp/destor_ray_incr_q/n{n}"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    for name, tbl in (("base_corpus", t.slice(0, k)),
+                      ("delta_corpus", t.slice(k))):
+        os.makedirs(os.path.join(root, name))
+        pq_.write_table(tbl, os.path.join(root, name, "part.parquet"))
+    run_backup_job(os.path.join(root, "base_corpus"),
+                   os.path.join(root, "base_wd"))
+    inc = run_incremental_job(os.path.join(root, "delta_corpus"),
+                              os.path.join(root, "inc_wd"),
+                              os.path.join(root, "base_wd"))
+    adf = inc["assignment"].to_pandas()
+    got = dict(zip(adf["image_id"], adf["cluster_id"]))
+    full = dedup_pipeline_from_dir(full_dir).to_pandas()
+    mism = sum(1 for i, c in zip(full.image_id, full.cluster_id)
+               if got.get(i) != c)
+    m = inc["metrics"]
+    return pd.DataFrame({
+        "metric": ["n_base", "n_delta", "joined_existing",
+                   "new_originals", "base_cluster_merges",
+                   "mismatch_vs_full"],
+        "value": np.array([k, m["n_delta"], m["joined_existing"],
+                           m["new_originals"], m["base_cluster_merges"],
+                           mism], np.int64),
+    })
 
 
 def _corpus_dedup_simulation(sf_dir: str):
@@ -977,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_clusters": _corpus_clusters,
         "corpus_exact_dedup": _corpus_exact,
         "corpus_dedup_simulation": _corpus_dedup_simulation,
+        "corpus_incremental_dedup": _corpus_incremental_dedup,
         "corpus_fidelity": _corpus_fidelity,
         "corpus_restore": _corpus_restore,
         "cdc_stats": _cdc_stats,

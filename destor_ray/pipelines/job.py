@@ -394,3 +394,207 @@ def restore_fidelity_stats(restored_ds, seed: int = 42,
 
     return restored_ds.map_batches(verify, batch_format="pyarrow",
                                    batch_size=64, concurrency=concurrency)
+
+
+def run_incremental_job(delta_corpus_dir: str, workdir: str,
+                        base_workdir: str,
+                        cfg: EngineConfig | None = None,
+                        force: bool = False) -> dict:
+    """Incremental ingest — destor's SECOND backup: the arriving shard
+    dedups against the signature index PERSISTED by a prior
+    run_backup_job (base_workdir), base cluster ids are preserved, and
+    only delta rows get new assignments (index update, D8, at corpus
+    scale; /root/reference/src/index/index.c, do_backup.c's reuse of
+    the kv-store across jobs).
+
+    Stages (each checkpointed in `workdir`):
+      1. delta signatures (the arriving shard only),
+      2. incremental edges — base + delta band rows share the exchange,
+         base-base pairs masked (candidates.candidate_edges_incremental),
+      3. merged assignment — mixed edges anchor delta rows to base
+         CLUSTER ids through one nid-keyed exchange (the base
+         assignment table is partitioned, never broadcast), then
+         union-find over (delta-delta ∪ delta-anchor) edges. A delta
+         bridge can merge two base clusters; the survivor is the
+         smaller cluster id and the base side is re-pointed through the
+         (tiny) merge map.
+
+    Invariant (tested): combined assignment == a from-scratch job over
+    base+delta, except on hot bands past full_pair_cap where the
+    star+chain pair choice is membership-dependent (connectivity, not
+    assignment, is guaranteed there).
+
+    Returns {workdir, resumed, metrics} with metrics: n_delta,
+    joined_existing (delta rows absorbed into base clusters),
+    new_originals, base_cluster_merges."""
+    from .dedup import buckets_for
+    from ..stages.grouped import bucketed_group_map
+
+    cfg = cfg or EngineConfig()
+    chash = cfg.config_hash()
+    input_id = (ckpt.input_identity(delta_corpus_dir) + ":" +
+                ckpt.input_identity(base_workdir))
+    os.makedirs(workdir, exist_ok=True)
+    status: dict = {"workdir": workdir, "resumed": {}}
+
+    base_sigs = ray.data.read_parquet(
+        ckpt.stage_dir(base_workdir, "signatures"))
+    base_assign = ray.data.read_parquet(
+        ckpt.stage_dir(base_workdir, "clusters"))
+
+    def produce_sigs(out: str):
+        ds = ray.data.read_parquet(delta_corpus_dir)
+        sigs = ds.map_batches(SignatureStage(cfg), batch_format="pyarrow",
+                              batch_size=256)
+        return _write_parquet(sigs, out)
+
+    sigs, resumed = ckpt.run_stage(workdir, "signatures", chash, input_id,
+                                   produce_sigs, force=force)
+    status["resumed"]["signatures"] = resumed
+
+    def produce_edges(out: str):
+        nb = buckets_for(base_sigs.count() + sigs.count())
+        return _write_parquet(candidates.candidate_edges_incremental(
+            base_sigs, sigs, cfg, num_buckets=nb), out)
+
+    edges, resumed = ckpt.run_stage(workdir, "edges", chash, input_id,
+                                    produce_edges, force=force)
+    status["resumed"]["edges"] = resumed
+
+    def produce_assign(out: str):
+        # anchor mixed edges to base CLUSTER ids: one nid-keyed exchange
+        # (base assignment rows + edge rows keyed by their base endpoint)
+        def edge_rows(batch: pa.Table) -> pa.Table:
+            l = batch["left_id"].to_numpy(zero_copy_only=False)
+            r = batch["right_id"].to_numpy(zero_copy_only=False)
+            lb, rb = l < _nbase, r < _nbase
+            mixed = lb ^ rb
+            bkey = np.where(lb[mixed], l[mixed], r[mixed])
+            dnode = np.where(lb[mixed], r[mixed], l[mixed])
+            # delta-delta edges bypass the exchange untouched
+            dd = ~lb & ~rb
+            return pa.table({
+                "key": pa.array(np.concatenate([bkey, l[dd]]), pa.int64()),
+                "dnode": pa.array(np.concatenate([dnode, r[dd]]),
+                                  pa.int64()),
+                "cid": pa.array(np.full(int(mixed.sum() + dd.sum()), -1,
+                                        np.int64), pa.int64()),
+                "is_a": pa.array(np.r_[np.zeros(int(mixed.sum()), np.int8),
+                                       np.full(int(dd.sum()), 2, np.int8)],
+                                 pa.int8()),
+            })
+
+        def assign_rows(batch: pa.Table) -> pa.Table:
+            nid = candidates.parse_nid(batch["image_id"].to_pylist())
+            cid = candidates.parse_nid(batch["cluster_id"].to_pylist())
+            n = len(nid)
+            return pa.table({
+                "key": pa.array(nid, pa.int64()),
+                "dnode": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "cid": pa.array(cid, pa.int64()),
+                "is_a": pa.array(np.ones(n, np.int8), pa.int8()),
+            })
+
+        # base ids end where delta ids begin: delta nids are global row
+        # indices >= base row count (the shard layout contract)
+        _nbase = base_assign.count()
+
+        def anchor(df: pd.DataFrame) -> pa.Table:
+            isa = df["is_a"].to_numpy(np.int8)
+            a = df.loc[isa == 1, ["key", "cid"]].drop_duplicates("key")
+            mixed = df.loc[isa == 0, ["key", "dnode"]]
+            dd = df.loc[isa == 2, ["key", "dnode"]]
+            j = mixed.merge(a, on="key", how="inner")
+            return pa.table({
+                "left_id": pa.array(np.concatenate([
+                    j["dnode"].to_numpy(np.int64),
+                    dd["key"].to_numpy(np.int64)]), pa.int64()),
+                "right_id": pa.array(np.concatenate([
+                    j["cid"].to_numpy(np.int64),
+                    dd["dnode"].to_numpy(np.int64)]), pa.int64()),
+            })
+
+        tagged = base_assign.map_batches(assign_rows,
+                                         batch_format="pyarrow") \
+            .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+        anchored = bucketed_group_map(tagged, "key", anchor,
+                                      num_buckets=16)
+        dsu = cluster.union_find_driver(
+            anchored.iter_batches(batch_format="pyarrow"))
+        delta_ids = sorted(candidates.parse_nid(
+            [r["image_id"] for r in
+             sigs.select_columns(["image_id"]).take_all()]).tolist())
+        ddf = cluster.clusters_from_dsu(dsu, delta_ids)
+        # anchors in the DSU are base CLUSTER ids (edges were anchored
+        # through the assignment table); per component, the min anchor
+        # is the surviving id — chain-free by construction
+        comp_min_anchor: dict[int, int] = {}
+        for x in list(dsu.parent):
+            if x < _nbase:
+                r = dsu.find(x)
+                comp_min_anchor[r] = min(comp_min_anchor.get(r, x), x)
+        merge_map: dict[int, int] = {}
+        for x in list(dsu.parent):
+            if x < _nbase:
+                tgt = comp_min_anchor[dsu.find(x)]
+                if x != tgt:
+                    merge_map[x] = tgt
+        # delta assignment: min base anchor when present, else min node
+        out_rows = []
+        for node, c in zip(ddf["node"], ddf["cluster"]):
+            rep = dsu.find(node) if node in dsu.parent else node
+            cid = comp_min_anchor.get(rep, int(c))
+            out_rows.append((int(node), int(cid)))
+        merged = pd.DataFrame(out_rows, columns=["nid", "cid"])
+        # combined output stays DISTRIBUTED: base rows re-point through
+        # the (tiny, broadcast) merge map; only delta rows are new
+        mm_ref = ray.put(merge_map)
+
+        def repoint(batch: pa.Table) -> pa.Table:
+            mm = ray.get(mm_ref)
+            if not mm:
+                return batch.select(["image_id", "cluster_id"])
+            cid = candidates.parse_nid(batch["cluster_id"].to_pylist())
+            ks = np.array(sorted(mm), np.int64)
+            vs = np.array([mm[k] for k in ks], np.int64)
+            p = np.searchsorted(ks, cid)
+            p[p >= len(ks)] = 0
+            hit = ks[p] == cid
+            cid[hit] = vs[p[hit]]
+            return pa.table({
+                "image_id": batch["image_id"],
+                "cluster_id": candidates.format_nid(cid),
+            })
+
+        delta_t = pa.table({
+            "image_id": candidates.format_nid(
+                merged["nid"].to_numpy(np.int64)),
+            "cluster_id": candidates.format_nid(
+                merged["cid"].to_numpy(np.int64)),
+        })
+        combined = base_assign.map_batches(
+            repoint, batch_format="pyarrow") \
+            .union(ray.data.from_arrow(delta_t))
+        n_out = _write_parquet(combined, out)
+        meta = {
+            "n_delta": int(len(merged)),
+            "joined_existing": int((merged["cid"].to_numpy(np.int64)
+                                    < _nbase).sum()),
+            "new_originals": int((merged["cid"].to_numpy(np.int64)
+                                  == merged["nid"].to_numpy(np.int64))
+                                 .sum()),
+            "base_cluster_merges": int(len(merge_map)),
+        }
+        with open(os.path.join(out, "_metrics.json"), "w") as f:
+            json.dump(meta, f)
+        return n_out
+
+    assign, resumed = ckpt.run_stage(workdir, "assignment", chash,
+                                     input_id, produce_assign, force=force)
+    status["resumed"]["assignment"] = resumed
+    mpath = os.path.join(ckpt.stage_dir(workdir, "assignment"),
+                         "_metrics.json")
+    with open(mpath) as f:
+        status["metrics"] = json.load(f)
+    status["assignment"] = assign
+    return status

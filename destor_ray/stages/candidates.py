@@ -237,6 +237,14 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
         ri_parts.append(gr + s)
     li = np.concatenate(li_parts)
     ri = np.concatenate(ri_parts)
+    if "is_base" in df.columns:
+        # incremental mode: base-base pairs are already known from the
+        # base job — only pairs touching >= 1 arriving (delta) row verify
+        isb = df["is_base"].to_numpy(np.int8).astype(bool)
+        m = ~(isb[li] & isb[ri])
+        li, ri = li[m], ri[m]
+        if len(li) == 0:
+            return empty_edges_table()
     ids = df["nid"].to_numpy()
     thumbs = np.frombuffer(b"".join(df["thumb"]), dtype=np.uint8).reshape(n, -1)
     ph = (df["phash"].to_numpy().astype(np.int64)
@@ -552,6 +560,42 @@ def candidate_edges_rendezvous(signatures_ds, cfg: EngineConfig | None = None,
 
     return bucketed_group_map(full_in, "key", attach_right_verify,
                               num_buckets=eb)
+
+
+def candidate_edges_incremental(base_sigs_ds, delta_sigs_ds,
+                                cfg: EngineConfig | None = None,
+                                num_buckets: int = 64):
+    """Incremental-ingest candidate generation (destor's second-backup
+    topology: arriving chunks probe the fingerprint index persisted by
+    prior jobs, /root/reference/src/index/index.c D8 'index update' at
+    corpus scale): band rows from the PERSISTED base signature table and
+    the arriving delta shard meet in the same band exchange, but
+    base-base pairs are masked inside verify_bucket — the base corpus
+    is never re-deduped, only probed. Emitted edges all touch >= 1
+    delta row.
+
+    Scale note: the base side re-explodes its band rows each run (the
+    exchange-based analog of an index probe). When the base dwarfs the
+    delta, pre-filter base band rows with a Bloom filter of the delta's
+    band keys (functions/bloom.py) before the exchange — the standard
+    semi-join reduction; not wired here because the test-scale exchange
+    is cheap."""
+    from .grouped import bucketed_group_map
+    cfg = cfg or EngineConfig()
+
+    def tag(flag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = explode_bands(batch, cfg)
+            return t.append_column(
+                "is_base", pa.array(np.full(t.num_rows, flag, np.int8),
+                                    pa.int8()))
+        return fn
+
+    bands = base_sigs_ds.map_batches(tag(1), batch_format="pyarrow") \
+        .union(delta_sigs_ds.map_batches(tag(0), batch_format="pyarrow"))
+    return bucketed_group_map(bands, "band_key",
+                              lambda df: verify_bucket(df, cfg),
+                              num_buckets=num_buckets)
 
 
 def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,

@@ -154,3 +154,58 @@ def test_restore_corpus_fidelity(ray_session, tmp_path):
             # PSNR vs source = pure encode loss: inf (PNG) or >= 40
             # (lossy at generator quality >= 80)
             assert me >= 40.0, (i, kind, me)
+
+
+def test_incremental_job_matches_full(ray_session):
+    """Second-backup topology: base job on rows [0, K), incremental job
+    on rows [K, N) against the base's persisted signature index —
+    combined assignment equals a from-scratch job over all N rows, base
+    ids preserved, and a re-run resumes every stage."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from destor_ray.pipelines.dedup import dedup_pipeline_from_dir
+    from destor_ray.pipelines.job import run_backup_job, run_incremental_job
+
+    N_ALL, K = 1000, 610  # split mid-block: block 30's dups land in the
+    # delta while their source row 600 is in the base
+    full_dir = corpus.ensure_corpus_parquet(N_ALL, seed=42)
+    t = pq.ParquetDataset(full_dir).read()
+    nid = np.array([int(s[3:]) for s in t["image_id"].to_pylist()])
+    root = "/tmp/destor_ray_test_incr"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    base_dir = os.path.join(root, "base_corpus")
+    delta_dir = os.path.join(root, "delta_corpus")
+    os.makedirs(base_dir)
+    os.makedirs(delta_dir)
+    order = np.argsort(nid)
+    t = t.take(order)
+    pq.write_table(t.slice(0, K), os.path.join(base_dir, "part.parquet"))
+    pq.write_table(t.slice(K), os.path.join(delta_dir, "part.parquet"))
+
+    run_backup_job(base_dir, os.path.join(root, "base_wd"))
+    inc = run_incremental_job(delta_dir, os.path.join(root, "inc_wd"),
+                              os.path.join(root, "base_wd"))
+    m = inc["metrics"]
+    assert m["n_delta"] == N_ALL - K
+    assert m["joined_existing"] >= 3  # 611/615/619 → source 600 in base
+
+    combined = inc["assignment"].to_pandas()
+    assert len(combined) == N_ALL
+    full = dedup_pipeline_from_dir(full_dir).to_pandas()
+    want = dict(zip(full.image_id, full.cluster_id))
+    got = dict(zip(combined.image_id, combined.cluster_id))
+    assert got == want
+
+    # base assignments preserved verbatim (no merges in the planted plan)
+    base_assign = ray.data.read_parquet(
+        os.path.join(root, "base_wd", "clusters")).to_pandas()
+    for iid, cid in zip(base_assign.image_id, base_assign.cluster_id):
+        assert got[iid] == cid
+    assert m["base_cluster_merges"] == 0
+
+    # resume: second invocation recomputes nothing
+    inc2 = run_incremental_job(delta_dir, os.path.join(root, "inc_wd"),
+                               os.path.join(root, "base_wd"))
+    assert all(inc2["resumed"].values()), inc2["resumed"]
