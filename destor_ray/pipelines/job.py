@@ -399,7 +399,8 @@ def restore_fidelity_stats(restored_ds, seed: int = 42,
 def run_incremental_job(delta_corpus_dir: str, workdir: str,
                         base_workdir: str,
                         cfg: EngineConfig | None = None,
-                        force: bool = False) -> dict:
+                        force: bool = False,
+                        bloom_prefilter: bool = False) -> dict:
     """Incremental ingest — destor's SECOND backup: the arriving shard
     dedups against the signature index PERSISTED by a prior
     run_backup_job (base_workdir), base cluster ids are preserved, and
@@ -455,7 +456,8 @@ def run_incremental_job(delta_corpus_dir: str, workdir: str,
     def produce_edges(out: str):
         nb = buckets_for(base_sigs.count() + sigs.count())
         return _write_parquet(candidates.candidate_edges_incremental(
-            base_sigs, sigs, cfg, num_buckets=nb), out)
+            base_sigs, sigs, cfg, num_buckets=nb,
+            bloom_prefilter=bloom_prefilter), out)
 
     edges, resumed = ckpt.run_stage(workdir, "edges", chash, input_id,
                                     produce_edges, force=force)

@@ -562,9 +562,34 @@ def candidate_edges_rendezvous(signatures_ds, cfg: EngineConfig | None = None,
                               num_buckets=eb)
 
 
+def delta_band_bloom(delta_sigs_ds, cfg: EngineConfig,
+                     num_bits: int = 1 << 22):
+    """Mergeable Bloom filter over the DELTA shard's band keys: per-batch
+    partial filters OR-reduce on the driver (filter bytes are tiny and
+    fixed-size; the delta table streams). The classic DDFS negative
+    pre-filter (functions/bloom.py, B1) applied to incremental ingest."""
+    from ..functions.bloom import BloomFilter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bf = BloomFilter(num_bits=num_bits)
+        t = explode_bands(batch, cfg)
+        bf.add(t["band_key"].to_numpy(zero_copy_only=False)
+               .view(np.uint64))
+        return pa.table({"bits": pa.array([bf.to_bytes()], pa.binary())})
+
+    out = BloomFilter(num_bits=num_bits)
+    for b in delta_sigs_ds.map_batches(
+            partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for blob in b["bits"].to_pylist():
+            out.merge(BloomFilter.from_bytes(blob))
+    return out
+
+
 def candidate_edges_incremental(base_sigs_ds, delta_sigs_ds,
                                 cfg: EngineConfig | None = None,
-                                num_buckets: int = 64):
+                                num_buckets: int = 64,
+                                bloom_prefilter: bool = False):
     """Incremental-ingest candidate generation (destor's second-backup
     topology: arriving chunks probe the fingerprint index persisted by
     prior jobs, /root/reference/src/index/index.c D8 'index update' at
@@ -574,12 +599,16 @@ def candidate_edges_incremental(base_sigs_ds, delta_sigs_ds,
     is never re-deduped, only probed. Emitted edges all touch >= 1
     delta row.
 
-    Scale note: the base side re-explodes its band rows each run (the
-    exchange-based analog of an index probe). When the base dwarfs the
-    delta, pre-filter base band rows with a Bloom filter of the delta's
-    band keys (functions/bloom.py) before the exchange — the standard
-    semi-join reduction; not wired here because the test-scale exchange
-    is cheap."""
+    bloom_prefilter=True is the base >> delta configuration (a 10^12-row
+    index probed by a 10^6-row shard): a Bloom filter over the DELTA's
+    band keys broadcasts once (fixed small bytes) and base band rows
+    that can't collide with any delta key — almost all of them — are
+    dropped BEFORE the exchange, the standard Bloom semi-join reduction
+    (and destor's DDFS in-memory filter probe, B1). No false negatives,
+    so the edge set is IDENTICAL to the unfiltered path (tested); false
+    positives only ship harmless extra base rows."""
+    import ray as _ray
+
     from .grouped import bucketed_group_map
     cfg = cfg or EngineConfig()
 
@@ -591,7 +620,21 @@ def candidate_edges_incremental(base_sigs_ds, delta_sigs_ds,
                                     pa.int8()))
         return fn
 
-    bands = base_sigs_ds.map_batches(tag(1), batch_format="pyarrow") \
+    base_tag = tag(1)
+    if bloom_prefilter:
+        bf_ref = _ray.put(delta_band_bloom(delta_sigs_ds, cfg).to_bytes())
+
+        def base_fn(batch: pa.Table) -> pa.Table:
+            from ..functions.bloom import BloomFilter
+            bf = BloomFilter.from_bytes(_ray.get(bf_ref))
+            t = base_tag(batch)
+            hit = bf.contains(t["band_key"].to_numpy(zero_copy_only=False)
+                              .view(np.uint64))
+            return t.filter(pa.array(hit))
+    else:
+        base_fn = base_tag
+
+    bands = base_sigs_ds.map_batches(base_fn, batch_format="pyarrow") \
         .union(delta_sigs_ds.map_batches(tag(0), batch_format="pyarrow"))
     return bucketed_group_map(bands, "band_key",
                               lambda df: verify_bucket(df, cfg),

@@ -209,3 +209,54 @@ def test_incremental_job_matches_full(ray_session):
     inc2 = run_incremental_job(delta_dir, os.path.join(root, "inc_wd"),
                                os.path.join(root, "base_wd"))
     assert all(inc2["resumed"].values()), inc2["resumed"]
+
+
+def test_incremental_bloom_prefilter_identical_edges(ray_session):
+    """The Bloom semi-join pre-filter (base >> delta configuration)
+    drops most base band rows before the exchange yet produces the
+    IDENTICAL verified edge set (no false negatives by construction)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.dedup import signatures_from_corpus
+    from destor_ray.stages import candidates
+
+    n, k = 400, 210
+    full_dir = corpus.ensure_corpus_parquet(n, seed=42)
+    t = pq.ParquetDataset(full_dir).read()
+    nid = np.array([int(s[3:]) for s in t["image_id"].to_pylist()])
+    t = t.take(np.argsort(nid))
+    root = "/tmp/destor_ray_test_incr_bloom"
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    for name, tbl in (("b", t.slice(0, k)), ("d", t.slice(k))):
+        os.makedirs(os.path.join(root, name))
+        pq.write_table(tbl, os.path.join(root, name, "p.parquet"))
+    cfg = EngineConfig()
+    base = signatures_from_corpus(
+        ray.data.read_parquet(os.path.join(root, "b")), cfg).materialize()
+    delta = signatures_from_corpus(
+        ray.data.read_parquet(os.path.join(root, "d")), cfg).materialize()
+
+    def pairs(ds):
+        df = ds.to_pandas()
+        return set(zip(df.left_id, df.right_id))
+
+    plain = pairs(candidates.candidate_edges_incremental(base, delta, cfg))
+    bloomed = pairs(candidates.candidate_edges_incremental(
+        base, delta, cfg, bloom_prefilter=True))
+    assert plain == bloomed
+    assert len(plain) > 0
+    # the filter must actually prune: count surviving base band rows
+    from destor_ray.stages.candidates import delta_band_bloom, explode_bands
+    bf = delta_band_bloom(delta, cfg)
+    import pyarrow as pa
+    kept = tot = 0
+    for b in base.map_batches(
+            lambda x: explode_bands(x, cfg),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        keys = b["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
+        kept += int(bf.contains(keys).sum())
+        tot += len(keys)
+    assert kept < tot * 0.5, (kept, tot)
