@@ -481,6 +481,7 @@ def _corpus_dedup_eval(sf_dir: str):
     pred = dict(zip(assignment.image_id, assignment.cluster_id))
     plan = corpus.dup_plan_table(n)
     hits = misses = joined_distractors = 0
+    by_kind: dict[str, list[int]] = {}
     for left, right, kind in zip(plan["left_id"].to_pylist(),
                                  plan["right_id"].to_pylist(),
                                  plan["kind"].to_pylist()):
@@ -490,6 +491,9 @@ def _corpus_dedup_eval(sf_dir: str):
         else:
             hits += int(same)
             misses += int(not same)
+            hm = by_kind.setdefault(kind, [0, 0])
+            hm[0] += int(same)
+            hm[1] += 1
     truth = {f"img{i:010d}": f"img{corpus.truth_cluster(i):010d}"
              for i in range(n)}
     mismatches = sum(1 for k, v in truth.items() if pred[k] != v)
@@ -499,6 +503,12 @@ def _corpus_dedup_eval(sf_dir: str):
             ("dup_pair_misses", float(misses)),
             ("joined_distractors", float(joined_distractors)),
             ("exact_truth_mismatches", float(mismatches))]
+    # per-transform recall: each planted kind exercises a different
+    # candidate channel (exact→sha1, reencode→phash/thumb, crop→phash
+    # second opinion, caption_para→caption MinHash)
+    for kind in sorted(by_kind):
+        h, tot = by_kind[kind]
+        rows.append((f"recall_{kind}", round(h / max(1, tot), 6)))
     return pa.table({"metric": pa.array([r[0] for r in rows], pa.string()),
                      "value": pa.array([r[1] for r in rows], pa.float64())})
 
@@ -926,6 +936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "bfs_token_distances": graph.bfs_token_distances,
         "part_pareto_frontier": relational.part_pareto_frontier,
+        "table_profile": stats.table_profile,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -2288,6 +2299,44 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY 1, 2
+        """,
+        "table_profile": """
+            WITH s AS (
+                SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                       text, lang, source,
+                       CAST(n_chars AS VARCHAR) AS n_chars
+                FROM documents
+            )
+            SELECT 'doc_id' AS col_name,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+                   min(doc_id) AS min_str, max(doc_id) AS max_str
+            FROM s
+            UNION ALL
+            SELECT 'text',
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT text) AS BIGINT),
+                   min(text), max(text) FROM s
+            UNION ALL
+            SELECT 'lang',
+                   CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT),
+                   min(lang), max(lang) FROM s
+            UNION ALL
+            SELECT 'source',
+                   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT),
+                   min(source), max(source) FROM s
+            UNION ALL
+            SELECT 'n_chars',
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(count(DISTINCT n_chars) AS BIGINT),
+                   min(n_chars), max(n_chars) FROM s
         """,
         "bfs_token_distances": """
             WITH w AS (SELECT string_split(text, ' ') AS ws

@@ -284,3 +284,76 @@ def source_length_gini(sf_dir: str):
     return bucketed_group_map(prof.map_batches(cast_cols,
                                                batch_format="pyarrow"),
                               "source", gini, num_buckets=8)
+
+
+def table_profile(sf_dir: str):
+    """(col_name, n_nulls, n_distinct, min_str, max_str) — the ANALYZE
+    pass a 100 TB ingest runs before anything else (per-column health:
+    null counts, exact cardinality, value range). Shuffle budget: ONE
+    exchange total — every column's batch-locally-deduped values ride
+    the same tagged (col_id, value-as-string) stream, hash-bucketed for
+    the global distinct count; nulls/min/max reduce map-side to one
+    tiny row per (column, block) with a driver fold. Values are
+    compared as strings on both sides (ASCII corpus ⇒ numpy object min
+    == SQL VARCHAR min) so one long-format schema profiles
+    heterogeneous column types."""
+    from ..stages.grouped import bucketed_group_map
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, nulls, mins, maxs, ns = [], [], [], [], []
+        for c in cols:
+            col = batch[c]
+            nn = col.null_count
+            vals = np.asarray(
+                [str(v) for v in col.to_pylist() if v is not None],
+                dtype=object)
+            names.append(c)
+            nulls.append(nn)
+            ns.append(batch.num_rows)
+            mins.append(str(vals.min()) if len(vals) else "")
+            maxs.append(str(vals.max()) if len(vals) else "")
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "n_nulls": pa.array(np.array(nulls, np.int64), pa.int64()),
+            "min_str": pa.array(mins, pa.string()),
+            "max_str": pa.array(maxs, pa.string()),
+        })
+
+    prof = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    folded = prof.groupby("col_name").agg(
+        n_nulls=("n_nulls", "sum"), min_str=("min_str", "min"),
+        max_str=("max_str", "max")).reset_index()
+
+    def dvals(batch: pa.Table) -> pa.Table:
+        out_c, out_v = [], []
+        for i, c in enumerate(cols):
+            u = {str(v) for v in batch[c].to_pylist() if v is not None}
+            out_c.extend([i] * len(u))
+            out_v.extend(u)
+        return pa.table({
+            "cid": pa.array(np.array(out_c, np.int64), pa.int64()),
+            "val": pa.array(out_v, pa.string()),
+        })
+
+    def count_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.drop_duplicates(["cid", "val"]) \
+            .groupby("cid", as_index=False).size()
+        return pa.table({
+            "cid": pa.array(g["cid"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["size"].to_numpy(np.int64), pa.int64()),
+        })
+
+    dist = bucketed_group_map(
+        ds.map_batches(dvals, batch_format="pyarrow"), "val",
+        count_bucket, num_buckets=16).to_pandas() \
+        .groupby("cid", as_index=False)["n"].sum()
+    nd = {int(c): int(n) for c, n in zip(dist["cid"], dist["n"])}
+    folded["n_distinct"] = [nd.get(cols.index(c), 0)
+                            for c in folded["col_name"]]
+    return folded[["col_name", "n_nulls", "n_distinct",
+                   "min_str", "max_str"]].astype(
+        {"n_nulls": np.int64, "n_distinct": np.int64})

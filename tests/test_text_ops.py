@@ -86,7 +86,7 @@ def _check(name, con, ray_session):
     "q9_product_profit", "q19_disjunctive_revenue", "q7_nation_volume",
     "q8_market_share", "q12_priority_by_linestatus",
     "q21_waiting_suppliers", "bfs_token_distances",
-    "part_pareto_frontier",
+    "part_pareto_frontier", "table_profile",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
