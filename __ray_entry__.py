@@ -187,6 +187,16 @@ queries() entries map to SURVEY.md §2 operators:
   part_pareto_frontier 2-D skyline via local-prune-then-global-prune
                        (domination transitivity), NOT EXISTS
                        domination anti-join oracle (oracle)
+  containment_join_exact Broder containment c/|A| (directed) over the
+                       shared shingle-posting machinery — copied-into-
+                       bigger-doc duplication (oracle)
+  normalize_text       case-fold + whitespace-collapse + trim, map-only
+                       vectorized re2 kernels (oracle)
+  events_dedup_window  at-least-once delivery dedup: same (user, type,
+                       value) within the window, lag semantics, one
+                       identity exchange (oracle)
+  table_profile        per-column ANALYZE (nulls, exact cardinality,
+                       range) in one tagged exchange (oracle)
   corpus_incremental_dedup second-backup workflow (D8 index update):
                        arriving shard probes the persisted base
                        signature index, base-base pairs masked, delta
@@ -989,6 +999,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
         "jaccard_join_exact": text.jaccard_join_exact,
+        "containment_join_exact": text.containment_join_exact,
+        "normalize_text": curation.normalize_text,
+        "events_dedup_window": streaming.events_dedup_window,
         "jaccard_join_ppjoin": text.jaccard_join_ppjoin,
         "common_substring_pairs": substring.common_substring_pairs,
         "lcs_pairs": substring.lcs_pairs,
@@ -1234,6 +1247,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON ca.doc_id = i.left_id
             JOIN cnt cb ON cb.doc_id = i.right_id
             WHERE i.n_common * 1.0 / (ca.n + cb.n - i.n_common) >= 0.5
+        """,
+        "containment_join_exact": """
+            WITH sh AS (
+                SELECT DISTINCT doc_id, substr(text, i, 5) AS s
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, length(text) - 3)) AS i
+                      FROM documents)
+            ), cnt AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       count(*) AS n_common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), both_dirs AS (
+                SELECT i.left_id AS contained_id,
+                       i.right_id AS container_id,
+                       i.n_common, ca.n AS n_contained
+                FROM inter i JOIN cnt ca ON ca.doc_id = i.left_id
+                UNION ALL
+                SELECT i.right_id, i.left_id, i.n_common, cb.n
+                FROM inter i JOIN cnt cb ON cb.doc_id = i.right_id
+            )
+            SELECT contained_id, container_id,
+                   round(n_common * 1.0 / n_contained, 6) AS containment
+            FROM both_dirs
+            WHERE n_common * 1.0 / n_contained >= 0.8
+        """,
+        "events_dedup_window": """
+            SELECT event_id,
+                   coalesce(ts - lag(ts) OVER (
+                        PARTITION BY user_id, event_type,
+                                     round(value * 1000000)
+                        ORDER BY ts, event_id)
+                        <= INTERVAL 600 SECOND, FALSE) AS is_dup
+            FROM events
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                       AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(text), '\\s+',
+                                                   ' ', 'g'))) AS BIGINT)
+                       AS n_chars_norm
+            FROM documents
         """,
         "jaccard_join_ppjoin": """
             WITH sh AS (

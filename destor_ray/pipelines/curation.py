@@ -54,6 +54,30 @@ def stopword_scrub(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def normalize_text(sf_dir: str):
+    """(doc_id, norm_text, n_chars_norm): canonical text normalization —
+    the first map of every dedup/curation pipeline (case-fold +
+    whitespace-run collapse + trim), because exact/shingle dedup over
+    UN-normalized text silently misses case/spacing variants. Map-only,
+    fully vectorized re2/utf8 kernels (utf8_lower,
+    replace_substring_regex, utf8_trim_whitespace); the oracle runs
+    lower + regexp_replace(..., 'g') + trim — both engines are RE2, so
+    bytes match exactly."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "norm_text": t,
+            "n_chars_norm": pc.cast(pc.utf8_length(t), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def dataset_split(sf_dir: str, val_pct: int = 10):
     """(doc_id, bucket, split): deterministic hash split — bucket =
     first-8-hex-digits of md5(str(doc_id)) mod 100, split = 'val' for

@@ -314,8 +314,11 @@ def table_profile(sf_dir: str):
             names.append(c)
             nulls.append(nn)
             ns.append(batch.num_rows)
-            mins.append(str(vals.min()) if len(vals) else "")
-            maxs.append(str(vals.max()) if len(vals) else "")
+            # None (not ""): an all-null block must not poison the
+            # global min with an empty-string sentinel — pandas min/max
+            # skip missing values in the fold
+            mins.append(str(vals.min()) if len(vals) else None)
+            maxs.append(str(vals.max()) if len(vals) else None)
         return pa.table({
             "col_name": pa.array(names, pa.string()),
             "n_nulls": pa.array(np.array(nulls, np.int64), pa.int64()),

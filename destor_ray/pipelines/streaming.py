@@ -1782,3 +1782,57 @@ def events_incremental_stats(sf_dir: str, mod: int = 10):
             "n": pc.cast(b["n"], pa.int64()),
             "sum_value_micro": pc.cast(b["s"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def events_dedup_window(sf_dir: str, window_sec: int = 600):
+    """(event_id, is_dup) — at-least-once delivery dedup: an event is a
+    duplicate when the SAME (user_id, event_type, value) occurred within
+    the preceding `window_sec` (lag semantics — each occurrence compares
+    to the previous occurrence, dropped or not; deterministic and
+    SQL-mirrorable as lag() OVER (PARTITION BY identity ORDER BY ts,
+    event_id)). The ingestion-side twin of content dedup: retries and
+    redeliveries produce byte-identical events shifted by seconds.
+
+    Shape: narrow projection, ONE identity-keyed exchange, per-bucket
+    lexsort + shifted vectorized compare with identity-boundary masking
+    — the events_value_delta skeleton with the partition key widened to
+    the full identity."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "vmic": pa.array(vmic, pa.int64()),
+        })
+
+    def flag(df: pd.DataFrame) -> pa.Table:
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["vmic"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(object)
+        tcode, _ = pd.factorize(et)
+        order = np.lexsort((eid, ts, v, tcode, uid))
+        u_s, t_s, v_s, ts_s = (uid[order], tcode[order], v[order],
+                               ts[order])
+        same = np.zeros(len(u_s), bool)
+        if len(u_s) > 1:
+            same[1:] = ((u_s[1:] == u_s[:-1]) & (t_s[1:] == t_s[:-1])
+                        & (v_s[1:] == v_s[:-1])
+                        & (ts_s[1:] - ts_s[:-1]
+                           <= window_sec * 1_000_000))
+        return pa.table({
+            "event_id": pa.array(eid[order], pa.int64()),
+            "is_dup": pa.array(same, pa.bool_()),
+        })
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow")
+    return bucketed_group_map(rows, "user_id", flag, num_buckets=16)

@@ -962,21 +962,15 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, num_bands: int = 8):
     return bucketed_group_map(bands, "band_key", verify_bucket, num_buckets=32)
 
 
-def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5):
-    """EXACT all-pairs n-gram Jaccard >= threshold via an inverted-index
-    set-similarity join — the classic shingle-posting topology, fully
-    distributed and DuckDB-oracle-checkable (no LSH candidate filter):
-
-      docs → distinct k-char shingle STRINGS (exact SQL parity — no
-      hashing) → groupby(shingle): emit (l, r, partial-count, |A|, |B|)
-      pairs per posting, pre-aggregated per bucket (map-side combine) →
-      groupby(pair): sum intersections → J = c / (|A|+|B|-c).
-
-    Scale caveat (documented, inherent): exactness forbids posting-list
-    caps, so a stop-shingle shared by M docs costs O(M²) pair rows —
-    this is the price of the exact join; ngram_jaccard_pairs (LSH
-    candidates + rendezvous verify) is the skew-safe approximate path.
-    Returns (left_id, right_id, jaccard rounded 6)."""
+def _shingle_pair_partials(sf_dir: str, k: int = 5,
+                           num_buckets: int = 64):
+    """Shared inverted-index set-similarity machinery: docs → distinct
+    k-char shingle STRINGS (exact SQL parity — no hashing) →
+    groupby(shingle): all (l<r) pairs per posting, pre-aggregated per
+    bucket (map-side combine) → pair-keyed rows (left_id, right_id,
+    c=local intersection, nl=|A|, nr=|B|, pk=pair hash), ready for the
+    final pair-keyed reduce. Used by jaccard_join_exact (symmetric) and
+    containment_join_exact (directed)."""
     from ..functions.hashing import mix_u64
     from ..stages.grouped import bucketed_group_map
 
@@ -1038,7 +1032,22 @@ def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5):
         pk = mix_u64((l * np.int64(1_000_003) + r).view(np.uint64), 0x9A7).view(np.int64)
         return batch.append_column("pk", pa.array(pk, pa.int64()))
 
-    keyed = partials.map_batches(add_pair_key, batch_format="pyarrow")
+    return partials.map_batches(add_pair_key, batch_format="pyarrow")
+
+
+def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5):
+    """EXACT all-pairs n-gram Jaccard >= threshold via the inverted-
+    index set-similarity join (_shingle_pair_partials): final pair-keyed
+    reduce sums intersections → J = c / (|A|+|B|-c).
+
+    Scale caveat (documented, inherent): exactness forbids posting-list
+    caps, so a stop-shingle shared by M docs costs O(M²) pair rows —
+    this is the price of the exact join; ngram_jaccard_pairs (LSH
+    candidates + rendezvous verify) is the skew-safe approximate path.
+    Returns (left_id, right_id, jaccard rounded 6)."""
+    from ..stages.grouped import bucketed_group_map
+
+    keyed = _shingle_pair_partials(sf_dir, k)
 
     def reduce_pairs(df: pd.DataFrame) -> pa.Table:
         if not len(df):
@@ -1058,6 +1067,51 @@ def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5):
 
     return bucketed_group_map(keyed, "pk",
                               lambda df: reduce_pairs(df.drop(columns=[])),
+                              num_buckets=32)
+
+
+def containment_join_exact(sf_dir: str, threshold: float = 0.8,
+                           k: int = 5):
+    """(contained_id, container_id, containment) — EXACT all-pairs
+    shingle-set CONTAINMENT c/|A| >= threshold (Broder's asymmetric
+    measure): detects documents largely COPIED INTO a bigger one —
+    quote / template / wrapper duplication that symmetric Jaccard
+    under-scores (a 100-line doc embedded in a 10,000-line doc has
+    J≈0.01 but containment 1.0). Same inverted-index posting topology
+    and pair-keyed reduce as jaccard_join_exact
+    (_shingle_pair_partials); the only difference is the final
+    normalization, evaluated in BOTH directions from the undirected
+    (l<r) partials."""
+    from ..stages.grouped import bucketed_group_map
+
+    keyed = _shingle_pair_partials(sf_dir, k)
+
+    def reduce_pairs(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"contained_id": pa.array([], pa.int64()),
+                          "container_id": pa.array([], pa.int64()),
+                          "containment": pa.array([], pa.float64())})
+        if not len(df):
+            return empty
+        g = df.groupby(["left_id", "right_id"], sort=False) \
+            .agg(c=("c", "sum"), nl=("nl", "first"), nr=("nr", "first")) \
+            .reset_index()
+        l = g["left_id"].to_numpy(np.int64)
+        r = g["right_id"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.float64)
+        nl = g["nl"].to_numpy(np.float64)
+        nr = g["nr"].to_numpy(np.float64)
+        contained = np.concatenate([l, r])
+        container = np.concatenate([r, l])
+        cont = np.concatenate([c / nl, c / nr])
+        ok = cont >= threshold
+        return pa.table({
+            "contained_id": pa.array(contained[ok], pa.int64()),
+            "container_id": pa.array(container[ok], pa.int64()),
+            "containment": pa.array(np.round(cont[ok], 6), pa.float64()),
+        })
+
+    return bucketed_group_map(keyed, "pk",
+                              lambda df: reduce_pairs(df),
                               num_buckets=32)
 
 

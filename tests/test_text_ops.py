@@ -87,6 +87,8 @@ def _check(name, con, ray_session):
     "q8_market_share", "q12_priority_by_linestatus",
     "q21_waiting_suppliers", "bfs_token_distances",
     "part_pareto_frontier", "table_profile",
+    "containment_join_exact", "normalize_text",
+    "events_dedup_window",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
