@@ -197,6 +197,11 @@ queries() entries map to SURVEY.md §2 operators:
                        identity exchange (oracle)
   table_profile        per-column ANALYZE (nulls, exact cardinality,
                        range) in one tagged exchange (oracle)
+  orders_customer_set_ops INTERSECT/EXCEPT membership of two period
+                       populations as ONE grouped boolean aggregate
+                       (oracle)
+  lineitem_unpivot     UNPIVOT/melt of the four measure columns inside
+                       the batch map + domain-sized groupby (oracle)
   corpus_incremental_dedup second-backup workflow (D8 index update):
                        arriving shard probes the persisted base
                        signature index, base-base pairs masked, delta
@@ -946,6 +951,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "bfs_token_distances": graph.bfs_token_distances,
         "part_pareto_frontier": relational.part_pareto_frontier,
+        "orders_customer_set_ops": relational.orders_customer_set_ops,
+        "lineitem_unpivot": relational.lineitem_unpivot,
         "table_profile": stats.table_profile,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
@@ -2422,6 +2429,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT node, 1 FROM d1
             UNION ALL SELECT node, 2 FROM d2
             UNION ALL SELECT node, 3 FROM d3
+        """,
+        "orders_customer_set_ops": """
+            WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+                         AND o_orderdate <  TIMESTAMP '1995-01-01'),
+                 b AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                         AND o_orderdate <  TIMESTAMP '1996-01-01')
+            SELECT custkey, 'both' AS membership
+            FROM (SELECT custkey FROM a INTERSECT
+                  SELECT custkey FROM b)
+            UNION ALL
+            SELECT custkey, 'a_only'
+            FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+            UNION ALL
+            SELECT custkey, 'b_only'
+            FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+        """,
+        "lineitem_unpivot": """
+            WITH long AS (
+                SELECT 'l_quantity' AS measure, l_returnflag,
+                       CAST(round(l_quantity * 100) AS BIGINT) AS centi
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_returnflag,
+                       CAST(round(l_discount * 100) AS BIGINT)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_tax', l_returnflag,
+                       CAST(round(l_tax * 100) AS BIGINT)
+                FROM lineitem
+            )
+            SELECT measure, l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(centi) AS BIGINT) AS sum_centi
+            FROM long GROUP BY measure, l_returnflag
         """,
         "part_pareto_frontier": """
             WITH a AS (

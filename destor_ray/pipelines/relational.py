@@ -2503,3 +2503,130 @@ def part_pareto_frontier(sf_dir: str):
         "total_qty": qty[keep],
         "revenue_scaled": rev[keep],
     })
+
+
+def orders_customer_set_ops(sf_dir: str,
+                            a_from: str = "1994-01-01",
+                            a_to: str = "1995-01-01",
+                            b_from: str = "1995-01-01",
+                            b_to: str = "1996-01-01"):
+    """(custkey, membership) — distributed SET OPERATIONS: the customer
+    populations of two order periods classified as 'both' (INTERSECT),
+    'a_only' (A EXCEPT B) or 'b_only' (B EXCEPT A) in ONE pass. The
+    set-algebra shape (churn / retention overlap between two slices)
+    that SQL spells with three separate set-op queries collapses to a
+    single exchange here: each order row maps to (custkey, in_a, in_b)
+    flags, batches pre-deduplicate per custkey map-side (OR-fold of the
+    flags), one custkey-keyed hash aggregate Max()es the flags, and the
+    membership label is a final map over the two bits. No driver
+    materialization, no join — set membership IS a grouped boolean
+    aggregate."""
+    from ray.data.aggregate import Max
+
+    a_lo = np.datetime64(a_from, "us").astype(np.int64)
+    a_hi = np.datetime64(a_to, "us").astype(np.int64)
+    b_lo = np.datetime64(b_from, "us").astype(np.int64)
+    b_hi = np.datetime64(b_to, "us").astype(np.int64)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        in_a = (od >= a_lo) & (od < a_hi)
+        in_b = (od >= b_lo) & (od < b_hi)
+        sel = in_a | in_b
+        ck, in_a, in_b = ck[sel], in_a[sel], in_b[sel]
+        # map-side combine: one row per (custkey) per batch, flags OR-ed
+        # (np.maximum.reduceat over the custkey-sorted run boundaries)
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        starts = np.flatnonzero(np.r_[True, ck_s[1:] != ck_s[:-1]])
+        a_fold = np.maximum.reduceat(in_a[order].astype(np.int64), starts) \
+            if len(ck_s) else np.array([], np.int64)
+        b_fold = np.maximum.reduceat(in_b[order].astype(np.int64), starts) \
+            if len(ck_s) else np.array([], np.int64)
+        return pa.table({
+            "custkey": pa.array(ck_s[starts] if len(ck_s)
+                                else np.array([], np.int64), pa.int64()),
+            "a": pa.array(a_fold, pa.int64()),
+            "b": pa.array(b_fold, pa.int64()),
+        })
+
+    agg = ds.map_batches(flags, batch_format="pyarrow") \
+        .groupby("custkey").aggregate(Max("a", alias_name="in_a"),
+                                      Max("b", alias_name="in_b"))
+
+    def label(batch: pa.Table) -> pa.Table:
+        a = batch["in_a"].to_numpy(zero_copy_only=False).astype(bool)
+        b = batch["in_b"].to_numpy(zero_copy_only=False).astype(bool)
+        lab = np.where(a & b, "both", np.where(a, "a_only", "b_only"))
+        return pa.table({
+            "custkey": pc.cast(batch["custkey"], pa.int64()),
+            "membership": pa.array(lab, pa.string()),
+        })
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
+def lineitem_unpivot(sf_dir: str):
+    """(measure, l_returnflag, n, sum_centi) — UNPIVOT/melt: the four
+    lineitem measure columns (quantity, extendedprice, discount, tax)
+    rotated from wide to long format, then aggregated per (measure,
+    returnflag). The melt happens INSIDE the batch map (each Arrow
+    batch emits its 4×|flags| partial rows — long format never exceeds
+    the aggregate's group domain in flight, so rotating a 100 TB table
+    costs no extra shuffle volume at all), followed by one tiny
+    domain-sized groupby. Values are exact int64 centi-units
+    (round(x*100)) so sums are accumulation-order-independent; the
+    oracle mirrors with UNION ALL + the same per-row rounding."""
+    from ray.data.aggregate import Sum
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag"] + cols)
+
+    def melt_partials(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        # per-batch group fold over the (small) flag domain, per measure
+        uniq, inv = np.unique(flags, return_inverse=True)
+        m_names, m_flags, m_n, m_sum = [], [], [], []
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        for c in cols:
+            v = np.round(batch[c].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+            sums = np.bincount(inv, weights=v.astype(np.float64),
+                               minlength=len(uniq))
+            # bincount weights go through float64; re-fold exactly in
+            # int64 only if the float path could have lost precision
+            if np.abs(sums).max(initial=0) >= 2 ** 52:
+                sums = np.zeros(len(uniq), np.int64)
+                np.add.at(sums, inv, v)
+            m_names.extend([c] * len(uniq))
+            m_flags.extend(uniq.tolist())
+            m_n.extend(counts.tolist())
+            m_sum.extend(np.asarray(sums, np.int64).tolist())
+        return pa.table({
+            "measure": pa.array(m_names, pa.string()),
+            "l_returnflag": pa.array(m_flags, pa.string()),
+            "n_part": pa.array(np.array(m_n, np.int64), pa.int64()),
+            "s_part": pa.array(np.array(m_sum, np.int64), pa.int64()),
+        })
+
+    agg = ds.map_batches(melt_partials, batch_format="pyarrow") \
+        .groupby(["measure", "l_returnflag"]).aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("s_part", alias_name="sum_centi"))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "measure": batch["measure"],
+            "l_returnflag": batch["l_returnflag"],
+            "n": pc.cast(batch["n"], pa.int64()),
+            "sum_centi": pc.cast(batch["sum_centi"], pa.int64()),
+        })
+
+    return agg.map_batches(normalize, batch_format="pyarrow")

@@ -88,7 +88,8 @@ def _check(name, con, ray_session):
     "q21_waiting_suppliers", "bfs_token_distances",
     "part_pareto_frontier", "table_profile",
     "containment_join_exact", "normalize_text",
-    "events_dedup_window",
+    "events_dedup_window", "orders_customer_set_ops",
+    "lineitem_unpivot",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
