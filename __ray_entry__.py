@@ -202,6 +202,14 @@ queries() entries map to SURVEY.md §2 operators:
                        (oracle)
   lineitem_unpivot     UNPIVOT/melt of the four measure columns inside
                        the batch map + domain-sized groupby (oracle)
+  table_digest         order-insensitive per-partition table
+                       fingerprint (Σ md5_60bit(row) mod 2^63) — the
+                       certify-a-copy-without-sorting primitive;
+                       hi/lo-split partials so int64 Sums never
+                       overflow (oracle)
+  exact_global_quantiles exact median/p90/p99 by 3-pass histogram-
+                       refine selection — no sort, no co-location
+                       (the exact-median-of-100TB algorithm) (oracle)
   corpus_incremental_dedup second-backup workflow (D8 index update):
                        arriving shard probes the persisted base
                        signature index, base-base pairs masked, delta
@@ -954,6 +962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_set_ops": relational.orders_customer_set_ops,
         "lineitem_unpivot": relational.lineitem_unpivot,
         "table_profile": stats.table_profile,
+        "table_digest": stats.table_digest,
+        "exact_global_quantiles": stats.exact_global_quantiles,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -2429,6 +2439,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT node, 1 FROM d1
             UNION ALL SELECT node, 2 FROM d2
             UNION ALL SELECT node, 3 FROM d3
+        """,
+        "exact_global_quantiles": """
+            WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT)
+                              AS vm FROM events),
+                 nn AS (SELECT count(*) AS c FROM v),
+                 r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rn
+                       FROM v)
+            SELECT CAST(qs.q AS DOUBLE) AS q, r.vm AS value_micro
+            FROM (VALUES (0.5), (0.9), (0.99)) qs(q)
+            CROSS JOIN nn
+            JOIN r ON r.rn = greatest(1, CAST(ceil(CAST(qs.q AS DOUBLE)
+                                                   * nn.c) AS BIGINT))
+        """,
+        "table_digest": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                            CAST(doc_id AS VARCHAR) || '|' || lang
+                            || '|' || text), 1, 15)) AS BIGINT))
+                        % 9223372036854775808 AS BIGINT) AS digest
+            FROM documents GROUP BY lang
         """,
         "orders_customer_set_ops": """
             WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders

@@ -360,3 +360,161 @@ def table_profile(sf_dir: str):
     return folded[["col_name", "n_nulls", "n_distinct",
                    "min_str", "max_str"]].astype(
         {"n_nulls": np.int64, "n_distinct": np.int64})
+
+
+def table_digest(sf_dir: str):
+    """(lang, n_rows, digest) — order-insensitive PARTITION-LEVEL table
+    fingerprint: per lang partition, digest = Σ md5_60bit(canonical row
+    string) mod 2^63. The cross-engine / cross-snapshot certification
+    primitive — "did the copy / migration / re-encode preserve every
+    row?" — computable WITHOUT sorting or co-locating the table because
+    a commutative sum is order- and partitioning-invariant (the reason
+    engines use it to certify 100 TB copies: any single changed,
+    dropped or duplicated row changes the digest with probability
+    1 - 2^-60).
+
+    Scale shape: map-only md5 fold per batch (the md5 row loop is the
+    price of oracle parity, as in minhash_lsh_oph; a production run
+    would swap in a vectorized xxhash), partials carried as SPLIT
+    hi/lo-32-bit int64 columns so plain int64 Sum aggregates never
+    overflow (Σ p = 2^32·Σhi + Σlo, exact for < 2^31 blocks), one
+    domain-sized groupby, final mod-2^63 recombine in a tiny map."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    MOD = 1 << 63
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pylist()
+        texts = batch["text"].to_pylist()
+        acc: dict[str, list[int]] = {}
+        for i, lg, tx in zip(ids, langs, texts):
+            s = f"{i}|{lg}|{tx}"
+            h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            e = acc.setdefault(lg, [0, 0])
+            e[0] += h
+            e[1] += 1
+        ks = sorted(acc)
+        tot = np.array([acc[k][0] for k in ks], object)
+        return pa.table({
+            "lang": pa.array(ks, pa.string()),
+            "hi": pa.array([int(t >> 32) for t in tot], pa.int64()),
+            "lo": pa.array([int(t & 0xFFFFFFFF) for t in tot], pa.int64()),
+            "n_part": pa.array([acc[k][1] for k in ks], pa.int64()),
+        })
+
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("lang").aggregate(Sum("hi", alias_name="hi_sum"),
+                                   Sum("lo", alias_name="lo_sum"),
+                                   Sum("n_part", alias_name="n_rows"))
+
+    def recombine(batch: pa.Table) -> pa.Table:
+        hi = batch["hi_sum"].to_pylist()
+        lo = batch["lo_sum"].to_pylist()
+        dig = [int(((h << 32) + l) % MOD) for h, l in zip(hi, lo)]
+        return pa.table({
+            "lang": batch["lang"],
+            "n_rows": pc.cast(batch["n_rows"], pa.int64()),
+            "digest": pa.array(dig, pa.int64()),
+        })
+
+    return agg.map_batches(recombine, batch_format="pyarrow")
+
+
+def exact_global_quantiles(sf_dir: str,
+                           qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                           n_hist: int = 1 << 16,
+                           max_refine_rows: int = 5_000_000):
+    """(q, value_micro) — EXACT global quantiles by MULTI-PASS
+    SELECTION, the algorithm for an exact median of a column too big to
+    sort and whose groups don't fit one worker (the regime where
+    events_type_percentiles' co-locate-and-sort contract breaks):
+
+      pass 1  global (n, min, max) — one scalar aggregate;
+      pass 2  equal-width histogram over [min, max] (n_hist buckets):
+              per-batch bincount partials, one domain-sized groupby;
+              the driver's cumulative scan locates, for each rank
+              k = ceil(q·n), the bucket holding the k-th value and the
+              residual rank within it;
+      pass 3  ONE filtered scan keeps only values in the (few) located
+              buckets — expected n/n_hist rows each — and np.partition
+              selects the residual rank exactly.
+
+    Total data moved: 3 storage scans, zero sort, zero co-location;
+    the only driver materialization is the refine set, asserted under
+    `max_refine_rows` (a pathological single-value-bucket skew would
+    need one recursion of pass 2/3 inside the bucket — not needed on
+    any driver table, enforced by the assert rather than silently
+    degrading). Definition matches events_type_percentiles: value at
+    1-based rank ceil(q·n) of the ascending sort, on int64 micro
+    units."""
+    import math
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .streaming import _read_events
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({"vmic": pa.array(vmic, pa.int64())})
+
+    base = _read_events(sf_dir).select_columns(["value"])
+    vals = base.map_batches(narrow, batch_format="pyarrow")
+
+    # pass 1
+    g = vals.aggregate(Count(alias_name="n"), Min("vmic", alias_name="lo"),
+                       Max("vmic", alias_name="hi"))
+    n, lo, hi = int(g["n"]), int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_hist))
+
+    # pass 2
+    def hist(batch: pa.Table) -> pa.Table:
+        b = (batch["vmic"].to_numpy(zero_copy_only=False) - lo) // width
+        cnt = np.bincount(b, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    hdf = vals.map_batches(hist, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas().sort_values("bucket")
+    buckets = hdf["bucket"].to_numpy(np.int64)
+    cum = hdf["cnt"].to_numpy(np.int64).cumsum()
+
+    targets = []  # (q, bucket, residual rank within bucket)
+    for q in qs:
+        k = max(1, math.ceil(q * n))
+        j = int(np.searchsorted(cum, k))
+        before = int(cum[j - 1]) if j else 0
+        targets.append((q, int(buckets[j]), k - before))
+    needed = sorted({b for _, b, _ in targets})
+    assert sum(int(hdf["cnt"].iloc[int(np.searchsorted(buckets, b))])
+               for b in needed) <= max_refine_rows, \
+        "refine set too large — recurse pass 2/3 inside the hot bucket"
+
+    # pass 3
+    need_arr = np.array(needed, np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch["vmic"].to_numpy(zero_copy_only=False)
+        sel = np.isin((v - lo) // width, need_arr)
+        return pa.table({"vmic": pa.array(v[sel], pa.int64())})
+
+    fine = vals.map_batches(keep, batch_format="pyarrow") \
+        .to_pandas()["vmic"].to_numpy(np.int64)
+    fb = (fine - lo) // width
+
+    out_q, out_v = [], []
+    for q, b, r in targets:
+        inb = fine[fb == b]
+        out_q.append(q)
+        out_v.append(int(np.partition(inb, r - 1)[r - 1]))
+    return pd.DataFrame({"q": np.array(out_q, np.float64),
+                         "value_micro": np.array(out_v, np.int64)})

@@ -89,7 +89,7 @@ def _check(name, con, ray_session):
     "part_pareto_frontier", "table_profile",
     "containment_join_exact", "normalize_text",
     "events_dedup_window", "orders_customer_set_ops",
-    "lineitem_unpivot",
+    "lineitem_unpivot", "table_digest", "exact_global_quantiles",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
