@@ -210,6 +210,10 @@ queries() entries map to SURVEY.md §2 operators:
   exact_global_quantiles exact median/p90/p99 by 3-pass histogram-
                        refine selection — no sort, no co-location
                        (the exact-median-of-100TB algorithm) (oracle)
+  dedup_ratio_estimate sampled dedup-ratio estimation (Harnik-style
+                       1/64 content-defined hash slice, exact distinct
+                       on the sample × mod) — the plan-before-you-run
+                       primitive (oracle)
   corpus_incremental_dedup second-backup workflow (D8 index update):
                        arriving shard probes the persisted base
                        signature index, base-base pairs masked, delta
@@ -964,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_profile": stats.table_profile,
         "table_digest": stats.table_digest,
         "exact_global_quantiles": stats.exact_global_quantiles,
+        "dedup_ratio_estimate": text.dedup_ratio_estimate,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -2439,6 +2444,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT node, 1 FROM d1
             UNION ALL SELECT node, 2 FROM d2
             UNION ALL SELECT node, 3 FROM d3
+        """,
+        "dedup_ratio_estimate": """
+            WITH sh AS (
+                SELECT DISTINCT substr(text, i, 5) AS s
+                FROM (SELECT text,
+                             unnest(range(1, length(text) - 3)) AS i
+                      FROM documents)
+            ), occ AS (
+                SELECT CAST(sum(greatest(0, length(text) - 4))
+                            AS BIGINT) AS n
+                FROM documents
+            ), samp AS (
+                SELECT count(*) AS nd FROM sh
+                WHERE CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+                      % 64 = 0
+            )
+            SELECT occ.n AS n_occurrences,
+                   CAST(samp.nd AS BIGINT) AS n_sampled_distinct,
+                   CAST(samp.nd * 64 AS BIGINT) AS est_distinct,
+                   CAST((greatest(0, occ.n - samp.nd * 64) * 1000000)
+                        // occ.n AS BIGINT) AS est_dedup_ratio_micro
+            FROM occ, samp
         """,
         "exact_global_quantiles": """
             WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT)

@@ -1707,3 +1707,78 @@ def doc_feature_hashing(sf_dir: str, dims: int = 64):
         })
 
     return ds.map_batches(featurize, batch_format="pyarrow")
+
+
+def dedup_ratio_estimate(sf_dir: str, k: int = 5, mod: int = 64):
+    """(n_occurrences, n_sampled_distinct, est_distinct,
+    est_dedup_ratio_micro) — SAMPLED dedup-ratio estimation (Harnik et
+    al., "Estimation of deduplication ratios in large data sets",
+    MSST'12 family): estimate the distinct-chunk count of a corpus
+    WITHOUT building the full index by keeping only chunks whose hash
+    lands in a deterministic 1/mod slice of hash space (md5 % mod == 0
+    — content-defined, so every occurrence of a given chunk is sampled
+    or skipped consistently) and scaling the sample's EXACT distinct
+    count by mod. The 100 TB planning primitive: run at 1/64 cost
+    before committing to the full dedup job. k-char document shingles
+    stand in for the chunk stream (same estimator destor would run
+    over FastCDC chunk sha1s).
+
+    Scale shape: per-batch the shingle set is deduplicated BEFORE
+    hashing (md5 once per batch-distinct shingle — the md5 loop is the
+    oracle-parity price, as in minhash_lsh_oph); only the ~1/mod
+    sampled shingles enter the single distinct exchange; occurrence
+    totals fold map-side to one int per batch. Estimator is unbiased
+    for distinct count; the dedup ratio 1 - distinct/occurrences is the
+    destor metric formula (src/destor.c:235-238)."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        occ = sum(max(0, len(t) - (k - 1)) for t in texts)
+        sampled: set[str] = set()
+        seen: dict[str, bool] = {}
+        for t in texts:
+            for i in range(max(0, len(t) - (k - 1))):
+                s = t[i:i + k]
+                hit = seen.get(s)
+                if hit is None:
+                    hit = int(hashlib.md5(s.encode("utf-8"))
+                              .hexdigest()[:15], 16) % mod == 0
+                    seen[s] = hit
+                if hit:
+                    sampled.add(s)
+        # an empty-string placeholder row carries the occurrence count
+        # of a batch with no sampled shingles (real shingles have len k)
+        ss = sorted(sampled) or [""]
+        return pa.table({
+            "s": pa.array(ss, pa.string()),
+            "occ": pa.array([occ] + [0] * (len(ss) - 1), pa.int64()),
+        })
+
+    rows = ds.map_batches(sample_rows, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        # rows with empty-string key "" only carry occurrence counts of
+        # shingle-less batches; real shingles are non-empty (len k)
+        n_distinct = int(df.loc[df["s"].str.len() > 0, "s"].nunique())
+        occ = int(df["occ"].sum())
+        return pa.table({"nd": pa.array([n_distinct], pa.int64()),
+                         "occ": pa.array([occ], pa.int64())})
+
+    # distinct exchange over the sampled slice only; occ sums ride along
+    parts = bucketed_group_map(rows, "s", fold, num_buckets=8).to_pandas()
+    nd = int(parts["nd"].sum())
+    occ = int(parts["occ"].sum())
+    est = nd * mod
+    # integer-exact micro ratio (no float round): clamp at 0 — sampling
+    # variance can push est above occ on a mostly-unique corpus, which
+    # simply means "no dedup available"
+    ratio_micro = (max(0, occ - est) * 1_000_000) // occ if occ else 0
+    return pd.DataFrame({
+        "n_occurrences": np.array([occ], np.int64),
+        "n_sampled_distinct": np.array([nd], np.int64),
+        "est_distinct": np.array([est], np.int64),
+        "est_dedup_ratio_micro": np.array([ratio_micro], np.int64),
+    })

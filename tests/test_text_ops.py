@@ -90,6 +90,7 @@ def _check(name, con, ray_session):
     "containment_join_exact", "normalize_text",
     "events_dedup_window", "orders_customer_set_ops",
     "lineitem_unpivot", "table_digest", "exact_global_quantiles",
+    "dedup_ratio_estimate",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
