@@ -214,6 +214,29 @@ queries() entries map to SURVEY.md §2 operators:
                        1/64 content-defined hash slice, exact distinct
                        on the sample × mod) — the plan-before-you-run
                        primitive (oracle)
+  rp_ann_topk          Johnson-Lindenstrauss random-projection ANN:
+                       deterministic ±1/√d' sign matrix, projected-space
+                       shortlist per batch, exact full-dim re-rank of
+                       the shortlist only (~13× less score compute at
+                       d=256→16; rows-only + recall test)
+  table_constraints_audit data-quality expectations pass — 8 exact
+                       constraint counters (nulls, ranges, PK dups, FK
+                       orphans both directions, declared-vs-actual
+                       lengths): map-side partial counters, one distinct
+                       exchange, dimension-keyset broadcasts (oracle)
+  events_global_rank   exact global row_number (ORDER BY value DESC)
+                       WITHOUT a global sort: histogram range buckets +
+                       exclusive-prefix offsets + independent per-bucket
+                       sorts — the TeraSort rank-assignment scan, output
+                       thinned to every 100th rank (oracle)
+  events_cumulative_users unique-users growth curve — cumulative
+                       COUNT(DISTINCT) reformulated as first-occurrence
+                       min aggregate (set-union prefix monoid collapsed
+                       to a user-domain exchange) (oracle)
+  events_hourly_gapfill densified (type, hour) counts with zero fill —
+                       generate_series ⨯ dimension resample; the grid
+                       is built on the domain-sized aggregate, never by
+                       exploding the corpus (oracle)
   corpus_incremental_dedup second-backup workflow (D8 index update):
                        arriving shard probes the persisted base
                        signature index, base-base pairs masked, delta
@@ -969,6 +992,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_digest": stats.table_digest,
         "exact_global_quantiles": stats.exact_global_quantiles,
         "dedup_ratio_estimate": text.dedup_ratio_estimate,
+        "events_global_rank": streaming.events_global_rank,
+        "table_constraints_audit": stats.table_constraints_audit,
+        "rp_ann_topk": ann.rp_ann_topk,
+        "events_cumulative_users": streaming.events_cumulative_users,
+        "events_hourly_gapfill": streaming.events_hourly_gapfill,
         "events_value_rank": streaming.events_value_rank,
         "events_type_sketch_percentiles": stats.events_type_sketch_percentiles,
         "heavy_hitter_tokens": stats.heavy_hitter_tokens,
@@ -2444,6 +2472,83 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT node, 1 FROM d1
             UNION ALL SELECT node, 2 FROM d2
             UNION ALL SELECT node, 3 FROM d3
+        """,
+        "table_constraints_audit": """
+            SELECT 'orders_null_custkey' AS rule,
+                   CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT)
+                       AS violations FROM orders
+            UNION ALL
+            SELECT 'orders_nonpositive_total',
+                   CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'orders_dup_orderkey',
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'orders_orphan_custkey',
+                   CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+                  (SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT 'customers_without_orders',
+                   CAST(count(*) AS BIGINT) FROM customer
+            WHERE c_custkey NOT IN
+                  (SELECT o_custkey FROM orders
+                   WHERE o_custkey IS NOT NULL)
+            UNION ALL
+            SELECT 'documents_empty_text',
+                   CAST(count(*) FILTER (text IS NULL OR length(text) = 0)
+                        AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'documents_nchars_mismatch',
+                   CAST(count(*) FILTER (text IS NOT NULL
+                                         AND n_chars != length(text))
+                        AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'documents_short_text',
+                   CAST(count(*) FILTER (n_chars < 64) AS BIGINT)
+            FROM documents
+        """,
+        "events_global_rank": """
+            WITH v AS (SELECT event_id,
+                              CAST(round(value * 1000000) AS BIGINT) AS vm
+                       FROM events),
+                 r AS (SELECT event_id, vm,
+                              row_number() OVER (ORDER BY vm DESC,
+                                                 event_id) AS rn
+                       FROM v)
+            SELECT event_id, vm AS value_micro, rn AS rnk
+            FROM r WHERE (rn - 1) % 100 = 0
+        """,
+        "events_cumulative_users": """
+            WITH f AS (SELECT event_id,
+                              CASE WHEN row_number() OVER (
+                                       PARTITION BY user_id
+                                       ORDER BY event_id) = 1
+                                   THEN 1 ELSE 0 END AS fst
+                       FROM events),
+                 c AS (SELECT event_id,
+                              SUM(fst) OVER (ORDER BY event_id) AS du
+                       FROM f)
+            SELECT event_id AS checkpoint_eid,
+                   CAST(du AS BIGINT) AS distinct_users
+            FROM c WHERE event_id % 500 = 499
+        """,
+        "events_hourly_gapfill": """
+            WITH c AS (SELECT event_type,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                  AS hr,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM c),
+                 h AS (SELECT unnest(generate_series(lo, hi)) AS hr
+                       FROM b),
+                 t AS (SELECT DISTINCT event_type FROM events)
+            SELECT t.event_type, h.hr AS hour_bucket,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+            FROM h CROSS JOIN t
+            LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr
         """,
         "dedup_ratio_estimate": """
             WITH sh AS (

@@ -518,3 +518,126 @@ def exact_global_quantiles(sf_dir: str,
         out_v.append(int(np.partition(inb, r - 1)[r - 1]))
     return pd.DataFrame({"q": np.array(out_q, np.float64),
                          "value_micro": np.array(out_v, np.int64)})
+
+
+def table_constraints_audit(sf_dir: str):
+    """(rule, violations) — a data-quality EXPECTATIONS pass (the
+    Great-Expectations / dbt-test shape): every constraint a pipeline
+    should assert before trusting a corpus drop, each counted exactly:
+
+      orders_null_custkey        o_custkey IS NULL
+      orders_nonpositive_total   o_totalprice <= 0
+      orders_dup_orderkey        primary-key violations (n − distinct)
+      orders_orphan_custkey      FK: o_custkey absent from customer
+      customers_without_orders   reverse-FK coverage gap
+      documents_empty_text       NULL or zero-length text
+      documents_nchars_mismatch  declared n_chars ≠ length(text)
+      documents_short_text       n_chars < 64 (quality floor)
+
+    Scale shape: every row-predicate rule is a MAP-SIDE partial counter
+    folded in one scan per table (never a shuffle); the uniqueness rule
+    is the standard distinct exchange (batch-local dedup first, so the
+    exchange carries one row per key per block); FK rules broadcast the
+    DIMENSION key set (customer — the small side by construction), and
+    the reverse-FK gap broadcasts the distinct-fact keyset, itself
+    bounded by the dimension domain. No rule materializes fact rows."""
+    import ray as _ray
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust_keys = np.sort(pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    ckey_ref = _ray.put(cust_keys)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def order_rules(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"]
+        null_ck = int(ck.null_count)
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        nonpos = int((tp <= 0).sum())
+        valid = ck.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = _ray.get(ckey_ref)
+        idx = np.searchsorted(keys, valid)
+        idx[idx == len(keys)] = 0
+        orphan = int((keys[idx] != valid).sum()) if len(keys) else len(valid)
+        return pa.table({
+            "rule": pa.array(["orders_null_custkey",
+                              "orders_nonpositive_total",
+                              "orders_orphan_custkey"], pa.string()),
+            "violations": pa.array([null_ck, nonpos, orphan], pa.int64()),
+        })
+
+    rule_partials = [orders.map_batches(order_rules, batch_format="pyarrow")]
+
+    # uniqueness + distinct-custkey: one tagged (kind, key) exchange,
+    # batch-deduped map-side (same trick as table_profile)
+    def key_partials(batch: pa.Table) -> pa.Table:
+        ok = np.unique(batch["o_orderkey"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        ck = np.unique(batch["o_custkey"].drop_null()
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "kind": pa.array(np.concatenate([np.zeros(len(ok), np.int8),
+                                             np.ones(len(ck), np.int8)])),
+            "key": pa.array(np.concatenate([ok, ck]), pa.int64()),
+        })
+
+    kdf = orders.map_batches(key_partials, batch_format="pyarrow") \
+        .groupby(["kind", "key"]).aggregate(Count(alias_name="cnt")) \
+        .to_pandas()
+    n_orders = orders.count()
+    n_distinct_okey = int((kdf["kind"] == 0).sum())
+    fact_ckeys = np.sort(kdf.loc[kdf["kind"] == 1, "key"]
+                         .to_numpy(np.int64))
+    fkey_ref = _ray.put(fact_ckeys)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def cust_rules(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = _ray.get(fkey_ref)
+        idx = np.searchsorted(keys, ck)
+        idx[idx == len(keys)] = 0
+        missing = int((keys[idx] != ck).sum()) if len(keys) else len(ck)
+        return pa.table({
+            "rule": pa.array(["customers_without_orders"], pa.string()),
+            "violations": pa.array([missing], pa.int64()),
+        })
+
+    rule_partials.append(cust.map_batches(cust_rules, batch_format="pyarrow"))
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "n_chars"])
+
+    def doc_rules(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        ln = pc.utf8_length(txt)
+        empty = int(txt.null_count) + int(
+            pc.sum(pc.equal(ln, 0)).as_py() or 0)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lnp = ln.fill_null(-1).to_numpy(zero_copy_only=False).astype(np.int64)
+        mismatch = int(((lnp != -1) & (lnp != nc)).sum())
+        short = int((nc < 64).sum())
+        return pa.table({
+            "rule": pa.array(["documents_empty_text",
+                              "documents_nchars_mismatch",
+                              "documents_short_text"], pa.string()),
+            "violations": pa.array([empty, mismatch, short], pa.int64()),
+        })
+
+    rule_partials.append(docs.map_batches(doc_rules, batch_format="pyarrow"))
+
+    folded = rule_partials[0].union(*rule_partials[1:]) \
+        .groupby("rule").aggregate(Sum("violations", alias_name="violations")) \
+        .to_pandas()
+    dup = pd.DataFrame({"rule": ["orders_dup_orderkey"],
+                        "violations": [np.int64(n_orders - n_distinct_okey)]})
+    out = pd.concat([folded, dup], ignore_index=True)
+    out["violations"] = out["violations"].astype(np.int64)
+    return out.sort_values("rule").reset_index(drop=True)

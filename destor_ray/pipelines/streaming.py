@@ -1836,3 +1836,189 @@ def events_dedup_window(sf_dir: str, window_sec: int = 600):
 
     rows = ds.map_batches(narrow, batch_format="pyarrow")
     return bucketed_group_map(rows, "user_id", flag, num_buckets=16)
+
+
+def events_global_rank(sf_dir: str, n_hist: int = 4096, stride: int = 100):
+    """(event_id, value_micro, rnk) at every `stride`-th global rank —
+    exact `row_number() OVER (ORDER BY value DESC, event_id)` over the
+    WHOLE fact table, the distributed GLOBAL-ORDER prefix scan (TeraSort
+    rank assignment) done without a global sort:
+
+      pass 1  global (n, min, max) of the sort key — scalar aggregate;
+      pass 2  equal-width histogram of the key (n_hist buckets, the
+              same range-partition trick as exact_global_quantiles);
+              the driver's exclusive DESC prefix sum over bucket counts
+              is every bucket's global rank OFFSET — the cross-partition
+              carry of the scan, exchanged as one domain-sized table;
+      pass 3  ONE bucket-keyed exchange; each bucket sorts only its own
+              ~n/n_hist rows (independent, bounded) and adds its offset.
+
+    Total: zero all-to-all sort; the only coordination is the tiny
+    bucket-count table. Rank ties are impossible (event_id tie-break).
+    Output thinned to every `stride`-th rank so the certified result
+    stays bounded while still spanning the full global order."""
+    import ray as _ray
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "value"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "vmic": pa.array(vmic, pa.int64()),
+        })
+
+    vals = ds.map_batches(narrow, batch_format="pyarrow")
+
+    # pass 1: key range
+    g = vals.aggregate(Count(alias_name="n"), Min("vmic", alias_name="lo"),
+                       Max("vmic", alias_name="hi"))
+    lo, hi = int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_hist))
+
+    # pass 2: histogram → per-bucket DESC rank offsets (exclusive scan)
+    def hist(batch: pa.Table) -> pa.Table:
+        b = (batch["vmic"].to_numpy(zero_copy_only=False) - lo) // width
+        cnt = np.bincount(b)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(cnt[nz], pa.int64())})
+
+    hdf = vals.map_batches(hist, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas().sort_values("bucket", ascending=False)
+    bkt_desc = hdf["bucket"].to_numpy(np.int64)
+    offs_desc = np.concatenate(([0], hdf["cnt"].to_numpy(np.int64).cumsum()[:-1]))
+    # searchsorted needs ascending order
+    asc = np.argsort(bkt_desc)
+    ref = _ray.put((bkt_desc[asc], offs_desc[asc]))
+
+    # pass 3: per-bucket local sort + offset, thin to the stride grid
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["vmic"].to_numpy(zero_copy_only=False) - lo) // width
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    keyed = vals.map_batches(add_bucket, batch_format="pyarrow")
+
+    def rank_bucket(df: pd.DataFrame) -> pa.Table:
+        bkt_asc, off_asc = _ray.get(ref)
+        b = df["bucket"].to_numpy(np.int64)
+        v = df["vmic"].to_numpy(np.int64)
+        e = df["event_id"].to_numpy(np.int64)
+        # global order inside this physical bucket: histogram bucket DESC,
+        # value DESC, event_id ASC — then per-histogram-bucket segments
+        # are contiguous and each starts at its broadcast offset.
+        order = np.lexsort((e, -v, -b))
+        b_s, v_s, e_s = b[order], v[order], e[order]
+        seg_start = np.zeros(len(b_s), bool)
+        if len(b_s):
+            seg_start[0] = True
+            seg_start[1:] = b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(seg_start)
+        sizes = np.diff(np.append(starts, len(b_s)))
+        local = np.arange(len(b_s)) - np.repeat(starts, sizes)
+        offs = off_asc[np.searchsorted(bkt_asc, b_s[starts])]
+        rnk = np.repeat(offs, sizes) + local + 1
+        keep = (rnk - 1) % stride == 0
+        return pa.table({
+            "event_id": pa.array(e_s[keep], pa.int64()),
+            "value_micro": pa.array(v_s[keep], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        })
+
+    return bucketed_group_map(keyed, "bucket", rank_bucket, num_buckets=32)
+
+
+def events_cumulative_users(sf_dir: str, checkpoint: int = 500):
+    """(checkpoint_eid, distinct_users) — the unique-users GROWTH CURVE:
+    after each `checkpoint`-th event (in event_id order), how many
+    distinct users have appeared so far. A cumulative COUNT(DISTINCT)
+    window — the prefix monoid is SET UNION, which no mergeable counter
+    expresses directly; the scalable reformulation is FIRST-OCCURRENCE:
+    a user contributes to every prefix at/after its MIN event_id, so
+
+      pass 1  per-user min(event_id) — batch-local min partials, one
+              user-keyed exchange, output bounded by the USER domain
+              (at an unbounded user domain, replace the driver sort
+              with the events_global_rank histogram over first_eids);
+      pass 2  map-side collection of the checkpoint grid (event_ids
+              ≡ -1 mod `checkpoint`, n/checkpoint values);
+      driver  curve[e] = #(first_eid <= e), one searchsorted.
+
+    The fact table is never sorted and never co-located; the only
+    exchange carries one row per (batch, user)."""
+    from ray.data.aggregate import Min
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "user_id"])
+
+    def first_partials(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, uid))
+        u_s, e_s = uid[order], eid[order]
+        first = np.zeros(len(u_s), bool)
+        if len(u_s):
+            first[0] = True
+            first[1:] = u_s[1:] != u_s[:-1]
+        return pa.table({"user_id": pa.array(u_s[first], pa.int64()),
+                         "eid": pa.array(e_s[first], pa.int64())})
+
+    firsts = ds.map_batches(first_partials, batch_format="pyarrow") \
+        .groupby("user_id").aggregate(Min("eid", alias_name="first_eid")) \
+        .to_pandas()["first_eid"].to_numpy(np.int64)
+    firsts.sort()
+
+    def grid(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"eid": pa.array(
+            eid[eid % checkpoint == checkpoint - 1], pa.int64())})
+
+    cps = np.sort(ds.map_batches(grid, batch_format="pyarrow")
+                  .to_pandas()["eid"].to_numpy(np.int64))
+    n_users = np.searchsorted(firsts, cps, side="right")
+    return pd.DataFrame({"checkpoint_eid": cps,
+                         "distinct_users": n_users.astype(np.int64)})
+
+
+def events_hourly_gapfill(sf_dir: str):
+    """(event_type, hour_bucket, n_events) DENSIFIED over the full
+    [min, max] hour range — every (type, hour) cell present, zero-filled
+    where no event landed (the gap-fill / resample step a time-series
+    feature pipeline needs before windowed models; SQL's
+    generate_series ⨯ dimension LEFT JOIN).
+
+    Scale shape: the fact table contributes only map-side (type, hour)
+    count partials through one domain-bounded exchange; the DENSE grid
+    (types × hours — domain-sized, not data-sized) is constructed and
+    zero-filled on the tiny aggregate, never by exploding the corpus."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir).select_columns(["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hr = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+              // 1_000_000 // 3600)
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                           "hour_bucket": hr, "n": 1})
+        g = df.groupby(["event_type", "hour_bucket"], sort=False)["n"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "hour_bucket"]) \
+        .aggregate(Sum("n", alias_name="n_events")).to_pandas()
+    lo, hi = int(counts["hour_bucket"].min()), int(counts["hour_bucket"].max())
+    types = np.sort(counts["event_type"].unique())
+    hours = np.arange(lo, hi + 1, dtype=np.int64)
+    grid = pd.DataFrame({
+        "event_type": np.repeat(types, len(hours)),
+        "hour_bucket": np.tile(hours, len(types)),
+    })
+    out = grid.merge(counts, on=["event_type", "hour_bucket"], how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    return out

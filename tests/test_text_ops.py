@@ -90,7 +90,9 @@ def _check(name, con, ray_session):
     "containment_join_exact", "normalize_text",
     "events_dedup_window", "orders_customer_set_ops",
     "lineitem_unpivot", "table_digest", "exact_global_quantiles",
-    "dedup_ratio_estimate",
+    "dedup_ratio_estimate", "events_global_rank",
+    "events_cumulative_users", "events_hourly_gapfill",
+    "table_constraints_audit",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
@@ -628,3 +630,56 @@ def test_zorder_tiles_bound_both_dimensions(ray_session):
     assert (out["n_users"] <= 16).all()
     assert (out["n_hours"] <= 16).all()
     assert out["n"].sum() > 0
+
+
+def test_global_rank_spans_full_order(ray_session):
+    """stride-thinned ranks are exactly 1, 101, 201, ... and values are
+    non-increasing along the rank order (DESC sort certified)."""
+    import __ray_entry__ as em
+    out = em.queries()["events_global_rank"](SF).to_pandas() \
+        .sort_values("rnk").reset_index(drop=True)
+    import pyarrow.parquet as pq
+    n = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert list(out.rnk) == list(range(1, n + 1, 100))
+    assert (out.value_micro.diff().dropna() <= 0).all()
+
+
+def test_cumulative_users_monotone_and_complete(ray_session):
+    import __ray_entry__ as em
+    out = em.queries()["events_cumulative_users"](SF) \
+        .sort_values("checkpoint_eid")
+    assert (out.distinct_users.diff().dropna() >= 0).all()
+    import duckdb
+    total = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert out.distinct_users.iloc[-1] <= total
+    assert out.distinct_users.iloc[-1] >= 1
+
+
+def test_gapfill_grid_dense_and_total_preserved(ray_session):
+    import __ray_entry__ as em
+    out = em.queries()["events_hourly_gapfill"](SF)
+    types = out.event_type.nunique()
+    hours = out.hour_bucket.nunique()
+    assert len(out) == types * hours  # complete grid
+    assert (out.groupby("event_type").hour_bucket.count() == hours).all()
+    import pyarrow.parquet as pq
+    n = pq.ParquetFile(f"{SF}/events.parquet").metadata.num_rows
+    assert out.n_events.sum() == n  # zero-fill adds no mass
+    assert (out.n_events == 0).any()  # and there are real gaps
+
+
+def test_rp_ann_topk_recall(ray_session):
+    """JL-projected shortlist + exact re-rank finds (nearly) the
+    brute-force top-k, and every emitted cos_sim is exact (it must
+    appear in the brute-force scores for the same vec_id)."""
+    import __ray_entry__ as em
+    brute = em.queries()["ann_topk"](SF).to_pandas()
+    fast = em.queries()["rp_ann_topk"](SF).to_pandas()
+    overlap = len(set(brute.vec_id) & set(fast.vec_id))
+    assert overlap >= 8, overlap
+    bmap = dict(zip(brute.vec_id, brute.cos_sim))
+    for _, r in fast.iterrows():
+        if r.vec_id in bmap:  # exactness of the re-ranked score
+            assert abs(bmap[r.vec_id] - r.cos_sim) < 1e-9
