@@ -354,6 +354,10 @@ queries() entries map to SURVEY.md §2 operators:
   corpus_restore       T1-T5 real restore: gather payloads from cluster reps + decode-verify (rows-only)
   corpus_dedup_clusters flagship: image+caption near-dup clustering (rows-only)
   corpus_exact_dedup   flagship exact channel on the synthetic corpus (rows-only)
+  corpus_dedup_manifest tier-dedup write decision: per-cluster best-
+                       quality keeper (max w×h, tie min id) + exact
+                       saved-bytes accounting (destor W2/W5 with a
+                       quality keeper rule; rows-only + planted-plan test)
 """
 
 from __future__ import annotations
@@ -373,6 +377,19 @@ def _corpus_rows_for(sf_dir: str) -> int:
         if sf_dir.rstrip("/").endswith(key):
             return n
     return 400
+
+
+def _corpus_dedup_manifest(sf_dir: str):
+    """(cluster_id, rep_id, n_members, total_bytes, stored_bytes,
+    saved_bytes) — TIER DEDUP write decision: per flagship cluster keep
+    the best-quality member (max w×h, tie min image_id) and account the
+    saved storage (destor W2/W5 recast with a quality keeper rule)."""
+    from destor_ray import corpus
+    from destor_ray.pipelines.dedup import (dedup_pipeline_from_dir,
+                                            quality_rep_manifest)
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    assignment = dedup_pipeline_from_dir(d)
+    return quality_rep_manifest(assignment, d)
 
 
 def _corpus_clusters(sf_dir: str):
@@ -1108,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,
+        "corpus_dedup_manifest": _corpus_dedup_manifest,
         "corpus_exact_dedup": _corpus_exact,
         "corpus_dedup_simulation": _corpus_dedup_simulation,
         "corpus_incremental_dedup": _corpus_incremental_dedup,

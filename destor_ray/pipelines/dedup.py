@@ -193,3 +193,107 @@ def dedup_pipeline_from_dir(corpus_dir: str, cfg: EngineConfig | None = None,
     ids = ray.data.read_parquet(corpus_dir, columns=["image_id"])
     return dedup_pipeline(ds, cfg, n_rows_hint=n_rows, ids_ds=ids,
                           stage_times=stage_times)
+
+
+def quality_rep_manifest(assignment_ds, corpus_dir: str,
+                         num_buckets: int = 64):
+    """(cluster_id, rep_id, n_members, total_bytes, stored_bytes,
+    saved_bytes) — TIER DEDUP's write decision: per near-dup cluster,
+    keep the BEST-QUALITY member (max pixel area w×h, ties to the
+    lexicographically-smallest image_id — deterministic, so retries and
+    partitionings agree) and account the storage the tier saves. This is
+    destor's filter-phase unique/duplicate accounting (W2/W5,
+    /root/reference/src/filter_phase.c:119-135, do_backup.c:108-114)
+    recast for a training corpus where the keeper is chosen by QUALITY
+    rather than arrival order (CC-Net keep-best, as curation.
+    keep_best_dedup does for text).
+
+    Scale shape: one corpus scan emits 24-byte (id, area, nbytes)
+    metadata rows (at ingest these would ride the signature stage's
+    existing scan); one id-keyed tag-and-union exchange attaches
+    cluster ids; one cluster-keyed exchange picks winners vectorized
+    (sort + segment-first, no Python loop over clusters). The payload
+    bytes column never crosses a shuffle."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.grouped import bucketed_group_map
+
+    def meta_rows(batch: pa.Table) -> pa.Table:
+        area = (batch["w"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                * batch["h"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+        nbytes = pc.binary_length(batch["bytes"]).cast(pa.int64())
+        n = len(batch)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "cluster_id": pa.array([""] * n, pa.string()),
+            "area": pa.array(area, pa.int64()),
+            "nbytes": nbytes,
+        })
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        z = pa.array(np.full(n, -1), pa.int64())
+        return pa.table({
+            "image_id": batch["image_id"],
+            "cluster_id": batch["cluster_id"].cast(pa.string()),
+            "area": z,
+            "nbytes": z,
+        })
+
+    meta = ray.data.read_parquet(
+        corpus_dir, columns=["image_id", "w", "h", "bytes"]
+    ).map_batches(meta_rows, batch_format="pyarrow")
+    tagged = meta.union(assignment_ds.map_batches(
+        assign_rows, batch_format="pyarrow"))
+
+    def merge_by_id(df: pd.DataFrame) -> pa.Table:
+        is_meta = df["area"].to_numpy() >= 0
+        m = df[is_meta]
+        a = df[~is_meta]
+        j = m.merge(a[["image_id", "cluster_id"]], on="image_id",
+                    how="inner", suffixes=("_x", ""))
+        return pa.table({
+            "cluster_id": pa.array(j["cluster_id"].tolist(), pa.string()),
+            "image_id": pa.array(j["image_id"].tolist(), pa.string()),
+            "area": pa.array(j["area"].to_numpy(np.int64)),
+            "nbytes": pa.array(j["nbytes"].to_numpy(np.int64)),
+        })
+
+    members = bucketed_group_map(tagged, "image_id", merge_by_id,
+                                 num_buckets=num_buckets)
+
+    def pick_reps(df: pd.DataFrame) -> pa.Table:
+        cid_obj = np.asarray(df["cluster_id"].tolist(), dtype=object)
+        # factorize-by-sort so equal cluster ids share a code and codes
+        # sort like the ids (determinism only needs grouping, not order)
+        cid = np.searchsorted(np.unique(cid_obj), cid_obj)
+        area = df["area"].to_numpy(np.int64)
+        ids = np.asarray(df["image_id"].tolist(), dtype=object)
+        nb = df["nbytes"].to_numpy(np.int64)
+        # zero-padded ids sort lexicographically == numerically
+        id_rank = np.argsort(np.argsort(ids, kind="stable"), kind="stable")
+        order = np.lexsort((id_rank, -area, cid))
+        cid_s, nb_s = cid[order], nb[order]
+        first = np.zeros(len(cid_s), bool)
+        if len(cid_s):
+            first[0] = True
+            first[1:] = cid_s[1:] != cid_s[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(cid_s))
+        total = np.add.reduceat(nb_s, starts) if len(starts) else nb_s[:0]
+        stored = nb_s[starts]
+        return pa.table({
+            "cluster_id": pa.array(cid_obj[order][starts].tolist(),
+                                   pa.string()),
+            "rep_id": pa.array(ids[order][starts].tolist(), pa.string()),
+            "n_members": pa.array(ends - starts, pa.int64()),
+            "total_bytes": pa.array(total, pa.int64()),
+            "stored_bytes": pa.array(stored, pa.int64()),
+            "saved_bytes": pa.array(total - stored, pa.int64()),
+        })
+
+    return bucketed_group_map(members, "cluster_id", pick_reps,
+                              num_buckets=max(16, num_buckets // 4))

@@ -156,3 +156,37 @@ def test_rendezvous_verify_matches_inline(ray_session, corpus_dir, assignment):
     rdv_pairs = pair_set(
         candidates.candidate_edges_rendezvous(sigs, num_buckets=64))
     assert inline == rdv_pairs
+
+
+def test_quality_rep_manifest_picks_best_member(ray_session):
+    """Tier-dedup manifest: every planted multi-member cluster keeps its
+    SOURCE original (largest area; ties resolve to the min image_id =
+    the original), membership partitions the corpus exactly, and byte
+    accounting balances."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+    from destor_ray import corpus
+
+    out = em.queries()["corpus_dedup_manifest"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    n = 400
+    d = corpus.ensure_corpus_parquet(n, seed=42)
+    assert out.n_members.sum() == n                      # exact partition
+    assert out.cluster_id.is_unique
+    assert (out.saved_bytes == out.total_bytes - out.stored_bytes).all()
+    assert out.saved_bytes.sum() > 0
+    # every multi-member planted cluster keeps its source original
+    multi = out[out.n_members > 1]
+    assert len(multi) > 0
+    for _, r in multi.iterrows():
+        src = corpus.truth_cluster(corpus.row_index_of(r.rep_id))
+        assert r.rep_id == f"img{src:010d}", (r.rep_id, src)
+    # total bytes accounted == corpus bytes
+    tot = 0
+    files = pq.ParquetDataset(d).files
+    for f in files:
+        t = pq.read_table(f, columns=["bytes"])
+        tot += int(np.sum([len(b) for b in t["bytes"].to_pylist()]))
+    assert out.total_bytes.sum() == tot
