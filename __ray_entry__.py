@@ -214,6 +214,11 @@ queries() entries map to SURVEY.md §2 operators:
                        1/64 content-defined hash slice, exact distinct
                        on the sample × mod) — the plan-before-you-run
                        primitive (oracle)
+  events_rolling_active_users rolling 7-day WAU — SLIDING-window
+                       COUNT(DISTINCT): fact table reduces to the
+                       distinct (user, day) domain first; the 7× window
+                       expansion applies to that domain table only
+                       (oracle)
   rp_ann_topk          Johnson-Lindenstrauss random-projection ANN:
                        deterministic ±1/√d' sign matrix, projected-space
                        shortlist per batch, exact full-dim re-rank of
@@ -1011,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ratio_estimate": text.dedup_ratio_estimate,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
+        "events_rolling_active_users": streaming.events_rolling_active_users,
         "rp_ann_topk": ann.rp_ann_topk,
         "events_cumulative_users": streaming.events_cumulative_users,
         "events_hourly_gapfill": streaming.events_hourly_gapfill,
@@ -2527,6 +2533,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'documents_short_text',
                    CAST(count(*) FILTER (n_chars < 64) AS BIGINT)
             FROM documents
+        """,
+        "events_rolling_active_users": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                               CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                   AS day
+                        FROM events),
+                 b AS (SELECT min(day) AS lo, max(day) AS hi FROM ud),
+                 d AS (SELECT unnest(generate_series(lo + 6, hi)) AS day
+                       FROM b)
+            SELECT d.day, CAST(count(DISTINCT ud.user_id) AS BIGINT)
+                       AS wau
+            FROM d JOIN ud ON ud.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
         """,
         "events_global_rank": """
             WITH v AS (SELECT event_id,

@@ -2022,3 +2022,74 @@ def events_hourly_gapfill(sf_dir: str):
     out = grid.merge(counts, on=["event_type", "hour_bucket"], how="left")
     out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
     return out
+
+
+def events_rolling_active_users(sf_dir: str, window_days: int = 7):
+    """(day, wau) — ROLLING 7-day distinct active users per day (the
+    WAU curve), the SLIDING-window COUNT(DISTINCT) that tumbling-window
+    machinery (events_hourly_active_users) can't express: a user seen
+    on day d is active for every window day in [d, d+window_days-1].
+
+    Scale shape: the fact table reduces FIRST to the distinct
+    (user, day) table — batch-local pair dedup, one exchange, output
+    bounded by users × days (domain, not data); the window EXPANSION
+    (each pair → its `window_days` covered window-days) happens on that
+    domain table only, followed by a second domain-bounded distinct on
+    (user, window_day) — so the 7× blowup applies to the deduped
+    domain, never the corpus. Window days are clipped to the observed
+    day range so every reported day aggregates a full-size window
+    population."""
+    from ray.data.aggregate import Count
+
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        day = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+               // 1_000_000 // 86400)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # 20-bit day pack holds until year 4840; guard like the
+        # events_hourly_active_users wide-fallback seam
+        assert len(uid) == 0 or (uid.max() < (1 << 42) and day.max() < (1 << 20))
+        key = np.unique(uid * np.int64(1 << 20) + day)
+        return pa.table({"user_id": pa.array(key >> 20, pa.int64()),
+                         "day": pa.array(key & ((1 << 20) - 1), pa.int64())})
+
+    ud = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "user_id"]) \
+        .map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="c"))
+
+    # observed day range (tiny aggregate over the domain table)
+    from ray.data.aggregate import Max, Min
+    rng = ud.aggregate(Min("day", alias_name="lo"), Max("day", alias_name="hi"))
+    lo, hi = int(rng["lo"]), int(rng["hi"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        n = len(uid)
+        wd = (np.repeat(day, window_days)
+              + np.tile(np.arange(window_days, dtype=np.int64), n))
+        uu = np.repeat(uid, window_days)
+        keep = wd <= hi
+        # batch-local dedup of (user, window_day) before the exchange
+        key = np.unique(uu[keep] * np.int64(1 << 20) + wd[keep])
+        return pa.table({"user_id": pa.array(key >> 20, pa.int64()),
+                         "wd": pa.array(key & ((1 << 20) - 1), pa.int64())})
+
+    wau = ud.map_batches(expand, batch_format="pyarrow") \
+        .groupby(["user_id", "wd"]).aggregate(Count(alias_name="c"))
+
+    def day_partials(batch: pa.Table) -> pa.Table:
+        wd = batch["wd"].to_numpy(zero_copy_only=False)
+        days, cnt = np.unique(wd, return_counts=True)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "wau": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+    out = wau.map_batches(day_partials, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("wau", alias_name="wau")).to_pandas()
+    # report only days whose trailing window fits the observed range
+    out = out[out["day"] >= lo + window_days - 1].reset_index(drop=True)
+    out["wau"] = out["wau"].astype(np.int64)
+    return out.sort_values("day").reset_index(drop=True)

@@ -92,7 +92,7 @@ def _check(name, con, ray_session):
     "lineitem_unpivot", "table_digest", "exact_global_quantiles",
     "dedup_ratio_estimate", "events_global_rank",
     "events_cumulative_users", "events_hourly_gapfill",
-    "table_constraints_audit",
+    "table_constraints_audit", "events_rolling_active_users",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
