@@ -359,6 +359,10 @@ queries() entries map to SURVEY.md §2 operators:
   corpus_restore       T1-T5 real restore: gather payloads from cluster reps + decode-verify (rows-only)
   corpus_dedup_clusters flagship: image+caption near-dup clustering (rows-only)
   corpus_exact_dedup   flagship exact channel on the synthetic corpus (rows-only)
+  corpus_probe_index   online query-by-image: broadcast query band
+                       micro-index, map-only semi-join + verify over
+                       the corpus (destor's index probe as a serving
+                       path; rows-only + planted test)
   corpus_dedup_manifest tier-dedup write decision: per-cluster best-
                        quality keeper (max w×h, tie min id) + exact
                        saved-bytes accounting (destor W2/W5 with a
@@ -382,6 +386,40 @@ def _corpus_rows_for(sf_dir: str) -> int:
         if sf_dir.rstrip("/").endswith(key):
             return n
     return 400
+
+
+def _corpus_probe_index(sf_dir: str):
+    """(query_id, match_id, psnr) — ONLINE query-by-image: probe the
+    corpus's LSH band index with a handful of query rows (destor's
+    index_lookup_base / champion probe as a serving path). Map-only:
+    the query micro-index is broadcast; no corpus shuffle. Queries are
+    the planted dup rows of the last full block (exact / re-encode /
+    crop / caption-para) plus a distractor that must match nothing."""
+    import pyarrow.dataset as pads
+
+    from destor_ray import corpus
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.dedup import signatures_from_corpus
+    from destor_ray.stages import candidates
+    from destor_ray.stages.signature import compute_signatures
+
+    n = _corpus_rows_for(sf_dir)
+    d = corpus.ensure_corpus_parquet(n, seed=42)
+    cfg = EngineConfig()
+
+    last_block = (n // corpus.BLOCK) - 1
+    qrows = [last_block * corpus.BLOCK + s for s in (3, 7, 11, 15, 19)]
+    qids = [f"img{i:010d}" for i in qrows]
+    qtab = pads.dataset(d).to_table(
+        filter=pads.field("image_id").isin(qids))
+    qsigs = compute_signatures(qtab, cfg)
+
+    import ray.data as rd
+    sigs = signatures_from_corpus(rd.read_parquet(d), cfg)
+    hits = candidates.probe_index(sigs, qsigs, cfg).to_pandas()
+    hits["query_id"] = [f"img{int(i):010d}" for i in hits["query_id"]]
+    hits["match_id"] = [f"img{int(i):010d}" for i in hits["match_id"]]
+    return hits.sort_values(["query_id", "match_id"]).reset_index(drop=True)
 
 
 def _corpus_dedup_manifest(sf_dir: str):
@@ -1132,6 +1170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,
         "corpus_dedup_manifest": _corpus_dedup_manifest,
+        "corpus_probe_index": _corpus_probe_index,
         "corpus_exact_dedup": _corpus_exact,
         "corpus_dedup_simulation": _corpus_dedup_simulation,
         "corpus_incremental_dedup": _corpus_incremental_dedup,

@@ -760,3 +760,81 @@ def _salted_candidate_edges(bands, cfg: EngineConfig, num_buckets: int):
     link_edges = bucketed_group_map(links, "key", link_pairs,
                                     num_buckets=max(8, num_buckets // 8))
     return edges.union(link_edges)
+
+
+def empty_matches_table() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "match_id": pa.array([], pa.int64()),
+                     "psnr": pa.array([], pa.float64())})
+
+
+def probe_index(signatures_ds, query_sigs: pa.Table,
+                cfg: EngineConfig | None = None):
+    """ONLINE index lookup — destor's per-chunk probe hierarchy
+    (index_lookup_base, /root/reference/src/index/index.c:140-217, and
+    the similarity champion probe, similarity_detection.c:136-217)
+    recast as the SERVING shape: given a handful of query rows, find
+    every corpus row that shares an LSH band with a query AND passes
+    the same verify kernel the batch pipeline uses.
+
+    Scale shape: MAP-ONLY. The query side is exploded to band rows on
+    the driver (tiny — ~18 rows per query) and broadcast once as a
+    sorted-key micro-index (`ray.put`); every corpus batch explodes its
+    own bands, semi-joins them against the broadcast keys with one
+    searchsorted (the DDFS Bloom "have I seen this?" test, B1), and
+    verifies surviving (corpus, query) pairs in place. No shuffle
+    touches the corpus — the only exchange is the tiny match-dedup
+    groupby at the end (band-duplicated hits fold via max-psnr)."""
+    import ray as _ray
+    from ray.data.aggregate import Max
+
+    cfg = cfg or EngineConfig()
+    qb = explode_bands(query_sigs, cfg).to_pandas() \
+        .drop_duplicates(["band_key", "nid"]).sort_values("band_key",
+                                                          kind="stable")
+    qkeys = qb["band_key"].to_numpy(np.int64)
+    uk, start = np.unique(qkeys, return_index=True)
+    offs = np.append(start, len(qkeys))
+    qn = qb["nid"].to_numpy(np.int64)
+    qth = (np.frombuffer(b"".join(qb["thumb"]), np.uint8)
+           .reshape(len(qb), -1) if len(qb) else np.zeros((0, 1), np.uint8))
+    qph = qb["phash"].to_numpy(np.int64)
+    ref = _ray.put((uk, offs, qn, qth, qph))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bands = explode_bands(batch, cfg)
+        if bands.num_rows == 0:
+            return empty_matches_table()
+        uk_, offs_, qn_, qth_, qph_ = _ray.get(ref)
+        bk = bands["band_key"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(uk_, bk)
+        posc = np.clip(pos, 0, max(0, len(uk_) - 1))
+        hit = (uk_[posc] == bk) if len(uk_) else np.zeros(len(bk), bool)
+        if not hit.any():
+            return empty_matches_table()
+        rows = np.flatnonzero(hit)
+        p = posc[rows]
+        counts = offs_[p + 1] - offs_[p]
+        li = np.repeat(rows, counts)                       # corpus side
+        tot = int(counts.sum())
+        ri = (np.repeat(offs_[p], counts)
+              + np.arange(tot) - np.repeat(
+                  np.concatenate(([0], counts.cumsum()[:-1])), counts))
+        cn = bands["nid"].to_numpy(zero_copy_only=False)
+        cth = np.frombuffer(b"".join(bands["thumb"].to_pylist()),
+                            np.uint8).reshape(bands.num_rows, -1)
+        cph = bands["phash"].to_numpy(zero_copy_only=False)
+        ok, psnr = verify_pair_arrays(cth[li], qth_[ri], cph[li],
+                                      qph_[ri], cfg)
+        keep = ok & (cn[li] != qn_[ri])                    # drop self-hits
+        out = pd.DataFrame({
+            "query_id": qn_[ri[keep]],
+            "match_id": cn[li[keep]],
+            "psnr": np.minimum(psnr[keep], 1e9).astype(np.float64),
+        }).drop_duplicates(["query_id", "match_id"])
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    hits = signatures_ds.map_batches(probe, batch_format="pyarrow")
+    return hits.groupby(["query_id", "match_id"]) \
+        .aggregate(Max("psnr", alias_name="psnr"))

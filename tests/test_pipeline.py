@@ -190,3 +190,24 @@ def test_quality_rep_manifest_picks_best_member(ray_session):
         t = pq.read_table(f, columns=["bytes"])
         tot += int(np.sum([len(b) for b in t["bytes"].to_pylist()]))
     assert out.total_bytes.sum() == tot
+
+
+def test_probe_index_finds_planted_sources(ray_session):
+    """Online query-by-image: each planted dup query matches its source
+    original; the distractor query matches nothing."""
+    import __ray_entry__ as em
+    from destor_ray import corpus
+
+    out = em.queries()["corpus_probe_index"]("/root/testdata/sf0.001")
+    n = 400
+    last_block = (n // corpus.BLOCK) - 1
+    base = last_block * corpus.BLOCK
+    matches = out.groupby("query_id").match_id.apply(set).to_dict()
+    for slot in (7, 11, 15, 19):  # exact / reencode / crop / caption_para
+        qid = f"img{base + slot:010d}"
+        kind, src = corpus.plan_for_row(base + slot)
+        assert f"img{src:010d}" in matches.get(qid, set()), (qid, kind)
+    # distractor must not match its block original
+    dq = f"img{base + 3:010d}"
+    _, dsrc = corpus.plan_for_row(base + 3)
+    assert f"img{base:010d}" not in matches.get(dq, set())
