@@ -214,6 +214,10 @@ queries() entries map to SURVEY.md §2 operators:
                        1/64 content-defined hash slice, exact distinct
                        on the sample × mod) — the plan-before-you-run
                        primitive (oracle)
+  events_type_trend    per-group OLS trend (value vs hour) as EXACT
+                       int64 slope_num/slope_den cross-multiplied pairs
+                       — moment partials fold map-side, one domain
+                       exchange, no float accumulation (oracle)
   events_rolling_active_users rolling 7-day WAU — SLIDING-window
                        COUNT(DISTINCT): fact table reduces to the
                        distinct (user, day) domain first; the 7× window
@@ -1055,6 +1059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
+        "events_type_trend": streaming.events_type_trend,
         "rp_ann_topk": ann.rp_ann_topk,
         "events_cumulative_users": streaming.events_cumulative_users,
         "events_hourly_gapfill": streaming.events_hourly_gapfill,
@@ -2572,6 +2577,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'documents_short_text',
                    CAST(count(*) FILTER (n_chars < 64) AS BIGINT)
             FROM documents
+        """,
+        "events_type_trend": """
+            WITH lo AS (SELECT min(CAST(floor(epoch(ts) / 3600) AS BIGINT))
+                            AS l FROM events),
+                 v AS (SELECT event_type,
+                              CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                  - (SELECT l FROM lo) AS x,
+                              CAST(round(value * 1000000) AS BIGINT) AS y
+                       FROM events),
+                 m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+                              sum(y) AS sy, sum(x * y) AS sxy,
+                              sum(x * x) AS sxx
+                       FROM v GROUP BY 1)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(sy AS BIGINT) AS sum_y_micro,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+            FROM m
         """,
         "events_rolling_active_users": """
             WITH ud AS (SELECT DISTINCT user_id,

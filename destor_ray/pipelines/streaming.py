@@ -2093,3 +2093,83 @@ def events_rolling_active_users(sf_dir: str, window_days: int = 7):
     out = out[out["day"] >= lo + window_days - 1].reset_index(drop=True)
     out["wau"] = out["wau"].astype(np.int64)
     return out.sort_values("day").reset_index(drop=True)
+
+
+def events_type_trend(sf_dir: str):
+    """(event_type, n, sum_y_micro, slope_num, slope_den) — per-group
+    ORDINARY LEAST SQUARES trend of value against time (hours since the
+    corpus min hour): the per-key trend-fitting pass a monitoring /
+    drift-detection pipeline runs over every key. EXACT integer output:
+    the OLS slope is reported as the cross-multiplied pair
+
+        slope_num = n·Σxy − Σx·Σy      slope_den = n·Σx² − (Σx)²
+
+    (slope = num/den), sidestepping float accumulation-order drift the
+    same way q8_market_share ships revenue shares. One scalar pass
+    pins the x origin (rebasing keeps every product well inside int64 —
+    the raw epoch-hour would overflow n·Σx²); the moment partials
+    (n, Σx, Σy, Σxy, Σx²) fold map-side per (type, batch) and merge
+    through one domain-sized exchange, lineitem_corr_stats-style; the
+    final cross-multiplication runs on the tiny per-type aggregate in
+    arbitrary-precision Python ints with an int64-range assert."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_events(sf_dir).select_columns(["ts", "event_type", "value"])
+
+    def hours(batch: pa.Table) -> pa.Table:
+        h = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 1_000_000 // 3600)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    g = ds.map_batches(hours, batch_format="pyarrow") \
+        .aggregate(Min("h", alias_name="lo"))
+    lo = int(g["lo"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        x = (batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // 1_000_000 // 3600) - lo
+        y = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        codes, uniq = pd.factorize(et, sort=True)
+        order = np.argsort(codes, kind="stable")
+        c_s = codes[order]
+        starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]]) \
+            if len(c_s) else np.empty(0, np.int64)
+        ends = np.append(starts[1:], len(c_s))
+
+        def seg_sum(v: np.ndarray) -> np.ndarray:  # int64-exact fold
+            return (np.add.reduceat(v[order], starts)
+                    if len(starts) else v[:0])
+
+        return pa.table({
+            "event_type": pa.array(uniq[c_s[starts]].tolist()
+                                   if len(starts) else [], pa.string()),
+            "n": pa.array(ends - starts, pa.int64()),
+            "sx": pa.array(seg_sum(x), pa.int64()),
+            "sy": pa.array(seg_sum(y), pa.int64()),
+            "sxy": pa.array(seg_sum(x * y), pa.int64()),
+            "sxx": pa.array(seg_sum(x * x), pa.int64()),
+        })
+
+    agg = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx")).to_pandas()
+
+    num, den = [], []
+    for _, r in agg.iterrows():
+        nn = int(r["n"]) * int(r["sxy"]) - int(r["sx"]) * int(r["sy"])
+        dd = int(r["n"]) * int(r["sxx"]) - int(r["sx"]) ** 2
+        assert abs(nn) < 2 ** 63 and abs(dd) < 2 ** 63, \
+            "trend cross-products exceed int64 — widen to (hi, lo) limbs"
+        num.append(nn)
+        den.append(dd)
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype(np.int64),
+        "sum_y_micro": agg["sy"].astype(np.int64),
+        "slope_num": np.array(num, np.int64),
+        "slope_den": np.array(den, np.int64),
+    }).sort_values("event_type").reset_index(drop=True)

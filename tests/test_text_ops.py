@@ -93,6 +93,7 @@ def _check(name, con, ray_session):
     "dedup_ratio_estimate", "events_global_rank",
     "events_cumulative_users", "events_hourly_gapfill",
     "table_constraints_audit", "events_rolling_active_users",
+    "events_type_trend",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
