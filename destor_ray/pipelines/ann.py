@@ -1345,6 +1345,9 @@ def rp_ann_topk(sf_dir: str, k: int = 10, proj_dim: int = 16,
     ref = ray.put((proj, qn, qp))
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
         P, qv, qpv = ray.get(ref)
         m = _emb_matrix(batch)
         norms = np.linalg.norm(m, axis=1)

@@ -2057,7 +2057,8 @@ def events_rolling_active_users(sf_dir: str, window_days: int = 7):
     ud = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["ts", "user_id"]) \
         .map_batches(pairs, batch_format="pyarrow") \
-        .groupby(["user_id", "day"]).aggregate(Count(alias_name="c"))
+        .groupby(["user_id", "day"]).aggregate(Count(alias_name="c")) \
+        .materialize()  # domain-sized; consumed by range pass + expansion
 
     # observed day range (tiny aggregate over the domain table)
     from ray.data.aggregate import Max, Min
