@@ -56,3 +56,44 @@ def test_signature_retry_determinism():
     a = compute_signatures(tbl)
     b = compute_signatures(tbl)
     assert a.equals(b)
+
+
+def test_task_retry_reexecution_determinism(ray_session, tmp_path):
+    """North-rule resilience bullet (SURVEY §4.1 stragglers/retries):
+    kill the FIRST attempt of every signature task and assert Ray's
+    lineage re-execution reproduces the clean run bit-for-bit — the
+    property that makes retries free is that every stage is a pure
+    hash-derived function of its input (no RNG, no wall clock)."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from destor_ray.config import EngineConfig
+    from destor_ray.stages.signature import compute_signatures
+
+    d = corpus.ensure_corpus_parquet(200, seed=42)
+    cfg = EngineConfig()
+    marker_dir = str(tmp_path / "chaos")
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def flaky_sigs(batch: pa.Table) -> pa.Table:
+        key = batch["image_id"].to_pylist()[0]
+        m = os.path.join(marker_dir, key)
+        if not os.path.exists(m):
+            open(m, "w").close()
+            raise RuntimeError(f"injected failure at {key}")
+        return compute_signatures(batch, cfg)
+
+    chaotic = ray.data.read_parquet(d).map_batches(
+        flaky_sigs, batch_format="pyarrow", batch_size=64,
+        retry_exceptions=True, max_retries=4
+    ).to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert len(os.listdir(marker_dir)) > 0  # failures really happened
+
+    clean = ray.data.read_parquet(d).map_batches(
+        lambda b: compute_signatures(b, cfg), batch_format="pyarrow",
+        batch_size=64).to_pandas().sort_values("image_id") \
+        .reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(chaotic, clean)
