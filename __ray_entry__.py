@@ -1056,6 +1056,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_digest": stats.table_digest,
         "exact_global_quantiles": stats.exact_global_quantiles,
         "dedup_ratio_estimate": text.dedup_ratio_estimate,
+        "sorted_neighborhood_pairs": text.sorted_neighborhood_pairs,
+        "token_dictionary_encode": text.token_dictionary_encode,
+        "bpe_train_merges": text.bpe_train_merges,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -2670,6 +2673,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST((greatest(0, occ.n - samp.nd * 64) * 1000000)
                         // occ.n AS BIGINT) AS est_dedup_ratio_micro
             FROM occ, samp
+        """,
+        "sorted_neighborhood_pairs": """
+            WITH ranked AS (
+                SELECT doc_id,
+                       lower(substr(text, 1, 16)) AS bkey,
+                       row_number() OVER (
+                           ORDER BY lower(substr(text, 1, 16)), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(b.rn - a.rn AS BIGINT) AS dist
+            FROM ranked a JOIN ranked b
+              ON b.rn > a.rn AND b.rn <= a.rn + 3
+             AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "token_dictionary_encode": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), agg AS (
+                SELECT token, count(*) AS n FROM toks GROUP BY token
+            )
+            SELECT token,
+                   CAST(dense_rank() OVER (ORDER BY token) - 1
+                        AS BIGINT) AS code,
+                   CAST(n AS BIGINT) AS n_occ
+            FROM agg
         """,
         "exact_global_quantiles": """
             WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT)

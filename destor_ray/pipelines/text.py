@@ -1782,3 +1782,368 @@ def dedup_ratio_estimate(sf_dir: str, k: int = 5, mod: int = 64):
         "est_distinct": np.array([est], np.int64),
         "est_dedup_ratio_micro": np.array([ratio_micro], np.int64),
     })
+
+
+def sorted_neighborhood_pairs(sf_dir: str, key_len: int = 16,
+                              prefix_len: int = 8, window: int = 4,
+                              n_splits: int = 64, sample_mod: int = 11):
+    """(doc_a, doc_b, dist) — Sorted-Neighborhood Method dedup blocking
+    (Hernández & Stolfo, SIGMOD'95): sort the corpus by a blocking key
+    (lower(substr(text, 1, key_len))), slide a `window`-row window over
+    the GLOBAL sort order, and emit every in-window pair whose keys
+    agree on the first `prefix_len` chars. The classic record-linkage
+    alternative to LSH banding: candidate volume is bounded LINEARLY at
+    (window-1) pairs per row regardless of key skew — the property that
+    makes it a safe pre-pass when hot LSH bands would explode (destor's
+    similarity-detection candidate capping, similarity_detection.c, is
+    the same linear-bound concern).
+
+    Scale shape (no global sort, no driver text):
+      sample   a deterministic 1/sample_mod doc_id slice of blocking
+               keys → range SPLITTERS (the TeraSort sampler);
+      map      key + prefix computed vectorized (utf8_slice/lower),
+               range-bucket by searchsorted(splitters) — equal keys
+               never straddle a bucket (side='right');
+      exchange ONE bucket-keyed groupby; each bucket lexsorts only its
+               own rows and emits (a) in-window pairs via shifted
+               vectorized compares and (b) its first/last (window-1)
+               boundary rows (+ bucket row count) as flagged rows;
+      driver   the O(n_splits·window) boundary set — every global
+               in-window pair that straddles a bucket has BOTH rows in
+               it (any row between them is also boundary) — is rank-
+               reconstructed from per-bucket counts and contributes the
+               cross-bucket pairs; no other row leaves its bucket.
+
+    Oracle: row_number() OVER (ORDER BY bkey, doc_id) self-join on
+    rank distance 1..window-1 + prefix equality (binary UTF-8 collation
+    == numpy unicode order). Output row order is not significant."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        key = pc.utf8_lower(pc.utf8_slice_codeunits(batch["text"], 0, key_len))
+        pfx = pc.utf8_slice_codeunits(key, 0, prefix_len)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "bkey": key, "pfx": pfx})
+
+    keys = ds.map_batches(narrow, batch_format="pyarrow")
+
+    # TeraSort-style splitter sample: deterministic doc_id slice, tiny
+    def sample(batch: pa.Table) -> pa.Table:
+        m = pc.equal(pc.bit_wise_and(batch["doc_id"], sample_mod - 1), 0) \
+            if (sample_mod & (sample_mod - 1)) == 0 else \
+            pa.array(batch["doc_id"].to_numpy(zero_copy_only=False)
+                     % sample_mod == 0)
+        return batch.filter(m).select(["bkey"])
+
+    samp = keys.map_batches(sample, batch_format="pyarrow").to_pandas()
+    u = np.unique(samp["bkey"].to_numpy(dtype=f"U{key_len}")) \
+        if len(samp) else np.array([], dtype=f"U{key_len}")
+    if len(u) > n_splits - 1:
+        idx = np.linspace(1, len(u) - 1, n_splits - 1).astype(np.int64)
+        splitters = u[np.unique(idx)]
+    else:
+        splitters = u
+    spl_ref = ray.put(splitters)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        spl = ray.get(spl_ref)
+        bk = batch["bkey"].to_numpy(zero_copy_only=False).astype(f"U{key_len}")
+        b = np.searchsorted(spl, bk, side="right").astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    keyed = keys.map_batches(add_bucket, batch_format="pyarrow")
+
+    w1 = window - 1
+
+    def bucket_fn(df: pd.DataFrame) -> pa.Table:
+        bk = df["bkey"].to_numpy(dtype=f"U{key_len}")
+        did = df["doc_id"].to_numpy(np.int64)
+        pfx = df["pfx"].to_numpy(dtype=f"U{prefix_len}")
+        bucket = int(df["bucket"].iloc[0])
+        order = np.lexsort((did, bk))
+        bk, did, pfx = bk[order], did[order], pfx[order]
+        n = len(did)
+        pa_, pb_, pd_ = [], [], []
+        for d in range(1, min(w1, n - 1) + 1):
+            hit = pfx[:-d] == pfx[d:]
+            pa_.append(did[:-d][hit])
+            pb_.append(did[d:][hit])
+            pd_.append(np.full(int(hit.sum()), d, np.int64))
+        pairs_a = np.concatenate(pa_) if pa_ else np.array([], np.int64)
+        pairs_b = np.concatenate(pb_) if pb_ else np.array([], np.int64)
+        pairs_d = np.concatenate(pd_) if pd_ else np.array([], np.int64)
+        # boundary rows: first/last w1 rows of this bucket's sort order
+        loc = np.arange(n)
+        bmask = (loc < w1) | (loc >= n - w1)
+        bi = np.flatnonzero(bmask)
+        npair, nb = len(pairs_a), len(bi)
+        return pa.table({
+            "kind": pa.array([0] * npair + [1] * nb, pa.int64()),
+            "doc_a": pa.array(np.concatenate([pairs_a, did[bi]]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([pairs_b, np.full(nb, -1, np.int64)]), pa.int64()),
+            "dist": pa.array(np.concatenate([pairs_d, np.full(nb, -1, np.int64)]), pa.int64()),
+            "bucket": pa.array([-1] * npair + [bucket] * nb, pa.int64()),
+            "local_idx": pa.array(np.concatenate([np.full(npair, -1, np.int64), loc[bi]]), pa.int64()),
+            "bucket_n": pa.array([-1] * npair + [n] * nb, pa.int64()),
+            "pfx": pa.array([""] * npair + list(pfx[bi]), pa.string()),
+        })
+
+    full = keyed.groupby("bucket").map_groups(
+        bucket_fn, batch_format="pandas").materialize()
+
+    def only_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], 0))
+        return t.select(["doc_a", "doc_b", "dist"])
+
+    pairs_ds = full.map_batches(only_pairs, batch_format="pyarrow")
+
+    def only_boundary(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["kind"], 1))
+
+    bnd = full.map_batches(only_boundary, batch_format="pyarrow").to_pandas()
+
+    # driver fix-up: cross-bucket in-window pairs from the tiny boundary set
+    extra = pd.DataFrame({"doc_a": [], "doc_b": [], "dist": []}, dtype=np.int64)
+    if len(bnd):
+        counts = bnd[["bucket", "bucket_n"]].drop_duplicates() \
+            .sort_values("bucket")
+        offs = dict(zip(
+            counts["bucket"].to_numpy(np.int64),
+            np.concatenate(([0], counts["bucket_n"].to_numpy(np.int64)
+                            .cumsum()[:-1])),
+        ))
+        rank = bnd["bucket"].map(offs).to_numpy(np.int64) \
+            + bnd["local_idx"].to_numpy(np.int64)
+        o = np.argsort(rank)
+        rank = rank[o]
+        b_did = bnd["doc_id"] if "doc_id" in bnd else bnd["doc_a"]
+        b_did = b_did.to_numpy(np.int64)[o]
+        b_bkt = bnd["bucket"].to_numpy(np.int64)[o]
+        b_pfx = bnd["pfx"].to_numpy(dtype=f"U{prefix_len}")[o]
+        ea, eb, ed = [], [], []
+        for off in range(1, min(w1, len(rank) - 1) + 1):
+            dr = rank[off:] - rank[:-off]
+            hit = (dr >= 1) & (dr <= w1) & (b_bkt[off:] != b_bkt[:-off]) \
+                & (b_pfx[off:] == b_pfx[:-off])
+            ea.append(b_did[:-off][hit])
+            eb.append(b_did[off:][hit])
+            ed.append(dr[hit])
+        if ea:
+            extra = pd.DataFrame({
+                "doc_a": np.concatenate(ea).astype(np.int64),
+                "doc_b": np.concatenate(eb).astype(np.int64),
+                "dist": np.concatenate(ed).astype(np.int64),
+            })
+
+    out = pairs_ds.to_pandas()
+    return pd.concat([out, extra], ignore_index=True).astype(np.int64)
+
+
+def token_dictionary_encode(sf_dir: str, n_splits: int = 32,
+                            sample_mod: int = 16):
+    """(token, code, n_occ) — GLOBAL order-preserving dictionary
+    encoding of the corpus token domain: every distinct token gets a
+    dense int code equal to its rank in token sort order (what a
+    columnar store builds before dictionary-encoding a string column,
+    and what a tokenizer needs as a deterministic vocab id). Order-
+    preserving codes keep range predicates pushable on the encoded
+    column; dense_rank() OVER (ORDER BY token) is the SQL mirror.
+
+    Scale shape — the corpus is never sorted and never co-located:
+      map        batch-local token-count partials (token, n);
+      exchange   ONE token-keyed groupby Sum → the DISTINCT domain,
+                 materialized (vocabulary-sized, not corpus-sized);
+      sample     deterministic md5 slice of the domain → range
+                 splitters (TeraSort sampler over the domain);
+      offsets    per-range-bucket counts (tiny aggregate) → driver
+                 exclusive prefix → broadcast — the cross-partition
+                 rank carry, exchanged as one domain-table scan;
+      assign     bucket-keyed map_groups: each bucket sorts only its
+                 own vocabulary slice; code = offset + local index.
+
+    numpy 'U' compare == DuckDB binary UTF-8 collation (UTF-8 byte
+    order preserves codepoint order), so codes match dense_rank."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in t.split(" "):
+                toks[w] = toks.get(w, 0) + 1
+        return pa.table({"token": pa.array(list(toks.keys()), pa.string()),
+                         "n": pa.array(list(toks.values()), pa.int64())})
+
+    domain = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n_occ")) \
+        .materialize()
+
+    # splitters from a deterministic hash slice of the domain
+    def sample(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_pylist()
+        keep = [i for i, w in enumerate(toks)
+                if int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                % sample_mod == 0]
+        return pa.table({"token": pa.array([toks[i] for i in keep],
+                                           pa.string())})
+
+    samp = domain.map_batches(sample, batch_format="pyarrow").to_pandas()
+    maxlen = 1
+    if len(samp):
+        u = samp["token"].to_numpy(object)
+        maxlen = max(len(w) for w in u)
+        u = np.unique(u.astype(f"U{maxlen}"))
+    else:
+        u = np.array([], dtype="U1")
+    if len(u) > n_splits - 1:
+        idx = np.unique(np.linspace(1, len(u) - 1, n_splits - 1)
+                        .astype(np.int64))
+        splitters = u[idx]
+    else:
+        splitters = u
+    spl_ref = ray.put(splitters)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        spl = ray.get(spl_ref)
+        tk = batch["token"].to_numpy(zero_copy_only=False).astype("U")
+        b = np.searchsorted(spl, tk, side="right").astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    keyed = domain.map_batches(add_bucket, batch_format="pyarrow") \
+        .materialize()
+
+    # tiny per-bucket count table → exclusive prefix offsets
+    def cnt(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        c = np.bincount(b)
+        nz = np.flatnonzero(c)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "c": pa.array(c[nz], pa.int64())})
+
+    hdf = keyed.map_batches(cnt, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("bucket")
+    bkts = hdf["bucket"].to_numpy(np.int64)
+    offs = np.concatenate(([0], hdf["c"].to_numpy(np.int64).cumsum()[:-1]))
+    off_ref = ray.put((bkts, offs))
+
+    def assign(df: pd.DataFrame) -> pa.Table:
+        bkt_a, off_a = ray.get(off_ref)
+        tk = df["token"].to_numpy(object)
+        n_occ = df["n_occ"].to_numpy(np.int64)
+        ml = max((len(w) for w in tk), default=1)
+        order = np.argsort(tk.astype(f"U{max(ml, 1)}"), kind="stable")
+        base = off_a[np.searchsorted(bkt_a, int(df["bucket"].iloc[0]))]
+        code = np.empty(len(tk), np.int64)
+        code[order] = base + np.arange(len(tk))
+        return pa.table({
+            "token": pa.array(tk, pa.string()),
+            "code": pa.array(code, pa.int64()),
+            "n_occ": pa.array(n_occ, pa.int64()),
+        })
+
+    return keyed.groupby("bucket").map_groups(assign, batch_format="pandas")
+
+
+def _bpe_segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word, lowest-rank pair first — the
+    standard BPE apply loop (Sennrich et al., ACL'16)."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        best, bi = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+    return syms
+
+
+def bpe_train_merges(sf_dir: str, num_merges: int = 8):
+    """(merge_rank, left, right, pair_count) — distributed BPE merge
+    TRAINING (learn the merge table, not just apply one): the iterative
+    vocabulary-construction algorithm every subword tokenizer
+    (GPT-2/SentencePiece-BPE family) runs over the corpus before any
+    encode step. Word-level BPE over the word-frequency table (the
+    original Sennrich formulation): symbols start as characters +
+    '</w>', each round merges the globally most frequent adjacent
+    symbol pair (tie-break: lexicographically smallest (left, right) —
+    fully deterministic).
+
+    Scale shape: the corpus contributes ONE word-count exchange (map
+    partials, vocabulary-bounded domain table, materialized once).
+    Each training round is then one pair-count exchange over the
+    DOMAIN table only — per-word segmentation with the merges-so-far
+    (broadcast, config-bounded) and weighted adjacent-pair partials
+    map-side; the round's winner is found with a scalar Max aggregate
+    + an equality filter (ties only reach the driver), never a
+    driver-side scan of the pair table. num_merges rounds == num_merges
+    domain-sized exchanges — the iterative-aggregate pattern shared
+    with kmeans_iter_assign / pagerank_tokens.
+
+    Not SQL-expressible (iterative argmax-dependent recursion); pinned
+    by a pytest parity check vs a single-process reference trainer."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read_documents(sf_dir).select_columns(["text"])
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        wc: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in t.split(" "):
+                if w:
+                    wc[w] = wc.get(w, 0) + 1
+        return pa.table({"word": pa.array(list(wc.keys()), pa.string()),
+                         "n": pa.array(list(wc.values()), pa.int64())})
+
+    words = ds.map_batches(word_partials, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n")).materialize()
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+        ranks_ref = _ray.put(ranks)
+
+        def pair_partials(batch: pa.Table) -> pa.Table:
+            rk = _ray.get(ranks_ref)
+            pc_: dict[tuple[str, str], int] = {}
+            ws = batch["word"].to_pylist()
+            ns = batch["n"].to_numpy(zero_copy_only=False)
+            for w, n in zip(ws, ns):
+                syms = _bpe_segment(w, rk)
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    pc_[k] = pc_.get(k, 0) + int(n)
+            if not pc_:
+                return pa.table({"l": pa.array([], pa.string()),
+                                 "r": pa.array([], pa.string()),
+                                 "c": pa.array([], pa.int64())})
+            ls, rs = zip(*pc_.keys())
+            return pa.table({"l": pa.array(list(ls), pa.string()),
+                             "r": pa.array(list(rs), pa.string()),
+                             "c": pa.array(list(pc_.values()), pa.int64())})
+
+        agg = words.map_batches(pair_partials, batch_format="pyarrow") \
+            .groupby(["l", "r"]).aggregate(Sum("c", alias_name="c")) \
+            .materialize()
+        if agg.count() == 0:
+            break
+        cmax = int(agg.aggregate(Max("c", alias_name="m"))["m"])
+
+        def winners(batch: pa.Table, _cm=cmax) -> pa.Table:
+            return batch.filter(pc.equal(batch["c"], _cm))
+
+        tie = agg.map_batches(winners, batch_format="pyarrow").to_pandas()
+        tie = tie.sort_values(["l", "r"]).iloc[0]
+        merges.append((str(tie["l"]), str(tie["r"]), cmax))
+
+    return pd.DataFrame({
+        "merge_rank": np.arange(len(merges), dtype=np.int64),
+        "left": [m[0] for m in merges],
+        "right": [m[1] for m in merges],
+        "pair_count": np.array([m[2] for m in merges], np.int64),
+    })

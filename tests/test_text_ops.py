@@ -684,3 +684,128 @@ def test_rp_ann_topk_recall(ray_session):
     for _, r in fast.iterrows():
         if r.vec_id in bmap:  # exactness of the re-ranked score
             assert abs(bmap[r.vec_id] - r.cos_sim) < 1e-9
+
+
+def test_sorted_neighborhood_boundary_pairs(ray_session, tmp_path):
+    """Force the cross-bucket boundary path: many splitters over few
+    docs means nearly every bucket holds 1-2 rows, so most in-window
+    pairs straddle bucket boundaries and must come from the driver
+    fix-up. Compare against a brute-force single-node SNM."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.text import sorted_neighborhood_pairs
+    # 40 docs, several sharing 8-char prefixes, distinct 16-char keys
+    texts = []
+    for i in range(40):
+        g, j = divmod(i, 4)
+        texts.append(f"prefix{g:02d}tail{j:02d} body {i}")
+    rows = {
+        "doc_id": pa.array(list(range(100, 140)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+
+    out = sorted_neighborhood_pairs(str(d), n_splits=64, sample_mod=2)
+    got = set(map(tuple, out[["doc_a", "doc_b", "dist"]].to_numpy()))
+
+    # brute force: global sort by (key, id), window pairs, prefix filter
+    key = [t[:16].lower() for t in texts]
+    order = sorted(range(40), key=lambda i: (key[i], 100 + i))
+    want = set()
+    for a in range(40):
+        for dd in range(1, 4):
+            b = a + dd
+            if b >= 40:
+                continue
+            ia, ib = order[a], order[b]
+            if key[ia][:8] == key[ib][:8]:
+                want.add((100 + ia, 100 + ib, dd))
+    assert got == want and len(want) > 0
+    # sanity: with 64 splitters over 40 docs the boundary path is live
+    # (some pair must span two buckets) — asserted indirectly by parity
+
+
+def test_token_dictionary_encode_wide_vocab(ray_session, tmp_path):
+    """Planted 600-token vocabulary across many docs: codes must be the
+    exact dense rank in token sort order (order-preserving), occurrence
+    counts exact — exercises multi-bucket range partitioning + the
+    exclusive-prefix offset carry (the driver corpus has only ~31
+    distinct tokens, which fits one bucket)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.text import token_dictionary_encode
+    vocab = [f"w{i:04d}" for i in range(600)]
+    texts = [" ".join(vocab[i::7]) for i in range(7)] + \
+            [" ".join(vocab[:50])] * 3  # skewed repeats
+    rows = {
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = token_dictionary_encode(str(d), n_splits=16, sample_mod=4) \
+        .to_pandas().sort_values("code").reset_index(drop=True)
+    assert len(out) == 600
+    assert out["token"].tolist() == sorted(vocab)
+    assert out["code"].tolist() == list(range(600))
+    n = out.set_index("token")["n_occ"]
+    assert int(n["w0000"]) == 4 and int(n["w0049"]) == 4
+    assert int(n["w0050"]) == 1 and int(n["w0599"]) == 1
+
+
+def _bpe_reference(texts, num_merges):
+    """Single-process reference BPE trainer (Sennrich word-level)."""
+    from collections import Counter
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    segs = {w: list(w) + ["</w>"] for w in wc}
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for w, syms in segs.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += wc[w]
+        if not pc:
+            break
+        cmax = max(pc.values())
+        l, r = min(k for k, v in pc.items() if v == cmax)
+        merges.append((l, r, cmax))
+        for w, syms in segs.items():
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == l and syms[i + 1] == r:
+                    syms[i:i + 2] = [l + r]
+                else:
+                    i += 1
+    return merges
+
+
+def test_bpe_train_merges_matches_reference(ray_session, tmp_path):
+    """Distributed trainer == single-process reference on a corpus with
+    known structure (repeated subwords force specific merges, a tie at
+    round 1 pins the lexicographic tie-break)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.text import bpe_train_merges
+    texts = [
+        "lower lower lowest newer newer newest wider low new",
+        "lower newest wide wide low low new newer",
+        "abab abab cdcd",
+    ]
+    rows = {
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = bpe_train_merges(str(d), num_merges=10)
+    got = list(zip(out["left"], out["right"], out["pair_count"]))
+    want = _bpe_reference(texts, 10)
+    assert [(l, r, int(c)) for l, r, c in got] == want
+    assert len(want) == 10
