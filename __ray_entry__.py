@@ -580,6 +580,132 @@ def _corpus_resize_stats(sf_dir: str, out_size: int = 32):
     return stats.map_batches(finish, batch_format="pyarrow")
 
 
+def _corpus_pixel_quality(sf_dir: str, flat_thresh: float = 1.0):
+    """(fmt, n, mean_luma, mean_entropy_bits, mean_laplacian_var,
+    n_low_detail): the image-corpus QUALITY-SCORING pass — decode on an
+    actor pool, per-image luma/entropy/Laplacian-variance features
+    (ImagePixelStats), reduced map-side to per-format partial sums so
+    only format-domain rows reach the exchange. n_low_detail counts
+    images a blur/flatness filter (laplacian_var < flat_thresh) would
+    drop before training."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+    from destor_ray import corpus
+    from destor_ray.stages.multimodal import ImagePixelStats
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = ray.data.read_parquet(d, columns=["image_id", "bytes", "fmt"])
+
+    class WithFmt(ImagePixelStats):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            import pandas as pd
+            df = pd.DataFrame({
+                "fmt": batch["fmt"].to_pylist(),
+                "luma": out["luma_mean"].to_numpy(),
+                "ent": out["entropy_bits"].to_numpy(),
+                "lap": out["laplacian_var"].to_numpy(),
+                "low": (out["laplacian_var"].to_numpy()
+                        < flat_thresh).astype(np.int64),
+                "n": 1,
+            })
+            g = df.groupby("fmt", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+    agg = ds.map_batches(WithFmt, concurrency=4, batch_size=256,
+                         batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Sum("n", alias_name="n"), Sum("luma", alias_name="s_luma"),
+            Sum("ent", alias_name="s_ent"), Sum("lap", alias_name="s_lap"),
+            Sum("low", alias_name="n_low_detail"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "fmt": batch["fmt"],
+            "n": batch["n"].cast(pa.int64()),
+            "mean_luma": pa.array(np.round(
+                batch["s_luma"].to_numpy(zero_copy_only=False) / n, 4),
+                pa.float64()),
+            "mean_entropy_bits": pa.array(np.round(
+                batch["s_ent"].to_numpy(zero_copy_only=False) / n, 4),
+                pa.float64()),
+            "mean_laplacian_var": pa.array(np.round(
+                batch["s_lap"].to_numpy(zero_copy_only=False) / n, 4),
+                pa.float64()),
+            "n_low_detail": batch["n_low_detail"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_ASPECT_BUCKETS = [(256, 1024), (384, 768), (512, 768), (512, 512),
+                   (768, 512), (768, 384), (1024, 256)]
+
+
+def _corpus_aspect_buckets(sf_dir: str, batch_rows: int = 64):
+    """(bucket_w, bucket_h, n, n_full_batches, pct_pixels_kept) —
+    ASPECT-RATIO BUCKETING, the batching layout step an image-training
+    pipeline runs before resizing (group images by nearest aspect
+    ratio so a batch shares one target shape and crops waste minimal
+    pixels; the SDXL-style bucketed-batch strategy). Assignment is a
+    pure function of (w, h): nearest bucket by |log(ar) - log(bar)|,
+    ties to the squarer bucket (list order).
+
+    Scale shape: METADATA-ONLY — reads just the (w, h) columns (the
+    payload column never leaves storage), vectorized argmin per batch,
+    map-side per-bucket partial sums, one bucket-domain exchange.
+    pct_pixels_kept = mean fraction of source pixels surviving a
+    center-crop to the bucket ratio (the waste metric the bucket list
+    is tuned on)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+    from destor_ray import corpus
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = ray.data.read_parquet(d, columns=["w", "h"])
+
+    bw = np.array([b[0] for b in _ASPECT_BUCKETS], np.float64)
+    bh = np.array([b[1] for b in _ASPECT_BUCKETS], np.float64)
+    blog = np.log(bw / bh)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ar = np.log(w / h)
+        # |log ar - log bucket_ar|, ties -> first (squarer) bucket
+        idx = np.abs(ar[:, None] - blog[None, :]).argmin(axis=1)
+        # center-crop keep fraction: min(ar/bar, bar/ar)
+        ratio = np.exp(ar - blog[idx])
+        kept = np.minimum(ratio, 1.0 / ratio)
+        import pandas as pd
+        g = pd.DataFrame({"bidx": idx, "n": 1, "kept": kept}) \
+            .groupby("bidx", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = ds.map_batches(assign, batch_format="pyarrow") \
+        .groupby("bidx").aggregate(Sum("n", alias_name="n"),
+                                   Sum("kept", alias_name="s_kept")) \
+        .to_pandas().sort_values("bidx")
+    bi = agg["bidx"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    import pandas as pd
+    return pd.DataFrame({
+        "bucket_w": bw[bi].astype(np.int64),
+        "bucket_h": bh[bi].astype(np.int64),
+        "n": n,
+        "n_full_batches": n // batch_rows,
+        "pct_pixels_kept": np.round(
+            100.0 * agg["s_kept"].to_numpy(np.float64) / n, 3),
+    })
+
+
 def _corpus_dedup_eval(sf_dir: str):
     """(metric, value): the flagship's quality scorecard against the
     corpus generator's PLANTED ground truth (the north_rule's graded
@@ -1059,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": text.sorted_neighborhood_pairs,
         "token_dictionary_encode": text.token_dictionary_encode,
         "bpe_train_merges": text.bpe_train_merges,
+        "events_drift_psi": streaming.events_drift_psi,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -1174,6 +1301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_skew_profile": _band_skew_profile,
         "lsh_param_sweep": _lsh_param_sweep,
         "corpus_resize_stats": _corpus_resize_stats,
+        "corpus_pixel_quality": _corpus_pixel_quality,
+        "corpus_aspect_buckets": _corpus_aspect_buckets,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,
         "corpus_dedup_clusters": _corpus_clusters,
@@ -2688,6 +2817,27 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "events_drift_psi": """
+            WITH s AS (SELECT min(value) AS lo, max(value) AS hi,
+                              max(event_id) AS me FROM events),
+                 e AS (SELECT least(CAST(floor((value - s.lo)
+                                          / ((s.hi - s.lo) / 10.0))
+                                    AS BIGINT), 9) AS bin,
+                              CASE WHEN event_id * 2 > s.me
+                                   THEN 1 ELSE 0 END AS period
+                       FROM events, s),
+                 c AS (SELECT bin,
+                              count(*) FILTER (period = 0) AS na,
+                              count(*) FILTER (period = 1) AS nb
+                       FROM e GROUP BY bin),
+                 t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM c)
+            SELECT bin, CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   ((na + 1.0) / (ta + 10.0) - (nb + 1.0) / (tb + 10.0))
+                   * ln(((na + 1.0) / (ta + 10.0))
+                        / ((nb + 1.0) / (tb + 10.0))) AS psi_term
+            FROM c, t
         """,
         "token_dictionary_encode": """
             WITH toks AS (

@@ -2174,3 +2174,60 @@ def events_type_trend(sf_dir: str):
         "slope_num": np.array(num, np.int64),
         "slope_den": np.array(den, np.int64),
     }).sort_values("event_type").reset_index(drop=True)
+
+
+def events_drift_psi(sf_dir: str, n_bins: int = 10):
+    """(bin, n_a, n_b, psi_term) — DATA-DRIFT detection between the
+    first and second half of the event stream (split at max(event_id)/2)
+    via the Population Stability Index: equal-width bins over the
+    global value range, psi_term = (p_a - p_b) * ln(p_a / p_b) per bin
+    with +1 Laplace smoothing (so an empty side never produces ±inf);
+    Σ psi_term is the monitoring scalar a training pipeline alerts on
+    (PSI > 0.2 ⇒ retrain/investigate). Both the bin edges and the
+    period split are pure functions of two scalar aggregates, so the
+    whole check is SQL-mirrorable.
+
+    Scale shape: one scalar aggregate (lo, hi, max_eid), then ONE pass
+    of map-side (period, bin) bincount partials into a bin-domain
+    exchange (≤ 2·n_bins rows); the PSI arithmetic runs on the tiny
+    aggregate. The fact table is read twice, column-pruned, never
+    co-located."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "value"])
+
+    g = ds.aggregate(Min("value", alias_name="lo"),
+                     Max("value", alias_name="hi"),
+                     Max("event_id", alias_name="me"))
+    lo, hi, me = float(g["lo"]), float(g["hi"]), int(g["me"])
+    width = (hi - lo) / float(n_bins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        b = np.minimum(np.floor((v - lo) / width).astype(np.int64),
+                       n_bins - 1)
+        period = (eid * 2 > me).astype(np.int64)
+        key = period * n_bins + b
+        cnt = np.bincount(key, minlength=2 * n_bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"key": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    cdf = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("c", alias_name="c")).to_pandas()
+    cnt = np.zeros(2 * n_bins, np.int64)
+    cnt[cdf["key"].to_numpy(np.int64)] = cdf["c"].to_numpy(np.int64)
+    na, nb = cnt[:n_bins], cnt[n_bins:]
+    present = (na + nb) > 0
+    ta, tb = float(na.sum()), float(nb.sum())
+    pa_ = (na + 1.0) / (ta + n_bins)
+    pb_ = (nb + 1.0) / (tb + n_bins)
+    psi = (pa_ - pb_) * np.log(pa_ / pb_)
+    bins = np.flatnonzero(present)
+    return pd.DataFrame({
+        "bin": bins.astype(np.int64),
+        "n_a": na[bins],
+        "n_b": nb[bins],
+        "psi_term": psi[bins],
+    })

@@ -193,3 +193,55 @@ class ImageDecodeQuarantine:
             "w": pa.array(ws, pa.int32()),
             "h": pa.array(hs, pa.int32()),
         })
+
+
+class ImagePixelStats:
+    """Decode → per-image pixel-quality features: luma mean/std,
+    256-bin histogram entropy (bits), and Laplacian variance (the
+    classic blur/flatness detector — variance of the 4-neighbour
+    Laplacian response; low values flag blurry or near-constant
+    frames). The curation signals an image-corpus quality filter
+    ranks on before training (reference's fidelity concern T5,
+    decode_thread.c, recast as quality scoring instead of verify).
+
+    Actor-pool stage: nothing heavy to set up here, but kept as a
+    callable class for uniformity with the other decode stages (a real
+    libjpeg/PIL build would hold codec handles in __init__). Per-image
+    kernels are whole-array numpy (histogram via bincount, Laplacian
+    via shifted-slice adds — no Python per-pixel work)."""
+
+    def __init__(self, min_side: int = 3):
+        self.min_side = min_side
+
+    @staticmethod
+    def _features(gray: np.ndarray) -> tuple[float, float, float, float]:
+        g = gray.astype(np.float64)
+        mean = float(g.mean())
+        std = float(g.std())
+        hist = np.bincount(gray.reshape(-1), minlength=256)
+        p = hist[hist > 0] / gray.size
+        entropy = float(-(p * np.log2(p)).sum())
+        if gray.shape[0] >= 3 and gray.shape[1] >= 3:
+            lap = (g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2]
+                   + g[1:-1, 2:] - 4.0 * g[1:-1, 1:-1])
+            lap_var = float(lap.var())
+        else:
+            lap_var = 0.0
+        return mean, std, entropy, lap_var
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds, ents, laps = [], [], [], []
+        for data in batch["bytes"].to_pylist():
+            gray = codec.to_gray(codec.decode(data))
+            m, s, e, lv = self._features(gray)
+            means.append(m)
+            stds.append(s)
+            ents.append(e)
+            laps.append(lv)
+        return pa.table({
+            "image_id": batch["image_id"],
+            "luma_mean": pa.array(means, pa.float64()),
+            "luma_std": pa.array(stds, pa.float64()),
+            "entropy_bits": pa.array(ents, pa.float64()),
+            "laplacian_var": pa.array(laps, pa.float64()),
+        })
