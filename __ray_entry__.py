@@ -446,6 +446,75 @@ def _corpus_clusters(sf_dir: str):
     return dedup_pipeline_from_dir(d)
 
 
+def _corpus_dedup_shard_matrix(sf_dir: str, shard_rows: int = 1000):
+    """(shard_a, shard_b, n_pairs) — CROSS-SHARD duplication
+    attribution: which input shards duplicate against which (the 100 TB
+    ops question behind "which crawl dumps overlap" / "is the dup mass
+    intra-dump or cross-dump", and destor's container-locality concern
+    W3 read sideways: shard_a == shard_b rows are container-local dup
+    mass, off-diagonal rows are the fragmentation the rewrite family
+    exists to fight). Shard id = nid // shard_rows — the corpus writer's
+    file layout, so the matrix is per input FILE.
+
+    Scale shape: the verified edge stream is globally pair-deduped
+    through one (l, r)-keyed exchange (edges arrive band-duplicated
+    from inline verify), then collapsed map-side to shard-pair partials
+    into a shard-domain (tiny) aggregate. Payloads/thumbs never appear;
+    only 16-byte edge rows move."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+    from destor_ray import corpus
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.dedup import buckets_for, signatures_from_corpus
+    from destor_ray.stages import candidates
+
+    n = _corpus_rows_for(sf_dir)
+    d = corpus.ensure_corpus_parquet(n, seed=42)
+    cfg = EngineConfig()
+    sigs = signatures_from_corpus(ray.data.read_parquet(d), cfg).materialize()
+    edges = candidates.candidate_edges(sigs, cfg,
+                                       num_buckets=buckets_for(n))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        l = batch["left_id"].to_numpy(zero_copy_only=False)
+        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(l, r), np.maximum(l, r)
+        df = pd.DataFrame({"l": lo, "r": hi}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    # global pair dedup: one (l, r)-keyed exchange (Count is unused —
+    # the groupby's key set IS the distinct pair set)
+    from ray.data.aggregate import Count
+    distinct_pairs = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["l", "r"]).aggregate(Count(alias_name="_c"))
+
+    def to_shards(batch: pa.Table) -> pa.Table:
+        l = batch["l"].to_numpy(zero_copy_only=False) // shard_rows
+        r = batch["r"].to_numpy(zero_copy_only=False) // shard_rows
+        lo, hi = np.minimum(l, r), np.maximum(l, r)
+        g = pd.DataFrame({"shard_a": lo, "shard_b": hi, "n": 1}) \
+            .groupby(["shard_a", "shard_b"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    out = distinct_pairs.map_batches(to_shards, batch_format="pyarrow") \
+        .groupby(["shard_a", "shard_b"]) \
+        .aggregate(Sum("n", alias_name="n_pairs"))
+
+    def fix(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard_a": batch["shard_a"].cast(pa.int64()),
+            "shard_b": batch["shard_b"].cast(pa.int64()),
+            "n_pairs": batch["n_pairs"].cast(pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def _corpus_incremental_dedup(sf_dir: str):
     """(metric, value) — the SECOND-backup workflow (destor D8 index
     update at corpus scale, pipelines/job.run_incremental_job): a base
@@ -1186,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_dictionary_encode": text.token_dictionary_encode,
         "bpe_train_merges": text.bpe_train_merges,
         "events_drift_psi": streaming.events_drift_psi,
+        "kcore_tokens": graph.kcore_tokens,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -1223,6 +1293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jfif_decode_stats": ingest.jfif_decode_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,
+        "schema_evolution_backfill": ingest.schema_evolution_backfill,
+        "compact_small_files": ingest.compact_small_files,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -1311,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_exact_dedup": _corpus_exact,
         "corpus_dedup_simulation": _corpus_dedup_simulation,
         "corpus_incremental_dedup": _corpus_incremental_dedup,
+        "corpus_dedup_shard_matrix": _corpus_dedup_shard_matrix,
         "corpus_fidelity": _corpus_fidelity,
         "corpus_restore": _corpus_restore,
         "cdc_stats": _cdc_stats,
@@ -2378,6 +2451,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(nxt - ts_sec), 0) AS BIGINT) AS twa_den
             FROM l GROUP BY user_id
         """,
+        "schema_evolution_backfill": """
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'und' ELSE lang END
+                       AS lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        """,
         "partitioned_write_readback": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(value * 1000000) AS BIGINT))
@@ -2817,6 +2897,31 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "kcore_tokens": """
+            WITH docs AS (SELECT string_split(text, ' ') AS arr
+                          FROM documents),
+                 big AS (SELECT arr[i] AS src, arr[i + 1] AS dst
+                         FROM (SELECT arr,
+                                      unnest(range(1, len(arr))) AS i
+                               FROM docs)),
+                 e0 AS (SELECT DISTINCT src, dst FROM big
+                        WHERE src <> dst),
+                 und AS (SELECT src, dst FROM e0
+                         UNION
+                         SELECT dst AS src, src AS dst FROM e0),
+                 a1 AS (SELECT src AS tok FROM und GROUP BY src
+                        HAVING count(*) >= 22),
+                 e1 AS (SELECT u.src, u.dst FROM und u
+                        JOIN a1 s ON u.src = s.tok
+                        JOIN a1 t ON u.dst = t.tok),
+                 a2 AS (SELECT src AS tok FROM e1 GROUP BY src
+                        HAVING count(*) >= 22),
+                 e2 AS (SELECT u.src, u.dst FROM e1 u
+                        JOIN a2 s ON u.src = s.tok
+                        JOIN a2 t ON u.dst = t.tok)
+            SELECT src AS tok, count(*) AS deg
+            FROM e2 GROUP BY src HAVING count(*) >= 22
         """,
         "events_drift_psi": """
             WITH s AS (SELECT min(value) AS lo, max(value) AS hi,

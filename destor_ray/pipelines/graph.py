@@ -520,3 +520,87 @@ def bfs_token_distances(sf_dir: str, source: str = "customer",
     return dist.map_batches(
         lambda b: pa.table({"token": b["tok"], "dist": b["d"]}),
         batch_format="pyarrow")
+
+
+def kcore_tokens(sf_dir: str, k: int = 22, rounds: int = 3):
+    """(tok, deg) — k-CORE PEELING over the undirected token
+    co-occurrence graph, `rounds` SYNCHRONOUS peel rounds: each round
+    recomputes degrees over the surviving edge set and removes every
+    node with degree < k (the spam/noise-pruning pass community
+    pipelines run before expensive clustering; the fixpoint of this
+    iteration is the classic k-core). A FIXED round count keeps the
+    operator hash-verifiable against an unrolled-CTE oracle — same
+    contract as pagerank_tokens/token_communities; at the driver graph
+    3 rounds reach the fixpoint anyway (asserted in the test).
+
+    Scale shape per round: one degree aggregate (node-domain) + TWO
+    endpoint-keyed semi-join exchanges restricting the edge set to
+    surviving nodes — the alive set is node-domain-sized and is NEVER
+    broadcast (it rides the same bucketed exchange as the edges,
+    tag-and-union style, like bfs_token_distances' distance vector)."""
+    from ray.data.aggregate import Count
+
+    # distinct undirected edge set (both directions materialized so a
+    # single groupby(src) IS the degree): one exchange
+    base = _bigram_edges(sf_dir)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(batch["src"], batch["dst"]))
+        t = batch.filter(keep)
+        return pa.table({
+            "src": pa.concat_arrays([t["src"].combine_chunks(),
+                                     t["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["dst"].combine_chunks(),
+                                     t["src"].combine_chunks()]),
+        })
+
+    und = base.map_batches(both_dirs, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).aggregate(Count(alias_name="_c")) \
+        .select_columns(["src", "dst"]).materialize()
+
+    def _semi(edges, alive, key: str):
+        """edges rows whose `key` endpoint appears in `alive` (tok) —
+        one bucketed exchange, alive rides tagged rows (no broadcast)."""
+        def tag_edge(b: pa.Table) -> pa.Table:
+            other = "dst" if key == "src" else "src"
+            return pa.table({"k": b[key], "other": b[other],
+                             "is_edge": pa.array([1] * b.num_rows,
+                                                 pa.int64())})
+
+        def tag_alive(b: pa.Table) -> pa.Table:
+            return pa.table({"k": b["tok"],
+                             "other": pa.array([""] * b.num_rows,
+                                               pa.string()),
+                             "is_edge": pa.array([0] * b.num_rows,
+                                                 pa.int64())})
+
+        tagged = edges.map_batches(tag_edge, batch_format="pyarrow") \
+            .union(alive.map_batches(tag_alive, batch_format="pyarrow"))
+
+        def bucket(df: pd.DataFrame) -> pa.Table:
+            ok = set(df.loc[df["is_edge"] == 0, "k"])
+            e = df[df["is_edge"] == 1]
+            e = e[e["k"].isin(ok)]
+            if key == "src":
+                return pa.table({"src": pa.array(e["k"], pa.string()),
+                                 "dst": pa.array(e["other"], pa.string())})
+            return pa.table({"src": pa.array(e["other"], pa.string()),
+                             "dst": pa.array(e["k"], pa.string())})
+
+        return bucketed_group_map(tagged, "k", bucket, num_buckets=16)
+
+    deg = None
+    for r in range(rounds):
+        deg = und.groupby("src").aggregate(Count(alias_name="deg")) \
+            .map_batches(lambda b: pa.table({
+                "tok": b["src"], "deg": pc.cast(b["deg"], pa.int64())}),
+                batch_format="pyarrow").materialize()
+        alive = deg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["deg"], k))
+            .select(["tok"]), batch_format="pyarrow").materialize()
+        if r == rounds - 1:
+            return deg.map_batches(
+                lambda b: b.filter(pc.greater_equal(b["deg"], k)),
+                batch_format="pyarrow")
+        und = _semi(_semi(und, alive, "src"), alive, "dst").materialize()
+    return deg

@@ -496,3 +496,163 @@ def partitioned_write_readback(sf_dir: str, keep_type: str = "purchase"):
             "n": pc.cast(b["n"], pa.int64()),
             "sum_value_micro": pc.cast(b["sum_value_micro"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def schema_evolution_backfill(sf_dir: str):
+    """(lang, n_docs, sum_chars) — SCHEMA-EVOLUTION ingest: the corpus
+    arrives as two parquet generations with DIFFERENT schemas (v1
+    shards predate the `lang` column; v2 shards carry it — the drift
+    every long-lived crawl/ingest pipeline accumulates), and the reader
+    must unify them: v1 rows are backfilled with the declared default
+    'und' at read time, then both generations stream through one
+    per-lang aggregate. Generation membership is the deterministic rule
+    doc_id % 3 == 0 → v1, so the oracle can mirror the backfill as a
+    CASE over the original table without seeing the staged files —
+    a hash match certifies split → write(v1-schema)/write(v2-schema) →
+    unified read loses nothing.
+
+    Scale shape: the two generations are two read_parquet streams
+    (schema unification is a map-side add_column on v1 — no shuffle);
+    union is a metadata concat; ONE lang-domain aggregate exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/destor_ray_schema_evo/{tag}"
+    v1_dir, v2_dir = f"{base}/v1", f"{base}/v2"
+    if not (os.path.isdir(v1_dir) and os.path.isdir(v2_dir)):
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "lang", "n_chars"])
+
+        def v1_rows(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            keep = batch["doc_id"].to_numpy(zero_copy_only=False) % 3 == 0
+            t = batch.filter(pa.array(keep))
+            return t.select(["doc_id", "n_chars"])  # lang doesn't exist yet
+
+        def v2_rows(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            keep = batch["doc_id"].to_numpy(zero_copy_only=False) % 3 != 0
+            return batch.filter(pa.array(keep))
+
+        tmp = f"{base}.tmp.{os.getpid()}"
+        ds.map_batches(v1_rows, batch_format="pyarrow") \
+            .write_parquet(f"{tmp}/v1")
+        ds.map_batches(v2_rows, batch_format="pyarrow") \
+            .write_parquet(f"{tmp}/v2")
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    v1 = ray.data.read_parquet(v1_dir)
+
+    def backfill(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "lang", pa.array(["und"] * batch.num_rows, pa.string()))
+
+    v1 = v1.map_batches(backfill, batch_format="pyarrow") \
+        .select_columns(["doc_id", "lang", "n_chars"])
+    v2 = ray.data.read_parquet(v2_dir) \
+        .select_columns(["doc_id", "lang", "n_chars"])
+
+    agg = v1.union(v2).groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"],
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+            "sum_chars": pc.cast(b["sum_chars"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _docs_digest(ds) -> tuple[int, int]:
+    """Whole-table order-insensitive digest of (doc_id, lang, text)
+    rows: (Σ md5_60bit(row) mod 2^63, n_rows). Same hi/lo split-int64
+    trick as stats.table_digest, collapsed to one scalar aggregate —
+    certifies a rewrite without sorting or co-locating anything."""
+    import hashlib
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tot = 0
+        for i, lg, tx in zip(batch["doc_id"].to_numpy(zero_copy_only=False),
+                             batch["lang"].to_pylist(),
+                             batch["text"].to_pylist()):
+            tot += int(hashlib.md5(f"{i}|{lg}|{tx}".encode())
+                       .hexdigest()[:15], 16)
+        return pa.table({"hi": pa.array([tot >> 32], pa.int64()),
+                         "lo": pa.array([tot & 0xFFFFFFFF], pa.int64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    g = ds.map_batches(partials, batch_format="pyarrow") \
+        .aggregate(Sum("hi", alias_name="hi"), Sum("lo", alias_name="lo"),
+                   Sum("n", alias_name="n"))
+    return int(((int(g["hi"]) << 32) + int(g["lo"])) % (1 << 63)), int(g["n"])
+
+
+def compact_small_files(sf_dir: str, rows_per_small_file: int = 16,
+                        target_rows: int = 2048):
+    """(n_files_before, n_files_after, n_rows, digest_match) — the
+    SMALL-FILE COMPACTION maintenance pass every long-running ingest
+    needs (thousands of tiny commit files → storage-efficient blocks):
+    the documents table is staged as many tiny parquet files (the
+    degenerate layout micro-batched ingest produces), then compacted by
+    a split/coalesce repartition (NO all-to-all — blocks are merged,
+    rows never rekeyed) into ~target_rows blocks, and the rewrite is
+    CERTIFIED by the order-insensitive table digest (Σ md5_60bit(row)):
+    digest_match=1 ⟺ no row lost, duplicated or altered, the same
+    certification a 100 TB compaction job must emit before swapping
+    manifests.
+
+    Resumable layout: staged + compacted dirs are content-addressed by
+    sf tag under /tmp; a rerun reuses them (idempotent)."""
+    import math
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/destor_ray_compact/{tag}"
+    small_dir, comp_dir = f"{base}/small", f"{base}/compacted"
+
+    if not os.path.isdir(small_dir):
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "lang", "text"])
+        n = ds.count()
+        tmp = f"{base}.stage.{os.getpid()}"
+        ds.repartition(max(1, math.ceil(n / rows_per_small_file))) \
+            .write_parquet(f"{tmp}/small")
+        try:
+            os.makedirs(base, exist_ok=True)
+            os.rename(f"{tmp}/small", small_dir)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    small = ray.data.read_parquet(small_dir)
+    d_before, n_rows = _docs_digest(small)
+
+    if not os.path.isdir(comp_dir):
+        tmp = f"{base}.comp.{os.getpid()}"
+        small.repartition(max(1, math.ceil(n_rows / target_rows))) \
+            .write_parquet(f"{tmp}/compacted")
+        try:
+            os.rename(f"{tmp}/compacted", comp_dir)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    d_after, n_after = _docs_digest(ray.data.read_parquet(comp_dir))
+
+    nf = len([f for f in os.listdir(small_dir) if f.endswith(".parquet")])
+    nc = len([f for f in os.listdir(comp_dir) if f.endswith(".parquet")])
+    import numpy as np
+    import pandas as pd
+    return pd.DataFrame({
+        "n_files_before": np.array([nf], np.int64),
+        "n_files_after": np.array([nc], np.int64),
+        "n_rows": np.array([n_rows], np.int64),
+        "digest_match": np.array(
+            [1 if (d_before == d_after and n_rows == n_after) else 0],
+            np.int64),
+    })

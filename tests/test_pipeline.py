@@ -211,3 +211,75 @@ def test_probe_index_finds_planted_sources(ray_session):
     dq = f"img{base + 3:010d}"
     _, dsrc = corpus.plan_for_row(base + 3)
     assert f"img{base:010d}" not in matches.get(dq, set())
+
+
+def test_shard_matrix_covers_planted_pairs(ray_session):
+    """Every planted dup pair's (shard_a, shard_b) cell must be present
+    in the cross-shard attribution matrix (recall is 1.0 at this corpus
+    size), cells are canonical (shard_a <= shard_b), and the matrix
+    counts globally pair-deduped edges (positive, bounded by corpus
+    pair volume)."""
+    import numpy as np
+    import __ray_entry__ as em
+    from destor_ray import corpus
+    from destor_ray.stages.candidates import parse_nid
+
+    sf = "/root/testdata/sf0.001"
+    shard_rows = 100
+    out = em._corpus_dedup_shard_matrix(sf, shard_rows=shard_rows).to_pandas()
+    assert (out["shard_a"] <= out["shard_b"]).all()
+    assert (out["n_pairs"] > 0).all()
+    cells = set(zip(out["shard_a"].astype(int), out["shard_b"].astype(int)))
+
+    n = em._corpus_rows_for(sf)
+    plan = corpus.dup_plan_table(n)
+    n_dup = 0
+    for l, r, kind in zip(plan["left_id"].to_pylist(),
+                          plan["right_id"].to_pylist(),
+                          plan["kind"].to_pylist()):
+        if kind.startswith("distractor"):
+            continue
+        sa, sb = sorted((int(parse_nid([l])[0]) // shard_rows,
+                         int(parse_nid([r])[0]) // shard_rows))
+        assert (sa, sb) in cells, (l, r, kind)
+        n_dup += 1
+    assert n_dup > 0
+
+
+def test_compact_small_files_certified(ray_session):
+    """Compaction merges many tiny files into few blocks and the
+    order-insensitive digest certifies zero row loss/corruption."""
+    import __ray_entry__ as em
+    out = em.queries()["compact_small_files"]("/root/testdata/sf0.001")
+    row = out.iloc[0]
+    assert int(row["digest_match"]) == 1
+    assert int(row["n_files_after"]) < int(row["n_files_before"])
+    assert int(row["n_rows"]) > 0
+
+
+def test_kcore_planted_fixpoint(ray_session, tmp_path):
+    """Planted graph: a 5-clique (every node degree 4) plus a pendant
+    chain hanging off it. At k=3 the chain must peel away COMPLETELY
+    (cascading rounds: the tail's removal lowers its neighbor below k)
+    and the clique must survive with degree 4 — the textbook k-core
+    fixpoint, reached within the 3 unrolled rounds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.graph import kcore_tokens
+    # bigram edges come from adjacent tokens: encode each undirected
+    # edge as its own 2-token doc
+    clique = ["c0", "c1", "c2", "c3", "c4"]
+    edges = [(a, b) for i, a in enumerate(clique)
+             for b in clique[i + 1:]]
+    edges += [("c0", "p1"), ("p1", "p2"), ("p2", "p3")]
+    texts = [f"{a} {b}" for a, b in edges]
+    rows = {
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = kcore_tokens(str(d), k=3, rounds=3).to_pandas()
+    got = dict(zip(out["tok"], out["deg"].astype(int)))
+    assert got == {c: 4 for c in clique}
