@@ -1256,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": text.bpe_train_merges,
         "events_drift_psi": streaming.events_drift_psi,
         "kcore_tokens": graph.kcore_tokens,
+        "fd_discovery": stats.fd_discovery,
+        "cms_token_counts": text.cms_token_counts,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -1295,6 +1297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_write_readback": ingest.partitioned_write_readback,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
+        "transactional_commit_readback": ingest.transactional_commit_readback,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -2013,7 +2016,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents
         """,
-        "token_count_bpe": """
+        "token_count_bpe": r"""
             SELECT doc_id,
                    len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS n_tokens_bpe
             FROM documents
@@ -2458,6 +2461,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1
         """,
+        "transactional_commit_readback": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_micro
+            FROM events GROUP BY event_type
+        """,
         "partitioned_write_readback": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CAST(round(value * 1000000) AS BIGINT))
@@ -2897,6 +2906,55 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "cms_token_counts": """
+            -- exact-regime contract (vocabulary << width*depth): every
+            -- CMS point query is exact and overestimate is 0; a
+            -- vocabulary explosion or hash regression breaks the hash
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ), agg AS (
+                SELECT token, count(*) AS n FROM toks GROUP BY token
+            )
+            SELECT token, CAST(n AS BIGINT) AS cms_est,
+                   CAST(n AS BIGINT) AS true_count,
+                   CAST(0 AS BIGINT) AS overestimate
+            FROM agg
+        """,
+        "fd_discovery": """
+            WITH cand AS (
+                SELECT * FROM (VALUES
+                    (0, 'l_orderkey', 'l_returnflag'),
+                    (1, 'l_returnflag', 'l_linestatus'),
+                    (2, 'o_orderkey', 'o_custkey'),
+                    (3, 'o_custkey', 'o_orderpriority')
+                ) t(pid, lhs, rhs)),
+            pairs AS (
+                SELECT 0 AS pid, CAST(l_orderkey AS VARCHAR) AS a,
+                       CAST(l_returnflag AS VARCHAR) AS b FROM lineitem
+                UNION ALL
+                SELECT 1, CAST(l_returnflag AS VARCHAR),
+                       CAST(l_linestatus AS VARCHAR) FROM lineitem
+                UNION ALL
+                SELECT 2, CAST(o_orderkey AS VARCHAR),
+                       CAST(o_custkey AS VARCHAR) FROM orders
+                UNION ALL
+                SELECT 3, CAST(o_custkey AS VARCHAR),
+                       CAST(o_orderpriority AS VARCHAR) FROM orders),
+            per_a AS (
+                SELECT pid, a, count(DISTINCT b) AS nb
+                FROM pairs GROUP BY pid, a),
+            agg AS (
+                SELECT pid, count(*) AS n_lhs_distinct,
+                       CAST(sum(nb) AS BIGINT) AS n_pairs_distinct,
+                       count(*) FILTER (nb > 1) AS n_violating_lhs
+                FROM per_a GROUP BY pid)
+            SELECT c.lhs, c.rhs, agg.n_lhs_distinct, agg.n_pairs_distinct,
+                   agg.n_violating_lhs,
+                   CAST(CASE WHEN agg.n_violating_lhs = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS fd_holds
+            FROM agg JOIN cand c ON c.pid = agg.pid
         """,
         "kcore_tokens": """
             WITH docs AS (SELECT string_split(text, ' ') AS arr

@@ -215,3 +215,60 @@ def mg_compress(tokens: np.ndarray, counts: np.ndarray, capacity: int
         len(counts) - capacity - 1]
     keep = counts > kth
     return tokens[keep], counts[keep] - kth, int(kth)
+
+
+class CountMinSketch:
+    """Mergeable Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05):
+    d independent hash rows × w counters; add folds token counts in
+    vectorized (np.add.at per row), estimate = min over rows. Merging
+    is elementwise + (counters are linear), which is what lets partials
+    ride an ordinary Sum-style tree reduce. Guarantees: est >= true
+    always (one-sided error); est <= true + eps·N w.p. 1-delta at
+    w = ceil(e/eps), d = ceil(ln(1/delta)).
+
+    Hashing: md5 of the token seeded per row — the deterministic,
+    process-stable choice used by every oracle-adjacent kernel here
+    (mix_u64 over pandas hash would be faster; md5 keeps the sketch
+    reproducible across numpy/pandas versions)."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.table = np.zeros((depth, width), np.int64)
+
+    def _cols(self, tokens) -> np.ndarray:
+        import hashlib
+        out = np.empty((self.depth, len(tokens)), np.int64)
+        for j, t in enumerate(tokens):
+            h = hashlib.md5(t.encode("utf-8")).digest()
+            for i in range(self.depth):
+                out[i, j] = int.from_bytes(h[i * 4:i * 4 + 4], "big") \
+                    % self.width
+        return out
+
+    def add(self, tokens, counts) -> None:
+        cols = self._cols(tokens)
+        c = np.asarray(counts, np.int64)
+        for i in range(self.depth):
+            np.add.at(self.table[i], cols[i], c)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.table += other.table
+        return self
+
+    def estimate(self, tokens) -> np.ndarray:
+        cols = self._cols(tokens)
+        ests = np.stack([self.table[i][cols[i]]
+                         for i in range(self.depth)])
+        return ests.min(axis=0)
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, width: int = 2048,
+                   depth: int = 4) -> "CountMinSketch":
+        s = cls(width, depth)
+        s.table = np.frombuffer(data, np.int64).reshape(depth, width).copy()
+        return s

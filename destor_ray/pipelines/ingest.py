@@ -656,3 +656,70 @@ def compact_small_files(sf_dir: str, rows_per_small_file: int = 16,
             [1 if (d_before == d_after and n_rows == n_after) else 0],
             np.int64),
     })
+
+
+def transactional_commit_readback(sf_dir: str):
+    """(event_type, n, sum_value_micro) — the ATOMIC-COMMIT sink
+    protocol a 100 TB job needs so a crashed writer can never corrupt
+    readers: data files land first, then a MANIFEST naming exactly the
+    committed files is published; readers list the manifest, never the
+    directory. The staging step deliberately PLANTS an orphan parquet
+    file (a simulated failed second attempt, duplicating real rows) in
+    the same directory but NOT in the manifest — the oracle aggregates
+    the original table, so a hash match proves the manifest-gated read
+    excluded the orphan (a directory listing would double-count and
+    mismatch).
+
+    Scale shape: write is the normal partition-parallel parquet sink +
+    one tiny manifest object; read opens only manifest paths (file
+    pruning at the listing layer) into one event_type-domain
+    aggregate."""
+    import json
+
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/destor_ray_txn/{tag}"
+    manifest_path = f"{base}/MANIFEST.json"
+
+    if not os.path.isfile(manifest_path):
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "value"])
+
+        def narrow(batch: pa.Table) -> pa.Table:
+            vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                            * 1_000_000).astype("int64")
+            return pa.table({"event_type": batch["event_type"],
+                             "vmic": pa.array(vmic, pa.int64())})
+
+        tmp = f"{base}.tmp.{os.getpid()}"
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "value"]) \
+            .map_batches(narrow, batch_format="pyarrow") \
+            .write_parquet(tmp)
+        committed = sorted(f for f in os.listdir(tmp)
+                           if f.endswith(".parquet"))
+        # plant the orphan: a failed writer's leftover, duplicating the
+        # first committed shard under a name NOT in the manifest
+        import shutil
+        shutil.copyfile(f"{tmp}/{committed[0]}",
+                        f"{tmp}/orphan-attempt2.parquet")
+        with open(f"{tmp}/MANIFEST.json", "w") as f:
+            json.dump({"files": committed}, f)
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    with open(manifest_path) as f:
+        files = json.load(f)["files"]
+    ds = ray.data.read_parquet([f"{base}/{name}" for name in files])
+    agg = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("vmic", alias_name="sum_value_micro"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_value_micro": pc.cast(b["sum_value_micro"], pa.int64())}),
+        batch_format="pyarrow")

@@ -2147,3 +2147,73 @@ def bpe_train_merges(sf_dir: str, num_merges: int = 8):
         "right": [m[1] for m in merges],
         "pair_count": np.array([m[2] for m in merges], np.int64),
     })
+
+
+def cms_token_counts(sf_dir: str, width: int = 2048, depth: int = 4):
+    """(token, cms_est, true_count, overestimate) — Count-Min point
+    queries for every distinct corpus token, side-by-side with the
+    exact counts: the mergeable frequency sketch that answers "how
+    often does key X occur" at 100 TB with O(d·w) memory per worker
+    and NO key-domain shuffle (the Misra-Gries table answers top-k;
+    CMS answers arbitrary point queries, including keys missed by MG).
+    overestimate = cms_est - true_count is >= 0 by construction
+    (one-sided error) and bounded by eps·N w.h.p.
+
+    Scale shape: per-batch local CMS (64 KB blob) + exact token-count
+    partials; blobs tree-reduce through a tiny bucket groupby (counters
+    are linear, merge = elementwise add — same topology as the HLL
+    path); the exact side is the ordinary token-domain Sum exchange the
+    sketch would REPLACE at scale — it rides along here purely as the
+    verification column."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import CountMinSketch
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in t.split(" "):
+                toks[w] = toks.get(w, 0) + 1
+        cms = CountMinSketch(width, depth)
+        keys = list(toks.keys())
+        cms.add(keys, [toks[k] for k in keys])
+        bucket = int(batch["doc_id"][0].as_py()) % 16 if len(batch) else 0
+        return pa.table({"bucket": pa.array([bucket], pa.int64()),
+                         "blob": pa.array([cms.to_bytes()], pa.binary())})
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_bucket(df: pd.DataFrame) -> pa.Table:
+        cms = CountMinSketch(width, depth)
+        for b in df["blob"]:
+            cms.merge(CountMinSketch.from_bytes(b, width, depth))
+        return pa.table({"blob": pa.array([cms.to_bytes()], pa.binary())})
+
+    merged = bucketed_group_map(blobs, "bucket", merge_bucket, num_buckets=4)
+    final = CountMinSketch(width, depth)
+    for row in merged.take_all():  # <=16 rows of 64 KB
+        final.merge(CountMinSketch.from_bytes(row["blob"], width, depth))
+
+    # exact counts (the verification column): token-domain exchange
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in t.split(" "):
+                toks[w] = toks.get(w, 0) + 1
+        return pa.table({"token": pa.array(list(toks.keys()), pa.string()),
+                         "n": pa.array(list(toks.values()), pa.int64())})
+
+    exact = ds.map_batches(exact_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="true_count")) \
+        .to_pandas()  # vocabulary-bounded
+    est = final.estimate(exact["token"].tolist()).astype(np.int64)
+    true = exact["true_count"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "token": exact["token"],
+        "cms_est": est,
+        "true_count": true,
+        "overestimate": est - true,
+    }).sort_values("token").reset_index(drop=True)

@@ -283,3 +283,21 @@ def test_kcore_planted_fixpoint(ray_session, tmp_path):
     out = kcore_tokens(str(d), k=3, rounds=3).to_pandas()
     got = dict(zip(out["tok"], out["deg"].astype(int)))
     assert got == {c: 4 for c in clique}
+
+
+def test_transactional_commit_excludes_orphan(ray_session):
+    """The staged dir really contains the planted orphan file, and a
+    naive directory listing WOULD double-count it — so the oracle hash
+    match is non-vacuous evidence the manifest gate works."""
+    import os
+    import ray.data
+    import __ray_entry__ as em
+    out = em.queries()["transactional_commit_readback"](
+        "/root/testdata/sf0.001").to_pandas()
+    base = "/tmp/destor_ray_txn/sf0.001"
+    names = os.listdir(base)
+    assert "orphan-attempt2.parquet" in names
+    n_committed = int(out["n"].sum())
+    naive_paths = [f"{base}/{f}" for f in names if f.endswith(".parquet")]
+    n_naive = ray.data.read_parquet(naive_paths).count()
+    assert n_naive > n_committed

@@ -215,3 +215,42 @@ def test_heavy_hitter_tokens_sketch_regime_matches_exact_topk(ray_session):
         if r["token"] in truth:
             assert r["est_count"] <= truth[r["token"]]
             assert r["est_count"] >= truth[r["token"]] - err
+
+
+def test_count_min_sketch_bounds_and_merge():
+    """One-sided error (est >= true, exact when no collision), merge ==
+    single-shot build, and the exact regime: width >> distinct keys
+    means every estimate is exact on a small vocabulary."""
+    import numpy as np
+    from destor_ray.functions.sketch import CountMinSketch
+
+    keys = [f"k{i:03d}" for i in range(200)]
+    counts = np.arange(1, 201, dtype=np.int64)
+    a = CountMinSketch(width=4096, depth=4)
+    a.add(keys[:100], counts[:100])
+    b = CountMinSketch(width=4096, depth=4)
+    b.add(keys[100:], counts[100:])
+    a.merge(b)
+    full = CountMinSketch(width=4096, depth=4)
+    full.add(keys, counts)
+    assert (a.table == full.table).all()
+    est = a.estimate(keys)
+    assert (est >= counts).all()
+    # 200 keys into 4096*4 counters: collisions possible in one row but
+    # the min over 4 independent rows is exact with overwhelming
+    # probability — and deterministically so for this fixed key set
+    assert (est == counts).all()
+    # a key never inserted estimates >= 0 and is bounded by eps*N
+    ghost = a.estimate(["never-seen"])
+    assert ghost[0] >= 0
+    # serialization round trip
+    c = CountMinSketch.from_bytes(a.to_bytes(), 4096, 4)
+    assert (c.estimate(keys) == est).all()
+
+
+def test_cms_token_counts_query(ray_session):
+    import __ray_entry__ as em
+    out = em.queries()["cms_token_counts"]("/root/testdata/sf0.001")
+    assert (out["overestimate"] >= 0).all()
+    # 31-token vocabulary vs 2048x4 counters: exact regime
+    assert (out["cms_est"] == out["true_count"]).all()
