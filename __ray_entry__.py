@@ -515,6 +515,81 @@ def _corpus_dedup_shard_matrix(sf_dir: str, shard_rows: int = 1000):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def _corpus_cluster_caption_audit(sf_dir: str):
+    """(n_distinct_captions, n_clusters, n_images) — LABEL-NOISE audit
+    of the flagship clusters: per near-dup cluster, how many DISTINCT
+    captions do its members carry? Diversity 1 = consistent labels
+    (exact/reencode/crop keep the source caption); diversity >= 2 =
+    the caption-paraphrase dup channel or genuine label noise — the
+    table a curation team reads before deciding whether the keeper's
+    caption can stand for the whole cluster (tier-dedup manifest's
+    caption contract).
+
+    Scale shape: ONE image_id-keyed exchange attaches captions to
+    cluster ids (tag-and-union, captions never broadcast), then two
+    domain-sized groupbys: (cluster, caption) distinct → per-cluster
+    diversity → tiny histogram."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from destor_ray import corpus
+    from destor_ray.stages.grouped import bucketed_group_map
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    assignment = _corpus_clusters(sf_dir)
+    caps = ray.data.read_parquet(d, columns=["image_id", "caption"])
+
+    tagged = assignment.map_batches(
+        lambda b: pa.table({"image_id": b["image_id"],
+                            "val": b["cluster_id"],
+                            "is_asg": pa.array([1] * b.num_rows,
+                                               pa.int64())}),
+        batch_format="pyarrow").union(caps.map_batches(
+            lambda b: pa.table({"image_id": b["image_id"],
+                                "val": b["caption"],
+                                "is_asg": pa.array([0] * b.num_rows,
+                                                   pa.int64())}),
+            batch_format="pyarrow"))
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        a = df[df["is_asg"] == 1][["image_id", "val"]] \
+            .rename(columns={"val": "cluster_id"})
+        c = df[df["is_asg"] == 0][["image_id", "val"]] \
+            .rename(columns={"val": "caption"})
+        m = a.merge(c, on="image_id")
+        return pa.table({
+            "cluster_id": pa.array(m["cluster_id"], pa.string()),
+            "caption": pa.array(m["caption"], pa.string()),
+        })
+
+    pairs = bucketed_group_map(tagged, "image_id", attach, num_buckets=32)
+    per_cc = pairs.groupby(["cluster_id", "caption"]) \
+        .aggregate(Count(alias_name="n_imgs"))
+    per_cluster = per_cc.groupby("cluster_id").aggregate(
+        Count(alias_name="n_distinct_captions"),
+        Sum("n_imgs", alias_name="n_members"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_distinct_captions": batch["n_distinct_captions"]
+            .cast(pa.int64()),
+            "one": pa.array([1] * batch.num_rows, pa.int64()),
+            "n_members": batch["n_members"].cast(pa.int64()),
+        })
+
+    hist = per_cluster.map_batches(shape, batch_format="pyarrow") \
+        .groupby("n_distinct_captions").aggregate(
+            Sum("one", alias_name="n_clusters"),
+            Sum("n_members", alias_name="n_images"))
+    return hist.map_batches(
+        lambda b: pa.table({
+            "n_distinct_captions": b["n_distinct_captions"],
+            "n_clusters": b["n_clusters"].cast(pa.int64()),
+            "n_images": b["n_images"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _corpus_incremental_dedup(sf_dir: str):
     """(metric, value) — the SECOND-backup workflow (destor D8 index
     update at corpus scale, pipelines/job.run_incremental_job): a base
@@ -1258,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_tokens": graph.kcore_tokens,
         "fd_discovery": stats.fd_discovery,
         "cms_token_counts": text.cms_token_counts,
+        "events_cusum": streaming.events_cusum,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -1387,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_simulation": _corpus_dedup_simulation,
         "corpus_incremental_dedup": _corpus_incremental_dedup,
         "corpus_dedup_shard_matrix": _corpus_dedup_shard_matrix,
+        "corpus_cluster_caption_audit": _corpus_cluster_caption_audit,
         "corpus_fidelity": _corpus_fidelity,
         "corpus_restore": _corpus_restore,
         "cdc_stats": _cdc_stats,
@@ -2906,6 +2983,21 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "events_cusum": """
+            WITH d AS (SELECT event_id,
+                              CAST(round(value * 1000000) AS BIGINT)
+                              - 50000000 AS dx
+                       FROM events),
+                 p AS (SELECT event_id,
+                              sum(dx) OVER (ORDER BY event_id) AS pi
+                       FROM d),
+                 m AS (SELECT event_id, pi,
+                              min(pi) OVER (ORDER BY event_id) AS mn
+                       FROM p)
+            SELECT event_id,
+                   CAST(pi - least(mn, 0) AS BIGINT) AS cusum_micro
+            FROM m WHERE event_id % 100 = 0
         """,
         "cms_token_counts": """
             -- exact-regime contract (vocabulary << width*depth): every

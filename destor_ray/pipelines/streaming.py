@@ -2231,3 +2231,95 @@ def events_drift_psi(sf_dir: str, n_bins: int = 10):
         "n_b": nb[bins],
         "psi_term": psi[bins],
     })
+
+
+def events_cusum(sf_dir: str, k_micro: int = 50_000_000,
+                 n_buckets: int = 256, stride: int = 100):
+    """(event_id, cusum_micro) at every `stride`-th event — the CUSUM
+    change-point statistic S_i = max(0, S_{i-1} + x_i - k) over the
+    event stream in event_id order (the classic upward-shift detector a
+    monitoring pipeline runs on a metric stream; k is the configured
+    reference drift, here 50.0 in micro units ≈ the stream mean).
+
+    The recurrence looks inherently sequential, but the closed form
+      S_i = P_i - min(0, min_{j<=i} P_j),   P = prefix sums of (x - k)
+    turns it into two ASSOCIATIVE scans (sum + min), distributable with
+    one cross-partition carry — the same TeraSort-bucket topology as
+    events_global_rank:
+
+      pass A  event_id range buckets; each bucket locally sorts and
+              emits (total, min_prefix) — two numbers;
+      driver  exclusive scan over ordered buckets: carry_total and
+              carry_min (the min of all prefix values BEFORE this
+              bucket, empty prefix = 0) — the O(n_buckets) carry;
+      pass B  same exchange re-executed per bucket: local prefix +
+              carry_total = global P_i; min(carry_min, running local
+              min + carry_total) = global running min; emit the
+              thinned (event_id, S_i) rows.
+
+    Oracle: window sum + running min OVER (ORDER BY event_id) —
+    integer-exact in micro units on both sides."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "value"])
+
+    g = ds.aggregate(Min("event_id", alias_name="lo"),
+                     Max("event_id", alias_name="hi"))
+    lo, hi = int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        d = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64) - k_micro
+        return pa.table({
+            "eid": pa.array(eid.astype(np.int64), pa.int64()),
+            "d": pa.array(d, pa.int64()),
+            "bucket": pa.array((eid - lo) // width, pa.int64()),
+        })
+
+    keyed = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    # pass A: per-bucket (total, min over local prefixes)
+    def bucket_summary(df: pd.DataFrame) -> pa.Table:
+        o = np.argsort(df["eid"].to_numpy(np.int64))
+        d = df["d"].to_numpy(np.int64)[o]
+        p = np.cumsum(d)
+        return pa.table({
+            "bucket": pa.array([int(df["bucket"].iloc[0])], pa.int64()),
+            "total": pa.array([int(p[-1])], pa.int64()),
+            "minp": pa.array([int(p.min())], pa.int64()),
+        })
+
+    summ = keyed.groupby("bucket") \
+        .map_groups(bucket_summary, batch_format="pandas").to_pandas() \
+        .sort_values("bucket")
+    b_ids = summ["bucket"].to_numpy(np.int64)
+    totals = summ["total"].to_numpy(np.int64)
+    minps = summ["minp"].to_numpy(np.int64)
+    carry_total = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    # min over all global prefix values strictly before each bucket,
+    # including the empty prefix (0)
+    global_minp = carry_total + minps
+    carry_min = np.minimum.accumulate(
+        np.concatenate(([0], global_minp[:-1])))
+    carry_ref = _ray.put((b_ids, carry_total, carry_min))
+
+    # pass B: emit thinned global CUSUM rows per bucket
+    def emit(df: pd.DataFrame) -> pa.Table:
+        bs, cts, cms = _ray.get(carry_ref)
+        o = np.argsort(df["eid"].to_numpy(np.int64))
+        eid = df["eid"].to_numpy(np.int64)[o]
+        d = df["d"].to_numpy(np.int64)[o]
+        i = int(np.searchsorted(bs, int(df["bucket"].iloc[0])))
+        p = np.cumsum(d) + cts[i]
+        runmin = np.minimum(np.minimum.accumulate(p), cms[i])
+        s = p - np.minimum(runmin, 0)
+        keep = eid % stride == 0
+        return pa.table({
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "cusum_micro": pa.array(s[keep], pa.int64()),
+        })
+
+    return keyed.groupby("bucket").map_groups(emit, batch_format="pandas")

@@ -301,3 +301,22 @@ def test_transactional_commit_excludes_orphan(ray_session):
     naive_paths = [f"{base}/{f}" for f in names if f.endswith(".parquet")]
     n_naive = ray.data.read_parquet(naive_paths).count()
     assert n_naive > n_committed
+
+
+def test_cluster_caption_audit_planted(ray_session):
+    """Caption-diversity histogram: the caption_para dup channel plants
+    clusters whose members disagree on caption (diversity >= 2), while
+    exact/reencode/crop clusters keep the source caption (diversity 1)
+    — both buckets must be present; image totals must cover the corpus
+    exactly."""
+    import __ray_entry__ as em
+    sf = "/root/testdata/sf0.001"
+    out = em.queries()["corpus_cluster_caption_audit"](sf).to_pandas()
+    n = em._corpus_rows_for(sf)
+    assert int(out["n_images"].sum()) == n
+    divs = set(out["n_distinct_captions"].astype(int))
+    assert 1 in divs and any(d >= 2 for d in divs)
+    # singleton + consistent clusters dominate
+    one = int(out.loc[out["n_distinct_captions"] == 1, "n_clusters"].sum())
+    multi = int(out.loc[out["n_distinct_captions"] >= 2, "n_clusters"].sum())
+    assert one > multi > 0
