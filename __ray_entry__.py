@@ -1334,6 +1334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_discovery": stats.fd_discovery,
         "cms_token_counts": text.cms_token_counts,
         "events_cusum": streaming.events_cusum,
+        "sssp_weighted": graph.sssp_weighted,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -1374,6 +1375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,
+        "jfif_dc_thumbnail_stats": ingest.jfif_dc_thumbnail_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -2983,6 +2985,37 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "sssp_weighted": """
+            WITH docs AS (SELECT string_split(text, ' ') AS arr
+                          FROM documents),
+                 big AS (SELECT arr[i] AS src, arr[i + 1] AS dst,
+                                count(*) AS cnt
+                         FROM (SELECT arr,
+                                      unnest(range(1, len(arr))) AS i
+                               FROM docs)
+                         GROUP BY 1, 2),
+                 e AS (SELECT src, dst,
+                              CAST(1000000 // cnt AS BIGINT) AS wgt
+                       FROM big),
+                 d0 AS (SELECT 'customer' AS tok, CAST(0 AS BIGINT)
+                               AS dist),
+                 d1 AS (SELECT tok, min(dist) AS dist FROM (
+                            SELECT * FROM d0
+                            UNION ALL
+                            SELECT e.dst, d0.dist + e.wgt FROM d0
+                            JOIN e ON e.src = d0.tok) GROUP BY tok),
+                 d2 AS (SELECT tok, min(dist) AS dist FROM (
+                            SELECT * FROM d1
+                            UNION ALL
+                            SELECT e.dst, d1.dist + e.wgt FROM d1
+                            JOIN e ON e.src = d1.tok) GROUP BY tok),
+                 d3 AS (SELECT tok, min(dist) AS dist FROM (
+                            SELECT * FROM d2
+                            UNION ALL
+                            SELECT e.dst, d2.dist + e.wgt FROM d2
+                            JOIN e ON e.src = d2.tok) GROUP BY tok)
+            SELECT tok AS token, dist FROM d3
         """,
         "events_cusum": """
             WITH d AS (SELECT event_id,

@@ -505,3 +505,115 @@ def meta(data: bytes) -> tuple[int, int]:
                     (int(seg[1]) << 8) | int(seg[2]))
         i += 2 + ln
     raise ValueError("no SOF marker")
+
+
+def decode_dc_luma(data: bytes) -> np.ndarray:
+    """DCT-DOMAIN 1/8-scale luma thumbnail: (ceil(h/8), ceil(w/8))
+    uint8 of per-block Y means, decoded WITHOUT any IDCT. With the
+    orthonormal 8-pt DCT the spatial block is Dᵀ C D + 128, and every
+    AC basis function integrates to zero over the block, so
+    block_mean = C₀₀·q₀₀/8 + 128 exactly — the DC coefficient alone IS
+    the 8× box-downscale. This is the trick libjpeg exposes as
+    scale_denom=8 and every thumbnail/dedup service uses to avoid
+    paying full decode for a signature-sized raster (the flagship's
+    thumb channel would run on exactly this at a real-JPEG corpus).
+
+    The Huffman scan must still be walked bit-exactly (AC runs decide
+    where the next block starts), but AC coefficients are discarded:
+    no dequantize, no IDCT, no chroma planes, no color convert.
+    Parses the same baseline 4:4:4 subset as decode() (decode():387
+    above); kept as a separate function so the full decoder stays
+    byte-identical to its tests."""
+    buf = np.frombuffer(data, np.uint8)
+    if not is_jfif(buf):
+        raise ValueError("not a JPEG (missing SOI)")
+    qts: dict[int, np.ndarray] = {}
+    dcs: dict[int, _HuffDec] = {}
+    acs: dict[int, _HuffDec] = {}
+    h = w = 0
+    comp_spec: list[tuple[int, int, int]] = []
+    i = 2
+    scan_start = None
+    while i < len(buf):
+        if buf[i] != 0xFF:
+            raise ValueError("marker expected")
+        m = int(buf[i + 1])
+        if m == 0xD9:
+            break
+        ln = (int(buf[i + 2]) << 8) | int(buf[i + 3])
+        seg = buf[i + 4:i + 2 + ln]
+        if m == 0xDB:
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT")
+                tbl = seg[p + 1:p + 65].astype(np.int32)[UNZIGZAG] \
+                    .reshape(8, 8)
+                qts[tq] = tbl
+                p += 65
+        elif m == 0xC0:
+            h = (int(seg[1]) << 8) | int(seg[2])
+            w = (int(seg[3]) << 8) | int(seg[4])
+            nc = int(seg[5])
+            if nc != 3:
+                raise NotImplementedError("only 3-component")
+            for c in range(nc):
+                cid, samp, tq = int(seg[6 + 3 * c]), int(seg[7 + 3 * c]), \
+                    int(seg[8 + 3 * c])
+                if samp != 0x11:
+                    raise NotImplementedError("only 4:4:4")
+                comp_spec.append((cid, tq, -1))
+        elif m in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("baseline sequential only")
+        elif m == 0xC4:
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = [int(x) for x in seg[p + 1:p + 17]]
+                nv = sum(bits)
+                vals = [int(x) for x in seg[p + 17:p + 17 + nv]]
+                (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
+                p += 17 + nv
+        elif m == 0xDA:
+            ns = int(seg[0])
+            sel = {}
+            for c in range(ns):
+                sel[int(seg[1 + 2 * c])] = int(seg[2 + 2 * c])
+            comp_spec = [(cid, tq, sel[cid]) for cid, tq, _ in comp_spec]
+            scan_start = i + 2 + ln
+            break
+        i += 2 + ln
+    if scan_start is None or not h:
+        raise ValueError("truncated JPEG")
+    br = _BitReader(buf[scan_start:])
+
+    bh, bw = -(-h // 8), -(-w // 8)
+    n_blocks = bh * bw
+    y_dc = np.zeros(n_blocks, np.int32)
+    pred = [0, 0, 0]
+    for bi in range(n_blocks):
+        for ci, (cid, tq, tsel) in enumerate(comp_spec):
+            dc = dcs[tsel >> 4]
+            ac = acs[tsel & 0xF]
+            s = dc.decode(br)
+            diff = _extend(br.receive(s), s)
+            pred[ci] += diff
+            if ci == 0:
+                y_dc[bi] = pred[0]
+            k = 1
+            while k <= 63:       # walk ACs for bit alignment, discard
+                rs = ac.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break
+                k += r
+                br.receive(s)
+                k += 1
+    q00 = float(qts[comp_spec[0][1]][0, 0])
+    means = y_dc.astype(np.float64) * q00 / 8.0 + 128.0
+    return np.clip(np.round(means), 0, 255).astype(np.uint8) \
+        .reshape(bh, bw)

@@ -604,3 +604,82 @@ def kcore_tokens(sf_dir: str, k: int = 22, rounds: int = 3):
                 batch_format="pyarrow")
         und = _semi(_semi(und, alive, "src"), alive, "dst").materialize()
     return deg
+
+
+def sssp_weighted(sf_dir: str, source: str = "customer",
+                  rounds: int = 3):
+    """(token, dist) — single-source WEIGHTED shortest paths
+    (Bellman-Ford, `rounds` synchronous relaxation rounds) over the
+    directed token bigram graph with integer edge cost
+    1_000_000 // bigram_count (rarer transitions cost more — the
+    inverse-popularity metric a query-suggestion graph walks). BFS
+    (bfs_token_distances) counts hops; this relaxes COSTS, so a
+    2-hop path through common bigrams can beat a 1-hop rare edge —
+    the oracle corpus exhibits that (asserted in the test).
+
+    Same two-exchange round topology as BFS: tag-and-union co-locates
+    the partitioned distance vector with out-edges by src, proposals
+    (dst, d + wgt) min-reduce keyed by token against the previous
+    vector. min is idempotent, so proposing from all known nodes each
+    round is safe. Oracle: unrolled d0..dK CTEs with the identical
+    integer weight — Bellman-Ford after k rounds is exactly the
+    min over paths of <= k edges, a well-defined (hash-stable)
+    intermediate even when longer paths would still improve."""
+    from ..stages.grouped import bucketed_group_map
+
+    base = _bigram_edges(sf_dir)
+
+    def weight(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "wgt": pa.array(1_000_000 // w, pa.int64())})
+
+    edges = base.map_batches(weight, batch_format="pyarrow").materialize()
+    dist = ray.data.from_arrow(pa.table({
+        "tok": pa.array([source], pa.string()),
+        "d": pa.array([0], pa.int64()),
+    }))
+
+    def relax_bucket(df: pd.DataFrame) -> pa.Table:
+        isd = df["is_d"].to_numpy(np.int8) == 1
+        known = df.loc[isd].groupby("key", as_index=False)["d"].min()
+        ed = df.loc[~isd, ["key", "dst", "wgt"]]
+        j = ed.merge(known, on="key", how="inner")
+        return pa.table({
+            "tok": pa.array(j["dst"].to_numpy(object).tolist(), pa.string()),
+            "d": pa.array(j["d"].to_numpy(np.int64)
+                          + j["wgt"].to_numpy(np.int64), pa.int64()),
+        })
+
+    def min_bucket(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("tok", as_index=False)["d"].min()
+        return pa.table({
+            "tok": pa.array(g["tok"].to_numpy(object).tolist(), pa.string()),
+            "d": pa.array(g["d"].to_numpy(np.int64), pa.int64()),
+        })
+
+    for _ in range(rounds):
+        tagged = edges.map_batches(
+            lambda b: pa.table({
+                "key": b["src"], "dst": b["dst"], "wgt": b["wgt"],
+                "d": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+                "is_d": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }), batch_format="pyarrow") \
+            .union(dist.map_batches(
+                lambda b: pa.table({
+                    "key": b["tok"],
+                    "dst": pa.array([""] * b.num_rows, pa.string()),
+                    "wgt": pa.array(np.zeros(b.num_rows, np.int64),
+                                    pa.int64()),
+                    "d": b["d"],
+                    "is_d": pa.array(np.ones(b.num_rows, np.int8),
+                                     pa.int8()),
+                }), batch_format="pyarrow"))
+        props = bucketed_group_map(tagged, "key", relax_bucket,
+                                   num_buckets=8)
+        dist = bucketed_group_map(dist.union(props), "tok", min_bucket,
+                                  num_buckets=8).materialize()
+
+    return dist.map_batches(
+        lambda b: pa.table({"token": b["tok"], "dist": b["d"]}),
+        batch_format="pyarrow")

@@ -723,3 +723,76 @@ def transactional_commit_readback(sf_dir: str):
             "n": pc.cast(b["n"], pa.int64()),
             "sum_value_micro": pc.cast(b["sum_value_micro"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def jfif_dc_thumbnail_stats(sf_dir: str, n_images: int = 256):
+    """(n_images, mean_psnr_centi, min_psnr_centi, dc_ms_mean,
+    full_ms_mean) — the DCT-DOMAIN DOWNSCALE lever measured end-to-end:
+    per JFIF image, the 1/8-scale luma thumbnail decoded from DC
+    coefficients alone (jpeg.decode_dc_luma — no IDCT, no chroma, no
+    color convert; libjpeg's scale_denom=8) against the reference path
+    (full decode → BT.601 luma → 8×8 box mean). PSNR between the two
+    is near-lossless by construction (AC basis functions integrate to
+    zero over a block), certifying that a signature/dedup channel can
+    run on DC thumbs and skip ~all of the pixel pipeline — the decode
+    cost term in the 100 TB throughput budget.
+
+    Actor-pool stage; per-image timings are host-noisy (documented),
+    the PSNR columns are the contract."""
+    import time
+
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .. import jpeg
+
+    ds = ray.data.read_parquet(f"{_jfif_corpus_dir(n_images)}/images.parquet",
+                               columns=["image_id", "bytes"])
+
+    class DCVsFull:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            psnr_c, dc_us, full_us = [], [], []
+            for data in batch["bytes"].to_pylist():
+                t0 = time.perf_counter()
+                dc = jpeg.decode_dc_luma(data)
+                t1 = time.perf_counter()
+                full = jpeg.decode(data).astype(np.float64)
+                y = (0.299 * full[..., 0] + 0.587 * full[..., 1]
+                     + 0.114 * full[..., 2])
+                bh, bw = dc.shape
+                pad_h, pad_w = bh * 8 - y.shape[0], bw * 8 - y.shape[1]
+                if pad_h or pad_w:
+                    y = np.pad(y, ((0, pad_h), (0, pad_w)), mode="edge")
+                box = np.clip(np.round(
+                    y.reshape(bh, 8, bw, 8).mean(axis=(1, 3))),
+                    0, 255).astype(np.uint8)
+                t2 = time.perf_counter()
+                mse = float(((dc.astype(np.float64) - box) ** 2).mean())
+                p = 99.0 if mse == 0 else min(
+                    99.0, 10.0 * np.log10(255.0 ** 2 / mse))
+                psnr_c.append(int(round(p * 100)))
+                dc_us.append(int((t1 - t0) * 1e6))
+                full_us.append(int((t2 - t1) * 1e6))
+            return pa.table({
+                "psnr_centi": pa.array(psnr_c, pa.int64()),
+                "dc_us": pa.array(dc_us, pa.int64()),
+                "full_us": pa.array(full_us, pa.int64()),
+            })
+
+    agg = ds.map_batches(DCVsFull, batch_size=64, concurrency=2,
+                         batch_format="pyarrow") \
+        .aggregate(Count(alias_name="n_images"),
+                   Sum("psnr_centi", alias_name="psnr_sum"),
+                   Min("psnr_centi", alias_name="min_psnr_centi"),
+                   Sum("dc_us", alias_name="dc_us_sum"),
+                   Sum("full_us", alias_name="full_us_sum"))
+    import pandas as pd
+    n = int(agg["n_images"])
+    return pd.DataFrame({
+        "n_images": np.array([n], np.int64),
+        "mean_psnr_centi": np.array([agg["psnr_sum"] // n], np.int64),
+        "min_psnr_centi": np.array([agg["min_psnr_centi"]], np.int64),
+        "dc_ms_mean": np.array([agg["dc_us_sum"] // n // 1000], np.int64),
+        "full_ms_mean": np.array([agg["full_us_sum"] // n // 1000],
+                                 np.int64),
+    })

@@ -133,3 +133,42 @@ def test_jpeg_hypothesis_roundtrip():
             assert _psnr(img, out) >= 30
 
     prop()
+
+
+def test_decode_dc_luma_matches_box_mean():
+    """DC-only decode == 8x8 box mean of the full decode's luma (AC
+    basis functions integrate to zero over a block): near-exact on a
+    gradient, exact on a flat image, correct ceil-shape on non-multiple
+    dimensions."""
+    import numpy as np
+    from destor_ray import jpeg
+
+    flat = np.full((32, 24, 3), 99, np.uint8)
+    t = jpeg.decode_dc_luma(jpeg.encode(flat, quality=90))
+    assert t.shape == (4, 3)
+    assert np.abs(t.astype(int) - 99).max() <= 1
+
+    grad = (np.indices((41, 50)).sum(0) * 2 % 256).astype(np.uint8)
+    grad = np.repeat(grad[:, :, None], 3, axis=2)
+    data = jpeg.encode(grad, quality=90)
+    dc = jpeg.decode_dc_luma(data)
+    assert dc.shape == (6, 7)  # ceil(41/8), ceil(50/8)
+    full = jpeg.decode(data).astype(np.float64)
+    y = 0.299 * full[..., 0] + 0.587 * full[..., 1] + 0.114 * full[..., 2]
+    y = np.pad(y, ((0, 48 - 41), (0, 56 - 50)), mode="edge")
+    box = y.reshape(6, 8, 7, 8).mean(axis=(1, 3))
+    # edge padding differs from the encoder's interior-block content on
+    # partial blocks; interior blocks must agree to ~1 gray level
+    err = np.abs(box[:5, :6] - dc[:5, :6].astype(np.float64))
+    assert err.max() <= 1.0, err.max()
+
+
+def test_jfif_dc_thumbnail_stats_query(ray_session):
+    import __ray_entry__ as em
+    out = em.queries()["jfif_dc_thumbnail_stats"](
+        "/root/testdata/sf0.001")
+    row = out.iloc[0]
+    assert int(row["n_images"]) == 256
+    # near-lossless vs the box-mean reference across the whole fixture
+    assert int(row["min_psnr_centi"]) >= 4000   # >= 40 dB
+    assert int(row["mean_psnr_centi"]) >= 4500

@@ -320,3 +320,28 @@ def test_cluster_caption_audit_planted(ray_session):
     one = int(out.loc[out["n_distinct_captions"] == 1, "n_clusters"].sum())
     multi = int(out.loc[out["n_distinct_captions"] >= 2, "n_clusters"].sum())
     assert one > multi > 0
+
+
+def test_sssp_weighted_multi_hop_beats_direct(ray_session, tmp_path):
+    """Planted weighted graph where the cheap path is 2 hops through
+    common bigrams and the direct edge is a rare (expensive) bigram:
+    Bellman-Ford must pick the 2-hop cost, BFS semantics would pick
+    the 1-hop edge — pins that weights actually relax."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.graph import sssp_weighted
+    # edge costs: 1_000_000 // count
+    # s->m and m->t each appear 10x (cost 100000); s->t once (1000000)
+    texts = ["s m"] * 10 + ["m t"] * 10 + ["s t"]
+    rows = {
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    out = sssp_weighted(str(d), source="s", rounds=3).to_pandas()
+    got = dict(zip(out["token"], out["dist"].astype(int)))
+    assert got["s"] == 0
+    assert got["m"] == 100_000
+    assert got["t"] == 200_000  # 2-hop beats the 1_000_000 direct edge
