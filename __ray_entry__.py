@@ -1335,6 +1335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": text.cms_token_counts,
         "events_cusum": streaming.events_cusum,
         "sssp_weighted": graph.sssp_weighted,
+        "shard_rebalance_audit": relational.shard_rebalance_audit,
+        "rle_compression_advisor": stats.rle_compression_advisor,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -2985,6 +2987,53 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "rle_compression_advisor": """
+            WITH o AS (SELECT CAST(event_type AS VARCHAR) AS et,
+                              CAST(user_id AS VARCHAR) AS uid,
+                              lag(CAST(event_type AS VARCHAR))
+                                  OVER (ORDER BY event_id) AS p_et,
+                              lag(CAST(user_id AS VARCHAR))
+                                  OVER (ORDER BY event_id) AS p_uid
+                       FROM events)
+            SELECT 'event_type' AS "column",
+                   count(*) AS n_rows,
+                   CAST(count(*) FILTER (p_et IS NULL OR et <> p_et)
+                        AS BIGINT) AS n_runs_natural,
+                   CAST(count(DISTINCT et) AS BIGINT) AS n_distinct
+            FROM o
+            UNION ALL
+            SELECT 'user_id', count(*),
+                   CAST(count(*) FILTER (p_uid IS NULL OR uid <> p_uid)
+                        AS BIGINT),
+                   CAST(count(DISTINCT uid) AS BIGINT)
+            FROM o
+        """,
+        "shard_rebalance_audit": """
+            WITH keys AS (SELECT DISTINCT user_id AS k FROM events),
+                 cand AS (SELECT k, s,
+                                 md5(CAST(k AS VARCHAR) || '|'
+                                     || CAST(s AS VARCHAR)) AS h
+                          FROM keys CROSS JOIN
+                               (SELECT unnest(range(0, 9)) AS s)),
+                 r_old AS (SELECT k, s AS shard FROM (
+                              SELECT k, s, row_number() OVER (
+                                  PARTITION BY k
+                                  ORDER BY h DESC, s) AS rn
+                              FROM cand WHERE s < 8) WHERE rn = 1),
+                 r_new AS (SELECT k, s AS shard FROM (
+                              SELECT k, s, row_number() OVER (
+                                  PARTITION BY k
+                                  ORDER BY h DESC, s) AS rn
+                              FROM cand WHERE s < 9) WHERE rn = 1)
+            SELECT 'mod' AS scheme, count(*) AS n_keys,
+                   CAST(count(*) FILTER (k % 8 <> k % 9) AS BIGINT)
+                       AS n_moved
+            FROM keys
+            UNION ALL
+            SELECT 'rendezvous', count(*),
+                   CAST(count(*) FILTER (o.shard <> n.shard) AS BIGINT)
+            FROM r_old o JOIN r_new n USING (k)
         """,
         "sssp_weighted": """
             WITH docs AS (SELECT string_split(text, ' ') AS arr

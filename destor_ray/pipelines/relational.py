@@ -2630,3 +2630,66 @@ def lineitem_unpivot(sf_dir: str):
         })
 
     return agg.map_batches(normalize, batch_format="pyarrow")
+
+
+def shard_rebalance_audit(sf_dir: str, n_old: int = 8, n_new: int = 9):
+    """(scheme, n_keys, n_moved) — what fraction of keys MIGRATE when
+    the cluster grows from n_old to n_new shards, for two placement
+    schemes: naive modulo (k % N — nearly every key moves) vs
+    RENDEZVOUS/highest-random-weight hashing (argmax over shards of
+    md5(key|shard) — only ~1/n_new of keys move, the property that
+    makes incremental rebalance affordable; destor's kv-store
+    partitioning faces exactly this when an index node is added).
+    md5 is the hash on BOTH sides so the oracle can mirror placement
+    literally (a production ring would use a cheap numeric mix).
+
+    Scale shape: the fact table reduces to the DISTINCT key domain
+    (batch-local dedup partials, one exchange); placement is map-only
+    per domain row (n_old + n_new digests per key); only two counter
+    rows leave each batch."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+
+    def key_partials(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch["user_id"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"k": pa.array(u, pa.int64())})
+
+    keys = ds.map_batches(key_partials, batch_format="pyarrow") \
+        .groupby("k").aggregate(Count(alias_name="_c"))
+
+    def place(batch: pa.Table) -> pa.Table:
+        ks = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        moved_mod = int(((ks % n_old) != (ks % n_new)).sum())
+
+        def hrw(k: int, n: int) -> int:
+            # argmax of md5 hex digest, ties to the smaller shard id —
+            # ORDER BY h DESC, s in the SQL mirror
+            best_s, best_h = 0, ""
+            for s in range(n):
+                h = hashlib.md5(f"{k}|{s}".encode()).hexdigest()
+                if h > best_h:
+                    best_s, best_h = s, h
+            return best_s
+
+        moved_rdv = sum(1 for k in ks
+                        if hrw(int(k), n_old) != hrw(int(k), n_new))
+        return pa.table({
+            "scheme": pa.array(["mod", "rendezvous"], pa.string()),
+            "n_keys": pa.array([len(ks)] * 2, pa.int64()),
+            "n_moved": pa.array([moved_mod, moved_rdv], pa.int64()),
+        })
+
+    agg = keys.map_batches(place, batch_format="pyarrow") \
+        .groupby("scheme").aggregate(Sum("n_keys", alias_name="n_keys"),
+                                     Sum("n_moved", alias_name="n_moved"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "scheme": b["scheme"],
+            "n_keys": b["n_keys"].cast(pa.int64()),
+            "n_moved": b["n_moved"].cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -725,3 +725,107 @@ def fd_discovery(sf_dir: str):
         "n_violating_lhs": nviol,
         "fd_holds": (nviol == 0).astype(np.int64),
     })
+
+
+def rle_compression_advisor(sf_dir: str, n_buckets: int = 256):
+    """(column, n_rows, n_runs_natural, n_distinct) — the LAYOUT
+    ADVISOR a columnar store runs before choosing encodings: how many
+    RLE runs does each column have in the table's NATURAL (event_id)
+    order, vs its distinct count (= its run count if the table were
+    re-sorted by that column)? n_runs_natural ≈ n_rows ⇒ RLE is
+    useless without a re-sort; n_runs_natural ≈ n_distinct ⇒ the
+    column is already clustered (the same economics as destor's
+    container locality, W3: co-located duplicates compress, scattered
+    ones don't).
+
+    Run counting is a SCAN with a cross-partition carry, the third
+    member of the family (global_rank: sum carry; cusum: min carry):
+    event_id range buckets count runs locally; the only coordination is
+    each bucket's (first, last) VALUE pair — runs never split inside a
+    bucket, and a run spanning buckets is stitched by comparing
+    adjacent buckets' boundary values on the driver (O(n_buckets)).
+    Distinct counts ride one batch-deduped domain exchange."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    cols = ["event_type", "user_id"]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id"] + cols)
+
+    g = ds.aggregate(Min("event_id", alias_name="lo"),
+                     Max("event_id", alias_name="hi"),
+                     Count(alias_name="n"))
+    lo, hi, n_rows = int(g["lo"]), int(g["hi"]), int(g["n"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "event_id": pa.array(eid.astype(np.int64), pa.int64()),
+            "bucket": pa.array((eid - lo) // width, pa.int64()),
+        })
+        for c in cols:
+            t = t.append_column(c, batch[c].cast(pa.string()))
+        return t
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def bucket_runs(df: pd.DataFrame) -> pa.Table:
+        o = np.argsort(df["event_id"].to_numpy(np.int64))
+        rows = []
+        for ci, c in enumerate(cols):
+            v = df[c].to_numpy(object)[o]
+            runs = 1 + int((v[1:] != v[:-1]).sum()) if len(v) else 0
+            rows.append((int(df["bucket"].iloc[0]), ci, runs,
+                         str(v[0]), str(v[-1])))
+        b, ci_, r, f, l = zip(*rows)
+        return pa.table({
+            "bucket": pa.array(list(b), pa.int64()),
+            "col_id": pa.array(list(ci_), pa.int64()),
+            "runs": pa.array(list(r), pa.int64()),
+            "first_v": pa.array(list(f), pa.string()),
+            "last_v": pa.array(list(l), pa.string()),
+        })
+
+    summ = keyed.groupby("bucket") \
+        .map_groups(bucket_runs, batch_format="pandas").to_pandas() \
+        .sort_values(["col_id", "bucket"])
+
+    # stitch runs spanning adjacent buckets: one subtraction per seam
+    runs_total = {}
+    for ci in range(len(cols)):
+        s = summ[summ["col_id"] == ci]
+        r = int(s["runs"].sum())
+        lastv = s["last_v"].to_numpy(object)
+        firstv = s["first_v"].to_numpy(object)
+        r -= int((lastv[:-1] == firstv[1:]).sum())
+        runs_total[ci] = r
+
+    # distinct counts: one batch-deduped domain exchange per column,
+    # tagged into a single stream (the table_profile trick)
+    def distinct_partials(batch: pa.Table) -> pa.Table:
+        out_ci, out_v = [], []
+        for ci, c in enumerate(cols):
+            u = np.unique(batch[c].cast(pa.string())
+                          .to_numpy(zero_copy_only=False).astype(object))
+            out_ci.extend([ci] * len(u))
+            out_v.extend(u.tolist())
+        return pa.table({"col_id": pa.array(out_ci, pa.int64()),
+                         "v": pa.array(out_v, pa.string())})
+
+    nd = keyed.map_batches(distinct_partials, batch_format="pyarrow") \
+        .groupby(["col_id", "v"]).aggregate(Count(alias_name="_c")) \
+        .map_batches(lambda b: pa.table({
+            "col_id": b["col_id"].cast(pa.int64()),
+            "one": pa.array([1] * b.num_rows, pa.int64())}),
+            batch_format="pyarrow") \
+        .groupby("col_id").aggregate(Sum("one", alias_name="n_distinct")) \
+        .to_pandas().set_index("col_id")["n_distinct"]
+
+    return pd.DataFrame({
+        "column": cols,
+        "n_rows": np.full(len(cols), n_rows, np.int64),
+        "n_runs_natural": np.array([runs_total[i] for i in
+                                    range(len(cols))], np.int64),
+        "n_distinct": np.array([int(nd[i]) for i in range(len(cols))],
+                               np.int64),
+    })

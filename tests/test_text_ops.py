@@ -809,3 +809,18 @@ def test_bpe_train_merges_matches_reference(ray_session, tmp_path):
     want = _bpe_reference(texts, 10)
     assert [(l, r, int(c)) for l, r, c in got] == want
     assert len(want) == 10
+
+
+def test_shard_rebalance_rendezvous_beats_mod(ray_session):
+    """Rendezvous hashing moves ~1/n_new of keys on scale-out; modulo
+    moves the vast majority — the measured gap must be wide."""
+    import __ray_entry__ as em
+    out = em.queries()["shard_rebalance_audit"](
+        "/root/testdata/sf0.01").to_pandas().set_index("scheme")
+    n = int(out.loc["mod", "n_keys"])
+    assert n >= 100  # enough keys that the fractions are meaningful
+    mod_frac = out.loc["mod", "n_moved"] / n
+    rdv_frac = out.loc["rendezvous", "n_moved"] / n
+    assert rdv_frac < 0.25          # theory: ~1/9 ≈ 0.11
+    assert mod_frac > 0.7           # theory: ~8/9 ≈ 0.89
+    assert rdv_frac < mod_frac / 3  # the scheme gap itself
