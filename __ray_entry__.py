@@ -515,6 +515,39 @@ def _corpus_dedup_shard_matrix(sf_dir: str, shard_rows: int = 1000):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def _corpus_hard_negatives(sf_dir: str):
+    """(anchor, negative, psnr_centi, phash_hamming) — HARD-NEGATIVE
+    mining over the corpus: LSH band collisions that FAILED the
+    PSNR/phash verify, globally pair-deduped. The training-data
+    counterpart of dedup: contrastive / metric-learning pipelines want
+    exactly these look-alike-but-distinct pairs (the planted
+    distractor_near_miss rows land here by construction, tested), and
+    they come FREE from the dedup job's own candidate stream — one
+    band exchange plus a tiny pair-dedup groupby."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Min
+    from destor_ray import corpus
+    from destor_ray.pipelines.dedup import buckets_for, signatures_from_corpus
+    from destor_ray.stages import candidates
+
+    n = _corpus_rows_for(sf_dir)
+    d = corpus.ensure_corpus_parquet(n, seed=42)
+    sigs = signatures_from_corpus(ray.data.read_parquet(d)).materialize()
+    pairs = candidates.hard_negative_pairs(sigs,
+                                           num_buckets=buckets_for(n))
+    out = pairs.groupby(["anchor", "negative"]).aggregate(
+        Min("psnr_centi", alias_name="psnr_centi"),
+        Min("phash_hamming", alias_name="phash_hamming"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "anchor": b["anchor"].cast(pa.int64()),
+            "negative": b["negative"].cast(pa.int64()),
+            "psnr_centi": b["psnr_centi"].cast(pa.int64()),
+            "phash_hamming": b["phash_hamming"].cast(pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _corpus_cluster_caption_audit(sf_dir: str):
     """(n_distinct_captions, n_clusters, n_images) — LABEL-NOISE audit
     of the flagship clusters: per near-dup cluster, how many DISTINCT
@@ -1468,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_incremental_dedup": _corpus_incremental_dedup,
         "corpus_dedup_shard_matrix": _corpus_dedup_shard_matrix,
         "corpus_cluster_caption_audit": _corpus_cluster_caption_audit,
+        "corpus_hard_negatives": _corpus_hard_negatives,
         "corpus_fidelity": _corpus_fidelity,
         "corpus_restore": _corpus_restore,
         "cdc_stats": _cdc_stats,

@@ -838,3 +838,81 @@ def probe_index(signatures_ds, query_sigs: pa.Table,
     hits = signatures_ds.map_batches(probe, batch_format="pyarrow")
     return hits.groupby(["query_id", "match_id"]) \
         .aggregate(Max("psnr", alias_name="psnr"))
+
+
+def hardneg_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
+    """verify_bucket's REJECT stream: candidate pairs that collided in
+    an LSH band but FAILED thumbnail/phash verification. These are the
+    hard negatives a contrastive/metric-learning pipeline mines —
+    near-collisions that look alike to the cheap signature but are not
+    duplicates (the planted distractor_near_miss rows are exactly this
+    class). Same pair generation + the shared verify kernel as
+    verify_bucket (:201 above); only the mask flips, so the union of
+    this stream and the verified edges is the full candidate set."""
+    cfg = cfg or EngineConfig()
+    df = df.drop_duplicates(["band_key", "nid"])
+    df = df.sort_values(["band_key", "nid"], kind="stable")
+    keys = df["band_key"].to_numpy()
+    n = len(df)
+    empty = pa.table({"anchor": pa.array([], pa.int64()),
+                      "negative": pa.array([], pa.int64()),
+                      "psnr_centi": pa.array([], pa.int64()),
+                      "phash_hamming": pa.array([], pa.int64())})
+    if n < 2:
+        return empty
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    coll = counts >= 2
+    if not coll.any():
+        return empty
+    starts_c, counts_c = starts[coll], counts[coll]
+    cap = cfg.lsh.full_pair_cap
+    li_parts, ri_parts = [], []
+    small = counts_c <= cap
+    for c in np.unique(counts_c[small]):
+        gl, gr = _triu_cached(int(c))
+        st = starts_c[small][counts_c[small] == c]
+        li_parts.append((st[:, None] + gl[None, :]).ravel())
+        ri_parts.append((st[:, None] + gr[None, :]).ravel())
+    for s, c in zip(starts_c[~small], counts_c[~small]):
+        gl, gr = _pair_indices(int(c), cap)
+        li_parts.append(gl + s)
+        ri_parts.append(gr + s)
+    li = np.concatenate(li_parts)
+    ri = np.concatenate(ri_parts)
+    ids = df["nid"].to_numpy()
+    thumbs = np.frombuffer(b"".join(df["thumb"]), dtype=np.uint8).reshape(n, -1)
+    ph = (df["phash"].to_numpy().astype(np.int64)
+          if "phash" in df.columns and not cfg.simulation else None)
+    ok, psnr = verify_pair_arrays(
+        thumbs[li], thumbs[ri],
+        ph[li] if ph is not None else None,
+        ph[ri] if ph is not None else None, cfg)
+    rej = ~ok
+    if not rej.any():
+        return empty
+    from .. import codec as _codec
+    ham = (_codec.hamming64(ph[li[rej]], ph[ri[rej]]).astype(np.int64)
+           if ph is not None else np.full(int(rej.sum()), -1, np.int64))
+    out = pd.DataFrame({
+        "anchor": ids[li[rej]],
+        "negative": ids[ri[rej]],
+        "psnr_centi": np.round(np.minimum(psnr[rej], 1e6) * 100)
+        .astype(np.int64),
+        "phash_hamming": ham,
+    }).drop_duplicates(["anchor", "negative"])
+    return pa.Table.from_pandas(out, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def hard_negative_pairs(signatures_ds, cfg: EngineConfig | None = None,
+                        num_buckets: int = 64):
+    """signatures → (anchor, negative, psnr_centi, phash_hamming):
+    the hard-negative mining stage (one band exchange, the exact
+    counterpart of candidate_edges with the verify mask flipped)."""
+    from .grouped import bucketed_group_map
+    cfg = cfg or EngineConfig()
+    bands = signatures_ds.map_batches(
+        lambda b: explode_bands(b, cfg), batch_format="pyarrow")
+    return bucketed_group_map(bands, "band_key",
+                              lambda df: hardneg_bucket(df, cfg),
+                              num_buckets=num_buckets)
