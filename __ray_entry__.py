@@ -515,6 +515,80 @@ def _corpus_dedup_shard_matrix(sf_dir: str, shard_rows: int = 1000):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def _corpus_augment_stats(sf_dir: str, epoch: int = 0):
+    """(aug, n, mean_phash_hamming_centi) — the data-AUGMENTATION stage
+    of a training pipeline (seeded per-image flip/rotate on an actor
+    pool) measured for its effect on the dedup signature: how far does
+    each augmentation move the perceptual hash? The answer (far — DCT
+    basis permutes under flips/rotations) is the measured justification
+    for verifying candidates on pixels (thumb PSNR) rather than trusting
+    phash equality across an augmented corpus."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+    from destor_ray import corpus
+    from destor_ray.stages.multimodal import ImageAugment
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = ray.data.read_parquet(d, columns=["image_id", "bytes"])
+    out = ds.map_batches(ImageAugment, concurrency=4, batch_size=256,
+                         fn_constructor_kwargs={"epoch": epoch},
+                         batch_format="pyarrow")
+    agg = out.groupby("aug").aggregate(
+        Count(alias_name="n"),
+        Sum("phash_hamming", alias_name="ham_sum"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "aug": b["aug"],
+            "n": b["n"].cast(pa.int64()),
+            "mean_phash_hamming_centi": pa.array(
+                b["ham_sum"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False) * 100
+                // b["n"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def _corpus_dedup_weights(sf_dir: str):
+    """(cluster_size, n_images, weight_micro) — dedup-aware TRAINING
+    WEIGHTS: instead of dropping duplicates, keep every image and
+    down-weight each member by 1/cluster_size (the reweighting
+    alternative to removal — preserves coverage while a cluster's total
+    gradient contribution equals one image's; what a loss-reweighting
+    trainer consumes). weight_micro = 1_000_000 // cluster_size, one
+    row per distinct cluster size (the weight table is size-domain-
+    bounded; the per-image expansion is a broadcast-free map join on
+    cluster_id at train time).
+
+    Scale shape: flagship assignment → one cluster-keyed Count
+    exchange → one tiny size-domain aggregate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    assignment = _corpus_clusters(sf_dir)
+    sizes = assignment.groupby("cluster_id").aggregate(
+        Count(alias_name="sz"))
+    hist = sizes.map_batches(
+        lambda b: pa.table({
+            "cluster_size": b["sz"].cast(pa.int64()),
+            "n_img": b["sz"].cast(pa.int64()),
+            "one": pa.array([1] * b.num_rows, pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("cluster_size").aggregate(
+            Sum("n_img", alias_name="n_images"),
+            Sum("one", alias_name="n_clusters")).to_pandas() \
+        .sort_values("cluster_size")
+    cs = hist["cluster_size"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "cluster_size": cs,
+        "n_images": hist["n_images"].to_numpy(np.int64),
+        "weight_micro": (1_000_000 // cs).astype(np.int64),
+    })
+
+
 def _corpus_hard_negatives(sf_dir: str):
     """(anchor, negative, psnr_centi, phash_hamming) — HARD-NEGATIVE
     mining over the corpus: LSH band collisions that FAILED the
@@ -1502,6 +1576,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_shard_matrix": _corpus_dedup_shard_matrix,
         "corpus_cluster_caption_audit": _corpus_cluster_caption_audit,
         "corpus_hard_negatives": _corpus_hard_negatives,
+        "corpus_dedup_weights": _corpus_dedup_weights,
+        "corpus_augment_stats": _corpus_augment_stats,
         "corpus_fidelity": _corpus_fidelity,
         "corpus_restore": _corpus_restore,
         "cdc_stats": _cdc_stats,

@@ -245,3 +245,56 @@ class ImagePixelStats:
             "entropy_bits": pa.array(ents, pa.float64()),
             "laplacian_var": pa.array(laps, pa.float64()),
         })
+
+
+_AUG_KINDS = ("flip_h", "flip_v", "rot90")
+
+
+def _apply_aug(px: np.ndarray, kind: str) -> np.ndarray:
+    if kind == "flip_h":
+        return px[:, ::-1]
+    if kind == "flip_v":
+        return px[::-1, :]
+    if kind == "rot90":
+        return np.rot90(px)
+    raise ValueError(kind)
+
+
+class ImageAugment:
+    """Deterministic per-epoch image augmentation: each image gets ONE
+    transform chosen by hash(image_id, epoch) — the standard seeded
+    augmentation policy a training job applies on the fly (flip /
+    rotate here; the color-jitter family would slot in the same seam).
+    Determinism matters for the engine contract: a retried task must
+    produce the identical augmented batch (the same no-RNG rule the
+    fault-injection test pins for signatures).
+
+    Emits the augmented image's phash + the Hamming distance to the
+    source phash rather than re-encoded payloads — the stat that tells
+    a dedup pipeline how robust its perceptual channel is to the
+    augmentations its own training stack applies (flips/rotations
+    permute the DCT basis, so phash distance is LARGE: augmented
+    copies will NOT collide in phash bands — measured, not assumed)."""
+
+    def __init__(self, epoch: int = 0):
+        self.epoch = epoch
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import codec
+        kinds, hams = [], []
+        for iid, data in zip(batch["image_id"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            k = _AUG_KINDS[_payload_seed(
+                f"{iid}|{self.epoch}".encode(), 0xA9) % len(_AUG_KINDS)]
+            px = codec.decode(data)
+            aug = _apply_aug(px, k)
+            p0 = codec.phash64(px)
+            p1 = codec.phash64(np.ascontiguousarray(aug))
+            kinds.append(k)
+            hams.append(int(codec.hamming64(
+                np.array([p0], np.int64), np.array([p1], np.int64))[0]))
+        return pa.table({
+            "image_id": batch["image_id"],
+            "aug": pa.array(kinds, pa.string()),
+            "phash_hamming": pa.array(hams, pa.int64()),
+        })

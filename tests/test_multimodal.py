@@ -213,3 +213,47 @@ def test_corpus_aspect_buckets_partition(ray_session):
     declared = set(em._ASPECT_BUCKETS)
     got = set(zip(out["bucket_w"].astype(int), out["bucket_h"].astype(int)))
     assert got <= declared and len(got) >= 2
+
+
+def test_image_augment_deterministic_and_involutive(ray_session):
+    """Same (image_id, epoch) always picks the same transform; flips
+    are involutions and rot90 has order 4 (pixel-level checks); the
+    stage emits one row per input."""
+    import numpy as np
+    import pyarrow as pa
+    from destor_ray import codec
+    from destor_ray.stages.multimodal import (_AUG_KINDS, ImageAugment,
+                                              _apply_aug)
+
+    rng_px = (np.indices((24, 24)).sum(0) * 5 % 256).astype(np.uint8)
+    px = np.repeat(rng_px[:, :, None], 3, axis=2)
+    assert (_apply_aug(_apply_aug(px, "flip_h"), "flip_h") == px).all()
+    assert (_apply_aug(_apply_aug(px, "flip_v"), "flip_v") == px).all()
+    r = px
+    for _ in range(4):
+        r = _apply_aug(r, "rot90")
+    assert (r == px).all()
+
+    batch = pa.table({
+        "image_id": pa.array([f"im{i}" for i in range(8)], pa.string()),
+        "bytes": pa.array([codec.encode(px, "png")] * 8, pa.binary()),
+    })
+    a1 = ImageAugment(epoch=0)(batch).to_pandas()
+    a2 = ImageAugment(epoch=0)(batch).to_pandas()
+    assert a1.equals(a2)                       # retry-determinism
+    assert set(a1["aug"]) <= set(_AUG_KINDS)
+    assert len(a1) == 8
+    a3 = ImageAugment(epoch=1)(batch).to_pandas()
+    assert not a1["aug"].equals(a3["aug"])     # epoch reseeds the policy
+
+
+def test_corpus_dedup_weights_partition(ray_session):
+    """Weights cover the corpus exactly and each size bucket's
+    weight * size stays within integer-floor distance of 1.0."""
+    import __ray_entry__ as em
+    out = em.queries()["corpus_dedup_weights"]("/root/testdata/sf0.001")
+    n = em._corpus_rows_for("/root/testdata/sf0.001")
+    assert int(out["n_images"].sum()) == n
+    w = out["weight_micro"].to_numpy()
+    s = out["cluster_size"].to_numpy()
+    assert ((w * s <= 1_000_000) & (w * s > 1_000_000 - s)).all()
