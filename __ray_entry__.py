@@ -1444,6 +1444,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_weighted": graph.sssp_weighted,
         "shard_rebalance_audit": relational.shard_rebalance_audit,
         "rle_compression_advisor": stats.rle_compression_advisor,
+        "benford_audit": stats.benford_audit,
+        "winsorized_stats": stats.winsorized_stats,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -3097,6 +3099,37 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "benford_audit": """
+            WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS cents FROM lineitem
+                       WHERE l_extendedprice > 0),
+                 d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                                   AS BIGINT) AS digit FROM c)
+            SELECT digit, count(*) AS n,
+                   CAST(round(log10(1.0 + 1.0 / digit) * 1000000)
+                        AS BIGINT) AS benford_expected_micro
+            FROM d GROUP BY digit
+        """,
+        "winsorized_stats": """
+            WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT)
+                              AS vm FROM events),
+                 nn AS (SELECT count(*) AS c FROM v),
+                 r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rn
+                       FROM v),
+                 b AS (SELECT
+                          (SELECT vm FROM r, nn WHERE rn = greatest(1,
+                              CAST(ceil(0.01 * c) AS BIGINT))) AS lo,
+                          (SELECT vm FROM r, nn WHERE rn = greatest(1,
+                              CAST(ceil(0.99 * c) AS BIGINT))) AS hi)
+            SELECT nn.c AS n, b.lo AS lo_micro, b.hi AS hi_micro,
+                   (SELECT CAST(sum(least(greatest(vm, b.lo), b.hi))
+                                AS BIGINT) FROM v) AS sum_clipped_micro,
+                   (SELECT CAST(count(*) FILTER (vm < b.lo) AS BIGINT)
+                    FROM v) AS n_clipped_lo,
+                   (SELECT CAST(count(*) FILTER (vm > b.hi) AS BIGINT)
+                    FROM v) AS n_clipped_hi
+            FROM nn, b
         """,
         "rle_compression_advisor": """
             WITH o AS (SELECT CAST(event_type AS VARCHAR) AS et,

@@ -829,3 +829,130 @@ def rle_compression_advisor(sf_dir: str, n_buckets: int = 256):
         "n_distinct": np.array([int(nd[i]) for i in range(len(cols))],
                                np.int64),
     })
+
+
+def benford_audit(sf_dir: str):
+    """(digit, n, benford_expected_micro) — Benford first-digit audit
+    of lineitem extended prices: the fraud/synthetic-data screen that
+    compares the observed leading-digit distribution of a naturally
+    heavy-tailed measure against log10(1 + 1/d). The driver's synthetic
+    prices are NOT Benford-distributed — the point of the query is the
+    comparison table itself (an auditor reads the deviation).
+
+    Scale shape: map-only exact first digit of the integer-cents value
+    (repeated //10 until < 10 — ~6 vectorized int64 passes, no float
+    log near power-of-ten boundaries), per-batch bincount partials, one
+    9-row exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["l_extendedprice"]
+                         .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        v = cents[cents > 0]
+        while (v >= 10).any():
+            m = v >= 10
+            v = np.where(m, v // 10, v)
+        cnt = np.bincount(v, minlength=10)[1:10]
+        nz = np.flatnonzero(cnt) + 1
+        return pa.table({"digit": pa.array(nz, pa.int64()),
+                         "n": pa.array(cnt[nz - 1], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n", alias_name="n")).to_pandas() \
+        .sort_values("digit")
+    d = agg["digit"].to_numpy(np.int64)
+    exp = np.round(np.log10(1.0 + 1.0 / d) * 1_000_000).astype(np.int64)
+    return pd.DataFrame({
+        "digit": d,
+        "n": agg["n"].to_numpy(np.int64),
+        "benford_expected_micro": exp,
+    })
+
+
+def winsorized_stats(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
+    """(n, lo_micro, hi_micro, sum_clipped_micro, n_clipped_lo,
+    n_clipped_hi) — WINSORIZED aggregation of the event values: clip at
+    the exact p01/p99 before summing, the robust-preprocessing step
+    that keeps one corrupt sensor from owning a mean. Bounds come from
+    the same 3-pass exact-selection machinery as exact_global_quantiles
+    (histogram-refine, zero sort); the clip + sum is then map-only with
+    integer-exact micro partials.
+
+    Oracle: row_number rank selection for the same lower-quantile
+    definition + least/greatest clipping."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        vm = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1_000_000).astype(np.int64)
+        return pa.table({"vm": pa.array(vm, pa.int64())})
+
+    vals = ds.map_batches(to_micro, batch_format="pyarrow").materialize()
+    g = vals.aggregate(Count(alias_name="n"), Min("vm", alias_name="lo"),
+                       Max("vm", alias_name="hi"))
+    n, vlo, vhi = int(g["n"]), int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(vhi - vlo + 1) // 65536))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        b = (batch["vm"].to_numpy(zero_copy_only=False) - vlo) // width
+        cnt = np.bincount(b)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    hdf = vals.map_batches(hist, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("bucket")
+    buckets = hdf["bucket"].to_numpy(np.int64)
+    cum = hdf["c"].to_numpy(np.int64).cumsum()
+
+    def exact_rank_value(rank: int) -> int:
+        """value at 1-based rank via one filtered scan of the bucket
+        holding it (np.partition — selection, not sort)."""
+        bi = int(np.searchsorted(cum, rank))
+        bkt = int(buckets[bi])
+        before = int(cum[bi - 1]) if bi else 0
+        blo, bhi = vlo + bkt * width, vlo + (bkt + 1) * width
+
+        def pick(batch: pa.Table) -> pa.Table:
+            v = batch["vm"].to_numpy(zero_copy_only=False)
+            keep = v[(v >= blo) & (v < bhi)]
+            return pa.table({"vm": pa.array(keep, pa.int64())})
+
+        inb = vals.map_batches(pick, batch_format="pyarrow") \
+            .to_pandas()["vm"].to_numpy(np.int64)
+        k = rank - before - 1
+        return int(np.partition(inb, k)[k])
+
+    import math
+    r_lo = max(1, math.ceil(lo_q * n))
+    r_hi = max(1, math.ceil(hi_q * n))
+    lo_v, hi_v = exact_rank_value(r_lo), exact_rank_value(r_hi)
+
+    def clip_partial(batch: pa.Table) -> pa.Table:
+        v = batch["vm"].to_numpy(zero_copy_only=False)
+        c = np.clip(v, lo_v, hi_v)
+        return pa.table({
+            "s": pa.array([int(c.sum())], pa.int64()),
+            "nlo": pa.array([int((v < lo_v).sum())], pa.int64()),
+            "nhi": pa.array([int((v > hi_v).sum())], pa.int64()),
+        })
+
+    t = vals.map_batches(clip_partial, batch_format="pyarrow") \
+        .aggregate(Sum("s", alias_name="s"), Sum("nlo", alias_name="nlo"),
+                   Sum("nhi", alias_name="nhi"))
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "lo_micro": np.array([lo_v], np.int64),
+        "hi_micro": np.array([hi_v], np.int64),
+        "sum_clipped_micro": np.array([int(t["s"])], np.int64),
+        "n_clipped_lo": np.array([int(t["nlo"])], np.int64),
+        "n_clipped_hi": np.array([int(t["nhi"])], np.int64),
+    })
