@@ -1557,6 +1557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": ann.semantic_dedup,
         "docs_embedding_join_stats": ann.docs_embedding_join_stats,
         "embedding_model_scores": ann.embedding_model_scores,
+        "embedding_norm_stats": ann.embedding_norm_stats,
         "events_value_histogram": streaming.events_value_histogram,
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
@@ -3099,6 +3100,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "embedding_norm_stats": """
+            WITH n AS (SELECT CAST(label AS BIGINT) AS label,
+                              CAST(round(sqrt(list_dot_product(
+                                  CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) * 1000000)
+                                   AS BIGINT) AS nm
+                       FROM embeddings)
+            SELECT label, count(*) AS n,
+                   CAST(sum(nm) // count(*) AS BIGINT)
+                       AS mean_norm_micro,
+                   CAST(max(nm) AS BIGINT) AS max_norm_micro
+            FROM n GROUP BY label
         """,
         "benford_audit": """
             WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -1366,3 +1366,49 @@ def rp_ann_topk(sf_dir: str, k: int = 10, proj_dim: int = 16,
 
     scored = _read_embeddings(sf_dir).map_batches(score, batch_format="pyarrow")
     return scored.sort(["cos_sim", "vec_id"], descending=[True, True]).limit(k)
+
+
+def embedding_norm_stats(sf_dir: str):
+    """(label, n, mean_norm_micro, max_norm_micro) — per-label L2-norm
+    profile of the embedding column: the sanity pass run before any
+    cosine machinery (unnormalized or zero vectors silently corrupt
+    cosine scores; a label whose norms drift flags a bad encoder
+    shard). Vectorized einsum per batch, per-label integer-micro
+    partials (sum + max are both mergeable), one label-domain exchange.
+
+    Oracle: sqrt(list_dot_product(e, e)) per row — float64 on both
+    sides, micro-rounded; mean recombined from exact integer sums."""
+    import pandas as pd
+    from ray.data.aggregate import Sum, Max, Count
+
+    ds = _read_embeddings(sf_dir).select_columns(["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        nm = np.round(norms * 1_000_000).astype(np.int64)
+        df = pd.DataFrame({
+            "label": batch["label"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "s": nm, "mx": nm, "n": 1,
+        })
+        g = df.groupby("label", sort=False).agg(
+            s=("s", "sum"), mx=("mx", "max"), n=("n", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("label").aggregate(Sum("s", alias_name="s"),
+                                    Max("mx", alias_name="max_norm_micro"),
+                                    Count(alias_name="_g"),
+                                    Sum("n", alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "label": b["label"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64()),
+            "mean_norm_micro": pa.array(
+                b["s"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // b["n"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "max_norm_micro": b["max_norm_micro"].cast(pa.int64()),
+        }), batch_format="pyarrow")
