@@ -1436,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_neighborhood_pairs": text.sorted_neighborhood_pairs,
         "token_dictionary_encode": text.token_dictionary_encode,
         "bpe_train_merges": text.bpe_train_merges,
+        "source_overlap_matrix": text.source_overlap_matrix,
         "events_drift_psi": streaming.events_drift_psi,
         "kcore_tokens": graph.kcore_tokens,
         "fd_discovery": stats.fd_discovery,
@@ -3100,6 +3101,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked a JOIN ranked b
               ON b.rn > a.rn AND b.rn <= a.rn + 3
              AND substr(a.bkey, 1, 8) = substr(b.bkey, 1, 8)
+        """,
+        "source_overlap_matrix": """
+            WITH sh AS (
+                SELECT DISTINCT source, substr(text, i, 8) AS s
+                FROM (SELECT source, text,
+                             unnest(range(1, length(text) - 6)) AS i
+                      FROM documents)
+            )
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared_shingles
+            FROM sh a JOIN sh b
+              ON a.s = b.s AND a.source <= b.source
+            GROUP BY 1, 2
         """,
         "embedding_norm_stats": """
             WITH n AS (SELECT CAST(label AS BIGINT) AS label,

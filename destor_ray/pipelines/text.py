@@ -2217,3 +2217,72 @@ def cms_token_counts(sf_dir: str, width: int = 2048, depth: int = 4):
         "true_count": true,
         "overestimate": est - true,
     }).sort_values("token").reset_index(drop=True)
+
+
+def source_overlap_matrix(sf_dir: str, k: int = 8):
+    """(source_a, source_b, n_shared_shingles) — CROSS-SOURCE
+    contamination matrix: how many distinct k-char shingles do each
+    pair of sources share? The corpus-level curation read ("is crawl A
+    a superset of crawl B? did the wiki dump leak into the CC slice?")
+    that sits above pairwise document dedup; diagonal rows are each
+    source's distinct-shingle count, so containment ratios
+    (shared / min(diag)) fall out of the one table.
+
+    Scale shape: batch-local (source, shingle) dedup map-side; ONE
+    shingle-keyed exchange where each bucket emits per-shingle source
+    PAIRS (sources-per-shingle is bounded by the source domain, so the
+    pair expansion is ≤ |sources|² per shingle); the final aggregate is
+    source-pair-domain-sized. Text never crosses the wire — only
+    shingle hashes ride the exchange (md5 60-bit, the oracle-parity
+    choice)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["source", "text"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        seen: set[tuple[str, int]] = set()
+        for src, t in zip(batch["source"].to_pylist(),
+                          batch["text"].to_pylist()):
+            local: set[str] = set()
+            for i in range(max(0, len(t) - (k - 1))):
+                local.add(t[i:i + k])
+            for s in local:
+                h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                seen.add((src, h))
+        if not seen:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "sh": pa.array([], pa.int64())})
+        srcs, hs = zip(*seen)
+        return pa.table({"source": pa.array(list(srcs), pa.string()),
+                         "sh": pa.array(list(hs), pa.int64())})
+
+    rows = ds.map_batches(partials, batch_format="pyarrow")
+
+    def pairs_per_shingle(df: pd.DataFrame) -> pa.Table:
+        d = df.drop_duplicates(["source", "sh"])
+        a_, b_ = [], []
+        for _, g in d.groupby("sh", sort=False):
+            ss = sorted(g["source"])
+            for i, sa in enumerate(ss):
+                for sb in ss[i:]:
+                    a_.append(sa)
+                    b_.append(sb)
+        out = pd.DataFrame({"source_a": a_, "source_b": b_, "n": 1}) \
+            .groupby(["source_a", "source_b"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = bucketed_group_map(rows, "sh", pairs_per_shingle,
+                             num_buckets=32) \
+        .groupby(["source_a", "source_b"]) \
+        .aggregate(Sum("n", alias_name="n_shared_shingles"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source_a": b["source_a"], "source_b": b["source_b"],
+            "n_shared_shingles": b["n_shared_shingles"].cast(pa.int64())}),
+        batch_format="pyarrow")
