@@ -550,6 +550,109 @@ def _corpus_augment_stats(sf_dir: str, epoch: int = 0):
         }), batch_format="pyarrow")
 
 
+def _corpus_copymove_stats(sf_dir: str):
+    """(fmt, n, mean_repeat_pct_centi, n_suspicious) — copy-move /
+    synthetic-content screen over the corpus: fraction of 8×8 tiles
+    that repeat within each image (ImageTileForensics), per-format.
+    n_suspicious counts images whose repeated-tile share exceeds 30%
+    while keeping high tile diversity (the forged-clone signature;
+    flat fills repeat too but with low distinct counts)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+    from destor_ray import corpus
+    from destor_ray.stages.multimodal import ImageTileForensics
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = ray.data.read_parquet(d, columns=["image_id", "bytes", "fmt"])
+
+    class WithFmt(ImageTileForensics):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            nt = out["n_tiles"].to_numpy().astype(np.float64)
+            nr = out["n_repeated_tiles"].to_numpy().astype(np.float64)
+            nd = out["n_distinct_tiles"].to_numpy().astype(np.float64)
+            share = np.where(nt > 0, nr / np.maximum(nt, 1), 0.0)
+            diverse = np.where(nt > 0, nd / np.maximum(nt, 1), 0.0)
+            sus = ((share > 0.3) & (diverse > 0.3)).astype(np.int64)
+            import pandas as pd
+            g = pd.DataFrame({
+                "fmt": batch["fmt"].to_pylist(),
+                "n": 1,
+                "rep_centi": np.round(share * 10000).astype(np.int64),
+                "sus": sus,
+            }).groupby("fmt", sort=False).sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False) \
+                .replace_schema_metadata(None)
+
+    agg = ds.map_batches(WithFmt, concurrency=4, batch_size=256,
+                         batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("rep_centi", alias_name="rep_sum"),
+            Sum("sus", alias_name="n_suspicious"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "fmt": b["fmt"],
+            "n": b["n"].cast(pa.int64()),
+            "mean_repeat_pct_centi": pa.array(
+                b["rep_sum"].cast(pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                // b["n"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                pa.int64()),
+            "n_suspicious": b["n_suspicious"].cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def _corpus_compressibility(sf_dir: str, probe_bytes: int = 2048):
+    """(fmt, n, mean_ratio_centi) — COMPRESSIBILITY probe for storage
+    planning: zlib-compress the first `probe_bytes` of each payload and
+    report compressed/original size per format (already-compressed
+    formats hover near 100%+; raw/periodic payloads drop — the number
+    that decides whether a storage tier enables transparent
+    compression, destor's container-compression policy question).
+    Map-only over a payload PREFIX (the probe never decompresses or
+    decodes), per-format integer partials, one tiny exchange."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+    from destor_ray import corpus
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = ray.data.read_parquet(d, columns=["bytes", "fmt"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ratios = []
+        for data in batch["bytes"].to_pylist():
+            head = data[:probe_bytes]
+            ratios.append(len(zlib.compress(head, 6)) * 10000
+                          // max(1, len(head)))
+        import pandas as pd
+        g = pd.DataFrame({"fmt": batch["fmt"].to_pylist(),
+                          "n": 1,
+                          "r": np.asarray(ratios, np.int64)}) \
+            .groupby("fmt", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = ds.map_batches(probe, batch_format="pyarrow") \
+        .groupby("fmt").aggregate(Sum("n", alias_name="n"),
+                                  Sum("r", alias_name="r_sum"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "fmt": b["fmt"],
+            "n": b["n"].cast(pa.int64()),
+            "mean_ratio_centi": pa.array(
+                b["r_sum"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // b["n"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+                pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def _corpus_dedup_weights(sf_dir: str):
     """(cluster_size, n_images, weight_micro) — dedup-aware TRAINING
     WEIGHTS: instead of dropping duplicates, keep every image and
@@ -1582,6 +1685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_hard_negatives": _corpus_hard_negatives,
         "corpus_dedup_weights": _corpus_dedup_weights,
         "corpus_augment_stats": _corpus_augment_stats,
+        "corpus_copymove_stats": _corpus_copymove_stats,
+        "corpus_compressibility": _corpus_compressibility,
         "corpus_fidelity": _corpus_fidelity,
         "corpus_restore": _corpus_restore,
         "cdc_stats": _cdc_stats,

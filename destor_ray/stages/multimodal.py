@@ -298,3 +298,45 @@ class ImageAugment:
             "aug": pa.array(kinds, pa.string()),
             "phash_hamming": pa.array(hams, pa.int64()),
         })
+
+
+class ImageTileForensics:
+    """Per-image COPY-MOVE detection: hash every 8×8 gray tile (exact
+    bytes) and count tiles that repeat WITHIN the image — the simplest
+    member of the copy-move forgery/synthetic-content screen family
+    (repeated regions flag cloned patches, tiled upscales, and
+    procedural fills). Per-image work is one reshape + one np.unique
+    over tile rows — no Python per-pixel loops. Flat images trivially
+    repeat; the companion column n_distinct_tiles disambiguates
+    (forged: high distinct AND high repeats; flat: low distinct)."""
+
+    def __init__(self, tile: int = 8):
+        self.tile = tile
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import codec
+        t = self.tile
+        n_tiles, n_dist, n_rep = [], [], []
+        for data in batch["bytes"].to_pylist():
+            g = codec.to_gray(codec.decode(data))
+            th, tw = g.shape[0] // t, g.shape[1] // t
+            if th == 0 or tw == 0:
+                n_tiles.append(0)
+                n_dist.append(0)
+                n_rep.append(0)
+                continue
+            tiles = g[:th * t, :tw * t].reshape(th, t, tw, t) \
+                .transpose(0, 2, 1, 3).reshape(th * tw, t * t)
+            # exact-byte tile identity via a void view (one row = one key)
+            keys = np.ascontiguousarray(tiles).view(
+                np.dtype((np.void, t * t))).ravel()
+            _, counts = np.unique(keys, return_counts=True)
+            n_tiles.append(th * tw)
+            n_dist.append(len(counts))
+            n_rep.append(int(counts[counts > 1].sum()))
+        return pa.table({
+            "image_id": batch["image_id"],
+            "n_tiles": pa.array(n_tiles, pa.int64()),
+            "n_distinct_tiles": pa.array(n_dist, pa.int64()),
+            "n_repeated_tiles": pa.array(n_rep, pa.int64()),
+        })

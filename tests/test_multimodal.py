@@ -257,3 +257,34 @@ def test_corpus_dedup_weights_partition(ray_session):
     w = out["weight_micro"].to_numpy()
     s = out["cluster_size"].to_numpy()
     assert ((w * s <= 1_000_000) & (w * s > 1_000_000 - s)).all()
+
+
+def test_tile_forensics_planted_clone(ray_session):
+    """A noisy image with a cloned 24x24 patch must show repeated tiles
+    with high diversity (the copy-move signature); the same image
+    without the clone shows ~zero repeats; a flat image repeats with
+    LOW diversity (disambiguated by n_distinct_tiles)."""
+    import numpy as np
+    import pyarrow as pa
+    from destor_ray import codec
+    from destor_ray.stages.multimodal import ImageTileForensics
+
+    # deterministic "noise" without RNG: a chaotic integer texture
+    base = ((np.indices((64, 64)).prod(0) * 2654435761) % 251) \
+        .astype(np.uint8)
+    clean = np.repeat(base[:, :, None], 3, axis=2)
+    forged = clean.copy()
+    forged[8:32, 8:32] = forged[32:56, 32:56]   # tile-aligned clone
+    flat = np.full((64, 64, 3), 7, np.uint8)
+
+    batch = pa.table({
+        "image_id": pa.array(["clean", "forged", "flat"], pa.string()),
+        "bytes": pa.array([codec.encode(im, "png") for im in
+                           (clean, forged, flat)], pa.binary()),
+    })
+    out = ImageTileForensics()(batch).to_pandas().set_index("image_id")
+    assert int(out.loc["clean", "n_repeated_tiles"]) == 0
+    assert int(out.loc["forged", "n_repeated_tiles"]) >= 18  # 9 pairs
+    assert int(out.loc["forged", "n_distinct_tiles"]) > 40
+    assert int(out.loc["flat", "n_distinct_tiles"]) == 1
+    assert int(out.loc["flat", "n_repeated_tiles"]) == 64
