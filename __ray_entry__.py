@@ -3235,10 +3235,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "benford_audit": """
             WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
-                              AS cents FROM lineitem
-                       WHERE l_extendedprice > 0),
+                              AS cents FROM lineitem),
                  d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
-                                   AS BIGINT) AS digit FROM c)
+                                   AS BIGINT) AS digit FROM c
+                       WHERE cents > 0)
             SELECT digit, count(*) AS n,
                    CAST(round(log10(1.0 + 1.0 / digit) * 1000000)
                         AS BIGINT) AS benford_expected_micro

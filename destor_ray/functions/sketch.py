@@ -226,12 +226,14 @@ class CountMinSketch:
     always (one-sided error); est <= true + eps·N w.p. 1-delta at
     w = ceil(e/eps), d = ceil(ln(1/delta)).
 
-    Hashing: md5 of the token seeded per row — the deterministic,
-    process-stable choice used by every oracle-adjacent kernel here
-    (mix_u64 over pandas hash would be faster; md5 keeps the sketch
-    reproducible across numpy/pandas versions)."""
+    Hashing: blake2b(token, digest_size=4·depth), 4 bytes per row — a
+    deterministic, process-stable digest wide enough for every row to
+    get independent bits (md5's 16 bytes silently cap out at depth 4;
+    blake2b supports up to depth 16, enforced in __init__)."""
 
     def __init__(self, width: int = 2048, depth: int = 4):
+        if not 1 <= int(depth) <= 16:
+            raise ValueError("depth must be 1..16 (4 digest bytes/row)")
         self.width = int(width)
         self.depth = int(depth)
         self.table = np.zeros((depth, width), np.int64)
@@ -240,7 +242,8 @@ class CountMinSketch:
         import hashlib
         out = np.empty((self.depth, len(tokens)), np.int64)
         for j, t in enumerate(tokens):
-            h = hashlib.md5(t.encode("utf-8")).digest()
+            h = hashlib.blake2b(t.encode("utf-8"),
+                                digest_size=4 * self.depth).digest()
             for i in range(self.depth):
                 out[i, j] = int.from_bytes(h[i * 4:i * 4 + 4], "big") \
                     % self.width

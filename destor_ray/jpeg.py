@@ -384,13 +384,10 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG bytes → (h, w, 3) uint8 RGB. Supports the
-    subset this module (and any standard baseline 4:4:4 encoder)
-    emits: one scan, no restart markers, 8-bit."""
-    buf = np.frombuffer(data, np.uint8)
-    if not is_jfif(buf):
-        raise ValueError("not a JPEG (missing SOI)")
+def _parse_headers(buf: np.ndarray):
+    """Shared baseline-JFIF header walk for decode() and
+    decode_dc_luma(): (qts, dcs, acs, h, w, comp_spec, scan_start).
+    Raises on anything outside the supported baseline 4:4:4 subset."""
     qts: dict[int, np.ndarray] = {}
     dcs: dict[int, _HuffDec] = {}
     acs: dict[int, _HuffDec] = {}
@@ -450,6 +447,17 @@ def decode(data: bytes) -> np.ndarray:
         i += 2 + ln
     if scan_start is None or not h:
         raise ValueError("truncated JPEG")
+    return qts, dcs, acs, h, w, comp_spec, scan_start
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG bytes → (h, w, 3) uint8 RGB. Supports the
+    subset this module (and any standard baseline 4:4:4 encoder)
+    emits: one scan, no restart markers, 8-bit."""
+    buf = np.frombuffer(data, np.uint8)
+    if not is_jfif(buf):
+        raise ValueError("not a JPEG (missing SOI)")
+    qts, dcs, acs, h, w, comp_spec, scan_start = _parse_headers(buf)
     # find EOI
     tail = buf[scan_start:]
     br = _BitReader(tail)
@@ -527,65 +535,7 @@ def decode_dc_luma(data: bytes) -> np.ndarray:
     buf = np.frombuffer(data, np.uint8)
     if not is_jfif(buf):
         raise ValueError("not a JPEG (missing SOI)")
-    qts: dict[int, np.ndarray] = {}
-    dcs: dict[int, _HuffDec] = {}
-    acs: dict[int, _HuffDec] = {}
-    h = w = 0
-    comp_spec: list[tuple[int, int, int]] = []
-    i = 2
-    scan_start = None
-    while i < len(buf):
-        if buf[i] != 0xFF:
-            raise ValueError("marker expected")
-        m = int(buf[i + 1])
-        if m == 0xD9:
-            break
-        ln = (int(buf[i + 2]) << 8) | int(buf[i + 3])
-        seg = buf[i + 4:i + 2 + ln]
-        if m == 0xDB:
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT")
-                tbl = seg[p + 1:p + 65].astype(np.int32)[UNZIGZAG] \
-                    .reshape(8, 8)
-                qts[tq] = tbl
-                p += 65
-        elif m == 0xC0:
-            h = (int(seg[1]) << 8) | int(seg[2])
-            w = (int(seg[3]) << 8) | int(seg[4])
-            nc = int(seg[5])
-            if nc != 3:
-                raise NotImplementedError("only 3-component")
-            for c in range(nc):
-                cid, samp, tq = int(seg[6 + 3 * c]), int(seg[7 + 3 * c]), \
-                    int(seg[8 + 3 * c])
-                if samp != 0x11:
-                    raise NotImplementedError("only 4:4:4")
-                comp_spec.append((cid, tq, -1))
-        elif m in (0xC1, 0xC2, 0xC3):
-            raise NotImplementedError("baseline sequential only")
-        elif m == 0xC4:
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = [int(x) for x in seg[p + 1:p + 17]]
-                nv = sum(bits)
-                vals = [int(x) for x in seg[p + 17:p + 17 + nv]]
-                (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
-                p += 17 + nv
-        elif m == 0xDA:
-            ns = int(seg[0])
-            sel = {}
-            for c in range(ns):
-                sel[int(seg[1 + 2 * c])] = int(seg[2 + 2 * c])
-            comp_spec = [(cid, tq, sel[cid]) for cid, tq, _ in comp_spec]
-            scan_start = i + 2 + ln
-            break
-        i += 2 + ln
-    if scan_start is None or not h:
-        raise ValueError("truncated JPEG")
+    qts, dcs, acs, h, w, comp_spec, scan_start = _parse_headers(buf)
     br = _BitReader(buf[scan_start:])
 
     bh, bw = -(-h // 8), -(-w // 8)

@@ -1400,7 +1400,6 @@ def embedding_norm_stats(sf_dir: str):
     agg = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("label").aggregate(Sum("s", alias_name="s"),
                                     Max("mx", alias_name="max_norm_micro"),
-                                    Count(alias_name="_g"),
                                     Sum("n", alias_name="n"))
     return agg.map_batches(
         lambda b: pa.table({

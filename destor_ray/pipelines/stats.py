@@ -852,7 +852,8 @@ def benford_audit(sf_dir: str):
         cents = np.round(batch["l_extendedprice"]
                          .to_numpy(zero_copy_only=False) * 100) \
             .astype(np.int64)
-        v = cents[cents > 0]
+        v = cents[cents > 0]  # cents > 0, mirrored in the oracle (a
+        # sub-cent positive price would otherwise diverge)
         while (v >= 10).any():
             m = v >= 10
             v = np.where(m, v // 10, v)
@@ -913,28 +914,39 @@ def winsorized_stats(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
     buckets = hdf["bucket"].to_numpy(np.int64)
     cum = hdf["c"].to_numpy(np.int64).cumsum()
 
-    def exact_rank_value(rank: int) -> int:
-        """value at 1-based rank via one filtered scan of the bucket
-        holding it (np.partition — selection, not sort)."""
-        bi = int(np.searchsorted(cum, rank))
-        bkt = int(buckets[bi])
-        before = int(cum[bi - 1]) if bi else 0
-        blo, bhi = vlo + bkt * width, vlo + (bkt + 1) * width
-
-        def pick(batch: pa.Table) -> pa.Table:
-            v = batch["vm"].to_numpy(zero_copy_only=False)
-            keep = v[(v >= blo) & (v < bhi)]
-            return pa.table({"vm": pa.array(keep, pa.int64())})
-
-        inb = vals.map_batches(pick, batch_format="pyarrow") \
-            .to_pandas()["vm"].to_numpy(np.int64)
-        k = rank - before - 1
-        return int(np.partition(inb, k)[k])
-
     import math
     r_lo = max(1, math.ceil(lo_q * n))
     r_hi = max(1, math.ceil(hi_q * n))
-    lo_v, hi_v = exact_rank_value(r_lo), exact_rank_value(r_hi)
+
+    # both target buckets are known up front — ONE filtered pass
+    # gathers the rows of both, tagged by which rank they serve
+    def bucket_of(rank: int) -> tuple[int, int]:
+        bi = int(np.searchsorted(cum, rank))
+        return int(buckets[bi]), (int(cum[bi - 1]) if bi else 0)
+
+    (b_lo, before_lo), (b_hi, before_hi) = bucket_of(r_lo), bucket_of(r_hi)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v = batch["vm"].to_numpy(zero_copy_only=False)
+        b = (v - vlo) // width
+        keep = (b == b_lo) | (b == b_hi)
+        vv = v[keep]
+        # tag 1 = the hi bucket; collapses to all-0 when both quantiles
+        # land in the same bucket
+        tag = ((((vv - vlo) // width) == b_hi) & (b_hi != b_lo)) \
+            .astype(np.int64)
+        return pa.table({"vm": pa.array(vv, pa.int64()),
+                         "tag": pa.array(tag, pa.int64())})
+
+    picked = vals.map_batches(pick, batch_format="pyarrow").to_pandas()
+
+    def rank_in(tag: int, rank: int, before: int) -> int:
+        inb = picked.loc[picked["tag"] == tag, "vm"].to_numpy(np.int64)
+        k = rank - before - 1
+        return int(np.partition(inb, k)[k])
+
+    lo_v = rank_in(0, r_lo, before_lo)
+    hi_v = rank_in(1 if b_hi != b_lo else 0, r_hi, before_hi)
 
     def clip_partial(batch: pa.Table) -> pa.Table:
         v = batch["vm"].to_numpy(zero_copy_only=False)

@@ -2200,7 +2200,9 @@ def events_drift_psi(sf_dir: str, n_bins: int = 10):
                      Max("value", alias_name="hi"),
                      Max("event_id", alias_name="me"))
     lo, hi, me = float(g["lo"]), float(g["hi"]), int(g["me"])
-    width = (hi - lo) / float(n_bins)
+    # zero-width guard: a constant column puts every row in bin 0 (the
+    # SQL mirror assumes hi > lo, which holds for any real value stream)
+    width = (hi - lo) / float(n_bins) or 1.0
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch["value"].to_numpy(zero_copy_only=False)

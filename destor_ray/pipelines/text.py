@@ -1916,8 +1916,8 @@ def sorted_neighborhood_pairs(sf_dir: str, key_len: int = 16,
             + bnd["local_idx"].to_numpy(np.int64)
         o = np.argsort(rank)
         rank = rank[o]
-        b_did = bnd["doc_id"] if "doc_id" in bnd else bnd["doc_a"]
-        b_did = b_did.to_numpy(np.int64)[o]
+        b_did = bnd["doc_a"].to_numpy(np.int64)[o]  # boundary rows carry
+        # the doc id in doc_a (see bucket_fn's flagged-row schema)
         b_bkt = bnd["bucket"].to_numpy(np.int64)[o]
         b_pfx = bnd["pfx"].to_numpy(dtype=f"U{prefix_len}")[o]
         ea, eb, ed = [], [], []
