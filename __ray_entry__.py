@@ -1550,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rle_compression_advisor": stats.rle_compression_advisor,
         "benford_audit": stats.benford_audit,
         "winsorized_stats": stats.winsorized_stats,
+        "events_equidepth_bins": stats.events_equidepth_bins,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -3243,6 +3244,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(log10(1.0 + 1.0 / digit) * 1000000)
                         AS BIGINT) AS benford_expected_micro
             FROM d GROUP BY digit
+        """,
+        "events_equidepth_bins": """
+            WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT)
+                              AS vm FROM events),
+                 nn AS (SELECT count(*) AS c FROM v),
+                 r AS (SELECT vm, row_number() OVER (ORDER BY vm) AS rn
+                       FROM v),
+                 bins AS (SELECT unnest(range(1, 9)) AS bin_id)
+            SELECT b.bin_id, r.vm AS upper_micro
+            FROM bins b CROSS JOIN nn
+            JOIN r ON r.rn = greatest(1, CAST(ceil(b.bin_id * c / 8.0)
+                                              AS BIGINT))
         """,
         "winsorized_stats": """
             WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT)

@@ -968,3 +968,74 @@ def winsorized_stats(sf_dir: str, lo_q: float = 0.01, hi_q: float = 0.99):
         "n_clipped_lo": np.array([int(t["nlo"])], np.int64),
         "n_clipped_hi": np.array([int(t["nhi"])], np.int64),
     })
+
+
+def events_equidepth_bins(sf_dir: str, k: int = 8):
+    """(bin_id, upper_micro) — EQUI-DEPTH histogram boundaries over the
+    event values: the k-quantile fence posts (rank ceil(i·n/k),
+    i=1..k) an optimizer stores as column statistics and a range
+    partitioner uses as splitters. All k boundaries come from ONE
+    65536-bucket bincount exchange + ONE filtered gather of the (≤ k)
+    buckets that hold a target rank — the multi-rank generalization of
+    exact_global_quantiles' histogram-refine selection; still zero
+    sort, zero co-location.
+
+    Oracle: row_number rank selection per boundary."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        vm = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1_000_000).astype(np.int64)
+        return pa.table({"vm": pa.array(vm, pa.int64())})
+
+    vals = ds.map_batches(to_micro, batch_format="pyarrow").materialize()
+    g = vals.aggregate(Count(alias_name="n"), Min("vm", alias_name="lo"),
+                       Max("vm", alias_name="hi"))
+    n, vlo, vhi = int(g["n"]), int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(vhi - vlo + 1) // 65536))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        b = (batch["vm"].to_numpy(zero_copy_only=False) - vlo) // width
+        cnt = np.bincount(b)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    hdf = vals.map_batches(hist, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("c", alias_name="c")) \
+        .to_pandas().sort_values("bucket")
+    buckets = hdf["bucket"].to_numpy(np.int64)
+    cum = hdf["c"].to_numpy(np.int64).cumsum()
+
+    ranks = [max(1, math.ceil(i * n / k)) for i in range(1, k + 1)]
+    info = []
+    for r in ranks:
+        bi = int(np.searchsorted(cum, r))
+        info.append((int(buckets[bi]), int(cum[bi - 1]) if bi else 0, r))
+    need = sorted({b for b, _, _ in info})
+    need_arr = np.asarray(need, np.int64)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        v = batch["vm"].to_numpy(zero_copy_only=False)
+        b = (v - vlo) // width
+        keep = np.isin(b, need_arr)
+        return pa.table({"vm": pa.array(v[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    picked = vals.map_batches(pick, batch_format="pyarrow").to_pandas()
+    by_bucket = {b: g["vm"].to_numpy(np.int64)
+                 for b, g in picked.groupby("b")}
+    uppers = []
+    for b, before, r in info:
+        arr = by_bucket[b]
+        kk = r - before - 1
+        uppers.append(int(np.partition(arr, kk)[kk]))
+    return pd.DataFrame({
+        "bin_id": np.arange(1, k + 1, dtype=np.int64),
+        "upper_micro": np.array(uppers, np.int64),
+    })
