@@ -1592,6 +1592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,
         "jfif_dc_thumbnail_stats": ingest.jfif_dc_thumbnail_stats,
+        "resilient_read_stats": ingest.resilient_read_stats,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,

@@ -797,3 +797,73 @@ def jfif_dc_thumbnail_stats(sf_dir: str, n_images: int = 256):
         "full_ms_mean": np.array([agg["full_us_sum"] // n // 1000],
                                  np.int64),
     })
+
+
+def resilient_read_stats(sf_dir: str):
+    """(status, n_files, n_rows) — CORRUPT-FILE-tolerant reads: a
+    staged copy of the documents table gets one file truncated
+    mid-footer and one replaced with garbage (the real corpus's
+    inevitable bad objects); `ray.data.read_parquet` on the directory
+    fails the WHOLE job on the first bad footer (tested), so the
+    resilient path lists the files into a Dataset of paths and each
+    map task opens its file under a per-file guard — good files stream
+    their rows on, bad files become quarantine rows carrying the error
+    class (the read-layer twin of ImageDecodeQuarantine's per-row
+    discipline). At 100 TB this is how an ingest survives a bad
+    object without rerunning the other 10^6 files.
+
+    The file->rows expansion happens INSIDE map_batches (batch of
+    paths in, batch of rows out), so Ray's streaming executor still
+    pipelines and spills normally; paths-per-task = 1 keeps failure
+    domains minimal."""
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/destor_ray_resilient/{tag}"
+    if not os.path.isdir(base):
+        import shutil
+        tmp = f"{base}.tmp.{os.getpid()}"
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "lang"]) \
+            .repartition(8).write_parquet(tmp)
+        files = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        # corrupt file 0: truncate the footer; file 1: garbage bytes
+        p0 = os.path.join(tmp, files[0])
+        data = open(p0, "rb").read()
+        open(p0, "wb").write(data[:max(8, len(data) // 2)])
+        open(os.path.join(tmp, files[1]), "wb").write(b"not a parquet file")
+        try:
+            os.rename(tmp, base)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    paths = sorted(f"{base}/{f}" for f in os.listdir(base)
+                   if f.endswith(".parquet"))
+    pds = ray.data.from_items([{"path": p} for p in paths]) \
+        .repartition(len(paths))
+
+    def read_guarded(batch: pa.Table) -> pa.Table:
+        status, nf, nr = [], [], []
+        for p in batch["path"].to_pylist():
+            try:
+                t = pq_.read_table(p, columns=["doc_id"])
+                status.append("ok")
+                nr.append(t.num_rows)
+            except Exception as e:  # noqa: BLE001 — quarantine, not crash
+                status.append(f"quarantined:{type(e).__name__}")
+                nr.append(0)
+            nf.append(1)
+        return pa.table({"status": pa.array(status, pa.string()),
+                         "nf": pa.array(nf, pa.int64()),
+                         "nr": pa.array(nr, pa.int64())})
+
+    agg = pds.map_batches(read_guarded, batch_format="pyarrow") \
+        .groupby("status").aggregate(Sum("nf", alias_name="n_files"),
+                                     Sum("nr", alias_name="n_rows"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "status": b["status"],
+            "n_files": b["n_files"].cast(pa.int64()),
+            "n_rows": b["n_rows"].cast(pa.int64())}),
+        batch_format="pyarrow")

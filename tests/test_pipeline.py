@@ -387,3 +387,26 @@ def test_hard_negatives_catch_distractors(ray_session):
     pos = set(map(tuple, edges[["left_id", "right_id"]].to_numpy()))
     pos_sym = pos | {(b, a) for a, b in pos}
     assert not (neg_sym & pos_sym)
+
+
+def test_resilient_read_quarantines_corrupt_files(ray_session):
+    """Two planted corrupt files (truncated footer + garbage bytes)
+    must be quarantined with their error class while every good file's
+    rows survive; the naive directory read_parquet fails outright —
+    pinned so the resilient path is demonstrably necessary."""
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    out = em.queries()["resilient_read_stats"](sf).to_pandas()
+    ok = out[out["status"] == "ok"]
+    bad = out[out["status"] != "ok"]
+    assert int(bad["n_files"].sum()) == 2
+    assert int(ok["n_files"].sum()) == 6
+    n_docs = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    # good files hold all rows except those in the two corrupted shards
+    assert 0 < int(ok["n_rows"].sum()) < n_docs
+    with pytest.raises(Exception):
+        ray.data.read_parquet("/tmp/destor_ray_resilient/sf0.001").count()
