@@ -1551,6 +1551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": stats.benford_audit,
         "winsorized_stats": stats.winsorized_stats,
         "events_equidepth_bins": stats.events_equidepth_bins,
+        "shuffle_order_audit": stats.shuffle_order_audit,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
@@ -3245,6 +3246,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(log10(1.0 + 1.0 / digit) * 1000000)
                         AS BIGINT) AS benford_expected_micro
             FROM d GROUP BY digit
+        """,
+        "shuffle_order_audit": """
+            WITH k AS (SELECT doc_id, source,
+                              CAST(('0x' || substr(md5(
+                                  CAST(doc_id AS VARCHAR)), 1, 15))
+                                   AS BIGINT) AS hkey
+                       FROM documents),
+                 a AS (SELECT source, lag(source)
+                              OVER (ORDER BY doc_id) AS p FROM k),
+                 b AS (SELECT source, lag(source)
+                              OVER (ORDER BY hkey) AS p FROM k)
+            SELECT 'doc_id' AS ordering, count(*) AS n_rows,
+                   CAST(count(*) FILTER (p IS NULL OR source <> p)
+                        AS BIGINT) AS n_runs_source
+            FROM a
+            UNION ALL
+            SELECT 'md5_hash', count(*),
+                   CAST(count(*) FILTER (p IS NULL OR source <> p)
+                        AS BIGINT)
+            FROM b
         """,
         "events_equidepth_bins": """
             WITH v AS (SELECT CAST(round(value * 1000000) AS BIGINT)

@@ -1039,3 +1039,84 @@ def events_equidepth_bins(sf_dir: str, k: int = 8):
         "bin_id": np.arange(1, k + 1, dtype=np.int64),
         "upper_micro": np.array(uppers, np.int64),
     })
+
+
+def shuffle_order_audit(sf_dir: str, n_buckets: int = 256):
+    """(ordering, n_rows, n_runs_source) — TRAINING-ORDER mixing audit:
+    how well does each read order decorrelate the `source` column?
+    Long same-source runs in training order bias gradient batches; the
+    fix at 100 TB is not random_shuffle's all-to-all but reading in
+    HASH order (order by md5(doc_id) — deterministic, resumable, and
+    free if the layout is already hash-bucketed). This measures both:
+    runs of consecutive equal sources in natural doc_id order vs in
+    md5-hash order — hash order's run count approaches the n(1-1/k)
+    ideal of an independent stream.
+
+    Same boundary-value scan carry as rle_compression_advisor, run
+    over TWO orderings in one exchange (the ordering id rides the
+    bucket key)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hk = np.array([int(hashlib.md5(str(int(i)).encode())
+                           .hexdigest()[:15], 16) for i in did], np.int64)
+        src = batch["source"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "hkey": pa.array(hk, pa.int64()),
+            "source": pa.array(src, pa.string()),
+        })
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow").materialize()
+
+    def runs_for(order_col: str) -> int:
+        # range-bucket by the ordering key
+        from ray.data.aggregate import Max, Min
+        gg = keyed.aggregate(Min(order_col, alias_name="lo"),
+                             Max(order_col, alias_name="hi"))
+        lo, hi = int(gg["lo"]), int(gg["hi"])
+        width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+        def bucketize(batch: pa.Table) -> pa.Table:
+            k = batch[order_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "k": pa.array(k.astype(np.int64), pa.int64()),
+                "source": batch["source"],
+                "bucket": pa.array((k - lo) // width, pa.int64()),
+            })
+
+        def bucket_runs(df: pd.DataFrame) -> pa.Table:
+            o = np.argsort(df["k"].to_numpy(np.int64))
+            v = df["source"].to_numpy(object)[o]
+            runs = 1 + int((v[1:] != v[:-1]).sum()) if len(v) else 0
+            return pa.table({
+                "bucket": pa.array([int(df["bucket"].iloc[0])], pa.int64()),
+                "runs": pa.array([runs], pa.int64()),
+                "first_v": pa.array([str(v[0])], pa.string()),
+                "last_v": pa.array([str(v[-1])], pa.string()),
+            })
+
+        summ = keyed.map_batches(bucketize, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(bucket_runs,
+                                          batch_format="pandas") \
+            .to_pandas().sort_values("bucket")
+        r = int(summ["runs"].sum())
+        lastv = summ["last_v"].to_numpy(object)
+        firstv = summ["first_v"].to_numpy(object)
+        r -= int((lastv[:-1] == firstv[1:]).sum())
+        return r
+
+    n = keyed.count()
+    return pd.DataFrame({
+        "ordering": ["doc_id", "md5_hash"],
+        "n_rows": np.array([n, n], np.int64),
+        "n_runs_source": np.array([runs_for("doc_id"),
+                                   runs_for("hkey")], np.int64),
+    })
