@@ -1594,6 +1594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transactional_commit_readback": ingest.transactional_commit_readback,
         "jfif_dc_thumbnail_stats": ingest.jfif_dc_thumbnail_stats,
         "resilient_read_stats": ingest.resilient_read_stats,
+        "storage_orphan_gc": ingest.storage_orphan_gc,
+        "user_erasure_certified": ingest.user_erasure_certified,
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
@@ -2763,6 +2765,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1
+        """,
+        "user_erasure_certified": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_value_micro
+            FROM events WHERE user_id <> 7 GROUP BY event_type
         """,
         "transactional_commit_readback": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -867,3 +867,93 @@ def resilient_read_stats(sf_dir: str):
             "n_files": b["n_files"].cast(pa.int64()),
             "n_rows": b["n_rows"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def storage_orphan_gc(sf_dir: str):
+    """(status, n_files, total_bytes) — the filesystem-level GC SWEEP
+    that pairs with the manifest commit protocol: diff the directory
+    listing against the union of published manifests; files in no
+    manifest are orphans from failed writer attempts and their bytes
+    are reclaimable (destor's container reclamation, X3, one level up
+    the stack — here it's whole objects instead of chunk refs). Uses
+    the transactional_commit_readback staging dir, which plants
+    exactly one orphan; the sweep REPORTS, it does not delete — a
+    separate destructive pass would act on this table after a grace
+    period.
+
+    Scale shape: the listing is metadata-only (no file is opened); at
+    10^6 objects the listing itself shards by prefix — here one driver
+    listdir stands in, with the diff done as set membership against
+    the broadcast manifest set (manifests are tiny by contract)."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+
+    # ensure the staged dir (and its planted orphan) exists
+    transactional_commit_readback(sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/destor_ray_txn/{tag}"
+    with open(f"{base}/MANIFEST.json") as f:
+        committed = set(json.load(f)["files"])
+    rows = []
+    for name in sorted(os.listdir(base)):
+        if not name.endswith(".parquet"):
+            continue
+        sz = os.path.getsize(os.path.join(base, name))
+        rows.append(("committed" if name in committed else "orphan", sz))
+    df = pd.DataFrame(rows, columns=["status", "bytes"])
+    g = df.groupby("status", as_index=False).agg(
+        n_files=("bytes", "size"), total_bytes=("bytes", "sum"))
+    g["n_files"] = g["n_files"].astype(np.int64)
+    g["total_bytes"] = g["total_bytes"].astype(np.int64)
+    return g
+
+
+def user_erasure_certified(sf_dir: str, erase_user: int = 7):
+    """(event_type, n, sum_value_micro) over the events table AFTER
+    erasing one user's rows — the right-to-be-forgotten pass: filter
+    map-side, REWRITE the store (erasure must be physical, not a view),
+    read the rewritten store back and aggregate. The oracle runs
+    WHERE user_id <> erase_user over the ORIGINAL table, so a hash
+    match certifies the rewrite erased exactly that user's rows and
+    nothing else — the deletion counterpart of the compaction digest.
+
+    Scale shape: one streaming filtered write (partition-parallel),
+    one aggregate over the rewritten store."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out_dir = f"/tmp/destor_ray_erasure/{tag}_u{erase_user}"
+    if not os.path.isdir(out_dir):
+        ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id", "event_type",
+                                            "value"])
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            keep = batch["user_id"].to_numpy(zero_copy_only=False) \
+                != erase_user
+            t = batch.filter(pa.array(keep))
+            vmic = np.round(t["value"].to_numpy(zero_copy_only=False)
+                            * 1_000_000).astype(np.int64)
+            return pa.table({"event_type": t["event_type"],
+                             "vmic": pa.array(vmic, pa.int64())})
+
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        ds.map_batches(scrub, batch_format="pyarrow").write_parquet(tmp)
+        import shutil
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    agg = ray.data.read_parquet(out_dir).groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("vmic", alias_name="sum_value_micro"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_value_micro": pc.cast(b["sum_value_micro"], pa.int64())}),
+        batch_format="pyarrow")

@@ -410,3 +410,31 @@ def test_resilient_read_quarantines_corrupt_files(ray_session):
     assert 0 < int(ok["n_rows"].sum()) < n_docs
     with pytest.raises(Exception):
         ray.data.read_parquet("/tmp/destor_ray_resilient/sf0.001").count()
+
+
+def test_storage_orphan_gc_finds_planted_orphan(ray_session):
+    import __ray_entry__ as em
+    out = em.queries()["storage_orphan_gc"]("/root/testdata/sf0.001") \
+        .set_index("status")
+    assert int(out.loc["orphan", "n_files"]) == 1
+    assert int(out.loc["orphan", "total_bytes"]) > 0
+    assert int(out.loc["committed", "n_files"]) >= 2
+
+
+def test_user_erasure_actually_removes_rows(ray_session):
+    """The rewritten store must contain zero rows for the erased user
+    and fewer total rows than the source (physical erasure, not a
+    view); the per-type aggregate is oracle-certified separately."""
+    import pyarrow.parquet as pq
+    import ray.data
+    import __ray_entry__ as em
+    sf = "/root/testdata/sf0.001"
+    out = em.queries()["user_erasure_certified"](sf).to_pandas()
+    n_after = int(out["n"].sum())
+    n_before = pq.ParquetFile(f"{sf}/events.parquet").metadata.num_rows
+    import duckdb
+    n_user = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/events.parquet') "
+        "WHERE user_id = 7").fetchone()[0]
+    assert n_user > 0  # the erased user existed
+    assert n_after == n_before - n_user
