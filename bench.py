@@ -144,7 +144,7 @@ def main() -> None:
                  "triangle_count",
                  "q5_local_supplier_volume", "sequence_pack",
                  "heavy_hitter_tokens", "events_user_hour_ohlc",
-                 "keep_best_dedup"]:
+                 "keep_best_dedup", "sorted_neighborhood_pairs"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver
