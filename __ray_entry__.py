@@ -1552,6 +1552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": stats.winsorized_stats,
         "events_equidepth_bins": stats.events_equidepth_bins,
         "shuffle_order_audit": stats.shuffle_order_audit,
+        "events_type_hll_users": streaming.events_type_hll_users,
         "events_global_rank": streaming.events_global_rank,
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,

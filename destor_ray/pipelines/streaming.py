@@ -2325,3 +2325,72 @@ def events_cusum(sf_dir: str, k_micro: int = 50_000_000,
         })
 
     return keyed.groupby("bucket").map_groups(emit, batch_format="pandas")
+
+
+def events_type_hll_users(sf_dir: str, p: int = 12):
+    """(event_type, n_events, hll_users, exact_users) — GROUPED
+    approximate COUNT(DISTINCT): per event type, distinct users via a
+    per-group HyperLogLog (2^p registers each) merged register-wise
+    through one type-keyed exchange. Completes the grouped-sketch
+    matrix (global HLL ✓, grouped KLL ✓, grouped exact-distinct ✓):
+    at an unbounded user domain the exact path's per-group distinct
+    exchange grows with the DATA, the sketch path stays 2^p bytes per
+    (batch, group) partial. The exact column rides along here purely
+    as the verification baseline (rel. error ~1.04/√2^p, asserted in
+    the test and visible in the output)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import HyperLogLog
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        types, blobs, ns, uniq_u = [], [], [], []
+        for t in np.unique(et):
+            m = et == t
+            hll = HyperLogLog(p=p)
+            hll.add_hashes(pd.util.hash_array(uid[m]))
+            types.append(t)
+            blobs.append(hll.to_bytes())
+            ns.append(int(m.sum()))
+            uniq_u.append(np.unique(uid[m]))
+        # exact-side partials: batch-deduped (type, user) rows
+        ex_t = np.repeat(np.asarray(types, object),
+                         [len(u) for u in uniq_u])
+        ex_u = np.concatenate(uniq_u) if uniq_u else np.array([], np.int64)
+        k = len(types)
+        return pa.table({
+            "event_type": pa.array(list(types) + ex_t.tolist(),
+                                   pa.string()),
+            "blob": pa.array(blobs + [b""] * len(ex_u), pa.binary()),
+            "n": pa.array(ns + [0] * len(ex_u), pa.int64()),
+            "user_id": pa.array([-1] * k + ex_u.tolist(), pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_group(df: pd.DataFrame) -> pa.Table:
+        types, ns, hll_c, ex_c = [], [], [], []
+        for t, g in df.groupby("event_type", sort=False):
+            sk = g[g["user_id"] == -1]
+            hll = HyperLogLog(p=p)
+            for blob in sk["blob"]:
+                hll.merge(HyperLogLog.from_bytes(blob))
+            ex = g.loc[g["user_id"] != -1, "user_id"].nunique()
+            types.append(t)
+            ns.append(int(sk["n"].sum()))
+            hll_c.append(int(round(hll.estimate())))
+            ex_c.append(int(ex))
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "n_events": pa.array(ns, pa.int64()),
+            "hll_users": pa.array(hll_c, pa.int64()),
+            "exact_users": pa.array(ex_c, pa.int64()),
+        })
+
+    return bucketed_group_map(rows, "event_type", merge_group,
+                              num_buckets=4)

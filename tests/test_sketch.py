@@ -254,3 +254,20 @@ def test_cms_token_counts_query(ray_session):
     assert (out["overestimate"] >= 0).all()
     # 31-token vocabulary vs 2048x4 counters: exact regime
     assert (out["cms_est"] == out["true_count"]).all()
+
+
+def test_events_type_hll_users_accuracy(ray_session):
+    """Grouped HLL distinct-user estimates stay within the sketch's
+    theoretical band of the exact per-group counts (rel err
+    ~1.04/sqrt(2^12) ≈ 1.6%; assert a loose 6% with small-group
+    slack)."""
+    import __ray_entry__ as em
+    out = em.queries()["events_type_hll_users"](
+        "/root/testdata/sf0.01").to_pandas()
+    assert len(out) >= 3
+    for _, r in out.iterrows():
+        exact = int(r["exact_users"])
+        est = int(r["hll_users"])
+        assert exact > 0
+        assert abs(est - exact) <= max(2, 0.06 * exact), \
+            (r["event_type"], est, exact)
