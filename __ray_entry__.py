@@ -218,6 +218,11 @@ queries() entries map to SURVEY.md §2 operators:
                        int64 slope_num/slope_den cross-multiplied pairs
                        — moment partials fold map-side, one domain
                        exchange, no float accumulation (oracle)
+  events_autocorr      per-type lag-k autocorrelation (k=1..3) of the
+                       value series in event_id order — EXACT limb-split
+                       moment partials per range bucket, spanning pairs
+                       stitched from the O(buckets·types·k) boundary
+                       set; lag() UNION mirror (oracle)
   events_rolling_active_users rolling 7-day WAU — SLIDING-window
                        COUNT(DISTINCT): fact table reduces to the
                        distinct (user, day) domain first; the 7× window
@@ -1557,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_constraints_audit": stats.table_constraints_audit,
         "events_rolling_active_users": streaming.events_rolling_active_users,
         "events_type_trend": streaming.events_type_trend,
+        "events_autocorr": streaming.events_autocorr,
         "rp_ann_topk": ann.rp_ann_topk,
         "events_cumulative_users": streaming.events_cumulative_users,
         "events_hourly_gapfill": streaming.events_hourly_gapfill,
@@ -3127,6 +3133,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sy AS BIGINT) AS sum_y_micro,
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+            FROM m
+        """,
+        "events_autocorr": """
+            WITH v AS (SELECT event_type, event_id,
+                              CAST(round(value * 1000000) AS HUGEINT)
+                                  AS vm
+                       FROM events),
+                 p AS (
+                    SELECT event_type, 1 AS lag,
+                           lag(vm, 1) OVER (PARTITION BY event_type
+                                            ORDER BY event_id) AS x,
+                           vm AS y FROM v
+                    UNION ALL
+                    SELECT event_type, 2 AS lag,
+                           lag(vm, 2) OVER (PARTITION BY event_type
+                                            ORDER BY event_id) AS x,
+                           vm AS y FROM v
+                    UNION ALL
+                    SELECT event_type, 3 AS lag,
+                           lag(vm, 3) OVER (PARTITION BY event_type
+                                            ORDER BY event_id) AS x,
+                           vm AS y FROM v),
+                 m AS (SELECT event_type, lag,
+                              CAST(count(*) AS HUGEINT) AS n,
+                              sum(x) AS sx, sum(y) AS sy,
+                              sum(x * y) AS sxy, sum(x * x) AS sxx,
+                              sum(y * y) AS syy
+                       FROM p WHERE x IS NOT NULL
+                       GROUP BY event_type, lag)
+            SELECT event_type, CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   CAST(sx AS BIGINT) AS sum_x,
+                   CAST(sy AS BIGINT) AS sum_y,
+                   CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                              * 1000000.0
+                              / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                     * CAST(n * syy - sy * sy
+                                            AS DOUBLE)))
+                        AS BIGINT) AS corr_micro
             FROM m
         """,
         "events_rolling_active_users": """

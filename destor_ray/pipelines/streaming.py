@@ -2394,3 +2394,174 @@ def events_type_hll_users(sf_dir: str, p: int = 12):
 
     return bucketed_group_map(rows, "event_type", merge_group,
                               num_buckets=4)
+
+
+def events_autocorr(sf_dir: str, k_max: int = 3, n_buckets: int = 64):
+    """(event_type, lag, n_pairs, sum_x, sum_y, corr_micro) — EXACT
+    per-type lag-k AUTOCORRELATION (k = 1..k_max) of the value series
+    in event_id order: Pearson r over the pair set (x_i, x_{i+k}) of
+    each type's sequence — the serial-dependence read a monitoring /
+    feature-engineering pipeline runs before fitting AR models or
+    choosing a shuffle granularity (high lag-1 ACF ⇒ consecutive rows
+    are redundant ⇒ sample, don't stream, the metric).
+
+    Lag pairs look like they need a per-type global sort; the scale
+    shape is the boundary-set scan-carry family (events_global_rank /
+    rle_compression_advisor): event_id RANGE buckets preserve per-type
+    order, so each type's global sequence is the concatenation of its
+    per-bucket subsequences. One bucket-keyed exchange; each bucket
+    locally sorts and emits (a) per-(type, k) moment partials over its
+    IN-BUCKET pairs, with per-term (hi, lo) limb splits for the three
+    product sums exactly as events_zscore_outliers (a micro value can
+    reach 5.6e8, its square 3.1e17 — an 8192-term batch sum overflows
+    int64), and (b) its per-type head/tail k_max boundary rows + the
+    subsequence length. Any pair that SPANS buckets has ≤ k-1 elements
+    after its left endpoint in that bucket (so the left endpoint is in
+    the tail-k_max set) and ≤ k-1 before its right endpoint (head-k_max
+    set) — the driver reconstructs every spanning pair from the
+    O(n_buckets · types · k_max) boundary set using global ranks from
+    the exclusive length prefix, filters to bucket-crossing pairs only
+    (in-bucket pairs were counted locally), and folds them into the
+    bigint moment totals. Final Pearson r per (type, lag) is computed
+    double-precision in the oracle's exact operand order, rounded
+    half-away-from-zero to integer micros (lineitem_corr_stats
+    convention).
+
+    Oracle: UNION ALL of k fixed-offset lag() windows per type with
+    HUGEINT moment sums — integer-exact on both sides."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "event_type", "value"])
+
+    g = ds.aggregate(Min("event_id", alias_name="lo"),
+                     Max("event_id", alias_name="hi"))
+    lo, hi = int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        return pa.table({
+            "eid": pa.array(eid, pa.int64()),
+            "event_type": batch["event_type"],
+            "v": pa.array(v, pa.int64()),
+            "bucket": pa.array((eid - lo) // width, pa.int64()),
+        })
+
+    keyed = ds.map_batches(narrow, batch_format="pyarrow")
+
+    LIMB_MASK = np.int64((1 << 32) - 1)
+
+    def bucket_local(df: pd.DataFrame) -> pa.Table:
+        o = np.argsort(df["eid"].to_numpy(np.int64))
+        et = df["event_type"].to_numpy(dtype=object)[o]
+        v = df["v"].to_numpy(np.int64)[o]
+        b = int(df["bucket"].iloc[0])
+        codes, uniq = pd.factorize(et, sort=True)
+        # rows: kind 0 = per-(type, k) in-bucket moment partials;
+        #       kind 1 = per-type boundary rows (rank within the
+        #                bucket's type-subsequence, value, length)
+        cols = {k: [] for k in (
+            "kind", "event_type", "k", "n", "sx", "sy",
+            "sxy_hi", "sxy_lo", "sxx_hi", "sxx_lo", "syy_hi", "syy_lo",
+            "bucket", "rank", "val", "tlen")}
+
+        def emit(kind, t, **kw):
+            base = dict(kind=kind, event_type=t, k=0, n=0, sx=0, sy=0,
+                        sxy_hi=0, sxy_lo=0, sxx_hi=0, sxx_lo=0,
+                        syy_hi=0, syy_lo=0, bucket=b, rank=0, val=0,
+                        tlen=0)
+            base.update(kw)
+            for c, val in base.items():
+                cols[c].append(val)
+
+        for ti, t in enumerate(uniq):
+            tv = v[codes == ti]
+            m = len(tv)
+            for k in range(1, k_max + 1):
+                if m <= k:
+                    continue
+                x, y = tv[:-k], tv[k:]
+                xy, xx, yy = x * y, x * x, y * y
+                emit(0, t, k=k, n=m - k,
+                     sx=int(x.sum()), sy=int(y.sum()),
+                     sxy_hi=int((xy >> np.int64(32)).sum()),
+                     sxy_lo=int((xy & LIMB_MASK).sum()),
+                     sxx_hi=int((xx >> np.int64(32)).sum()),
+                     sxx_lo=int((xx & LIMB_MASK).sum()),
+                     syy_hi=int((yy >> np.int64(32)).sum()),
+                     syy_lo=int((yy & LIMB_MASK).sum()))
+            ranks = set(range(min(k_max, m))) \
+                | set(range(max(0, m - k_max), m))
+            for r in sorted(ranks):
+                emit(1, t, rank=r, val=int(tv[r]), tlen=m)
+
+        return pa.table({c: pa.array(cols[c], pa.string()
+                                     if c == "event_type" else pa.int64())
+                         for c in cols})
+
+    small = keyed.groupby("bucket") \
+        .map_groups(bucket_local, batch_format="pandas").to_pandas()
+
+    # fold in-bucket moment partials to bigint totals per (type, k)
+    mom: dict[tuple, dict] = {}
+    for _, r in small[small["kind"] == 0].iterrows():
+        key = (r["event_type"], int(r["k"]))
+        m = mom.setdefault(key, dict(n=0, sx=0, sy=0, sxy=0, sxx=0,
+                                     syy=0))
+        m["n"] += int(r["n"])
+        m["sx"] += int(r["sx"])
+        m["sy"] += int(r["sy"])
+        m["sxy"] += (int(r["sxy_hi"]) << 32) + int(r["sxy_lo"])
+        m["sxx"] += (int(r["sxx_hi"]) << 32) + int(r["sxx_lo"])
+        m["syy"] += (int(r["syy_hi"]) << 32) + int(r["syy_lo"])
+
+    # stitch spanning pairs from the boundary set
+    bnd = small[small["kind"] == 1]
+    for t, gdf in bnd.groupby("event_type", sort=False):
+        gdf = gdf.sort_values(["bucket", "rank"])
+        # exclusive prefix of per-bucket subsequence lengths
+        lens = gdf.groupby("bucket", sort=True)["tlen"].first()
+        offsets = lens.cumsum().shift(fill_value=0)
+        gpos = (gdf["bucket"].map(offsets)
+                + gdf["rank"]).to_numpy(np.int64)
+        vals = gdf["val"].to_numpy(np.int64)
+        bkts = gdf["bucket"].to_numpy(np.int64)
+        pos_ix = {int(p): i for i, p in enumerate(gpos)}
+        for i, p in enumerate(gpos):
+            for k in range(1, k_max + 1):
+                j = pos_ix.get(int(p) + k)
+                if j is None or bkts[j] == bkts[i]:
+                    continue  # in-bucket pairs were counted locally
+                m = mom.setdefault((t, k), dict(n=0, sx=0, sy=0, sxy=0,
+                                                sxx=0, syy=0))
+                x, y = int(vals[i]), int(vals[j])
+                m["n"] += 1
+                m["sx"] += x
+                m["sy"] += y
+                m["sxy"] += x * y
+                m["sxx"] += x * x
+                m["syy"] += y * y
+
+    rows = []
+    for (t, k), m in sorted(mom.items()):
+        n = m["n"]
+        num = n * m["sxy"] - m["sx"] * m["sy"]
+        d1 = n * m["sxx"] - m["sx"] * m["sx"]
+        d2 = n * m["syy"] - m["sy"] * m["sy"]
+        # d1 * d2 can exceed INT128 — the oracle multiplies as doubles,
+        # so mirror float(d1) * float(d2), not float(d1 * d2)
+        corr = float(num) * 1_000_000.0 / math.sqrt(float(d1) * float(d2))
+        corr_micro = math.floor(corr + 0.5) if corr >= 0 \
+            else -math.floor(-corr + 0.5)
+        rows.append((t, k, n, m["sx"], m["sy"], corr_micro))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "lag", "n_pairs", "sum_x", "sum_y", "corr_micro"])
+    return out.astype({"lag": "int64", "n_pairs": "int64",
+                       "sum_x": "int64", "sum_y": "int64",
+                       "corr_micro": "int64"})

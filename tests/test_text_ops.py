@@ -824,3 +824,45 @@ def test_shard_rebalance_rendezvous_beats_mod(ray_session):
     assert rdv_frac < 0.25          # theory: ~1/9 ≈ 0.11
     assert mod_frac > 0.7           # theory: ~8/9 ≈ 0.89
     assert rdv_frac < mod_frac / 3  # the scheme gap itself
+
+
+def test_autocorr_matches_pandas_and_bucket_invariant(ray_session):
+    """events_autocorr == a single-process pandas reference (exact
+    integer moments, same rounding), and the result is invariant to
+    the bucket count (the cross-bucket stitch can't depend on where
+    the range splits fall — n_buckets=3 forces nearly every lag pair
+    through the boundary-set path at 1000 rows / 5 types)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.streaming import events_autocorr
+
+    out = events_autocorr(SF).sort_values(
+        ["event_type", "lag"]).reset_index(drop=True)
+    out3 = events_autocorr(SF, n_buckets=3).sort_values(
+        ["event_type", "lag"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out3)
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]) \
+        .to_pandas().sort_values("event_id")
+    rows = []
+    for t, g in df.groupby("event_type"):
+        v = [int(round(x * 1_000_000)) for x in g["value"]]
+        for k in (1, 2, 3):
+            x, y = v[:-k], v[k:]
+            n = len(x)
+            sx, sy = sum(x), sum(y)
+            sxy = sum(a * b for a, b in zip(x, y))
+            sxx = sum(a * a for a in x)
+            syy = sum(b * b for b in y)
+            num = n * sxy - sx * sy
+            corr = float(num) * 1e6 / math.sqrt(
+                float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+            cm = math.floor(corr + 0.5) if corr >= 0 \
+                else -math.floor(-corr + 0.5)
+            rows.append((t, k, n, sx, sy, cm))
+    ref = pd.DataFrame(rows, columns=out.columns).astype(out.dtypes) \
+        .sort_values(["event_type", "lag"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref)
