@@ -8,6 +8,9 @@ queries() entries map to SURVEY.md §2 operators:
   token_count          text analysis: token counting (oracle)
   token_count_bpe      BPE-ish regex pre-tokenizer count (oracle)
   quality_score        text analysis: quality features (oracle)
+  readability_scores   Flesch reading-ease in exact integer micros —
+                       vowel-proxy syllables, floor-division formula
+                       mirrored in SQL; map-only vectorized (oracle)
   lang_id              text analysis: language-ID heuristic (oracle)
   doc_fingerprint      document fingerprinting: SimHash + MinHash (rows-only)
   minhash_lsh_docs     D3/D4 similarity join: MinHash-LSH near-dup clusters (rows-only)
@@ -1606,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "job_partition_metrics": _job_partition_metrics,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
+        "readability_scores": text.readability_scores,
         "token_count_bpe": text.token_count_bpe,
         "tokenize_to_ids": text.tokenize_to_ids,
         "doc_feature_hashing": text.doc_feature_hashing,
@@ -2327,6 +2331,30 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents
+        """,
+        "readability_scores": """
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                           AS n_words,
+                       greatest(CAST(
+                           length(text)
+                           - length(replace(text, '.', ''))
+                           + length(text)
+                           - length(replace(text, '!', ''))
+                           + length(text)
+                           - length(replace(text, '?', ''))
+                           AS BIGINT), 1) AS n_sentences,
+                       CAST(length(lower(text))
+                            - length(regexp_replace(lower(text),
+                                                    '[aeiou]', '', 'g'))
+                            AS BIGINT) AS n_vowels
+                FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_vowels,
+                   206835000
+                   - (1015000 * n_words) // n_sentences
+                   - (84600000 * n_vowels) // n_words AS flesch_micro
+            FROM f
         """,
         "token_count_bpe": r"""
             SELECT doc_id,

@@ -2286,3 +2286,49 @@ def source_overlap_matrix(sf_dir: str, k: int = 8):
             "source_a": b["source_a"], "source_b": b["source_b"],
             "n_shared_shingles": b["n_shared_shingles"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def readability_scores(sf_dir: str):
+    """(doc_id, n_words, n_sentences, n_vowels, flesch_micro) — the
+    Flesch reading-ease readability screen a text-curation pipeline
+    runs next to quality_score (too-hard / too-degenerate documents
+    get filtered or routed to a different training mix). Syllables are
+    proxied by vowel count (the standard cheap approximation), and the
+    score is computed in EXACT integer micros with floor divisions so
+    the SQL mirror hash-matches:
+
+        flesch_micro = 206_835_000
+                       − (1_015_000 · words) // sentences
+                       − (84_600_000 · vowels) // words
+
+    MAP-ONLY and fully vectorized: pc.count_substring for words (the
+    token_count single-space convention), sentence enders and the five
+    vowels over utf8_lower — no shuffle, no Python per-row loop."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        lower = pc.utf8_lower(text)
+        words = pc.add(pc.count_substring(text, " "), 1) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sent = np.zeros(len(words), np.int64)
+        for ch in ".!?":
+            sent += pc.count_substring(text, ch).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+        sent = np.maximum(sent, 1)
+        vow = np.zeros(len(words), np.int64)
+        for ch in "aeiou":
+            vow += pc.count_substring(lower, ch).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+        score = (206_835_000
+                 - (1_015_000 * words) // sent
+                 - (84_600_000 * vow) // words)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(words, pa.int64()),
+            "n_sentences": pa.array(sent, pa.int64()),
+            "n_vowels": pa.array(vow, pa.int64()),
+            "flesch_micro": pa.array(score, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -866,3 +866,24 @@ def test_autocorr_matches_pandas_and_bucket_invariant(ray_session):
     ref = pd.DataFrame(rows, columns=out.columns).astype(out.dtypes) \
         .sort_values(["event_type", "lag"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(out, ref)
+
+
+def test_readability_scores_hand_computed(ray_session):
+    """flesch_micro matches a hand-computed value for a known doc, and
+    every feature column is consistent with a per-row Python check."""
+    import __ray_entry__ as em
+    out = em.queries()["readability_scores"](SF).to_pandas() \
+        .set_index("doc_id")
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    sample = docs.sample(25, random_state=7)
+    for _, r in sample.iterrows():
+        t = r["text"]
+        w = t.count(" ") + 1
+        s = max(t.count(".") + t.count("!") + t.count("?"), 1)
+        v = sum(t.lower().count(c) for c in "aeiou")
+        exp = 206_835_000 - (1_015_000 * w) // s - (84_600_000 * v) // w
+        row = out.loc[r["doc_id"]]
+        assert (row.n_words, row.n_sentences, row.n_vowels,
+                row.flesch_micro) == (w, s, v, exp)
