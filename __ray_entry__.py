@@ -221,6 +221,10 @@ queries() entries map to SURVEY.md §2 operators:
                        int64 slope_num/slope_den cross-multiplied pairs
                        — moment partials fold map-side, one domain
                        exchange, no float accumulation (oracle)
+  embedding_pca_top1   top principal component via mergeable (n, Σx,
+                       XᵀX) moment partials + exact driver eigh, then
+                       a map-only per-label mean-projection pass
+                       (rows-only; numpy parity test)
   events_autocorr      per-type lag-k autocorrelation (k=1..3) of the
                        value series in event_id order — EXACT limb-split
                        moment partials per range bucket, spanning pairs
@@ -1678,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_embedding_join_stats": ann.docs_embedding_join_stats,
         "embedding_model_scores": ann.embedding_model_scores,
         "embedding_norm_stats": ann.embedding_norm_stats,
+        "embedding_pca_top1": ann.embedding_pca_top1,
         "events_value_histogram": streaming.events_value_histogram,
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,

@@ -1411,3 +1411,100 @@ def embedding_norm_stats(sf_dir: str):
                 pa.int64()),
             "max_norm_micro": b["max_norm_micro"].cast(pa.int64()),
         }), batch_format="pyarrow")
+
+
+def embedding_pca_top1(sf_dir: str):
+    """(label, n, mean_proj_micro, evr_ppm) — TOP PRINCIPAL COMPONENT
+    of the embedding table via distributed moment partials + driver
+    power iteration, then the per-label mean projection onto PC1: the
+    PCA/whitening prep pass an embedding-curation pipeline runs before
+    visualization, drift checks, or decorrelated indexing (a label
+    whose PC1 projection drifts from its peers flags an encoder or
+    distribution shift).
+
+    Scale shape (d = 64 here; valid while d² partials are small):
+      pass 1  each batch emits ONE row (n, Σx as d floats, XᵀX as d²
+              floats ≈ 32 KB) — the mergeable Gram/moment partial; the
+              driver folds the ~n/batch_size partial rows (at cluster
+              scale this fold is a tree reduce, the partials stay tiny
+              either way) and forms C = M/n − μμᵀ;
+      driver  exact symmetric eigensolve (np.linalg.eigh) on the
+              d×d covariance, sign fixed by the largest-|component|
+              coordinate — O(d³), microseconds (power iteration would
+              stall here: the corpus spectrum is nearly flat);
+      pass 2  MAP-ONLY projection (x − μ)·v₁ quantized per row to
+              int64 micros + per-label reduceat partials → one
+              label-domain exchange (embedding_norm_stats shape), so
+              the final means are exact integer sums, order-free.
+
+    evr_ppm = round(1e6 · v₁ᵀCv₁ / trace(C)) — the explained-variance
+    share of PC1, constant across output rows (the scalar a monitoring
+    job alerts on). Rows-only query: float eigenvectors aren't SQL
+    territory; pytest parity-checks v₁ against numpy.linalg.eigh and
+    the projections against a single-process reference."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read_embeddings(sf_dir).select_columns(["embedding", "label"])
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        x = _emb_matrix(batch)
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "m": pa.array([(x.T @ x).ravel().tolist()],
+                          pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(moment_partial, batch_format="pyarrow") \
+        .to_pandas()
+    n_total = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    d = s.shape[0]
+    m = np.sum(np.stack(parts["m"].to_numpy()), axis=0).reshape(d, d)
+    mu = s / n_total
+    cov = m / n_total - np.outer(mu, mu)
+
+    # exact symmetric eigensolve on the tiny d x d covariance: the
+    # corpus spectrum is nearly flat (EVR ~3%), where power iteration's
+    # (lambda2/lambda1)^k convergence stalls — eigh is exact, O(d^3),
+    # and the distributed work (the moment partials) is identical
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    v = eigvecs[:, -1]
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    evr_ppm = int(round(float(v @ cov @ v) / float(np.trace(cov))
+                        * 1_000_000))
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = _emb_matrix(batch)
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.round((x - mu) @ v * 1_000_000).astype(np.int64)
+        order = np.argsort(lab, kind="stable")
+        l_s, p_s = lab[order], p[order]
+        starts = np.flatnonzero(np.r_[True, l_s[1:] != l_s[:-1]]) \
+            if len(l_s) else np.empty(0, np.int64)
+        ends = np.append(starts[1:], len(l_s))
+        return pa.table({
+            "label": pa.array(l_s[starts], pa.int64()),
+            "n": pa.array(ends - starts, pa.int64()),
+            "sp": pa.array(np.add.reduceat(p_s, starts)
+                           if len(starts) else np.array([], np.int64),
+                           pa.int64()),
+        })
+
+    agg = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("label").aggregate(Sum("n", alias_name="n"),
+                                    Sum("sp", alias_name="sp")) \
+        .to_pandas()
+    out = pd.DataFrame({
+        "label": agg["label"].astype(np.int64),
+        "n": agg["n"].astype(np.int64),
+        "mean_proj_micro": np.round(
+            agg["sp"].to_numpy(np.int64)
+            / agg["n"].to_numpy(np.int64)).astype(np.int64),
+        "evr_ppm": np.int64(evr_ppm),
+    })
+    return out.sort_values("label").reset_index(drop=True)

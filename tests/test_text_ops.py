@@ -887,3 +887,36 @@ def test_readability_scores_hand_computed(ray_session):
         row = out.loc[r["doc_id"]]
         assert (row.n_words, row.n_sentences, row.n_vowels,
                 row.flesch_micro) == (w, s, v, exp)
+
+
+def test_embedding_pca_top1_matches_numpy(ray_session):
+    """the distributed moment-partial PCA reproduces a single-process
+    numpy covariance + eigh: PC1 per-label mean projections agree to
+    micro precision (up to global sign) and EVR to 1e-4."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.ann import embedding_pca_top1
+
+    out = embedding_pca_top1(SF)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    x = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    lab = t["label"].to_numpy()
+    mu = x.mean(0)
+    cov = np.cov(x.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    proj = (x - mu) @ v[:, -1]
+    ref = pd.DataFrame({"label": lab, "p": proj}).groupby("label")["p"] \
+        .agg(["mean", "count"])
+    # global sign is arbitrary in the reference; compare magnitudes
+    # consistently by aligning on the largest-|mean| label
+    big = ref["mean"].abs().idxmax()
+    sign = 1.0 if (ref.loc[big, "mean"] *
+                   out.set_index("label").loc[big, "mean_proj_micro"]) >= 0 \
+        else -1.0
+    for _, r in out.iterrows():
+        assert int(r.n) == int(ref.loc[r.label, "count"])
+        assert abs(r.mean_proj_micro / 1e6
+                   - sign * ref.loc[r.label, "mean"]) < 2e-5
+    evr = w[-1] / w.sum()
+    assert abs(out.evr_ppm.iloc[0] / 1e6 - evr) < 1e-4
