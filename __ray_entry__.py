@@ -221,6 +221,11 @@ queries() entries map to SURVEY.md §2 operators:
                        int64 slope_num/slope_den cross-multiplied pairs
                        — moment partials fold map-side, one domain
                        exchange, no float accumulation (oracle)
+  corpus_transcode_stats storage-transcode advisor: hash-sampled rows
+                       through the REAL codec composition (decode →
+                       T.81 JFIF encode → decode → PSNR vs source),
+                       per-format size-ratio + fidelity table
+                       (rows-only; stage parity test)
   embedding_pca_top1   top principal component via mergeable (n, Σx,
                        XᵀX) moment partials + exact driver eigh, then
                        a map-only per-label mean-projection pass
@@ -1008,6 +1013,86 @@ def _corpus_pixel_quality(sf_dir: str, flat_thresh: float = 1.0):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _corpus_transcode_stats(sf_dir: str, quality: int = 85,
+                            mod: int = 8):
+    """(fmt, n, bytes_in, bytes_out, mean_ratio_centi, mean_psnr_centi,
+    min_psnr_centi) — the STORAGE-TRANSCODE advisor: would re-encoding
+    this corpus as real baseline JFIF JPEG at `quality` save bytes,
+    and at what fidelity cost? Runs the full production-codec
+    composition per sampled row (decode DRI1/PNG → T.81 encode →
+    T.81 decode → PSNR vs source pixels) on an actor pool, folded to
+    per-format partials map-side so only format-domain rows reach the
+    exchange.
+
+    The corpus is hash-SAMPLED (md5(image_id) % mod == 0 — the
+    dedup_ratio_estimate convention: deterministic, content-keyed, so
+    reruns and resumes sample identically): the pure-Python entropy
+    coder makes full-corpus transcode a cluster job, and a 1/mod
+    sample already answers the advisor question. ratio/psnr means are
+    recombined from exact integer sums."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from destor_ray import corpus
+    from destor_ray.stages.multimodal import JpegTranscoder
+
+    d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
+    ds = ray.data.read_parquet(d, columns=["image_id", "bytes", "fmt"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        keep = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:8],
+                            "big") % mod == 0 for s in ids),
+            dtype=bool, count=len(ids))
+        return batch.filter(pa.array(keep))
+
+    rows = ds.map_batches(sample, batch_format="pyarrow") \
+        .map_batches(JpegTranscoder,
+                     fn_constructor_kwargs={"quality": quality},
+                     concurrency=4, batch_size=64,
+                     batch_format="pyarrow")
+
+    agg = rows.map_batches(
+        lambda b: pa.table({
+            "fmt": b["fmt"], "n": pa.array([1] * len(b["fmt"]),
+                                           pa.int64()),
+            "bytes_in": b["bytes_in"], "bytes_out": b["bytes_out"],
+            "psnr_centi": b["psnr_centi"],
+            "min_psnr": b["psnr_centi"]}),
+        batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("bytes_in", alias_name="bytes_in"),
+            Sum("bytes_out", alias_name="bytes_out"),
+            Sum("psnr_centi", alias_name="s_psnr"),
+            Min("min_psnr", alias_name="min_psnr_centi"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bi = batch["bytes_in"].to_numpy(zero_copy_only=False)
+        bo = batch["bytes_out"].to_numpy(zero_copy_only=False)
+        sp = batch["s_psnr"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fmt": batch["fmt"],
+            "n": pa.array(n, pa.int64()),
+            "bytes_in": pa.array(bi.astype(np.int64), pa.int64()),
+            "bytes_out": pa.array(bo.astype(np.int64), pa.int64()),
+            "mean_ratio_centi": pa.array(
+                np.round(bo * 100.0 / bi).astype(np.int64), pa.int64()),
+            "mean_psnr_centi": pa.array(
+                np.round(sp / n).astype(np.int64), pa.int64()),
+            "min_psnr_centi": batch["min_psnr_centi"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 _ASPECT_BUCKETS = [(256, 1024), (384, 768), (512, 768), (512, 512),
                    (768, 512), (768, 384), (1024, 256)]
 
@@ -1692,6 +1777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_param_sweep": _lsh_param_sweep,
         "corpus_resize_stats": _corpus_resize_stats,
         "corpus_pixel_quality": _corpus_pixel_quality,
+        "corpus_transcode_stats": _corpus_transcode_stats,
         "corpus_aspect_buckets": _corpus_aspect_buckets,
         "job_gc_stats": _job_gc_stats,
         "fsl_trace_stats": _fsl_trace_stats,

@@ -340,3 +340,50 @@ class ImageTileForensics:
             "n_distinct_tiles": pa.array(n_dist, pa.int64()),
             "n_repeated_tiles": pa.array(n_rep, pa.int64()),
         })
+
+
+class JpegTranscoder:
+    """Decode → re-encode as REAL baseline JFIF JPEG → decode → PSNR
+    vs the source pixels: the storage-transcode advisor stage (would
+    converting this corpus to JPEG at quality q save bytes, and at
+    what fidelity cost?). Composes the production codec seams
+    end-to-end: codec.decode dispatches DRI1 / PNG / JFIF payloads,
+    destor_ray.jpeg provides the T.81 encoder+decoder.
+
+    Actor-pool stage: the Annex K quantization/Huffman tables and the
+    zigzag/DCT constants live in module state loaded once per actor
+    (__init__ warms them by a 16×16 round trip, which also pays
+    numpy's first-call uint64 fault cost); __call__ is per-batch.
+    The entropy-coding inner loop is the pure-Python price of a real
+    bitstream — a production deploy swaps libjpeg-turbo behind the
+    same seam (NOTES.md), which is why callers hash-SAMPLE the corpus
+    (1/mod rows) rather than transcoding every row locally."""
+
+    def __init__(self, quality: int = 85):
+        from .. import jpeg
+        self.jpeg = jpeg
+        self.quality = quality
+        probe = np.full((16, 16, 3), 128, np.uint8)
+        jpeg.decode(jpeg.encode(probe, quality=quality))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch["bytes"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fmts, n_in, n_out, psnr_c = [], [], [], []
+        for i in range(len(col)):
+            data = col[i].as_py()
+            src = codec.decode(data)
+            enc = self.jpeg.encode(src, quality=self.quality)
+            rec = self.jpeg.decode(enc)
+            p = codec.psnr(src, rec)
+            fmts.append(batch["fmt"][i].as_py())
+            n_in.append(len(data))
+            n_out.append(len(enc))
+            psnr_c.append(int(round(min(p, 99.99) * 100)))
+        return pa.table({
+            "fmt": pa.array(fmts, pa.string()),
+            "bytes_in": pa.array(n_in, pa.int64()),
+            "bytes_out": pa.array(n_out, pa.int64()),
+            "psnr_centi": pa.array(psnr_c, pa.int64()),
+        })

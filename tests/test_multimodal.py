@@ -288,3 +288,28 @@ def test_tile_forensics_planted_clone(ray_session):
     assert int(out.loc["forged", "n_distinct_tiles"]) > 40
     assert int(out.loc["flat", "n_distinct_tiles"]) == 1
     assert int(out.loc["flat", "n_repeated_tiles"]) == 64
+
+
+def test_jpeg_transcoder_stage_matches_direct_composition():
+    """the actor-stage output per row equals the direct decode →
+    jpeg.encode → jpeg.decode → psnr composition, and the advisor
+    numbers are sane (smaller output at a finite positive PSNR)."""
+    from destor_ray import codec, corpus, jpeg
+
+    rows = [corpus.generate_row(42, i) for i in (0, 1, 7, 12)]
+    batch = pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+    })
+    out = mm.JpegTranscoder(quality=85)(batch)
+    for i, r in enumerate(rows):
+        src = codec.decode(r["bytes"])
+        enc = jpeg.encode(src, quality=85)
+        rec = jpeg.decode(enc)
+        p = min(codec.psnr(src, rec), 99.99)
+        assert out["bytes_in"][i].as_py() == len(r["bytes"])
+        assert out["bytes_out"][i].as_py() == len(enc)
+        assert out["psnr_centi"][i].as_py() == int(round(p * 100))
+        assert 0 < len(enc) < len(r["bytes"])       # it actually saves
+        assert out["psnr_centi"][i].as_py() > 2000  # and stays viewable
