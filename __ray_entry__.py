@@ -221,6 +221,12 @@ queries() entries map to SURVEY.md §2 operators:
                        int64 slope_num/slope_den cross-multiplied pairs
                        — moment partials fold map-side, one domain
                        exchange, no float accumulation (oracle)
+  zonemap_prune_stats  min/max zonemap built from parquet FOOTER
+                       statistics over a range-sharded store; a
+                       mid-range predicate scans only overlapping
+                       shards — oracle recomputes shard assignment,
+                       zones, overlap count and the filtered aggregate
+                       in SQL (oracle)
   corpus_transcode_stats storage-transcode advisor: hash-sampled rows
                        through the REAL codec composition (decode →
                        T.81 JFIF encode → decode → PSNR vs source),
@@ -1688,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jfif_decode_stats": ingest.jfif_decode_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,
+        "zonemap_prune_stats": ingest.zonemap_prune_stats,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,
@@ -2903,6 +2910,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1000000) AS BIGINT))
                         AS BIGINT) AS sum_value_micro
             FROM events GROUP BY event_type
+        """,
+        "zonemap_prune_stats": """
+            WITH s AS (SELECT min(event_id) AS lo, max(event_id) AS hi
+                       FROM events),
+                 k AS (SELECT lo, hi, hi - lo + 1 AS span,
+                              lo + (hi - lo) * 3 // 8 AS a,
+                              lo + (hi - lo) * 5 // 8 AS b
+                       FROM s),
+                 t AS (SELECT event_id,
+                              CAST(round(value * 1000000) AS BIGINT)
+                                  AS vmic,
+                              (event_id - (SELECT lo FROM k)) * 16
+                                  // (SELECT span FROM k) AS bkt
+                       FROM events),
+                 z AS (SELECT bkt, min(event_id) AS mn,
+                              max(event_id) AS mx
+                       FROM t GROUP BY bkt)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM z) AS n_shards,
+                   (SELECT CAST(count(*) AS BIGINT) FROM z
+                    WHERE mn <= (SELECT b FROM k)
+                      AND mx >= (SELECT a FROM k)) AS n_shards_scanned,
+                   (SELECT CAST(count(*) AS BIGINT) FROM t
+                    WHERE event_id BETWEEN (SELECT a FROM k)
+                                       AND (SELECT b FROM k)) AS n_rows,
+                   (SELECT CAST(sum(vmic) AS BIGINT) FROM t
+                    WHERE event_id BETWEEN (SELECT a FROM k)
+                                       AND (SELECT b FROM k))
+                       AS sum_value_micro
         """,
         "partitioned_write_readback": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -957,3 +957,112 @@ def user_erasure_certified(sf_dir: str, erase_user: int = 7):
             "n": pc.cast(b["n"], pa.int64()),
             "sum_value_micro": pc.cast(b["sum_value_micro"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def zonemap_prune_stats(sf_dir: str, n_shards: int = 16):
+    """(n_shards, n_shards_scanned, n_rows, sum_value_micro) — the
+    ZONEMAP (min/max pruning index) leg of the storage contract: the
+    events table is written once as n_shards event_id-range shards,
+    a zonemap is built from the parquet FOOTER statistics alone (no
+    data pages read — the same per-file min/max every lakehouse
+    format publishes), and a mid-range predicate
+    event_id ∈ [lo + 3/8·span, lo + 5/8·span] is answered by scanning
+    ONLY the shards whose zone overlaps the interval. The oracle
+    recomputes the shard assignment, the per-shard min/max, the
+    overlap count, and the filtered aggregate in SQL — a hash match
+    certifies both the pruning decision (no shard that held a match
+    was skipped) and the pruned read's result.
+
+    Scale shape: the shard write is the engine's standard resumable
+    layout; the zonemap is O(files) rows built from footers (at 100 TB
+    this is the manifest a planner consults instead of listing data);
+    the pruned read touches ~2/8 of the store for a 1/4-span query."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.datasource.partitioning import PathPartitionFilter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    g = ds.aggregate(Min("event_id", alias_name="lo"),
+                     Max("event_id", alias_name="hi"))
+    lo, hi = int(g["lo"]), int(g["hi"])
+    span = hi - lo + 1
+    a = lo + (hi - lo) * 3 // 8
+    b = lo + (hi - lo) * 5 // 8
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = f"/tmp/destor_ray_zonemap/{tag}_{n_shards}"
+    if not os.path.isdir(out):
+        def narrow(batch: pa.Table) -> pa.Table:
+            eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                            * 1_000_000).astype("int64")
+            return pa.table({
+                "event_id": pa.array(eid, pa.int64()),
+                "vmic": pa.array(vmic, pa.int64()),
+                "bkt": pa.array((eid - lo) * n_shards // span, pa.int64()),
+            })
+
+        tmp = f"{out}.tmp.{os.getpid()}"
+        ds.map_batches(narrow, batch_format="pyarrow") \
+            .write_parquet(tmp, partition_cols=["bkt"])
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    # zonemap from footer statistics only — a Dataset over the file
+    # listing; each task opens one footer (never a data page)
+    files = []
+    for root, _dirs, names in os.walk(out):
+        files += [os.path.join(root, n) for n in names
+                  if n.endswith(".parquet")]
+    flist = ray.data.from_items([{"path": p} for p in sorted(files)])
+
+    def footer_zone(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        shards, mns, mxs = [], [], []
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            ci = md.schema.to_arrow_schema().names.index("event_id")
+            mn = min(md.row_group(i).column(ci).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(ci).statistics.max
+                     for i in range(md.num_row_groups))
+            # hive dir name carries the shard id
+            shard = int(os.path.basename(os.path.dirname(p)).split("=")[1])
+            shards.append(shard)
+            mns.append(int(mn))
+            mxs.append(int(mx))
+        return pa.table({"shard": pa.array(shards, pa.int64()),
+                         "mn": pa.array(mns, pa.int64()),
+                         "mx": pa.array(mxs, pa.int64())})
+
+    zm = flist.map_batches(footer_zone, batch_format="pyarrow") \
+        .groupby("shard").aggregate(Min("mn", alias_name="mn"),
+                                    Max("mx", alias_name="mx")) \
+        .to_pandas()
+    keep = set(zm.loc[(zm["mn"] <= b) & (zm["mx"] >= a), "shard"]
+               .astype(int).tolist())
+
+    pruned = ray.data.read_parquet(
+        out,
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: int(kv["bkt"]) in keep, style="hive"))
+    agg = pruned.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater_equal(t["event_id"], a),
+                                   pc.less_equal(t["event_id"], b))),
+        batch_format="pyarrow") \
+        .aggregate(Count(alias_name="n_rows"),
+                   Sum("vmic", alias_name="sum_value_micro"))
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_shards": [int(len(zm))],
+        "n_shards_scanned": [int(len(keep))],
+        "n_rows": [int(agg["n_rows"])],
+        "sum_value_micro": [int(agg["sum_value_micro"])],
+    }).astype("int64")

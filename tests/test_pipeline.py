@@ -438,3 +438,26 @@ def test_user_erasure_actually_removes_rows(ray_session):
         "WHERE user_id = 7").fetchone()[0]
     assert n_user > 0  # the erased user existed
     assert n_after == n_before - n_user
+
+
+def test_zonemap_prunes_and_loses_nothing(ray_session):
+    """the zonemap skips a real fraction of shards for the mid-range
+    predicate, and the pruned aggregate equals an unpruned filtered
+    scan of the source table."""
+    import duckdb
+
+    import __ray_entry__ as em
+    sf = "/root/testdata/sf0.001"
+    out = em.queries()["zonemap_prune_stats"](sf)
+    r = out.iloc[0]
+    assert r.n_shards == 16
+    # a 1/4-span range predicate over range shards touches ~4-6 shards
+    assert 1 <= r.n_shards_scanned < r.n_shards
+    ref = duckdb.sql(f"""
+        WITH s AS (SELECT min(event_id) lo, max(event_id) hi
+                   FROM read_parquet('{sf}/events.parquet'))
+        SELECT count(*), sum(CAST(round(value*1000000) AS BIGINT))
+        FROM read_parquet('{sf}/events.parquet'), s
+        WHERE event_id BETWEEN lo + (hi-lo)*3//8 AND lo + (hi-lo)*5//8
+    """).fetchone()
+    assert (r.n_rows, r.sum_value_micro) == (ref[0], ref[1])
