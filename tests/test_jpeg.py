@@ -172,3 +172,15 @@ def test_jfif_dc_thumbnail_stats_query(ray_session):
     # near-lossless vs the box-mean reference across the whole fixture
     assert int(row["min_psnr_centi"]) >= 4000   # >= 40 dB
     assert int(row["mean_psnr_centi"]) >= 4500
+
+
+def test_jfif_dc_dedup_full_recall_no_false_merges(ray_session):
+    """the DC-thumb-signature dedup finds every planted re-encode pair
+    (recall 1.0) with zero false merges, never running a full decode."""
+    from destor_ray.pipelines.ingest import jfif_dc_dedup
+
+    out = jfif_dc_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 256 and out.n_planted == 64
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 64
