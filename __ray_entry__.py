@@ -246,6 +246,11 @@ queries() entries map to SURVEY.md §2 operators:
                        moment partials per range bucket, spanning pairs
                        stitched from the O(buckets·types·k) boundary
                        set; lag() UNION mirror (oracle)
+  events_ks_drift      exact two-sample Kolmogorov–Smirnov drift
+                       statistic between stream halves — binning-free
+                       PSI complement; value-range buckets + exclusive
+                       per-side count carries, cross-multiplied
+                       integer gap max (oracle)
   events_rolling_active_users rolling 7-day WAU — SLIDING-window
                        COUNT(DISTINCT): fact table reduces to the
                        distinct (user, day) domain first; the 7× window
@@ -1666,6 +1671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_active_users": streaming.events_rolling_active_users,
         "events_type_trend": streaming.events_type_trend,
         "events_autocorr": streaming.events_autocorr,
+        "events_ks_drift": streaming.events_ks_drift,
         "rp_ann_topk": ann.rp_ann_topk,
         "events_cumulative_users": streaming.events_cumulative_users,
         "events_hourly_gapfill": streaming.events_hourly_gapfill,
@@ -3294,6 +3300,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
                    CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
             FROM m
+        """,
+        "events_ks_drift": """
+            WITH s AS (SELECT max(event_id) AS me FROM events),
+                 v AS (SELECT CAST(round(value * 1000000) AS BIGINT)
+                                  AS vm,
+                              CASE WHEN event_id * 2 > (SELECT me FROM s)
+                                   THEN 1 ELSE 0 END AS p
+                       FROM events),
+                 n AS (SELECT CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0
+                                        END) AS HUGEINT) AS na,
+                              CAST(sum(p) AS HUGEINT) AS nb
+                       FROM v),
+                 d AS (SELECT vm,
+                              sum(CASE WHEN p = 0 THEN 1 ELSE 0 END)
+                                  AS ca,
+                              sum(CASE WHEN p = 1 THEN 1 ELSE 0 END)
+                                  AS cb
+                       FROM v GROUP BY vm),
+                 c AS (SELECT sum(ca) OVER (ORDER BY vm) AS cum_a,
+                              sum(cb) OVER (ORDER BY vm) AS cum_b
+                       FROM d),
+                 m AS (SELECT max(abs(CAST(cum_a AS HUGEINT)
+                                      * (SELECT nb FROM n)
+                                      - CAST(cum_b AS HUGEINT)
+                                      * (SELECT na FROM n))) AS ks_num
+                       FROM c)
+            SELECT CAST((SELECT na FROM n) AS BIGINT) AS n_a,
+                   CAST((SELECT nb FROM n) AS BIGINT) AS n_b,
+                   CAST((SELECT ks_num FROM m) AS BIGINT) AS ks_num,
+                   CAST((SELECT na * nb FROM n) AS BIGINT) AS ks_den,
+                   CAST(round(CAST((SELECT ks_num FROM m) AS DOUBLE)
+                              * 1000000.0
+                              / CAST((SELECT na * nb FROM n) AS DOUBLE))
+                        AS BIGINT) AS ks_micro
         """,
         "events_autocorr": """
             WITH v AS (SELECT event_type, event_id,

@@ -2565,3 +2565,95 @@ def events_autocorr(sf_dir: str, k_max: int = 3, n_buckets: int = 64):
     return out.astype({"lag": "int64", "n_pairs": "int64",
                        "sum_x": "int64", "sum_y": "int64",
                        "corr_micro": "int64"})
+
+
+def events_ks_drift(sf_dir: str, n_buckets: int = 64):
+    """(n_a, n_b, ks_num, ks_den, ks_micro) — EXACT two-sample
+    Kolmogorov–Smirnov statistic between the first and second half of
+    the event stream (split at max(event_id)/2, the events_drift_psi
+    periods): D = max over distinct values v of |F_a(v) − F_b(v)|,
+    reported as the exact integer pair
+        ks_num = max |cum_a(v)·n_b − cum_b(v)·n_a|,   ks_den = n_a·n_b
+    (no floats until the convenience ks_micro column, which divides
+    the exact pair). KS complements PSI: binning-free, sensitive to
+    any CDF shift, and the standard pre-retrain drift gate.
+
+    The CDF looks like a global sort; the scale shape is the
+    events_global_rank family: value-RANGE buckets, each bucket sorts
+    its own slice and emits per-side counts; the driver computes
+    O(n_buckets) exclusive (cum_a, cum_b) carries; the same exchange
+    re-executed finds each bucket's local max of the cross-multiplied
+    gap (vectorized over its distinct values), and the driver takes
+    the max of bucket maxima. Products stay in int64: cum ≤ n ≤ 2³¹
+    and n_a·n_b ≤ 2⁶² at 2³¹ rows per side (beyond that, limb-split).
+
+    Oracle: per-distinct-value grouped counts + window cumsums +
+    HUGEINT cross-multiplied max — integer-exact on both sides."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "value"])
+
+    g = ds.aggregate(Min("value", alias_name="lo"),
+                     Max("value", alias_name="hi"),
+                     Max("event_id", alias_name="me"))
+    me = int(g["me"])
+    lo = int(np.floor(float(g["lo"]) * 1_000_000))
+    hi = int(np.ceil(float(g["hi"]) * 1_000_000))
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1_000_000).astype(np.int64)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        period = (eid * 2 > me).astype(np.int64)
+        return pa.table({
+            "v": pa.array(v, pa.int64()),
+            "p": pa.array(period, pa.int64()),
+            "bucket": pa.array((v - lo) // width, pa.int64()),
+        })
+
+    keyed = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    def bucket_counts(df: pd.DataFrame) -> pa.Table:
+        p = df["p"].to_numpy(np.int64)
+        return pa.table({
+            "bucket": pa.array([int(df["bucket"].iloc[0])], pa.int64()),
+            "ca": pa.array([int((p == 0).sum())], pa.int64()),
+            "cb": pa.array([int((p == 1).sum())], pa.int64()),
+        })
+
+    summ = keyed.groupby("bucket") \
+        .map_groups(bucket_counts, batch_format="pandas").to_pandas() \
+        .sort_values("bucket")
+    b_ids = summ["bucket"].to_numpy(np.int64)
+    ca = summ["ca"].to_numpy(np.int64)
+    cb = summ["cb"].to_numpy(np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    carry_a = np.concatenate(([0], np.cumsum(ca)[:-1]))
+    carry_b = np.concatenate(([0], np.cumsum(cb)[:-1]))
+    carry_ref = _ray.put((b_ids, carry_a, carry_b))
+
+    def bucket_max(df: pd.DataFrame) -> pa.Table:
+        bs, cas, cbs = _ray.get(carry_ref)
+        i = int(np.searchsorted(bs, int(df["bucket"].iloc[0])))
+        v = df["v"].to_numpy(np.int64)
+        p = df["p"].to_numpy(np.int64)
+        o = np.argsort(v, kind="stable")
+        v_s, p_s = v[o], p[o]
+        # per distinct value: cumulative per-side counts at that value
+        last = np.r_[v_s[1:] != v_s[:-1], True]
+        cum_a = np.cumsum(p_s == 0)[last] + cas[i]
+        cum_b = np.cumsum(p_s == 1)[last] + cbs[i]
+        gap = np.abs(cum_a * n_b - cum_b * n_a)
+        return pa.table({"m": pa.array([int(gap.max())], pa.int64())})
+
+    mx = keyed.groupby("bucket") \
+        .map_groups(bucket_max, batch_format="pandas").to_pandas()
+    ks_num = int(mx["m"].max())
+    ks_den = n_a * n_b
+    return pd.DataFrame({
+        "n_a": [n_a], "n_b": [n_b],
+        "ks_num": [ks_num], "ks_den": [ks_den],
+        "ks_micro": [int(round(ks_num * 1_000_000.0 / ks_den))],
+    }).astype("int64")

@@ -920,3 +920,31 @@ def test_embedding_pca_top1_matches_numpy(ray_session):
                    - sign * ref.loc[r.label, "mean"]) < 2e-5
     evr = w[-1] / w.sum()
     assert abs(out.evr_ppm.iloc[0] / 1e6 - evr) < 1e-4
+
+
+def test_ks_drift_matches_scipy_style_reference(ray_session):
+    """events_ks_drift equals a single-process exact KS computation
+    (numpy, binning-free), and is invariant to the bucket count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.streaming import events_ks_drift
+
+    out = events_ks_drift(SF).iloc[0]
+    out5 = events_ks_drift(SF, n_buckets=5).iloc[0]
+    assert tuple(out) == tuple(out5)
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    me = df.event_id.max()
+    vm = np.round(df.value.to_numpy() * 1e6).astype(np.int64)
+    pb = (df.event_id.to_numpy() * 2 > me)
+    a, b = np.sort(vm[~pb]), np.sort(vm[pb])
+    na, nb = len(a), len(b)
+    allv = np.unique(vm)
+    cum_a = np.searchsorted(a, allv, side="right")
+    cum_b = np.searchsorted(b, allv, side="right")
+    ks_num = int(np.abs(cum_a * nb - cum_b * na).max())
+    assert (out.n_a, out.n_b) == (na, nb)
+    assert out.ks_num == ks_num
+    assert out.ks_den == na * nb
