@@ -8,6 +8,10 @@ queries() entries map to SURVEY.md §2 operators:
   token_count          text analysis: token counting (oracle)
   token_count_bpe      BPE-ish regex pre-tokenizer count (oracle)
   quality_score        text analysis: quality features (oracle)
+  stratified_kfold     perfectly balanced per-lang k-fold assignment —
+                       GROUPED exact row_number over md5 order via the
+                       scan-carry rank machinery applied per stratum;
+                       round-robin deal, fold sizes differ ≤1 (oracle)
   readability_scores   Flesch reading-ease in exact integer micros —
                        vowel-proxy syllables, floor-division formula
                        mirrored in SQL; map-only vectorized (oracle)
@@ -1718,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_count": text.token_count,
         "readability_scores": text.readability_scores,
+        "stratified_kfold": text.stratified_kfold,
         "token_count_bpe": text.token_count_bpe,
         "tokenize_to_ids": text.tokenize_to_ids,
         "doc_feature_hashing": text.doc_feature_hashing,
@@ -2441,6 +2446,18 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
             FROM documents
+        """,
+        "stratified_kfold": """
+            WITH r AS (SELECT lang, n_chars,
+                              (row_number() OVER (
+                                   PARTITION BY lang
+                                   ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                               - 1) % 5 AS fold
+                       FROM documents)
+            SELECT lang, CAST(fold AS BIGINT) AS fold,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM r GROUP BY lang, fold
         """,
         "readability_scores": """
             WITH f AS (

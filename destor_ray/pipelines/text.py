@@ -2332,3 +2332,92 @@ def readability_scores(sf_dir: str):
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_kfold(sf_dir: str, k: int = 5, n_buckets: int = 16):
+    """(lang, fold, n, sum_chars) — STRATIFIED k-fold assignment for
+    cross-validation / sharded eval: within every language stratum,
+    documents are ranked by md5(doc_id) (deterministic, uniform,
+    resume-stable) and dealt round-robin into k folds, so each fold's
+    per-lang count differs from its siblings by at most 1 — the
+    perfectly balanced split a naive hash-mod split only approximates.
+
+    The per-stratum rank is a GROUPED exact row_number — the
+    events_global_rank scan-carry machinery applied per group: md5
+    hash-RANGE buckets (top byte), one (lang, bucket)-keyed exchange
+    where each bucket sorts its own slice, the driver computes
+    per-lang exclusive bucket-count offsets (O(langs·buckets) carry),
+    and the SAME exchange re-executed deals folds and folds per-(lang,
+    fold) partials map-side — the final groupby is fold-domain sized.
+
+    Oracle: (row_number() OVER (PARTITION BY lang ORDER BY
+    md5(doc_id)) − 1) % k, aggregated — hash-exact on both sides."""
+    import hashlib
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(
+        ["doc_id", "lang", "n_chars"])
+
+    def keyed_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hexes = [hashlib.md5(str(int(i)).encode()).hexdigest()
+                 for i in ids]
+        return pa.table({
+            "lang": batch["lang"],
+            "n_chars": batch["n_chars"],
+            "h": pa.array(hexes, pa.string()),
+            "bucket": pa.array([int(x[:2], 16) * n_buckets // 256
+                                for x in hexes], pa.int64()),
+        })
+
+    keyed = ds.map_batches(keyed_rows, batch_format="pyarrow") \
+        .materialize()
+
+    def bucket_counts(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "lang": pa.array([df["lang"].iloc[0]], pa.string()),
+            "bucket": pa.array([int(df["bucket"].iloc[0])], pa.int64()),
+            "c": pa.array([len(df)], pa.int64()),
+        })
+
+    summ = keyed.groupby(["lang", "bucket"]) \
+        .map_groups(bucket_counts, batch_format="pandas").to_pandas() \
+        .sort_values(["lang", "bucket"])
+    offsets = {}
+    for lang, g in summ.groupby("lang", sort=False):
+        cum = 0
+        for _, r in g.iterrows():
+            offsets[(lang, int(r["bucket"]))] = cum
+            cum += int(r["c"])
+    off_ref = _ray.put(offsets)
+
+    def deal_folds(df: pd.DataFrame) -> pa.Table:
+        offs = _ray.get(off_ref)
+        lang = df["lang"].iloc[0]
+        base = offs[(lang, int(df["bucket"].iloc[0]))]
+        o = np.argsort(df["h"].to_numpy(dtype=object), kind="stable")
+        fold = (base + np.arange(len(df), dtype=np.int64)) % k
+        nc = df["n_chars"].to_numpy(np.int64)[o]
+        cnt = np.bincount(fold, minlength=k)
+        s = np.bincount(fold, weights=nc, minlength=k).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "lang": pa.array([lang] * len(nz), pa.string()),
+            "fold": pa.array(nz, pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64()),
+            "sum_chars": pa.array(s[nz], pa.int64()),
+        })
+
+    agg = keyed.groupby(["lang", "bucket"]) \
+        .map_groups(deal_folds, batch_format="pandas") \
+        .groupby(["lang", "fold"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_chars", alias_name="sum_chars"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "lang": b["lang"], "fold": b["fold"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64()),
+            "sum_chars": b["sum_chars"].cast(pa.int64())}),
+        batch_format="pyarrow")

@@ -948,3 +948,19 @@ def test_ks_drift_matches_scipy_style_reference(ray_session):
     assert (out.n_a, out.n_b) == (na, nb)
     assert out.ks_num == ks_num
     assert out.ks_den == na * nb
+
+
+def test_stratified_kfold_balance(ray_session):
+    """each lang stratum's fold sizes differ by at most 1 (perfect
+    round-robin balance) and every doc is assigned exactly once."""
+    import duckdb
+
+    import __ray_entry__ as em
+    out = em.queries()["stratified_kfold"](SF).to_pandas()
+    total = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert out.n.sum() == total
+    for _, g in out.groupby("lang"):
+        assert len(g) == 5
+        assert g.n.max() - g.n.min() <= 1
