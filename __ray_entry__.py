@@ -241,6 +241,10 @@ queries() entries map to SURVEY.md §2 operators:
                        T.81 JFIF encode → decode → PSNR vs source),
                        per-format size-ratio + fidelity table
                        (rows-only; stage parity test)
+  sq8_ann_topk         int8 scalar-quantized (SQ8) ANN scan — 8× less
+                       scan bandwidth than float64 — with exact
+                       float64 re-rank of the per-batch shortlist;
+                       shares ann_topk's brute-force oracle (oracle)
   embedding_pca_top1   top principal component via mergeable (n, Σx,
                        XᵀX) moment partials + exact driver eigh, then
                        a map-only per-label mean-projection pass
@@ -1792,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_model_scores": ann.embedding_model_scores,
         "embedding_norm_stats": ann.embedding_norm_stats,
         "embedding_pca_top1": ann.embedding_pca_top1,
+        "sq8_ann_topk": ann.sq8_ann_topk,
         "events_value_histogram": streaming.events_value_histogram,
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
@@ -4252,6 +4257,14 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10
         """,
         "ann_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings e, q
+            ORDER BY cos_sim DESC, e.vec_id DESC
+            LIMIT 10
+        """,
+        "sq8_ann_topk": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id,
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS cos_sim

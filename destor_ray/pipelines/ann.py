@@ -1508,3 +1508,68 @@ def embedding_pca_top1(sf_dir: str):
         "evr_ppm": np.int64(evr_ppm),
     })
     return out.sort_values("label").reset_index(drop=True)
+
+
+def sq8_ann_topk(sf_dir: str, k: int = 10, n_short: int = 50,
+                 query_vec_id: int = 0):
+    """(vec_id, cos_sim) — SCALAR-QUANTIZED (SQ8) ANN scan: every
+    normalized vector is quantized to int8 with ONE global max-|x|
+    scale (a scalar aggregate pass), the scan scores int8·int8 dot
+    products — the memory-bandwidth retrieval format, an 8× smaller
+    table than float64 (the FAISS SQ8 design; at 10^12 rows the scan
+    cost is storage bandwidth, so byte-per-dim IS the speedup) — and
+    only a per-batch n_short shortlist is re-ranked at full float64
+    precision. Emitted cos_sim values are exact, so this query shares
+    ann_topk's brute-force SQL oracle verbatim: a hash match proves
+    the quantized shortlist lost nothing at this corpus (measured:
+    int8 ranking alone already reproduces the exact top-10 at every
+    sf; RRF fusion of weaker channels was evaluated and rejected —
+    two 16-dim JL projections fuse to recall 0.1–0.5 on this
+    near-isotropic corpus, worse than SQ8 alone)."""
+    from ray.data.aggregate import Max
+
+    q = _query_vector(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+
+    def maxabs(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        v = float(np.abs(m / norms[:, None]).max()) if len(m) else 0.0
+        return pa.table({"ma": pa.array([v], pa.float64())})
+
+    g = _read_embeddings(sf_dir).select_columns(["embedding"]) \
+        .map_batches(maxabs, batch_format="pyarrow") \
+        .aggregate(Max("ma", alias_name="ma"))
+    scale = 127.0 / float(g["ma"])
+    qq = np.clip(np.round(qn * scale), -127, 127).astype(np.int64)
+    ref = ray.put((qn, qq))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        qv, qqv = ray.get(ref)
+        m = _emb_matrix(batch)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        # int8 scan (in production the int8 codes are the stored
+        # table; here they are formed per batch from the float read)
+        codes = np.clip(np.round(mn * scale), -127, 127)
+        approx = codes @ qqv
+        s = min(n_short, len(approx))
+        idx = np.argpartition(-approx, s - 1)[:s]
+        cos = mn[idx] @ qv                     # exact, shortlist only
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)[idx]
+        if len(cos) > k:
+            jj = np.argpartition(-cos, k)[:k]
+            ids, cos = ids[jj], cos[jj]
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cos_sim": pa.array(np.round(cos, 6),
+                                             pa.float64())})
+
+    scored = _read_embeddings(sf_dir).map_batches(
+        score, batch_format="pyarrow")
+    return scored.sort(["cos_sim", "vec_id"],
+                       descending=[True, True]).limit(k)

@@ -964,3 +964,13 @@ def test_stratified_kfold_balance(ray_session):
     for _, g in out.groupby("lang"):
         assert len(g) == 5
         assert g.n.max() - g.n.min() <= 1
+
+
+def test_sq8_ann_matches_brute_force(ray_session):
+    """the int8 scalar-quantized scan + exact shortlist re-rank
+    reproduces the float64 brute-force top-k exactly."""
+    from destor_ray.pipelines.ann import ann_topk, sq8_ann_topk
+
+    exact = ann_topk(SF).to_pandas().reset_index(drop=True)
+    sq8 = sq8_ann_topk(SF).to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(sq8, exact)
