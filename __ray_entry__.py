@@ -259,6 +259,11 @@ queries() entries map to SURVEY.md §2 operators:
                        PSI complement; value-range buckets + exclusive
                        per-side count carries, cross-multiplied
                        integer gap max (oracle)
+  events_mannwhitney_drift exact Mann–Whitney U / AUC between stream
+                       halves — the rank-based drift member; one
+                       value-range-bucket exchange, O(buckets) carry,
+                       no float ranks; exact tie-correction term
+                       (oracle)
   events_rolling_active_users rolling 7-day WAU — SLIDING-window
                        COUNT(DISTINCT): fact table reduces to the
                        distinct (user, day) domain first; the 7× window
@@ -1680,6 +1685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_trend": streaming.events_type_trend,
         "events_autocorr": streaming.events_autocorr,
         "events_ks_drift": streaming.events_ks_drift,
+        "events_mannwhitney_drift": streaming.events_mannwhitney_drift,
         "rp_ann_topk": ann.rp_ann_topk,
         "events_cumulative_users": streaming.events_cumulative_users,
         "events_hourly_gapfill": streaming.events_hourly_gapfill,
@@ -3356,6 +3362,41 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0
                               / CAST((SELECT na * nb FROM n) AS DOUBLE))
                         AS BIGINT) AS ks_micro
+        """,
+        "events_mannwhitney_drift": """
+            WITH s AS (SELECT max(event_id) AS me FROM events),
+                 v AS (SELECT CAST(round(value * 1000000) AS BIGINT)
+                                  AS vm,
+                              CASE WHEN event_id * 2 > (SELECT me FROM s)
+                                   THEN 1 ELSE 0 END AS p
+                       FROM events),
+                 d AS (SELECT vm,
+                              CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0
+                                        END) AS HUGEINT) AS ca,
+                              CAST(sum(p) AS HUGEINT) AS cb
+                       FROM v GROUP BY vm),
+                 w AS (SELECT ca, cb,
+                              COALESCE(sum(cb) OVER (ORDER BY vm
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS cb_below
+                       FROM d),
+                 agg AS (SELECT CAST((SELECT sum(ca) FROM d) AS HUGEINT)
+                                    AS na,
+                                CAST((SELECT sum(cb) FROM d) AS HUGEINT)
+                                    AS nb,
+                                sum(ca * (2 * cb_below + cb)) AS u2,
+                                sum((ca + cb) * (ca + cb) * (ca + cb)
+                                    - (ca + cb)) AS tie_cube
+                         FROM w)
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   CAST(u2 AS BIGINT) AS u2_a,
+                   CAST(tie_cube AS BIGINT) AS tie_cube,
+                   CAST(floor(CAST(u2 AS DOUBLE) * 1000000.0
+                              / (2.0 * CAST(na AS DOUBLE)
+                                 * CAST(nb AS DOUBLE)) + 0.5)
+                        AS BIGINT) AS auc_micro
+            FROM agg
         """,
         "events_autocorr": """
             WITH v AS (SELECT event_type, event_id,

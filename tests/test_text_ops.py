@@ -950,6 +950,37 @@ def test_ks_drift_matches_scipy_style_reference(ray_session):
     assert out.ks_den == na * nb
 
 
+def test_mannwhitney_matches_bruteforce_and_bucket_invariant(ray_session):
+    """events_mannwhitney_drift equals the O(n_a·n_b) pairwise
+    definition 2U_a = Σ 2·[a>b] + [a==b] computed by brute force,
+    tie_cube equals the per-value Σ t³−t, and the result is invariant
+    to the bucket count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.streaming import events_mannwhitney_drift
+
+    out = events_mannwhitney_drift(SF).iloc[0]
+    out3 = events_mannwhitney_drift(SF, n_buckets=3).iloc[0]
+    assert tuple(out) == tuple(out3)
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    me = df.event_id.max()
+    vm = np.round(df.value.to_numpy() * 1e6).astype(np.int64)
+    pb = (df.event_id.to_numpy() * 2 > me)
+    a, b = vm[~pb], vm[pb]
+    # brute force: broadcast compare (sf0.001 is small enough)
+    gt = (a[:, None] > b[None, :]).sum()
+    eq = (a[:, None] == b[None, :]).sum()
+    u2_ref = int(2 * gt + eq)
+    assert (out.n_a, out.n_b) == (len(a), len(b))
+    assert out.u2_a == u2_ref
+    _, t = np.unique(vm, return_counts=True)
+    assert out.tie_cube == int((t.astype(np.int64) ** 3 - t).sum())
+    assert 0 <= out.auc_micro <= 1_000_000
+
+
 def test_stratified_kfold_balance(ray_session):
     """each lang stratum's fold sizes differ by at most 1 (perfect
     round-robin balance) and every doc is assigned exactly once."""
