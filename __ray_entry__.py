@@ -1801,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_embedding_join_stats": ann.docs_embedding_join_stats,
         "embedding_model_scores": ann.embedding_model_scores,
         "embedding_norm_stats": ann.embedding_norm_stats,
+        "embedding_dim_stats": ann.embedding_dim_stats,
         "embedding_pca_top1": ann.embedding_pca_top1,
         "sq8_ann_topk": ann.sq8_ann_topk,
         "events_value_histogram": streaming.events_value_histogram,
@@ -3552,6 +3553,19 @@ def oracle_sql() -> dict[str, str]:
                        AS mean_norm_micro,
                    CAST(max(nm) AS BIGINT) AS max_norm_micro
             FROM n GROUP BY label
+        """,
+        "embedding_dim_stats": """
+            WITH x AS (SELECT t.i AS dim,
+                              CAST(floor(CAST(embedding[t.i + 1]
+                                              AS DOUBLE) * 1000000)
+                                   AS BIGINT) AS q
+                       FROM embeddings, range(64) t(i))
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   count(*) AS n,
+                   CAST(sum(q) AS BIGINT) AS sum_micro,
+                   CAST(min(q) AS BIGINT) AS min_micro,
+                   CAST(max(q) AS BIGINT) AS max_micro
+            FROM x GROUP BY dim
         """,
         "benford_audit": """
             WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -1413,6 +1413,57 @@ def embedding_norm_stats(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def embedding_dim_stats(sf_dir: str):
+    """(dim, n, sum_micro, min_micro, max_micro) — PER-DIMENSION
+    profile of the embedding column: the feature-level twin of
+    embedding_norm_stats (norms catch a bad shard; per-dim stats catch
+    a dead/saturated coordinate — a dim whose min==max is dead, one
+    whose |sum| drifts from 0 flags a mean-shifted encoder, and the
+    min/max envelope is exactly what a scalar quantizer (sq8_ann_topk)
+    trains from).
+
+    Scale shape: each batch reduces its rows to d=dim partial rows
+    (sum/min/max are all mergeable), one dim-domain exchange (64 rows)
+    — the corpus never co-locates. Quantization is floor(x·1e6), not
+    round: float32 inputs land exactly on .5 micro ties with measurable
+    probability (odd/2⁷ dyadics), where banker's (numpy) and half-away
+    (DuckDB) rounding diverge; floor of the identical float64 product
+    is bit-deterministic on both sides.
+
+    Oracle: lateral range(d) unnest + the same floor expression."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_embeddings(sf_dir).select_columns(["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _emb_matrix(batch).astype(np.float64)
+        q = np.floor(m * 1_000_000).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+            "n": pa.array(np.full(d, q.shape[0], dtype=np.int64),
+                          pa.int64()),
+            "s": pa.array(q.sum(axis=0), pa.int64()),
+            "mn": pa.array(q.min(axis=0), pa.int64()),
+            "mx": pa.array(q.max(axis=0), pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Sum("n", alias_name="n"),
+                                  Sum("s", alias_name="sum_micro"),
+                                  Min("mn", alias_name="min_micro"),
+                                  Max("mx", alias_name="max_micro"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "dim": b["dim"].cast(pa.int64()),
+            "n": b["n"].cast(pa.int64()),
+            "sum_micro": b["sum_micro"].cast(pa.int64()),
+            "min_micro": b["min_micro"].cast(pa.int64()),
+            "max_micro": b["max_micro"].cast(pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def embedding_pca_top1(sf_dir: str):
     """(label, n, mean_proj_micro, evr_ppm) — TOP PRINCIPAL COMPONENT
     of the embedding table via distributed moment partials + driver

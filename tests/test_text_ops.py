@@ -950,6 +950,27 @@ def test_ks_drift_matches_scipy_style_reference(ray_session):
     assert out.ks_den == na * nb
 
 
+def test_embedding_dim_stats_matches_numpy(ray_session):
+    """embedding_dim_stats equals the single-process numpy per-dim
+    profile under the same floor(x*1e6) quantization."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.ann import embedding_dim_stats
+
+    out = embedding_dim_stats(SF).to_pandas().sort_values("dim") \
+        .reset_index(drop=True)
+    emb = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["embedding"])["embedding"]
+    m = np.stack(emb.to_pylist()).astype(np.float64)
+    q = np.floor(m * 1e6).astype(np.int64)
+    assert (out["n"] == m.shape[0]).all()
+    assert (out["sum_micro"].to_numpy() == q.sum(axis=0)).all()
+    assert (out["min_micro"].to_numpy() == q.min(axis=0)).all()
+    assert (out["max_micro"].to_numpy() == q.max(axis=0)).all()
+    assert len(out) == m.shape[1]
+
+
 def test_mannwhitney_matches_bruteforce_and_bucket_invariant(ray_session):
     """events_mannwhitney_drift equals the O(n_a·n_b) pairwise
     definition 2U_a = Σ 2·[a>b] + [a==b] computed by brute force,
