@@ -1675,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_rebalance_audit": relational.shard_rebalance_audit,
         "rle_compression_advisor": stats.rle_compression_advisor,
         "benford_audit": stats.benford_audit,
+        "events_chi2_assoc": stats.events_chi2_assoc,
         "winsorized_stats": stats.winsorized_stats,
         "events_equidepth_bins": stats.events_equidepth_bins,
         "shuffle_order_audit": stats.shuffle_order_audit,
@@ -3566,6 +3567,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(q) AS BIGINT) AS min_micro,
                    CAST(max(q) AS BIGINT) AS max_micro
             FROM x GROUP BY dim
+        """,
+        "events_chi2_assoc": """
+            WITH b AS (SELECT event_type,
+                              (CAST(epoch_us(ts) AS BIGINT)
+                               // 86400000000 + 4) % 7 AS dow
+                       FROM events),
+                 cell AS (SELECT event_type, dow,
+                                 CAST(count(*) AS HUGEINT) AS o
+                          FROM b GROUP BY event_type, dow),
+                 m AS (SELECT event_type, dow, o,
+                              sum(o) OVER (PARTITION BY event_type)
+                                  AS rr,
+                              sum(o) OVER (PARTITION BY dow) AS cc,
+                              sum(o) OVER () AS nn
+                       FROM cell)
+            SELECT event_type, CAST(dow AS BIGINT) AS dow,
+                   CAST(o AS BIGINT) AS o,
+                   CAST(rr * cc * 1000000 // nn AS BIGINT) AS e_micro,
+                   CAST(floor(CAST(o * nn - rr * cc AS DOUBLE)
+                              * CAST(o * nn - rr * cc AS DOUBLE)
+                              / (CAST(nn AS DOUBLE) * CAST(rr AS DOUBLE)
+                                 * CAST(cc AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT)
+                       AS chi2_term_micro
+            FROM m
         """,
         "benford_audit": """
             WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -831,6 +831,66 @@ def rle_compression_advisor(sf_dir: str, n_buckets: int = 256):
     })
 
 
+def events_chi2_assoc(sf_dir: str):
+    """(event_type, dow, o, e_micro, chi2_term_micro) — chi-square
+    contingency audit of event_type × day-of-week: the categorical
+    ASSOCIATION test the drift family lacks (PSI/KS/U compare one
+    numeric column across time; chi² asks whether two categorical
+    columns are independent — a type whose traffic concentrates on
+    particular weekdays flags scheduling artifacts or bot traffic).
+    The full per-cell table is emitted so an auditor reads WHERE the
+    dependence lives, not just that it exists; Σ chi2_term_micro / 1e6
+    is the statistic at (|types|−1)(7−1) degrees of freedom.
+
+    Exactness: O, N and the margins R, C are exact integers from ONE
+    (type, dow)-domain exchange (map-side bincount partials; everything
+    after is domain-sized on the driver). dow avoids locale/engine
+    calendar conventions entirely: (epoch_us // 86400e6 + 4) % 7 with
+    Monday = 0, mirrored literally in SQL. e_micro = R·C·1e6 // N is
+    integer floor division on arbitrary-precision ints;
+    chi2_term = (O·N − R·C)² / (N·R·C) is evaluated with the identical
+    float64 expression shape on both sides, then micro-rounded per cell
+    BEFORE the integer sum, so no float accumulation order exists."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000 + 4) % 7).astype(np.int64)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        df = pd.DataFrame({"event_type": et, "dow": dow, "n": 1})
+        g = df.groupby(["event_type", "dow"], sort=False)["n"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "dow"]) \
+        .aggregate(Sum("n", alias_name="o")).to_pandas()
+
+    n_tot = int(cells["o"].sum())
+    r = cells.groupby("event_type")["o"].transform("sum").astype(object)
+    c = cells.groupby("dow")["o"].transform("sum").astype(object)
+    rows = []
+    for (t, d, o), rr, cc in zip(
+            cells[["event_type", "dow", "o"]].itertuples(index=False),
+            r, c):
+        o, rr, cc = int(o), int(rr), int(cc)
+        e_micro = rr * cc * 1_000_000 // n_tot
+        num = float(o * n_tot - rr * cc)
+        term = num * num / (float(n_tot) * float(rr) * float(cc))
+        rows.append((t, int(d), o, e_micro,
+                     math.floor(term * 1_000_000.0 + 0.5)))
+    out = pd.DataFrame(rows, columns=["event_type", "dow", "o",
+                                      "e_micro", "chi2_term_micro"])
+    return out.astype({"dow": "int64", "o": "int64", "e_micro": "int64",
+                       "chi2_term_micro": "int64"})
+
+
 def benford_audit(sf_dir: str):
     """(digit, n, benford_expected_micro) — Benford first-digit audit
     of lineitem extended prices: the fraud/synthetic-data screen that

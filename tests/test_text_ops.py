@@ -950,7 +950,34 @@ def test_ks_drift_matches_scipy_style_reference(ray_session):
     assert out.ks_den == na * nb
 
 
-def test_embedding_dim_stats_matches_numpy(ray_session):
+def test_chi2_assoc_matches_crosstab_reference(ray_session):
+    """events_chi2_assoc equals the classic (O−E)²/E chi-square over a
+    pandas crosstab of the same dow derivation, cell by cell."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.stats import events_chi2_assoc
+
+    out = events_chi2_assoc(SF)
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    us = df["ts"].astype("int64")
+    dow = (us // 86_400_000_000 + 4) % 7
+    ct = pd.crosstab(df["event_type"], dow)
+    n = ct.to_numpy().sum()
+    e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
+    chi2_ref = ((ct.to_numpy() - e) ** 2 / e)[ct.to_numpy() > 0].sum()
+    got = out["chi2_term_micro"].sum() / 1e6
+    assert abs(got - chi2_ref) < 1e-3
+    assert int(out["o"].sum()) == n
+    # per-cell expected counts recombine to the row margins (only
+    # meaningful when every dow cell is observed for the type — zero
+    # cells are absent from the contingency output by construction)
+    for t, g in out.groupby("event_type"):
+        if len(g) == ct.shape[1]:
+            assert abs(g["e_micro"].sum() / 1e6 - ct.loc[t].sum()) \
+                < len(g) * 1e-6 + 1e-9 * n
     """embedding_dim_stats equals the single-process numpy per-dim
     profile under the same floor(x*1e6) quantization."""
     import numpy as np
