@@ -515,6 +515,55 @@ def meta(data: bytes) -> tuple[int, int]:
     raise ValueError("no SOF marker")
 
 
+def estimate_quality(data: bytes) -> tuple[int, int]:
+    """(quality, l1_distance) — estimate the encoder's IJG quality
+    factor from the DQT segments alone (the exiftool/ImageMagick
+    "JPEGQuality" read, done exactly): scan q = 1..100, regenerate the
+    Annex-K-scaled tables with the SAME jpeg_quality_scaling formula
+    the encoder uses (quality_tables above), and pick the candidate
+    with minimal Σ|table − candidate| over all parsed tables (ties →
+    the higher q, the finer table). distance == 0 means the file's
+    tables are bit-exactly standard IJG tables at that quality — a
+    provenance signal in itself (custom/optimized tables give a
+    nonzero floor). Header-only: walks segments up to SOS, never
+    touches entropy-coded data, so it runs at manifest-scan speed."""
+    buf = np.frombuffer(data, np.uint8)
+    if not is_jfif(buf):
+        raise ValueError("not a JPEG (missing SOI)")
+    tables: dict[int, np.ndarray] = {}
+    i = 2
+    while i < len(buf) - 4:
+        if buf[i] != 0xFF:
+            break
+        m = int(buf[i + 1])
+        if m in (0xD9, 0xDA):
+            break
+        ln = (int(buf[i + 2]) << 8) | int(buf[i + 3])
+        if m == 0xDB:
+            seg = buf[i + 4:i + 2 + ln]
+            p = 0
+            while p < len(seg):
+                pq, tq = int(seg[p]) >> 4, int(seg[p]) & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT")
+                tables[tq] = seg[p + 1:p + 65].astype(np.int32)[UNZIGZAG] \
+                    .reshape(8, 8)
+                p += 65
+        i += 2 + ln
+    if not tables:
+        raise ValueError("no DQT segment")
+    best_q, best_d = 0, 1 << 62
+    for q in range(1, 101):
+        lt, ct = quality_tables(q)
+        d = 0
+        for tq, tbl in tables.items():
+            cand = lt if tq == 0 else ct
+            d += int(np.abs(tbl - cand).sum())
+        if d < best_d or (d == best_d and q > best_q):
+            best_q, best_d = q, d
+    return best_q, best_d
+
+
 def decode_dc_luma(data: bytes) -> np.ndarray:
     """DCT-DOMAIN 1/8-scale luma thumbnail: (ceil(h/8), ceil(w/8))
     uint8 of per-block Y means, decoded WITHOUT any IDCT. With the

@@ -1105,6 +1105,67 @@ def _jfif_dup_corpus_dir(n_base: int = 192, quality: int = 85,
     return out
 
 
+def jfif_quality_estimate(sf_dir: str, n_images: int = 96,
+                          qualities: tuple = (70, 85, 92)):
+    """(true_q, n, n_exact, n_zero_dist, min_est_q, max_est_q) —
+    DQT-based encoder-quality estimation over a mixed-quality real-JFIF
+    corpus: the provenance/curation read a web-scale image pipeline
+    runs before transcode planning (corpus_transcode_stats tells you
+    what re-encoding SAVES; this tells you what quality the source was
+    encoded at, i.e. whether re-encoding LOSES — transcoding a q70
+    source to q85 wastes bytes and fidelity). jpeg.estimate_quality
+    inverts libjpeg's jpeg_quality_scaling by exact candidate scan over
+    the parsed DQT; n_zero_dist counts files whose tables are
+    bit-exactly standard IJG tables (nonzero ⇒ custom/optimized
+    encoder — a provenance signal).
+
+    Scale shape: header-only parse per row (no entropy decode, no
+    pixels — manifest-scan cost), map-side per-quality partials, one
+    quality-domain exchange. sf_dir unused (cached deterministic
+    fixture), standard queries() signature."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .. import jpeg
+
+    dss = []
+    for q in qualities:
+        d = ray.data.read_parquet(
+            f"{_jfif_corpus_dir(n_images, q)}/images.parquet",
+            columns=["bytes"])
+        dss.append(d.map_batches(
+            lambda b, q=q: b.append_column(
+                "true_q", pa.array(np.full(len(b), q, np.int64))),
+            batch_format="pyarrow"))
+    ds = dss[0].union(*dss[1:])
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        tq = batch["true_q"].to_numpy(zero_copy_only=False)
+        est = np.empty(len(batch), np.int64)
+        dist = np.empty(len(batch), np.int64)
+        for i, data in enumerate(batch["bytes"].to_pylist()):
+            est[i], dist[i] = jpeg.estimate_quality(data)
+        return pa.table({
+            "true_q": pa.array(tq, pa.int64()),
+            "n": pa.array(np.ones(len(batch), np.int64)),
+            "n_exact": pa.array((est == tq).astype(np.int64)),
+            "n_zero_dist": pa.array((dist == 0).astype(np.int64)),
+            "est_min": pa.array(est, pa.int64()),
+            "est_max": pa.array(est, pa.int64()),
+        })
+
+    agg = ds.map_batches(estimate, batch_format="pyarrow",
+                         batch_size=64) \
+        .groupby("true_q").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_exact", alias_name="n_exact"),
+            Sum("n_zero_dist", alias_name="n_zero_dist"),
+            Min("est_min", alias_name="min_est_q"),
+            Max("est_max", alias_name="max_est_q"))
+    return agg.to_pandas().astype("int64").sort_values("true_q") \
+        .reset_index(drop=True)
+
+
 def jfif_dc_dedup(sf_dir: str, n_base: int = 192, dup_every: int = 3,
                   psnr_min_centi: int = 2800):
     """(n_images, n_planted, n_candidate_pairs, n_verified_pairs,

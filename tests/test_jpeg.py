@@ -184,3 +184,35 @@ def test_jfif_dc_dedup_full_recall_no_false_merges(ray_session):
     assert out.recall_ppm == 1_000_000
     assert out.n_false == 0
     assert out.n_true == out.n_verified_pairs == 64
+
+
+def test_estimate_quality_inverts_encoder():
+    """estimate_quality recovers the exact IJG quality factor (zero
+    DQT distance) for our own encoder across the scaling's two
+    regimes (q<50 → 5000/q, q>=50 → 200−2q), and reports a nonzero
+    distance for a file with perturbed (non-standard) tables."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 24, 3), np.uint8)
+    for q in (35, 50, 70, 85, 92, 97):
+        data = jpeg.encode(px, quality=q)
+        est, dist = jpeg.estimate_quality(data)
+        assert (est, dist) == (q, 0), q
+    # perturb one DQT byte (a mid-table coefficient, keep it valid)
+    data = bytearray(jpeg.encode(px, quality=85))
+    i = data.index(b"\xff\xdb") + 5 + 30
+    data[i] = max(1, (data[i] + 7) % 255)
+    est, dist = jpeg.estimate_quality(bytes(data))
+    assert dist > 0 and 1 <= est <= 100
+
+
+def test_jfif_quality_estimate_query(ray_session):
+    """the mixed-quality corpus query recovers every file's encoder
+    quality exactly, with bit-standard IJG tables throughout."""
+    from destor_ray.pipelines.ingest import jfif_quality_estimate
+
+    out = jfif_quality_estimate("/root/testdata/sf0.001", n_images=32)
+    assert list(out["true_q"]) == [70, 85, 92]
+    assert (out["n_exact"] == out["n"]).all()
+    assert (out["n_zero_dist"] == out["n"]).all()
+    assert (out["min_est_q"] == out["true_q"]).all()
+    assert (out["max_est_q"] == out["true_q"]).all()
