@@ -1687,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": streaming.events_autocorr,
         "events_ks_drift": streaming.events_ks_drift,
         "events_mannwhitney_drift": streaming.events_mannwhitney_drift,
+        "events_max_concurrency": streaming.events_max_concurrency,
         "rp_ann_topk": ann.rp_ann_topk,
         "events_cumulative_users": streaming.events_cumulative_users,
         "events_hourly_gapfill": streaming.events_hourly_gapfill,
@@ -1908,6 +1909,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM s GROUP BY user_id, session_idx
+        """,
+        "events_max_concurrency": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts))
+                                    OVER w > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts_us,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts_us ROWS UNBOUNDED PRECEDING)
+                           AS sess
+                FROM e
+            ), iv AS (
+                SELECT min(ts_us) AS start_us, max(ts_us) AS end_us
+                FROM s GROUP BY user_id, sess
+            ), b AS (
+                SELECT start_us AS t, 1 AS ds, 0 AS de FROM iv
+                UNION ALL
+                SELECT end_us, 0, 1 FROM iv
+            ), pt AS (
+                SELECT t, sum(ds) AS ds, sum(de) AS de FROM b GROUP BY t
+            ), w AS (
+                SELECT t,
+                       sum(ds) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                       - COALESCE(sum(de) OVER (ORDER BY t ROWS BETWEEN
+                             UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS conc
+                FROM pt
+            ), m AS (SELECT max(conc) AS mc FROM w)
+            SELECT CAST((SELECT count(*) FROM iv) AS BIGINT)
+                       AS n_sessions,
+                   CAST((SELECT mc FROM m) AS BIGINT) AS max_concurrent,
+                   CAST((SELECT min(t) FROM w
+                         WHERE conc = (SELECT mc FROM m)) AS BIGINT)
+                       AS t_at_max_us
         """,
         "events_user_daily_topk": """
             WITH c AS (

@@ -113,6 +113,119 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
     return bucketed_group_map(keyed, "user_id", sessions, num_buckets=32)
 
 
+def events_max_concurrency(sf_dir: str, gap_sec: int = 1800,
+                           n_buckets: int = 64):
+    """(n_sessions, max_concurrent, t_at_max_us) — INTERVAL SWEEP-LINE:
+    the peak number of simultaneously-open user sessions (events_
+    sessionize's gap rule, closed intervals [start_us, end_us]) and the
+    earliest instant it is reached — the capacity-planning read
+    ("provision for peak concurrent sessions") and the one interval
+    operator the window family lacks (range join matches pairs; this
+    aggregates OVERLAP DEPTH over the whole timeline).
+
+    concurrency(t) = #starts ≤ t − #ends < t, evaluated at boundary
+    times only (between boundaries it is constant). The classic sweep
+    is a global sort + running sum; the scale shape here is the
+    scan-carry family's key observation applied to a MAX-of-prefix:
+    bucket the boundary stream by TIME RANGE; inside a bucket the
+    local term local_s_incl(t) − local_e_excl(t) is carry-independent,
+    so each bucket emits ONE row (starts, ends, local_max,
+    t_at_local_max) in a single pass; the driver folds the O(buckets)
+    exclusive carry Σ(starts−ends) and takes max(carry_b +
+    local_max_b), earliest bucket winning ties (buckets are ascending
+    disjoint time ranges, so the earliest bucket's attainment time is
+    globally earliest). One user-keyed exchange builds sessions + one
+    bucket exchange sweeps — no global sort ever forms.
+
+    Oracle: the sessionize CTE → per-time boundary aggregate → window
+    cumsum (ends exclusive via 1-PRECEDING frame) → max + arg-min-t."""
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "ts_us": us})
+
+    keyed = ds.map_batches(to_us, batch_format="pyarrow")
+
+    def sessions(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts_us"], kind="stable")
+        uid = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.empty(len(df), dtype=bool)
+        gap[0] = True
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_sec * 1_000_000
+        sess_id = np.cumsum(new_user | gap) - 1
+        g = pd.DataFrame({"sess": sess_id, "ts_us": ts}) \
+            .groupby("sess", sort=False)["ts_us"].agg(["min", "max"])
+        return pa.table({
+            "start_us": pa.array(g["min"].to_numpy(np.int64), pa.int64()),
+            "end_us": pa.array(g["max"].to_numpy(np.int64), pa.int64()),
+        })
+
+    sess = bucketed_group_map(keyed, "user_id", sessions,
+                              num_buckets=32).materialize()
+
+    g = sess.aggregate(Min("start_us", alias_name="lo"),
+                       Max("end_us", alias_name="hi"))
+    lo, hi = int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        s = batch["start_us"].to_numpy(zero_copy_only=False)
+        e = batch["end_us"].to_numpy(zero_copy_only=False)
+        t = np.concatenate([s, e])
+        d = np.concatenate([np.ones(len(s), np.int64),
+                            -np.ones(len(e), np.int64)])
+        return pa.table({
+            "t": pa.array(t, pa.int64()),
+            "d": pa.array(d, pa.int64()),
+            "bucket": pa.array((t - lo) // width, pa.int64()),
+        })
+
+    bounds = sess.map_batches(boundaries, batch_format="pyarrow")
+
+    def bucket_partial(df: pd.DataFrame) -> pa.Table:
+        t = df["t"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        o = np.argsort(t, kind="stable")
+        t_s, d_s = t[o], d[o]
+        last = np.r_[t_s[1:] != t_s[:-1], True]
+        ut = t_s[last]
+        s_incl = np.cumsum(d_s == 1)[last]
+        e_incl = np.cumsum(d_s == -1)[last]
+        e_excl = e_incl - np.diff(np.r_[0, e_incl])
+        local = s_incl - e_excl
+        k = int(local.argmax())            # first index of the max
+        return pa.table({
+            "bucket": pa.array([int(df["bucket"].iloc[0])], pa.int64()),
+            "starts": pa.array([int((d == 1).sum())], pa.int64()),
+            "ends": pa.array([int((d == -1).sum())], pa.int64()),
+            "local_max": pa.array([int(local[k])], pa.int64()),
+            "t_local": pa.array([int(ut[k])], pa.int64()),
+        })
+
+    summ = bounds.groupby("bucket") \
+        .map_groups(bucket_partial, batch_format="pandas").to_pandas() \
+        .sort_values("bucket")
+    st = summ["starts"].to_numpy(np.int64)
+    en = summ["ends"].to_numpy(np.int64)
+    carry = np.concatenate(([0], np.cumsum(st - en)[:-1]))
+    cand = carry + summ["local_max"].to_numpy(np.int64)
+    k = int(cand.argmax())                 # earliest bucket wins ties
+    return pd.DataFrame({
+        "n_sessions": [int(st.sum())],
+        "max_concurrent": [int(cand[k])],
+        "t_at_max_us": [int(summ["t_local"].iloc[k])],
+    }).astype("int64")
+
+
 def events_asof_join(sf_dir: str, left_type: str = "purchase",
                      right_type: str = "click"):
     """AS-OF join — a custom operator Ray Data lacks natively: for every

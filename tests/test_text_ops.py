@@ -950,6 +950,40 @@ def test_ks_drift_matches_scipy_style_reference(ray_session):
     assert out.ks_den == na * nb
 
 
+def test_max_concurrency_matches_sweep_reference(ray_session):
+    """events_max_concurrency equals a single-process sweep over the
+    same session intervals, and is invariant to the bucket count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.streaming import events_max_concurrency
+
+    out = events_max_concurrency(SF).iloc[0]
+    out5 = events_max_concurrency(SF, n_buckets=5).iloc[0]
+    assert tuple(out) == tuple(out5)
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id"]).to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    df = df.sort_values(["user_id", "us"], kind="stable")
+    uid, ts = df["user_id"].to_numpy(), df["us"].to_numpy()
+    new = np.r_[True, (uid[1:] != uid[:-1])
+                | ((ts[1:] - ts[:-1]) > 1800 * 1_000_000)]
+    sid = np.cumsum(new) - 1
+    iv = pd.DataFrame({"s": sid, "t": ts}).groupby("s")["t"] \
+        .agg(["min", "max"])
+    starts = np.sort(iv["min"].to_numpy())
+    ends = np.sort(iv["max"].to_numpy())
+    allt = np.unique(np.r_[starts, ends])
+    conc = (np.searchsorted(starts, allt, side="right")
+            - np.searchsorted(ends, allt, side="left"))
+    mc = int(conc.max())
+    assert out.n_sessions == len(iv)
+    assert out.max_concurrent == mc
+    assert out.t_at_max_us == int(allt[conc.argmax()])
+
+
 def test_chi2_assoc_matches_crosstab_reference(ray_session):
     """events_chi2_assoc equals the classic (O−E)²/E chi-square over a
     pandas crosstab of the same dow derivation, cell by cell."""
