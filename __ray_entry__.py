@@ -1688,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_drift": streaming.events_ks_drift,
         "events_mannwhitney_drift": streaming.events_mannwhitney_drift,
         "events_max_concurrency": streaming.events_max_concurrency,
+        "events_rolling_median": streaming.events_rolling_median,
         "rp_ann_topk": ann.rp_ann_topk,
         "events_cumulative_users": streaming.events_cumulative_users,
         "events_hourly_gapfill": streaming.events_hourly_gapfill,
@@ -1909,6 +1910,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM s GROUP BY user_id, session_idx
+        """,
+        "events_rolling_median": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value * 1000000) AS BIGINT)
+                                  AS vm
+                       FROM events)
+            SELECT event_id, event_type,
+                   quantile_disc(vm, 0.5) OVER (
+                       PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS med_micro
+            FROM v
         """,
         "events_max_concurrency": """
             WITH e AS (

@@ -113,6 +113,119 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
     return bucketed_group_map(keyed, "user_id", sessions, num_buckets=32)
 
 
+def events_rolling_median(sf_dir: str, w: int = 7, n_buckets: int = 32):
+    """(event_id, event_type, med_micro) — per-type ROLLING MEDIAN of
+    the value series over a ROWS w−1 PRECEDING frame in event_id order:
+    the ORDER-STATISTIC window the associative family can't express
+    (sliding sum/EWMA fold through prefix identities; a median has no
+    prefix decomposition — robust smoothing for spike-laden telemetry
+    is exactly why pipelines want it). Lower-median convention
+    sorted[(n−1)//2], which is DuckDB's quantile_disc(0.5).
+
+    Scale shape — the scan-carry family's fourth data shape (after
+    sums, mins and boundary PAIRS): an order-statistic frame needs the
+    w−1 preceding VALUES, so event_id-range buckets exchange only
+    per-(bucket, type) boundary TAILS (the last ≤ w−1 rows), an
+    O(buckets·types·w) driver set; pass 2 prepends each type's carried
+    tail and computes every frame inside the bucket — full frames
+    vectorized via a (rows × w) sliding view + axis-sort, the ≤ w−1
+    genuinely-short frames at each type's global head by a bounded
+    loop. Per-type co-locate-and-sort (the regime this avoids) would
+    ship whole type partitions; this ships w−1 rows per bucket·type.
+
+    Oracle: quantile_disc(value_micro, 0.5) OVER (PARTITION BY type
+    ORDER BY event_id ROWS BETWEEN w−1 PRECEDING AND CURRENT ROW)."""
+    import ray as _ray
+    from ray.data.aggregate import Max, Min
+
+    ds = _read_events(sf_dir).select_columns(
+        ["event_id", "event_type", "value"])
+
+    g = ds.aggregate(Min("event_id", alias_name="lo"),
+                     Max("event_id", alias_name="hi"))
+    lo, hi = int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vmic = np.round(batch["value"].to_numpy(zero_copy_only=False)
+                        * 1_000_000).astype(np.int64)
+        return pa.table({
+            "eid": pa.array(eid, pa.int64()),
+            "event_type": batch["event_type"],
+            "vmic": pa.array(vmic, pa.int64()),
+            "bucket": pa.array((eid - lo) // width, pa.int64()),
+        })
+
+    keyed = ds.map_batches(narrow, batch_format="pyarrow").materialize()
+
+    def tails(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("eid", kind="stable")
+        parts = []
+        for t, gd in df.groupby("event_type", sort=False):
+            parts.append(gd.tail(w - 1))
+        out = pd.concat(parts)
+        return pa.table({
+            "bucket": pa.array(out["bucket"].to_numpy(np.int64)),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "eid": pa.array(out["eid"].to_numpy(np.int64)),
+            "vmic": pa.array(out["vmic"].to_numpy(np.int64)),
+        })
+
+    tl = keyed.groupby("bucket") \
+        .map_groups(tails, batch_format="pandas").to_pandas() \
+        .sort_values(["bucket", "eid"])
+
+    # driver: per (bucket, type) the last <= w-1 values of ALL
+    # preceding buckets — walk buckets in ascending eid-range order
+    carry: dict[tuple, np.ndarray] = {}
+    hist: dict[str, np.ndarray] = {}
+    for b, gb in tl.groupby("bucket", sort=True):
+        for t in gb["event_type"].unique():
+            carry[(int(b), t)] = hist.get(t, np.empty(0, np.int64))
+        for t, gt in gb.groupby("event_type", sort=False):
+            prev = hist.get(t, np.empty(0, np.int64))
+            hist[t] = np.concatenate(
+                [prev, gt["vmic"].to_numpy(np.int64)])[-(w - 1):]
+    carry_ref = _ray.put(carry)
+    mid_full = (w - 1) // 2
+
+    def medians(df: pd.DataFrame) -> pa.Table:
+        car = _ray.get(carry_ref)
+        b = int(df["bucket"].iloc[0])
+        df = df.sort_values("eid", kind="stable")
+        eids, types, meds = [], [], []
+        for t, gd in df.groupby("event_type", sort=False):
+            v = gd["vmic"].to_numpy(np.int64)
+            pre = car.get((b, t), np.empty(0, np.int64))
+            seq = np.concatenate([pre, v])
+            k = len(pre)
+            m = np.empty(len(v), np.int64)
+            # frames ending at seq index i for i in [k, len(seq))
+            first_full = max(k, w - 1)
+            for i in range(k, min(first_full, len(seq))):
+                fr = np.sort(seq[max(0, i - w + 1):i + 1])
+                m[i - k] = fr[(len(fr) - 1) // 2]
+            if len(seq) >= w:
+                sw = np.lib.stride_tricks.sliding_window_view(seq, w)
+                # frame ending at i = w-1+j for row j of sw
+                j0 = first_full - (w - 1)
+                med_full = np.sort(sw[j0:], axis=1)[:, mid_full]
+                m[first_full - k:] = med_full
+            eids.append(gd["eid"].to_numpy(np.int64))
+            types.extend([t] * len(v))
+            meds.append(m)
+        return pa.table({
+            "event_id": pa.array(np.concatenate(eids), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "med_micro": pa.array(np.concatenate(meds), pa.int64()),
+        })
+
+    return keyed.groupby("bucket") \
+        .map_groups(medians, batch_format="pandas")
+
+
 def events_max_concurrency(sf_dir: str, gap_sec: int = 1800,
                            n_buckets: int = 64):
     """(n_sessions, max_concurrent, t_at_max_us) — INTERVAL SWEEP-LINE:

@@ -950,6 +950,35 @@ def test_ks_drift_matches_scipy_style_reference(ray_session):
     assert out.ks_den == na * nb
 
 
+def test_rolling_median_matches_pandas_and_bucket_invariant(ray_session):
+    """events_rolling_median equals pandas' per-type rolling lower
+    median (min_periods=1, manual lower-median pick), and the carried
+    boundary tails make it invariant to the bucket count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.streaming import events_rolling_median
+
+    out = events_rolling_median(SF).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    out3 = events_rolling_median(SF, n_buckets=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out.equals(out3)
+
+    df = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "event_type", "value"]) \
+        .to_pandas().sort_values("event_id")
+    df["vm"] = np.round(df["value"].to_numpy() * 1e6).astype(np.int64)
+    ref = {}
+    for t, g in df.groupby("event_type"):
+        v = g["vm"].to_numpy()
+        for j, eid in enumerate(g["event_id"].to_numpy()):
+            fr = np.sort(v[max(0, j - 6):j + 1])
+            ref[int(eid)] = int(fr[(len(fr) - 1) // 2])
+    got = dict(zip(out["event_id"].astype(int), out["med_micro"]))
+    assert got == ref
+
+
 def test_max_concurrency_matches_sweep_reference(ray_session):
     """events_max_concurrency equals a single-process sweep over the
     same session intervals, and is invariant to the bucket count."""
