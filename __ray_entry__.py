@@ -3627,9 +3627,16 @@ def oracle_sql() -> dict[str, str]:
                               (CAST(epoch_us(ts) AS BIGINT)
                                // 86400000000 + 4) % 7 AS dow
                        FROM events),
-                 cell AS (SELECT event_type, dow,
-                                 CAST(count(*) AS HUGEINT) AS o
-                          FROM b GROUP BY event_type, dow),
+                 obs AS (SELECT event_type, dow, count(*) AS o
+                         FROM b GROUP BY event_type, dow),
+                 cell AS (SELECT t.event_type, d.dow,
+                                 CAST(COALESCE(obs.o, 0) AS HUGEINT)
+                                     AS o
+                          FROM (SELECT DISTINCT event_type FROM b) t
+                          CROSS JOIN (SELECT DISTINCT dow FROM b) d
+                          LEFT JOIN obs
+                            ON obs.event_type = t.event_type
+                           AND obs.dow = d.dow),
                  m AS (SELECT event_type, dow, o,
                               sum(o) OVER (PARTITION BY event_type)
                                   AS rr,

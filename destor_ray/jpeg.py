@@ -384,6 +384,22 @@ def _extend(v: int, s: int) -> int:
     return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _parse_dqt_seg(seg: np.ndarray) -> dict[int, np.ndarray]:
+    """One DQT segment payload → {table_id: natural-order 8×8 int32}.
+    Shared by _parse_headers (decode path) and estimate_quality so the
+    two DQT readers cannot drift."""
+    out: dict[int, np.ndarray] = {}
+    p = 0
+    while p < len(seg):
+        pq, tq = int(seg[p]) >> 4, int(seg[p]) & 0xF
+        if pq != 0:
+            raise NotImplementedError("16-bit DQT")
+        out[tq] = seg[p + 1:p + 65].astype(np.int32)[UNZIGZAG] \
+            .reshape(8, 8)
+        p += 65
+    return out
+
+
 def _parse_headers(buf: np.ndarray):
     """Shared baseline-JFIF header walk for decode() and
     decode_dc_luma(): (qts, dcs, acs, h, w, comp_spec, scan_start).
@@ -404,15 +420,7 @@ def _parse_headers(buf: np.ndarray):
         ln = (int(buf[i + 2]) << 8) | int(buf[i + 3])
         seg = buf[i + 4:i + 2 + ln]
         if m == 0xDB:
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT")
-                tbl = seg[p + 1:p + 65].astype(np.int32)[UNZIGZAG] \
-                    .reshape(8, 8)
-                qts[tq] = tbl
-                p += 65
+            qts.update(_parse_dqt_seg(seg))
         elif m == 0xC0:
             h = (int(seg[1]) << 8) | int(seg[2])
             w = (int(seg[3]) << 8) | int(seg[4])
@@ -540,15 +548,7 @@ def estimate_quality(data: bytes) -> tuple[int, int]:
             break
         ln = (int(buf[i + 2]) << 8) | int(buf[i + 3])
         if m == 0xDB:
-            seg = buf[i + 4:i + 2 + ln]
-            p = 0
-            while p < len(seg):
-                pq, tq = int(seg[p]) >> 4, int(seg[p]) & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT")
-                tables[tq] = seg[p + 1:p + 65].astype(np.int32)[UNZIGZAG] \
-                    .reshape(8, 8)
-                p += 65
+            tables.update(_parse_dqt_seg(buf[i + 4:i + 2 + ln]))
         i += 2 + ln
     if not tables:
         raise ValueError("no DQT segment")

@@ -1437,7 +1437,7 @@ def embedding_dim_stats(sf_dir: str):
     ds = _read_embeddings(sf_dir).select_columns(["embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        m = _emb_matrix(batch).astype(np.float64)
+        m = _emb_matrix(batch)          # already float64
         q = np.floor(m * 1_000_000).astype(np.int64)
         d = q.shape[1]
         return pa.table({

@@ -1107,9 +1107,10 @@ def _jfif_dup_corpus_dir(n_base: int = 192, quality: int = 85,
 
 def jfif_quality_estimate(sf_dir: str, n_images: int = 96,
                           qualities: tuple = (70, 85, 92)):
-    """(true_q, n, n_exact, n_zero_dist, min_est_q, max_est_q) —
-    DQT-based encoder-quality estimation over a mixed-quality real-JFIF
-    corpus: the provenance/curation read a web-scale image pipeline
+    """(true_q, n, n_error, n_exact, n_zero_dist, min_est_q, max_est_q)
+    — DQT-based encoder-quality estimation over a mixed-quality
+    real-JFIF corpus (rows whose headers fail to parse — 16-bit DQT,
+    truncation — are counted in n_error, never killing the job): the provenance/curation read a web-scale image pipeline
     runs before transcode planning (corpus_transcode_stats tells you
     what re-encoding SAVES; this tells you what quality the source was
     encoded at, i.e. whether re-encoding LOSES — transcoding a q70
@@ -1139,25 +1140,34 @@ def jfif_quality_estimate(sf_dir: str, n_images: int = 96,
             batch_format="pyarrow"))
     ds = dss[0].union(*dss[1:])
 
+    HI, LO = 1 << 62, -(1 << 62)    # min/max sentinels for failed rows
+
     def estimate(batch: pa.Table) -> pa.Table:
         tq = batch["true_q"].to_numpy(zero_copy_only=False)
         est = np.empty(len(batch), np.int64)
         dist = np.empty(len(batch), np.int64)
+        ok = np.ones(len(batch), bool)
         for i, data in enumerate(batch["bytes"].to_pylist()):
-            est[i], dist[i] = jpeg.estimate_quality(data)
+            try:    # quarantine, don't kill the job: a 16-bit-DQT or
+                # truncated file is a row-level fact at corpus scale
+                est[i], dist[i] = jpeg.estimate_quality(data)
+            except (ValueError, NotImplementedError, IndexError):
+                ok[i] = False
         return pa.table({
             "true_q": pa.array(tq, pa.int64()),
             "n": pa.array(np.ones(len(batch), np.int64)),
-            "n_exact": pa.array((est == tq).astype(np.int64)),
-            "n_zero_dist": pa.array((dist == 0).astype(np.int64)),
-            "est_min": pa.array(est, pa.int64()),
-            "est_max": pa.array(est, pa.int64()),
+            "n_error": pa.array((~ok).astype(np.int64)),
+            "n_exact": pa.array((ok & (est == tq)).astype(np.int64)),
+            "n_zero_dist": pa.array((ok & (dist == 0)).astype(np.int64)),
+            "est_min": pa.array(np.where(ok, est, HI), pa.int64()),
+            "est_max": pa.array(np.where(ok, est, LO), pa.int64()),
         })
 
     agg = ds.map_batches(estimate, batch_format="pyarrow",
                          batch_size=64) \
         .groupby("true_q").aggregate(
             Sum("n", alias_name="n"),
+            Sum("n_error", alias_name="n_error"),
             Sum("n_exact", alias_name="n_exact"),
             Sum("n_zero_dist", alias_name="n_zero_dist"),
             Min("est_min", alias_name="min_est_q"),

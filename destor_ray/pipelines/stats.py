@@ -839,8 +839,11 @@ def events_chi2_assoc(sf_dir: str):
     columns are independent — a type whose traffic concentrates on
     particular weekdays flags scheduling artifacts or bot traffic).
     The full per-cell table is emitted so an auditor reads WHERE the
-    dependence lives, not just that it exists; Σ chi2_term_micro / 1e6
-    is the statistic at (|types|−1)(7−1) degrees of freedom.
+    dependence lives, not just that it exists — INCLUDING zero-observed
+    cells (a type that never fires on some weekday contributes
+    (0−E)²/E = E, exactly the strongest concentration signal), so
+    Σ chi2_term_micro / 1e6 is the statistic at (|types|−1)(|dows|−1)
+    degrees of freedom over the observed type/dow domains.
 
     Exactness: O, N and the margins R, C are exact integers from ONE
     (type, dow)-domain exchange (map-side bincount partials; everything
@@ -871,6 +874,14 @@ def events_chi2_assoc(sf_dir: str):
     cells = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["event_type", "dow"]) \
         .aggregate(Sum("n", alias_name="o")).to_pandas()
+
+    # densify to the observed type × dow cross product: O = 0 cells
+    # carry chi2 mass (0−E)²/E = E and must not be dropped
+    full = pd.MultiIndex.from_product(
+        [sorted(cells["event_type"].unique()),
+         sorted(cells["dow"].unique())], names=["event_type", "dow"])
+    cells = cells.set_index(["event_type", "dow"]) \
+        .reindex(full, fill_value=0).reset_index()
 
     n_tot = int(cells["o"].sum())
     r = cells.groupby("event_type")["o"].transform("sum").astype(object)

@@ -74,6 +74,39 @@ def events_type_stats(sf_dir: str):
         Max("value", alias_name="max_value"))
 
 
+def _events_ts_us(sf_dir: str):
+    """(user_id, ts_us) — the narrowed event stream both session
+    consumers start from."""
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64())
+        return pa.table({"user_id": batch["user_id"], "ts_us": us})
+
+    return ds.map_batches(to_us, batch_format="pyarrow")
+
+
+def _session_bounds(df: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
+    """Gaps-and-islands core shared by events_sessionize and
+    events_max_concurrency (ONE copy of the gap rule): sort (user, ts),
+    a gap > gap_sec (or a user change) opens a session; returns one row
+    per session (user_id, sess, n_events, start_us, end_us)."""
+    df = df.sort_values(["user_id", "ts_us"], kind="stable")
+    uid = df["user_id"].to_numpy()
+    ts = df["ts_us"].to_numpy()
+    new_user = np.empty(len(df), dtype=bool)
+    new_user[0] = True
+    new_user[1:] = uid[1:] != uid[:-1]
+    gap = np.empty(len(df), dtype=bool)
+    gap[0] = True
+    gap[1:] = (ts[1:] - ts[:-1]) > gap_sec * 1_000_000
+    sess_id = np.cumsum(new_user | gap) - 1
+    return pd.DataFrame({"user_id": uid, "sess": sess_id, "ts_us": ts}) \
+        .groupby(["user_id", "sess"], sort=False) \
+        .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"),
+             end_us=("ts_us", "max")).reset_index()
+
+
 def events_sessionize(sf_dir: str, gap_sec: int = 1800):
     """Session windows per user: events sorted by ts within user; a gap >
     gap_sec starts a new session. Returns (user_id, session_idx,
@@ -81,36 +114,16 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
     user group (the reference's total-stream-order concern scoped per
     key, SURVEY.md §2.10). Oracle: lag() gaps-and-islands SQL."""
     from ..stages.grouped import bucketed_group_map
-    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
-
-    def to_us(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64())
-        return pa.table({"user_id": batch["user_id"], "ts_us": us})
-
-    keyed = ds.map_batches(to_us, batch_format="pyarrow")
 
     def sessions(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["user_id", "ts_us"], kind="stable")
-        uid = df["user_id"].to_numpy()
-        ts = df["ts_us"].to_numpy()
-        new_user = np.empty(len(df), dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        gap = np.empty(len(df), dtype=bool)
-        gap[0] = True
-        gap[1:] = (ts[1:] - ts[:-1]) > gap_sec * 1_000_000
-        new_sess = new_user | gap
-        sess_id = np.cumsum(new_sess) - 1
-        g = pd.DataFrame({"user_id": uid, "sess": sess_id, "ts_us": ts}) \
-            .groupby(["user_id", "sess"], sort=False) \
-            .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"),
-                 end_us=("ts_us", "max")).reset_index()
+        g = _session_bounds(df, gap_sec)
         g["session_idx"] = g.groupby("user_id", sort=False).cumcount()
         return pa.Table.from_pandas(
             g[["user_id", "session_idx", "n_events", "start_us", "end_us"]],
             preserve_index=False).replace_schema_metadata(None)
 
-    return bucketed_group_map(keyed, "user_id", sessions, num_buckets=32)
+    return bucketed_group_map(_events_ts_us(sf_dir), "user_id", sessions,
+                              num_buckets=32)
 
 
 def events_rolling_median(sf_dir: str, w: int = 7, n_buckets: int = 32):
@@ -256,33 +269,16 @@ def events_max_concurrency(sf_dir: str, gap_sec: int = 1800,
 
     from ..stages.grouped import bucketed_group_map
 
-    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
-
-    def to_us(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64())
-        return pa.table({"user_id": batch["user_id"], "ts_us": us})
-
-    keyed = ds.map_batches(to_us, batch_format="pyarrow")
-
     def sessions(df: pd.DataFrame) -> pa.Table:
-        df = df.sort_values(["user_id", "ts_us"], kind="stable")
-        uid = df["user_id"].to_numpy()
-        ts = df["ts_us"].to_numpy()
-        new_user = np.empty(len(df), dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        gap = np.empty(len(df), dtype=bool)
-        gap[0] = True
-        gap[1:] = (ts[1:] - ts[:-1]) > gap_sec * 1_000_000
-        sess_id = np.cumsum(new_user | gap) - 1
-        g = pd.DataFrame({"sess": sess_id, "ts_us": ts}) \
-            .groupby("sess", sort=False)["ts_us"].agg(["min", "max"])
+        g = _session_bounds(df, gap_sec)
         return pa.table({
-            "start_us": pa.array(g["min"].to_numpy(np.int64), pa.int64()),
-            "end_us": pa.array(g["max"].to_numpy(np.int64), pa.int64()),
+            "start_us": pa.array(g["start_us"].to_numpy(np.int64),
+                                 pa.int64()),
+            "end_us": pa.array(g["end_us"].to_numpy(np.int64),
+                               pa.int64()),
         })
 
-    sess = bucketed_group_map(keyed, "user_id", sessions,
+    sess = bucketed_group_map(_events_ts_us(sf_dir), "user_id", sessions,
                               num_buckets=32).materialize()
 
     g = sess.aggregate(Min("start_us", alias_name="lo"),

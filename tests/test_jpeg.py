@@ -212,6 +212,7 @@ def test_jfif_quality_estimate_query(ray_session):
 
     out = jfif_quality_estimate("/root/testdata/sf0.001", n_images=32)
     assert list(out["true_q"]) == [70, 85, 92]
+    assert (out["n_error"] == 0).all()
     assert (out["n_exact"] == out["n"]).all()
     assert (out["n_zero_dist"] == out["n"]).all()
     assert (out["min_est_q"] == out["true_q"]).all()

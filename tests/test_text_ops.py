@@ -1030,17 +1030,21 @@ def test_chi2_assoc_matches_crosstab_reference(ray_session):
     ct = pd.crosstab(df["event_type"], dow)
     n = ct.to_numpy().sum()
     e = np.outer(ct.sum(axis=1), ct.sum(axis=0)) / n
-    chi2_ref = ((ct.to_numpy() - e) ** 2 / e)[ct.to_numpy() > 0].sum()
+    chi2_ref = ((ct.to_numpy() - e) ** 2 / e).sum()   # zero cells incl.
     got = out["chi2_term_micro"].sum() / 1e6
     assert abs(got - chi2_ref) < 1e-3
     assert int(out["o"].sum()) == n
-    # per-cell expected counts recombine to the row margins (only
-    # meaningful when every dow cell is observed for the type — zero
-    # cells are absent from the contingency output by construction)
+    # the output is the full observed-domain cross product (zero-
+    # observed cells carry (0−E)²/E), so every type has every dow row
+    # and the per-cell expected counts recombine to the row margins
+    assert len(out) == ct.shape[0] * ct.shape[1]
     for t, g in out.groupby("event_type"):
-        if len(g) == ct.shape[1]:
-            assert abs(g["e_micro"].sum() / 1e6 - ct.loc[t].sum()) \
-                < len(g) * 1e-6 + 1e-9 * n
+        assert len(g) == ct.shape[1]
+        assert abs(g["e_micro"].sum() / 1e6 - ct.loc[t].sum()) \
+            < len(g) * 1e-6 + 1e-9 * n
+
+
+def test_embedding_dim_stats_matches_numpy(ray_session):
     """embedding_dim_stats equals the single-process numpy per-dim
     profile under the same floor(x*1e6) quantization."""
     import numpy as np
