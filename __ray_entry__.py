@@ -1725,6 +1725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_prune_stats": ingest.zonemap_prune_stats,
         "jfif_dc_dedup": ingest.jfif_dc_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
+        "avi_frame_stats": ingest.avi_frame_stats,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,

@@ -236,6 +236,121 @@ def _video_corpus_dir(n_videos: int = 256) -> str:
     return out
 
 
+def _avi_corpus_dir(n_videos: int = 48, frames_per_video: int = 8) -> str:
+    """Deterministic cached corpus of REAL Motion-JPEG AVI files: each
+    video's frames are the procedural corpus image rolled horizontally
+    with a per-frame brightness ramp (same dims within a video, as a
+    camera emits), JFIF-encoded at q85 and wrapped in the RIFF/AVI
+    grammar by destor_ray.avi — any standard player opens these."""
+    from .. import corpus as corpus_mod
+    from .. import avi as avi_mod
+    from ..jpeg import encode as jfif_encode
+
+    out = f"/tmp/destor_ray_avi/n{n_videos}_f{frames_per_video}"
+    if os.path.isdir(out):
+        return out
+    import numpy as np
+    ids, blobs, nframes, ws, hs = [], [], [], [], []
+    for i in range(n_videos):
+        px, w, h, _, _ = corpus_mod._base_pixels(seed=13, row=i)
+        frames = []
+        for j in range(frames_per_video):
+            fr = np.roll(px, shift=3 * j, axis=1).astype(np.int16)
+            fr = np.clip(fr + 4 * j, 0, 255).astype(np.uint8)
+            frames.append(jfif_encode(fr, quality=85))
+        ids.append(f"avi{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(frames, w=w, h=h, fps=10))
+        nframes.append(frames_per_video)
+        ws.append(w)
+        hs.append(h)
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "n_frames": pa.array(nframes, pa.int32()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def avi_frame_stats(sf_dir: str, n_videos: int = 48):
+    """(n_videos, n_frames_total, n_sampled, mean_lum_micro,
+    mean_video_bytes) — REAL video ingestion end-to-end: a corpus of
+    Motion-JPEG AVI files (RIFF container, per-frame baseline JFIF —
+    the format cheap cameras and OpenCV's MJPG writer emit) is frame-
+    sampled by the SAME VideoFrameSample actor pool the fake-decoder
+    path uses, with decoder="mjpeg-avi": the container walk is
+    destor_ray.avi (chunk grammar, not idx1-trusting) and each sampled
+    frame is decoded DC-ONLY (jpeg.decode_dc_luma — sampling k of N
+    frames never entropy-decodes the other N−k, and never runs an
+    IDCT at all). n_frames_total comes from the avih header alone
+    (container metadata read, no frame parsing) and the sampled thumbs
+    aggregate to a luma mean. Replaces the ffmpeg stub for the one
+    codec family implementable without inter-frame state; H.264 etc.
+    remain the declared seam. `sf_dir` unused (cached deterministic
+    fixture), standard queries() signature."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from .. import avi as avi_mod
+    from ..stages.multimodal import VideoFrameSample
+
+    d = _avi_corpus_dir(n_videos)
+    vids = ray.data.read_parquet(f"{d}/videos.parquet",
+                                 columns=["video_id", "bytes"])
+
+    def meta_partial(batch: pa.Table) -> pa.Table:
+        nf = 0
+        tot = 0
+        for data in batch["bytes"].to_pylist():
+            nf += avi_mod.meta(data)[0]
+            tot += len(data)
+        return pa.table({
+            "n_videos": pa.array([batch.num_rows], pa.int64()),
+            "n_frames_total": pa.array([nf], pa.int64()),
+            "bytes_total": pa.array([tot], pa.int64()),
+        })
+
+    m = vids.map_batches(meta_partial, batch_format="pyarrow") \
+        .aggregate(Sum("n_videos", alias_name="nv"),
+                   Sum("n_frames_total", alias_name="nf"),
+                   Sum("bytes_total", alias_name="bt"))
+
+    frames = vids.map_batches(
+        VideoFrameSample,
+        fn_constructor_kwargs={"decoder": "mjpeg-avi"},
+        batch_format="pyarrow", batch_size=16, concurrency=2)
+
+    def lum(batch: pa.Table) -> pa.Table:
+        raw = np.frombuffer(b"".join(batch["frame_thumb"].to_pylist()),
+                            np.uint8)
+        px = raw.reshape(batch.num_rows, -1)
+        return pa.table({"lum_micro": pa.array(
+            px.sum(axis=1, dtype=np.int64) * 1_000_000 // px.shape[1],
+            pa.int64())})
+
+    a = frames.map_batches(lum, batch_format="pyarrow") \
+        .aggregate(Count(alias_name="n_sampled"),
+                   Sum("lum_micro", alias_name="lum_sum"))
+    import pandas as pd
+    nv, nf, bt = int(m["nv"]), int(m["nf"]), int(m["bt"])
+    ns = int(a["n_sampled"])
+    return pd.DataFrame({
+        "n_videos": [nv], "n_frames_total": [nf], "n_sampled": [ns],
+        "mean_lum_micro": [int(a["lum_sum"]) // ns],
+        "mean_video_bytes": [bt // nv],
+    }).astype("int64")
+
+
 def video_frame_stats(sf_dir: str, n_videos: int = 256):
     """(n_frames, n_videos, n_sampled, mean_lum_micro) — the VIDEO
     multimodal path as a driver-visible query: binary payloads fan out

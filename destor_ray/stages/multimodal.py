@@ -111,13 +111,19 @@ class AudioFeatures:
 class VideoFrameSample:
     """Frame sampling for video payloads.
 
-    Schema in:  (video_id: string, bytes: binary, n_frames: int32)
+    Schema in:  (video_id: string, bytes: binary[, n_frames: int32])
     Schema out: (video_id, frame_idx: int32, frame_thumb: binary)
     Emits `samples_per_video` rows per input row (a flat_map-shaped
     map_batches).
 
-    decoder="fake": frames are deterministic hash-seeded images;
-    decoder="real" raises at the ffmpeg seam.
+    decoder="mjpeg-avi": REAL — the payload is a Motion-JPEG AVI
+    (destor_ray.avi container walk + per-frame DC-luma JPEG decode:
+    the scale_denom=8 thumbnail trick, no IDCT, so sampling k frames
+    of an N-frame video never entropy-decodes the other N−k);
+    decoder="fake": frames are deterministic hash-seeded images
+    (plumbing tests at any scale without payloads);
+    decoder="real" raises at the ffmpeg seam (H.264 etc. — MJPEG has
+    no inter-frame state, which is why it is implementable here).
     """
 
     def __init__(self, decoder: str = "fake", samples_per_video: int = 3,
@@ -134,10 +140,27 @@ class VideoFrameSample:
         return rng.integers(0, 256, (self.thumb, self.thumb, 3), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import avi, jpeg
+
         vids, idxs, thumbs = [], [], []
-        nframes = batch["n_frames"].to_pylist()
+        if "n_frames" in batch.column_names:
+            nframes = batch["n_frames"].to_pylist()
+        else:
+            nframes = [0] * batch.num_rows
         for vid, data, nf in zip(batch["video_id"].to_pylist(),
                                  batch["bytes"].to_pylist(), nframes):
+            if self.decoder == "mjpeg-avi":
+                frames = avi.decode_frames(data)
+                nf = len(frames)
+                k = min(self.k, nf)
+                for j in range(k):
+                    fi = (j * nf) // k
+                    dc = jpeg.decode_dc_luma(frames[fi])
+                    vids.append(vid)
+                    idxs.append(fi)
+                    thumbs.append(codec.resize_nn(
+                        dc, self.thumb, self.thumb).tobytes())
+                continue
             nf = max(1, int(nf))
             for j in range(min(self.k, nf)):
                 fi = (j * nf) // min(self.k, nf)

