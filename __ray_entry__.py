@@ -1676,6 +1676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rle_compression_advisor": stats.rle_compression_advisor,
         "benford_audit": stats.benford_audit,
         "events_chi2_assoc": stats.events_chi2_assoc,
+        "lineitem_weighted_quantiles": stats.lineitem_weighted_quantiles,
         "winsorized_stats": stats.winsorized_stats,
         "events_equidepth_bins": stats.events_equidepth_bins,
         "shuffle_order_audit": stats.shuffle_order_audit,
@@ -3622,6 +3623,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(q) AS BIGINT) AS min_micro,
                    CAST(max(q) AS BIGINT) AS max_micro
             FROM x GROUP BY dim
+        """,
+        "lineitem_weighted_quantiles": """
+            WITH v AS (SELECT CAST(round(l_extendedprice * 100)
+                                   AS BIGINT) AS c,
+                              CAST(round(l_quantity) AS BIGINT) AS w
+                       FROM lineitem),
+                 d AS (SELECT c, CAST(sum(w) AS HUGEINT) AS w
+                       FROM v GROUP BY c),
+                 t AS (SELECT c, sum(w) OVER (ORDER BY c) AS cw FROM d),
+                 tot AS (SELECT CAST(sum(w) AS HUGEINT) AS tw FROM v),
+                 qs(qn, qd) AS (VALUES (1, 4), (1, 2), (3, 4), (9, 10))
+            SELECT CAST(qn AS BIGINT) AS q_num,
+                   CAST(qd AS BIGINT) AS q_den,
+                   (SELECT min(c) FROM t
+                    WHERE cw * qd >= qn * (SELECT tw FROM tot))
+                       AS wq_cents,
+                   CAST((SELECT tw FROM tot) AS BIGINT) AS total_weight
+            FROM qs
         """,
         "events_chi2_assoc": """
             WITH b AS (SELECT event_type,

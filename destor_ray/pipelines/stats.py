@@ -831,6 +831,101 @@ def rle_compression_advisor(sf_dir: str, n_buckets: int = 256):
     })
 
 
+def lineitem_weighted_quantiles(
+        sf_dir: str,
+        qs: tuple[tuple[int, int], ...] = ((1, 4), (1, 2), (3, 4), (9, 10)),
+        n_hist: int = 1 << 16, max_refine_rows: int = 5_000_000):
+    """(q_num, q_den, wq_cents, total_weight) — EXACT WEIGHTED
+    quantiles of lineitem price under the quantity measure: the
+    weighted member of the selection family (exact_global_quantiles is
+    uniform-weight, events_equidepth_bins is multi-rank uniform;
+    curation constantly needs the weighted form — "the median BYTE is
+    in a file of what size", "half the tokens come from docs shorter
+    than X"). Quantile q = a/b is the smallest value v whose
+    cumulative weight satisfies cum(v)·b ≥ a·W — the comparison stays
+    cross-multiplied integer on both sides, no float rank ever forms.
+
+    Same 3-pass selection shape: scalar (W, min, max) → WEIGHTED
+    equal-width bincount partials through one domain-sized exchange
+    (driver locates each target's bucket + the exclusive weight carry)
+    → ONE filtered gather of the few hot buckets, exact per-value
+    weight cumsum inside. Zero sort, zero co-location.
+
+    Oracle: per-value weight sums + window cumsum + min(v) under the
+    identical cross-multiplied HUGEINT predicate."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice", "l_quantity"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        c = np.round(batch["l_extendedprice"]
+                     .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        w = np.round(batch["l_quantity"].to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        return pa.table({"c": pa.array(c, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    vals = ds.map_batches(narrow, batch_format="pyarrow")
+
+    g = vals.aggregate(Sum("w", alias_name="W"),
+                       Min("c", alias_name="lo"),
+                       Max("c", alias_name="hi"))
+    W, lo, hi = int(g["W"]), int(g["lo"]), int(g["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_hist))
+
+    def hist(batch: pa.Table) -> pa.Table:
+        b = (batch["c"].to_numpy(zero_copy_only=False) - lo) // width
+        wt = batch["w"].to_numpy(zero_copy_only=False)
+        # float64 bincount weights are exact below 2^53 per partial
+        cnt = np.bincount(b, weights=wt).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "wsum": pa.array(cnt[nz], pa.int64())})
+
+    hdf = vals.map_batches(hist, batch_format="pyarrow") \
+        .groupby("bucket").aggregate(Sum("wsum", alias_name="wsum")) \
+        .to_pandas().sort_values("bucket")
+    buckets = hdf["bucket"].to_numpy(np.int64)
+    cumw = hdf["wsum"].to_numpy(np.int64).cumsum()
+
+    targets = []  # (q_num, q_den, bucket, exclusive weight carry)
+    for a, b in qs:
+        # first bucket where cum·b >= a·W  (Python ints: no overflow)
+        j = next(i for i, cw in enumerate(cumw)
+                 if int(cw) * b >= a * W)
+        before = int(cumw[j - 1]) if j else 0
+        targets.append((a, b, int(buckets[j]), before))
+    needed = sorted({t[2] for t in targets})
+    assert sum(int(hdf["wsum"].iloc[int(np.searchsorted(buckets, bk))])
+               for bk in needed) <= max_refine_rows * 64, \
+        "refine set too large — recurse inside the hot bucket"
+
+    need_arr = np.array(needed, np.int64)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        m = np.isin((c - lo) // width, need_arr)
+        return pa.table({"c": pa.array(c[m], pa.int64()),
+                         "w": pa.array(w[m], pa.int64())})
+
+    ref = vals.map_batches(gather, batch_format="pyarrow").to_pandas()
+    ref["bucket"] = (ref["c"] - lo) // width
+
+    rows = []
+    for a, b, bk, before in targets:
+        sub = ref[ref["bucket"] == bk].groupby("c")["w"].sum() \
+            .sort_index()
+        cw = before + sub.cumsum()
+        v = int(cw.index[np.searchsorted(
+            cw.to_numpy() * b, a * W, side="left")])
+        rows.append((a, b, v, W))
+    return pd.DataFrame(rows, columns=["q_num", "q_den", "wq_cents",
+                                       "total_weight"]).astype("int64")
+
+
 def events_chi2_assoc(sf_dir: str):
     """(event_type, dow, o, e_micro, chi2_term_micro) — chi-square
     contingency audit of event_type × day-of-week: the categorical

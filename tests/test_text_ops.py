@@ -950,6 +950,31 @@ def test_ks_drift_matches_scipy_style_reference(ray_session):
     assert out.ks_den == na * nb
 
 
+def test_weighted_quantiles_match_expansion_reference(ray_session):
+    """lineitem_weighted_quantiles equals the brute-force definition:
+    expand every row w times and take the uniform lower quantile of
+    the expanded multiset."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.stats import lineitem_weighted_quantiles
+
+    out = lineitem_weighted_quantiles(SF)
+    df = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_extendedprice", "l_quantity"]) \
+        .to_pandas()
+    c = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    w = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+    expanded = np.sort(np.repeat(c, w))
+    W = int(w.sum())
+    assert (out["total_weight"] == W).all()
+    for _, r in out.iterrows():
+        # smallest v with cum(v)*b >= a*W  ==  expanded[ceil(a*W/b)-1]
+        k = -(-int(r.q_num) * W // int(r.q_den))
+        assert int(r.wq_cents) == int(expanded[k - 1]), \
+            (r.q_num, r.q_den)
+
+
 def test_rolling_median_matches_pandas_and_bucket_invariant(ray_session):
     """events_rolling_median equals pandas' per-type rolling lower
     median (min_periods=1, manual lower-median pick), and the carried
