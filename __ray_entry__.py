@@ -1727,6 +1727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jfif_dc_dedup": ingest.jfif_dc_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
         "avi_frame_stats": ingest.avi_frame_stats,
+        "avi_video_dedup": ingest.avi_video_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,

@@ -304,6 +304,20 @@ def phash64_batch(grays32: np.ndarray) -> np.ndarray:
     return (bits * weights).sum(axis=1, dtype=np.uint64).view(np.int64)
 
 
+def ahash64_batch(grays32: np.ndarray) -> np.ndarray:
+    """8×8 block-mean average hash over a (n, 32, 32) gray stack →
+    int64[n]. Second-opinion channel to phash64_batch: the two hash
+    families flip independently under re-encode noise (measured in
+    jfif_dc_dedup: banding BOTH recovers pairs a single family
+    misses)."""
+    b = grays32.astype(np.float64) \
+        .reshape(-1, 8, 4, 8, 4).mean(axis=(2, 4)) \
+        .reshape(-1, 64)
+    bits = (b > b.mean(axis=1, keepdims=True)).astype(np.uint64)
+    w = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    return (bits * w).sum(axis=1, dtype=np.uint64).view(np.int64)
+
+
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 

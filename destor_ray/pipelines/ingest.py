@@ -351,6 +351,193 @@ def avi_frame_stats(sf_dir: str, n_videos: int = 48):
     }).astype("int64")
 
 
+def _avi_dup_corpus_dir(n_base: int = 36, dup_every: int = 3,
+                        frames_per_video: int = 8) -> str:
+    """AVI near-dup plan: base MJPEG videos (as _avi_corpus_dir, seed
+    17) plus, for every dup_every-th base, a planted near-duplicate
+    `<id>_re`: every frame full-decoded and re-encoded at q70 — the
+    transcode-copy case a video dedup pipeline must catch."""
+    from .. import corpus as corpus_mod
+    from .. import avi as avi_mod
+    from .. import jpeg as jpeg_mod
+
+    out = f"/tmp/destor_ray_avi_dup/n{n_base}_d{dup_every}_f{frames_per_video}"
+    if os.path.isdir(out):
+        return out
+    import numpy as np
+    ids, blobs, nframes = [], [], []
+    for i in range(n_base):
+        px, w, h, _, _ = corpus_mod._base_pixels(seed=17, row=i)
+        frames = []
+        for j in range(frames_per_video):
+            fr = np.roll(px, shift=3 * j, axis=1).astype(np.int16)
+            fr = np.clip(fr + 4 * j, 0, 255).astype(np.uint8)
+            frames.append(jpeg_mod.encode(fr, quality=85))
+        ids.append(f"avi{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(frames, w=w, h=h, fps=10))
+        nframes.append(frames_per_video)
+        if i % dup_every == 0:
+            re = [jpeg_mod.encode(jpeg_mod.decode(f), quality=70)
+                  for f in frames]
+            ids.append(f"avi{i:05d}_re")
+            blobs.append(avi_mod.encode_mjpeg(re, w=w, h=h, fps=10))
+            nframes.append(frames_per_video)
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "n_frames": pa.array(nframes, pa.int32()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def avi_video_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
+                    k_frames: int = 4, psnr_min_centi: int = 2800,
+                    min_slots: int = 3):
+    """(n_videos, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — NEAR-DUP VIDEO detection over real
+    MJPEG AVI files: the flagship image-dedup machinery lifted one
+    level (a video is a sampled SET of frames; a transcode copy shares
+    near-identical frames at every sampled slot). The signature stage
+    is container walk + DC-ONLY decode of k sampled frames per video
+    (no IDCT, no full decode, the other N−k frames never entropy-
+    decoded), per-frame dual phash+aHash 8×8-bit LSH bands (the
+    independent-flip union jfif_dc_dedup measured), and verify runs
+    slot-aligned thumb PSNR over the k DC thumbs that ride the band
+    rows — a pair is a duplicate when ≥ min_slots of k slots clear the
+    PSNR gate, so a single coincidentally-similar frame cannot merge
+    two distinct videos. One band-keyed exchange + one tiny pair
+    groupby; payloads never shuffle.
+
+    At corpus scale the k-thumb band payload (k·256 B) is the
+    volume term — the pair-rendezvous variant (candidates only in the
+    band exchange, thumbs attached by two endpoint-keyed joins)
+    applies unchanged when the network is the binding resource
+    (NOTES.md lever #1)."""
+    import numpy as np
+
+    from .. import avi as avi_mod
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _avi_dup_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet",
+                               columns=["video_id", "bytes"])
+    n_planted = -(-n_base // dup_every)
+    n_videos = n_base + n_planted
+
+    class VideoDCSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids, phs, ahs, thumbs = [], [], [], []
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = avi_mod.decode_frames(data)
+                nf = len(frames)
+                k = min(k_frames, nf)
+                grays = []
+                tb = b""
+                for j in range(k):
+                    dc = jpeg.decode_dc_luma(frames[(j * nf) // k])
+                    grays.append(codec.resize_nn(dc, 32, 32))
+                    tb += codec.resize_nn(dc, 16, 16).tobytes()
+                stack = np.stack(grays)
+                vids.append(vid)
+                phs.append(codec.phash64_batch(stack))
+                ahs.append(codec.ahash64_batch(stack))
+                thumbs.append(tb)
+            n = len(vids)
+            ph = np.stack(phs) if n else np.empty((0, k_frames), np.int64)
+            ah = np.stack(ahs) if n else np.empty((0, k_frames), np.int64)
+            return pa.table({
+                "video_id": pa.array(vids, pa.string()),
+                "phash": pa.array(list(ph), pa.list_(pa.int64())),
+                "ahash": pa.array(list(ah), pa.list_(pa.int64())),
+                "thumbs": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(VideoDCSignature, batch_size=16, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        keys, vids, thumbs = [], [], []
+        mask = np.uint64((1 << BITS) - 1)
+        tcol = batch["thumbs"].to_pylist()
+        idcol = batch["video_id"].to_pylist()
+        for ch, col in enumerate(("phash", "ahash")):
+            hl = batch[col].to_pylist()
+            for row, hs in enumerate(hl):
+                hv = np.array(hs, np.int64).view(np.uint64)
+                for fi, h in enumerate(hv):
+                    for band in range(N_BANDS):
+                        bits = int((h >> np.uint64(BITS * band)) & mask)
+                        slot = (ch * k_frames + fi) * N_BANDS + band
+                        keys.append((slot << BITS) | bits)
+                        vids.append(idcol[row])
+                        thumbs.append(tcol[row])
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "video_id": pa.array(vids, pa.string()),
+            "thumbs": pa.array(thumbs, pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs = [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["video_id"].tolist()
+            if len(ids) < 2:
+                continue
+            tset = [np.frombuffer(t, np.uint8).reshape(-1, 16, 16)
+                    for t in g["thumbs"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    k = min(len(tset[i]), len(tset[j]))
+                    good = sum(
+                        1 for s in range(k)
+                        if codec.psnr(tset[i][s], tset[j][s]) * 100
+                        >= psnr_min_centi)
+                    if good >= min(min_slots, k):
+                        l, r = sorted((ids[i], ids[j]))
+                        ls.append(l)
+                        rs.append(r)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"avi{i:05d}", f"avi{i:05d}_re")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_videos": [n_videos], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")
+
+
 def video_frame_stats(sf_dir: str, n_videos: int = 256):
     """(n_frames, n_videos, n_sampled, mean_lum_micro) — the VIDEO
     multimodal path as a driver-visible query: binary payloads fan out
@@ -1336,16 +1523,6 @@ def jfif_dc_dedup(sf_dir: str, n_base: int = 192, dup_every: int = 3,
         def __init__(self):
             codec._dct_matrix(32)  # warm the phash DCT table
 
-        @staticmethod
-        def _ahash64(grays32: np.ndarray) -> np.ndarray:
-            """8×8 block-mean hash over a (n, 32, 32) gray stack."""
-            b = grays32.astype(np.float64) \
-                .reshape(-1, 8, 4, 8, 4).mean(axis=(2, 4)) \
-                .reshape(-1, 64)
-            bits = (b > b.mean(axis=1, keepdims=True)).astype(np.uint64)
-            w = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
-            return (bits * w).sum(axis=1, dtype=np.uint64).view(np.int64)
-
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["image_id"].to_pylist()
             grays, thumbs = [], []
@@ -1357,7 +1534,8 @@ def jfif_dc_dedup(sf_dir: str, n_base: int = 192, dup_every: int = 3,
                 np.empty((0, 32, 32), np.uint8)
             ph = codec.phash64_batch(stack) if ids else \
                 np.array([], np.int64)
-            ah = self._ahash64(stack) if ids else np.array([], np.int64)
+            ah = codec.ahash64_batch(stack) if ids else \
+                np.array([], np.int64)
             return pa.table({
                 "image_id": pa.array(ids, pa.string()),
                 "phash": pa.array(ph, pa.int64()),

@@ -372,3 +372,16 @@ def test_avi_frame_stats_query_exact(ray_session):
     assert out.n_sampled == 36
     assert 0 < out.mean_lum_micro < 255_000_000
     assert out.mean_video_bytes > 0
+
+
+def test_avi_video_dedup_full_recall_no_false_merges(ray_session):
+    """video-level dedup over real MJPEG AVIs: every planted q85→q70
+    transcode copy is found, no distinct videos merge, and the
+    slot-majority rule holds (>= 3 of 4 sampled frames must verify)."""
+    from destor_ray.pipelines.ingest import avi_video_dedup
+
+    out = avi_video_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_videos == 48 and out.n_planted == 12
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 12
