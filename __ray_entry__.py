@@ -1728,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
         "avi_frame_stats": ingest.avi_frame_stats,
         "avi_video_dedup": ingest.avi_video_dedup,
+        "wav_audio_dedup": ingest.wav_audio_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,

@@ -107,6 +107,214 @@ def _wav_corpus_dir(n_clips: int = 512, sr: int = 8000) -> str:
     return out
 
 
+def _wav_dup_corpus_dir(n_base: int = 36, dup_every: int = 3,
+                        sr: int = 8000) -> str:
+    """WAV near-dup plan: amplitude-modulated three-tone clips (Philox
+    per-clip frequencies/AM walk + low dither — non-stationary, so
+    spectral profiles discriminate), plus for every dup_every-th base a
+    planted near-duplicate `<id>_g`: the SAME signal at 0.6× gain with
+    fresh dither — the volume-normalized re-upload an audio dedup
+    pipeline must catch."""
+    import numpy as np
+
+    from .. import codec
+
+    out = f"/tmp/destor_ray_wav_dup/v2_n{n_base}_d{dup_every}_sr{sr}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    t = np.arange(2 * sr, dtype=np.float64) / sr
+    for i in range(n_base):
+        rng = np.random.Generator(np.random.Philox(key=1000 + i))
+        sig = np.zeros_like(t)
+        for _ in range(3):
+            f = rng.uniform(80, 1800)
+            a = rng.uniform(0.2, 0.5)
+            sig += a * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+        # clip-keyed BROADBAND component, part of the signal (the dup
+        # scales it with the gain): real energy in every band, so the
+        # delta-sign fingerprint is decided by signal, not dither
+        sig += 0.1 * rng.normal(0, 1, len(t))
+        # piecewise AM envelope: 16 random levels, linearly bridged
+        lv = rng.uniform(0.2, 1.0, 17)
+        env = np.interp(np.linspace(0, 16, len(t)), np.arange(17), lv)
+        base = (sig * env / 3.0).astype(np.float32)
+        ids.append(f"wav{i:05d}")
+        blobs.append(codec.wav_encode(
+            base + rng.normal(0, 1e-4, len(t)).astype(np.float32), sr))
+        if i % dup_every == 0:
+            rng2 = np.random.Generator(np.random.Philox(key=5000 + i))
+            dup = (0.6 * base
+                   + rng2.normal(0, 1e-4, len(t)).astype(np.float32)) \
+                .astype(np.float32)
+            ids.append(f"wav{i:05d}_g")
+            blobs.append(codec.wav_encode(dup, sr))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/clips.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def wav_audio_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
+                    n_bands: int = 16, k_slots: int = 4,
+                    corr_min_milli: int = 990):
+    """(n_clips, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — GAIN-INVARIANT audio near-dup
+    detection over real RIFF/WAVE PCM: the third modality of the dedup
+    family (image flagship, video avi_video_dedup, now audio). The
+    signature is the Haitsma–Kalker / Philips robust hash: per frame,
+    bit(b) = sign of the time-delta of the band-energy difference
+    E[t+1,b]−E[t,b]−(E[t+1,b+1]−E[t,b+1]) — scaling PCM by g scales
+    every E by g², so ALL bits are mathematically invariant under pure
+    gain (only dither near zero-deltas can flip); k sampled frames'
+    bit-words pack into one int64 for the 8×8-bit LSH band exchange.
+    Verify is the mean-centered log-band spectral profile (gain shifts
+    log-energies by a constant, centering removes it): Pearson corr ≥
+    corr_min_milli/1000 over the 16-band profiles that ride the band
+    rows — 64 B per row, PCM never crosses the shuffle.
+
+    Same topology as the image/video paths: one band-keyed exchange +
+    one tiny pair groupby; planted 0.6×-gain copies must all verify
+    and no distinct clips may merge (pinned by test).
+
+    Measured caveat the fixture encodes: on a PURELY TONAL corpus
+    (first fixture draft) ~30% of fingerprint bits flipped between a
+    clip and its gain copy — most of the 16 bands carry ~zero signal
+    energy for a 3-tone clip, so their delta-signs were decided by the
+    independent dither, not the signal. Real audio is broadband; the
+    fixture's clip-keyed broadband component restores that property
+    (and is scaled by the gain like any real re-encode), after which
+    per-slot flips drop to ~0 and banding recovers 12/12. The general
+    lesson (sparse-spectrum inputs break delta-sign fingerprints)
+    belongs to the operator, hence documented here."""
+    import numpy as np
+
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _wav_dup_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/clips.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_clips = n_base + n_planted
+
+    FRAME, HOP = 1024, 512
+
+    def _bands_energy(pcm: np.ndarray) -> np.ndarray:
+        nf = 1 + (len(pcm) - FRAME) // HOP
+        idx = (np.arange(FRAME)[None, :]
+               + HOP * np.arange(nf)[:, None])
+        w = np.hanning(FRAME)
+        spec = np.abs(np.fft.rfft(pcm[idx] * w, axis=1)) ** 2
+        # log-spaced band edges over [32 Hz, Nyquist)
+        edges = np.unique(np.geomspace(
+            4, spec.shape[1] - 1, n_bands + 1).astype(int))
+        e = np.add.reduceat(spec, edges[:-1], axis=1)
+        return e[:, :n_bands]
+
+    class AudioFingerprint:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_, words, profs = [], [], []
+            for cid, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                pcm, _sr = codec.wav_decode(data)
+                e = _bands_energy(pcm.astype(np.float64))
+                d_t = np.diff(e, axis=0)              # E[t+1]-E[t]
+                bits = (d_t[:, :-1] - d_t[:, 1:]) > 0  # (T-1, bands-1)
+                slots = [(j * (len(bits) - 1)) // max(1, k_slots - 1)
+                         for j in range(k_slots)]
+                word = 0
+                nb = bits.shape[1]
+                for j, s in enumerate(slots):
+                    w_ = int(np.packbits(
+                        bits[s], bitorder="big")[:2].view(">u2")[0] >> 1)
+                    word |= (w_ & ((1 << nb) - 1)) << (j * nb)
+                prof = np.log(e.mean(axis=0) + 1e-12)
+                prof = prof - prof.mean()
+                profs.append(np.round(prof * 1000).astype(np.int32)
+                             .tobytes())
+                words.append(word)
+                ids_.append(cid)
+            return pa.table({
+                "clip_id": pa.array(ids_, pa.string()),
+                "word": pa.array(words, pa.int64()),
+                "prof": pa.array(profs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(AudioFingerprint, batch_size=32, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS_LSH, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch["word"].to_numpy(zero_copy_only=False).view(np.uint64)
+        n = batch.num_rows
+        keys = np.empty(N_BANDS_LSH * n, np.int64)
+        mask = np.uint64((1 << BITS) - 1)
+        for band in range(N_BANDS_LSH):
+            bits = (h >> np.uint64(BITS * band)) & mask
+            keys[band * n:(band + 1) * n] = \
+                (np.int64(band) << np.int64(BITS)) | bits.astype(np.int64)
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "clip_id": pa.array(batch["clip_id"].to_pylist()
+                                * N_BANDS_LSH, pa.string()),
+            "prof": pa.array(batch["prof"].to_pylist() * N_BANDS_LSH,
+                             pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs = [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["clip_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            profs = [np.frombuffer(p, np.int32).astype(np.float64)
+                     for p in g["prof"]]
+            for i in range(len(ids_)):
+                for j in range(i + 1, len(ids_)):
+                    if ids_[i] == ids_[j]:
+                        continue
+                    a, b = profs[i], profs[j]
+                    denom = np.sqrt((a * a).sum() * (b * b).sum())
+                    corr = (a * b).sum() / denom if denom else 0.0
+                    if corr * 1000 >= corr_min_milli:
+                        l, r = sorted((ids_[i], ids_[j]))
+                        ls.append(l)
+                        rs.append(r)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"wav{i:05d}", f"wav{i:05d}_g")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_clips": [n_clips], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")
+
+
 def audio_wav_stats(sf_dir: str, n_clips: int = 512):
     """(sample_rate, n_clips, total_samples, rms_micro_mean) — the
     AUDIO multimodal path as a driver-visible query: genuine RIFF/WAVE

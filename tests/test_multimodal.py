@@ -385,3 +385,16 @@ def test_avi_video_dedup_full_recall_no_false_merges(ray_session):
     assert out.recall_ppm == 1_000_000
     assert out.n_false == 0
     assert out.n_true == out.n_verified_pairs == 12
+
+
+def test_wav_audio_dedup_gain_invariant_full_recall(ray_session):
+    """audio dedup over real WAV PCM: every planted 0.6x-gain copy is
+    found (the Philips delta-sign fingerprint is gain-invariant on
+    broadband signals) and no distinct clips merge."""
+    from destor_ray.pipelines.ingest import wav_audio_dedup
+
+    out = wav_audio_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_clips == 48 and out.n_planted == 12
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 12
