@@ -144,7 +144,8 @@ def main() -> None:
                  "triangle_count",
                  "q5_local_supplier_volume", "sequence_pack",
                  "heavy_hitter_tokens", "events_user_hour_ohlc",
-                 "keep_best_dedup", "sorted_neighborhood_pairs"]:
+                 "keep_best_dedup", "sorted_neighborhood_pairs",
+                 "avi_video_dedup", "wav_audio_dedup"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver
