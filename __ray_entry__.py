@@ -236,6 +236,14 @@ queries() entries map to SURVEY.md §2 operators:
                        8×8-bit LSH bands → thumb-PSNR verify in-bucket
                        — planted re-encode recall 1.0, 0 false merges
                        (rows-only; pytest pins recall)
+  dihedral_image_dedup near-dup detection that survives MIRRORED /
+                       ROTATED re-uploads (a flip moves phash ~31
+                       bits — past every band): orbit expansion bands
+                       all 8 D4 orientations; verify = dual-Hamming
+                       prefilter + orientation/shift-aligned DC-thumb
+                       PSNR ≥ 35 dB (measured 25 dB separation) —
+                       planted transform+re-encode recall 1.0, 0
+                       false merges (rows-only; pytest pins recall)
   corpus_transcode_stats storage-transcode advisor: hash-sampled rows
                        through the REAL codec composition (decode →
                        T.81 JFIF encode → decode → PSNR vs source),
@@ -1725,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_write_readback": ingest.partitioned_write_readback,
         "zonemap_prune_stats": ingest.zonemap_prune_stats,
         "jfif_dc_dedup": ingest.jfif_dc_dedup,
+        "dihedral_image_dedup": ingest.dihedral_image_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
         "avi_frame_stats": ingest.avi_frame_stats,
         "avi_video_dedup": ingest.avi_video_dedup,

@@ -333,6 +333,34 @@ def hamming64(a, b) -> np.ndarray:
     return cnt
 
 
+def dihedral_apply(a: np.ndarray, k: int) -> np.ndarray:
+    """Apply element k of the dihedral group D4 to the FIRST TWO axes
+    of `a` (0=identity, 1/2/3=rot90·k CCW, 4=flip-h, 5=flip-v,
+    6=transpose, 7=anti-transpose). Returns a view (no copy) — the 8
+    orientations of an image under flips/rotations, the transform
+    class a mirrored/rotated re-upload applies."""
+    if k == 0:
+        return a
+    if k in (1, 2, 3):
+        return np.rot90(a, k)
+    if k == 4:
+        return a[:, ::-1]
+    if k == 5:
+        return a[::-1, :]
+    if k == 6:
+        return np.swapaxes(a, 0, 1)
+    # anti-transpose: a[i, j] -> a[n-1-j, n-1-i]
+    # (np.rot90(a[:, ::-1]) would be the TRANSPOSE again — rot90∘fliph
+    # composes to a[j, i]; the anti-diagonal needs rot90∘flipv)
+    return np.rot90(a[::-1, :])
+
+
+def dihedral_stack8(g: np.ndarray) -> np.ndarray:
+    """(32, 32) gray → (8, 32, 32) orbit stack (all D4 orientations),
+    the orbit-expansion input for orientation-invariant banding."""
+    return np.stack([dihedral_apply(g, k) for k in range(8)])
+
+
 # ---------------------------------------------------------------------------
 # Real WAV (RIFF PCM) audio codec — pure struct/numpy, no libsndfile
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -1807,6 +1808,247 @@ def jfif_dc_dedup(sf_dir: str, n_base: int = 192, dup_every: int = 3,
     n_cand = len(pairs)
     pairs = pairs.drop_duplicates(["l", "r"])
     truth = {(f"jf{i:05d}", f"jf{i:05d}_re")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_images": [n_images], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Dihedral-invariant near-dup detection (flipped / rotated re-uploads)
+# ---------------------------------------------------------------------------
+
+def _dihedral_dup_corpus_dir(n_base: int = 144, quality: int = 85,
+                             dup_every: int = 3,
+                             dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH PLANTED DIHEDRAL NEAR-DUPS:
+    every dup_every-th base image also appears GEOMETRICALLY
+    TRANSFORMED (cycling all 7 non-identity D4 orientations — mirror,
+    rot90/180/270, transpose, anti-transpose) AND re-encoded at a lower
+    quality — the composite "mirrored re-upload" class that defeats
+    plain phash banding (corpus_augment_stats measured a flip moves
+    phash ~31 bits, i.e. past every band). Truth rides the id naming:
+    "dhNNNNN_tK" duplicates "dhNNNNN"."""
+    from .. import codec
+    from .. import corpus as corpus_mod
+    from ..jpeg import encode as jfif_encode
+
+    out = (f"/tmp/destor_ray_dihdup/"
+           f"v2_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
+        ids.append(f"dh{i:05d}")
+        blobs.append(jfif_encode(px, quality))
+        if i % dup_every == 0:
+            k = 1 + (i // dup_every) % 7
+            ids.append(f"dh{i:05d}_t{k}")
+            blobs.append(jfif_encode(
+                np.ascontiguousarray(codec.dihedral_apply(px, k)),
+                dup_quality))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _dihedral_aligned_psnr(ta: np.ndarray, tb: np.ndarray,
+                           psnr_fn) -> float:
+    """Orientation- and shift-tolerant thumb PSNR: best over the 8 D4
+    orientations of tb AND ±1-pixel shifts of the central 14×14 window
+    (nearest-neighbour resize grids of an image and its rotated copy
+    differ by up to one sample cell — without the shift sweep a TRUE
+    pair bottoms out at 20.6 dB, inside the distinct-pair range;
+    with it true ≥ 25.6 dB vs distinct ≤ 25.1 dB, measured)."""
+    from .. import codec
+    best = -1.0
+    ca = ta[1:15, 1:15].astype(np.float64)
+    for k in range(8):
+        tbo = codec.dihedral_apply(tb, k)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                cb = tbo[1 + dy:15 + dy, 1 + dx:15 + dx] \
+                    .astype(np.float64)
+                mse = ((ca - cb) ** 2).mean()
+                p = 99.99 if mse == 0 else \
+                    min(10 * np.log10(255.0 ** 2 / mse), 99.99)
+                if p > best:
+                    best = p
+    return best
+
+
+def dihedral_image_dedup(sf_dir: str, n_base: int = 144,
+                         dup_every: int = 3,
+                         psnr_min_centi: int = 3500,
+                         ham_max: int = 18, ah_max: int = 6):
+    """(n_images, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — near-dup detection that survives
+    MIRRORED/ROTATED re-uploads, the geometric-transform class every
+    other image channel in this engine is blind to (a flip moves phash
+    ~31 of 64 bits — corpus_augment_stats' measurement — so re-encode
+    banding never fires). Orientation invariance comes from ORBIT
+    EXPANSION, not a canonical hash: each image emits band rows for
+    all 8 D4 orientations of its 32×32 DC-luma gray (phash + aHash per
+    orientation, 8×8-bit bands over both — the dual-family union
+    jfif_dc_dedup measured), so a transformed copy collides with its
+    source at the corresponding orientation with plain re-encode-level
+    bit noise (measured: true pairs ≤ 14 phash bits at the aligned
+    orientation vs ≥ 16 for distinct images). A canonicalizing
+    orbit-MIN hash was evaluated and rejected: argmin over 8 noisy
+    hash values is unstable under re-encode perturbation (different
+    orbit elements win on the two sides → 64-bit mismatch), while
+    expansion only relies on elementwise orbit proximity.
+
+    Gate design is MEASURED on the DC-luma path, where the margins are
+    the reverse of the full-decode intuition: hash distances barely
+    separate (distinct-image best-orientation phash distance bottoms
+    out at 2 bits and aHash at 0 — smooth DC thumbs collide — while
+    true pairs reach dph 16 / dah 2), but orientation+shift-aligned
+    16×16 DC-thumb PSNR separates by ~25 dB (true ≥ 51.2 vs distinct
+    ≤ 26.4 across all 534 hash-risky distinct pairs at n=144). So the
+    dual Hamming test (dph ≤ ham_max OR dah ≤ ah_max) is a cheap COST
+    prefilter sized to lose no true pair, and the PSNR ≥ 35 dB arm is
+    the correctness gate with ≥ 8 dB margin on both sides. Signature
+    decode is jpeg.decode_dc_luma (header walk + Huffman DC scan — no
+    IDCT, no full decode anywhere).
+
+    Scale shape: orbit expansion is an 8× band-row multiplier (rows
+    stay 16 B + thumb); at corpus scale the pair-rendezvous verify
+    (stages/candidates.candidate_edges_rendezvous topology) drops the
+    thumb off the band rows exactly as for the re-encode channel, and
+    a SERVING index stores one orientation while probes expand 8 —
+    the multiplier then rides the small side only."""
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _dihedral_dup_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_images = n_base + n_planted
+
+    class OrbitSignature:
+        """8 orientations × (phash, aHash) per image, DC-luma only."""
+
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, orients, phs, ahs, thumbs = [], [], [], [], []
+            for iid, data in zip(batch["image_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                dc = jpeg.decode_dc_luma(data)
+                orbit = codec.dihedral_stack8(
+                    codec.resize_nn(dc, 32, 32))
+                ph = codec.phash64_batch(orbit)
+                ah = codec.ahash64_batch(orbit)
+                th = codec.resize_nn(dc, 16, 16).tobytes()
+                for k in range(8):
+                    ids.append(iid)
+                    orients.append(k)
+                    phs.append(int(ph[k]))
+                    ahs.append(int(ah[k]))
+                    thumbs.append(th)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "orient": pa.array(orients, pa.int8()),
+                "phash": pa.array(phs, pa.int64()),
+                "ahash": pa.array(ahs, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(OrbitSignature, batch_size=32, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reps = 2 * N_BANDS
+        keys = np.empty(reps * n, np.int64)
+        mask = np.uint64((1 << BITS) - 1)
+        for ch, col in enumerate(("phash", "ahash")):
+            h = batch[col].to_numpy(zero_copy_only=False) \
+                .view(np.uint64)
+            for band in range(N_BANDS):
+                bits = (h >> np.uint64(BITS * band)) & mask
+                slot = ch * N_BANDS + band
+                keys[slot * n:(slot + 1) * n] = \
+                    (np.int64(slot) << np.int64(BITS)) \
+                    | bits.astype(np.int64)
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "image_id": pa.array(
+                batch["image_id"].to_pylist() * reps, pa.string()),
+            "phash": pa.array(
+                np.tile(batch["phash"].to_numpy(zero_copy_only=False),
+                        reps), pa.int64()),
+            "ahash": pa.array(
+                np.tile(batch["ahash"].to_numpy(zero_copy_only=False),
+                        reps), pa.int64()),
+            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
+                              pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, ps = [], [], []
+        for _, g in df.groupby("bkey", sort=False):
+            if len(g) < 2:
+                continue
+            ids = g["image_id"].tolist()
+            phv = g["phash"].to_numpy(np.int64)
+            ahv = g["ahash"].to_numpy(np.int64)
+            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                      for t in g["thumb"]]
+            seen = set()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    pair = tuple(sorted((ids[i], ids[j])))
+                    if pair in seen:
+                        continue
+                    seen.add(pair)
+                    if codec.hamming64(phv[i], phv[j]) > ham_max \
+                            and codec.hamming64(ahv[i], ahv[j]) > ah_max:
+                        continue
+                    p = _dihedral_aligned_psnr(thumbs[i], thumbs[j],
+                                               codec.psnr)
+                    pc_ = int(round(min(p, 99.99) * 100))
+                    if pc_ >= psnr_min_centi:
+                        ls.append(pair[0])
+                        rs.append(pair[1])
+                        ps.append(pc_)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "p": pa.array(ps, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"dh{i:05d}", f"dh{i:05d}_t{1 + (i // dup_every) % 7}")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
     n_true = len(got & truth)

@@ -217,3 +217,35 @@ def test_jfif_quality_estimate_query(ray_session):
     assert (out["n_zero_dist"] == out["n"]).all()
     assert (out["min_est_q"] == out["true_q"]).all()
     assert (out["max_est_q"] == out["true_q"]).all()
+
+
+def test_dihedral_apply_group_properties():
+    """the 8 orientations are distinct, each is an involution-or-
+    cycle member of D4 (applying the right inverse restores), and the
+    orbit of a transformed image equals the orbit of the source —
+    the group-closure fact orbit-expansion banding relies on."""
+    import numpy as np
+    from destor_ray import codec
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 255, (16, 16), dtype=np.uint8)
+    orbit = {codec.dihedral_apply(a, k).tobytes() for k in range(8)}
+    assert len(orbit) == 8  # generic image: all orientations distinct
+    for t in range(8):
+        b = np.ascontiguousarray(codec.dihedral_apply(a, t))
+        orbit_b = {codec.dihedral_apply(b, k).tobytes()
+                   for k in range(8)}
+        assert orbit_b == orbit
+
+
+def test_dihedral_image_dedup_full_recall_no_false_merges(ray_session):
+    """every planted mirrored/rotated + re-encoded copy is found
+    (recall 1.0) with zero false merges; the plain-phash channel is
+    blind to this class (flip moves ~31/64 bits), so a pass proves the
+    orbit-expansion banding + aligned-PSNR verify do the work."""
+    from destor_ray.pipelines.ingest import dihedral_image_dedup
+
+    out = dihedral_image_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 192 and out.n_planted == 48
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
