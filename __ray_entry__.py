@@ -319,6 +319,18 @@ queries() entries map to SURVEY.md §2 operators:
                        (exact rational) + anti-join + aggregate (oracle)
   q10_returned_revenue TPC-H Q10 top-k customers by returned revenue:
                        2 chained exchanges, per-bucket top-k (oracle)
+  q2_min_cost_supplier TPC-H Q2 groupwise argmin-with-ties join-back
+                       over a DERIVED partsupp (distinct lineitem
+                       pairs + deterministic integer columns, mirrored
+                       in the oracle CTE) (oracle)
+  q11_important_stock  TPC-H Q11 global-threshold group filter, exact
+                       cross-multiplied predicate value·n > 2·total
+                       (oracle)
+  q16_supplier_part_counts TPC-H Q16 grouped COUNT DISTINCT with
+                       NOT-IN complaint-supplier anti-join (oracle)
+  q20_excess_stock_suppliers TPC-H Q20 correlated semi-join vs a
+                       windowed grouped aggregate, pair-key rendezvous
+                       (oracle)
   q13_order_count_distribution TPC-H Q13 left-join-then-histogram with
                        zero-order customers kept (oracle)
   q6_forecast_revenue  TPC-H Q6 scan-filter-aggregate: read-layer date
@@ -1662,6 +1674,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_priority_by_linestatus":
             relational.q12_priority_by_linestatus,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_stock": relational.q11_important_stock,
+        "q16_supplier_part_counts": relational.q16_supplier_part_counts,
+        "q20_excess_stock_suppliers":
+            relational.q20_excess_stock_suppliers,
         "bfs_token_distances": graph.bfs_token_distances,
         "part_pareto_frontier": relational.part_pareto_frontier,
         "orders_customer_set_ops": relational.orders_customer_set_ops,
@@ -4259,6 +4276,89 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1997-01-01'
             GROUP BY n_name
             ORDER BY revenue_scaled DESC
+        """,
+        "q2_min_cost_supplier": """
+            WITH partsupp AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     (l_partkey*17 + l_suppkey*31) % 9999 + 1
+                         AS ps_availqty,
+                     (l_partkey*13 + l_suppkey*101) % 99001 + 100
+                         AS ps_supplycost_cents
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+            SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+                   p.p_brand, ps.ps_supplycost_cents
+            FROM part p, partsupp ps, supplier s, nation n, region r
+            WHERE p.p_partkey = ps.ps_partkey
+              AND s.s_suppkey = ps.ps_suppkey
+              AND p.p_size <= 10 AND p.p_type = 'SMALL'
+              AND s.s_nationkey = n.n_nationkey
+              AND n.n_regionkey = r.r_regionkey
+              AND r.r_name = 'EUROPE'
+              AND ps.ps_supplycost_cents = (
+                SELECT min(ps2.ps_supplycost_cents)
+                FROM partsupp ps2, supplier s2, nation n2, region r2
+                WHERE ps2.ps_partkey = p.p_partkey
+                  AND s2.s_suppkey = ps2.ps_suppkey
+                  AND s2.s_nationkey = n2.n_nationkey
+                  AND n2.n_regionkey = r2.r_regionkey
+                  AND r2.r_name = 'EUROPE')
+        """,
+        "q11_important_stock": """
+            WITH partsupp AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     (l_partkey*17 + l_suppkey*31) % 9999 + 1
+                         AS ps_availqty,
+                     (l_partkey*13 + l_suppkey*101) % 99001 + 100
+                         AS ps_supplycost_cents
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+            eu AS (SELECT s_suppkey FROM supplier s, nation n, region r
+                   WHERE s.s_nationkey = n.n_nationkey
+                     AND n.n_regionkey = r.r_regionkey
+                     AND r.r_name = 'EUROPE'),
+            v AS (SELECT ps_partkey,
+                         CAST(SUM(ps_supplycost_cents * ps_availqty)
+                              AS BIGINT) AS value_cents
+                  FROM partsupp JOIN eu ON ps_suppkey = s_suppkey
+                  GROUP BY ps_partkey)
+            SELECT ps_partkey, value_cents FROM v
+            WHERE value_cents * (SELECT COUNT(*) FROM v)
+                  > 2 * (SELECT SUM(value_cents) FROM v)
+        """,
+        "q16_supplier_part_counts": """
+            WITH partsupp AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM partsupp JOIN part ON p_partkey = ps_partkey
+            WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                     WHERE s_suppkey % 13 = 5)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        "q20_excess_stock_suppliers": """
+            WITH partsupp AS (
+              SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                     (l_partkey*17 + l_suppkey*31) % 9999 + 1
+                         AS ps_availqty
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+            agg AS (SELECT l_partkey, l_suppkey,
+                           CAST(SUM(l_quantity) AS BIGINT) AS qty
+                    FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                      AND l_shipdate < TIMESTAMP '1997-01-01'
+                    GROUP BY l_partkey, l_suppkey)
+            SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+            FROM partsupp ps
+            JOIN part p ON p.p_partkey = ps.ps_partkey
+                       AND p.p_name LIKE 'small%'
+            JOIN agg a ON a.l_partkey = ps.ps_partkey
+                      AND a.l_suppkey = ps.ps_suppkey
+            JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE ps.ps_availqty > 100 * a.qty
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,

@@ -2693,3 +2693,463 @@ def shard_rebalance_audit(sf_dir: str, n_old: int = 8, n_new: int = 9):
             "n_keys": b["n_keys"].cast(pa.int64()),
             "n_moved": b["n_moved"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q16 / Q20 over a DERIVED partsupp
+# ---------------------------------------------------------------------------
+# The driver ships no partsupp table, so the four TPC-H queries that
+# need one run over a partsupp DERIVED identically on both sides of the
+# oracle: the DISTINCT (l_partkey, l_suppkey) pairs actually appearing
+# in lineitem (so correlated aggregates like Q20's are non-vacuous by
+# construction), with ps_availqty / ps_supplycost_cents as deterministic
+# integer functions of the key pair. Money is integer cents end to end.
+
+def _partsupp_ds(sf_dir: str, num_buckets: int = 32):
+    """Dataset(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents)
+    = DISTINCT (l_partkey, l_suppkey) pairs of lineitem + synthesized
+    columns. One exchange: map-side local unique of packed 44/20-bit
+    pair keys (suppkey < 2^20 — TPC-H suppkey is ~P/20 so this holds to
+    ~10^7 parts; widen the pack before that), bucketed global unique.
+
+    SQL mirror (oracle CTE): SELECT DISTINCT l_partkey, l_suppkey FROM
+    lineitem, plus the same % expressions."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_partkey", "l_suppkey"])
+
+    def pack_unique(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        k = np.unique((p << np.int64(20)) | s)
+        return pa.table({"k": pa.array(k, pa.int64())})
+
+    def bucket_unique(df: pd.DataFrame) -> pa.Table:
+        k = np.unique(df["k"].to_numpy(np.int64))
+        p = k >> np.int64(20)
+        s = k & np.int64((1 << 20) - 1)
+        return pa.table({
+            "ps_partkey": pa.array(p, pa.int64()),
+            "ps_suppkey": pa.array(s, pa.int64()),
+            "ps_availqty": pa.array((p * 17 + s * 31) % 9999 + 1,
+                                    pa.int64()),
+            "ps_supplycost_cents": pa.array(
+                (p * 13 + s * 101) % 99001 + 100, pa.int64()),
+        })
+
+    return bucketed_group_map(ds.map_batches(pack_unique,
+                                             batch_format="pyarrow"),
+                              "k", bucket_unique,
+                              num_buckets=num_buckets)
+
+
+def _region_suppliers(sf_dir: str, region: str):
+    """Driver-resolved broadcast side: suppliers whose nation is in
+    `region` — (sorted s_suppkey, s_name, s_acctbal, n_name) arrays.
+    supplier/nation/region are the classic broadcastable dims (q5's
+    argument: an attr tuple per supplier stays shippable far past
+    100 TB of fact data)."""
+    import pyarrow.parquet as pq_
+
+    reg = pq_.read_table(f"{sf_dir}/region.parquet")
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet")
+    rkey = reg.filter(pc.equal(reg["r_name"], region))["r_regionkey"][0] \
+        .as_py()
+    nat_in = nat.filter(pc.equal(nat["n_regionkey"], rkey))
+    nnames = {int(k): v for k, v in zip(nat_in["n_nationkey"].to_pylist(),
+                                        nat_in["n_name"].to_pylist())}
+    supp = pq_.read_table(f"{sf_dir}/supplier.parquet")
+    keep = np.isin(supp["s_nationkey"].to_numpy(),
+                   np.array(sorted(nnames), np.int32))
+    sk = supp["s_suppkey"].to_numpy()[keep]
+    order = np.argsort(sk)
+    return (sk[order].astype(np.int64),
+            [supp["s_name"].to_pylist()[i]
+             for i in np.flatnonzero(keep)[order]],
+            supp["s_acctbal"].to_numpy()[keep][order],
+            [nnames[int(n)] for n in
+             supp["s_nationkey"].to_numpy()[keep][order]])
+
+
+def q2_min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                         p_type: str = "SMALL", max_size: int = 10):
+    """(s_acctbal, s_name, n_name, p_partkey, p_brand,
+    ps_supplycost_cents) — TPC-H Q2 shape (minimum-cost supplier): for
+    every part with p_type = `p_type` and p_size <= max_size, the
+    region supplier(s) achieving the MINIMUM supply cost for that part
+    — ties kept, as in the spec's correlated-subquery semantics
+    (deviations from tpch dbgen: our part has no p_mfgr and the
+    LIMIT-100 presentation cut is dropped so the result is
+    order-insensitive).
+
+    Plan: region⋈nation⋈supplier resolves on the driver into a
+    broadcast suppkey→(name, acctbal, nation) map; partsupp rows keep
+    only region suppliers map-side; ONE partkey exchange meets the
+    filtered part rows (tag-and-union) and each bucket emits the
+    per-part argmin-with-ties join-back — the groupwise-argmin pattern
+    (exchange 2 counting partsupp's own distinct exchange)."""
+    import ray as _ray
+
+    from ..stages.grouped import bucketed_group_map
+
+    sk, snames, sbal, snat = _region_suppliers(sf_dir, region)
+    supp_ref = _ray.put((sk, snames, sbal, snat))
+
+    ps = _partsupp_ds(sf_dir)
+
+    def ps_rows(batch: pa.Table) -> pa.Table:
+        skk, _, _, _ = _ray.get(supp_ref)
+        s = batch["ps_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skk, s)
+        pos[pos >= len(skk)] = 0
+        sel = (skk[pos] == s) if len(skk) else np.zeros(len(s), bool)
+        n = int(sel.sum())
+        return pa.table({
+            "key": batch["ps_partkey"].filter(pa.array(sel)),
+            "suppkey": pa.array(s[sel], pa.int64()),
+            "cost": batch["ps_supplycost_cents"].filter(pa.array(sel)),
+            "brand": pa.array([""] * n, pa.string()),
+            "is_part": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        sel = pc.and_(pc.equal(batch["p_type"], p_type),
+                      pc.less_equal(batch["p_size"], max_size))
+        t = batch.filter(sel)
+        n = t.num_rows
+        return pa.table({
+            "key": t["p_partkey"],
+            "suppkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "cost": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "brand": t["p_brand"],
+            "is_part": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    both = ps.map_batches(ps_rows, batch_format="pyarrow") \
+        .union(part.map_batches(part_rows, batch_format="pyarrow"))
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        skk, snm, sbl, snt = _ray.get(supp_ref)
+        isp = df["is_part"].to_numpy(np.int8) == 1
+        parts = df.loc[isp, ["key", "brand"]]
+        rows = df.loc[~isp, ["key", "suppkey", "cost"]] \
+            .merge(parts, on="key", how="inner")
+        if not len(rows):
+            return pa.table({
+                "s_acctbal": pa.array([], pa.float64()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "p_partkey": pa.array([], pa.int64()),
+                "p_brand": pa.array([], pa.string()),
+                "ps_supplycost_cents": pa.array([], pa.int64()),
+            })
+        mn = rows.groupby("key")["cost"].transform("min")
+        win = rows[rows["cost"] == mn]
+        pos = np.searchsorted(skk, win["suppkey"].to_numpy(np.int64))
+        return pa.table({
+            "s_acctbal": pa.array(sbl[pos], pa.float64()),
+            "s_name": pa.array([snm[i] for i in pos], pa.string()),
+            "n_name": pa.array([snt[i] for i in pos], pa.string()),
+            "p_partkey": pa.array(win["key"].to_numpy(np.int64),
+                                  pa.int64()),
+            "p_brand": pa.array(win["brand"].tolist(), pa.string()),
+            "ps_supplycost_cents": pa.array(
+                win["cost"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(both, "key", bucket, num_buckets=16)
+
+
+def q11_important_stock(sf_dir: str, region: str = "EUROPE"):
+    """(ps_partkey, value_cents) — TPC-H Q11 shape (important stock
+    identification): per-part inventory value Σ supplycost·availqty
+    over region suppliers, keeping parts whose value exceeds a global
+    threshold. Deviation from spec: the threshold is 2× the MEAN group
+    value instead of FRACTION·total (dbgen's 0.0001/SF constant is
+    meaningless against this corpus's group count), and it is
+    evaluated as the cross-multiplied integer predicate
+    value·n_groups > 2·total so no float share ever forms — the same
+    exact-predicate discipline as lineitem_weighted_quantiles.
+
+    Plan: broadcast region-supplier key set; map-side partial
+    (partkey, value) sums; ONE partkey-domain exchange reduces groups;
+    the global (total, count) pair is an O(groups) driver carry
+    feeding a map-only filter."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    sk, _, _, _ = _region_suppliers(sf_dir, region)
+    sk_ref = _ray.put(sk)
+
+    ps = _partsupp_ds(sf_dir)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        skk = _ray.get(sk_ref)
+        s = batch["ps_suppkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skk, s)
+        pos[pos >= len(skk)] = 0
+        sel = (skk[pos] == s) if len(skk) else np.zeros(len(s), bool)
+        p = batch["ps_partkey"].to_numpy(zero_copy_only=False)[sel]
+        v = (batch["ps_supplycost_cents"].to_numpy(zero_copy_only=False)
+             * batch["ps_availqty"].to_numpy(zero_copy_only=False))[sel]
+        # map-side combine per partkey
+        uniq, inv = np.unique(p, return_inverse=True)
+        return pa.table({
+            "ps_partkey": pa.array(uniq, pa.int64()),
+            "value_cents": pa.array(np.bincount(inv, weights=v)
+                                    .astype(np.int64), pa.int64()),
+        })
+
+    grouped = ps.map_batches(partials, batch_format="pyarrow") \
+        .groupby("ps_partkey").aggregate(Sum("value_cents",
+                                             alias_name="value_cents"))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ps_partkey": batch["ps_partkey"],
+            "value_cents": pc.cast(batch["value_cents"], pa.int64()),
+        })
+
+    grouped = grouped.map_batches(norm, batch_format="pyarrow") \
+        .materialize()
+    # O(groups) scalar carry: total + count, then a map-only filter
+    tot = 0
+    cnt = 0
+    for b in grouped.iter_batches(batch_format="pyarrow"):
+        v = b["value_cents"].to_numpy(zero_copy_only=False)
+        tot += int(v.sum())
+        cnt += len(v)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch["value_cents"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v * cnt > 2 * tot))
+
+    return grouped.map_batches(keep, batch_format="pyarrow")
+
+
+def q16_supplier_part_counts(sf_dir: str, bad_brand: str = "Brand#13",
+                             bad_type: str = "PROMO",
+                             sizes: tuple = (1, 4, 7, 10, 13, 16, 19, 22)):
+    """(p_brand, p_type, p_size, supplier_cnt) — TPC-H Q16 shape
+    (parts/supplier relationship): COUNT(DISTINCT suppliers) able to
+    supply each surviving (brand, type, size) group, excluding one
+    brand, one type, sizes outside the IN-list, and a "customer
+    complaints" supplier set. Deviation: our supplier has no s_comment,
+    so the complaint set is the deterministic s_suppkey % 13 = 5
+    (mirrored literally in SQL — the NOT IN anti-join shape is what's
+    being exercised; it needs no broadcast at all since membership is
+    computable from the key).
+
+    Plan: part's filtered attribute map broadcasts (brand/type/size
+    per surviving part — the dimension side); partsupp drops complaint
+    suppliers map-side, attaches group attrs, and locally uniques
+    (group, suppkey) pairs; ONE pair-hash exchange uniques globally —
+    each distinct pair lands in exactly one bucket, so per-bucket
+    group counts are disjoint partials and the final group-domain
+    reduce is exact (the grouped-distinct pattern of
+    distinct_tokens_exact)."""
+    import pyarrow.parquet as pq_
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    part = pq_.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    sel = pc.and_(
+        pc.and_(pc.not_equal(part["p_brand"], bad_brand),
+                pc.not_equal(part["p_type"], bad_type)),
+        pc.is_in(part["p_size"], value_set=pa.array(sizes, pa.int32())))
+    part = part.filter(sel)
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    # the DISTINCT is on (group, suppkey), NOT (part, suppkey): a
+    # supplier covering two parts of the same (brand, type, size)
+    # counts once — so partkeys resolve to a dense group id first
+    brands = [part["p_brand"].to_pylist()[i] for i in order]
+    types = [part["p_type"].to_pylist()[i] for i in order]
+    sizes = part["p_size"].to_numpy()[order].astype(np.int64)
+    combos = sorted({(b, t, int(z))
+                     for b, t, z in zip(brands, types, sizes)})
+    gid_of = {c: i for i, c in enumerate(combos)}
+    gids = np.array([gid_of[(b, t, int(z))]
+                     for b, t, z in zip(brands, types, sizes)], np.int64)
+    part_ref = _ray.put((pk[order].astype(np.int64), gids, combos))
+
+    ps = _partsupp_ds(sf_dir)
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        pkk, g, _ = _ray.get(part_ref)
+        p = batch["ps_partkey"].to_numpy(zero_copy_only=False)
+        s = batch["ps_suppkey"].to_numpy(zero_copy_only=False)
+        good = s % 13 != 5
+        pos = np.searchsorted(pkk, p)
+        pos[pos >= len(pkk)] = 0
+        good &= (pkk[pos] == p) if len(pkk) else False
+        k = np.unique((g[pos[good]] << np.int64(20)) | s[good])
+        return pa.table({"k": pa.array(k, pa.int64())})
+
+    def bucket_counts(df: pd.DataFrame) -> pa.Table:
+        _, _, combos_ = _ray.get(part_ref)
+        k = np.unique(df["k"].to_numpy(np.int64))
+        gid = k >> np.int64(20)
+        uniq, inv = np.unique(gid, return_inverse=True)
+        cnt = np.bincount(inv)
+        return pa.table({
+            "p_brand": pa.array([combos_[i][0] for i in uniq],
+                                pa.string()),
+            "p_type": pa.array([combos_[i][1] for i in uniq],
+                               pa.string()),
+            "p_size": pa.array([combos_[i][2] for i in uniq],
+                               pa.int64()),
+            "supplier_cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partials = bucketed_group_map(
+        ps.map_batches(pair_rows, batch_format="pyarrow"),
+        "k", bucket_counts, num_buckets=16)
+
+    out = partials.groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "p_type": batch["p_type"],
+            "p_size": batch["p_size"],
+            "supplier_cnt": pc.cast(batch["supplier_cnt"], pa.int64()),
+        })
+
+    return out.map_batches(norm, batch_format="pyarrow")
+
+
+def q20_excess_stock_suppliers(sf_dir: str, name_prefix: str = "small",
+                               date_from: str = "1996-01-01",
+                               date_to: str = "1997-01-01",
+                               qty_mult: int = 100):
+    """(s_suppkey, s_name, n_name) — TPC-H Q20 shape (potential part
+    promotion): suppliers holding EXCESS STOCK of some name-matched
+    part, where excess means ps_availqty > qty_mult × that
+    (part, supplier) pair's shipped quantity in the window — the
+    correlated semi-join against a grouped aggregate. Deviations:
+    qty_mult = 100 replaces the spec's 0.5 (synthetic availqty
+    1..9999 is not calibrated to annual volume; 100× yields a genuine
+    pass/fail mix at every sf) and the nation filter is dropped
+    (10 suppliers at sf0.001 — a nation filter would leave ~0).
+
+    Plan: lineitem window partials per packed (part, supp) pair
+    (map-side bincount combine), tag-and-union with partsupp rows on
+    ONE pair-key exchange (the as-of/join family's rendezvous shape);
+    buckets emit qualifying suppkeys after the broadcast name-prefix
+    part filter; a tiny suppkey-domain distinct + broadcast attr
+    attach finishes."""
+    import pyarrow.parquet as pq_
+    import ray as _ray
+
+    from ..stages.grouped import bucketed_group_map
+
+    part = pq_.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    keep = pc.starts_with(part["p_name"], name_prefix)
+    pk_ref = _ray.put(np.sort(part.filter(keep)["p_partkey"]
+                              .to_numpy().astype(np.int64)))
+
+    supp = pq_.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    nmap = {int(k): v for k, v in zip(nat["n_nationkey"].to_pylist(),
+                                      nat["n_name"].to_pylist())}
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    order = np.argsort(sk)
+    attr_ref = _ray.put((sk[order],
+                         [supp["s_name"].to_pylist()[i] for i in order],
+                         [nmap[int(n)] for n in
+                          supp["s_nationkey"].to_numpy()[order]]))
+
+    lo = np.datetime64(date_from, "us").astype(np.int64)
+    hi = np.datetime64(date_to, "us").astype(np.int64)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        pkk = _ray.get(pk_ref)
+        sd = batch["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        sel = (sd >= lo) & (sd < hi)
+        pos = np.searchsorted(pkk, p)
+        pos[pos >= len(pkk)] = 0
+        sel &= (pkk[pos] == p) if len(pkk) else False
+        k = ((p[sel] << np.int64(20))
+             | batch["l_suppkey"].to_numpy(zero_copy_only=False)[sel])
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)[sel] \
+            .astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "k": pa.array(uniq, pa.int64()),
+            "qty": pa.array(np.bincount(inv, weights=q)
+                            .astype(np.int64), pa.int64()),
+            "avail": pa.array(np.full(len(uniq), -1, np.int64),
+                              pa.int64()),
+        })
+
+    ps = _partsupp_ds(sf_dir)
+
+    def ps_rows(batch: pa.Table) -> pa.Table:
+        pkk = _ray.get(pk_ref)
+        p = batch["ps_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pkk, p)
+        pos[pos >= len(pkk)] = 0
+        sel = (pkk[pos] == p) if len(pkk) else np.zeros(len(p), bool)
+        k = ((p[sel] << np.int64(20))
+             | batch["ps_suppkey"].to_numpy(zero_copy_only=False)[sel])
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "qty": pa.array(np.full(int(sel.sum()), -1, np.int64),
+                            pa.int64()),
+            "avail": pa.array(
+                batch["ps_availqty"].to_numpy(zero_copy_only=False)[sel],
+                pa.int64()),
+        })
+
+    both = li.map_batches(li_partials, batch_format="pyarrow") \
+        .union(ps.map_batches(ps_rows, batch_format="pyarrow"))
+
+    def bucket(df: pd.DataFrame) -> pa.Table:
+        k = df["k"].to_numpy(np.int64)
+        qty = df["qty"].to_numpy(np.int64)
+        avail = df["avail"].to_numpy(np.int64)
+        isq = avail < 0
+        # merge lineitem partials per key, inner-join with ps rows
+        qk, qinv = np.unique(k[isq], return_inverse=True)
+        if len(qk) == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
+        qsum = np.bincount(qinv, weights=qty[isq]).astype(np.int64)
+        pos_c = np.clip(np.searchsorted(qk, k[~isq]), 0, len(qk) - 1)
+        hit = qk[pos_c] == k[~isq]
+        ok = hit & (avail[~isq] > qty_mult * qsum[pos_c])
+        winners = np.unique(k[~isq][ok] & np.int64((1 << 20) - 1))
+        return pa.table({"s_suppkey": pa.array(winners, pa.int64())})
+
+    sups = bucketed_group_map(both, "k", bucket, num_buckets=16)
+
+    def attach(df: pd.DataFrame) -> pa.Table:
+        skk, snm, snt = _ray.get(attr_ref)
+        s = np.unique(df["s_suppkey"].to_numpy(np.int64))
+        pos = np.searchsorted(skk, s)
+        return pa.table({
+            "s_suppkey": pa.array(s, pa.int64()),
+            "s_name": pa.array([snm[i] for i in pos], pa.string()),
+            "n_name": pa.array([snt[i] for i in pos], pa.string()),
+        })
+
+    return bucketed_group_map(sups, "s_suppkey", attach, num_buckets=4)
