@@ -90,6 +90,10 @@ queries() entries map to SURVEY.md §2 operators:
                        progression per user, bucket-local counts (oracle)
   top_ngrams           global top-k bigrams via map-side combiner (oracle)
   repetition_scores    Gopher-style repetition features per doc (oracle)
+  logreg_train_lang    bit-reproducible distributed GD classifier training:
+                       micro-quantized gradient all-reduce, integer weight
+                       updates, chained-CTE oracle certifies every round
+                       (oracle)
   events_type_mad      exact by-rank median + MAD per group, two-pass
                        broadcast-back (oracle)
   user_retention_cohorts cohort-retention matrix: batch-local
@@ -1769,6 +1773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_kfold": text.stratified_kfold,
         "token_count_bpe": text.token_count_bpe,
         "tokenize_to_ids": text.tokenize_to_ids,
+        "logreg_train_lang": text.logreg_train_lang,
         "doc_feature_hashing": text.doc_feature_hashing,
         "top_ngrams": text.top_ngrams,
         "repetition_scores": text.repetition_scores,
@@ -3206,6 +3211,125 @@ def oracle_sql() -> dict[str, str]:
                    CAST(token_id AS BIGINT) AS token_id
             FROM t JOIN v USING (tok)
             WHERE i <= 8
+        """,
+        "logreg_train_lang": """
+            WITH c AS (
+              SELECT SUM(n_chars) // COUNT(*) AS c1,
+                     SUM((length(text) - length(replace(text, ' the ', '')))
+                         // 5) // COUNT(*) AS c2
+              FROM documents),
+            f AS (
+              SELECT CASE WHEN len(string_split(text, ' ')) > 50
+                          THEN 1.0 ELSE 0.0 END AS y,
+                     CAST(n_chars - c.c1 AS DOUBLE) * 0.01 AS x1,
+                     CAST((length(text) - length(replace(text, ' the ', '')))
+                          // 5 - c.c2 AS DOUBLE) AS x2
+              FROM documents, c),
+            w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+                          CAST(0 AS BIGINT) AS c),
+            r1 AS (
+              SELECT SUM(CAST(floor(resid * 1000000.0) AS BIGINT)) AS g0,
+                     SUM(CAST(floor((resid * x1) * 1000000.0) AS BIGINT)) AS g1,
+                     SUM(CAST(floor((resid * x2) * 1000000.0) AS BIGINT)) AS g2,
+                     SUM(CASE WHEN (z > 0.0) = (y = 1.0)
+                              THEN 1 ELSE 0 END) AS nc,
+                     COUNT(*) AS n
+              FROM (SELECT y, x1, x2, z,
+                           (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS resid
+                    FROM (SELECT y, x1, x2,
+                                 ((w.a * 0.000001) + (w.b * 0.000001) * x1)
+                                     + (w.c * 0.000001) * x2 AS z
+                          FROM f, w0 w))),
+            w1 AS (SELECT w.a - r.g0 // (2 * r.n) AS a,
+                          w.b - r.g1 // (2 * r.n) AS b,
+                          w.c - r.g2 // (2 * r.n) AS c
+                   FROM w0 w, r1 r),
+            r2 AS (
+              SELECT SUM(CAST(floor(resid * 1000000.0) AS BIGINT)) AS g0,
+                     SUM(CAST(floor((resid * x1) * 1000000.0) AS BIGINT)) AS g1,
+                     SUM(CAST(floor((resid * x2) * 1000000.0) AS BIGINT)) AS g2,
+                     SUM(CASE WHEN (z > 0.0) = (y = 1.0)
+                              THEN 1 ELSE 0 END) AS nc,
+                     COUNT(*) AS n
+              FROM (SELECT y, x1, x2, z,
+                           (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS resid
+                    FROM (SELECT y, x1, x2,
+                                 ((w.a * 0.000001) + (w.b * 0.000001) * x1)
+                                     + (w.c * 0.000001) * x2 AS z
+                          FROM f, w1 w))),
+            w2 AS (SELECT w.a - r.g0 // (2 * r.n) AS a,
+                          w.b - r.g1 // (2 * r.n) AS b,
+                          w.c - r.g2 // (2 * r.n) AS c
+                   FROM w1 w, r2 r),
+            r3 AS (
+              SELECT SUM(CAST(floor(resid * 1000000.0) AS BIGINT)) AS g0,
+                     SUM(CAST(floor((resid * x1) * 1000000.0) AS BIGINT)) AS g1,
+                     SUM(CAST(floor((resid * x2) * 1000000.0) AS BIGINT)) AS g2,
+                     SUM(CASE WHEN (z > 0.0) = (y = 1.0)
+                              THEN 1 ELSE 0 END) AS nc,
+                     COUNT(*) AS n
+              FROM (SELECT y, x1, x2, z,
+                           (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS resid
+                    FROM (SELECT y, x1, x2,
+                                 ((w.a * 0.000001) + (w.b * 0.000001) * x1)
+                                     + (w.c * 0.000001) * x2 AS z
+                          FROM f, w2 w))),
+            w3 AS (SELECT w.a - r.g0 // (2 * r.n) AS a,
+                          w.b - r.g1 // (2 * r.n) AS b,
+                          w.c - r.g2 // (2 * r.n) AS c
+                   FROM w2 w, r3 r),
+            r4 AS (
+              SELECT SUM(CAST(floor(resid * 1000000.0) AS BIGINT)) AS g0,
+                     SUM(CAST(floor((resid * x1) * 1000000.0) AS BIGINT)) AS g1,
+                     SUM(CAST(floor((resid * x2) * 1000000.0) AS BIGINT)) AS g2,
+                     SUM(CASE WHEN (z > 0.0) = (y = 1.0)
+                              THEN 1 ELSE 0 END) AS nc,
+                     COUNT(*) AS n
+              FROM (SELECT y, x1, x2, z,
+                           (0.5 + 0.5 * (z / (1.0 + abs(z)))) - y AS resid
+                    FROM (SELECT y, x1, x2,
+                                 ((w.a * 0.000001) + (w.b * 0.000001) * x1)
+                                     + (w.c * 0.000001) * x2 AS z
+                          FROM f, w3 w))),
+            w4 AS (SELECT w.a - r.g0 // (2 * r.n) AS a,
+                          w.b - r.g1 // (2 * r.n) AS b,
+                          w.c - r.g2 // (2 * r.n) AS c
+                   FROM w3 w, r4 r)
+            SELECT 1 AS round, CAST(w1.a AS BIGINT) AS w0_micro,
+                   CAST(w1.b AS BIGINT) AS w1_micro,
+                   CAST(w1.c AS BIGINT) AS w2_micro,
+                   CAST(r1.g0 AS BIGINT) AS g0, CAST(r1.g1 AS BIGINT) AS g1,
+                   CAST(r1.g2 AS BIGINT) AS g2,
+                   CAST(r1.nc AS BIGINT) AS n_correct,
+                   CAST(r1.n AS BIGINT) AS n
+            FROM w1, r1
+            UNION ALL
+            SELECT 2 AS round, CAST(w2.a AS BIGINT) AS w0_micro,
+                   CAST(w2.b AS BIGINT) AS w1_micro,
+                   CAST(w2.c AS BIGINT) AS w2_micro,
+                   CAST(r2.g0 AS BIGINT) AS g0, CAST(r2.g1 AS BIGINT) AS g1,
+                   CAST(r2.g2 AS BIGINT) AS g2,
+                   CAST(r2.nc AS BIGINT) AS n_correct,
+                   CAST(r2.n AS BIGINT) AS n
+            FROM w2, r2
+            UNION ALL
+            SELECT 3 AS round, CAST(w3.a AS BIGINT) AS w0_micro,
+                   CAST(w3.b AS BIGINT) AS w1_micro,
+                   CAST(w3.c AS BIGINT) AS w2_micro,
+                   CAST(r3.g0 AS BIGINT) AS g0, CAST(r3.g1 AS BIGINT) AS g1,
+                   CAST(r3.g2 AS BIGINT) AS g2,
+                   CAST(r3.nc AS BIGINT) AS n_correct,
+                   CAST(r3.n AS BIGINT) AS n
+            FROM w3, r3
+            UNION ALL
+            SELECT 4 AS round, CAST(w4.a AS BIGINT) AS w0_micro,
+                   CAST(w4.b AS BIGINT) AS w1_micro,
+                   CAST(w4.c AS BIGINT) AS w2_micro,
+                   CAST(r4.g0 AS BIGINT) AS g0, CAST(r4.g1 AS BIGINT) AS g1,
+                   CAST(r4.g2 AS BIGINT) AS g2,
+                   CAST(r4.nc AS BIGINT) AS n_correct,
+                   CAST(r4.n AS BIGINT) AS n
+            FROM w4, r4
         """,
         "sequence_pack": """
             WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws

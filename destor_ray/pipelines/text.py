@@ -2421,3 +2421,137 @@ def stratified_kfold(sf_dir: str, k: int = 5, n_buckets: int = 16):
             "n": b["n"].cast(pa.int64()),
             "sum_chars": b["sum_chars"].cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bit-reproducible distributed classifier training (full-batch GD)
+# ---------------------------------------------------------------------------
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB // semantics; Python
+    // floors, so -7//2 would differ)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def logreg_train_lang(sf_dir: str, rounds: int = 4):
+    """(round, w0_micro, w1_micro, w2_micro, g0, g1, g2, n_correct, n):
+    DISTRIBUTED MODEL TRAINING with a bit-exact reproducibility
+    contract — a full-batch gradient-descent classifier trainer (the
+    hand-rolled ancestor of the fastText quality filters every LLM
+    data pipeline trains ON the corpus it curates), where the trained
+    weights are IDENTICAL regardless of partitioning, batch size,
+    reduction order, or which engine runs it.
+
+    Task (realizable by construction — this synthetic corpus's `lang`
+    labels carry no linguistic signal, measured: every lang shares one
+    token vocabulary, so a lang target would pin accuracy at the base
+    rate): predict the TOKENIZER-side label y = 1[n_tokens > 50] from
+    cheap BYTE-side features — the real pattern of training a cheap
+    proxy for an expensive label (tokenizing 100 TB to find
+    over-budget docs vs reading two byte statistics per doc).
+    Features are mean-centered by an exact integer pre-pass
+    (c = Σv // n, one scalar aggregate — the feature-standardization
+    stage, and why GD converges here: uncentered, the intercept must
+    crawl to -E[x]·w and accuracy sits at the base rate for many
+    rounds, measured): x1 = (n_chars − c1) * 0.01,
+    x2 = count(' the ') − c2; z = (w0 + w1*x1) + w2*x2 with fixed
+    association order. Accuracy climbs 0.46 → 0.93 in 4 rounds at
+    sf0.1 (pinned by test).
+
+    Distributed training normally loses reproducibility to float
+    reduction order (gradient partials arrive in nondeterministic
+    order; (a+b)+c != a+(b+c) in float64). Restored here by the
+    engine's integer-micro trick: each ROW's gradient contribution is
+    an identical-shape float64 expression (single IEEE ops only —
+    +,-,*,/,abs; no libm transcendentals, which are NOT bit-portable
+    across implementations — hence the algebraic fast-sigmoid link
+    sigma(z) = 0.5 + 0.5*z/(1+|z|) instead of exp-based logistic)
+    floored to 1e-6 micros per row, so the cross-batch reduction is an
+    int64 Sum — exact and order-invariant — and the weight update
+    w' = w - G // (2n) (lr = 0.5) is pure integer arithmetic with
+    DuckDB's truncating // mirrored by _tdiv. (At 10^12 rows the
+    micro gradient sums would need the limb-split (hi, lo) int64 pair
+    used by lineitem_corr_stats; single int64 is exact to ~10^12
+    rows×micros here.)
+
+    Scale shape: one scalar centering pass, then each round is ONE
+    streaming pass — per-batch gradient partials fold map-side to a
+    single (g0, g1, g2, n_correct, n) row, merged by a scalar Sum
+    aggregate (bytes crossing the wire per round: one row per batch);
+    weights are 3 scalars broadcast by closure. At 10^12 rows this is
+    exactly data-parallel synchronous full-batch SGD with an
+    all-reduce, R passes total, zero shuffles.
+
+    Oracle: a chained-CTE SQL mirror evaluates the same R rounds with
+    the identical float64 expression shapes and integer updates —
+    hash-equality certifies every gradient sum, every weight, and the
+    per-round training accuracy."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["text", "n_chars"])
+
+    def center_partials(batch: pa.Table) -> pa.Table:
+        cnt = pc.count_substring(batch["text"], " the ")
+        return pa.table({
+            "sc": pa.array([int(pc.sum(batch["n_chars"]).as_py() or 0)],
+                           pa.int64()),
+            "st": pa.array([int(pc.sum(cnt).as_py() or 0)], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    cagg = ds.map_batches(center_partials, batch_format="pyarrow") \
+        .aggregate(Sum("sc", alias_name="sc"), Sum("st", alias_name="st"),
+                   Sum("n", alias_name="n"))
+    n_total = int(cagg["n"])
+    c1 = int(cagg["sc"]) // n_total
+    c2 = int(cagg["st"]) // n_total
+
+    def make_partials(w_micro: tuple[int, int, int]):
+        w0f = w_micro[0] * 1e-6
+        w1f = w_micro[1] * 1e-6
+        w2f = w_micro[2] * 1e-6
+
+        def partials(batch: pa.Table) -> pa.Table:
+            n_tok = pc.add(pc.count_substring(batch["text"], " "), 1)
+            y = (n_tok.to_numpy(zero_copy_only=False) > 50) \
+                .astype(np.float64)
+            ch = batch["n_chars"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cnt = pc.count_substring(batch["text"], " the ").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            x1 = (ch - c1).astype(np.float64) * 0.01
+            x2 = (cnt - c2).astype(np.float64)
+            z = (w0f + w1f * x1) + w2f * x2
+            p = 0.5 + 0.5 * (z / (1.0 + np.abs(z)))
+            resid = p - y
+            g0 = np.floor(resid * 1000000.0).astype(np.int64)
+            g1 = np.floor((resid * x1) * 1000000.0).astype(np.int64)
+            g2 = np.floor((resid * x2) * 1000000.0).astype(np.int64)
+            correct = (z > 0.0) == (y == 1.0)
+            return pa.table({
+                "g0": pa.array([int(g0.sum())], pa.int64()),
+                "g1": pa.array([int(g1.sum())], pa.int64()),
+                "g2": pa.array([int(g2.sum())], pa.int64()),
+                "nc": pa.array([int(correct.sum())], pa.int64()),
+                "n": pa.array([len(y)], pa.int64()),
+            })
+        return partials
+
+    w = (0, 0, 0)
+    rows = []
+    for r in range(1, rounds + 1):
+        agg = ds.map_batches(make_partials(w), batch_format="pyarrow") \
+            .aggregate(Sum("g0", alias_name="g0"), Sum("g1", alias_name="g1"),
+                       Sum("g2", alias_name="g2"), Sum("nc", alias_name="nc"),
+                       Sum("n", alias_name="n"))
+        g = (int(agg["g0"]), int(agg["g1"]), int(agg["g2"]))
+        n = int(agg["n"])
+        w = tuple(w[j] - _tdiv(g[j], 2 * n) for j in range(3))
+        rows.append((r, *w, *g, int(agg["nc"]), n))
+
+    cols = list(zip(*rows))
+    names = ["round", "w0_micro", "w1_micro", "w2_micro",
+             "g0", "g1", "g2", "n_correct", "n"]
+    return pa.table({nm: pa.array(list(c), pa.int64())
+                     for nm, c in zip(names, cols)})

@@ -1145,3 +1145,64 @@ def test_sq8_ann_matches_brute_force(ray_session):
     exact = ann_topk(SF).to_pandas().reset_index(drop=True)
     sq8 = sq8_ann_topk(SF).to_pandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(sq8, exact)
+
+
+def test_logreg_train_convergence_and_invariance(ray_session):
+    """The GD trainer (a) matches a single-process numpy reference
+    bit-for-bit (the reproducibility contract), (b) is invariant to
+    partitioning/batching (micro-sums are order-free), and (c) actually
+    LEARNS: final-round accuracy well above both the base rate and
+    round-1 (zero-weight) accuracy."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines import text
+
+    got = text.logreg_train_lang(SF).to_pandas().sort_values("round")
+
+    # single-process reference with identical arithmetic
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text", "n_chars"])
+    texts = t["text"].to_pylist()
+    ch = np.asarray(t["n_chars"].to_numpy(), dtype=np.int64)
+    cnt = np.array([s.count(" the ") for s in texts], dtype=np.int64)
+    n_tok = np.array([s.count(" ") + 1 for s in texts], dtype=np.int64)
+    n = len(ch)
+    c1, c2 = int(ch.sum()) // n, int(cnt.sum()) // n
+    y = (n_tok > 50).astype(np.float64)
+    x1 = (ch - c1).astype(np.float64) * 0.01
+    x2 = (cnt - c2).astype(np.float64)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return -q if (a < 0) != (b < 0) else q
+
+    w = [0, 0, 0]
+    ref = []
+    for r in range(1, 5):
+        z = (w[0] * 1e-6 + w[1] * 1e-6 * x1) + w[2] * 1e-6 * x2
+        p = 0.5 + 0.5 * (z / (1.0 + np.abs(z)))
+        resid = p - y
+        g = [int(np.floor(resid * 1000000.0).astype(np.int64).sum()),
+             int(np.floor((resid * x1) * 1000000.0).astype(np.int64).sum()),
+             int(np.floor((resid * x2) * 1000000.0).astype(np.int64).sum())]
+        nc = int(((z > 0.0) == (y == 1.0)).sum())
+        w = [w[j] - tdiv(g[j], 2 * n) for j in range(3)]
+        ref.append((r, *w, *g, nc, n))
+
+    assert [tuple(r) for r in got.itertuples(index=False)] == ref
+
+    # learns: final accuracy beats both base rate and round-1 accuracy
+    acc = got["n_correct"].to_numpy() / n
+    base = max(y.mean(), 1.0 - y.mean())
+    assert acc[-1] > base + 0.05 and acc[-1] > acc[0] + 0.05
+
+    # partition invariance: tiny blocks give identical output
+    import ray.data as rd
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 64 * 1024
+        again = text.logreg_train_lang(SF).to_pandas().sort_values("round")
+    finally:
+        ctx.target_max_block_size = old
+    assert [tuple(r) for r in again.itertuples(index=False)] == ref
