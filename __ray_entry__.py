@@ -94,6 +94,10 @@ queries() entries map to SURVEY.md §2 operators:
                        micro-quantized gradient all-reduce, integer weight
                        updates, chained-CTE oracle certifies every round
                        (oracle)
+  bpe_encode_corpus    BPE apply with the trained merge table: per-word
+                       segmentation runs once per DISTINCT word (domain
+                       encode), corpus pass is map-only searchsorted
+                       lookup (parity test)
   events_type_mad      exact by-rank median + MAD per group, two-pass
                        broadcast-back (oracle)
   user_retention_cohorts cohort-retention matrix: batch-local
@@ -1774,6 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": text.token_count_bpe,
         "tokenize_to_ids": text.tokenize_to_ids,
         "logreg_train_lang": text.logreg_train_lang,
+        "bpe_encode_corpus": text.bpe_encode_corpus,
         "doc_feature_hashing": text.doc_feature_hashing,
         "top_ngrams": text.top_ngrams,
         "repetition_scores": text.repetition_scores,

@@ -2149,6 +2149,89 @@ def bpe_train_merges(sf_dir: str, num_merges: int = 8):
     })
 
 
+def bpe_encode_corpus(sf_dir: str, num_merges: int = 8):
+    """(doc_id, n_words, n_bpe_tokens): ENCODE the corpus with a
+    trained BPE merge table — the apply half of the subword-tokenizer
+    story (bpe_train_merges learns the table; this is the pass every
+    LLM data pipeline then runs over all 100 TB to materialize token
+    ids / counts for packing and budgeting).
+
+    Scale shape — the domain-encode trick: BPE segmentation is an
+    iterative per-word loop, so it runs ONCE PER DISTINCT WORD, never
+    per occurrence: (1) bpe_train_merges (its own domain exchanges);
+    (2) one word-count exchange builds the distinct-word domain table;
+    (3) _bpe_segment runs over the DOMAIN (vocabulary-sized, the only
+    Python loop — amortized over every occurrence of each word);
+    (4) the word→piece-count map is collected and broadcast once
+    (ray.put; vocabulary-bounded — for a 10^9-type vocabulary swap
+    step 4 for a hash-partitioned join of the exploded corpus against
+    the domain table, the tokenize_to_ids topology) and the corpus
+    pass is MAP-ONLY: split + np.searchsorted lookup + per-row sum.
+    Word-level BPE (Sennrich ACL'16): unseen words cannot occur since
+    the table was trained on this corpus; a production encoder keys
+    unknowns back to characters, which _bpe_segment already does (no
+    applicable merges → character pieces).
+
+    Not SQL-expressible (the merge loop is argmax-dependent
+    recursion); pinned by a single-process parity test instead."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    merges = bpe_train_merges(sf_dir, num_merges)
+    ranks = {(l, r): i for i, (l, r) in
+             enumerate(zip(merges["left"], merges["right"]))}
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        wc: dict[str, int] = {}
+        for t in batch["text"].to_pylist():
+            for w in t.split(" "):
+                if w:
+                    wc[w] = wc.get(w, 0) + 1
+        return pa.table({"word": pa.array(list(wc.keys()), pa.string()),
+                         "n": pa.array(list(wc.values()), pa.int64())})
+
+    words = ds.map_batches(word_partials, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("n", alias_name="n"))
+
+    ranks_ref = _ray.put(ranks)
+
+    def segment_domain(batch: pa.Table) -> pa.Table:
+        rk = _ray.get(ranks_ref)
+        ws = batch["word"].to_pylist()
+        return pa.table({
+            "word": batch["word"],
+            "pieces": pa.array([len(_bpe_segment(w, rk)) for w in ws],
+                               pa.int64()),
+        })
+
+    dom = words.map_batches(segment_domain, batch_format="pyarrow") \
+        .select_columns(["word", "pieces"]).to_pandas()
+    vocab = np.sort(dom["word"].to_numpy())
+    order = np.argsort(dom["word"].to_numpy())
+    pieces = dom["pieces"].to_numpy().astype(np.int64)[order]
+    vocab_ref = _ray.put((vocab, pieces))
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vc, pcs = _ray.get(vocab_ref)
+        texts = batch["text"].to_pylist()
+        n_words = np.empty(len(texts), np.int64)
+        n_bpe = np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            ws = [w for w in t.split(" ") if w]
+            idx = np.searchsorted(vc, ws)
+            n_words[i] = len(ws)
+            n_bpe[i] = int(pcs[idx].sum())
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
 def cms_token_counts(sf_dir: str, width: int = 2048, depth: int = 4):
     """(token, cms_est, true_count, overestimate) — Count-Min point
     queries for every distinct corpus token, side-by-side with the

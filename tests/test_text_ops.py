@@ -1206,3 +1206,36 @@ def test_logreg_train_convergence_and_invariance(ray_session):
     finally:
         ctx.target_max_block_size = old
     assert [tuple(r) for r in again.itertuples(index=False)] == ref
+
+
+def test_bpe_encode_corpus_matches_reference(ray_session, tmp_path):
+    """Distributed domain-encode == per-doc single-process apply of the
+    reference-trained merge table (train+encode end-to-end parity)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from destor_ray.pipelines.text import _bpe_segment, bpe_encode_corpus
+    texts = [
+        "lower lower lowest newer newer newest wider low new",
+        "lower newest wide wide low low new newer",
+        "abab abab cdcd",
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(d / "documents.parquet"))
+
+    got = bpe_encode_corpus(str(d), num_merges=10).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    ref_merges = _bpe_reference(texts, 10)
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(ref_merges)}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        n_bpe = sum(len(_bpe_segment(w, ranks)) for w in ws)
+        assert int(got.loc[i, "n_words"]) == len(ws)
+        assert int(got.loc[i, "n_bpe_tokens"]) == n_bpe
+    # merges actually compress: strictly fewer pieces than characters+1
+    chars = sum(len(w) + 1 for t in texts for w in t.split(" ") if w)
+    assert int(got["n_bpe_tokens"].sum()) < chars
