@@ -471,8 +471,9 @@ def _corpus_probe_index(sf_dir: str):
     corpus's LSH band index with a handful of query rows (destor's
     index_lookup_base / champion probe as a serving path). Map-only:
     the query micro-index is broadcast; no corpus shuffle. Queries are
-    the planted dup rows of the last full block (exact / re-encode /
-    crop / caption-para) plus a distractor that must match nothing."""
+    the planted dup rows of the last full block (resize / exact /
+    re-encode / crop / caption-para) plus a distractor that must match
+    nothing."""
     import pyarrow.dataset as pads
 
     from destor_ray import corpus
@@ -486,7 +487,7 @@ def _corpus_probe_index(sf_dir: str):
     cfg = EngineConfig()
 
     last_block = (n // corpus.BLOCK) - 1
-    qrows = [last_block * corpus.BLOCK + s for s in (3, 7, 11, 15, 19)]
+    qrows = [last_block * corpus.BLOCK + s for s in (3, 5, 7, 11, 15, 19)]
     qids = [f"img{i:010d}" for i in qrows]
     qtab = pads.dataset(d).to_table(
         filter=pads.field("image_id").isin(qids))
@@ -1252,8 +1253,11 @@ def _corpus_dedup_eval(sf_dir: str):
             ("joined_distractors", float(joined_distractors)),
             ("exact_truth_mismatches", float(mismatches))]
     # per-transform recall: each planted kind exercises a different
-    # candidate channel (exact→sha1, reencode→phash/thumb, crop→phash
-    # second opinion, caption_para→caption MinHash)
+    # candidate channel (exact→sha1, reencode→phash/thumb, resize→the
+    # scale-normalized phash (32x32 resample makes it resolution-
+    # invariant by construction; measured: every planted 2x-downscale
+    # pair collides in >=1 of the 8 phash bands with no caption help),
+    # crop→phash second opinion, caption_para→caption MinHash)
     for kind in sorted(by_kind):
         h, tot = by_kind[kind]
         rows.append((f"recall_{kind}", round(h / max(1, tot), 6)))

@@ -13,6 +13,8 @@ Dup plan (FIXTURES.md F2): rows are laid out in blocks of 20. Slot 0 of
 each block is an original; designated slots derive from a source row:
 
   slot  3 → distractor_near_miss (heavy noise — must NOT cluster)
+  slot  5 → resize (2× box-downscaled re-upload, re-encoded — the most
+            common web near-dup: same picture, smaller file)
   slot  7 → exact duplicate (byte-identical image, same caption)
   slot 11 → re-encode (same pixels, different lossy quality → new bytes)
   slot 15 → crop (≤2% border crop, re-encoded)
@@ -35,8 +37,8 @@ import pyarrow as pa
 from . import codec
 
 BLOCK = 20
-DUP_SLOTS = {3: "distractor_near_miss", 7: "exact", 11: "reencode",
-             15: "crop", 19: "caption_para"}
+DUP_SLOTS = {3: "distractor_near_miss", 5: "resize", 7: "exact",
+             11: "reencode", 15: "crop", 19: "caption_para"}
 HOT_EVERY = 100  # every 100th block sources from row 0 (hot cluster)
 
 _SIZES = (32, 64, 128)
@@ -55,6 +57,16 @@ _VOCAB = (
 ).split()
 
 _SYNONYM = {w: _VOCAB[(i + 7) % len(_VOCAB)] for i, w in enumerate(_VOCAB)}
+
+
+def _downscale2x(pixels: np.ndarray) -> np.ndarray:
+    """Exact-integer 2×2 box-mean downscale (round-half-up) — the
+    deterministic resize a re-uploading site applies; odd tail
+    rows/cols are dropped."""
+    p = pixels[: pixels.shape[0] // 2 * 2, : pixels.shape[1] // 2 * 2]
+    s = (p[0::2, 0::2].astype(np.uint16) + p[0::2, 1::2]
+         + p[1::2, 0::2] + p[1::2, 1::2])
+    return ((s + 2) // 4).astype(np.uint8)
 
 
 def _rng(seed: int, row: int, stream: int = 0) -> np.random.Generator:
@@ -137,6 +149,9 @@ def source_pixels(seed: int, i: int) -> tuple[np.ndarray, str, str]:
         caption = _base_caption(seed, src)
         if kind == "reencode":
             fmt = "jpeg"
+        elif kind == "resize":
+            pixels = _downscale2x(pixels)
+            fmt = "jpeg"
         elif kind == "crop":
             cw = max(1, w // 64)
             chh = max(1, h // 64)
@@ -165,6 +180,10 @@ def generate_row(seed: int, i: int) -> dict:
             pass
         elif kind == "reencode":
             fmt, quality = "jpeg", 92 if quality < 90 else 84
+        elif kind == "resize":
+            pixels = _downscale2x(pixels)
+            h, w = pixels.shape[:2]
+            fmt, quality = "jpeg", 90
         elif kind == "crop":
             cw = max(1, w // 64)
             chh = max(1, h // 64)
@@ -233,7 +252,7 @@ def row_index_of(image_id: str) -> int:
 # Materialization (Ray Data when available, local pyarrow for tiny corpora)
 # ---------------------------------------------------------------------------
 
-CORPUS_VERSION = 4  # bump when codec/generator bytes or layout change (busts /tmp cache)
+CORPUS_VERSION = 5  # bump when codec/generator bytes or layout change (busts /tmp cache)
 # v4: fmt="png" rows are REAL PNG files (codec.png_encode)
 
 

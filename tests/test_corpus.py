@@ -64,7 +64,7 @@ def test_hot_cluster_plan():
 def test_dup_plan_table():
     t = corpus.dup_plan_table(100)
     assert set(t.column_names) == {"left_id", "right_id", "kind", "cluster_id"}
-    assert t.num_rows == 25  # 5 dup slots per 20-row block
+    assert t.num_rows == 30  # 6 dup slots per 20-row block
 
 
 def test_sources_dispatch(ray_session):

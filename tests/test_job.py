@@ -28,11 +28,12 @@ def test_job_metrics_shape(job_result):
     _, res = job_result
     m = res["metrics"]
     assert m["n_rows"] == N
-    # planted dups: exact + caption_para are byte-identical; reencode/crop
-    # near-dups also cluster → dup_rows = 4 slots per 20-row block
+    # planted dups: exact + caption_para are byte-identical; reencode/
+    # resize/crop near-dups also cluster → dup_rows = 5 slots per
+    # 20-row block
     assert m["dup_rows"] == sum(
         1 for i in range(N) if corpus.plan_for_row(i)[0]
-        in ("exact", "reencode", "crop", "caption_para"))
+        in ("exact", "reencode", "resize", "crop", "caption_para"))
     assert 0 < m["dedup_ratio"] < 1
     assert m["restore"]["lru"]["read_container_num"] >= 1
     assert m["restore"]["opt"]["read_container_num"] <= m["restore"]["lru"]["read_container_num"]

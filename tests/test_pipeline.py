@@ -203,7 +203,7 @@ def test_probe_index_finds_planted_sources(ray_session):
     last_block = (n // corpus.BLOCK) - 1
     base = last_block * corpus.BLOCK
     matches = out.groupby("query_id").match_id.apply(set).to_dict()
-    for slot in (7, 11, 15, 19):  # exact / reencode / crop / caption_para
+    for slot in (5, 7, 11, 15, 19):  # resize / exact / reencode / crop / caption_para
         qid = f"img{base + slot:010d}"
         kind, src = corpus.plan_for_row(base + slot)
         assert f"img{src:010d}" in matches.get(qid, set()), (qid, kind)
