@@ -252,6 +252,18 @@ queries() entries map to SURVEY.md §2 operators:
                        PSNR ≥ 35 dB (measured 25 dB separation) —
                        planted transform+re-encode recall 1.0, 0
                        false merges (rows-only; pytest pins recall)
+  jfif_exif_stats      EXIF provenance extraction (APP1/TIFF IFD0:
+                       make, model, orientation, DateTime) header-only
+                       per row — per-camera counts + timestamp range;
+                       rows without EXIF aggregate under "(none)"
+                       (rows-only; pytest pins exact counts)
+  exif_orientation_dedup metadata-GUIDED orientation-robust dedup:
+                       camera-rotated re-uploads (pixels stored
+                       rotated, EXIF Orientation set) normalized via
+                       EXIF_ORIENT_FIX before phash/aHash banding —
+                       1× signature cost and 16 band rows/image vs the
+                       blind orbit expansion's 128 — planted recall
+                       1.0, 0 false merges (rows-only; pytest pins)
   corpus_transcode_stats storage-transcode advisor: hash-sampled rows
                        through the REAL codec composition (decode →
                        T.81 JFIF encode → decode → PSNR vs source),
@@ -1763,6 +1775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_prune_stats": ingest.zonemap_prune_stats,
         "jfif_dc_dedup": ingest.jfif_dc_dedup,
         "dihedral_image_dedup": ingest.dihedral_image_dedup,
+        "jfif_exif_stats": ingest.jfif_exif_stats,
+        "exif_orientation_dedup": ingest.exif_orientation_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
         "avi_frame_stats": ingest.avi_frame_stats,
         "avi_video_dedup": ingest.avi_video_dedup,

@@ -246,8 +246,13 @@ def _dht_payload(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc_th] + bits + vals)
 
 
-def encode(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (YCbCr 4:4:4)."""
+def encode(pixels: np.ndarray, quality: int = 90,
+           exif: dict | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (YCbCr 4:4:4).
+
+    `exif`, when given, is embedded as a standard APP1 Exif segment
+    (see build_exif) right after APP0 — the camera-provenance metadata
+    a real web corpus carries; parse_exif reads it back header-only."""
     h, w = pixels.shape[:2]
     lt, ct = quality_tables(quality)
     ycc = _rgb_to_ycbcr(pixels)
@@ -301,6 +306,8 @@ def encode(pixels: np.ndarray, quality: int = 90) -> bytes:
 
     out = bytearray(b"\xff\xd8")                     # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    if exif is not None:
+        out += _seg(0xE1, build_exif(exif))
     out += _seg(0xDB, bytes([0]) + bytes(lt.ravel()[ZIGZAG].astype(np.uint8)))
     out += _seg(0xDB, bytes([1]) + bytes(ct.ravel()[ZIGZAG].astype(np.uint8)))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
@@ -616,3 +623,122 @@ def decode_dc_luma(data: bytes) -> np.ndarray:
     means = y_dc.astype(np.float64) * q00 / 8.0 + 128.0
     return np.clip(np.round(means), 0, 255).astype(np.uint8) \
         .reshape(bh, bw)
+
+
+# ---------------------------------------------------------------------------
+# EXIF (APP1) metadata — TIFF IFD0 subset: the provenance tags a web
+# corpus actually carries (camera make/model, orientation, timestamp).
+# Public spec: Exif 2.x = "Exif\0\0" + a TIFF structure (II/MM byte
+# order, magic 42, IFD0 of 12-byte entries). Header-only to parse: no
+# entropy-coded data is ever touched, so EXIF extraction over 100 TB
+# is a manifest-scan cost, like estimate_quality.
+# ---------------------------------------------------------------------------
+
+# tag ids for the subset written/parsed here
+_EXIF_TAGS = {0x010F: "make", 0x0110: "model",
+              0x0112: "orientation", 0x0132: "datetime"}
+_EXIF_IDS = {v: k for k, v in _EXIF_TAGS.items()}
+
+# EXIF Orientation value -> the codec.dihedral_apply element that maps
+# the STORED pixel array back to the upright scene (TIFF 6.0 table:
+# value o says where the stored 0th row/column sit in the scene).
+#   1 id | 2 mirror-h | 3 rot180 | 4 mirror-v
+#   5 transpose | 6 rot90-CW stored (fix = rot90 CCW? no: fix = k=3)
+#   7 anti-transpose | 8 rot270-CW stored (fix = k=1)
+EXIF_ORIENT_FIX = {1: 0, 2: 4, 3: 2, 4: 5, 5: 6, 6: 3, 7: 7, 8: 1}
+# inverse direction: the dihedral element a CAMERA applies when it
+# stores an upright scene under orientation tag o (D4 inverse of FIX:
+# rot90(1) <-> rot270(3), every other element is an involution)
+EXIF_ORIENT_STORE = {o: ({1: 3, 3: 1}.get(k, k))
+                     for o, k in EXIF_ORIENT_FIX.items()}
+
+
+def build_exif(tags: dict) -> bytes:
+    """dict with any of make/model/datetime (str) and orientation
+    (int 1..8) → APP1 Exif payload bytes (little-endian TIFF, IFD0)."""
+    entries = []          # (tag, type, count, inline4 | value bytes)
+    for name in sorted(tags, key=lambda n: _EXIF_IDS[n]):
+        tag = _EXIF_IDS[name]
+        v = tags[name]
+        if name == "orientation":
+            if not 1 <= int(v) <= 8:
+                raise ValueError(f"orientation {v} outside 1..8")
+            entries.append((tag, 3, 1,
+                            int(v).to_bytes(2, "little") + b"\0\0"))
+        else:
+            raw = str(v).encode("ascii") + b"\0"
+            entries.append((tag, 2, len(raw), raw))
+    tiff = bytearray(b"II*\x00\x08\x00\x00\x00")     # IFD0 at offset 8
+    tiff += len(entries).to_bytes(2, "little")
+    value_off = 8 + 2 + 12 * len(entries) + 4        # after next-IFD ptr
+    tail = bytearray()
+    for tag, typ, cnt, val in entries:
+        tiff += tag.to_bytes(2, "little") + typ.to_bytes(2, "little") \
+            + cnt.to_bytes(4, "little")
+        if len(val) <= 4:
+            tiff += val.ljust(4, b"\0")
+        else:
+            tiff += (value_off + len(tail)).to_bytes(4, "little")
+            tail += val
+    tiff += b"\0\0\0\0"                              # no next IFD
+    return b"Exif\x00\x00" + bytes(tiff) + bytes(tail)
+
+
+def parse_exif(data) -> dict | None:
+    """JPEG bytes → {make, model, orientation, datetime} subset from
+    the first APP1 Exif segment, or None if absent. Walks markers only
+    (stops at SOS); accepts both II and MM byte orders."""
+    buf = np.frombuffer(data, np.uint8) if not isinstance(data, np.ndarray) else data
+    if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            return None
+        m = int(buf[i + 1])
+        if m in (0xD9, 0xDA):                        # EOI / SOS: no EXIF
+            return None
+        ln = (int(buf[i + 2]) << 8) | int(buf[i + 3])
+        seg = bytes(buf[i + 4:i + 2 + ln])
+        if m == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            return _parse_tiff_ifd0(seg[6:])
+        i += 2 + ln
+    return None
+
+
+def _parse_tiff_ifd0(t: bytes) -> dict | None:
+    if len(t) < 8 or t[:2] not in (b"II", b"MM"):
+        return None
+    bo = "little" if t[:2] == b"II" else "big"
+    if int.from_bytes(t[2:4], bo) != 42:
+        return None
+    ifd = int.from_bytes(t[4:8], bo)
+    if ifd + 2 > len(t):
+        return None
+    n = int.from_bytes(t[ifd:ifd + 2], bo)
+    out: dict = {}
+    for e in range(n):
+        p = ifd + 2 + 12 * e
+        if p + 12 > len(t):
+            break
+        tag = int.from_bytes(t[p:p + 2], bo)
+        typ = int.from_bytes(t[p + 2:p + 4], bo)
+        cnt = int.from_bytes(t[p + 4:p + 8], bo)
+        name = _EXIF_TAGS.get(tag)
+        if name is None:
+            continue
+        size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        nbytes = size * cnt
+        raw = t[p + 8:p + 12][:nbytes] if nbytes <= 4 else None
+        if raw is None:
+            off = int.from_bytes(t[p + 8:p + 12], bo)
+            if off + nbytes > len(t):
+                continue
+            raw = t[off:off + nbytes]
+        if typ == 2:
+            out[name] = raw.split(b"\0", 1)[0].decode("ascii", "replace")
+        else:
+            out[name] = int.from_bytes(raw[:size], bo)
+    return out or None

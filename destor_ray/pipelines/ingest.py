@@ -2062,3 +2062,267 @@ def dihedral_image_dedup(sf_dir: str, n_base: int = 144,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# EXIF provenance extraction + metadata-guided orientation dedup
+# ---------------------------------------------------------------------------
+
+_EXIF_CAMERAS = (("ACME", "Shot-100"), ("ACME", "Shot-200"),
+                 ("Borealis", "BX9"), ("Cetus", "Field Mk II"))
+
+
+def _exif_corpus_dir(n_base: int = 144, quality: int = 85,
+                     dup_every: int = 3, dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH EXIF PROVENANCE and planted
+    CAMERA-ROTATED re-uploads: base rows carry an APP1 Exif segment
+    (make/model cycling over 4 cameras, orientation 1, deterministic
+    DateTime) except every 7th row which has none (the bare-web-upload
+    case); every dup_every-th base image also appears STORED ROTATED
+    the way a camera writes it — pixels transformed by
+    jpeg.EXIF_ORIENT_STORE[o] for o cycling 2..8, orientation tag o in
+    the EXIF, re-encoded at a lower quality. Truth rides the naming:
+    "exNNNNN_oO" duplicates "exNNNNN"."""
+    from .. import codec
+    from .. import corpus as corpus_mod
+    from .. import jpeg
+
+    out = (f"/tmp/destor_ray_exif/"
+           f"v1_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
+        make, model = _EXIF_CAMERAS[i % len(_EXIF_CAMERAS)]
+        meta = None if i % 7 == 6 else {
+            "make": make, "model": model, "orientation": 1,
+            "datetime": f"2026:01:{1 + i % 28:02d} "
+                        f"{i % 24:02d}:{(3 * i) % 60:02d}:00"}
+        ids.append(f"ex{i:05d}")
+        blobs.append(jpeg.encode(px, quality, exif=meta))
+        if i % dup_every == 0:
+            o = 2 + (i // dup_every) % 7           # orientations 2..8
+            stored = np.ascontiguousarray(
+                codec.dihedral_apply(px, jpeg.EXIF_ORIENT_STORE[o]))
+            ids.append(f"ex{i:05d}_o{o}")
+            blobs.append(jpeg.encode(stored, dup_quality, exif={
+                "make": make, "model": model, "orientation": o,
+                "datetime": f"2026:02:{1 + i % 28:02d} 12:00:00"}))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def jfif_exif_stats(sf_dir: str, n_base: int = 144,
+                    dup_every: int = 3):
+    """(make, model, n, n_no_exif, n_oriented, dt_min_key, dt_max_key)
+    — EXIF provenance extraction over a real-JFIF corpus: the
+    camera/timestamp read a web-scale curation pipeline runs for
+    source attribution, burst grouping and orientation-aware
+    preprocessing. jpeg.parse_exif walks APP1 markers only (stops at
+    SOS — header bytes, never entropy data), so at 100 TB this is a
+    manifest-scan cost like jfif_quality_estimate. Rows without EXIF
+    aggregate under "(none)"; DateTime folds as an int64 yyyymmddhhmmss
+    key through Min/Max so the exchange is make/model-domain sized.
+
+    destor note: the reference treats payloads as opaque chunk streams
+    (src/destor.c job loop); metadata extraction is this repo's
+    multimodal-ingest extension, not a port."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .. import jpeg
+
+    d = _exif_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+
+    HI, LO = 1 << 62, 0
+
+    def extract(batch: pa.Table) -> pa.Table:
+        makes, models, orient, dtk = [], [], [], []
+        for data in batch["bytes"].to_pylist():
+            m = jpeg.parse_exif(data)
+            if m is None:
+                makes.append("(none)")
+                models.append("(none)")
+                orient.append(0)
+                dtk.append(-1)
+            else:
+                makes.append(m.get("make", "(none)"))
+                models.append(m.get("model", "(none)"))
+                orient.append(int(m.get("orientation", 1)))
+                ds_ = m.get("datetime", "")
+                digits = "".join(c for c in ds_ if c.isdigit())
+                dtk.append(int(digits) if digits else -1)
+        n = len(makes)
+        dtv = np.asarray(dtk, np.int64)
+        has_dt = dtv >= 0
+        return pa.table({
+            "make": pa.array(makes, pa.string()),
+            "model": pa.array(models, pa.string()),
+            "n": pa.array(np.ones(n, np.int64)),
+            "n_no_exif": pa.array(
+                (np.asarray(orient, np.int64) == 0).astype(np.int64)),
+            "n_oriented": pa.array(
+                (np.asarray(orient, np.int64) > 1).astype(np.int64)),
+            "dt_min": pa.array(np.where(has_dt, dtv, HI), pa.int64()),
+            "dt_max": pa.array(np.where(has_dt, dtv, LO), pa.int64()),
+        })
+
+    agg = ds.map_batches(extract, batch_format="pyarrow",
+                         batch_size=64) \
+        .groupby(["make", "model"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_no_exif", alias_name="n_no_exif"),
+            Sum("n_oriented", alias_name="n_oriented"),
+            Min("dt_min", alias_name="dt_min_key"),
+            Max("dt_max", alias_name="dt_max_key"))
+    out = agg.to_pandas().sort_values(["make", "model"]) \
+        .reset_index(drop=True)
+    for c in out.columns[2:]:
+        out[c] = out[c].astype("int64")
+    # groups with zero datetimes carry only sentinels — report -1
+    no_dt = out["dt_min_key"] == HI
+    out.loc[no_dt, ["dt_min_key", "dt_max_key"]] = -1
+    return out
+
+
+def exif_orientation_dedup(sf_dir: str, n_base: int = 144,
+                           dup_every: int = 3,
+                           psnr_min_centi: int = 2800):
+    """(n_images, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — METADATA-GUIDED orientation-robust
+    near-dup detection: camera-rotated re-uploads (pixels stored
+    rotated/mirrored, EXIF Orientation tag set — how every phone
+    camera writes portrait shots) defeat plain phash banding exactly
+    like dihedral_image_dedup's class, but when the tag is PRESENT the
+    8× orbit expansion is unnecessary: parse_exif reads the tag from
+    the header, dihedral_apply(EXIF_ORIENT_FIX[o]) restores the
+    upright DC-luma, and the signature proceeds at 1× cost — 16 band
+    rows/image instead of 128, an 8× shuffle-volume saving over the
+    blind path (dihedral_image_dedup remains the fallback when EXIF is
+    absent or stripped). DC grids commute with D4 on 8-multiple
+    dimensions, so fixed thumbs align exactly and the plain full-thumb
+    PSNR gate of jfif_dc_dedup applies unchanged.
+
+    Scale shape: header-only EXIF parse + DC-only decode per row, dual
+    phash+aHash 8×8-bit bands, 16×16 fixed thumbs ride the band rows,
+    one band exchange + one pair dedup — the flagship topology."""
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _exif_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_images = n_base + n_planted
+
+    class FixedSignature:
+        """EXIF-orientation-normalized DC-luma signature, 1× per image."""
+
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            grays, thumbs = [], []
+            for data in batch["bytes"].to_pylist():
+                m = jpeg.parse_exif(data)
+                o = int(m.get("orientation", 1)) if m else 1
+                dc = jpeg.decode_dc_luma(data)
+                fixed = np.ascontiguousarray(codec.dihedral_apply(
+                    dc, jpeg.EXIF_ORIENT_FIX.get(o, 0)))
+                grays.append(codec.resize_nn(fixed, 32, 32))
+                thumbs.append(codec.resize_nn(fixed, 16, 16).tobytes())
+            stack = np.stack(grays) if ids else \
+                np.empty((0, 32, 32), np.uint8)
+            ph = codec.phash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            ah = codec.ahash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(FixedSignature, batch_size=64, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reps = 2 * N_BANDS
+        keys = np.empty(reps * n, np.int64)
+        mask = np.uint64((1 << BITS) - 1)
+        for ch, col in enumerate(("phash", "ahash")):
+            h = batch[col].to_numpy(zero_copy_only=False) \
+                .view(np.uint64)
+            for band in range(N_BANDS):
+                bits = (h >> np.uint64(BITS * band)) & mask
+                slot = ch * N_BANDS + band
+                keys[slot * n:(slot + 1) * n] = \
+                    (np.int64(slot) << np.int64(BITS)) \
+                    | bits.astype(np.int64)
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
+                                 pa.string()),
+            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
+                              pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, ps = [], [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["image_id"].tolist()
+            if len(ids) < 2:
+                continue
+            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                      for t in g["thumb"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    p = codec.psnr(thumbs[i], thumbs[j])
+                    pc_ = int(round(min(p, 99.99) * 100))
+                    if pc_ >= psnr_min_centi:
+                        l, r = sorted((ids[i], ids[j]))
+                        ls.append(l)
+                        rs.append(r)
+                        ps.append(pc_)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "p": pa.array(ps, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"ex{i:05d}", f"ex{i:05d}_o{2 + (i // dup_every) % 7}")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_images": [n_images], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

@@ -249,3 +249,77 @@ def test_dihedral_image_dedup_full_recall_no_false_merges(ray_session):
     assert out.n_images == 192 and out.n_planted == 48
     assert out.recall_ppm == 1_000_000
     assert out.n_false == 0
+
+
+def test_exif_roundtrip_and_absent():
+    """build_exif → encode → parse_exif recovers the written subset;
+    files without APP1 parse as None; the big-endian (MM) byte order
+    parses too; decode() is unaffected by the APP1 insert."""
+    import numpy as np
+
+    px = (np.arange(24 * 24 * 3, dtype=np.uint64) * 37 % 251) \
+        .astype(np.uint8).reshape(24, 24, 3)
+    meta = {"make": "ACME", "model": "CamX-9", "orientation": 6,
+            "datetime": "2026:08:19 10:00:00"}
+    data = jpeg.encode(px, 85, exif=meta)
+    assert jpeg.parse_exif(data) == meta
+    assert jpeg.parse_exif(jpeg.encode(px, 85)) is None
+    assert np.array_equal(jpeg.decode(data), jpeg.decode(jpeg.encode(px, 85)))
+    # hand-built big-endian TIFF: orientation 7
+    t = (b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big")
+         + (1).to_bytes(2, "big")
+         + (0x0112).to_bytes(2, "big") + (3).to_bytes(2, "big")
+         + (1).to_bytes(4, "big") + (7).to_bytes(2, "big") + b"\0\0"
+         + b"\0\0\0\0")
+    app1 = b"Exif\x00\x00" + t
+    seg = bytes([0xFF, 0xE1]) + (len(app1) + 2).to_bytes(2, "big") + app1
+    assert jpeg.parse_exif(b"\xff\xd8" + seg + b"\xff\xd9") == \
+        {"orientation": 7}
+
+
+def test_exif_orientation_maps_are_inverse():
+    """EXIF_ORIENT_FIX undoes EXIF_ORIENT_STORE for every tag value —
+    fixing a camera-stored array recovers the upright scene exactly."""
+    import numpy as np
+    from destor_ray import codec
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 255, (16, 24), dtype=np.uint8)  # non-square
+    for o in range(1, 9):
+        stored = codec.dihedral_apply(a, jpeg.EXIF_ORIENT_STORE[o])
+        fixed = codec.dihedral_apply(stored, jpeg.EXIF_ORIENT_FIX[o])
+        assert np.array_equal(fixed, a), o
+
+
+def test_jfif_exif_stats_query(ray_session):
+    """provenance extraction pins the planted camera distribution:
+    144 base rows cycle 4 cameras with every 7th row EXIF-less, plus
+    48 rotated dups (12/camera) whose orientation tag > 1."""
+    from destor_ray.pipelines.ingest import jfif_exif_stats
+
+    out = jfif_exif_stats("/root/testdata/sf0.001")
+    assert list(out["make"]) == ["(none)", "ACME", "ACME", "Borealis",
+                                 "Cetus"]
+    none_row = out.iloc[0]
+    assert none_row.n == none_row.n_no_exif == 20
+    assert none_row.dt_min_key == none_row.dt_max_key == -1
+    cams = out.iloc[1:]
+    assert (cams["n"] == 43).all()   # 36 base − 5 EXIF-less + 12 dups
+    assert (cams["n_no_exif"] == 0).all()
+    assert (cams["n_oriented"] == 12).all()   # 48 rotated dups / 4 cameras
+    assert int(out["n"].sum()) == 192
+
+
+def test_exif_orientation_dedup_full_recall_no_false_merges(ray_session):
+    """every planted camera-rotated + re-encoded copy is found via the
+    EXIF-guided fix at 1× signature cost (recall 1.0, zero false
+    merges); MEASURED on this fixture: unnormalized phash moves >= 22
+    bits on the planted pairs (blind), fixed-thumb PSNR >= 51.4 dB vs
+    distinct-pair max 23.4 dB."""
+    from destor_ray.pipelines.ingest import exif_orientation_dedup
+
+    out = exif_orientation_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 192 and out.n_planted == 48
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 48
