@@ -252,6 +252,12 @@ queries() entries map to SURVEY.md §2 operators:
                        PSNR ≥ 35 dB (measured 25 dB separation) —
                        planted transform+re-encode recall 1.0, 0
                        false merges (rows-only; pytest pins recall)
+  letterbox_image_dedup near-dup detection that survives LETTERBOX /
+                       PILLARBOX padding (uniform bars shift+rescale
+                       content — plain banding blind): full-res
+                       uniform-border trim → dual phash+aHash bands →
+                       inset-sweep PSNR verify; planted recall 1.0, 0
+                       false merges (rows-only; pytest pins)
   jfif_exif_stats      EXIF provenance extraction (APP1/TIFF IFD0:
                        make, model, orientation, DateTime) header-only
                        per row — per-camera counts + timestamp range;
@@ -1776,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jfif_dc_dedup": ingest.jfif_dc_dedup,
         "dihedral_image_dedup": ingest.dihedral_image_dedup,
         "jfif_exif_stats": ingest.jfif_exif_stats,
+        "letterbox_image_dedup": ingest.letterbox_image_dedup,
         "exif_orientation_dedup": ingest.exif_orientation_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
         "avi_frame_stats": ingest.avi_frame_stats,

@@ -418,3 +418,47 @@ def wav_decode(data) -> tuple[np.ndarray, int]:
     if samples is None or sr is None:
         raise ValueError("truncated WAV (missing fmt/data chunk)")
     return samples, int(sr)
+
+
+def trim_uniform_border(gray: np.ndarray, mad_tol: int = 4,
+                        ptp_tol: int = 32,
+                        max_frac: float = 0.45) -> np.ndarray:
+    """Strip uniform letterbox/pillarbox bars: drop leading/trailing
+    rows/cols whose per-line MAD <= mad_tol AND range <= ptp_tol
+    (JPEG-noise-tolerant "solid bar" test: measured on q70 re-encodes,
+    bar lines have ptp <= 16 / MAD <= 2.5 while content lines run ptp
+    ~90 / MAD >= 13), capped at max_frac per side, iterated twice so a
+    frame exposes the other axis's bars. NO color-continuation stage:
+    a "keep trimming while near the bar color" extension was measured
+    to eat content on images whose rows are themselves near-constant
+    and near the bar color (gradient fills) — the residual <=2-line
+    ringing shoulder this leaves is absorbed by the inset-sweep verify
+    instead. Returns a VIEW."""
+    gg = gray
+    for _ in range(2):
+        h, w = gg.shape
+        if h < 8 or w < 8:
+            break
+        a = gg.astype(np.int16)
+        rmed = np.median(a, axis=1)
+        rmad = np.median(np.abs(a - rmed[:, None]), axis=1)
+        rok = (rmad <= mad_tol) & (a.max(1) - a.min(1) <= ptp_tol)
+        cmed = np.median(a, axis=0)
+        cmad = np.median(np.abs(a - cmed[None, :]), axis=0)
+        cok = (cmad <= mad_tol) & (a.max(0) - a.min(0) <= ptp_tol)
+
+        def run(ok, cap):
+            stop = np.flatnonzero(~ok[:cap])
+            return int(stop[0]) if len(stop) else cap
+
+        cap_h, cap_w = int(h * max_frac), int(w * max_frac)
+        t = run(rok, cap_h)
+        b = run(rok[::-1], cap_h)
+        le = run(cok, cap_w)
+        r = run(cok[::-1], cap_w)
+        if t + b >= h - 7 or le + r >= w - 7:
+            break
+        if (t, b, le, r) == (0, 0, 0, 0):
+            break
+        gg = gg[t:h - b, le:w - r]
+    return gg

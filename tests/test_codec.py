@@ -175,3 +175,42 @@ def test_png_crc_and_multi_idat():
                + codec._png_chunk(b"IDAT", idat_payload[half:])
                + codec._png_chunk(b"IEND", b""))
     assert np.array_equal(codec.png_decode(rebuilt), img)
+
+
+def test_trim_uniform_border_exact_and_noop():
+    """exact bar recovery on clean pads (all 3 styles), no-op on
+    borderless content, max_frac cap on flat input."""
+    import numpy as np
+
+    from destor_ray import codec
+
+    content = (np.indices((24, 40)).sum(0) * 11 % 251).astype(np.uint8)
+    # letterbox / pillarbox / frame with arbitrary bar widths
+    for pad, expect in (
+            (((9, 9), (0, 0)), (24, 40)),
+            (((0, 0), (6, 6)), (24, 40)),
+            (((5, 5), (13, 13)), (24, 40))):
+        g = np.pad(content, pad, constant_values=128)
+        assert codec.trim_uniform_border(g).shape == expect
+    # borderless: untouched
+    assert codec.trim_uniform_border(content).shape == (24, 40)
+    # flat image: the max_frac/min-size guards keep >= 55% per axis
+    flat = np.full((32, 32), 77, np.uint8)
+    assert codec.trim_uniform_border(flat).shape == (32, 32)
+
+
+def test_trim_uniform_border_jpeg_noise():
+    """bars survive a q70 re-encode: trim recovers the content box to
+    within a 4-line ringing shoulder per side (the inset-sweep verify
+    absorbs this residual), including bars straddling JPEG blocks."""
+    import numpy as np
+
+    from destor_ray import codec, jpeg
+
+    content = (np.indices((40, 40)).sum(0) * 7 % 256).astype(np.uint8)
+    px = np.repeat(content[:, :, None], 3, axis=2)
+    padded = np.full((40 + 2 * 11, 40 + 2 * 11, 3), 128, np.uint8)
+    padded[11:51, 11:51] = px
+    gray = codec.to_gray(jpeg.decode(jpeg.encode(padded, 70)))
+    t = codec.trim_uniform_border(gray)
+    assert 40 <= t.shape[0] <= 48 and 40 <= t.shape[1] <= 48, t.shape

@@ -323,3 +323,17 @@ def test_exif_orientation_dedup_full_recall_no_false_merges(ray_session):
     assert out.recall_ppm == 1_000_000
     assert out.n_false == 0
     assert out.n_true == out.n_verified_pairs == 48
+
+
+def test_letterbox_image_dedup_full_recall_no_false_merges(ray_session):
+    """every planted letterbox/pillarbox/frame + re-encoded copy is
+    found (recall 1.0, zero false merges); MEASURED on this fixture:
+    true-pair inset-PSNR >= 37.2 dB vs distinct-colliding max 27.4 dB,
+    and all 48 pairs collide in >= 1 of 16 bands after the trim."""
+    from destor_ray.pipelines.ingest import letterbox_image_dedup
+
+    out = letterbox_image_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 192 and out.n_planted == 48
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 48
