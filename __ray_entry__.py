@@ -252,6 +252,15 @@ queries() entries map to SURVEY.md §2 operators:
                        PSNR ≥ 35 dB (measured 25 dB separation) —
                        planted transform+re-encode recall 1.0, 0
                        false merges (rows-only; pytest pins recall)
+  ctph_fuzzy_dedup     byte-stream near-dup via CTPH fuzzy hashing
+                       (spamsum/ssdeep): ~100 B signature per file,
+                       content-defined piece triggers resynchronize
+                       through insert/delete edits; candidates = shared
+                       7-gram at common blocksize (one packed-key LSH
+                       exchange), verify = scaled edit distance of the
+                       digests — planted recall 1.0, 0 false merges
+                       incl. 1/8-overlap distractors (rows-only;
+                       pytest pins + vectorized==scalar parity)
   letterbox_image_dedup near-dup detection that survives LETTERBOX /
                        PILLARBOX padding (uniform bars shift+rescale
                        content — plain banding blind): full-res
@@ -1783,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dihedral_image_dedup": ingest.dihedral_image_dedup,
         "jfif_exif_stats": ingest.jfif_exif_stats,
         "letterbox_image_dedup": ingest.letterbox_image_dedup,
+        "ctph_fuzzy_dedup": ingest.ctph_fuzzy_dedup,
         "exif_orientation_dedup": ingest.exif_orientation_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
         "avi_frame_stats": ingest.avi_frame_stats,
