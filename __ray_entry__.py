@@ -252,6 +252,14 @@ queries() entries map to SURVEY.md §2 operators:
                        PSNR ≥ 35 dB (measured 25 dB separation) —
                        planted transform+re-encode recall 1.0, 0
                        false merges (rows-only; pytest pins recall)
+  photometric_image_dedup near-dup detection that survives BRIGHTNESS/
+                       CONTRAST edits (y'=clip(a·y+b)): aHash is
+                       affine-equivariant so banding survives (≤2 bits
+                       moved, measured), but thumb PSNR FAILS (11 dB)
+                       — verify = zero-normalized cross-correlation,
+                       mathematically invariant to the transform;
+                       planted recall 1.0, 0 false merges (rows-only;
+                       pytest pins)
   ctph_fuzzy_dedup     byte-stream near-dup via CTPH fuzzy hashing
                        (spamsum/ssdeep): ~100 B signature per file,
                        content-defined piece triggers resynchronize
@@ -1793,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jfif_exif_stats": ingest.jfif_exif_stats,
         "letterbox_image_dedup": ingest.letterbox_image_dedup,
         "ctph_fuzzy_dedup": ingest.ctph_fuzzy_dedup,
+        "photometric_image_dedup": ingest.photometric_image_dedup,
         "exif_orientation_dedup": ingest.exif_orientation_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
         "avi_frame_stats": ingest.avi_frame_stats,

@@ -145,7 +145,9 @@ def main() -> None:
                  "q5_local_supplier_volume", "sequence_pack",
                  "heavy_hitter_tokens", "events_user_hour_ohlc",
                  "keep_best_dedup", "sorted_neighborhood_pairs",
-                 "avi_video_dedup", "wav_audio_dedup"]:
+                 "avi_video_dedup", "wav_audio_dedup",
+                 "letterbox_image_dedup", "exif_orientation_dedup",
+                 "ctph_fuzzy_dedup"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver

@@ -2738,3 +2738,210 @@ def ctph_fuzzy_dedup(sf_dir: str, n_base: int = 96,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Photometric-invariant near-dup detection (brightness/contrast edits)
+# ---------------------------------------------------------------------------
+
+def _tint_corpus_dir(n_base: int = 144, quality: int = 85,
+                     dup_every: int = 3, dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH PLANTED PHOTOMETRIC near-dups:
+    every dup_every-th base image also appears brightness/contrast
+    adjusted (y' = clip(a·y + b), a cycling 0.7..1.3, b cycling
+    −30..30 — the auto-enhance every re-upload app applies) and
+    re-encoded at a lower quality. Truth rides the naming:
+    "phNNNNN_t" duplicates "phNNNNN"."""
+    from .. import corpus as corpus_mod
+    from .. import jpeg
+
+    out = (f"/tmp/destor_ray_tintdup/"
+           f"v1_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
+        ids.append(f"ph{i:05d}")
+        blobs.append(jpeg.encode(px, quality))
+        if i % dup_every == 0:
+            a = 0.7 + 0.05 * ((i // dup_every) % 13)
+            b = -30 + 6 * ((i // dup_every) % 11)
+            tinted = np.clip(px.astype(np.float64) * a + b,
+                             0, 255).astype(np.uint8)
+            ids.append(f"ph{i:05d}_t")
+            blobs.append(jpeg.encode(tinted, dup_quality))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _zncc(ta: np.ndarray, tb: np.ndarray) -> float:
+    """Zero-normalized cross-correlation of two gray thumbs — exactly
+    invariant under y' = a·y + b with a > 0 (mean-centering kills b,
+    norm division kills a); the verify arm PSNR cannot provide here
+    (measured: true tint pairs bottom at 11 dB thumb PSNR)."""
+    a = ta.astype(np.float64).ravel()
+    b = tb.astype(np.float64).ravel()
+    a -= a.mean()
+    b -= b.mean()
+    na = np.sqrt((a * a).sum())
+    nb = np.sqrt((b * b).sum())
+    if na == 0 or nb == 0:
+        return 1.0 if na == nb else 0.0
+    return float((a * b).sum() / (na * nb))
+
+
+def photometric_image_dedup(sf_dir: str, n_base: int = 144,
+                            dup_every: int = 3, ah_max: int = 6,
+                            zncc_min_ppm: int = 940_000):
+    """(n_images, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — near-dup detection that survives
+    BRIGHTNESS/CONTRAST edits (y' = clip(a·y+b): auto-enhance, fade
+    filters, exposure fixes — the photometric transform class, as
+    common on re-uploads as the geometric classes the dihedral /
+    letterbox / resize channels cover). The candidate side is nearly
+    free: aHash thresholds each pixel against the thumb MEAN, which is
+    equivariant under affine luma, so the hash is almost exactly
+    invariant (MEASURED: planted tint pairs move ≤ 2 aHash bits;
+    phash, whose low-freq DCT signs also survive a>0 scaling up to
+    clipping, moves ≤ 20 — both banded, the union collides every
+    pair). The verify arm is the novel piece: thumb PSNR FAILS under
+    tint (true pairs bottom at 11 dB — a correct PSNR gate would
+    reject every planted pair), so verification is zero-normalized
+    cross-correlation, mathematically invariant to the transform —
+    the image twin of the audio channel's mean-centered
+    spectral-profile correlation.
+
+    MEASURED margins (this synthetic corpus is the ADVERSARIAL case —
+    smooth gradients correlate strongly across distinct images): true
+    ZNCC ≥ 0.9705 vs distinct max 0.9075 at both 16² and 32² thumbs;
+    the 0.94 gate has ~0.03 on each side. On natural photos
+    distinct-pair ZNCC runs far lower; the aHash ≤ 6 prefilter
+    (true ≤ 2) additionally bounds verify cost.
+
+    Scale shape: one decode pass, dual-hash band exchange with 16×16
+    thumbs riding, one pair-dedup groupby — the flagship topology."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _tint_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_images = n_base + n_planted
+
+    class GraySignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            grays, thumbs = [], []
+            for data in batch["bytes"].to_pylist():
+                g = codec.to_gray(codec.decode(data))
+                grays.append(codec.resize_nn(g, 32, 32))
+                thumbs.append(codec.resize_nn(g, 16, 16).tobytes())
+            stack = np.stack(grays) if ids else \
+                np.empty((0, 32, 32), np.uint8)
+            ph = codec.phash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            ah = codec.ahash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(GraySignature, batch_size=64, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reps = 2 * N_BANDS
+        keys = np.empty(reps * n, np.int64)
+        mask = np.uint64((1 << BITS) - 1)
+        for ch, col in enumerate(("phash", "ahash")):
+            h = batch[col].to_numpy(zero_copy_only=False) \
+                .view(np.uint64)
+            for band in range(N_BANDS):
+                bits = (h >> np.uint64(BITS * band)) & mask
+                slot = ch * N_BANDS + band
+                keys[slot * n:(slot + 1) * n] = \
+                    (np.int64(slot) << np.int64(BITS)) \
+                    | bits.astype(np.int64)
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
+                                 pa.string()),
+            "ahash": pa.array(
+                np.tile(batch["ahash"].to_numpy(zero_copy_only=False),
+                        reps), pa.int64()),
+            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
+                              pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        from .. import codec as codec_mod
+        ls, rs, zs = [], [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["image_id"].tolist()
+            if len(ids) < 2:
+                continue
+            ahv = g["ahash"].to_numpy(np.int64)
+            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                      for t in g["thumb"]]
+            seen = set()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    pair = tuple(sorted((ids[i], ids[j])))
+                    if pair in seen:
+                        continue
+                    seen.add(pair)
+                    if codec_mod.hamming64(ahv[i], ahv[j]) > ah_max:
+                        continue
+                    z = _zncc(thumbs[i], thumbs[j])
+                    z_ppm = int(round(z * 1_000_000))
+                    if z_ppm >= zncc_min_ppm:
+                        ls.append(pair[0])
+                        rs.append(pair[1])
+                        zs.append(z_ppm)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "zncc_ppm": pa.array(zs, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"ph{i:05d}", f"ph{i:05d}_t")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_images": [n_images], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

@@ -337,3 +337,39 @@ def test_letterbox_image_dedup_full_recall_no_false_merges(ray_session):
     assert out.recall_ppm == 1_000_000
     assert out.n_false == 0
     assert out.n_true == out.n_verified_pairs == 48
+
+
+def test_photometric_image_dedup_full_recall_no_false_merges(ray_session):
+    """every planted brightness/contrast-adjusted + re-encoded copy is
+    found (recall 1.0, zero false merges). MEASURED: tint pairs move
+    <= 2 aHash bits (mean-threshold hash is affine-equivariant) but
+    bottom at 11 dB thumb PSNR — a PSNR verify would reject every one;
+    the ZNCC verify (invariant under y'=a*y+b by construction)
+    separates true >= 0.9705 from distinct <= 0.9075 on this
+    deliberately adversarial smooth-gradient corpus."""
+    from destor_ray.pipelines.ingest import photometric_image_dedup
+
+    out = photometric_image_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 192 and out.n_planted == 48
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 48
+
+
+def test_zncc_affine_invariance():
+    """_zncc(a*y+b, y) == 1 exactly (no clipping), and ZNCC is
+    symmetric and bounded."""
+    import numpy as np
+    from destor_ray.pipelines.ingest import _zncc
+
+    rng = np.random.default_rng(2)
+    y = rng.integers(40, 200, (16, 16)).astype(np.uint8)
+    t = np.clip(1.2 * y.astype(np.float64) - 10, 0, 255)
+    assert abs(_zncc(y, t) - 1.0) < 1e-12
+    other = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    z = _zncc(y, other)
+    assert -1.0 <= z <= 1.0
+    assert abs(z - _zncc(other, y)) < 1e-12
+    flat = np.full((16, 16), 7, np.uint8)
+    assert _zncc(flat, flat) == 1.0
+    assert _zncc(flat, y) == 0.0
