@@ -1861,6 +1861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": curation.sequence_pack,
         "pretraining_pipeline": curation.pretraining_pipeline,
         "pii_scrub": curation.pii_scrub,
+        "events_k_anonymity": curation.events_k_anonymity,
         "tfidf_top_terms": ranking.tfidf_top_terms,
         "bm25_scores": ranking.bm25_scores,
         "container_refs": text.container_refs,
@@ -3084,6 +3085,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 1000000) AS BIGINT))
                         AS BIGINT) AS sum_value_micro
             FROM events WHERE user_id <> 7 GROUP BY event_type
+        """,
+        "events_k_anonymity": """
+            WITH g AS (
+              SELECT event_type,
+                     CAST((epoch_us(ts) // 86400000000 + 4) % 7
+                          AS BIGINT) AS dow,
+                     CAST(floor(value / 10) AS BIGINT) AS vb,
+                     count(*) AS n,
+                     count(DISTINCT user_id) AS ndu
+              FROM events GROUP BY 1, 2, 3)
+            SELECT k,
+                   (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_groups,
+                   CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_groups_below_k,
+                   CAST(sum(CASE WHEN n < k THEN n ELSE 0 END)
+                        AS BIGINT) AS rows_at_risk,
+                   CAST(sum(CASE WHEN ndu < k THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_groups_l_below_k
+            FROM g CROSS JOIN (SELECT unnest([2, 5, 10, 20]) AS k) ks
+            GROUP BY k ORDER BY k
         """,
         "transactional_commit_readback": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n,

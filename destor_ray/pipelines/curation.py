@@ -866,3 +866,68 @@ def pretraining_pipeline(sf_dir: str, pct: float = 0.5, fp_k: int = 4,
         .map_batches(_pack_partials_fn(off_ref, seq_len, True),
                      batch_format="pyarrow")
     return bucketed_group_map(packed, "seq_id", _reduce_seq, num_buckets=8)
+
+
+def events_k_anonymity(sf_dir: str, ks=(2, 5, 10, 20)):
+    """(k, n_groups, n_groups_below_k, rows_at_risk,
+    n_groups_l_below_k) — k-anonymity / l-diversity release audit over
+    the events table treated as a pseudonymized dataset: quasi-
+    identifiers = (event_type, day-of-week, value decile-bucket) — the
+    columns an attacker can match against side knowledge — and
+    user_id as the sensitive attribute. A QI group with fewer than k
+    rows re-identifies its members (k-anonymity, Sweeney 2002); a
+    group whose rows all belong to < l distinct users leaks the
+    user→behavior link even when k holds (l-diversity, Machanavajjhala
+    2007). The sweep reports, per k (with l = k): total groups, groups
+    below k, rows at risk in those groups, and groups below
+    l-diversity — the table a release gate reads before publishing.
+
+    Scale shape: the corpus never co-locates — batches fold to
+    distinct (QI, user_id) partials with counts map-side, ONE
+    domain-sized exchange merges them, and a second exchange over the
+    (much smaller) QI domain folds (n_rows, n_distinct_users); the
+    k-sweep runs on the QI-domain table. dow uses the engine-agnostic
+    (epoch_us // 86400e6 + 4) % 7 convention (Monday = 0) and the
+    value bucket is CAST(floor(value/10) AS BIGINT) — single IEEE ops
+    mirrored literally in the oracle."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value",
+                                        "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000 + 4) % 7).astype(np.int64)
+        vb = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False) / 10.0) \
+            .astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "dow": dow, "vb": vb,
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "n": 1})
+        g = df.groupby(["event_type", "dow", "vb", "user_id"],
+                       sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    qi_user = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "dow", "vb", "user_id"]) \
+        .aggregate(Sum("n", alias_name="n"))
+    qi = qi_user.groupby(["event_type", "dow", "vb"]).aggregate(
+        Sum("n", alias_name="n"),
+        Count(alias_name="ndu")).to_pandas()
+
+    n = qi["n"].to_numpy(np.int64)
+    ndu = qi["ndu"].to_numpy(np.int64)
+    rows = []
+    for k in ks:
+        below = n < k
+        rows.append((int(k), len(qi), int(below.sum()),
+                     int(n[below].sum()), int((ndu < k).sum())))
+    return pd.DataFrame(rows, columns=[
+        "k", "n_groups", "n_groups_below_k", "rows_at_risk",
+        "n_groups_l_below_k"]).astype("int64")

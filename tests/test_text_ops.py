@@ -1239,3 +1239,36 @@ def test_bpe_encode_corpus_matches_reference(ray_session, tmp_path):
     # merges actually compress: strictly fewer pieces than characters+1
     chars = sum(len(w) + 1 for t in texts for w in t.split(" ") if w)
     assert int(got["n_bpe_tokens"].sum()) < chars
+
+
+def test_events_k_anonymity_matches_bruteforce(ray_session):
+    """the distributed (QI,user)-domain fold == a single-process pandas
+    reference over the raw table, for every k in the sweep."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.curation import events_k_anonymity
+
+    sf = "/root/testdata/sf0.001"
+    out = events_k_anonymity(sf)
+
+    t = pq.read_table(f"{sf}/events.parquet",
+                      columns=["ts", "event_type", "value", "user_id"])
+    us = t["ts"].cast("int64").to_numpy()
+    df = pd.DataFrame({
+        "et": t["event_type"].to_pylist(),
+        "dow": (us // 86_400_000_000 + 4) % 7,
+        "vb": np.floor(t["value"].to_numpy() / 10.0).astype(np.int64),
+        "user_id": t["user_id"].to_numpy()})
+    g = df.groupby(["et", "dow", "vb"]).agg(
+        n=("user_id", "size"), ndu=("user_id", "nunique")).reset_index()
+    for _, row in out.iterrows():
+        k = int(row.k)
+        assert row.n_groups == len(g)
+        assert row.n_groups_below_k == int((g["n"] < k).sum())
+        assert row.rows_at_risk == int(g.loc[g["n"] < k, "n"].sum())
+        assert row.n_groups_l_below_k == int((g["ndu"] < k).sum())
+    # sanity: risk counts are monotone in k
+    assert list(out["n_groups_below_k"]) == \
+        sorted(out["n_groups_below_k"])
