@@ -37,6 +37,13 @@ queries() entries map to SURVEY.md §2 operators:
   lsh_param_sweep      LSH tuning curve: candidate volume vs recall
                        across band counts, self-relative to the most
                        sensitive configuration (rows-only)
+  corpus_gate_sweep    verify-gate OPERATING CURVE: flagship candidate
+                       edges re-verified at a low 18 dB gate, then
+                       swept across gates 18..40 dB against planted
+                       truth — recall holds 1.0 through 25 dB where
+                       distractors and false merges are both zero,
+                       the measured justification for the production
+                       default (rows-only)
   corpus_resize_stats  multimodal image decode→resize actor-pool stage,
                        per-format stats (rows-only)
   curation_job_metrics resumable checkpointed curation job (rows-only)
@@ -252,6 +259,13 @@ queries() entries map to SURVEY.md §2 operators:
                        PSNR ≥ 35 dB (measured 25 dB separation) —
                        planted transform+re-encode recall 1.0, 0
                        false merges (rows-only; pytest pins recall)
+  avi_shot_stats       shot-boundary detection + keyframe selection
+                       over real MJPEG AVI: frame-to-frame DC-thumb
+                       difference spikes (every frame decoded DC-only,
+                       no IDCT) → per-shot middle keyframe — the
+                       scene-level sampling primitive; map-only, no
+                       shuffle (rows-only; pytest pins exact cut
+                       recovery)
   photometric_image_dedup near-dup detection that survives BRIGHTNESS/
                        CONTRAST edits (y'=clip(a·y+b)): aHash is
                        affine-equivariant so banding survives (≤2 bits
@@ -554,6 +568,98 @@ def _corpus_clusters(sf_dir: str):
     from destor_ray.pipelines.dedup import dedup_pipeline_from_dir
     d = corpus.ensure_corpus_parquet(_corpus_rows_for(sf_dir), seed=42)
     return dedup_pipeline_from_dir(d)
+
+
+def _corpus_gate_sweep(sf_dir: str):
+    """(gate_centi_db, n_pairs, n_planted_hit, n_distractor_pairs,
+    n_other_pairs, recall_ppm) — the verify-gate OPERATING CURVE: the
+    flagship's candidate edges re-verified at a deliberately low PSNR
+    threshold (18 dB) and swept against the planted ground truth at
+    every production-relevant gate, so an operator reads off where
+    recall is still 1.0 and false merges have died — the tuning table
+    behind the default 25 dB (corpus v5 measured: planted resize pairs
+    bottom at 28.7 dB thumb PSNR, distractors sit far lower). Columns:
+    pairs surviving the gate, planted true pairs among them, planted
+    near-miss distractor pairs (the hardest true negatives), other
+    (cross-truth-cluster) pairs, and pair recall.
+
+    Scale shape: identical to the flagship (one band exchange, inline
+    verify) — only the gate constant differs; the sweep itself runs on
+    the pair-deduped edge list (dup-mass-sized, driver-safe at fixture
+    scale; at corpus scale it is one groupby over gate buckets)."""
+    import dataclasses
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from destor_ray import corpus
+    from destor_ray.config import EngineConfig
+    from destor_ray.pipelines.dedup import buckets_for, signatures_from_corpus
+    from destor_ray.stages import candidates
+
+    n = _corpus_rows_for(sf_dir)
+    d = corpus.ensure_corpus_parquet(n, seed=42)
+    cfg = EngineConfig()
+    cfg = dataclasses.replace(
+        cfg, verify=dataclasses.replace(cfg.verify, psnr_threshold=18.0))
+    sigs = signatures_from_corpus(ray.data.read_parquet(d), cfg) \
+        .materialize()
+    edges = candidates.candidate_edges(sigs, cfg,
+                                       num_buckets=buckets_for(n))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        l = batch["left_id"].to_numpy(zero_copy_only=False)
+        r = batch["right_id"].to_numpy(zero_copy_only=False)
+        lo, hi = np.minimum(l, r), np.maximum(l, r)
+        df = pd.DataFrame({
+            "l": lo, "r": hi,
+            "psnr": batch["psnr"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["l", "r"], sort=False)["psnr"].max() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    from ray.data.aggregate import Max
+    pairs = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby(["l", "r"]).aggregate(Max("psnr", alias_name="psnr")) \
+        .to_pandas()
+
+    plan = corpus.dup_plan_table(n)
+    planted, distract = set(), set()
+    for left, right, kind in zip(plan["left_id"].to_pylist(),
+                                 plan["right_id"].to_pylist(),
+                                 plan["kind"].to_pylist()):
+        key = tuple(sorted((corpus.row_index_of(left),
+                            corpus.row_index_of(right))))
+        (distract if kind == "distractor_near_miss" else planted).add(key)
+    truth = {i: corpus.truth_cluster(i) for i in range(n)}
+
+    pk = list(zip(pairs["l"].astype(int), pairs["r"].astype(int)))
+    ps = pairs["psnr"].to_numpy()
+    is_planted = np.array([k in planted for k in pk])
+    is_distract = np.array([k in distract for k in pk])
+    same_truth = np.array([truth[a] == truth[b] for a, b in pk])
+    # "other" = pairs joining rows of DIFFERENT truth clusters that are
+    # not the planted distractors (any such pair is a false merge)
+    is_other = ~same_truth & ~is_distract
+
+    rows = []
+    for gate in (1800, 2000, 2200, 2500, 2800, 3000, 3200, 3500, 4000):
+        keep = ps >= gate / 100.0
+        hit = int((keep & is_planted).sum())
+        rows.append((gate, int(keep.sum()), hit,
+                     int((keep & is_distract).sum()),
+                     int((keep & is_other).sum()),
+                     hit * 1_000_000 // max(1, len(planted))))
+    return pa.table({
+        "gate_centi_db": pa.array([r[0] for r in rows], pa.int64()),
+        "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
+        "n_planted_hit": pa.array([r[2] for r in rows], pa.int64()),
+        "n_distractor_pairs": pa.array([r[3] for r in rows], pa.int64()),
+        "n_other_pairs": pa.array([r[4] for r in rows], pa.int64()),
+        "recall_ppm": pa.array([r[5] for r in rows], pa.int64()),
+    })
 
 
 def _corpus_dedup_shard_matrix(sf_dir: str, shard_rows: int = 1000):
@@ -1802,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letterbox_image_dedup": ingest.letterbox_image_dedup,
         "ctph_fuzzy_dedup": ingest.ctph_fuzzy_dedup,
         "photometric_image_dedup": ingest.photometric_image_dedup,
+        "avi_shot_stats": ingest.avi_shot_stats,
         "exif_orientation_dedup": ingest.exif_orientation_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
         "avi_frame_stats": ingest.avi_frame_stats,
@@ -1897,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_phash_topk": _corpus_phash_topk,
         "curation_job_metrics": _curation_job_metrics,
         "corpus_dedup_eval": _corpus_dedup_eval,
+        "corpus_gate_sweep": _corpus_gate_sweep,
         "corpus_preset_sweep": _corpus_preset_sweep,
         "band_skew_profile": _band_skew_profile,
         "lsh_param_sweep": _lsh_param_sweep,

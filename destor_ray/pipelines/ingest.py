@@ -2945,3 +2945,144 @@ def photometric_image_dedup(sf_dir: str, n_base: int = 144,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Video shot-boundary detection / keyframe selection (MJPEG AVI)
+# ---------------------------------------------------------------------------
+
+def _avi_shot_corpus_dir(n_videos: int = 24,
+                         frames_per_video: int = 24) -> str:
+    """Deterministic MJPEG-AVI fixture WITH PLANTED SHOT CUTS: video i
+    contains 1 + i % 4 shots; each shot's frames share one source
+    image under gentle intra-shot motion (1-px roll + small brightness
+    ramp per frame, the same motion model as the dedup fixture), and
+    shots switch to a DIFFERENT source image at deterministic cut
+    frames (evenly spaced; shot sources are spaced 4 corpus rows apart
+    so adjacent shots are genuinely distinct content). Truth = the cut
+    positions."""
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import jpeg as jpeg_mod
+
+    out = f"/tmp/destor_ray_avi_shots/v2_n{n_videos}_f{frames_per_video}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs, cuts_col = [], [], []
+    for i in range(n_videos):
+        n_shots = 1 + i % 4
+        cuts = [(s * frames_per_video) // n_shots
+                for s in range(1, n_shots)]
+        bounds = [0] + cuts + [frames_per_video]
+        frames = []
+        w = h = None
+        for s in range(n_shots):
+            px, w0, h0, _, _ = corpus_mod._base_pixels(
+                seed=17, row=100 + i * 16 + s * 4)
+            if w is None:
+                w, h = w0, h0
+            else:
+                px = px[:h, :w]          # all shots on the video's canvas
+                if px.shape[:2] != (h, w):
+                    px = np.pad(px, ((0, h - px.shape[0]),
+                                     (0, w - px.shape[1]), (0, 0)),
+                                mode="edge")
+            for j in range(bounds[s], bounds[s + 1]):
+                fr = np.roll(px, shift=(j - bounds[s]), axis=1) \
+                    .astype(np.int16)
+                fr = np.clip(fr + 2 * (j - bounds[s]), 0, 255) \
+                    .astype(np.uint8)
+                frames.append(jpeg_mod.encode(fr, quality=85))
+        ids.append(f"sv{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(frames, w=w, h=h, fps=10))
+        cuts_col.append(",".join(map(str, cuts)))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "true_cuts": pa.array(cuts_col, pa.string()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def avi_shot_stats(sf_dir: str, n_videos: int = 24,
+                   diff_min_centi: int = 1200,
+                   ratio_centi: int = 300):
+    """(video_id, n_frames, n_shots, cuts, keyframes,
+    max_intra_diff_centi, min_cut_diff_centi) — SHOT-BOUNDARY
+    detection + keyframe selection over real MJPEG AVI: the video
+    curation primitive behind scene-level sampling (training pipelines
+    sample k frames PER SHOT, not per video — a 2-shot video sampled
+    uniformly can miss a whole scene). A cut is a spike in the
+    frame-to-frame mean absolute difference of 16×16 DC-luma thumbs —
+    every frame is decoded DC-ONLY (header walk + Huffman DC scan, no
+    IDCT; at 100 TB shot detection stays a metadata-plus-DC-scan read,
+    the property the whole video path is built on). The keyframe per
+    shot is its middle frame. map-only per video (shot structure is
+    video-local), no shuffle; the result table is video-domain-sized.
+
+    The detection gate is HYBRID — a transition is a cut iff its diff
+    clears BOTH an absolute floor (mean |Δ| ≥ 12 gray levels; guards
+    near-static videos whose median diff ~0 would make any twitch a
+    relative spike) AND a per-video relative gate (≥ 3× the video's
+    median frame diff; guards high-motion videos whose pans push
+    absolute diffs up — an absolute-only gate was MEASURED failing on
+    a 3-px/frame-pan variant of this fixture, intra 25.9 vs cut 28.9).
+    Fixture margins: absolute intra-max 9.0 vs cut-min 19.2; relative
+    intra-max 1.88× vs cut-min 5.23×. The test pins exact cut recovery
+    and reports the measured margin columns."""
+    from .. import avi as avi_mod
+    from .. import codec, jpeg
+
+    d = _avi_shot_corpus_dir(n_videos=n_videos)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet",
+                               columns=["video_id", "bytes"])
+
+    class ShotDetect:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids, nfs, nsh, cuts_s, keys_s, mi, mc = \
+                [], [], [], [], [], [], []
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = avi_mod.decode_frames(data)
+                thumbs = np.stack([
+                    codec.resize_nn(jpeg.decode_dc_luma(f), 16, 16)
+                    .astype(np.int16) for f in frames])
+                diffs = np.abs(np.diff(thumbs, axis=0)) \
+                    .mean(axis=(1, 2))           # (n_frames-1,)
+                dc = np.round(diffs * 100).astype(np.int64)
+                med = max(float(np.median(dc)), 1.0)
+                cut_mask = (dc >= diff_min_centi) & \
+                    (dc * 100 >= ratio_centi * med)
+                cuts = (np.flatnonzero(cut_mask) + 1).tolist()
+                bounds = [0] + cuts + [len(frames)]
+                keyframes = [(bounds[s] + bounds[s + 1] - 1) // 2
+                             for s in range(len(bounds) - 1)]
+                vids.append(vid)
+                nfs.append(len(frames))
+                nsh.append(len(cuts) + 1)
+                cuts_s.append(",".join(map(str, cuts)))
+                keys_s.append(",".join(map(str, keyframes)))
+                intra = dc[~cut_mask]
+                mi.append(int(intra.max()) if len(intra) else 0)
+                mc.append(int(dc[cut_mask].min()) if cuts else -1)
+            return pa.table({
+                "video_id": pa.array(vids, pa.string()),
+                "n_frames": pa.array(nfs, pa.int64()),
+                "n_shots": pa.array(nsh, pa.int64()),
+                "cuts": pa.array(cuts_s, pa.string()),
+                "keyframes": pa.array(keys_s, pa.string()),
+                "max_intra_diff_centi": pa.array(mi, pa.int64()),
+                "min_cut_diff_centi": pa.array(mc, pa.int64()),
+            })
+
+    out = ds.map_batches(ShotDetect, batch_size=8, concurrency=2,
+                         batch_format="pyarrow").to_pandas()
+    return out.sort_values("video_id").reset_index(drop=True)

@@ -398,3 +398,34 @@ def test_wav_audio_dedup_gain_invariant_full_recall(ray_session):
     assert out.recall_ppm == 1_000_000
     assert out.n_false == 0
     assert out.n_true == out.n_verified_pairs == 12
+
+
+def test_avi_shot_stats_exact_cut_recovery(ray_session):
+    """shot-boundary detection recovers every planted cut exactly
+    (video i has 1 + i%4 shots at evenly-spaced cut frames), with the
+    margin columns proving the gate separation on this fixture; the
+    per-shot middle keyframes partition the frame range."""
+    import pyarrow.parquet as pq
+
+    from destor_ray.pipelines.ingest import (_avi_shot_corpus_dir,
+                                             avi_shot_stats)
+
+    out = avi_shot_stats("/root/testdata/sf0.001")
+    truth = pq.read_table(
+        f"{_avi_shot_corpus_dir()}/videos.parquet",
+        columns=["video_id", "true_cuts"]).to_pandas() \
+        .set_index("video_id")["true_cuts"].to_dict()
+    assert len(out) == 24
+    for _, row in out.iterrows():
+        assert row["cuts"] == truth[row["video_id"]], row["video_id"]
+        assert row["n_shots"] == (1 + int(row["video_id"][2:]) % 4)
+        # measured margin: intra-shot diffs clear the gate from below,
+        # cut diffs from above
+        assert row["max_intra_diff_centi"] < 1200
+        if row["n_shots"] > 1:
+            assert row["min_cut_diff_centi"] >= 1200
+        # keyframes: one per shot, inside the frame range, increasing
+        kfs = [int(x) for x in row["keyframes"].split(",")]
+        assert len(kfs) == row["n_shots"]
+        assert kfs == sorted(kfs)
+        assert all(0 <= k < row["n_frames"] for k in kfs)
