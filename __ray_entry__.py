@@ -274,6 +274,20 @@ queries() entries map to SURVEY.md §2 operators:
                        mathematically invariant to the transform;
                        planted recall 1.0, 0 false merges (rows-only;
                        pytest pins)
+  tonecurve_image_dedup near-dup detection that survives NONLINEAR
+                       monotone tone edits (gamma / S-curve /
+                       histogram stretch — the curves-levels class
+                       where the photometric channel's affine
+                       machinery fails): candidates hash the RANK
+                       IMAGE (exactly tone-invariant per channel;
+                       rank-aHash moves 2.0 bits mean vs 20 plain,
+                       48/48 band-collide), verify = per-channel
+                       HISTOGRAM-MATCHED ZNCC gated on the min over
+                       R/G/B (monotone transport inverts any curve;
+                       measured true ≥0.9967 vs distinct ≤0.6576 —
+                       gray-only and Spearman variants measured and
+                       rejected as overlapping); planted recall 1.0,
+                       0 false merges (rows-only; pytest pins)
   ctph_fuzzy_dedup     byte-stream near-dup via CTPH fuzzy hashing
                        (spamsum/ssdeep): ~100 B signature per file,
                        content-defined piece triggers resynchronize
@@ -1908,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letterbox_image_dedup": ingest.letterbox_image_dedup,
         "ctph_fuzzy_dedup": ingest.ctph_fuzzy_dedup,
         "photometric_image_dedup": ingest.photometric_image_dedup,
+        "tonecurve_image_dedup": ingest.tonecurve_image_dedup,
         "avi_shot_stats": ingest.avi_shot_stats,
         "exif_orientation_dedup": ingest.exif_orientation_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,
