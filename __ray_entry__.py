@@ -288,6 +288,16 @@ queries() entries map to SURVEY.md §2 operators:
                        gray-only and Spearman variants measured and
                        rejected as overlapping); planted recall 1.0,
                        0 false merges (rows-only; pytest pins)
+  overlay_image_dedup  near-dup detection that survives a LOCALIZED
+                       opaque edit (logo / timestamp / watermark box,
+                       4-11% of frame): aHash banding survives because
+                       the overlay touches few 8x8 blocks (6.6 bits
+                       mean, measured), but global thumb PSNR FAILS
+                       (true pairs bottom at 13.6 dB) — verify =
+                       TRIMMED-TILE PSNR, worst 4 of 16 tiles dropped
+                       ("best 75% must agree"): true ≥41.5 dB vs
+                       distinct ≤24.7 dB; planted recall 1.0, 0 false
+                       merges (rows-only; pytest pins)
   ctph_fuzzy_dedup     byte-stream near-dup via CTPH fuzzy hashing
                        (spamsum/ssdeep): ~100 B signature per file,
                        content-defined piece triggers resynchronize
@@ -1923,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ctph_fuzzy_dedup": ingest.ctph_fuzzy_dedup,
         "photometric_image_dedup": ingest.photometric_image_dedup,
         "tonecurve_image_dedup": ingest.tonecurve_image_dedup,
+        "overlay_image_dedup": ingest.overlay_image_dedup,
         "avi_shot_stats": ingest.avi_shot_stats,
         "exif_orientation_dedup": ingest.exif_orientation_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,

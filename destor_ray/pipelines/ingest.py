@@ -3352,3 +3352,207 @@ def tonecurve_image_dedup(sf_dir: str, n_base: int = 144,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Overlay/occlusion-robust image dedup (logo / timestamp / watermark box)
+# ---------------------------------------------------------------------------
+
+def _overlay_corpus_dir(n_base: int = 144, quality: int = 85,
+                        dup_every: int = 3, dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH PLANTED OVERLAY near-dups: every
+    dup_every-th base image also appears with an opaque rectangular
+    overlay (solid box + contrasting border — the logo / timestamp /
+    watermark-bar class, 4–11% of area at a deterministic position)
+    and re-encoded at a lower quality. Truth rides the naming:
+    "ovNNNNN_t" duplicates "ovNNNNN"."""
+    from .. import corpus as corpus_mod
+    from .. import jpeg
+
+    out = (f"/tmp/destor_ray_overlaydup/"
+           f"v1_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=19, row=i)
+        ids.append(f"ov{i:05d}")
+        blobs.append(jpeg.encode(px, quality))
+        if i % dup_every == 0:
+            k = i // dup_every
+            h, w = px.shape[:2]
+            rng = np.random.default_rng(1000 + k)
+            fh = rng.uniform(0.18, 0.33)
+            fw = rng.uniform(0.18, 0.38)
+            oh, ow = max(4, int(h * fh)), max(4, int(w * fw))
+            y0 = int(rng.uniform(0, h - oh))
+            x0 = int(rng.uniform(0, w - ow))
+            ov = px.copy()
+            color = np.array([255, 255, 255]) if k % 2 \
+                else np.array([10, 10, 10])
+            ov[y0:y0 + oh, x0:x0 + ow] = color
+            ov[y0:y0 + 2, x0:x0 + ow] = 255 - color
+            ids.append(f"ov{i:05d}_t")
+            blobs.append(jpeg.encode(ov, dup_quality))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _trimmed_tile_psnr(ta: np.ndarray, tb: np.ndarray,
+                       drop: int = 4) -> float:
+    """PSNR over a 16×16 thumb pair EXCLUDING the `drop` worst 4×4
+    tiles by MSE — the occlusion-robust verify: a localized overlay
+    concentrates all error into the few tiles it covers (drop them and
+    the rest must agree), while structurally different images disagree
+    EVERYWHERE so trimming cannot rescue them (measured: true ≥ 41.5 dB
+    vs distinct ≤ 24.7 dB with drop=4; plain PSNR on the same true
+    pairs bottoms at 13.6 dB — a global gate rejects every one)."""
+    a = ta.astype(np.float64)
+    b = tb.astype(np.float64)
+    tiles_a = a.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+    tiles_b = b.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
+    mse = ((tiles_a - tiles_b) ** 2).mean(axis=1)
+    m = np.sort(mse)[:16 - drop].mean()
+    return 99.0 if m == 0 else float(10 * np.log10(255 * 255 / m))
+
+
+def overlay_image_dedup(sf_dir: str, n_base: int = 144,
+                        dup_every: int = 3, psnr_min_centi: int = 3200):
+    """(n_images, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — near-dup detection that survives a
+    LOCALIZED OPAQUE EDIT (station logo, timestamp bar, watermark box,
+    sticker — re-uploads routinely stamp 3–11% of the frame; a LOCAL
+    transform class, orthogonal to the global classes the photometric /
+    tone-curve / letterbox channels cover). The candidate side needs no
+    new machinery: an overlay touches few 8×8 aHash blocks so most
+    aHash bits are clean (MEASURED: 6.6 bits mean; phash's global DCT
+    takes 25.5 — the dual union still collides 48/48), banding
+    survives as-is. The verify arm is the new piece: global thumb PSNR
+    FAILS (true pairs bottom at 13.6 dB — the overlay dominates the
+    MSE), so verification is TRIMMED-TILE PSNR — per-4×4-tile MSE with
+    the worst 4 of 16 tiles dropped, i.e. "the best 75% of the image
+    must agree": true ≥ 41.5 dB vs distinct ≤ 24.7 dB (distinct images
+    disagree everywhere; trimming cannot rescue them). The 32 dB gate
+    has ~9 dB on each side. The duplicate class is explicitly "same
+    image outside ≤4 thumb tiles (≤25% of area)".
+
+    Scale shape: the flagship topology — one decode pass, dual-hash
+    band exchange with 16×16 thumbs riding, one pair-dedup groupby;
+    payloads never shuffle."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _overlay_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_images = n_base + n_planted
+
+    class GraySignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            grays, thumbs = [], []
+            for data in batch["bytes"].to_pylist():
+                g = codec.to_gray(codec.decode(data))
+                grays.append(codec.resize_nn(g, 32, 32))
+                thumbs.append(codec.resize_nn(g, 16, 16).tobytes())
+            stack = np.stack(grays) if ids else \
+                np.empty((0, 32, 32), np.uint8)
+            ph = codec.phash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            ah = codec.ahash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(GraySignature, batch_size=64, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reps = 2 * N_BANDS
+        keys = np.empty(reps * n, np.int64)
+        mask = np.uint64((1 << BITS) - 1)
+        for ch, col in enumerate(("phash", "ahash")):
+            h = batch[col].to_numpy(zero_copy_only=False) \
+                .view(np.uint64)
+            for band in range(N_BANDS):
+                bits = (h >> np.uint64(BITS * band)) & mask
+                slot = ch * N_BANDS + band
+                keys[slot * n:(slot + 1) * n] = \
+                    (np.int64(slot) << np.int64(BITS)) \
+                    | bits.astype(np.int64)
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
+                                 pa.string()),
+            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
+                              pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, ps = [], [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["image_id"].tolist()
+            if len(ids) < 2:
+                continue
+            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                      for t in g["thumb"]]
+            seen = set()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    pair = tuple(sorted((ids[i], ids[j])))
+                    if pair in seen:
+                        continue
+                    seen.add(pair)
+                    p = _trimmed_tile_psnr(thumbs[i], thumbs[j])
+                    p_centi = int(round(p * 100))
+                    if p_centi >= psnr_min_centi:
+                        ls.append(pair[0])
+                        rs.append(pair[1])
+                        ps.append(p_centi)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "tpsnr_centi": pa.array(ps, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"ov{i:05d}", f"ov{i:05d}_t")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_images": [n_images], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")
