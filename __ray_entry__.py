@@ -288,6 +288,24 @@ queries() entries map to SURVEY.md §2 operators:
                        gray-only and Spearman variants measured and
                        rejected as overlapping); planted recall 1.0,
                        0 false merges (rows-only; pytest pins)
+  crop_image_dedup     near-dup detection that survives an AGGRESSIVE
+                       CROP (55-80%-per-dim window at arbitrary
+                       offset + re-encode — the social-media /
+                       thumbnail class; global phash/aHash go blind
+                       past ~2% trims): candidates are CONTENT-DEFINED
+                       2D ANCHORS (destor's CDC boundary idea lifted
+                       to 2D — centroid-refined local maxima of
+                       smoothed luma re-pick the same pixels at any
+                       crop offset) with translation-exact 64-bit
+                       patch aHashes through a 4x16-bit band exchange;
+                       colliding anchors PROPOSE a displacement,
+                       a pair-keyed vote selects <=6 candidates, and
+                       verify = overlap-window PSNR from rendezvous-
+                       attached 32x32 global thumbs with a +-2
+                       displacement sweep (measured: true >=30.7 dB vs
+                       false <=23.6 dB at the 27 dB gate); planted
+                       recall 1.0, 0 false merges (rows-only; pytest
+                       pins)
   overlay_image_dedup  near-dup detection that survives a LOCALIZED
                        opaque edit (logo / timestamp / watermark box,
                        4-11% of frame): aHash banding survives because
@@ -1934,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "photometric_image_dedup": ingest.photometric_image_dedup,
         "tonecurve_image_dedup": ingest.tonecurve_image_dedup,
         "overlay_image_dedup": ingest.overlay_image_dedup,
+        "crop_image_dedup": ingest.crop_image_dedup,
         "avi_shot_stats": ingest.avi_shot_stats,
         "exif_orientation_dedup": ingest.exif_orientation_dedup,
         "jfif_quality_estimate": ingest.jfif_quality_estimate,

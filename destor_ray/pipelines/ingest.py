@@ -3556,3 +3556,544 @@ def overlay_image_dedup(sf_dir: str, n_base: int = 144,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Aggressive-crop-invariant dedup: content-defined 2D anchors
+# (the CDC boundary idea — destor's chunking insight, ref
+# src/chunking.c rabin/gear trigger scan — lifted to two dimensions:
+# positions chosen by CONTENT, not by grid, so the same scene picks
+# the same anchors on both sides of an arbitrary-offset crop).
+
+
+def _box_smooth3(g: np.ndarray) -> np.ndarray:
+    """3×3 clamped box mean of a (h, w) gray image, float32 — the JPEG
+    noise suppressor under the anchor detector and patch hash."""
+    f = g.astype(np.float32)
+    c = np.cumsum(np.cumsum(np.pad(f, ((1, 0), (1, 0))), 0), 1)
+    h, w = g.shape
+    y0 = np.clip(np.arange(h) - 1, 0, h)
+    y1 = np.clip(np.arange(h) + 2, 0, h)
+    x0 = np.clip(np.arange(w) - 1, 0, w)
+    x1 = np.clip(np.arange(w) + 2, 0, w)
+    area = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    s = c[y1][:, x1] - c[y0][:, x1] - c[y1][:, x0] + c[y0][:, x0]
+    return (s / area).astype(np.float32)
+
+
+def _anchor_points(sm: np.ndarray, r: int = 3, margin: int = 8,
+                   cap: int = 48) -> np.ndarray:
+    """(k, 2) int anchor positions: strict local maxima of the smoothed
+    luma in a (2r+1)² window, refined to the window CENTROID (measured:
+    raw argmax on near-flat peaks shifts several px under q70 re-encode
+    noise; the luma-weighted centroid is translation-covariant and
+    noise-stable to ±2 px), margin-clamped so the 16×16 patch fits.
+    Deterministically capped at `cap` by peak prominence (center minus
+    window mean) so megapixel inputs emit bounded band rows."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    h, w = sm.shape
+    k = 2 * r + 1
+    if h < max(k, 2 * margin + 1) or w < max(k, 2 * margin + 1):
+        return np.empty((0, 2), np.int64)
+    win = sliding_window_view(sm, (k, k))
+    mx = win.max(axis=(2, 3))
+    centers = sm[r:h - r, r:w - r]
+    cnt = (win == mx[..., None, None]).sum(axis=(2, 3))
+    ys, xs = np.nonzero((centers >= mx) & (cnt == 1))
+    ys += r
+    xs += r
+    if not len(ys):
+        return np.empty((0, 2), np.int64)
+    off = np.arange(-r, r + 1, dtype=np.float32)
+    out_y = np.empty(len(ys), np.int64)
+    out_x = np.empty(len(ys), np.int64)
+    prom = np.empty(len(ys), np.float32)
+    for i, (y, x) in enumerate(zip(ys, xs)):
+        wv = sm[y - r:y + r + 1, x - r:x + r + 1]
+        wgt = wv - wv.min()
+        tot = wgt.sum()
+        if tot > 0:
+            out_y[i] = y + int(round(float(wgt.sum(1) @ off) / tot))
+            out_x[i] = x + int(round(float(wgt.sum(0) @ off) / tot))
+        else:
+            out_y[i], out_x[i] = y, x
+        prom[i] = wv[r, r] - wv.mean()
+    keep = ((out_y >= margin) & (out_y < h - margin)
+            & (out_x >= margin) & (out_x < w - margin))
+    out_y, out_x, prom = out_y[keep], out_x[keep], prom[keep]
+    if len(out_y) > cap:
+        top = np.argsort(-prom, kind="stable")[:cap]
+        out_y, out_x = out_y[top], out_x[top]
+    return np.stack([out_y, out_x], axis=1)
+
+
+def _patch_hash16(sm: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """64-bit aHash per anchor over the 16×16 smoothed patch around it
+    (8×8 grid of 2×2 means thresholded at the patch mean) — uint64[k].
+    Translation-EXACT: no global resample touches the patch, so the
+    same content hashes identically at any crop offset."""
+    if not len(pts):
+        return np.empty(0, np.uint64)
+    dy = np.arange(-8, 8)
+    patches = sm[(pts[:, 0][:, None, None] + dy[None, :, None]),
+                 (pts[:, 1][:, None, None] + dy[None, None, :])]
+    g = patches.reshape(-1, 8, 2, 8, 2).mean(axis=(2, 4)).reshape(-1, 64)
+    bits = (g > g.mean(axis=1, keepdims=True)).astype(np.uint64)
+    wts = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+    return (bits * wts).sum(axis=1, dtype=np.uint64)
+
+
+def _patch16_bytes(sm: np.ndarray, y: int, x: int) -> bytes:
+    return (np.clip(sm[y - 8:y + 8, x - 8:x + 8], 0, 255)
+            .astype(np.uint8).tobytes())
+
+
+def _box_thumb32(g: np.ndarray, n: int = 32) -> np.ndarray:
+    """n×n box-mean thumb of an arbitrary (h, w) gray — uint8. Unlike
+    resize_nn this AVERAGES each cell, so overlap-window sampling at
+    fractional rects stays faithful."""
+    h, w = g.shape
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
+    c = np.cumsum(np.cumsum(
+        np.pad(g.astype(np.float64), ((1, 0), (1, 0))), 0), 1)
+    s = (c[ys[1:]][:, xs[1:]] - c[ys[:-1]][:, xs[1:]]
+         - c[ys[1:]][:, xs[:-1]] + c[ys[:-1]][:, xs[:-1]])
+    area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+    return np.clip(s / area, 0, 255).astype(np.uint8)
+
+
+def _overlap_psnr_sweep(ta: np.ndarray, ha: int, wa: int, tb: np.ndarray,
+                        hb: int, wb: int, dy: int, dx: int,
+                        sweep: int = 2, min_frac: float = 0.25) -> float:
+    """Best PSNR of the 16×16-sampled OVERLAP windows of two global
+    thumbs over a ±sweep displacement neighborhood (the anchor centroid
+    is stable to ±2 px; measured: an exact displacement scores ≥30.7 dB
+    on true pairs but a ±2 error alone drops it to ~24 dB — the sweep
+    is the bounded alignment search, the letterbox channel's pattern).
+    Overlaps below min_frac of the smaller image are rejected — tiny
+    corner overlaps are too easy to match by chance. Vectorized: all
+    (2·sweep+1)² offsets sample both thumbs in ONE fancy-indexed
+    gather each."""
+    k = 16
+    na, nb_ = ta.shape[0], tb.shape[0]
+    offs = np.arange(-sweep, sweep + 1)
+    dyy = dy + np.repeat(offs, len(offs))
+    dxx = dx + np.tile(offs, len(offs))
+    y0a = np.maximum(0, dyy)
+    y1a = np.minimum(ha, dyy + hb)
+    x0a = np.maximum(0, dxx)
+    x1a = np.minimum(wa, dxx + wb)
+    ok = ((y1a - y0a >= 8) & (x1a - x0a >= 8)
+          & ((y1a - y0a) * (x1a - x0a)
+             >= min_frac * min(ha * wa, hb * wb)))
+    if not ok.any():
+        return -1.0
+    dyy, dxx = dyy[ok], dxx[ok]
+    y0a, y1a, x0a, x1a = y0a[ok], y1a[ok], x0a[ok], x1a[ok]
+    cents = (np.arange(k) + 0.5) / k
+    yca = y0a[:, None] + cents[None, :] * (y1a - y0a)[:, None]
+    xca = x0a[:, None] + cents[None, :] * (x1a - x0a)[:, None]
+    yia = np.clip((yca * na / ha).astype(int), 0, na - 1)
+    xia = np.clip((xca * na / wa).astype(int), 0, na - 1)
+    yib = np.clip(((yca - dyy[:, None]) * nb_ / hb).astype(int),
+                  0, nb_ - 1)
+    xib = np.clip(((xca - dxx[:, None]) * nb_ / wb).astype(int),
+                  0, nb_ - 1)
+    a = ta[yia[:, :, None], xia[:, None, :]]
+    b = tb[yib[:, :, None], xib[:, None, :]]
+    mse = ((a - b) ** 2).mean(axis=(1, 2))
+    return float(10.0 * np.log10(255.0 ** 2 / max(mse.min(), 1e-9)))
+
+
+def _crop_base_pixels(i: int) -> np.ndarray:
+    """Textured base for the crop fixture: smooth carrier + dense GRAY
+    mid-frequency bumps (radius 1.8–4.5 px — what survives q70 JPEG;
+    per-pixel noise would not). Anchor-based crop matching NEEDS local
+    structure — the smooth flagship corpus has ~0 stable local maxima
+    (measured: 2/14 anchor recall), exactly as SIFT-style matching
+    fails on featureless photos; the applicability condition is
+    documented on crop_image_dedup."""
+    rng = np.random.default_rng(777 + i)
+    sizes = (96, 128, 160)
+    h = int(sizes[rng.integers(3)])
+    w = int(sizes[rng.integers(3)])
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.zeros((h, w, 3), np.float32)
+    for c in range(3):
+        a, b, cp = rng.uniform(0, 2 * np.pi, 3)
+        fx, fy = rng.uniform(0.5, 2.5, 2)
+        img[..., c] = (127 + 45 * np.sin(2 * np.pi * fx * xx / w + a)
+                       + 35 * np.cos(2 * np.pi * fy * yy / h + b))
+    nb = max(30, (h * w) // 200)
+    cxs = rng.uniform(0, w, nb)
+    cys = rng.uniform(0, h, nb)
+    rs = rng.uniform(1.8, 4.5, nb)
+    amps = rng.uniform(25, 55, nb) * rng.choice([-1, 1], nb)
+    for k in range(nb):
+        m = np.exp(-(((xx - cxs[k]) ** 2 + (yy - cys[k]) ** 2)
+                     / (2 * rs[k] ** 2))).astype(np.float32)
+        img += (m * amps[k])[..., None]
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _crop_corpus_dir(n_base: int = 144, quality: int = 85,
+                     dup_every: int = 3, dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH PLANTED AGGRESSIVE-CROP
+    near-dups: every dup_every-th base also appears as a 55–80 %-per-
+    dimension crop window at a random offset, re-encoded at lower
+    quality (the social-media / thumbnail crop class — pure window,
+    no rescale). Truth rides the naming: "crNNNNN_t" dups "crNNNNN"."""
+    from .. import jpeg
+
+    out = (f"/tmp/destor_ray_cropdup/"
+           f"v1_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    rng = np.random.default_rng(55)
+    ids, blobs = [], []
+    for i in range(n_base):
+        px = _crop_base_pixels(i)
+        h, w = px.shape[:2]
+        ids.append(f"cr{i:05d}")
+        blobs.append(jpeg.encode(px, quality))
+        if i % dup_every == 0:
+            fh, fw = rng.uniform(0.55, 0.8, 2)
+            ch, cw = int(h * fh), int(w * fw)
+            y0 = int(rng.uniform(0, h - ch))
+            x0 = int(rng.uniform(0, w - cw))
+            ids.append(f"cr{i:05d}_t")
+            blobs.append(jpeg.encode(px[y0:y0 + ch, x0:x0 + cw],
+                                     dup_quality))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def crop_image_dedup(sf_dir: str, n_base: int = 144, dup_every: int = 3,
+                     patch_gate_centi: int = 2700,
+                     psnr_min_centi: int = 2700):
+    """(n_images, n_planted, n_proposals, n_verified_pairs, n_true,
+    n_false, recall_ppm) — near-dup detection that survives an
+    AGGRESSIVE CROP (a 55–80 %-per-dimension window at arbitrary
+    offset + re-encode: the social-media crop / thumbnail class; the
+    flagship's global phash+aHash survive only ~2 % border trims —
+    a content shift moves ≥20 bits and every band goes blind, and the
+    letterbox channel's border trim finds no uniform border to cut).
+
+    Candidates are CONTENT-DEFINED 2D ANCHORS — destor's CDC insight
+    (ref src/chunking.c: boundaries chosen by content resynchronize
+    across inserts) lifted to 2D: anchors = centroid-refined strict
+    local maxima of the 3×3-smoothed luma, so the same scene picks the
+    same anchor pixels on both sides of ANY crop offset; each anchor
+    contributes a translation-exact 64-bit patch aHash through the
+    standard 8×8-bit LSH band exchange with its 16×16 patch riding.
+    In-bucket, colliding anchor pairs with patch PSNR ≥ 27 dB PROPOSE
+    a displacement (anchor_a − anchor_b = the candidate crop offset).
+    Patch votes alone CANNOT decide (measured: distinct smooth patches
+    reach 40.8 dB and rack up to 4 consistent-displacement votes while
+    true pairs can have a single matching anchor), so the verify arm
+    is GLOBAL: a pair-keyed rendezvous attaches each side's 32×32
+    box-mean thumb + dims once per pair, and the OVERLAP WINDOWS the
+    proposed displacement implies are sampled to 16×16 and PSNR-gated
+    at 27 dB with a ±2 displacement sweep (anchor centroids are stable
+    to ±2 px; without the sweep a ±2 error drops true pairs to ~24 dB,
+    inside the false range). MEASURED end-to-end on the 48-pair plan:
+    every true pair proposes, true overlap PSNR ≥ 30.7 dB vs false
+    ≤ 23.6 dB — ~3.5 dB margin each side of the 27 dB gate. Overlaps
+    under 25 % of the smaller image are rejected (corner overlaps
+    match by chance).
+
+    APPLICABILITY: anchors need local structure. On featureless /
+    pure-gradient images the detector finds no stable maxima (measured
+    2/14 anchor recall on the smooth flagship corpus) — the same
+    condition under which SIFT-style matching fails; such images fall
+    back to the flagship's whole-image channels.
+
+    Scale shape: one decode pass materializes a NARROW signature table
+    (~1.4 KB/image: anchors + patch hashes + one thumb — the payload
+    column never crosses a shuffle, and materializing the small table
+    instead of re-decoding is the flagship's dedup.py pattern); band
+    rows carry only the 16×16 patch (256 B), the 1 KB thumb ships once
+    per PAIR SIDE via the tag-and-union rendezvous (the
+    candidate_edges_rendezvous lever), and anchors are prominence-
+    capped at 48/image so megapixel inputs emit bounded band rows."""
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _crop_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_images = n_base + n_planted
+
+    class CropSignature:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            rows = {"image_id": [], "h": [], "w": [], "thumb": [],
+                    "ys": [], "xs": [], "hashes": [], "patches": []}
+            for iid, data in zip(ids, batch["bytes"].to_pylist()):
+                g = codec.to_gray(codec.decode(data))
+                sm = _box_smooth3(g)
+                pts = _anchor_points(sm)
+                rows["image_id"].append(iid)
+                rows["h"].append(g.shape[0])
+                rows["w"].append(g.shape[1])
+                rows["thumb"].append(_box_thumb32(g).tobytes())
+                rows["ys"].append(pts[:, 0].astype(np.int32).tobytes())
+                rows["xs"].append(pts[:, 1].astype(np.int32).tobytes())
+                rows["hashes"].append(
+                    _patch_hash16(sm, pts).tobytes())
+                rows["patches"].append(b"".join(
+                    _patch16_bytes(sm, y, x) for y, x in pts))
+            return pa.table({
+                "image_id": pa.array(rows["image_id"], pa.string()),
+                "h": pa.array(rows["h"], pa.int32()),
+                "w": pa.array(rows["w"], pa.int32()),
+                "thumb": pa.array(rows["thumb"], pa.binary()),
+                "ys": pa.array(rows["ys"], pa.binary()),
+                "xs": pa.array(rows["xs"], pa.binary()),
+                "hashes": pa.array(rows["hashes"], pa.binary()),
+                "patches": pa.array(rows["patches"], pa.binary()),
+            })
+
+    sig = ds.map_batches(CropSignature, batch_size=64, concurrency=2,
+                         batch_format="pyarrow").materialize()
+
+    N_BANDS, BAND_BITS = 4, 16  # measured: 4×16 keeps 48/48 true-pair
+    # proposal recall (each true pair has several matched anchors; one
+    # clean band on one anchor suffices) at half the band-row volume
+    # of 8×8-bit bands.
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        out = {"bkey": [], "image_id": [], "ay": [], "ax": [],
+               "patch": []}
+        mask = np.uint64((1 << BAND_BITS) - 1)
+        for i in range(batch.num_rows):
+            iid = batch["image_id"][i].as_py()
+            ys = np.frombuffer(batch["ys"][i].as_py(), np.int32)
+            xs = np.frombuffer(batch["xs"][i].as_py(), np.int32)
+            hs = np.frombuffer(batch["hashes"][i].as_py(), np.uint64)
+            pbuf = batch["patches"][i].as_py()
+            for a in range(len(ys)):
+                patch = pbuf[a * 256:(a + 1) * 256]
+                for band in range(N_BANDS):
+                    bits = int((hs[a] >> np.uint64(BAND_BITS * band))
+                               & mask)
+                    out["bkey"].append((band << BAND_BITS) | bits)
+                    out["image_id"].append(iid)
+                    out["ay"].append(int(ys[a]))
+                    out["ax"].append(int(xs[a]))
+                    out["patch"].append(patch)
+        return pa.table({
+            "bkey": pa.array(out["bkey"], pa.int64()),
+            "image_id": pa.array(out["image_id"], pa.string()),
+            "ay": pa.array(out["ay"], pa.int32()),
+            "ax": pa.array(out["ax"], pa.int32()),
+            "patch": pa.array(out["patch"], pa.binary()),
+        })
+
+    bands = sig.drop_columns(["thumb", "h", "w"]) \
+        .map_batches(band_rows, batch_format="pyarrow")
+
+    # patch-MSE gate as a plain threshold: PSNR >= gate  <=>  MSE <=
+    # 255² / 10^(gate/10)
+    mse_max = 255.0 ** 2 / (10.0 ** (patch_gate_centi / 1000.0))
+
+    def propose_bucket(df) -> pa.Table:
+        pairs, dys, dxs = [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g["image_id"].to_numpy()
+            ays = g["ay"].to_numpy()
+            axs = g["ax"].to_numpy()
+            pats = np.stack([np.frombuffer(p, np.uint8)
+                             for p in g["patch"]]).astype(np.float32)
+            # pairwise MSE via the gram trick, one matmul per bucket key
+            sq = (pats * pats).sum(axis=1)
+            mse = (sq[:, None] + sq[None, :]
+                   - 2.0 * (pats @ pats.T)) / pats.shape[1]
+            ii, jj = np.nonzero(np.triu(mse <= mse_max, k=1)
+                                & (ids[:, None] != ids[None, :]))
+            for i, j in zip(ii, jj):
+                if ids[i] < ids[j]:
+                    l_, r_ = i, j
+                else:
+                    l_, r_ = j, i
+                dy = int(ays[l_]) - int(ays[r_])
+                dx = int(axs[l_]) - int(axs[r_])
+                key = (ids[l_], ids[r_], dy, dx)
+                if key in seen:
+                    continue
+                seen.add(key)
+                pairs.append(f"{ids[l_]}|{ids[r_]}")
+                dys.append(dy)
+                dxs.append(dx)
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "dy": pa.array(dys, pa.int32()),
+                         "dx": pa.array(dxs, pa.int32())})
+
+    raw_props = bucketed_group_map(bands, "bkey", propose_bucket,
+                                   num_buckets=8)
+
+    # displacement-vote selection: one pair-keyed exchange collapses
+    # the per-band proposal stream to <= max_disp well-separated
+    # candidate displacements per pair, vote-ranked (the true offset
+    # accumulates many anchor votes — median 8 on the planted plan —
+    # while chance patch collisions scatter; a ±2-L∞ neighbor of a
+    # chosen candidate is covered by the verify sweep and dropped).
+    # Without this the verify stage would sweep EVERY band-collision
+    # proposal (measured: 261k proposals for 192 images).
+    MAX_DISP = 6
+
+    def select_disps(df) -> pa.Table:
+        pairs, dys, dxs = [], [], []
+        for pair, g in df.groupby("pair", sort=False):
+            cand = sorted(set(zip(g["dy"].tolist(), g["dx"].tolist())))
+            if not cand:
+                continue
+            arr = np.array(cand, np.int64)
+            # votes: deduped proposals within L-inf <= 2
+            d = np.maximum(np.abs(arr[:, 0][:, None] - arr[:, 0][None, :]),
+                           np.abs(arr[:, 1][:, None] - arr[:, 1][None, :]))
+            votes = (d <= 2).sum(axis=1)
+            order = np.lexsort((arr[:, 1], arr[:, 0], -votes))
+            chosen = []
+            for k in order:
+                if any(max(abs(arr[k, 0] - arr[c, 0]),
+                           abs(arr[k, 1] - arr[c, 1])) <= 2
+                       for c in chosen):
+                    continue
+                chosen.append(k)
+                if len(chosen) >= MAX_DISP:
+                    break
+            for k in chosen:
+                pairs.append(pair)
+                dys.append(int(arr[k, 0]))
+                dxs.append(int(arr[k, 1]))
+        ls = [p.split("|", 1)[0] for p in pairs]
+        rs = [p.split("|", 1)[1] for p in pairs]
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "dy": pa.array(dys, pa.int32()),
+                         "dx": pa.array(dxs, pa.int32())})
+
+    props = bucketed_group_map(raw_props, "pair", select_disps,
+                               num_buckets=8).materialize()
+
+    # pair-keyed rendezvous: ship each side's (thumb, h, w) ONCE per
+    # proposal side, never per band row (candidate_edges_rendezvous
+    # topology).
+    def rider_rows(batch: pa.Table) -> pa.Table:
+        ls = batch["l"].to_pylist()
+        rs = batch["r"].to_pylist()
+        dys = batch["dy"].to_pylist()
+        dxs = batch["dx"].to_pylist()
+        pkeys = [f"{l}|{r}|{dy}|{dx}"
+                 for l, r, dy, dx in zip(ls, rs, dys, dxs)]
+        return pa.table({
+            "image_id": pa.array(ls + rs, pa.string()),
+            "pkey": pa.array(pkeys * 2, pa.string()),
+            "side": pa.array([0] * len(ls) + [1] * len(rs), pa.int32()),
+            "thumb": pa.array([b""] * (2 * len(ls)), pa.binary()),
+            "h": pa.array([0] * (2 * len(ls)), pa.int32()),
+            "w": pa.array([0] * (2 * len(ls)), pa.int32()),
+        })
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "image_id": batch["image_id"],
+            "pkey": pa.array([""] * n, pa.string()),
+            "side": pa.array([-1] * n, pa.int32()),
+            "thumb": batch["thumb"],
+            "h": batch["h"],
+            "w": batch["w"],
+        })
+
+    riders = props.map_batches(rider_rows, batch_format="pyarrow")
+    anchors_sig = sig.drop_columns(["ys", "xs", "hashes", "patches"]) \
+        .map_batches(sig_rows, batch_format="pyarrow")
+
+    def attach(df) -> pa.Table:
+        out = {"pkey": [], "side": [], "thumb": [], "h": [], "w": []}
+        for _, g in df.groupby("image_id", sort=False):
+            base = g[g["side"] == -1]
+            if not len(base):
+                continue
+            thumb = base["thumb"].iloc[0]
+            hh = int(base["h"].iloc[0])
+            ww = int(base["w"].iloc[0])
+            for _, row in g[g["side"] >= 0].iterrows():
+                out["pkey"].append(row["pkey"])
+                out["side"].append(int(row["side"]))
+                out["thumb"].append(thumb)
+                out["h"].append(hh)
+                out["w"].append(ww)
+        return pa.table({
+            "pkey": pa.array(out["pkey"], pa.string()),
+            "side": pa.array(out["side"], pa.int32()),
+            "thumb": pa.array(out["thumb"], pa.binary()),
+            "h": pa.array(out["h"], pa.int32()),
+            "w": pa.array(out["w"], pa.int32()),
+        })
+
+    attached = bucketed_group_map(riders.union(anchors_sig),
+                                  "image_id", attach, num_buckets=8)
+
+    def verify_pairs(df) -> pa.Table:
+        ls, rs, ps = [], [], []
+        for pkey, g in df.groupby("pkey", sort=False):
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if not len(a) or not len(b):
+                continue
+            l, r, dy, dx = pkey.rsplit("|", 3)
+            ta = np.frombuffer(a["thumb"].iloc[0], np.uint8) \
+                .reshape(32, 32).astype(np.float32)
+            tb = np.frombuffer(b["thumb"].iloc[0], np.uint8) \
+                .reshape(32, 32).astype(np.float32)
+            p = _overlap_psnr_sweep(
+                ta, int(a["h"].iloc[0]), int(a["w"].iloc[0]),
+                tb, int(b["h"].iloc[0]), int(b["w"].iloc[0]),
+                int(dy), int(dx))
+            pc_ = int(round(p * 100))
+            if pc_ >= psnr_min_centi:
+                ls.append(l)
+                rs.append(r)
+                ps.append(pc_)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "opsnr_centi": pa.array(ps, pa.int64())})
+
+    verified = bucketed_group_map(attached, "pkey", verify_pairs,
+                                  num_buckets=8).to_pandas()
+    n_props = props.count()
+    pairs = verified.drop_duplicates(["l", "r"])
+    truth = {(f"cr{i:05d}", f"cr{i:05d}_t")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_images": [n_images], "n_planted": [n_planted],
+        "n_proposals": [n_props],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

@@ -448,3 +448,90 @@ def test_trimmed_tile_psnr_occlusion_robustness():
     per_px = np.sqrt((err ** 2).sum() / 256)
     spread = np.clip(base.astype(np.float64) + per_px, 0, 255)
     assert _trimmed_tile_psnr(base, spread) < 35.0
+
+
+def test_crop_image_dedup_full_recall_no_false_merges(ray_session):
+    """every planted aggressive-crop (55-80%-per-dim window, arbitrary
+    offset, q70 re-encode) copy is found — recall 1.0, zero false
+    merges. MEASURED design ladder: global hashes move >=20 bits
+    (every band blind past ~2% trims); content-defined 2D anchors
+    re-pick the same pixels at any offset; patch votes alone CANNOT
+    decide (distinct smooth patches hit 40.8 dB and 4 consistent
+    votes vs true pairs with 1 matching anchor) so the decisive gate
+    is overlap-window PSNR: true >=30.7 dB vs false <=23.6 dB."""
+    from destor_ray.pipelines.ingest import crop_image_dedup
+
+    out = crop_image_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 192 and out.n_planted == 48
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 48
+
+
+def test_crop_anchor_translation_covariance():
+    """anchors are content-defined: every anchor of the full image
+    that lies well inside a crop window reappears in the crop's own
+    anchor set at exactly the shifted position (±1 px for centroid
+    rounding) — the property that makes crop candidates meet at a
+    shared band key without any grid alignment assumption (the 2D
+    analog of CDC boundary resynchronization, ref src/chunking.c)."""
+    import numpy as np
+    from destor_ray.pipelines.ingest import (_anchor_points,
+                                             _box_smooth3,
+                                             _crop_base_pixels)
+
+    for i in range(6):
+        g = _crop_base_pixels(i)[..., 1]
+        h, w = g.shape
+        pts = _anchor_points(_box_smooth3(g))
+        rng = np.random.default_rng(i)
+        y0, x0 = int(rng.integers(5, 20)), int(rng.integers(5, 20))
+        ch = h - y0 - int(rng.integers(5, 20))
+        cw = w - x0 - int(rng.integers(5, 20))
+        setc = {tuple(p) for p in
+                _anchor_points(_box_smooth3(g[y0:y0 + ch, x0:x0 + cw]))}
+        inner = [(y, x) for y, x in pts
+                 if y0 + 10 <= y < y0 + ch - 10
+                 and x0 + 10 <= x < x0 + cw - 10]
+        assert inner, "fixture must yield interior anchors"
+        for y, x in inner:
+            assert any((y - y0 + a, x - x0 + b) in setc
+                       for a in (-1, 0, 1) for b in (-1, 0, 1))
+
+
+def test_crop_overlap_sweep_invariants():
+    """the overlap verify's contract: (a) the ±2 sweep dominates every
+    fixed offset in its neighborhood (so a ±2 anchor-centroid error
+    can never score below the exact alignment — the rescue property;
+    note thumb-grid quantization means a ±2 offset can even score
+    HIGHER than the exact one, which is why the test pins domination,
+    not a fixed ordering), (b) a true crop at its planted offset
+    clears the 27 dB production gate while the same pair against an
+    unrelated image stays far below it, and (c) sub-min_frac corner
+    overlaps are rejected outright (score -1)."""
+    import numpy as np
+    from destor_ray.pipelines.ingest import (_box_thumb32,
+                                             _crop_base_pixels,
+                                             _overlap_psnr_sweep)
+
+    g = _crop_base_pixels(3)[..., 1].astype(np.uint8)
+    h, w = g.shape
+    y0, x0, ch, cw = 17, 23, h - 30, w - 40
+    crop = g[y0:y0 + ch, x0:x0 + cw]
+    ta = _box_thumb32(g).astype(np.float32)
+    tb = _box_thumb32(crop).astype(np.float32)
+    swept = _overlap_psnr_sweep(ta, h, w, tb, ch, cw, y0, x0, sweep=2)
+    for ey in (-2, 0, 2):
+        for ex in (-2, 0, 2):
+            fixed = _overlap_psnr_sweep(ta, h, w, tb, ch, cw,
+                                        y0 + ey, x0 + ex, sweep=0)
+            assert swept >= fixed - 1e-6
+    assert swept >= 27.0
+    other = _box_thumb32(
+        _crop_base_pixels(9)[..., 1].astype(np.uint8)).astype(np.float32)
+    oh, ow = _crop_base_pixels(9).shape[:2]
+    assert _overlap_psnr_sweep(other, oh, ow, tb, ch, cw, y0, x0,
+                               sweep=2) < 27.0
+    # corner overlap below min_frac -> rejected
+    assert _overlap_psnr_sweep(ta, h, w, tb, ch, cw, h - 10, w - 10,
+                               sweep=0) == -1.0
