@@ -306,6 +306,20 @@ queries() entries map to SURVEY.md §2 operators:
                        false <=23.6 dB at the 27 dB gate); planted
                        recall 1.0, 0 false merges (rows-only; pytest
                        pins)
+  audio_offset_dedup   TIME-SHIFT-invariant audio near-dup detection
+                       (head-trimmed / silence-padded re-uploads at
+                       altered gain — the offset class slot-positioned
+                       fingerprints are blind to): Shazam-style (Wang
+                       2003) content-defined anchor times carry 32-bit
+                       spectral-shape words through one LSH exchange;
+                       collisions PROPOSE the time offset, verify =
+                       min(masked envelope time-corr, overlap band-
+                       profile corr) over a ±2-frame sweep (measured:
+                       true ≥0.9911 vs false ≤0.7846 at the 0.95 gate;
+                       silence mask is load-bearing — a real 0.9515
+                       false merge between distinct silence-padded
+                       clips without it); planted recall 1.0, 0 false
+                       merges (rows-only; pytest pins)
   overlay_image_dedup  near-dup detection that survives a LOCALIZED
                        opaque edit (logo / timestamp / watermark box,
                        4-11% of frame): aHash banding survives because
@@ -1959,6 +1973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avi_frame_stats": ingest.avi_frame_stats,
         "avi_video_dedup": ingest.avi_video_dedup,
         "wav_audio_dedup": ingest.wav_audio_dedup,
+        "audio_offset_dedup": ingest.audio_offset_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,

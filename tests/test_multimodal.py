@@ -429,3 +429,84 @@ def test_avi_shot_stats_exact_cut_recovery(ray_session):
         assert len(kfs) == row["n_shots"]
         assert kfs == sorted(kfs)
         assert all(0 <= k < row["n_frames"] for k in kfs)
+
+
+def test_audio_offset_dedup_shift_invariant_full_recall(ray_session):
+    """every planted head-trim / silence-pad (0.2-0.6 s) + 0.6x-gain
+    copy is found — recall 1.0, zero false merges. The offset class is
+    exactly what wav_audio_dedup's slot-positioned words are blind to;
+    here anchor TIMES are content-defined (Wang 2003 constellation
+    alignment) and a word collision proposes the offset."""
+    from destor_ray.pipelines.ingest import audio_offset_dedup
+
+    out = audio_offset_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_clips == 48 and out.n_planted == 12
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 12
+
+
+def test_audio_anchors_gain_invariant_and_shift_covariant():
+    """anchor frames are EXACTLY gain-invariant (log gain is an
+    additive constant — maxima unmoved) and shift-covariant: trimming
+    k*HOP samples moves every surviving anchor by exactly k frames."""
+    import numpy as np
+    from destor_ray.pipelines.ingest import (_AOF_HOP, _audio_anchors,
+                                             _audio_band_log)
+
+    rng = np.random.Generator(np.random.Philox(key=42))
+    t = np.arange(3 * 8000) / 8000.0
+    sig = np.sin(2 * np.pi * 440 * t) + 0.1 * rng.normal(0, 1, len(t))
+    lv = rng.uniform(0.2, 1.0, 25)
+    env = np.interp(np.linspace(0, 24, len(t)), np.arange(25), lv)
+    pcm = sig * env / 2.0
+
+    def anchors(x):
+        el = _audio_band_log(x)
+        return _audio_anchors(np.log(np.exp(el).sum(axis=1) + 1e-300))
+
+    a0 = anchors(pcm)
+    assert len(a0) >= 2
+    assert np.array_equal(a0, anchors(0.37 * pcm))  # pure gain
+    k = 9
+    at = anchors(pcm[k * _AOF_HOP:])               # exact k-frame trim
+    shifted = set((a0 - k).tolist())
+    assert sum(1 for v in at if v in shifted) >= len(at) - 1
+
+
+def test_audio_offset_verify_masks_shared_silence():
+    """the silence mask is load-bearing: two DIFFERENT signals that
+    both start with dead air align their silence heads and the
+    silence-vs-content step dominates both correlation arms (a real
+    false merge at 0.9515 was measured without the mask); with the
+    mask the distinct pair scores well below the 0.95 gate while the
+    true shifted pair stays above it."""
+    import numpy as np
+    from destor_ray.pipelines.ingest import (_AOF_NB, _audio_band_log,
+                                             _audio_offset_verify)
+
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+
+    def clip(key, pad):
+        rng = np.random.Generator(np.random.Philox(key=key))
+        sig = sum(rng.uniform(0.2, 0.5)
+                  * np.sin(2 * np.pi * rng.uniform(80, 1800) * t
+                           + rng.uniform(0, 6.28)) for _ in range(3))
+        sig = sig + 0.1 * rng.normal(0, 1, len(t))
+        lv = rng.uniform(0.2, 1.0, 17)
+        env = np.interp(np.linspace(0, 16, len(t)), np.arange(17), lv)
+        return np.concatenate([np.zeros(pad), sig * env / 3.0])
+
+    def sig_of(pcm):
+        el = _audio_band_log(pcm)
+        envt = np.log(np.exp(el).sum(axis=1) + 1e-300)
+        nblk = len(el) // 4
+        return envt, el[:nblk * 4].reshape(nblk, 4, _AOF_NB).mean(axis=1)
+
+    ea, sa = sig_of(clip(1, pad=3000))
+    eb, sb = sig_of(clip(2, pad=3100))      # different signal, same pad
+    ec, sc = sig_of(0.6 * clip(1, pad=5000))  # true: same signal, shifted
+    assert _audio_offset_verify(ea, sa, eb, sb, 0) < 0.95
+    d_frames = (5000 - 3000) // 128
+    assert _audio_offset_verify(ec, sc, ea, sa, d_frames) >= 0.95
