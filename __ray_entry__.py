@@ -320,6 +320,19 @@ queries() entries map to SURVEY.md §2 operators:
                        false merge between distinct silence-padded
                        clips without it); planted recall 1.0, 0 false
                        merges (rows-only; pytest pins)
+  video_offset_dedup   TIME-SHIFT-invariant video near-dup detection
+                       (head-trimmed / ad-prepended re-uploads at q70
+                       transcode — the offset class fraction-sampled
+                       frame slots are blind to): SHOT CUTS are the
+                       content-defined anchor times (a trim shifts
+                       every cut with the content), cut-keyframe dual
+                       phash+aHash bands propose the frame offset,
+                       verify = mean aligned-frame 16x16 DC-thumb PSNR
+                       over the whole overlap with a ±1 sweep
+                       (measured: true ≥52.9 dB vs false ≤19.0 dB at
+                       the 30 dB gate); frames decode DC-only; planted
+                       recall 1.0, 0 false merges (rows-only; pytest
+                       pins incl. exact cut shift-covariance)
   overlay_image_dedup  near-dup detection that survives a LOCALIZED
                        opaque edit (logo / timestamp / watermark box,
                        4-11% of frame): aHash banding survives because
@@ -1974,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avi_video_dedup": ingest.avi_video_dedup,
         "wav_audio_dedup": ingest.wav_audio_dedup,
         "audio_offset_dedup": ingest.audio_offset_dedup,
+        "video_offset_dedup": ingest.video_offset_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,

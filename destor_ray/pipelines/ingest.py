@@ -4400,3 +4400,251 @@ def audio_offset_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Trim-invariant video dedup (shot-boundary offset voting — the video
+# twin of audio_offset_dedup: content-defined anchor TIMES are shot
+# cuts, which a head trim / ad prepend shifts WITH the content, so a
+# keyframe-hash collision proposes the exact frame offset).
+
+def _avi_offset_corpus_dir(n_base: int = 24, dup_every: int = 3,
+                           frames_per_video: int = 24) -> str:
+    """MJPEG-AVI fixture WITH PLANTED TIME-SHIFT near-dups: multi-shot
+    base videos (2-4 shots, the _avi_shot_corpus_dir motion model);
+    every dup_every-th base also appears as `<id>_s` — the SAME video
+    with its head either TRIMMED by 3-7 frames or PREPENDED with a
+    3-7-frame ad shot from a distinct source (alternating), every
+    frame transcoded to q70: the re-upload class where an intro is cut
+    or a bumper added, which avi_video_dedup's FRACTION-sampled frame
+    slots are blind to (a 5-frame trim moves every (j*nf)//k slot)."""
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import jpeg as jpeg_mod
+
+    out = (f"/tmp/destor_ray_avi_offset/"
+           f"v1_n{n_base}_d{dup_every}_f{frames_per_video}")
+    if os.path.isdir(out):
+        return out
+    rng_t = np.random.default_rng(5)
+    ids, blobs = [], []
+    for i in range(n_base):
+        n_shots = 2 + (i // dup_every + i) % 3
+        cuts = [(s * frames_per_video) // n_shots
+                for s in range(1, n_shots)]
+        bounds = [0] + cuts + [frames_per_video]
+        frames = []
+        w = h = None
+        for s in range(n_shots):
+            px, w0, h0, _, _ = corpus_mod._base_pixels(
+                seed=19, row=200 + i * 16 + s * 4)
+            if w is None:
+                w, h = w0, h0
+            else:
+                px = px[:h, :w]
+                if px.shape[:2] != (h, w):
+                    px = np.pad(px, ((0, h - px.shape[0]),
+                                     (0, w - px.shape[1]), (0, 0)),
+                                mode="edge")
+            for j in range(bounds[s], bounds[s + 1]):
+                fr = np.roll(px, shift=(j - bounds[s]), axis=1) \
+                    .astype(np.int16)
+                fr = np.clip(fr + 2 * (j - bounds[s]), 0, 255) \
+                    .astype(np.uint8)
+                frames.append(jpeg_mod.encode(fr, quality=85))
+        ids.append(f"ov{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(frames, w=w, h=h, fps=10))
+        k = int(rng_t.integers(3, 8))
+        if i % dup_every != 0:
+            continue
+        if (i // dup_every) % 2 == 0:
+            dup = [jpeg_mod.encode(jpeg_mod.decode(f), quality=70)
+                   for f in frames[k:]]
+        else:
+            ad_px, _, _, _, _ = corpus_mod._base_pixels(
+                seed=19, row=900 + i)
+            ad_px = ad_px[:h, :w]
+            if ad_px.shape[:2] != (h, w):
+                ad_px = np.pad(ad_px, ((0, h - ad_px.shape[0]),
+                                       (0, w - ad_px.shape[1]), (0, 0)),
+                                mode="edge")
+            ad = [jpeg_mod.encode(
+                np.clip(np.roll(ad_px, j, axis=1).astype(np.int16)
+                        + 2 * j, 0, 255).astype(np.uint8), quality=70)
+                for j in range(k)]
+            dup = ad + [jpeg_mod.encode(jpeg_mod.decode(f), quality=70)
+                        for f in frames]
+        ids.append(f"ov{i:05d}_s")
+        blobs.append(avi_mod.encode_mjpeg(dup, w=w, h=h, fps=10))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _video_cuts(t16: np.ndarray) -> list:
+    """Shot-cut frame indices from a (n_frames, 16, 16) DC-thumb
+    stack — the avi_shot_stats hybrid gate (absolute floor 12 gray
+    levels AND ≥3× the per-video median frame diff; margins measured
+    there). Shared by the offset-dedup signature and its covariance
+    test: a head trim of k frames shifts every surviving cut by
+    exactly k because the diff sequence is just truncated."""
+    diffs = np.abs(np.diff(t16.astype(np.int16), axis=0)) \
+        .mean(axis=(1, 2))
+    dcd = np.round(diffs * 100).astype(np.int64)
+    med = max(float(np.median(dcd)), 1.0)
+    cut_mask = (dcd >= 1200) & (dcd * 100 >= 300 * med)
+    return (np.flatnonzero(cut_mask) + 1).tolist()
+
+
+def video_offset_dedup(sf_dir: str, n_base: int = 24, dup_every: int = 3,
+                       psnr_min_centi: int = 3000, min_overlap: int = 10):
+    """(n_videos, n_planted, n_proposals, n_verified_pairs, n_true,
+    n_false, recall_ppm) — TIME-SHIFT-invariant video near-dup
+    detection: head-trimmed or ad-prepended re-uploads at q70
+    transcode (cut intros, injected bumpers — the offset class
+    avi_video_dedup's fraction-positioned frame slots are blind to:
+    a 5-frame trim moves every (j*nf)//k sampled slot onto different
+    content). The anchor insight is audio_offset_dedup's, one
+    modality over: SHOT CUTS are content-defined anchor times — a
+    trim/prepend shifts every cut index by exactly the edit length
+    while a transcode leaves them fixed (the hybrid absolute+relative
+    cut gate is avi_shot_stats', margins measured there). Each cut's
+    keyframe (the first frame of the new shot, pixel-identical across
+    the edit modulo q70) contributes dual phash+aHash 8x8-bit LSH
+    bands; a band collision only PROPOSES the frame offset
+    t_a − t_b, and verify scores the proposal GLOBALLY: mean 16x16
+    DC-thumb PSNR over all overlapping frames at that offset with a
+    ±1-frame sweep, requiring ≥ min_overlap aligned frames (measured:
+    TRUE ≥ 52.9 dB vs FALSE ≤ 19.0 dB over every anchor-pair offset
+    of 300 distinct pairs — the 30 dB gate has >20 dB margin both
+    sides; a single shared-looking keyframe cannot merge two videos
+    because the whole overlap must agree).
+
+    Scale shape: one band exchange + one pair groupby; video payloads
+    never shuffle — each band row carries cut index + the n×256 B
+    frame-thumb reel (~6 KB at 24 frames; the pair-rendezvous
+    topology ships it once per pair side when reels dominate, as
+    measured for the image flagship). Single-shot videos emit no
+    anchors and fall back to avi_video_dedup's slot channel —
+    documented applicability, the same featureless-input caveat as
+    crop_image_dedup's anchor recall. All frames decode DC-ONLY (no
+    IDCT anywhere; destor's 'index without reading back data' stance,
+    cf. containerstore.c read path, recast for video)."""
+    from .. import avi as avi_mod
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _avi_offset_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_videos = n_base + n_planted
+
+    class ShotAnchorSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "video_id": [], "at": [], "reel": []}
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = avi_mod.decode_frames(data)
+                dcs = [jpeg.decode_dc_luma(f) for f in frames]
+                t16 = np.stack([codec.resize_nn(g, 16, 16)
+                                for g in dcs])
+                cuts = _video_cuts(t16)
+                if not cuts:
+                    continue
+                reel = t16.astype(np.uint8).tobytes()
+                g32 = np.stack([codec.resize_nn(dcs[c], 32, 32)
+                                for c in cuts])
+                ph = codec.phash64_batch(g32).view(np.uint64)
+                ah = codec.ahash64_batch(g32).view(np.uint64)
+                for ki, c in enumerate(cuts):
+                    for ch, hv in enumerate((ph[ki], ah[ki])):
+                        for band in range(8):
+                            bits = int((hv >> np.uint64(8 * band))
+                                       & np.uint64(0xFF))
+                            out["bkey"].append(
+                                ((ch * 8 + band) << 8) | bits)
+                            out["video_id"].append(vid)
+                            out["at"].append(int(c))
+                            out["reel"].append(reel)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "video_id": pa.array(out["video_id"], pa.string()),
+                "at": pa.array(out["at"], pa.int32()),
+                "reel": pa.array(out["reel"], pa.binary()),
+            })
+
+    bands = ds.map_batches(ShotAnchorSignature, batch_size=8,
+                           concurrency=2, batch_format="pyarrow")
+
+    def aligned_psnr(ra: np.ndarray, rb: np.ndarray, dt: int) -> float:
+        best = -1.0
+        ta, tb = len(ra), len(rb)
+        for dd in (dt - 1, dt, dt + 1):
+            a0, a1 = max(0, dd), min(ta, dd + tb)
+            if a1 - a0 < min_overlap:
+                continue
+            ps = [min(codec.psnr(ra[a], rb[a - dd]), 99.0)
+                  for a in range(a0, a1)]
+            best = max(best, float(np.mean(ps)))
+        return best
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, ds_ = [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["video_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            ats = g["at"].to_numpy()
+            reels = [np.frombuffer(r, np.uint8).reshape(-1, 16, 16)
+                     for r in g["reel"]]
+            for i in range(len(ids_)):
+                for j in range(i + 1, len(ids_)):
+                    if ids_[i] == ids_[j]:
+                        continue
+                    a_, b_ = (i, j) if ids_[i] < ids_[j] else (j, i)
+                    dt = int(ats[a_]) - int(ats[b_])
+                    key = (ids_[a_], ids_[b_], dt)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    p = aligned_psnr(reels[a_], reels[b_], dt)
+                    if int(round(p * 100)) >= psnr_min_centi:
+                        ls.append(ids_[a_])
+                        rs.append(ids_[b_])
+                        ds_.append(dt)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "dt": pa.array(ds_, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_prop = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"ov{i:05d}", f"ov{i:05d}_s")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_videos": [n_videos], "n_planted": [n_planted],
+        "n_proposals": [n_prop],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

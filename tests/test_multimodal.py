@@ -510,3 +510,62 @@ def test_audio_offset_verify_masks_shared_silence():
     assert _audio_offset_verify(ea, sa, eb, sb, 0) < 0.95
     d_frames = (5000 - 3000) // 128
     assert _audio_offset_verify(ec, sc, ea, sa, d_frames) >= 0.95
+
+
+def test_video_offset_dedup_trim_invariant_full_recall(ray_session):
+    """every planted head-trim / ad-prepend (3-7 frames) + q70
+    transcode copy is found — recall 1.0, zero false merges. The
+    offset class is exactly what avi_video_dedup's fraction-sampled
+    frame slots are blind to; here anchors are SHOT CUTS (content-
+    defined times) and a keyframe-hash collision proposes the frame
+    offset, verified by whole-overlap aligned-frame PSNR."""
+    from destor_ray.pipelines.ingest import video_offset_dedup
+
+    out = video_offset_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_videos == 32 and out.n_planted == 8
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 8
+    # the verify arm prunes: proposals strictly exceed verified pairs
+    assert out.n_proposals > out.n_verified_pairs
+
+
+def test_video_cuts_shift_covariant_under_trim():
+    """shot-cut anchors are exactly shift-covariant: trimming k head
+    frames truncates the diff sequence, so every surviving cut index
+    moves by exactly k — the property that makes a cut-keyframe
+    collision propose the true offset. Checked on the production gate
+    (_video_cuts) over the real fixture videos, base vs planted copy:
+    base cuts shifted by the edit length must appear in the copy's
+    cuts (the prepend case also ADDS the ad/content junction cut,
+    which matches nothing — allowed extras on the copy side)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from destor_ray import avi as avi_mod
+    from destor_ray import codec, jpeg
+    from destor_ray.pipelines.ingest import (_avi_offset_corpus_dir,
+                                             _video_cuts)
+
+    d = _avi_offset_corpus_dir()
+    t = pq.read_table(f"{d}/videos.parquet")
+    vids = dict(zip(t["video_id"].to_pylist(), t["bytes"].to_pylist()))
+
+    def cuts_of(blob):
+        frames = avi_mod.decode_frames(blob)
+        t16 = np.stack([codec.resize_nn(jpeg.decode_dc_luma(f), 16, 16)
+                        for f in frames])
+        return _video_cuts(t16), len(frames)
+
+    n_checked = 0
+    for vid, blob in vids.items():
+        if not vid.endswith("_s"):
+            continue
+        base_cuts, base_n = cuts_of(vids[vid[:-2]])
+        dup_cuts, dup_n = cuts_of(blob)
+        k = dup_n - base_n          # >0 prepend, <0 trim
+        expected = [c + k for c in base_cuts if c + k >= 1]
+        assert set(expected) <= set(dup_cuts), \
+            (vid, base_cuts, dup_cuts, k)
+        n_checked += 1
+    assert n_checked == 8
