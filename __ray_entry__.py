@@ -333,6 +333,22 @@ queries() entries map to SURVEY.md §2 operators:
                        the 30 dB gate); frames decode DC-only; planted
                        recall 1.0, 0 false merges (rows-only; pytest
                        pins incl. exact cut shift-covariance)
+  rotation_image_dedup SMALL-ANGLE-ROTATION-invariant near-dup
+                       detection (±2-8° straighten/deskew + re-encode
+                       — plain phash measured moving 18.5 bits mean,
+                       dihedral covers only 90° multiples): both arms
+                       in POLAR coordinates where rotation is a cyclic
+                       roll — candidates hash per-ring angular-FFT
+                       magnitudes + relative phases φ_m−m·φ_1 (both
+                       EXACTLY roll-invariant, pinned by test) through
+                       one 8x8-bit band exchange; verify recovers the
+                       angle by luma circular correlation and gates on
+                       MIN-over-R/G/B polar PSNR at the shared rolled
+                       alignment (measured ladder: thumb PSNR 1 dB
+                       margin, ZNCC overlap, luma-only 31.7-vs-33.8;
+                       channel-min true ≥29.5 dB vs false ≤10.9 dB at
+                       the 24 dB gate); planted recall 1.0, 0 false
+                       merges (rows-only; pytest pins)
   overlay_image_dedup  near-dup detection that survives a LOCALIZED
                        opaque edit (logo / timestamp / watermark box,
                        4-11% of frame): aHash banding survives because
@@ -1988,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_audio_dedup": ingest.wav_audio_dedup,
         "audio_offset_dedup": ingest.audio_offset_dedup,
         "video_offset_dedup": ingest.video_offset_dedup,
+        "rotation_image_dedup": ingest.rotation_image_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,

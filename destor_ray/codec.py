@@ -250,6 +250,23 @@ def resize_nn(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return pixels[ri][:, ci]
 
 
+def rotate_nn(pixels: np.ndarray, deg: float) -> np.ndarray:
+    """Deterministic nearest-neighbor rotation of an (h, w, ...) array
+    by `deg` degrees counter-clockwise about the image center, edge
+    pixels replicated where the inverse map leaves the frame (the
+    straighten / deskew edit photo tools apply). Inverse mapping, so
+    every output pixel is defined; no interpolation beyond rounding."""
+    h, w = pixels.shape[:2]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    th = np.deg2rad(deg)
+    yy, xx = np.mgrid[0:h, 0:w]
+    ys = cy + (yy - cy) * np.cos(th) - (xx - cx) * np.sin(th)
+    xs = cx + (yy - cy) * np.sin(th) + (xx - cx) * np.cos(th)
+    yi = np.clip(np.round(ys).astype(np.int64), 0, h - 1)
+    xi = np.clip(np.round(xs).astype(np.int64), 0, w - 1)
+    return pixels[yi, xi]
+
+
 def to_gray(pixels: np.ndarray) -> np.ndarray:
     """ITU-R 601 luma, uint8."""
     p = pixels.astype(np.float32)

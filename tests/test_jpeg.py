@@ -535,3 +535,61 @@ def test_crop_overlap_sweep_invariants():
     # corner overlap below min_frac -> rejected
     assert _overlap_psnr_sweep(ta, h, w, tb, ch, cw, h - 10, w - 10,
                                sweep=0) == -1.0
+
+
+def test_rotation_image_dedup_full_recall_no_false_merges(ray_session):
+    """every planted ±2-8° rotation + q70 re-encode is found — recall
+    1.0, zero false merges. Plain phash was measured moving 18.5 bits
+    mean under these angles (blind past any band); here both arms are
+    polar: roll-invariant FFT hash candidates, min-over-R/G/B rolled
+    PSNR verify."""
+    from destor_ray.pipelines.ingest import rotation_image_dedup
+
+    out = rotation_image_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 192 and out.n_planted == 48
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 48
+    assert out.n_candidate_pairs > out.n_verified_pairs
+
+
+def test_rot_hash_exactly_roll_invariant():
+    """the candidate hash is EXACTLY invariant under any integer
+    cyclic roll of the angle axis: harmonic magnitudes are unchanged
+    and every relative phase φ_m − m·φ_1 shifts by m·Δ − m·Δ = 0.
+    This is the mathematical property that makes a rotated re-upload
+    band-collide with its source regardless of angle."""
+    import numpy as np
+
+    from destor_ray import corpus as corpus_mod
+    from destor_ray.pipelines.ingest import _rot_hash, _rot_polar
+
+    for row in (0, 7, 31):
+        px, _, _, _, _ = corpus_mod._base_pixels(seed=23, row=row)
+        g = (299 * px[:, :, 0].astype(np.int32)
+             + 587 * px[:, :, 1].astype(np.int32)
+             + 114 * px[:, :, 2].astype(np.int32)) // 1000
+        P = _rot_polar(g)
+        h0 = _rot_hash(P)
+        for k in (1, 5, 17, 64, 127):
+            assert _rot_hash(np.roll(P, k, axis=1)) == h0
+
+
+def test_rotate_nn_identity_and_quarter_turn():
+    """rotate_nn(px, 0) is the identity, and on a SQUARE image a 90°
+    rotation is exactly a np.rot90 (the NN inverse map hits integer
+    grid points) — pins the rotation convention the fixture and any
+    augmentation user rely on."""
+    import numpy as np
+
+    from destor_ray import codec
+
+    rng = np.random.default_rng(3)
+    sq = rng.integers(0, 256, (33, 33, 3), dtype=np.uint8)
+    assert np.array_equal(codec.rotate_nn(sq, 0.0), sq)
+    q = codec.rotate_nn(sq, 90.0)
+    assert (np.array_equal(q, np.rot90(sq, k=1, axes=(0, 1)))
+            or np.array_equal(q, np.rot90(sq, k=3, axes=(0, 1))))
+    # non-square identity still exact
+    rect = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    assert np.array_equal(codec.rotate_nn(rect, 0.0), rect)
