@@ -349,6 +349,37 @@ queries() entries map to SURVEY.md §2 operators:
                        channel-min true ≥29.5 dB vs false ≤10.9 dB at
                        the 24 dB gate); planted recall 1.0, 0 false
                        merges (rows-only; pytest pins)
+  huesat_image_dedup   near-dup detection that survives HUE-ROTATION +
+                       SATURATION edits (white balance / colorize /
+                       vibrance — the channel-MIXING color class;
+                       photometric/tone-curve cover only per-channel
+                       maps): Rec601 arms measured blind (phash 15.0
+                       bits mean, flagship thumb PSNR rejects 34/48
+                       true pairs at min 15.1 dB, gray ZNCC bottoms
+                       0.19); both arms here are the transform's EXACT
+                       invariants — per-pixel RGB-mean luma (gray-axis
+                       projection; aHash ≤4 bits moved) for dual-band
+                       candidates, verify = mean-luma thumb PSNR ≥28 dB
+                       (true ≥34.6 vs distinct ≤21.3) AND rotation-
+                       exact chroma-magnitude ZNCC ≥0.85 (true ≥0.978
+                       vs distinct ≤0.56; also excludes s=0 grayscale
+                       conversions by construction); planted recall
+                       1.0, 0 false merges (rows-only; pytest pins)
+  omni_image_dedup     the PRODUCTION COMPOSITION of the image
+                       channels: ONE decode pass computes every
+                       channel's signature, ONE unified band exchange
+                       keys (channel<<24|slot<<8|bits) with per-channel
+                       payloads riding their own rows, and the bucket
+                       verifier dispatches to each channel's measured
+                       kernel (Rec601 PSNR/ZNCC/trimmed-tile, rank
+                       hist-match min-RGB, mean-luma+chroma, inset
+                       sweep, orbit-aligned PSNR, rolled polar PSNR);
+                       mixed fixture plants one dup per class
+                       (re-encode, dihedral, letterbox, photometric,
+                       tone-curve, hue/sat, overlay, rotation) —
+                       per-class recall 1.0, zero false merges: the
+                       channels COMPOSE without cross-channel false
+                       amplification (rows-only; pytest pins)
   overlay_image_dedup  near-dup detection that survives a LOCALIZED
                        opaque edit (logo / timestamp / watermark box,
                        4-11% of frame): aHash banding survives because
@@ -2005,6 +2036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_offset_dedup": ingest.audio_offset_dedup,
         "video_offset_dedup": ingest.video_offset_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
+        "huesat_image_dedup": ingest.huesat_image_dedup,
+        "omni_image_dedup": ingest.omni_image_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,

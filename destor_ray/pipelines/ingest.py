@@ -4906,3 +4906,672 @@ def rotation_image_dedup(sf_dir: str, n_base: int = 144,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Hue-rotation / saturation (color-grade) invariant image dedup
+# ---------------------------------------------------------------------------
+
+_GRAY_AXIS = np.ones(3) / np.sqrt(3.0)
+
+
+def _huesat_transform(px: np.ndarray, theta_deg: float,
+                      s: float) -> np.ndarray:
+    """The color-grade edit: rotate each pixel's chroma component about
+    the gray axis (1,1,1)/√3 by theta (hue shift) and scale it by s
+    (saturation/vibrance), leaving the gray-axis projection — the
+    per-pixel RGB mean — EXACTLY unchanged (Rodrigues for c ⊥ u:
+    R·c = c·cosθ + (u×c)·sinθ, and (R·c)·(1,1,1) = 0). This is the
+    ideal form of every white-balance / colorize / vibrance filter;
+    clipping at the gamut boundary is the only non-ideality."""
+    p = px.astype(np.float64)
+    m = p.mean(axis=-1, keepdims=True)
+    c = p - m
+    th = np.deg2rad(theta_deg)
+    ux = np.cross(np.broadcast_to(_GRAY_AXIS, c.shape), c)
+    return np.clip(m + s * (c * np.cos(th) + ux * np.sin(th)),
+                   0, 255).astype(np.uint8)
+
+
+def _mean_luma(px: np.ndarray) -> np.ndarray:
+    """Per-pixel (R+G+B)//3 — the gray-axis projection, exactly
+    invariant under _huesat_transform pre-clipping (unlike Rec601
+    luma, whose 0.299/0.587/0.114 weights mix under hue rotation)."""
+    return (px.astype(np.uint16).sum(axis=-1) // 3).astype(np.uint8)
+
+
+def _chroma_mag(px: np.ndarray) -> np.ndarray:
+    """Per-pixel chroma magnitude ‖p − mean(p)‖₂, float64 — exactly
+    invariant under hue rotation (a rotation preserves norms) and
+    scaled uniformly by s, which ZNCC then cancels."""
+    p = px.astype(np.float64)
+    m = p.mean(axis=-1, keepdims=True)
+    return np.sqrt(((p - m) ** 2).sum(axis=-1))
+
+
+def _huesat_corpus_dir(n_base: int = 144, quality: int = 85,
+                       dup_every: int = 3, dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH PLANTED COLOR-GRADE near-dups:
+    every dup_every-th base image also appears hue-rotated (theta
+    cycling the full circle) and saturation-scaled (s cycling
+    0.6..1.3) and re-encoded at lower quality. Truth rides the
+    naming: "hsNNNNN_c" duplicates "hsNNNNN"."""
+    from .. import corpus as corpus_mod
+    from .. import jpeg
+
+    out = (f"/tmp/destor_ray_huesatdup/"
+           f"v1_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=41, row=i)
+        ids.append(f"hs{i:05d}")
+        blobs.append(jpeg.encode(px, quality))
+        if i % dup_every == 0:
+            k = i // dup_every
+            theta = -165.0 + 14.0 * (k % 24)
+            s = 0.6 + 0.1 * (k % 8)
+            graded = _huesat_transform(px, theta, s)
+            ids.append(f"hs{i:05d}_c")
+            blobs.append(jpeg.encode(graded, dup_quality))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def huesat_image_dedup(sf_dir: str, n_base: int = 144,
+                       dup_every: int = 3, ah_max: int = 6,
+                       lpsnr_min_centi: int = 2800,
+                       czncc_min_ppm: int = 850_000):
+    """(n_images, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — near-dup detection that survives
+    HUE-ROTATION + SATURATION edits (white balance, colorize,
+    vibrance — the channel-MIXING color class; the photometric and
+    tone-curve channels cover only per-channel maps). Every existing
+    arm was MEASURED blind: Rec601 phash moves 15.0 bits mean / 34
+    max under full-circle hue shifts (7/48 planted pairs escape even
+    the dual 8×8-bit bands), the flagship's Rec601-thumb PSNR rejects
+    34/48 true pairs (min 15.1 dB vs the 25 dB production gate), and
+    the photometric channel's gray ZNCC bottoms at 0.19 — Rec601's
+    0.299/0.587/0.114 weights mix under rotation. Both arms here are
+    built on the transform's EXACT invariants instead: the per-pixel
+    RGB MEAN is the gray-axis projection, untouched by any rotation
+    about (1,1,1) at any saturation (pinned by test) — mean-luma
+    aHash measured moving ≤ 4 bits (mean 0.6), 48/48 dual-band
+    collide — and the per-pixel CHROMA MAGNITUDE is rotation-exact
+    and uniformly scaled by s, which ZNCC cancels. Verify gates on
+    BOTH: mean-luma 16×16 thumb PSNR ≥ 28 dB (true min 34.6 vs
+    distinct max 21.3 on the adversarial smooth corpus) AND
+    chroma-magnitude ZNCC ≥ 0.85 (true min 0.978 vs distinct max
+    0.56) — the chroma arm is load-bearing for luma-coincident
+    distinct images, which differ in chroma layout precisely when
+    they are not hue-rotations of one another. BOUNDARY: full
+    desaturation (s=0, grayscale conversion) zeroes the chroma image
+    and fails the chroma arm by construction (measured ZNCC 0.0 at
+    luma PSNR 45.3) — grayscale re-uploads are a deliberate separate
+    class, not a silent miss.
+
+    Scale shape: one decode pass, dual mean-luma-hash band exchange
+    (16 rows/image) with 256 B luma + 256 B chroma thumbs riding, one
+    pair-dedup groupby — the flagship topology; payloads never
+    shuffle (pair-rendezvous applies when thumbs dominate)."""
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _huesat_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_images = n_base + n_planted
+
+    class GradeSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            lumas, lthumbs, cthumbs = [], [], []
+            for data in batch["bytes"].to_pylist():
+                px = jpeg.decode(data)
+                ml = _mean_luma(px)
+                lumas.append(codec.resize_nn(ml, 32, 32))
+                lthumbs.append(codec.resize_nn(ml, 16, 16).tobytes())
+                cm = _chroma_mag(codec.resize_nn(px, 16, 16))
+                cthumbs.append(np.clip(np.round(cm), 0, 255)
+                               .astype(np.uint8).tobytes())
+            stack = np.stack(lumas) if ids else \
+                np.empty((0, 32, 32), np.uint8)
+            ph = codec.phash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            ah = codec.ahash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
+                "lthumb": pa.array(lthumbs, pa.binary()),
+                "cthumb": pa.array(cthumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(GradeSignature, batch_size=64, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reps = 2 * N_BANDS
+        keys = np.empty(reps * n, np.int64)
+        mask = np.uint64((1 << BITS) - 1)
+        for ch, col in enumerate(("phash", "ahash")):
+            h = batch[col].to_numpy(zero_copy_only=False) \
+                .view(np.uint64)
+            for band in range(N_BANDS):
+                bits = (h >> np.uint64(BITS * band)) & mask
+                slot = ch * N_BANDS + band
+                keys[slot * n:(slot + 1) * n] = \
+                    (np.int64(slot) << np.int64(BITS)) \
+                    | bits.astype(np.int64)
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
+                                 pa.string()),
+            "ahash": pa.array(
+                np.tile(batch["ahash"].to_numpy(zero_copy_only=False),
+                        reps), pa.int64()),
+            "lthumb": pa.array(batch["lthumb"].to_pylist() * reps,
+                               pa.binary()),
+            "cthumb": pa.array(batch["cthumb"].to_pylist() * reps,
+                               pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        from .. import codec as codec_mod
+        ls, rs, qs = [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["image_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            ahv = g["ahash"].to_numpy(np.int64)
+            lth = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                   for t in g["lthumb"]]
+            cth = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                   for t in g["cthumb"]]
+            for i in range(len(ids_)):
+                for j in range(i + 1, len(ids_)):
+                    if ids_[i] == ids_[j]:
+                        continue
+                    pair = tuple(sorted((ids_[i], ids_[j])))
+                    if pair in seen:
+                        continue
+                    seen.add(pair)
+                    if codec_mod.hamming64(ahv[i], ahv[j]) > ah_max:
+                        continue
+                    dlt = lth[i].astype(np.float64) \
+                        - lth[j].astype(np.float64)
+                    mse = (dlt * dlt).mean()
+                    lp = 99.0 if mse == 0 else \
+                        10.0 * np.log10(255.0 * 255.0 / mse)
+                    if int(round(lp * 100)) < lpsnr_min_centi:
+                        continue
+                    cz = _zncc(cth[i], cth[j])
+                    if int(round(cz * 1_000_000)) < czncc_min_ppm:
+                        continue
+                    ls.append(pair[0])
+                    rs.append(pair[1])
+                    qs.append(int(round(lp * 100)))
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "lpsnr_centi": pa.array(qs, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"hs{i:05d}", f"hs{i:05d}_c")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_images": [n_images], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Omni-channel image dedup: one decode, one exchange, every invariance class
+# ---------------------------------------------------------------------------
+
+_OMNI_KINDS = ("re", "d4", "lb", "ph", "tc", "hs", "ov", "rt")
+
+
+def _omni_transform(px: np.ndarray, kind: str, k: int) -> np.ndarray:
+    """Apply ONE deterministic transform of the given class — the same
+    parameter families the per-channel fixtures plant, keyed by the
+    dup index k so every class sweeps its range."""
+    from .. import codec
+
+    if kind == "re":
+        return px
+    if kind == "d4":
+        return codec.dihedral_apply(px, 1 + (k // 8) % 7)
+    if kind == "lb":
+        return _letterbox(px, k % 3, 5 + (k % 13), (0, 255, 128)[k % 3])
+    if kind == "ph":
+        a = 0.7 + 0.05 * (k % 13)
+        b = -30 + 6 * (k % 11)
+        return np.clip(px.astype(np.float64) * a + b, 0, 255) \
+            .astype(np.uint8)
+    if kind == "tc":
+        t = px.astype(np.float64) / 255.0
+        kc = k % 7
+        if kc == 0:
+            y = t ** 0.45
+        elif kc == 1:
+            y = t ** 0.6
+        elif kc == 2:
+            y = t ** 1.6
+        elif kc == 3:
+            y = t ** 2.2
+        elif kc == 4:
+            y = 3 * t * t - 2 * t * t * t
+        elif kc == 5:
+            y = np.clip((t - 0.1) / 0.75, 0, 1)
+        else:
+            y = 0.5 - 0.5 * np.cos(np.pi * t)
+        return np.clip(np.round(y * 255), 0, 255).astype(np.uint8)
+    if kind == "hs":
+        return _huesat_transform(px, -165.0 + 14.0 * (k % 24),
+                                 0.6 + 0.1 * (k % 8))
+    if kind == "ov":
+        h, w = px.shape[:2]
+        rng = np.random.default_rng(3000 + k)
+        oh = max(4, int(h * rng.uniform(0.18, 0.33)))
+        ow = max(4, int(w * rng.uniform(0.18, 0.38)))
+        y0 = int(rng.uniform(0, h - oh))
+        x0 = int(rng.uniform(0, w - ow))
+        ov = px.copy()
+        color = np.array([255, 255, 255]) if k % 2 \
+            else np.array([10, 10, 10])
+        ov[y0:y0 + oh, x0:x0 + ow] = color
+        ov[y0:y0 + 2, x0:x0 + ow] = 255 - color
+        return ov
+    # "rt"
+    degs = (2.0, -3.0, 4.0, -5.0, 6.0, -8.0, 3.5, -2.5)
+    return codec.rotate_nn(px, degs[k % 8])
+
+
+def _omni_corpus_dir(n_base: int = 168, quality: int = 85,
+                     dup_every: int = 3, dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH ONE PLANTED DUP PER CLASS
+    cycling the 8 transform kinds (re-encode, dihedral, letterbox,
+    photometric, tone-curve, hue/sat, overlay, rotation) — the
+    mixed-reality corpus a production dedup run actually sees. Truth
+    rides the naming: "omNNNNN_<kind>" duplicates "omNNNNN"."""
+    from .. import jpeg
+    from .. import corpus as corpus_mod
+
+    out = (f"/tmp/destor_ray_omnidup/"
+           f"v1_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=47, row=i)
+        ids.append(f"om{i:05d}")
+        blobs.append(jpeg.encode(px, quality))
+        if i % dup_every == 0:
+            k = i // dup_every
+            kind = _OMNI_KINDS[k % len(_OMNI_KINDS)]
+            t = _omni_transform(px, kind, k)
+            ids.append(f"om{i:05d}_{kind}")
+            blobs.append(jpeg.encode(t, dup_quality))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# channel ids for the unified band-key namespace
+_OMNI_G, _OMNI_TC, _OMNI_HS, _OMNI_LB, _OMNI_D4, _OMNI_RT = range(6)
+
+
+def omni_image_dedup(sf_dir: str, n_base: int = 168,
+                     dup_every: int = 3):
+    """(kind, n_planted, n_found, n_false, recall_ppm) per transform
+    class + a "_total" row — the PRODUCTION COMPOSITION of the image
+    near-dup channels: at 100 TB you cannot afford one decode pass per
+    invariance class, so this pipeline decodes each image ONCE,
+    computes every channel's signature from the same pixels, and ships
+    all of them through ONE unified band exchange whose key carries a
+    channel id (channel << 24 | slot << 8 | bits) — each band row
+    carries only ITS channel's verify payload, and the bucket verifier
+    dispatches to the channel's measured kernel:
+
+    * G  (Rec601 dual bands): re-encode thumb PSNR ≥ 28 dB, OR
+      photometric ZNCC ≥ 0.94 under aHash ≤ 6 (affine-equivariant
+      candidates), OR overlay trimmed-tile PSNR ≥ 32 dB — three
+      verify arms sharing one candidate family;
+    * TC (rank-image dual bands): per-channel histogram-matched ZNCC,
+      min over R/G/B ≥ 0.90 (monotone tone maps);
+    * HS (RGB-mean-luma dual bands): mean-luma PSNR ≥ 28 dB AND
+      chroma-magnitude ZNCC ≥ 0.85 (hue rotation + saturation);
+    * LB (trimmed-luma dual bands): inset-sweep PSNR ≥ 32 dB on
+      32×32 uniform-border-trimmed thumbs (letterbox/pillarbox);
+    * D4 (orbit-expanded dual bands, orientation NOT in the slot so
+      any relative orientation rendezvouses): dual-Hamming prefilter
+      + orientation/shift-aligned thumb PSNR ≥ 35 dB;
+    * RT (polar angular-FFT bands): min-over-R/G/B rolled polar
+      PSNR ≥ 24 dB (small-angle rotation).
+
+    Verified edges from ALL channels union into one pair set; recall
+    is accounted PER PLANTED TRANSFORM CLASS against the mixed
+    fixture, false merges globally. Each gate is the standalone
+    channel's measured value — this query certifies the channels
+    COMPOSE (shared decode, shared exchange, no cross-channel false
+    amplification), which the per-channel fixtures cannot.
+
+    Scale shape: one decode pass (the flagship's cost), one band
+    exchange of ~176 rows/image (16×4 dual-band families + 128 orbit
+    + 8 polar) whose payloads stay per-channel (256 B–6 KB; the orbit
+    rows dominate count, the polar rows bytes — pair-rendezvous
+    verify drops payloads off band rows at corpus scale exactly as
+    measured for the flagship), one pair groupby. APPLICABILITY: the
+    crop channel's content-defined anchors are deliberately absent —
+    this smooth corpus is its measured failure condition (2/14 anchor
+    recall); on natural photos its band family joins the same
+    exchange."""
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _omni_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_planted = -(-n_base // dup_every)
+
+    N_BANDS, BITS = 8, 8
+
+    class OmniSignature:
+        """Every channel's candidate hash + verify payload from ONE
+        decode. Emits band rows directly (the per-image row would be
+        ~9 KB; going straight to band rows keeps each row at its own
+        channel's payload size)."""
+
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bkeys, iids, phs, ahs, payloads = [], [], [], [], []
+
+            def emit_dual(chan, ph, ah, iid, payload):
+                for ci, h in enumerate((int(ph), int(ah))):
+                    hu = h & 0xFFFFFFFFFFFFFFFF
+                    for band in range(N_BANDS):
+                        bits = (hu >> (BITS * band)) & 0xFF
+                        slot = ci * N_BANDS + band
+                        bkeys.append((chan << 24) | (slot << 8) | bits)
+                        iids.append(iid)
+                        phs.append(int(ph))
+                        ahs.append(int(ah))
+                        payloads.append(payload)
+
+            for iid, data in zip(batch["image_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                px = jpeg.decode(data)
+                g = codec.to_gray(px)
+                g32 = codec.resize_nn(g, 32, 32)
+                t601 = codec.resize_nn(g, 16, 16).tobytes()
+
+                # G: Rec601 dual (re-encode / photometric / overlay)
+                ph_g = int(codec.phash64_batch(g32[None])[0])
+                ah_g = int(codec.ahash64_batch(g32[None])[0])
+                emit_dual(_OMNI_G, ph_g, ah_g, iid, t601)
+
+                # TC: rank-image dual + 3-channel box-mean thumbs
+                rank = _rank_image(g32)
+                ph_tc = int(codec.phash64_batch(rank[None])[0])
+                ah_tc = int(codec.ahash64_batch(rank[None])[0])
+                chans = []
+                for c in range(3):
+                    c32 = codec.resize_nn(px[:, :, c], 32, 32) \
+                        .astype(np.float64)
+                    chans.append(np.round(
+                        c32.reshape(16, 2, 16, 2).mean(axis=(1, 3)))
+                        .astype(np.uint8))
+                emit_dual(_OMNI_TC, ph_tc, ah_tc, iid,
+                          np.stack(chans).tobytes())
+
+                # HS: RGB-mean-luma dual + luma/chroma thumbs
+                ml = _mean_luma(px)
+                ml32 = codec.resize_nn(ml, 32, 32)
+                ph_hs = int(codec.phash64_batch(ml32[None])[0])
+                ah_hs = int(codec.ahash64_batch(ml32[None])[0])
+                cm = np.clip(np.round(
+                    _chroma_mag(codec.resize_nn(px, 16, 16))),
+                    0, 255).astype(np.uint8)
+                emit_dual(_OMNI_HS, ph_hs, ah_hs, iid,
+                          codec.resize_nn(ml, 16, 16).tobytes()
+                          + cm.tobytes())
+
+                # LB: trimmed-luma dual + 32x32 trimmed thumb
+                gt = codec.trim_uniform_border(g)
+                gt32 = codec.resize_nn(gt, 32, 32)
+                ph_lb = int(codec.phash64_batch(gt32[None])[0])
+                ah_lb = int(codec.ahash64_batch(gt32[None])[0])
+                emit_dual(_OMNI_LB, ph_lb, ah_lb, iid, gt32.tobytes())
+
+                # D4: orbit expansion (orientation NOT in the slot).
+                # Verify payload is the FULL-RES box-mean 16×16 (the
+                # standalone channel's DC-thumb equivalent): NN
+                # point-sample thumbs were MEASURED dropping true
+                # aligned PSNR to 32.6 vs distinct max 25.8 — a 3 dB
+                # margin — while true box-means restore 48.2 vs 27.4
+                # at the standalone's 35 dB gate.
+                orbit = np.stack([codec.dihedral_apply(g32, kk)
+                                  for kk in range(8)])
+                oph = codec.phash64_batch(orbit)
+                oah = codec.ahash64_batch(orbit)
+                tbox = _box_thumb32(g, 16).astype(np.uint8).tobytes()
+                for kk in range(8):
+                    emit_dual(_OMNI_D4, int(oph[kk]), int(oah[kk]),
+                              iid, tbox)
+
+                # RT: polar angular-FFT hash, 8 single bands
+                pols = [_rot_polar(px[:, :, c].astype(np.int32))
+                        for c in range(3)]
+                luma_pol = (299 * pols[0] + 587 * pols[1]
+                            + 114 * pols[2]) / 1000.0
+                hv = _rot_hash(luma_pol)
+                blob = np.round(np.stack(pols)).clip(0, 255) \
+                    .astype(np.uint8).tobytes()
+                for band in range(8):
+                    bits = (hv >> (8 * band)) & 0xFF
+                    bkeys.append((_OMNI_RT << 24) | (band << 8) | bits)
+                    iids.append(iid)
+                    phs.append(0)
+                    ahs.append(0)
+                    payloads.append(blob)
+
+            return pa.table({
+                "bkey": pa.array(bkeys, pa.int64()),
+                "image_id": pa.array(iids, pa.string()),
+                "ph": pa.array(phs, pa.int64()),
+                "ah": pa.array(ahs, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            })
+
+    # concurrency=2 like every channel: at the 4-CPU test session a
+    # 4-actor pool consumes every schedulable CPU and the shuffle
+    # aggregators can never start (the documented hash-shuffle hang)
+    bands = ds.map_batches(OmniSignature, batch_size=32, concurrency=2,
+                           batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        from .. import codec as codec_mod
+        ls, rs, chs = [], [], []
+        seen = set()
+        for bkey, g in df.groupby("bkey", sort=False):
+            ids_ = g["image_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            chan = int(bkey) >> 24
+            phv = g["ph"].to_numpy(np.int64)
+            ahv = g["ah"].to_numpy(np.int64)
+            raw = list(g["payload"])
+            for i in range(len(ids_)):
+                for j in range(i + 1, len(ids_)):
+                    if ids_[i] == ids_[j]:
+                        continue
+                    pair = tuple(sorted((ids_[i], ids_[j])))
+                    # D4 buckets legitimately retry a pair at other
+                    # orientations until one passes the prefilter
+                    # (aligned-PSNR then searches all 8 itself); all
+                    # other channels dedup per pair up front
+                    if chan != _OMNI_D4 and (chan, pair) in seen:
+                        continue
+                    ok = False
+                    if chan == _OMNI_G:
+                        seen.add((chan, pair))
+                        ta = np.frombuffer(raw[i], np.uint8) \
+                            .reshape(16, 16)
+                        tb = np.frombuffer(raw[j], np.uint8) \
+                            .reshape(16, 16)
+                        dlt = ta.astype(np.float64) \
+                            - tb.astype(np.float64)
+                        mse = (dlt * dlt).mean()
+                        p = 99.0 if mse == 0 else \
+                            10 * np.log10(255.0 ** 2 / mse)
+                        ok = p >= 28.0
+                        if not ok and codec_mod.hamming64(
+                                ahv[i], ahv[j]) <= 6:
+                            ok = _zncc(ta, tb) >= 0.94
+                        if not ok:
+                            ok = _trimmed_tile_psnr(ta, tb) >= 32.0
+                    elif chan == _OMNI_TC:
+                        seen.add((chan, pair))
+                        if codec_mod.hamming64(ahv[i], ahv[j]) <= 28:
+                            a3 = np.frombuffer(raw[i], np.uint8) \
+                                .reshape(3, 16, 16)
+                            b3 = np.frombuffer(raw[j], np.uint8) \
+                                .reshape(3, 16, 16)
+                            ok = min(
+                                max(_histmatch_zncc(a3[c], b3[c]),
+                                    _histmatch_zncc(b3[c], a3[c]))
+                                for c in range(3)) >= 0.90
+                    elif chan == _OMNI_HS:
+                        seen.add((chan, pair))
+                        if codec_mod.hamming64(ahv[i], ahv[j]) <= 6:
+                            la = np.frombuffer(raw[i][:256], np.uint8) \
+                                .reshape(16, 16)
+                            lb_ = np.frombuffer(raw[j][:256], np.uint8) \
+                                .reshape(16, 16)
+                            dlt = la.astype(np.float64) \
+                                - lb_.astype(np.float64)
+                            mse = (dlt * dlt).mean()
+                            p = 99.0 if mse == 0 else \
+                                10 * np.log10(255.0 ** 2 / mse)
+                            if p >= 28.0:
+                                ca = np.frombuffer(raw[i][256:],
+                                                   np.uint8) \
+                                    .reshape(16, 16)
+                                cb = np.frombuffer(raw[j][256:],
+                                                   np.uint8) \
+                                    .reshape(16, 16)
+                                ok = _zncc(ca, cb) >= 0.85
+                    elif chan == _OMNI_LB:
+                        seen.add((chan, pair))
+                        ta = np.frombuffer(raw[i], np.uint8) \
+                            .reshape(32, 32)
+                        tb = np.frombuffer(raw[j], np.uint8) \
+                            .reshape(32, 32)
+                        ok = _inset_shift_psnr(ta, tb) >= 32.0
+                    elif chan == _OMNI_D4:
+                        if (codec_mod.hamming64(phv[i], phv[j]) <= 18
+                                and codec_mod.hamming64(
+                                    ahv[i], ahv[j]) <= 6):
+                            if (chan, pair) in seen:
+                                continue
+                            seen.add((chan, pair))
+                            ta = np.frombuffer(raw[i], np.uint8) \
+                                .reshape(16, 16)
+                            tb = np.frombuffer(raw[j], np.uint8) \
+                                .reshape(16, 16)
+                            ok = _dihedral_aligned_psnr(
+                                ta, tb, None) >= 35.0
+                    else:  # _OMNI_RT
+                        seen.add((chan, pair))
+                        pa_ = np.frombuffer(raw[i], np.uint8) \
+                            .astype(np.float64) \
+                            .reshape(3, _ROT_NR, _ROT_NA)
+                        pb_ = np.frombuffer(raw[j], np.uint8) \
+                            .astype(np.float64) \
+                            .reshape(3, _ROT_NR, _ROT_NA)
+                        a_, b_ = ((i, j) if ids_[i] < ids_[j]
+                                  else (j, i))
+                        ra = pa_ if a_ == i else pb_
+                        rb = pb_ if a_ == i else pa_
+                        ok = _rot_polar_psnr3(list(ra),
+                                              list(rb)) >= 24.0
+                    if ok:
+                        ls.append(pair[0])
+                        rs.append(pair[1])
+                        chs.append(chan)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "chan": pa.array(chs, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=16).to_pandas()
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _OMNI_KINDS}
+    for i in range(0, n_base, dup_every):
+        k = i // dup_every
+        kind = _OMNI_KINDS[k % len(_OMNI_KINDS)]
+        truth_by_kind[kind].add((f"om{i:05d}", f"om{i:05d}_{kind}"))
+    all_truth = set().union(*truth_by_kind.values())
+    n_false = len(got - all_truth)
+
+    import pandas as pd
+    rows = []
+    for kind in _OMNI_KINDS:
+        t = truth_by_kind[kind]
+        found = len(got & t)
+        rows.append({"kind": kind, "n_planted": len(t),
+                     "n_found": found, "n_false": 0,
+                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
+    rows.append({"kind": "_total", "n_planted": n_planted,
+                 "n_found": len(got & all_truth), "n_false": n_false,
+                 "recall_ppm": len(got & all_truth) * 1_000_000
+                 // n_planted})
+    out = pd.DataFrame(rows)
+    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -593,3 +593,113 @@ def test_rotate_nn_identity_and_quarter_turn():
     # non-square identity still exact
     rect = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
     assert np.array_equal(codec.rotate_nn(rect, 0.0), rect)
+
+
+def test_huesat_image_dedup_full_recall_no_false_merges(ray_session):
+    """every planted hue-rotation + saturation-scale + q70 re-encode
+    is found — recall 1.0, zero false merges. The flagship's Rec601
+    arms were measured blind (thumb PSNR rejects 34/48 true pairs);
+    here candidates hash the RGB-mean luma (gray-axis projection,
+    exactly invariant) and verify gates on mean-luma PSNR AND
+    rotation-exact chroma-magnitude ZNCC."""
+    from destor_ray.pipelines.ingest import huesat_image_dedup
+
+    out = huesat_image_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 192 and out.n_planted == 48
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 48
+    assert out.n_candidate_pairs > out.n_verified_pairs
+
+
+def test_huesat_mean_luma_exactly_invariant():
+    """the per-pixel RGB-mean is the gray-axis projection: ANY
+    rotation about (1,1,1) at ANY saturation leaves the channel-SUM
+    of each pixel exactly unchanged (R·c ⊥ (1,1,1) so it sums to 0)
+    — up to ±1 gray level from per-channel uint8 rounding, with zero
+    clipping when the pixel stays in gamut. This is the mathematical
+    property that makes a color-graded re-upload band-collide with
+    its source at any hue angle."""
+    import numpy as np
+
+    from destor_ray.pipelines.ingest import _huesat_transform, _mean_luma
+
+    rng = np.random.default_rng(11)
+    # mid-gamut pixels: |chroma| <= ~73 so any rotation stays in range
+    px = rng.integers(70, 186, (40, 56, 3), dtype=np.uint8)
+    base = _mean_luma(px)
+    for theta, s in ((17.0, 1.0), (-123.0, 0.8), (94.0, 0.6),
+                     (180.0, 1.0), (45.5, 0.3)):
+        t = _huesat_transform(px, theta, s)
+        d = np.abs(base.astype(np.int16) - _mean_luma(t).astype(np.int16))
+        assert d.max() <= 1
+
+
+def test_huesat_chroma_mag_rotation_exact_scale_linear():
+    """‖R(θ)·c‖ = ‖c‖ exactly (rotations preserve norms) and
+    saturation scales it linearly — so the chroma-magnitude image is
+    hue-invariant and ZNCC cancels s. Full desaturation (s=0) zeroes
+    the chroma image and its ZNCC against any non-gray original is 0:
+    grayscale conversions are EXCLUDED from this duplicate class by
+    construction, not silently merged."""
+    import numpy as np
+
+    from destor_ray.pipelines.ingest import (_chroma_mag,
+                                             _huesat_transform, _zncc)
+
+    rng = np.random.default_rng(13)
+    px = rng.integers(70, 186, (32, 32, 3), dtype=np.uint8)
+    cm0 = _chroma_mag(px)
+    # pure rotation: magnitudes equal up to uint8 channel rounding
+    for theta in (33.0, -140.0, 211.0):
+        cm1 = _chroma_mag(_huesat_transform(px, theta, 1.0))
+        assert np.abs(cm0 - cm1).max() <= 2.0
+    # saturation: scaled ~linearly, ZNCC ~1
+    cm_s = _chroma_mag(_huesat_transform(px, 60.0, 0.5))
+    assert _zncc(cm0, cm_s) > 0.99
+    # s=0 boundary: zero chroma, ZNCC exactly 0 vs structured chroma
+    cm_gray = _chroma_mag(_huesat_transform(px, 0.0, 0.0))
+    assert float(cm_gray.max()) <= 1.0
+    assert _zncc(cm0, np.zeros_like(cm0)) == 0.0
+
+
+def test_omni_image_dedup_per_class_full_recall(ray_session):
+    """the production composition: one decode, one unified band
+    exchange, per-channel verify dispatch — on a mixed corpus planting
+    one dup per transform class, EVERY class reaches recall 1.0 with
+    zero false merges (the per-channel fixtures cannot certify that
+    the channels compose without cross-channel false amplification;
+    this pins it)."""
+    from destor_ray.pipelines.ingest import _OMNI_KINDS, omni_image_dedup
+
+    out = omni_image_dedup("/root/testdata/sf0.001")
+    assert list(out["kind"]) == list(_OMNI_KINDS) + ["_total"]
+    per = out[out.kind != "_total"]
+    assert (per.n_planted == 7).all()
+    assert (per.recall_ppm == 1_000_000).all()
+    tot = out[out.kind == "_total"].iloc[0]
+    assert tot.n_planted == tot.n_found == 56
+    assert tot.n_false == 0
+
+
+def test_omni_transform_kinds_deterministic_and_distinct():
+    """each omni transform actually changes the pixels (except the
+    pure re-encode kind, which changes only the encoding) and is
+    deterministic in (kind, k) — the fixture's truth labels depend on
+    this."""
+    import numpy as np
+
+    from destor_ray import corpus as corpus_mod
+    from destor_ray.pipelines.ingest import _OMNI_KINDS, _omni_transform
+
+    px, _, _, _, _ = corpus_mod._base_pixels(seed=47, row=12)
+    for kind in _OMNI_KINDS:
+        t1 = _omni_transform(px, kind, 5)
+        t2 = _omni_transform(px, kind, 5)
+        assert np.array_equal(t1, t2)
+        if kind == "re":
+            assert np.array_equal(t1, px)
+        elif kind in ("d4", "lb", "rt"):
+            assert t1.shape != px.shape or not np.array_equal(t1, px)
+        else:
+            assert t1.shape == px.shape and not np.array_equal(t1, px)
