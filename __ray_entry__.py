@@ -320,6 +320,21 @@ queries() entries map to SURVEY.md §2 operators:
                        false merge between distinct silence-padded
                        clips without it); planted recall 1.0, 0 false
                        merges (rows-only; pytest pins)
+  timescale_audio_dedup TIME-SCALE-invariant audio near-dup detection
+                       (resampled ±4-10% speed-change re-uploads, also
+                       trimmed + gain-altered — no constant offset
+                       aligns them, so the offset channel is blind):
+                       scale-COVARIANT anchor times; anchor PAIRS
+                       RANSAC-fit the (rho,d) time map from full
+                       anchor lists riding the band rows (sliding-byte
+                       spectral keys only need ONE collision); verify
+                       = dual gate warped envelope corr ≥0.97 AND min
+                       2-coarse-band track corr ≥0.82 (measured true
+                       ≥0.993/0.957 vs distinct env ≤0.78; 16-band
+                       profiles decorrelate under the log-rho band
+                       shift — the halved-spectrum tracks are the
+                       scale-robust second arm); planted recall 1.0,
+                       0 false merges (rows-only; pytest pins)
   video_offset_dedup   TIME-SHIFT-invariant video near-dup detection
                        (head-trimmed / ad-prepended re-uploads at q70
                        transcode — the offset class fraction-sampled
@@ -1639,7 +1654,9 @@ def _band_skew_profile(sf_dir: str, num_buckets: int = 64):
 
     def bucket_counts(batch: pa.Table) -> pa.Table:
         bands = explode_bands(batch, cfg)
-        withb = _add_bucket(bands, "band_key", num_buckets, 0x6B)
+        # n_sent=0: diagnostic counts want REAL rows only (generator
+        # yields exactly one table for a non-degenerate batch)
+        withb = next(_add_bucket(bands, "band_key", num_buckets, 0x6B, 0))
         b = withb["__bucket"].to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(b, return_counts=True)
         return pa.table({"bucket": pa.array(uniq, pa.int64()),
@@ -2034,6 +2051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avi_video_dedup": ingest.avi_video_dedup,
         "wav_audio_dedup": ingest.wav_audio_dedup,
         "audio_offset_dedup": ingest.audio_offset_dedup,
+        "timescale_audio_dedup": ingest.timescale_audio_dedup,
         "video_offset_dedup": ingest.video_offset_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,

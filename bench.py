@@ -148,7 +148,9 @@ def main() -> None:
                  "avi_video_dedup", "wav_audio_dedup",
                  "letterbox_image_dedup", "exif_orientation_dedup",
                  "ctph_fuzzy_dedup", "tonecurve_image_dedup",
-                 "overlay_image_dedup", "crop_image_dedup"]:
+                 "overlay_image_dedup", "crop_image_dedup",
+                 "huesat_image_dedup", "omni_image_dedup",
+                 "timescale_audio_dedup"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver

@@ -5575,3 +5575,386 @@ def omni_image_dedup(sf_dir: str, n_base: int = 168,
     for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Time-SCALE-invariant audio dedup (speed-changed / resampled
+# re-uploads): content-defined anchor times are SCALE-COVARIANT
+# (t_dup ~ t_base / rho), so anchor pairs RANSAC-fit the (rho, d)
+# time map and a warped dual-arm correlation decides — the tempo
+# twin of audio_offset_dedup, where offset alone was the unknown.
+
+_ASC_R = 8          # anchor local-max window (denser than offset's 16:
+                    # scale perturbs which peak wins a wide window —
+                    # measured matched-anchor fraction 0.91 at r=8 vs
+                    # 0.89 at r=16 with ~40% more anchors to vote)
+_ASC_RHO_LO, _ASC_RHO_HI = 0.78, 1.28
+_ASC_ENV_MIN = 0.97     # envelope-corr gate (TRUE >= 0.993 measured)
+_ASC_TRACK_MIN = 0.82   # 2-coarse-band track gate (TRUE >= 0.957)
+
+
+def _audio_scale_keys(el: np.ndarray, anchors: np.ndarray) -> list:
+    """Per-anchor LSH keys, 7 per anchor: the 16-bit sign profile of
+    the anchor frame (band log-energy > frame mean — gain-invariant)
+    emitted as SLIDING bytes at offsets 0,2,4,6,8 (tags 0-4), plus the
+    two bytes of the NEXT anchor's profile (tags 5-6; the second point
+    is content-defined so it re-picks at the scaled position, unlike
+    audio_offset_dedup's fixed +16-hop second frame which a 10% speed
+    change moves onto different content). Resampling by rho shifts
+    band energies ~log(rho)/0.303 bands (fractional), flipping a few
+    near-mean sign bits (measured word Hamming mean 1.6 / max 6 of
+    32); sliding bytes make one clean 8-bit window survive — the
+    exchange only needs ONE collision per true pair, because the
+    (rho, d) proposals come from the full anchor lists riding the
+    band rows, not from key-matched votes."""
+    out = []
+    n = len(anchors)
+    for k in range(n):
+        prof = el[anchors[k]]
+        own = int(sum(1 << (15 - b) for b in range(16)
+                      if prof[b] > prof.mean()))
+        t2 = anchors[k + 1] if k + 1 < n else anchors[k]
+        p2 = el[t2]
+        nxt = int(sum(1 << (15 - b) for b in range(16)
+                      if p2[b] > p2.mean()))
+        keys = [(tag << 8) | ((own >> off) & 0xFF)
+                for tag, off in enumerate((0, 2, 4, 6, 8))]
+        keys.append((5 << 8) | (nxt & 0xFF))
+        keys.append((6 << 8) | ((nxt >> 8) & 0xFF))
+        out.append(keys)
+    return out
+
+
+def _audio_scale_propose(aa: np.ndarray, ab: np.ndarray,
+                         cap: int = 6, max_anchors: int = 12) -> list:
+    """RANSAC the time map t_a = rho * t_b + d over the FULL anchor
+    cross-product (anchors are sparse: ~5 per 3 s clip, so the cross
+    product is tiny and needs no key gating). Every admissible pair of
+    (t_a, t_b) votes defines a hypothesis; score = number of DISTINCT
+    base anchors within |t_a - rho*t_b - d| <= 3 frames; refine by
+    least squares on the inliers. Returns up to `cap` well-separated
+    (n_inliers, rho, d), best-supported first. Key-matched-vote
+    clustering was measured and rejected: hard clips get 1-4 true
+    votes that quantization scatters across bins (12/24 recall);
+    all-pairs RANSAC recovers 24/24 with the same verify."""
+    aa = np.asarray(aa, np.float64)[:max_anchors]
+    ab = np.asarray(ab, np.float64)[:max_anchors]
+    if len(aa) < 2 or len(ab) < 2:
+        return []
+    ta = np.repeat(aa, len(ab))
+    tb = np.tile(ab, len(aa))
+    nv = len(ta)
+    X, Y = np.triu_indices(nv, 1)
+    dta, dtb = ta[Y] - ta[X], tb[Y] - tb[X]
+    ok = (np.abs(dta) >= 8) & (np.abs(dtb) >= 8)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rho = np.where(ok, dta / np.where(dtb == 0, 1, dtb), 0.0)
+    ok &= (rho >= _ASC_RHO_LO) & (rho <= _ASC_RHO_HI)
+    if not ok.any():
+        return []
+    rho = rho[ok]
+    d = ta[X[ok]] - rho * tb[X[ok]]
+    inl = np.abs(ta[None, :] - rho[:, None] * tb[None, :]
+                 - d[:, None]) <= 3                       # (H, nv)
+    base_idx = np.repeat(np.arange(len(aa)), len(ab))
+    n_in = np.zeros(len(rho), np.int64)
+    for bi in range(len(aa)):
+        n_in += inl[:, base_idx == bi].any(axis=1)
+    order = np.argsort(-n_in)
+    out = []
+    for h in order:
+        if n_in[h] < 2 or len(out) >= cap:
+            break
+        r0, d0 = float(rho[h]), float(d[h])
+        if any(abs(np.log(r0 / r1)) < 0.01 and abs(d0 - d1) < 6
+               for _, r1, d1 in out):
+            continue
+        m = inl[h]
+        A = np.stack([tb[m], np.ones(int(m.sum()))], axis=1)
+        sol, *_ = np.linalg.lstsq(A, ta[m], rcond=None)
+        r2, d2 = float(sol[0]), float(sol[1])
+        if _ASC_RHO_LO <= r2 <= _ASC_RHO_HI:
+            out.append((int(n_in[h]), r2, d2))
+    return out
+
+
+def _audio_scale_verify(env_a, tr_a, env_b, tr_b, rho: float, d: float,
+                        min_frames: int = 60, coarse: bool = False):
+    """Best (env_corr, min 2-track corr) over a (rho, d) neighborhood
+    sweep: rho*(1 + k/512) for k in -10..10 (the LS rho estimate from
+    short anchor spans is good to ~2%) and d + {-2, 0, 2}; with
+    coarse=True the sweep is the 5-point k in {-10,-5,0,5,10} x dd=0
+    screen (1/13 the work) used to rank and prune proposals before
+    the full sweep. The dup envelope/tracks are warped to the base
+    time axis by linear interp and correlated under the gain-invariant
+    silence mask (per-signal max - 8 log units; the mask lesson is
+    audio_offset_dedup's). The second arm is the min over TWO
+    coarse-band (8+8) envelope tracks: per-frame 16-band profiles
+    decorrelate under resample because the log(rho) band shift moves
+    tonal lines across band edges (measured spec-profile TRUE min
+    0.71 even band-shift-corrected), while halved-spectrum tracks
+    move <= 0.35 band and stay >= 0.957; the track arm rejects
+    envelope-coincident distinct clips. Measured margins through the
+    full adversarial chain (distinct pairs free to pick their best
+    proposal): TRUE env >= 0.993 / tracks >= 0.957 vs DISTINCT
+    env <= 0.78 at gates 0.97 / 0.82. The whole sweep is one
+    vectorized gather + masked-moment pass (no per-sweep-point
+    Python; measured 4x over the loop form)."""
+    nfa, nfb = len(env_a), len(env_b)
+    if coarse:
+        ks = np.arange(-10, 11, 5)
+        dds = np.array([0.0])
+    else:
+        ks = np.arange(-10, 11)
+        dds = np.array([-2.0, 0.0, 2.0])
+    R = (rho * (1 + ks / 512))[:, None, None]
+    D = (d + dds)[None, :, None]
+    T = ((np.arange(nfa)[None, None, :] - D) / R).reshape(-1, nfa)
+    valid = (T >= 0) & (T <= nfb - 1)
+    Tc = np.clip(T, 0, nfb - 1)
+    i0 = np.floor(Tc).astype(np.int64)
+    i1 = np.minimum(i0 + 1, nfb - 1)
+    fr = Tc - i0
+    sigs_a = np.concatenate([env_a[None, :], tr_a], axis=0)
+    sigs_b = np.concatenate([env_b[None, :], tr_b], axis=0)
+    W = sigs_b[:, i0] * (1 - fr)[None] + sigs_b[:, i1] * fr[None]
+    NEG = -1e30
+    Wm = np.where(valid[None], W, NEG)
+    wmax = Wm.max(axis=2)
+    A = sigs_a[:, None, :]
+    thr_a = sigs_a.max(axis=1)
+    M = (valid[None] & (A > (thr_a[:, None, None] - 8.0))
+         & (Wm > (wmax[:, :, None] - 8.0)))
+    cnt = M.sum(axis=2)
+    c = np.maximum(cnt, 1)
+    mA = np.where(M, A, 0).sum(axis=2) / c
+    mW = np.where(M, Wm, 0).sum(axis=2) / c
+    XA = np.where(M, A - mA[:, :, None], 0)
+    XW = np.where(M, Wm - mW[:, :, None], 0)
+    num = (XA * XW).sum(axis=2)
+    den = np.sqrt((XA * XA).sum(axis=2) * (XW * XW).sum(axis=2))
+    corr = np.where((den > 0) & (cnt >= min_frames),
+                    num / np.maximum(den, 1e-30), -1.0)
+    e = corr[0]
+    tmin = corr[1:].min(axis=0)
+    j = np.minimum((e - _ASC_ENV_MIN) / 0.03,
+                   (tmin - _ASC_TRACK_MIN) / 0.18)
+    h = int(np.argmax(j))
+    return float(e[h]), float(tmin[h])
+
+
+def _wav_scale_corpus_dir(n_base: int = 36, dup_every: int = 3,
+                          sr: int = 8000) -> str:
+    """WAV fixture WITH PLANTED TIME-SCALE near-dups: the proven 3 s
+    AM three-tone broadband recipe; every dup_every-th base also
+    appears as `<id>_r` — the SAME signal RESAMPLED by rho cycling
+    {0.90, 0.93, 0.96, 1.04, 1.07, 1.10} (±4-10% speed change, the
+    sped-up / slowed re-upload class), alternately also HEAD-TRIMMED
+    by 0.2-0.4 s, at 0.7x gain with fresh dither. Both the slot
+    channel (wav_audio_dedup) and the offset channel
+    (audio_offset_dedup) are blind to this class: a 7% speed change
+    moves every fixed slot AND every constant-offset alignment."""
+    from .. import codec
+
+    out = f"/tmp/destor_ray_wav_scale/v1_n{n_base}_d{dup_every}_sr{sr}"
+    if os.path.isdir(out):
+        return out
+    rhos = [0.90, 0.93, 0.96, 1.04, 1.07, 1.10]
+    ids, blobs = [], []
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+    for i in range(n_base):
+        rng = np.random.Generator(np.random.Philox(key=1000 + i))
+        sig = np.zeros_like(t)
+        for _ in range(3):
+            f = rng.uniform(80, 1800)
+            a = rng.uniform(0.2, 0.5)
+            sig += a * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+        sig += 0.1 * rng.normal(0, 1, len(t))
+        lv = rng.uniform(0.2, 1.0, 25)
+        env = np.interp(np.linspace(0, 24, len(t)), np.arange(25), lv)
+        base = (sig * env / 3.0).astype(np.float64)
+        d1 = np.random.Generator(np.random.Philox(key=7 + i)) \
+            .normal(0, 1e-4, len(base))
+        ids.append(f"scl{i:05d}")
+        blobs.append(codec.wav_encode(
+            (base + d1).astype(np.float32), sr))
+        if i % dup_every == 0:
+            rho = rhos[(i // dup_every) % len(rhos)]
+            m = int(len(base) / rho)
+            dup = np.interp(np.arange(m) * rho,
+                            np.arange(len(base)), base)
+            if i % 2 == 1:
+                dup = dup[int((0.2 + 0.2 * ((i // 2) % 2)) * sr):]
+            d2 = np.random.Generator(np.random.Philox(key=77 + i)) \
+                .normal(0, 1e-4, len(dup))
+            ids.append(f"scl{i:05d}_r")
+            blobs.append(codec.wav_encode(
+                (0.7 * dup + d2).astype(np.float32), sr))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/clips.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def timescale_audio_dedup(sf_dir: str, n_base: int = 36,
+                          dup_every: int = 3):
+    """(n_clips, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — TIME-SCALE-invariant audio near-dup
+    detection: resampled (sped-up / slowed ±4-10%) re-uploads, also
+    head-trimmed and gain-altered. A speed change by rho maps dup time
+    t_b to base time rho*t_b + d, so no CONSTANT offset aligns the
+    clips — the class audio_offset_dedup's offset voting is blind to.
+    The design extends the anchor insight one transform further:
+    content-defined anchor times are scale-COVARIANT, so pairs of
+    anchors vote for the (rho, d) LINE instead of single anchors
+    voting for an offset. Candidates: per-anchor sliding-byte
+    spectral-shape keys (_audio_scale_keys) through one LSH exchange —
+    a single collision brings the pair into a bucket; the anchor time
+    LISTS ride the band rows (~10 B) so proposals need no second
+    exchange. Propose: all-pairs RANSAC + least-squares refine
+    (_audio_scale_propose). Verify: dual gate at the warped alignment
+    — envelope corr >= 0.97 AND min 2-coarse-band track corr >= 0.82
+    (_audio_scale_verify; measured TRUE >= 0.993/0.957 vs DISTINCT
+    env <= 0.78 with distinct pairs free to pick their best
+    proposal). Planted rho in {0.90..1.10} x trim x 0.7 gain:
+    recall 24/24 on the measurement corpus, zero false merges.
+
+    Scale shape: one band exchange + one pair groupby; PCM never
+    shuffles — each band row carries the 360 B envelope + 720 B
+    2-track payload + anchor list (~25 rows/clip after key dedup;
+    the pair-rendezvous topology applies if riding bytes ever
+    dominate, as measured for the image flagship)."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _wav_scale_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/clips.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_clips = n_base + n_planted
+
+    class ScaleSignature:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "clip_id": [], "anchors": [], "env": [],
+                   "tracks": []}
+            for cid, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                pcm, _sr = codec.wav_decode(data)
+                el = _audio_band_log(pcm.astype(np.float64))
+                env_tot = np.log(np.exp(el).sum(axis=1) + 1e-300)
+                anchors = _audio_anchors(env_tot, r=_ASC_R)
+                keys = _audio_scale_keys(el, anchors)
+                E = np.exp(el)
+                tr = np.stack([
+                    np.log(E[:, :8].sum(axis=1) + 1e-300),
+                    np.log(E[:, 8:].sum(axis=1) + 1e-300)], axis=0)
+                env_b = np.round(env_tot * 1000).astype(np.int16) \
+                    .tobytes()
+                tr_b = np.round(tr * 1000).astype(np.int16).tobytes()
+                anc_b = anchors.astype(np.int16).tobytes()
+                for k in sorted({k for ks in keys for k in ks}):
+                    out["bkey"].append(k)
+                    out["clip_id"].append(cid)
+                    out["anchors"].append(anc_b)
+                    out["env"].append(env_b)
+                    out["tracks"].append(tr_b)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "clip_id": pa.array(out["clip_id"], pa.string()),
+                "anchors": pa.array(out["anchors"], pa.binary()),
+                "env": pa.array(out["env"], pa.binary()),
+                "tracks": pa.array(out["tracks"], pa.binary()),
+            })
+
+    bands = ds.map_batches(ScaleSignature, batch_size=16,
+                           concurrency=2, batch_format="pyarrow")
+    n_cand = 0
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, es, ts = [], [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["clip_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            payload = {}
+            for cid, ab, eb, tb in zip(ids_, g["anchors"], g["env"],
+                                       g["tracks"]):
+                if cid not in payload:
+                    env = np.frombuffer(eb, np.int16) \
+                        .astype(np.float64) / 1000
+                    tr = np.frombuffer(tb, np.int16) \
+                        .astype(np.float64).reshape(2, -1) / 1000
+                    anc = np.frombuffer(ab, np.int16) \
+                        .astype(np.float64)
+                    payload[cid] = (anc, env, tr)
+            u = sorted(payload)
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if (u[i], u[j]) in seen:
+                        continue
+                    seen.add((u[i], u[j]))
+                    aa, ea, ta_ = payload[u[i]]
+                    ab_, eb_, tb_ = payload[u[j]]
+                    props = _audio_scale_propose(aa, ab_)
+                    scr = []
+                    for _n, r, dd in props:
+                        ec, _tc = _audio_scale_verify(
+                            ea, ta_, eb_, tb_, r, dd, coarse=True)
+                        scr.append((ec, r, dd))
+                    scr.sort(key=lambda s: -s[0])
+                    best = (-1.0, -1.0)
+                    bj = -np.inf
+                    for rank, (ec, r, dd) in enumerate(scr):
+                        # coarse screen: distinct proposals bottom out
+                        # well under 0.6 env (full-sweep DISTINCT max
+                        # 0.78, coarse strictly lower); always give
+                        # the top-ranked proposal the full sweep
+                        if rank > 0 and ec < 0.6:
+                            break
+                        e, t = _audio_scale_verify(ea, ta_, eb_, tb_,
+                                                   r, dd)
+                        j2 = min((e - _ASC_ENV_MIN) / 0.03,
+                                 (t - _ASC_TRACK_MIN) / 0.18)
+                        if j2 > bj:
+                            bj = j2
+                            best = (e, t)
+                        if bj >= 0:
+                            break
+                    if (best[0] >= _ASC_ENV_MIN
+                            and best[1] >= _ASC_TRACK_MIN):
+                        ls.append(u[i])
+                        rs.append(u[j])
+                        es.append(int(round(best[0] * 1000)))
+                        ts.append(int(round(best[1] * 1000)))
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "env_milli": pa.array(es, pa.int64()),
+                         "track_milli": pa.array(ts, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"scl{i:05d}", f"scl{i:05d}_r")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_clips": [n_clips], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

@@ -569,3 +569,42 @@ def test_video_cuts_shift_covariant_under_trim():
             (vid, base_cuts, dup_cuts, k)
         n_checked += 1
     assert n_checked == 8
+
+
+def test_timescale_audio_dedup_scale_invariant_full_recall(ray_session):
+    """every planted resampled (rho 0.90-1.10, half also head-trimmed
+    0.2-0.4 s, 0.7x gain) copy is found — recall 1.0, zero false
+    merges. A speed change maps dup time t_b to base time rho*t_b + d,
+    so no constant offset aligns the clips: the class
+    audio_offset_dedup's single-anchor offset votes are blind to.
+    Anchor PAIRS RANSAC-fit the (rho, d) line instead."""
+    from destor_ray.pipelines.ingest import timescale_audio_dedup
+
+    out = timescale_audio_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_clips == 48 and out.n_planted == 12
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 12
+
+
+def test_audio_scale_propose_recovers_planted_time_map():
+    """_audio_scale_propose recovers a planted (rho, d) from anchor
+    lists with +-1-frame jitter and unmatched outlier anchors on both
+    sides: the top proposal's rho is within 1% and d within 4 frames,
+    because the true line collects >= 3 distinct-base-anchor inliers
+    while outlier-built lines collect at most 2."""
+    import numpy as np
+    from destor_ray.pipelines.ingest import _audio_scale_propose
+
+    rho, d = 1.07, 13.0
+    ta_true = np.array([30.0, 62.0, 95.0, 140.0, 171.0])
+    rng = np.random.Generator(np.random.Philox(key=5))
+    tb_true = (ta_true - d) / rho + rng.integers(-1, 2, len(ta_true))
+    aa = np.sort(np.concatenate([ta_true, [48.0, 120.0]]))
+    ab = np.sort(np.concatenate([tb_true, [20.0, 105.0]]))
+    props = _audio_scale_propose(aa, ab)
+    assert props, "no proposals"
+    n_in, r, dd = props[0]
+    assert n_in >= 3
+    assert abs(np.log(r / rho)) < 0.01
+    assert abs(dd - d) < 4.0
