@@ -335,6 +335,20 @@ queries() entries map to SURVEY.md §2 operators:
                        shift — the halved-spectrum tracks are the
                        scale-robust second arm); planted recall 1.0,
                        0 false merges (rows-only; pytest pins)
+  samplerate_audio_dedup SAMPLE-RATE-invariant audio near-dup
+                       detection (8k→16k/11.025k transcodes at
+                       altered gain — fixed frame/hop-in-samples
+                       features see different time-frequency cells:
+                       fingerprints measured moving 30/60 bits): a
+                       NORMALIZATION channel (the EXIF-orientation
+                       pattern) — PCM resampled once to the canonical
+                       rate, then the proven Haitsma-Kalker banding +
+                       the offset channel's dual-arm verify at offset
+                       0 (the slot channel's profile-only verify
+                       measured FAILING here: interp lowpass tilts
+                       profiles, true 0.990 < distinct 0.9946; dual
+                       arm separates 0.991 vs 0.533); planted recall
+                       1.0, 0 false merges (rows-only; pytest pins)
   video_offset_dedup   TIME-SHIFT-invariant video near-dup detection
                        (head-trimmed / ad-prepended re-uploads at q70
                        transcode — the offset class fraction-sampled
@@ -363,6 +377,19 @@ queries() entries map to SURVEY.md §2 operators:
                        true ≥52.7 vs distinct ≤17.8); frames decode
                        DC-only; planted recall 1.0, 0 false merges
                        (rows-only; pytest pins)
+  letterbox_video_dedup LETTERBOX/PILLARBOX-invariant video near-dup
+                       detection (uniform bars on every frame — TV
+                       re-broadcast / vertical repost — shift+rescale
+                       content in the DC thumbs: slot hashes measured
+                       moving 26.2 bits mean, past any band): the k
+                       slot frames are FULLY decoded and bar-trimmed
+                       (codec.trim_uniform_border, the image letterbox
+                       channel's measured criteria) before the stock
+                       dual-hash slot banding; verify = mean per-slot
+                       thumb PSNR over a {0,1} inset sweep (true ≥37.8
+                       vs distinct ≤17.7 dB at the 30 dB gate); full
+                       decodes bounded at k per video; planted recall
+                       1.0, 0 false merges (rows-only; pytest pins)
   rotation_image_dedup SMALL-ANGLE-ROTATION-invariant near-dup
                        detection (±2-8° straighten/deskew + re-encode
                        — plain phash measured moving 18.5 bits mean,
@@ -2067,8 +2094,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wav_audio_dedup": ingest.wav_audio_dedup,
         "audio_offset_dedup": ingest.audio_offset_dedup,
         "timescale_audio_dedup": ingest.timescale_audio_dedup,
+        "samplerate_audio_dedup": ingest.samplerate_audio_dedup,
         "video_offset_dedup": ingest.video_offset_dedup,
         "timescale_video_dedup": ingest.timescale_video_dedup,
+        "letterbox_video_dedup": ingest.letterbox_video_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,

@@ -6264,3 +6264,420 @@ def timescale_video_dedup(sf_dir: str, n_base: int = 24,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Letterbox/pillarbox-invariant video dedup: uniform bars added to
+# EVERY frame (TV re-broadcast, vertical repost) shift+rescale all
+# content in the DC thumbs, defeating every DC-thumb video channel;
+# the image letterbox channel's full-res trim is applied to the k
+# SLOT frames only (bounded full decodes per video).
+
+
+def _avi_letterbox_corpus_dir(n_base: int = 24, dup_every: int = 3,
+                              frames_per_video: int = 24) -> str:
+    """MJPEG-AVI fixture WITH PLANTED LETTERBOXED near-dups: multi-shot
+    base videos; every dup_every-th base also appears as `<id>_lb` —
+    the SAME video with UNIFORM BARS on every frame (letterbox 12-22
+    px top+bottom or pillarbox 20-32 px left+right, alternating; bar
+    gray 18) at q70: bars shift and rescale the content inside every
+    DC thumb, so the slot, offset and scale channels' hashes all move
+    (measured 26.2 bits mean on slot hashes)."""
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import jpeg as jpeg_mod
+
+    out = (f"/tmp/destor_ray_avi_lb/"
+           f"v1_n{n_base}_d{dup_every}_f{frames_per_video}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        n_shots = 2 + (i + i // 3) % 3
+        cuts = [(s * frames_per_video) // n_shots
+                for s in range(1, n_shots)]
+        bounds = [0] + cuts + [frames_per_video]
+        frames = []
+        w = h = None
+        for s in range(n_shots):
+            px, w0, h0, _, _ = corpus_mod._base_pixels(
+                seed=31, row=400 + i * 16 + s * 4)
+            if w is None:
+                w, h = w0, h0
+            else:
+                px = px[:h, :w]
+                if px.shape[:2] != (h, w):
+                    px = np.pad(px, ((0, h - px.shape[0]),
+                                     (0, w - px.shape[1]), (0, 0)),
+                                mode="edge")
+            for j in range(bounds[s], bounds[s + 1]):
+                fr = np.roll(px, shift=(j - bounds[s]), axis=1) \
+                    .astype(np.int16)
+                fr = np.clip(fr + 2 * (j - bounds[s]), 0, 255) \
+                    .astype(np.uint8)
+                frames.append(fr)
+        ids.append(f"lbv{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(
+            [jpeg_mod.encode(f, quality=85) for f in frames],
+            w=w, h=h, fps=10))
+        if i % dup_every == 0:
+            tb, lr = ((12 + (i % 3) * 5, 0) if (i // dup_every) % 2 == 0
+                      else (0, 20 + (i % 3) * 6))
+            boxed = []
+            for fr in frames:
+                canvas = np.full((h + 2 * tb, w + 2 * lr, 3), 18,
+                                 np.uint8)
+                canvas[tb:tb + h, lr:lr + w] = fr
+                boxed.append(jpeg_mod.encode(canvas, quality=70))
+            ids.append(f"lbv{i:05d}_lb")
+            blobs.append(avi_mod.encode_mjpeg(
+                boxed, w=w + 2 * lr, h=h + 2 * tb, fps=10))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def letterbox_video_dedup(sf_dir: str, n_base: int = 24,
+                          dup_every: int = 3, k_frames: int = 8,
+                          psnr_min_centi: int = 3000):
+    """(n_videos, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — LETTERBOX/PILLARBOX-invariant video
+    near-dup detection: uniform bars added to every frame (the TV
+    re-broadcast / vertical-repost class) shift AND rescale all
+    content inside the fixed-size DC thumbs, so the slot channel's
+    per-slot hashes move 26.2 bits mean (measured — past any band)
+    and the offset/scale channels' cut keyframes move identically.
+    The normalization is the image letterbox channel's measured
+    full-res trim (codec.trim_uniform_border: strict MAD≤4 ∧ ptp≤32
+    per line), applied to the k SLOT frames only — each slot frame is
+    fully decoded, trimmed, then hashed/thumbed exactly like
+    avi_video_dedup (fraction-positioned slots, dual phash+aHash 8-bit
+    bands, one LSH exchange). Verify = mean per-slot 16×16 thumb PSNR
+    maximized over a {0,1} inset sweep (the trim's residual ≤1-px
+    fractional-rescale shoulder, the image channel's lesson): measured
+    TRUE ≥ 37.8 dB vs DISTINCT ≤ 17.7 dB at the 30 dB gate.
+
+    Scale shape: k full decodes + trims per video (bounded — NOT per
+    frame; the DC-only story holds for every other frame), one band
+    exchange with the k×256 B thumb reel riding, one pair groupby."""
+    from .. import avi as avi_mod
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _avi_letterbox_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_videos = n_base + n_planted
+
+    class TrimSlotSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "video_id": [], "thumbs": []}
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = avi_mod.decode_frames(data)
+                nf = len(frames)
+                k = min(k_frames, nf)
+                g32s, tb = [], b""
+                for j in range(k):
+                    fr = jpeg.decode(frames[(j * nf) // k])
+                    luma = (0.299 * fr[:, :, 0] + 0.587 * fr[:, :, 1]
+                            + 0.114 * fr[:, :, 2]).astype(np.uint8)
+                    luma = codec.trim_uniform_border(luma)
+                    g32s.append(codec.resize_nn(luma, 32, 32))
+                    tb += codec.resize_nn(luma, 16, 16).tobytes()
+                stack = np.stack(g32s)
+                ph = codec.phash64_batch(stack).view(np.uint64)
+                ah = codec.ahash64_batch(stack).view(np.uint64)
+                keys = set()
+                for ch, hv in enumerate((ph, ah)):
+                    for fi in range(k):
+                        for band in range(8):
+                            bits = int((hv[fi] >> np.uint64(8 * band))
+                                       & np.uint64(0xFF))
+                            slot = (ch * k_frames + fi) * 8 + band
+                            keys.add((slot << 8) | bits)
+                for kk in sorted(keys):
+                    out["bkey"].append(kk)
+                    out["video_id"].append(vid)
+                    out["thumbs"].append(tb)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "video_id": pa.array(out["video_id"], pa.string()),
+                "thumbs": pa.array(out["thumbs"], pa.binary()),
+            })
+
+    bands = ds.map_batches(TrimSlotSignature, batch_size=8,
+                           concurrency=2, batch_format="pyarrow")
+
+    def inset_psnr(ta: np.ndarray, tb_: np.ndarray) -> float:
+        best = -1.0
+        for ins in (0, 1):
+            a = ta[:, ins:16 - ins, ins:16 - ins].astype(np.float64)
+            b = tb_[:, ins:16 - ins, ins:16 - ins].astype(np.float64)
+            mse = ((a - b) ** 2).mean(axis=(1, 2))
+            ps = np.where(mse <= 0, 99.0,
+                          np.minimum(10.0 * np.log10(
+                              255.0 * 255.0 / np.maximum(mse, 1e-12)),
+                              99.0))
+            best = max(best, float(ps.mean()))
+        return best
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, ps = [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["video_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            payload = {}
+            for vid, t in zip(ids_, g["thumbs"]):
+                if vid not in payload:
+                    payload[vid] = np.frombuffer(t, np.uint8) \
+                        .reshape(-1, 16, 16)
+            u = sorted(payload)
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if (u[i], u[j]) in seen:
+                        continue
+                    seen.add((u[i], u[j]))
+                    k = min(len(payload[u[i]]), len(payload[u[j]]))
+                    p = inset_psnr(payload[u[i]][:k],
+                                   payload[u[j]][:k])
+                    if int(round(p * 100)) >= psnr_min_centi:
+                        ls.append(u[i])
+                        rs.append(u[j])
+                        ps.append(int(round(p * 100)))
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "psnr_centi": pa.array(ps, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"lbv{i:05d}", f"lbv{i:05d}_lb")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_videos": [n_videos], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Sample-rate-invariant audio dedup: the same clip re-encoded at a
+# different sample rate (8k -> 16k / 11.025k transcodes) breaks every
+# fixed FRAME/HOP-in-SAMPLES feature — the normalization channel
+# resamples PCM to the canonical rate before the proven fingerprints.
+
+
+def _wav_sr_corpus_dir(n_base: int = 36, dup_every: int = 3,
+                       sr: int = 8000) -> str:
+    """WAV fixture WITH PLANTED SAMPLE-RATE-CONVERTED near-dups: the
+    proven 3 s AM three-tone broadband recipe at 8 kHz; every
+    dup_every-th base also appears as `<id>_f` — the SAME signal
+    properly resampled to 16 kHz or 11.025 kHz (alternating; duration
+    preserved, grid changed) at 0.8x gain with fresh dither: the
+    transcode class where every fixed frame/hop-in-samples feature
+    sees different time-frequency cells (measured: 30.3/60 fingerprint
+    bits move, min 21 — past any band)."""
+    from .. import codec
+
+    out = f"/tmp/destor_ray_wav_sr/v1_n{n_base}_d{dup_every}_sr{sr}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+    for i in range(n_base):
+        rng = np.random.Generator(np.random.Philox(key=500 + i))
+        sig = np.zeros_like(t)
+        for _ in range(3):
+            f = rng.uniform(80, 1800)
+            a = rng.uniform(0.2, 0.5)
+            sig += a * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+        sig += 0.1 * rng.normal(0, 1, len(t))
+        lv = rng.uniform(0.2, 1.0, 25)
+        env = np.interp(np.linspace(0, 24, len(t)), np.arange(25), lv)
+        base = (sig * env / 3.0).astype(np.float64)
+        d1 = np.random.Generator(np.random.Philox(key=5 + i)) \
+            .normal(0, 1e-4, len(base))
+        ids.append(f"srx{i:05d}")
+        blobs.append(codec.wav_encode(
+            (base + d1).astype(np.float32), sr))
+        if i % dup_every == 0:
+            sr2 = 16000 if (i // dup_every) % 2 == 0 else 11025
+            n_out = int(len(base) * sr2 / sr)
+            dup = np.interp(np.arange(n_out) * sr / sr2,
+                            np.arange(len(base)), base)
+            d2 = np.random.Generator(np.random.Philox(key=900 + i)) \
+                .normal(0, 1e-4, len(dup))
+            ids.append(f"srx{i:05d}_f")
+            blobs.append(codec.wav_encode(
+                (0.8 * dup + d2).astype(np.float32), sr2))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/clips.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def samplerate_audio_dedup(sf_dir: str, n_base: int = 36,
+                           dup_every: int = 3, canonical_sr: int = 8000,
+                           corr_min_milli: int = 950):
+    """(n_clips, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — SAMPLE-RATE-invariant audio near-dup
+    detection: proper sample-rate conversions (8k -> 16k / 11.025k
+    transcodes; duration preserved) at altered gain. Fixed
+    frame/hop-in-SAMPLES features see different time-frequency cells
+    at a different rate — the slot channel's Haitsma-Kalker words
+    measured moving 30.3/60 bits (min 21, past any band). The channel
+    is a NORMALIZATION (the EXIF-orientation pattern, one modality
+    over): decode reports the rate, PCM is linearly resampled to the
+    canonical rate once per clip, and the PROVEN machinery runs
+    unchanged — Haitsma-Kalker delta-sign words (gain-invariant by
+    construction) through the 8x8-bit band exchange, verify =
+    _audio_offset_verify at offset 0 (masked envelope corr AND
+    block-profile corr, both mean-centered). The slot channel's
+    mean-profile-only verify was measured FAILING here (TRUE min
+    0.9900 < DISTINCT max 0.9946: the interp lowpass tilts the
+    long-term profile) while the offset channel's dual arm separates
+    TRUE >= 0.9910 from DISTINCT <= 0.5333 at the 0.95 gate.
+
+    Scale shape: one band exchange + one pair groupby; PCM never
+    shuffles (360 B envelope + 1.4 KB block-spectrogram ride)."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _wav_sr_corpus_dir(n_base=n_base, dup_every=dup_every,
+                           sr=canonical_sr)
+    ds = ray.data.read_parquet(f"{d}/clips.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_clips = n_base + n_planted
+
+    class SrNormFingerprint:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "clip_id": [], "env": [], "spec": []}
+            for cid, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                pcm, sr = codec.wav_decode(data)
+                pcm = pcm.astype(np.float64)
+                if sr != canonical_sr:
+                    n_out = int(len(pcm) * canonical_sr / sr)
+                    pcm = np.interp(
+                        np.arange(n_out) * sr / canonical_sr,
+                        np.arange(len(pcm)), pcm)
+                el = _audio_band_log(pcm)
+                e = np.exp(el)
+                d_t = np.diff(e, axis=0)
+                bits = (d_t[:, :-1] - d_t[:, 1:]) > 0
+                slots = [(j * (len(bits) - 1)) // 3 for j in range(4)]
+                word = np.uint64(0)
+                nb = bits.shape[1]
+                for j, s in enumerate(slots):
+                    w_ = int(np.packbits(
+                        bits[s], bitorder="big")[:2].view(">u2")[0] >> 1)
+                    word |= np.uint64((w_ & ((1 << nb) - 1))
+                                      ) << np.uint64(j * nb)
+                env_tot = np.log(e.sum(axis=1) + 1e-300)
+                nblk = len(el) // 4
+                spec4 = el[:nblk * 4].reshape(nblk, 4, _AOF_NB) \
+                    .mean(axis=1)
+                env_b = np.round(env_tot * 1000).astype(np.int16) \
+                    .tobytes()
+                spec_b = np.round(spec4 * 1000).astype(np.int16) \
+                    .tobytes()
+                for band in range(8):
+                    bits8 = int((word >> np.uint64(8 * band))
+                                & np.uint64(0xFF))
+                    out["bkey"].append((band << 8) | bits8)
+                    out["clip_id"].append(cid)
+                    out["env"].append(env_b)
+                    out["spec"].append(spec_b)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "clip_id": pa.array(out["clip_id"], pa.string()),
+                "env": pa.array(out["env"], pa.binary()),
+                "spec": pa.array(out["spec"], pa.binary()),
+            })
+
+    bands = ds.map_batches(SrNormFingerprint, batch_size=16,
+                           concurrency=2, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, cs = [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["clip_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            payload = {}
+            for cid, eb, sb in zip(ids_, g["env"], g["spec"]):
+                if cid not in payload:
+                    payload[cid] = (
+                        np.frombuffer(eb, np.int16).astype(np.float64)
+                        / 1000,
+                        np.frombuffer(sb, np.int16).astype(np.float64)
+                        .reshape(-1, _AOF_NB) / 1000)
+            u = sorted(payload)
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if (u[i], u[j]) in seen:
+                        continue
+                    seen.add((u[i], u[j]))
+                    ea, sa = payload[u[i]]
+                    eb_, sb_ = payload[u[j]]
+                    c = _audio_offset_verify(ea, sa, eb_, sb_, 0)
+                    if int(round(c * 1000)) >= corr_min_milli:
+                        ls.append(u[i])
+                        rs.append(u[j])
+                        cs.append(int(round(c * 1000)))
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "corr_milli": pa.array(cs, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"srx{i:05d}", f"srx{i:05d}_f")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_clips": [n_clips], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

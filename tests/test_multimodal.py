@@ -646,3 +646,33 @@ def test_video_scale_verify_refines_coarse_proposals():
     perm = rng.permutation(len(base))
     p_bad = _video_scale_verify(base[perm], dup, rho, rho * k)
     assert p_bad < 35.0
+
+
+def test_letterbox_video_dedup_bar_invariant_full_recall(ray_session):
+    """every planted letterboxed/pillarboxed (12-32 px uniform bars on
+    every frame, q70) copy is found — recall 1.0, zero false merges.
+    Bars shift+rescale content inside fixed-size thumbs (slot hashes
+    measured moving 26 bits mean); full-res trim of the k slot frames
+    restores the slot channel."""
+    from destor_ray.pipelines.ingest import letterbox_video_dedup
+
+    out = letterbox_video_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_videos == 32 and out.n_planted == 8
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 8
+
+
+def test_samplerate_audio_dedup_rate_invariant_full_recall(ray_session):
+    """every planted sample-rate-converted (8k -> 16k / 11.025k,
+    0.8x gain) copy is found — recall 1.0, zero false merges. Fixed
+    frame/hop-in-samples features see different time-frequency cells
+    at a different rate (fingerprints measured moving 30/60 bits);
+    resampling to the canonical rate restores the proven machinery."""
+    from destor_ray.pipelines.ingest import samplerate_audio_dedup
+
+    out = samplerate_audio_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_clips == 48 and out.n_planted == 12
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 12
