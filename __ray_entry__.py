@@ -390,6 +390,21 @@ queries() entries map to SURVEY.md §2 operators:
                        vs distinct ≤17.7 dB at the 30 dB gate); full
                        decodes bounded at k per video; planted recall
                        1.0, 0 false merges (rows-only; pytest pins)
+  mirror_video_dedup   MIRROR/ROT180-invariant video near-dup
+                       detection (horizontally flipped / upside-down
+                       re-uploads — the cheapest manual evasion edit;
+                       slot phash measured moving 34.8/64 bits mean,
+                       min 30, past any band): the image dihedral
+                       channel's orbit emission lifted to video with
+                       Klein-4-group economy — band rows for the
+                       3-element set {id, fliplr, flipud} whose
+                       difference set is the WHOLE group, so any
+                       flipped copy collides on a shared orientation
+                       at 3× (not 4×) rows; verify = per-slot DC-thumb
+                       PSNR under one GLOBAL group element (≥6 of 8
+                       slots at 30 dB; true ≥50.9 vs distinct ≤22.6
+                       dB); DC-only decodes; planted recall 1.0, 0
+                       false merges (rows-only; pytest pins)
   rotation_image_dedup SMALL-ANGLE-ROTATION-invariant near-dup
                        detection (±2-8° straighten/deskew + re-encode
                        — plain phash measured moving 18.5 bits mean,
@@ -2098,6 +2113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_offset_dedup": ingest.video_offset_dedup,
         "timescale_video_dedup": ingest.timescale_video_dedup,
         "letterbox_video_dedup": ingest.letterbox_video_dedup,
+        "mirror_video_dedup": ingest.mirror_video_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,

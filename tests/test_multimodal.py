@@ -676,3 +676,39 @@ def test_samplerate_audio_dedup_rate_invariant_full_recall(ray_session):
     assert out.recall_ppm == 1_000_000
     assert out.n_false == 0
     assert out.n_true == out.n_verified_pairs == 12
+
+
+def test_mirror_video_dedup_orbit_invariant_full_recall(ray_session):
+    """every planted mirrored (fliplr) and upside-down (rot180) copy
+    at q70 is found — recall 1.0, zero false merges. Flips move slot
+    phash 34.8/64 bits mean (min 30, past any band); the Klein-4
+    orbit emission {id, fliplr, flipud} collides every transformed
+    copy, and the global-orientation slot-PSNR verify separates true
+    (>=50.9 dB per slot) from distinct (<=22.6 dB mean)."""
+    from destor_ray.pipelines.ingest import mirror_video_dedup
+
+    out = mirror_video_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_videos == 32 and out.n_planted == 8
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 8
+
+
+def test_mirror_orbit_difference_set_covers_klein_group():
+    """the 3-element emission set {id, fliplr, flipud} guarantees a
+    shared-orientation collision for EVERY Klein-4 transform of a
+    copy: for each g in the group, g applied to some emitted
+    orientation lands back in the emitted set (difference-set
+    coverage) — the 3x-not-4x band-row economy the channel relies
+    on, pinned as pure array algebra."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    emit = [x, x[:, ::-1], x[::-1, :]]
+    group = [lambda a: a, lambda a: a[:, ::-1],
+             lambda a: a[::-1, :], lambda a: a[::-1, ::-1]]
+    for g in group:
+        gx = [g(e) for e in emit]  # emissions of a g-transformed copy
+        hit = any(np.array_equal(a, b) for a in gx for b in emit)
+        assert hit
