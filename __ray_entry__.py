@@ -349,6 +349,25 @@ queries() entries map to SURVEY.md §2 operators:
                        profiles, true 0.990 < distinct 0.9946; dual
                        arm separates 0.991 vs 0.533); planted recall
                        1.0, 0 false merges (rows-only; pytest pins)
+  pitchshift_audio_dedup PITCH-SHIFT-invariant audio near-dup
+                       detection (±2-4 semitone tempo-preserving
+                       transposition — the "nightcore" / key-change
+                       class; measured blind on the offset channel at
+                       2/12: spectral words move past both banding
+                       halves): candidates hash 32-bit ENVELOPE-shape
+                       anchor words (total frame energy is pitch-
+                       invariant by Parseval — every true pair
+                       collides vs 1/66 distinct); verify = dual gate
+                       at offset 0: masked envelope ZNCC ≥0.95 AND
+                       fractional-log-band-shift-swept 2D block-
+                       profile ZNCC ≥0.85 on INTEGRATED geometric
+                       power bands (integration, not grid sampling —
+                       sampled grids alias narrow tones, measured
+                       specZ −0.02 on true pairs; true ≥0.968/0.926
+                       vs distinct ≤0.449/0.722); near-unison beating
+                       documented as the invariant's physical
+                       boundary; planted recall 1.0, 0 false merges
+                       (rows-only; pytest pins)
   video_offset_dedup   TIME-SHIFT-invariant video near-dup detection
                        (head-trimmed / ad-prepended re-uploads at q70
                        transcode — the offset class fraction-sampled
@@ -2110,6 +2129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_offset_dedup": ingest.audio_offset_dedup,
         "timescale_audio_dedup": ingest.timescale_audio_dedup,
         "samplerate_audio_dedup": ingest.samplerate_audio_dedup,
+        "pitchshift_audio_dedup": ingest.pitchshift_audio_dedup,
         "video_offset_dedup": ingest.video_offset_dedup,
         "timescale_video_dedup": ingest.timescale_video_dedup,
         "letterbox_video_dedup": ingest.letterbox_video_dedup,

@@ -6901,3 +6901,322 @@ def mirror_video_dedup(sf_dir: str, n_base: int = 24, dup_every: int = 3,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Pitch-shift-invariant audio dedup: tempo-preserving transposition
+# ("nightcore" / key-change re-uploads) moves every spectral feature to
+# different frequency cells while leaving TIMING untouched — the exact
+# complement of the timescale channel. Measured blind on
+# audio_offset_dedup: 2/12 recall (most pairs get ZERO proposals — the
+# 32-bit spectral words move past both 16-bit halves — and the
+# band-profile verify arm fails on the survivors).
+
+
+_APS_FRAME, _APS_HOP, _APS_NB = 1024, 128, 32
+_APS_EDGES = np.unique(np.geomspace(8, 512, 33).astype(int))
+_APS_STEP = float(np.log(512.0 / 8.0) / 32.0)  # log-band width
+
+
+def _audio_pitch_feats(pcm: np.ndarray):
+    """(env, prof) — log total-energy envelope per frame (EXACTLY
+    pitch-invariant by Parseval: transposition permutes spectral cells
+    but preserves frame energy) and the per-4-frame-block INTEGRATED
+    log-band power profile (power summed over geometric bins, L1-
+    normalized per block, [1,2,1]/4-smoothed). Integration — not
+    log-grid SAMPLING — is load-bearing: a windowed tone has fixed
+    ~4-bin width in linear frequency, so a log grid that samples power
+    at grid points aliases narrow high-frequency peaks (measured: the
+    sampled-grid verify arm bottomed at specZ −0.02 on TRUE pairs);
+    summing bins puts every tone's full mass in its band regardless of
+    width (measured: true ≥ 0.9255)."""
+    nf = 1 + (len(pcm) - _APS_FRAME) // _APS_HOP
+    idx = (np.arange(_APS_FRAME)[None, :]
+           + _APS_HOP * np.arange(nf)[:, None])
+    w = np.hanning(_APS_FRAME)
+    spec = np.abs(np.fft.rfft(pcm[idx] * w, axis=1)) ** 2
+    env = np.log(spec.sum(axis=1) + 1e-300)
+    bb = np.add.reduceat(spec, _APS_EDGES[:-1], axis=1)[:, :_APS_NB]
+    nblk = len(bb) // 4
+    pw4 = bb[:nblk * 4].reshape(nblk, 4, _APS_NB).mean(axis=1)
+    prof = pw4 / np.maximum(pw4.sum(axis=1, keepdims=True), 1e-30)
+    sm = (np.pad(prof, ((0, 0), (1, 1)), mode="edge")[:, :-2]
+          + 2.0 * prof
+          + np.pad(prof, ((0, 0), (1, 1)), mode="edge")[:, 2:]) / 4.0
+    return env, sm
+
+
+def _audio_env_words(env: np.ndarray, anchors: np.ndarray) -> np.ndarray:
+    """32-bit ENVELOPE-shape word per anchor: sign of env deltas over a
+    16-offset ladder at two delta scales (4 and 12 frames) — gain-
+    invariant (log-env deltas) AND pitch-invariant (the envelope is
+    total energy). The offset channel's words are spectral-shape and
+    move past both banding halves under transposition; these stay
+    bit-identical up to dither."""
+    n = len(env)
+    words = np.zeros(len(anchors), np.uint64)
+    offs = np.arange(-28, 36, 4)
+    for k, a in enumerate(anchors):
+        v = 0
+        for d in (4, 12):
+            for oo in offs:
+                i1 = min(max(int(a) + int(oo), 0), n - 1)
+                i0 = min(max(int(a) + int(oo) - d, 0), n - 1)
+                v = (v << 1) | int(env[i1] > env[i0])
+        words[k] = v
+    return words
+
+
+def _audio_pitch_verify(env_a, prof_a, env_b, prof_b,
+                        smax: float = 3.0):
+    """(env_zncc, spec_zncc) dual verify at offset 0 (transposition
+    preserves timing): masked mean-centered envelope correlation, and
+    the max over fractional log-band shifts s in [-smax, smax] (0.125
+    steps, linear interp — covers alpha in [0.69, 1.45]) of the masked
+    2D ZNCC between block-profile matrices with b's bands translated
+    by s. Both arms are independent evidence: the envelope arm alone
+    could merge two different recordings with the same beat; the
+    spectral arm alone is loose on smooth profiles. Measured margins
+    (5-tone independent-AM fixture, alpha 0.85-1.26, fresh noise):
+    TRUE env ≥ 0.9681 / spec ≥ 0.9255 vs DISTINCT env ≤ 0.4486 /
+    spec ≤ 0.7217 at the 0.95/0.85 gates."""
+    n = min(len(env_a), len(env_b))
+    m = (env_a[:n] > env_a.max() - 8.0) & (env_b[:n] > env_b.max() - 8.0)
+    if m.sum() < 60:
+        return -1.0, -1.0
+    ca = env_a[:n][m] - env_a[:n][m].mean()
+    cb = env_b[:n][m] - env_b[:n][m].mean()
+    den = float(np.sqrt((ca * ca).sum() * (cb * cb).sum()))
+    env_c = float((ca * cb).sum()) / den if den > 0 else -1.0
+
+    nblk = min(len(prof_a), len(prof_b))
+    a, b = prof_a[:nblk], prof_b[:nblk]
+    ea = env_a[:(len(env_a) // 4) * 4].reshape(-1, 4).mean(axis=1)[:nblk]
+    eb = env_b[:(len(env_b) // 4) * 4].reshape(-1, 4).mean(axis=1)[:nblk]
+    bm = (ea > env_a.max() - 8.0) & (eb > env_b.max() - 8.0)
+    if bm.sum() < 10:
+        return env_c, -1.0
+    best = -1.0
+    for s in np.arange(-smax, smax + 1e-9, 0.125):
+        i = np.arange(_APS_NB) + s
+        i0 = np.clip(np.floor(i).astype(int), 0, _APS_NB - 1)
+        i1 = np.clip(i0 + 1, 0, _APS_NB - 1)
+        fr = i - np.floor(i)
+        valid = (i >= 0) & (i <= _APS_NB - 1)
+        if valid.sum() < 20:
+            continue
+        bs = b[:, i0] * (1 - fr) + b[:, i1] * fr
+        A = a[bm][:, valid]
+        B = bs[bm][:, valid]
+        A = A - A.mean()
+        B = B - B.mean()
+        den2 = float(np.sqrt((A * A).sum() * (B * B).sum()))
+        c = float((A * B).sum()) / den2 if den2 > 0 else -1.0
+        best = max(best, c)
+    return env_c, best
+
+
+def _wav_pitch_corpus_dir(n_base: int = 36, dup_every: int = 3,
+                          sr: int = 8000) -> str:
+    """WAV fixture WITH PLANTED PITCH-SHIFTED near-dups: 3 s clips of
+    FIVE tones, EACH with an independent 25-knot AM envelope — richer
+    than the earlier three-tone/global-envelope recipe on purpose: a
+    time-VARYING spectral shape is what the spectral verify arm keys
+    on, and real audio always has one (a constant-tone fixture
+    degenerates the arm to a 3-element band-set comparison). Every
+    dup_every-th base also appears as `<id>_p` — the SAME per-tone
+    envelopes with all tone frequencies multiplied by alpha in
+    {0.85, 0.9, 1.12, 1.26} (±2-4 semitone transposition, tempo
+    preserved) at 0.8x gain with a FRESH noise realization (a real
+    pitch shifter transposes the noise too; regenerating it shares
+    even less content — the harder case).
+
+    Tone frequencies are rejection-sampled to >= 60 Hz apart: two
+    NEAR-UNISON tones beat at |f1-f2|, and a pitch shift alpha-scales
+    the beat RATE, so the energy envelope is genuinely NOT invariant
+    for such clips (measured: a 1.4 Hz tone gap broke envelope ZNCC
+    to 0.735 and every candidate word) — a physical boundary of the
+    Parseval invariant, documented on the channel, not a fixture
+    accident."""
+    from .. import codec
+
+    out = f"/tmp/destor_ray_wav_pitch/v2_n{n_base}_d{dup_every}_sr{sr}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+    alphas = [0.85, 0.9, 1.12, 1.26]
+
+    def synth(i, alpha, noise_key):
+        rng = np.random.Generator(np.random.Philox(key=3000 + i))
+        sig = np.zeros_like(t)
+        chosen = []
+        for _ in range(5):
+            f = rng.uniform(80, 1800)
+            while chosen and min(abs(f - c) for c in chosen) < 60.0:
+                f = rng.uniform(80, 1800)
+            chosen.append(f)
+            a = rng.uniform(0.2, 0.5)
+            ph = rng.uniform(0, 6.28)
+            lv = rng.uniform(0.05, 1.0, 25)
+            env_k = np.interp(np.linspace(0, 24, len(t)),
+                              np.arange(25), lv)
+            sig += a * env_k * np.sin(2 * np.pi * f * alpha * t + ph)
+        nrng = np.random.Generator(
+            np.random.Philox(key=4000 + i * 7 + noise_key))
+        sig += 0.05 * nrng.normal(0, 1, len(t))
+        return sig / 3.0
+
+    for i in range(n_base):
+        ids.append(f"pit{i:05d}")
+        blobs.append(codec.wav_encode(
+            synth(i, 1.0, 0).astype(np.float32), sr))
+        if i % dup_every == 0:
+            alpha = alphas[(i // dup_every) % 4]
+            ids.append(f"pit{i:05d}_p")
+            blobs.append(codec.wav_encode(
+                (0.8 * synth(i, alpha, 1)).astype(np.float32), sr))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/clips.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def pitchshift_audio_dedup(sf_dir: str, n_base: int = 36,
+                           dup_every: int = 3,
+                           env_min_milli: int = 950,
+                           spec_min_milli: int = 850):
+    """(n_clips, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — PITCH-SHIFT-invariant audio near-dup
+    detection: tempo-preserving transposition (±2-4 semitones — the
+    "nightcore" / key-change re-upload class) moves every spectral
+    feature to different frequency cells while leaving timing
+    untouched — the exact complement of timescale_audio_dedup's class,
+    and measured blind on audio_offset_dedup (2/12 recall: the 32-bit
+    spectral-shape words move past both 16-bit banding halves on most
+    pairs, and the band-profile verify arm fails on the survivors).
+
+    Both arms are the transform's EXACT invariants. Candidates hash
+    32-bit ENVELOPE-shape words (sign of log-total-energy deltas over
+    a two-scale offset ladder) at the proven content-defined anchors —
+    total frame energy is pitch-invariant by Parseval, so words stay
+    bit-identical up to dither (measured: every true pair collides,
+    min 1, vs 1 collision over 66 distinct pairs) — banded as two
+    16-bit halves through one LSH exchange. Verify is a dual gate at
+    offset 0: masked envelope ZNCC >= 0.95 AND, over a fractional
+    log-band shift sweep (the pitch factor is log-translation on
+    INTEGRATED geometric power bands — integration, not grid sampling,
+    is load-bearing: sampled grids alias narrow tones, measured specZ
+    -0.02 on true pairs), masked 2D block-profile ZNCC >= 0.85.
+    Measured margins: TRUE >= 0.9681/0.9255 vs DISTINCT <=
+    0.4486/0.7217 — each arm independently separates what the other
+    can't (same-beat distinct recordings / smooth shared profiles).
+
+    Class boundaries, both documented and measured: (1) NEAR-UNISON
+    beating — two tones < ~8 Hz apart beat at |f1-f2| and a pitch
+    shift alpha-scales the beat rate, so the energy envelope is
+    genuinely not invariant (a 1.4 Hz gap broke envelope ZNCC to
+    0.735 and every candidate word); real pitch shifters change beat
+    rates too — such clips need the spectral channel family instead.
+    (2) A pitch+trim composite needs the offset channel's
+    anchor-offset votes on these pitch-invariant words — a
+    composition seam, not covered here.
+
+    Scale shape: one band exchange + one pair groupby; PCM never
+    shuffles — each band row carries the ~360 B int16 envelope + 2.9 KB
+    uint16 block-profile matrix, ~7 rows/clip (pair-rendezvous applies
+    unchanged when riding bytes dominate)."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _wav_pitch_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/clips.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_clips = n_base + n_planted
+
+    class PitchSignature:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "clip_id": [], "env": [], "prof": []}
+            for cid, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                pcm, _sr = codec.wav_decode(data)
+                env, prof = _audio_pitch_feats(pcm.astype(np.float64))
+                anchors = _audio_anchors(env)
+                words = _audio_env_words(env, anchors)
+                env_b = np.round(env * 1000).astype(np.int16).tobytes()
+                prof_b = np.round(prof * 10000).astype(np.uint16) \
+                    .tobytes()
+                for wrd in np.unique(words):
+                    for half in range(2):
+                        bits = int((int(wrd) >> (16 * half)) & 0xFFFF)
+                        out["bkey"].append((half << 16) | bits)
+                        out["clip_id"].append(cid)
+                        out["env"].append(env_b)
+                        out["prof"].append(prof_b)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "clip_id": pa.array(out["clip_id"], pa.string()),
+                "env": pa.array(out["env"], pa.binary()),
+                "prof": pa.array(out["prof"], pa.binary()),
+            })
+
+    bands = ds.map_batches(PitchSignature, batch_size=16,
+                           concurrency=2, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs = [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["clip_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            envs, profs = {}, {}
+            for cid, e, p in zip(ids_, g["env"], g["prof"]):
+                if cid not in envs:
+                    envs[cid] = np.frombuffer(e, np.int16) \
+                        .astype(np.float64) / 1000
+                    profs[cid] = np.frombuffer(p, np.uint16) \
+                        .astype(np.float64).reshape(-1, _APS_NB) / 10000
+            u = sorted(envs)
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if (u[i], u[j]) in seen:
+                        continue
+                    seen.add((u[i], u[j]))
+                    ec, sc = _audio_pitch_verify(
+                        envs[u[i]], profs[u[i]],
+                        envs[u[j]], profs[u[j]])
+                    if (int(round(ec * 1000)) >= env_min_milli
+                            and int(round(sc * 1000)) >= spec_min_milli):
+                        ls.append(u[i])
+                        rs.append(u[j])
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"pit{i:05d}", f"pit{i:05d}_p")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_clips": [n_clips], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")

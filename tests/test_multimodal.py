@@ -712,3 +712,55 @@ def test_mirror_orbit_difference_set_covers_klein_group():
         gx = [g(e) for e in emit]  # emissions of a g-transformed copy
         hit = any(np.array_equal(a, b) for a in gx for b in emit)
         assert hit
+
+
+def test_pitchshift_audio_dedup_transposition_invariant_full_recall(ray_session):
+    """every planted pitch-shifted (alpha 0.85-1.26, tempo preserved,
+    0.8x gain, fresh noise) copy is found — recall 1.0, zero false
+    merges. The offset channel is measured blind on this class (2/12:
+    spectral words move past both banding halves); envelope-shape
+    anchor words (Parseval-invariant) + the dual env/shift-swept-
+    profile verify restore it."""
+    from destor_ray.pipelines.ingest import pitchshift_audio_dedup
+
+    out = pitchshift_audio_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_clips == 48 and out.n_planted == 12
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 12
+
+
+def test_audio_pitch_verify_recovers_fractional_band_shift():
+    """the spectral arm's fractional-shift sweep: a block-profile
+    matrix translated by a NON-INTEGER band shift (the log-band image
+    of a pitch factor) correlates >=0.9 at the swept alignment, while
+    a band-permuted (content-mismatched) matrix with the SAME row
+    energies stays below the 0.85 gate — and the envelope arm is
+    exactly gain-invariant (log gain cancels in mean-centering)."""
+    import numpy as np
+    from destor_ray.pipelines.ingest import (_audio_pitch_verify,
+                                             _APS_NB)
+
+    rng = np.random.default_rng(9)
+    nblk = 40
+    # sparse tonal profiles: 4 peaks per block, slowly varying weights
+    prof = np.zeros((nblk, _APS_NB))
+    peaks = rng.choice(np.arange(4, _APS_NB - 6), 4, replace=False)
+    for b_ in range(nblk):
+        w = 0.5 + 0.5 * np.sin(np.arange(4) + b_ / 5.0)
+        prof[b_, peaks] = w / w.sum()
+    # smooth like the signature does
+    sm = (np.pad(prof, ((0, 0), (1, 1)), mode="edge")[:, :-2]
+          + 2 * prof + np.pad(prof, ((0, 0), (1, 1)), mode="edge")[:, 2:]) / 4
+    s_true = 1.75
+    i = np.arange(_APS_NB) - s_true
+    i0 = np.clip(np.floor(i).astype(int), 0, _APS_NB - 1)
+    i1 = np.clip(i0 + 1, 0, _APS_NB - 1)
+    fr = i - np.floor(i)
+    shifted = sm[:, i0] * (1 - fr) + sm[:, i1] * fr
+    env = np.full(4 * nblk, 10.0) + rng.normal(0, 0.3, 4 * nblk)
+    ec, sc = _audio_pitch_verify(env, sm, env + np.log(0.5), shifted)
+    assert ec >= 0.95 and sc >= 0.9
+    perm = rng.permutation(_APS_NB)
+    ec2, sc2 = _audio_pitch_verify(env, sm, env, sm[:, perm])
+    assert sc2 < 0.85
