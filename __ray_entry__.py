@@ -424,6 +424,19 @@ queries() entries map to SURVEY.md §2 operators:
                        slots at 30 dB; true ≥50.9 vs distinct ≤22.6
                        dB); DC-only decodes; planted recall 1.0, 0
                        false merges (rows-only; pytest pins)
+  omni_video_dedup     PRODUCTION COMPOSITION of the video channels:
+                       one container walk + DC decode pass computes
+                       the orbit-slot (re/mr), trimmed-slot (lb) and
+                       cut-anchor (of/ts — offset verify first, then
+                       timescale (rho,d) proposals) families; ONE
+                       unified band exchange (channel<<24|slot<<8|
+                       bits), each row carrying only its channel's
+                       verify payload, bucket verifier dispatches at
+                       the standalone gates; mixed fixture plants one
+                       dup per class: per-class recall 1.0, zero
+                       false merges — certifies the channels COMPOSE
+                       without cross-channel false amplification
+                       (rows-only; pytest pins)
   rotation_image_dedup SMALL-ANGLE-ROTATION-invariant near-dup
                        detection (±2-8° straighten/deskew + re-encode
                        — plain phash measured moving 18.5 bits mean,
@@ -2134,6 +2147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timescale_video_dedup": ingest.timescale_video_dedup,
         "letterbox_video_dedup": ingest.letterbox_video_dedup,
         "mirror_video_dedup": ingest.mirror_video_dedup,
+        "omni_video_dedup": ingest.omni_video_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,

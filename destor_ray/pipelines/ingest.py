@@ -7220,3 +7220,398 @@ def pitchshift_audio_dedup(sf_dir: str, n_base: int = 36,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Omni video dedup: the production composition of the video channels —
+# one DC-only decode pass per video, one unified band exchange, per-
+# channel verify dispatch (the omni_image_dedup pattern one modality
+# over).
+
+_OMNIV_SL, _OMNIV_LB, _OMNIV_AN = 1, 2, 3
+_OMNIV_KINDS = ["re", "mr", "lb", "of", "ts"]
+
+
+def _orbit_slot_good(ta: np.ndarray, tb_: np.ndarray,
+                     psnr_min_centi: int) -> int:
+    """max over the Klein-4 group elements (applied GLOBALLY to reel
+    b) of the count of slots clearing the PSNR gate — the mirror
+    channel's verify kernel (global orientation: per-slot mixing is
+    disallowed so one coincidentally-symmetric frame cannot merge two
+    videos)."""
+    best = 0
+    for g in (tb_, tb_[:, :, ::-1], tb_[:, ::-1, :], tb_[:, ::-1, ::-1]):
+        a = ta.astype(np.float64)
+        b = g.astype(np.float64)
+        mse = ((a - b) ** 2).mean(axis=(1, 2))
+        ps = np.where(mse <= 0, 99.0,
+                      10.0 * np.log10(255.0 * 255.0
+                                      / np.maximum(mse, 1e-12)))
+        best = max(best, int((ps * 100 >= psnr_min_centi).sum()))
+    return best
+
+
+def _avi_omni_corpus_dir(n_base: int = 30, dup_every: int = 3,
+                         frames_per_video: int = 24) -> str:
+    """MJPEG-AVI mixed fixture: multi-shot base videos (the proven
+    motion model, seed 43) with ONE planted dup per transform class,
+    kinds cycling re (q70 transcode) / mr (every frame mirrored) /
+    lb (uniform bars) / of (head trim 3-7) / ts (speed rho 0.75-1.3 +
+    trim 2-4) — certifying the channels COMPOSE, which no per-channel
+    fixture can show."""
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import jpeg as jpeg_mod
+
+    out = (f"/tmp/destor_ray_avi_omni/"
+           f"v1_n{n_base}_d{dup_every}_f{frames_per_video}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        n_shots = 2 + (i + i // 3) % 3
+        cuts = [(s * frames_per_video) // n_shots
+                for s in range(1, n_shots)]
+        bounds = [0] + cuts + [frames_per_video]
+        frames_px = []
+        w = h = None
+        for s in range(n_shots):
+            px, w0, h0, _, _ = corpus_mod._base_pixels(
+                seed=43, row=500 + i * 16 + s * 4)
+            if w is None:
+                w, h = w0, h0
+            else:
+                px = px[:h, :w]
+                if px.shape[:2] != (h, w):
+                    px = np.pad(px, ((0, h - px.shape[0]),
+                                     (0, w - px.shape[1]), (0, 0)),
+                                mode="edge")
+            for j in range(bounds[s], bounds[s + 1]):
+                fr = np.roll(px, shift=(j - bounds[s]), axis=1) \
+                    .astype(np.int16)
+                frames_px.append(np.clip(fr + 2 * (j - bounds[s]),
+                                         0, 255).astype(np.uint8))
+        ids.append(f"omv{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(
+            [jpeg_mod.encode(f, quality=85) for f in frames_px],
+            w=w, h=h, fps=10))
+        if i % dup_every != 0:
+            continue
+        kind = _OMNIV_KINDS[(i // dup_every) % len(_OMNIV_KINDS)]
+        dw, dh = w, h
+        if kind == "re":
+            dup_px = frames_px
+        elif kind == "mr":
+            dup_px = [np.ascontiguousarray(f[:, ::-1, :])
+                      for f in frames_px]
+        elif kind == "lb":
+            tb, lr = ((12 + (i % 3) * 5, 0) if (i // dup_every) % 2 == 0
+                      else (0, 20 + (i % 3) * 6))
+            dup_px = []
+            for fr in frames_px:
+                canvas = np.full((h + 2 * tb, w + 2 * lr, 3), 18,
+                                 np.uint8)
+                canvas[tb:tb + h, lr:lr + w] = fr
+                dup_px.append(canvas)
+            dw, dh = w + 2 * lr, h + 2 * tb
+        elif kind == "of":
+            dup_px = frames_px[3 + (i // dup_every) % 5:]
+        else:  # ts
+            rho = 0.75 if (i // dup_every) % 2 == 0 else 1.3
+            k = 2 + (i // 4) % 3
+            m = int(len(frames_px) / rho)
+            idx = np.minimum(np.round(np.arange(m) * rho).astype(int),
+                             len(frames_px) - 1)
+            dup_px = [frames_px[t] for t in idx[k:]]
+        ids.append(f"omv{i:05d}_{kind}")
+        blobs.append(avi_mod.encode_mjpeg(
+            [jpeg_mod.encode(f, quality=70) for f in dup_px],
+            w=dw, h=dh, fps=10))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def omni_video_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
+                     k_frames: int = 8):
+    """(kind, n_planted, n_found, n_false, recall_ppm) per transform
+    class + a "_total" row — the PRODUCTION COMPOSITION of the video
+    near-dup channels: at 100 TB you cannot afford one container walk
+    + DC decode pass per invariance class, so this pipeline walks each
+    video ONCE, computes every channel's signature from the same
+    DC-thumb reel, and ships all of them through ONE unified band
+    exchange (channel << 24 | slot << 8 | bits); each band row carries
+    only ITS channel's verify payload and the bucket verifier
+    dispatches to the channel's measured kernel at its standalone
+    gate:
+
+    * SL (orbit slot family, orientation NOT in the key): k
+      fraction-positioned slot thumbs, dual phash+aHash bands emitted
+      for the Klein-4 subset {id, fliplr, flipud} (difference set =
+      whole group — mirror_video_dedup's economy); verify = global-
+      orientation per-slot PSNR, >=6 of 8 slots at 30 dB. Covers
+      transcode (re) at identity + mirror/rot180 (mr).
+    * LB (trimmed slot family): the k slot frames FULLY decoded (the
+      only full decodes — bounded at k per video) and uniform-border
+      trimmed before hashing; verify = mean trimmed-thumb PSNR over a
+      {0,1} inset sweep at 30 dB. Covers letterbox/pillarbox (lb).
+    * AN (cut-anchor family): shot-cut keyframe dual bands; the cut
+      list + frame count + full reel ride the rows; verify tries the
+      offset channel first (aligned overlap PSNR at the proposed
+      dt +-1, >=30 dB, >=10 frames) then the timescale channel
+      (_video_scale_proposals cut x cut / cut x end hypotheses,
+      frame-level LS refine, warped PSNR >=35 dB). Covers head-trim
+      (of), speed-change (ts), and re.
+
+    Verified edges union into one pair set; recall is accounted PER
+    PLANTED CLASS, false merges globally — certifying the channels
+    COMPOSE (shared walk, shared exchange, no cross-channel false
+    amplification), which the per-channel fixtures cannot.
+
+    Scale shape: one DC-only decode pass (k full decodes for the LB
+    family only), one band exchange (~176 slot-family rows + 16/cut
+    anchor rows per video; anchor rows carry the n x 256 B reel —
+    pair-rendezvous applies when reels dominate), one pair groupby.
+    Single-shot videos emit no anchor rows and keep slot coverage —
+    the standalone channels' documented applicability."""
+    from .. import avi as avi_mod
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _avi_omni_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+    n_planted = -(-n_base // dup_every)
+
+    class OmniVideoSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "video_id": [], "at": [], "payload": []}
+
+            def emit(chan, slot, bits, vid, at, payload):
+                out["bkey"].append((chan << 24) | (slot << 8) | bits)
+                out["video_id"].append(vid)
+                out["at"].append(at)
+                out["payload"].append(payload)
+
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = avi_mod.decode_frames(data)
+                nf = len(frames)
+                k = min(k_frames, nf)
+                dcs = [jpeg.decode_dc_luma(f) for f in frames]
+                t16 = np.stack([codec.resize_nn(g, 16, 16)
+                                for g in dcs]).astype(np.uint8)
+
+                # SL: orbit slot family from the DC reel
+                slots = [(j * nf) // k for j in range(k)]
+                g32 = np.stack([codec.resize_nn(dcs[s], 32, 32)
+                                for s in slots])
+                sl_payload = t16[slots].tobytes()
+                keys = set()
+                for orient in (g32, g32[:, :, ::-1], g32[:, ::-1, :]):
+                    ph = codec.phash64_batch(
+                        np.ascontiguousarray(orient)).view(np.uint64)
+                    ah = codec.ahash64_batch(
+                        np.ascontiguousarray(orient)).view(np.uint64)
+                    for ch, hv in enumerate((ph, ah)):
+                        for fi in range(k):
+                            for band in range(8):
+                                bits = int((hv[fi]
+                                            >> np.uint64(8 * band))
+                                           & np.uint64(0xFF))
+                                keys.add((ch * k_frames + fi) * 8
+                                         + band << 8 | bits)
+                for kk in sorted(keys):
+                    emit(_OMNIV_SL, kk >> 8, kk & 0xFF, vid, 0,
+                         sl_payload)
+
+                # LB: trimmed slot family (the only full decodes)
+                gt32s, lb_tb = [], b""
+                for s in slots:
+                    fr = jpeg.decode(frames[s])
+                    luma = (0.299 * fr[:, :, 0] + 0.587 * fr[:, :, 1]
+                            + 0.114 * fr[:, :, 2]).astype(np.uint8)
+                    luma = codec.trim_uniform_border(luma)
+                    gt32s.append(codec.resize_nn(luma, 32, 32))
+                    lb_tb += codec.resize_nn(luma, 16, 16).tobytes()
+                stack = np.stack(gt32s)
+                ph = codec.phash64_batch(stack).view(np.uint64)
+                ah = codec.ahash64_batch(stack).view(np.uint64)
+                keys = set()
+                for ch, hv in enumerate((ph, ah)):
+                    for fi in range(k):
+                        for band in range(8):
+                            bits = int((hv[fi] >> np.uint64(8 * band))
+                                       & np.uint64(0xFF))
+                            keys.add((ch * k_frames + fi) * 8
+                                     + band << 8 | bits)
+                for kk in sorted(keys):
+                    emit(_OMNIV_LB, kk >> 8, kk & 0xFF, vid, 0, lb_tb)
+
+                # AN: cut-anchor family (cuts + reel ride the rows)
+                cuts = _video_cuts(t16)
+                if cuts:
+                    reel = t16.tobytes()
+                    cuts_b = np.asarray(cuts, np.int16).tobytes()
+                    an_payload = (len(cuts_b)).to_bytes(4, "little") \
+                        + cuts_b + reel
+                    cg32 = np.stack([codec.resize_nn(dcs[c], 32, 32)
+                                     for c in cuts])
+                    cph = codec.phash64_batch(cg32).view(np.uint64)
+                    cah = codec.ahash64_batch(cg32).view(np.uint64)
+                    for ki, c in enumerate(cuts):
+                        for ch, hv in enumerate((cph[ki], cah[ki])):
+                            for band in range(8):
+                                bits = int((hv >> np.uint64(8 * band))
+                                           & np.uint64(0xFF))
+                                emit(_OMNIV_AN, ch * 8 + band, bits,
+                                     vid, int(c), an_payload)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "video_id": pa.array(out["video_id"], pa.string()),
+                "at": pa.array(out["at"], pa.int32()),
+                "payload": pa.array(out["payload"], pa.binary()),
+            })
+
+    bands = ds.map_batches(OmniVideoSignature, batch_size=8,
+                           concurrency=2, batch_format="pyarrow")
+
+    def _an_unpack(raw: bytes):
+        ncb = int.from_bytes(raw[:4], "little")
+        cuts = np.frombuffer(raw[4:4 + ncb], np.int16).astype(int) \
+            .tolist()
+        reel = np.frombuffer(raw[4 + ncb:], np.uint8).reshape(-1, 16, 16)
+        return cuts, reel
+
+    def _aligned_psnr(ra, rb, dt, min_overlap=10):
+        best = -1.0
+        ta_, tb_ = len(ra), len(rb)
+        for dd in (dt - 1, dt, dt + 1):
+            a0, a1 = max(0, dd), min(ta_, dd + tb_)
+            if a1 - a0 < min_overlap:
+                continue
+            a = ra[a0:a1].astype(np.float64)
+            b = rb[a0 - dd:a1 - dd].astype(np.float64)
+            mse = ((a - b) ** 2).mean(axis=(1, 2))
+            ps = np.where(mse <= 0, 99.0,
+                          np.minimum(10.0 * np.log10(
+                              255.0 * 255.0 / np.maximum(mse, 1e-12)),
+                              99.0))
+            best = max(best, float(ps.mean()))
+        return best
+
+    def _inset_mean_psnr(ta_, tb_):
+        best = -1.0
+        for ins in (0, 1):
+            a = ta_[:, ins:16 - ins, ins:16 - ins].astype(np.float64)
+            b = tb_[:, ins:16 - ins, ins:16 - ins].astype(np.float64)
+            mse = ((a - b) ** 2).mean(axis=(1, 2))
+            ps = np.where(mse <= 0, 99.0,
+                          np.minimum(10.0 * np.log10(
+                              255.0 * 255.0 / np.maximum(mse, 1e-12)),
+                              99.0))
+            best = max(best, float(ps.mean()))
+        return best
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, chs = [], [], []
+        seen = set()
+        for bkey, g in df.groupby("bkey", sort=False):
+            ids_ = g["video_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            chan = int(bkey) >> 24
+            ats = g["at"].to_numpy()
+            raw = list(g["payload"])
+            for i in range(len(ids_)):
+                for j in range(i + 1, len(ids_)):
+                    if ids_[i] == ids_[j]:
+                        continue
+                    pair = tuple(sorted((ids_[i], ids_[j])))
+                    ok = False
+                    if chan == _OMNIV_SL:
+                        if (chan, pair) in seen:
+                            continue
+                        seen.add((chan, pair))
+                        ta_ = np.frombuffer(raw[i], np.uint8) \
+                            .reshape(-1, 16, 16)
+                        tb_ = np.frombuffer(raw[j], np.uint8) \
+                            .reshape(-1, 16, 16)
+                        kk = min(len(ta_), len(tb_))
+                        ok = _orbit_slot_good(
+                            ta_[:kk], tb_[:kk], 3000) >= min(6, kk)
+                    elif chan == _OMNIV_LB:
+                        if (chan, pair) in seen:
+                            continue
+                        seen.add((chan, pair))
+                        ta_ = np.frombuffer(raw[i], np.uint8) \
+                            .reshape(-1, 16, 16)
+                        tb_ = np.frombuffer(raw[j], np.uint8) \
+                            .reshape(-1, 16, 16)
+                        kk = min(len(ta_), len(tb_))
+                        ok = _inset_mean_psnr(ta_[:kk], tb_[:kk]) >= 30.0
+                    else:  # _OMNIV_AN
+                        a_, b_ = (i, j) if ids_[i] < ids_[j] else (j, i)
+                        dt = int(ats[a_]) - int(ats[b_])
+                        ca, ra = _an_unpack(raw[a_])
+                        cb_, rb_ = _an_unpack(raw[b_])
+                        if (chan, pair, dt) not in seen:
+                            seen.add((chan, pair, dt))
+                            ok = _aligned_psnr(ra, rb_, dt) >= 30.0
+                        if not ok and (chan, pair, "ts") not in seen:
+                            seen.add((chan, pair, "ts"))
+                            best = -1.0
+                            for r0, d0 in _video_scale_proposals(
+                                    ca, len(ra), cb_, len(rb_)):
+                                best = max(best, _video_scale_verify(
+                                    ra, rb_, r0, d0))
+                                if best >= 35.0:
+                                    break
+                            ok = best >= 35.0
+                    if ok:
+                        ls.append(pair[0])
+                        rs.append(pair[1])
+                        chs.append(chan)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "chan": pa.array(chs, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=16).to_pandas()
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _OMNIV_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _OMNIV_KINDS[(i // dup_every) % len(_OMNIV_KINDS)]
+        truth_by_kind[kind].add((f"omv{i:05d}", f"omv{i:05d}_{kind}"))
+    all_truth = set().union(*truth_by_kind.values())
+    n_false = len(got - all_truth)
+
+    import pandas as pd
+    rows = []
+    for kind in _OMNIV_KINDS:
+        t = truth_by_kind[kind]
+        found = len(got & t)
+        rows.append({"kind": kind, "n_planted": len(t),
+                     "n_found": found, "n_false": 0,
+                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
+    rows.append({"kind": "_total", "n_planted": n_planted,
+                 "n_found": len(got & all_truth), "n_false": n_false,
+                 "recall_ppm": len(got & all_truth) * 1_000_000
+                 // n_planted})
+    out = pd.DataFrame(rows)
+    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -764,3 +764,20 @@ def test_audio_pitch_verify_recovers_fractional_band_shift():
     perm = rng.permutation(_APS_NB)
     ec2, sc2 = _audio_pitch_verify(env, sm, env, sm[:, perm])
     assert sc2 < 0.85
+
+
+def test_omni_video_dedup_per_class_full_recall(ray_session):
+    """the video production composition: one DC-only decode pass, one
+    unified band exchange, per-channel verify dispatch — every planted
+    dup of every class (transcode / mirror / letterbox / head-trim /
+    speed-change) found at its standalone gate, zero false merges —
+    certifying the channels COMPOSE without cross-channel false
+    amplification, which no per-channel fixture can show."""
+    from destor_ray.pipelines.ingest import omni_video_dedup
+
+    out = omni_video_dedup("/root/testdata/sf0.001")
+    per = out[out.kind != "_total"]
+    assert (per.recall_ppm == 1_000_000).all()
+    tot = out[out.kind == "_total"].iloc[0]
+    assert tot.n_planted == 10 and tot.n_found == 10
+    assert tot.n_false == 0
