@@ -437,6 +437,20 @@ queries() entries map to SURVEY.md §2 operators:
                        false merges — certifies the channels COMPOSE
                        without cross-channel false amplification
                        (rows-only; pytest pins)
+  omni_audio_dedup     PRODUCTION COMPOSITION of the audio channels:
+                       one decode + ONE FFT pass per clip, sample-
+                       rate NORMALIZED at decode (the sr class
+                       disappears by construction); HK slot words,
+                       offset anchor words, timescale sliding keys
+                       and pitch envelope words all from the same
+                       spectrogram through ONE unified exchange;
+                       verify dispatch at the standalone gates — the
+                       SL family verifies with the OFFSET dual arm
+                       at dt 0 (mean-profile-only verify measured
+                       false-merging two distinct 5-tone clips at
+                       0.9956); mixed fixture (re/of/ts/sr/ps):
+                       per-class recall 1.0, zero false merges
+                       (rows-only; pytest pins)
   rotation_image_dedup SMALL-ANGLE-ROTATION-invariant near-dup
                        detection (±2-8° straighten/deskew + re-encode
                        — plain phash measured moving 18.5 bits mean,
@@ -2148,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letterbox_video_dedup": ingest.letterbox_video_dedup,
         "mirror_video_dedup": ingest.mirror_video_dedup,
         "omni_video_dedup": ingest.omni_video_dedup,
+        "omni_audio_dedup": ingest.omni_audio_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,

@@ -7615,3 +7615,399 @@ def omni_video_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
     for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Omni audio dedup: the production composition of the audio channels —
+# one decode + ONE FFT pass per clip (sample-rate normalized at
+# decode, the samplerate channel's insight applied globally), one
+# unified band exchange, per-channel verify dispatch.
+
+_OMNIA_SL, _OMNIA_OF, _OMNIA_TS, _OMNIA_PS = 1, 2, 3, 4
+_OMNIA_KINDS = ["re", "of", "ts", "sr", "ps"]
+
+
+def _audio_omni_feats(pcm: np.ndarray):
+    """Every channel's feature set from ONE FFT pass: (env, el16,
+    spec4, tracks, prof32, slot_word). el16 is the proven 16-band log
+    spectrogram (FRAME 1024 / HOP 128); env is log total frame energy
+    (Parseval — the pitch channel's invariant); spec4 the 4-frame-
+    block 16-band means (offset verify arm); tracks the 2-coarse-band
+    log tracks (timescale verify arm); prof32 the INTEGRATED 32-
+    geometric-band normalized power profile per block (pitch verify
+    arm); slot_word the Haitsma-Kalker 4-slot delta-sign word (the
+    slot channel's candidates)."""
+    nf = 1 + (len(pcm) - _AOF_FRAME) // _AOF_HOP
+    idx = (np.arange(_AOF_FRAME)[None, :]
+           + _AOF_HOP * np.arange(nf)[:, None])
+    w = np.hanning(_AOF_FRAME)
+    spec = np.abs(np.fft.rfft(pcm[idx] * w, axis=1)) ** 2
+    edges16 = np.unique(np.geomspace(
+        4, spec.shape[1] - 1, _AOF_NB + 1).astype(int))
+    e16 = np.add.reduceat(spec, edges16[:-1], axis=1)[:, :_AOF_NB]
+    el16 = np.log(e16 + 1e-12)
+    env = np.log(spec.sum(axis=1) + 1e-300)
+    nblk = nf // 4
+    spec4 = el16[:nblk * 4].reshape(nblk, 4, _AOF_NB).mean(axis=1)
+    tracks = np.stack([
+        np.log(e16[:, :8].sum(axis=1) + 1e-300),
+        np.log(e16[:, 8:].sum(axis=1) + 1e-300)], axis=0)
+    b32 = np.add.reduceat(spec, _APS_EDGES[:-1], axis=1)[:, :_APS_NB]
+    pw4 = b32[:nblk * 4].reshape(nblk, 4, _APS_NB).mean(axis=1)
+    prof = pw4 / np.maximum(pw4.sum(axis=1, keepdims=True), 1e-30)
+    prof32 = (np.pad(prof, ((0, 0), (1, 1)), mode="edge")[:, :-2]
+              + 2.0 * prof
+              + np.pad(prof, ((0, 0), (1, 1)), mode="edge")[:, 2:]) / 4.0
+    d_t = np.diff(e16, axis=0)
+    bits = (d_t[:, :-1] - d_t[:, 1:]) > 0
+    slots = [(j * (len(bits) - 1)) // 3 for j in range(4)]
+    word = np.uint64(0)
+    nb = bits.shape[1]
+    for j, s in enumerate(slots):
+        w_ = int(np.packbits(bits[s], bitorder="big")[:2]
+                 .view(">u2")[0] >> 1)
+        word |= np.uint64(w_ & ((1 << nb) - 1)) << np.uint64(j * nb)
+    return env, el16, spec4, tracks, prof32, word
+
+
+def _wav_omni_corpus_dir(n_base: int = 30, dup_every: int = 3,
+                         sr: int = 8000) -> str:
+    """WAV mixed fixture: 3 s clips of five >=60-Hz-separated tones
+    with independent per-tone AM envelopes (the pitch fixture's
+    recipe — the richest of the family, with time-varying spectra as
+    real audio has) plus broadband noise; ONE planted dup per class,
+    kinds cycling re (0.6x gain re-encode) / of (head trim or silence
+    pad, 0.6x) / ts (rho ±7-10% speed, 0.7x) / sr (16k or 11.025k
+    conversion, 0.8x) / ps (±2-4 semitone transposition, 0.8x)."""
+    from .. import codec
+
+    out = f"/tmp/destor_ray_wav_omni/v1_n{n_base}_d{dup_every}_sr{sr}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+
+    def synth(i, alpha, noise_key):
+        rng = np.random.Generator(np.random.Philox(key=6000 + i))
+        sig = np.zeros_like(t)
+        chosen = []
+        for _ in range(5):
+            f = rng.uniform(80, 1800)
+            while chosen and min(abs(f - c) for c in chosen) < 60.0:
+                f = rng.uniform(80, 1800)
+            chosen.append(f)
+            a = rng.uniform(0.2, 0.5)
+            ph = rng.uniform(0, 6.28)
+            lv = rng.uniform(0.05, 1.0, 25)
+            env_k = np.interp(np.linspace(0, 24, len(t)),
+                              np.arange(25), lv)
+            sig += a * env_k * np.sin(2 * np.pi * f * alpha * t + ph)
+        nrng = np.random.Generator(
+            np.random.Philox(key=7000 + i * 7 + noise_key))
+        sig += 0.05 * nrng.normal(0, 1, len(t))
+        return sig / 3.0
+
+    for i in range(n_base):
+        base = synth(i, 1.0, 0)
+        ids.append(f"oma{i:05d}")
+        blobs.append(codec.wav_encode(base.astype(np.float32), sr))
+        if i % dup_every != 0:
+            continue
+        kind = _OMNIA_KINDS[(i // dup_every) % len(_OMNIA_KINDS)]
+        out_sr = sr
+        if kind == "re":
+            dup = 0.6 * base
+        elif kind == "of":
+            shift = int((0.2 + 0.1 * ((i // dup_every) % 4)) * sr)
+            dup = 0.6 * (np.concatenate([np.zeros(shift), base])
+                         if (i // dup_every) % 2 == 0
+                         else base[shift:])
+        elif kind == "ts":
+            rho = 0.93 if (i // dup_every) % 2 == 0 else 1.07
+            m = int(len(base) / rho)
+            dup = 0.7 * np.interp(np.arange(m) * rho,
+                                  np.arange(len(base)), base)
+        elif kind == "sr":
+            out_sr = 16000 if (i // dup_every) % 2 == 0 else 11025
+            n_out = int(len(base) * out_sr / sr)
+            dup = 0.8 * np.interp(np.arange(n_out) * sr / out_sr,
+                                  np.arange(len(base)), base)
+        else:  # ps
+            alpha = [0.85, 1.26][(i // dup_every) % 2]
+            dup = 0.8 * synth(i, alpha, 1)
+        d2 = np.random.Generator(np.random.Philox(key=8000 + i)) \
+            .normal(0, 1e-4, len(dup))
+        ids.append(f"oma{i:05d}_{kind}")
+        blobs.append(codec.wav_encode(
+            (dup + d2).astype(np.float32), out_sr))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/clips.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def omni_audio_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
+                     canonical_sr: int = 8000):
+    """(kind, n_planted, n_found, n_false, recall_ppm) per transform
+    class + a "_total" row — the PRODUCTION COMPOSITION of the audio
+    near-dup channels: each clip is decoded ONCE, sample-rate
+    NORMALIZED once (linear resample to the canonical rate — the
+    samplerate channel's normalization applied globally, so the sr
+    class disappears by construction and every downstream feature is
+    rate-invariant), FFT'd once, and every channel's signature comes
+    from that one spectrogram (_audio_omni_feats); all families ship
+    through ONE unified band exchange (channel << 24 | key), each row
+    carrying only its channel's verify payload:
+
+    * SL (Haitsma-Kalker 4-slot delta-sign words, 8x8-bit bands):
+      mean-profile corr >= 0.99 — covers plain re-encode/gain (re)
+      and, post-normalization, rate conversions (sr);
+    * OF (32-bit spectral-shape words at content-defined anchors, two
+      16-bit halves): _audio_offset_verify dual arm at the proposed
+      dt >= 0.95 — covers head trim / silence pad (of) and sr at
+      dt 0;
+    * TS (sliding-byte spectral keys, anchor lists riding):
+      _audio_scale_propose (rho, d) RANSAC + _audio_scale_verify dual
+      gate (env >= 0.97, tracks >= 0.82) — covers speed changes (ts);
+    * PS (envelope-shape words — Parseval-invariant): dual env ZNCC
+      >= 0.95 AND shift-swept integrated-profile ZNCC >= 0.85 —
+      covers transposition (ps).
+
+    Verified edges union into one pair set; recall is accounted PER
+    PLANTED CLASS, false merges globally — certifying the channels
+    COMPOSE (shared decode, shared FFT, shared exchange, no
+    cross-channel false amplification), which the per-channel
+    fixtures cannot show.
+
+    Scale shape: one decode+FFT pass, one band exchange (~8 SL rows +
+    ~2/anchor OF+PS rows + ~25 TS rows per clip; payloads 64 B-2.9 KB
+    per family; pair-rendezvous applies when riding bytes dominate),
+    one pair groupby. PCM never shuffles."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _wav_omni_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/clips.parquet")
+    n_planted = -(-n_base // dup_every)
+
+    class OmniAudioSignature:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "clip_id": [], "at": [], "payload": []}
+
+            def emit(chan, key, cid, at, payload):
+                out["bkey"].append((chan << 24) | int(key))
+                out["clip_id"].append(cid)
+                out["at"].append(int(at))
+                out["payload"].append(payload)
+
+            for cid, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                pcm, sr = codec.wav_decode(data)
+                pcm = pcm.astype(np.float64)
+                if sr != canonical_sr:
+                    n_out = int(len(pcm) * canonical_sr / sr)
+                    pcm = np.interp(np.arange(n_out) * sr / canonical_sr,
+                                    np.arange(len(pcm)), pcm)
+                env, el16, spec4, tracks, prof32, word = \
+                    _audio_omni_feats(pcm)
+                anchors = _audio_anchors(env, r=_ASC_R)
+
+                env_b = np.round(env * 1000).astype(np.int16).tobytes()
+                spec_b = np.round(spec4 * 1000).astype(np.int16) \
+                    .tobytes()
+                tr_b = np.round(tracks * 1000).astype(np.int16) \
+                    .tobytes()
+                anc_b = anchors.astype(np.int16).tobytes()
+                prof32_b = np.round(prof32 * 10000).astype(np.uint16) \
+                    .tobytes()
+
+                # SL: 8x8-bit bands of the HK word. Verify payload is
+                # the OFFSET channel's (env + block spec) — the mean-
+                # profile-only verify was MEASURED false-merging two
+                # distinct 5-tone clips at 0.9956 (and the samplerate
+                # session already measured it failing on sr-true pairs
+                # at 0.9900): the dual arm at dt 0 is the proven fix.
+                of_payload = (len(env_b)).to_bytes(4, "little") \
+                    + env_b + spec_b
+                for band in range(8):
+                    bits = int((word >> np.uint64(8 * band))
+                               & np.uint64(0xFF))
+                    emit(_OMNIA_SL, (band << 8) | bits, cid, 0,
+                         of_payload)
+
+                # OF: anchor spectral words, two 16-bit halves
+                for t_, wrd in zip(anchors,
+                                   _audio_words(el16, anchors)):
+                    for half in range(2):
+                        bits = int((int(wrd) >> (16 * half)) & 0xFFFF)
+                        emit(_OMNIA_OF, (half << 16) | bits, cid,
+                             int(t_), of_payload)
+
+                # TS: sliding-byte spectral keys, anchor list rides
+                ts_keys = {k for ks in _audio_scale_keys(el16, anchors)
+                           for k in ks}
+                ts_payload = (len(anc_b)).to_bytes(4, "little") \
+                    + anc_b + env_b + tr_b
+                for k in sorted(ts_keys):
+                    emit(_OMNIA_TS, k, cid, 0, ts_payload)
+
+                # PS: envelope-shape words, two 16-bit halves
+                ps_payload = (len(env_b)).to_bytes(4, "little") \
+                    + env_b + prof32_b
+                for wrd in np.unique(_audio_env_words(env, anchors)):
+                    for half in range(2):
+                        bits = int((int(wrd) >> (16 * half)) & 0xFFFF)
+                        emit(_OMNIA_PS, (half << 16) | bits, cid, 0,
+                             ps_payload)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "clip_id": pa.array(out["clip_id"], pa.string()),
+                "at": pa.array(out["at"], pa.int32()),
+                "payload": pa.array(out["payload"], pa.binary()),
+            })
+
+    bands = ds.map_batches(OmniAudioSignature, batch_size=16,
+                           concurrency=2, batch_format="pyarrow")
+
+    def _of_unpack_payload(r):
+        ne = int.from_bytes(r[:4], "little")
+        env_ = np.frombuffer(r[4:4 + ne], np.int16) \
+            .astype(np.float64) / 1000
+        sp = np.frombuffer(r[4 + ne:], np.int16) \
+            .astype(np.float64) / 1000
+        return env_, sp.reshape(-1, _AOF_NB)
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, chs = [], [], []
+        seen = set()
+        for bkey, g in df.groupby("bkey", sort=False):
+            ids_ = g["clip_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            chan = int(bkey) >> 24
+            ats = g["at"].to_numpy()
+            raw = list(g["payload"])
+            for i in range(len(ids_)):
+                for j in range(i + 1, len(ids_)):
+                    if ids_[i] == ids_[j]:
+                        continue
+                    pair = tuple(sorted((ids_[i], ids_[j])))
+                    ok = False
+                    if chan == _OMNIA_SL:
+                        if (chan, pair) in seen:
+                            continue
+                        seen.add((chan, pair))
+                        ea, sa = _of_unpack_payload(raw[i])
+                        eb, sb = _of_unpack_payload(raw[j])
+                        ok = _audio_offset_verify(ea, sa, eb, sb,
+                                                  0) >= 0.95
+                    elif chan == _OMNIA_OF:
+                        a_, b_ = (i, j) if ids_[i] < ids_[j] else (j, i)
+                        dt = int(ats[a_]) - int(ats[b_])
+                        if (chan, pair, dt) in seen:
+                            continue
+                        seen.add((chan, pair, dt))
+                        ea, sa = _of_unpack_payload(raw[a_])
+                        eb, sb = _of_unpack_payload(raw[b_])
+                        c = _audio_offset_verify(ea, sa, eb, sb, dt)
+                        ok = c >= 0.95
+                    elif chan == _OMNIA_TS:
+                        if (chan, pair) in seen:
+                            continue
+                        seen.add((chan, pair))
+                        def _ts_unpack(r):
+                            ncb = int.from_bytes(r[:4], "little")
+                            anc = np.frombuffer(r[4:4 + ncb], np.int16) \
+                                .astype(np.float64)
+                            rest = np.frombuffer(r[4 + ncb:], np.int16) \
+                                .astype(np.float64) / 1000
+                            e = len(rest) // 3
+                            return (anc, rest[:e],
+                                    rest[e:].reshape(2, -1))
+                        aa, ea, ta_ = _ts_unpack(raw[i])
+                        ab_, eb, tb_ = _ts_unpack(raw[j])
+                        if ids_[i] > ids_[j]:
+                            aa, ea, ta_, ab_, eb, tb_ = \
+                                ab_, eb, tb_, aa, ea, ta_
+                        scr = []
+                        for _n, r, dd in _audio_scale_propose(aa, ab_):
+                            ec, _tc = _audio_scale_verify(
+                                ea, ta_, eb, tb_, r, dd, coarse=True)
+                            scr.append((ec, r, dd))
+                        scr.sort(key=lambda s: -s[0])
+                        bj = -np.inf
+                        best = (-1.0, -1.0)
+                        for rank, (ec, r, dd) in enumerate(scr):
+                            if rank > 0 and ec < 0.6:
+                                break
+                            e_, t_ = _audio_scale_verify(
+                                ea, ta_, eb, tb_, r, dd)
+                            j2 = min((e_ - _ASC_ENV_MIN) / 0.03,
+                                     (t_ - _ASC_TRACK_MIN) / 0.18)
+                            if j2 > bj:
+                                bj = j2
+                                best = (e_, t_)
+                            if bj >= 0:
+                                break
+                        ok = (best[0] >= _ASC_ENV_MIN
+                              and best[1] >= _ASC_TRACK_MIN)
+                    else:  # _OMNIA_PS
+                        if (chan, pair) in seen:
+                            continue
+                        seen.add((chan, pair))
+                        def _ps_unpack(r):
+                            ne = int.from_bytes(r[:4], "little")
+                            env_ = np.frombuffer(r[4:4 + ne], np.int16) \
+                                .astype(np.float64) / 1000
+                            prof_ = np.frombuffer(r[4 + ne:], np.uint16) \
+                                .astype(np.float64) \
+                                .reshape(-1, _APS_NB) / 10000
+                            return env_, prof_
+                        ea, pa2 = _ps_unpack(raw[i])
+                        eb, pb2 = _ps_unpack(raw[j])
+                        ec, sc = _audio_pitch_verify(ea, pa2, eb, pb2)
+                        ok = ec >= 0.95 and sc >= 0.85
+                    if ok:
+                        ls.append(pair[0])
+                        rs.append(pair[1])
+                        chs.append(chan)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "chan": pa.array(chs, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=16).to_pandas()
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _OMNIA_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _OMNIA_KINDS[(i // dup_every) % len(_OMNIA_KINDS)]
+        truth_by_kind[kind].add((f"oma{i:05d}", f"oma{i:05d}_{kind}"))
+    all_truth = set().union(*truth_by_kind.values())
+    n_false = len(got - all_truth)
+
+    import pandas as pd
+    rows = []
+    for kind in _OMNIA_KINDS:
+        t = truth_by_kind[kind]
+        found = len(got & t)
+        rows.append({"kind": kind, "n_planted": len(t),
+                     "n_found": found, "n_false": 0,
+                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
+    rows.append({"kind": "_total", "n_planted": n_planted,
+                 "n_found": len(got & all_truth), "n_false": n_false,
+                 "recall_ppm": len(got & all_truth) * 1_000_000
+                 // n_planted})
+    out = pd.DataFrame(rows)
+    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
+        out[c] = out[c].astype("int64")
+    return out

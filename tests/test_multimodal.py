@@ -781,3 +781,22 @@ def test_omni_video_dedup_per_class_full_recall(ray_session):
     tot = out[out.kind == "_total"].iloc[0]
     assert tot.n_planted == 10 and tot.n_found == 10
     assert tot.n_false == 0
+
+
+def test_omni_audio_dedup_per_class_full_recall(ray_session):
+    """the audio production composition: one decode + one FFT pass
+    (sample-rate normalized at decode), one unified band exchange,
+    per-channel verify dispatch — every planted dup of every class
+    (re-encode / trim-pad / speed-change / rate-conversion /
+    transposition) found at its standalone gate, zero false merges.
+    The SL family must verify with the offset dual arm at dt 0: the
+    mean-profile-only verify was measured false-merging two distinct
+    5-tone clips at corr 0.9956."""
+    from destor_ray.pipelines.ingest import omni_audio_dedup
+
+    out = omni_audio_dedup("/root/testdata/sf0.001")
+    per = out[out.kind != "_total"]
+    assert (per.recall_ppm == 1_000_000).all()
+    tot = out[out.kind == "_total"].iloc[0]
+    assert tot.n_planted == 10 and tot.n_found == 10
+    assert tot.n_false == 0
