@@ -451,6 +451,24 @@ queries() entries map to SURVEY.md §2 operators:
                        0.9956); mixed fixture (re/of/ts/sr/ps):
                        per-class recall 1.0, zero false merges
                        (rows-only; pytest pins)
+  omni_text_dedup      PRODUCTION COMPOSITION of the text channels:
+                       one normalize+tokenize pass per doc; sha1
+                       (EX), normalized sha1 (NX), order-invariant
+                       bag hash (BG — token reorder preserves the
+                       multiset exactly while w=3 shingles fall to
+                       J<=0.385 and CTPH permutes below its distinct
+                       ceiling), MinHash-LSH w=3 shingles with
+                       bottom-64 exact-Jaccard verify (MH), and
+                       bottom-64 shingle POSTINGS with shared-count
+                       containment gate (CN — boilerplate injection
+                       keeps containment ~1.0 while symmetric J
+                       falls to ~0.56 and spamsum's blocksize scale
+                       changes entirely, measured score 0 on 3/8);
+                       ONE unified exchange (chan<<56|h56), one
+                       (l,r,chan) pair groupby that dedups decided
+                       edges AND sums CN partials; mixed fixture
+                       (ex/ws/ro/mh/ct): per-class recall 1.0, zero
+                       false merges (rows-only; pytest pins)
   rotation_image_dedup SMALL-ANGLE-ROTATION-invariant near-dup
                        detection (±2-8° straighten/deskew + re-encode
                        — plain phash measured moving 18.5 bits mean,
@@ -2198,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": text.simhash_dup_pairs,
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
+        "omni_text_dedup": text.omni_text_dedup,
         "jaccard_join_exact": text.jaccard_join_exact,
         "containment_join_exact": text.containment_join_exact,
         "normalize_text": curation.normalize_text,

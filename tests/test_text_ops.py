@@ -1272,3 +1272,79 @@ def test_events_k_anonymity_matches_bruteforce(ray_session):
     # sanity: risk counts are monotone in k
     assert list(out["n_groups_below_k"]) == \
         sorted(out["n_groups_below_k"])
+
+
+def test_omni_text_channel_invariants():
+    """the measured facts the omni text channel design rests on, pinned
+    at the kernel level (no ray): (a) the BG bag hash is EXACTLY
+    order-invariant and the w=3 shingle Jaccard of a reordered doc
+    falls below the MH verify gate (ro is BG's class); (b) the
+    boilerplate-injection transform keeps bottom-64 shared-posting
+    containment >= the CN gate while symmetric J sits in MH's
+    unreliable zone; (c) distinct docs on the SHARED 40-word vocab
+    stay far below every gate."""
+    import hashlib
+
+    import numpy as np
+
+    from destor_ray.functions import hashing
+    from destor_ray.pipelines.text import (_OTX_CN_FRAC, _OTX_K, _OTX_MH_J,
+                                           _otx_base_text, _otx_norm,
+                                           _otx_transform)
+
+    def bag(t):
+        uni = hashing.word_shingles_u64(_otx_norm(t), 1)
+        return hashlib.blake2b(np.sort(uni).tobytes(),
+                               digest_size=16).digest()
+
+    def bottomk(t):
+        sh = np.unique(hashing.word_shingles_u64(_otx_norm(t), 3))
+        order = np.argsort(hashing.mix_u64(sh, 0xC017))
+        return np.sort(sh[order[:_OTX_K]])
+
+    def jac(a, b):
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        u = len(a) + len(b) - inter
+        return inter / u if u else 1.0
+
+    for i in range(4):
+        base = _otx_base_text(i)
+        ro = _otx_transform(base, "ro", i)
+        assert ro != base
+        assert bag(ro) == bag(base)                      # exact invariance
+        assert jac(bottomk(base), bottomk(ro)) < _OTX_MH_J
+
+        ct = _otx_transform(base, "ct", i)
+        a, b = bottomk(base), bottomk(ct)
+        shared = len(np.intersect1d(a, b, assume_unique=True))
+        assert shared >= _OTX_CN_FRAC * min(len(a), len(b))
+        assert shared >= 8
+
+        ws = _otx_transform(base, "ws", i)
+        assert ws != base and _otx_norm(ws) == _otx_norm(base)
+
+    # distinct-pair background: below every gate
+    for k in range(6):
+        a = bottomk(_otx_base_text(k))
+        b = bottomk(_otx_base_text(k + 101))
+        shared = len(np.intersect1d(a, b, assume_unique=True))
+        assert shared < 8
+        assert jac(a, b) < _OTX_MH_J
+        assert bag(_otx_base_text(k)) != bag(_otx_base_text(k + 101))
+
+
+def test_omni_text_dedup_per_class_full_recall(ray_session):
+    """the production composition of the text channels: one
+    normalize+tokenize pass, one unified band exchange, per-channel
+    verify dispatch — on a mixed corpus planting one dup per transform
+    class, EVERY class reaches recall 1.0 with zero false merges."""
+    from destor_ray.pipelines.text import _OTX_KINDS, omni_text_dedup
+
+    out = omni_text_dedup("/root/testdata/sf0.001")
+    assert list(out["kind"]) == list(_OTX_KINDS) + ["_total"]
+    per = out[out.kind != "_total"]
+    assert (per.n_planted == 6).all()
+    assert (per.recall_ppm == 1_000_000).all()
+    tot = out[out.kind == "_total"].iloc[0]
+    assert tot.n_planted == tot.n_found == 30
+    assert tot.n_false == 0
