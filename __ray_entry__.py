@@ -467,7 +467,7 @@ queries() entries map to SURVEY.md §2 operators:
                        ONE unified exchange (chan<<56|h56), one
                        (l,r,chan) pair groupby that dedups decided
                        edges AND sums CN partials; mixed fixture
-                       (ex/ws/ro/mh/ct): per-class recall 1.0, zero
+                       (ex/ws/ro/mh/ct/tr): per-class recall 1.0, zero
                        false merges (rows-only; pytest pins)
   rotation_image_dedup SMALL-ANGLE-ROTATION-invariant near-dup
                        detection (±2-8° straighten/deskew + re-encode

@@ -2648,7 +2648,7 @@ def logreg_train_lang(sf_dir: str, rounds: int = 4):
 
 # channel ids for the unified band-key namespace (bkey = chan<<56 | h56)
 _OTX_EX, _OTX_NX, _OTX_BG, _OTX_MH, _OTX_CN = range(5)
-_OTX_KINDS = ("ex", "ws", "ro", "mh", "ct")
+_OTX_KINDS = ("ex", "ws", "ro", "mh", "ct", "tr")
 _OTX_BANDS, _OTX_ROWS = 16, 4          # 16 bands x 4 rows over 64 perms
 _OTX_K = 64                            # bottom-k shingle sample size
 _OTX_MH_J = 0.45                       # bottom-k Jaccard verify gate
@@ -2699,7 +2699,12 @@ def _otx_transform(t: str, kind: str, i: int) -> str:
     100%-of-length insert from a DISJOINT vocabulary (site chrome),
     the measured blind spot of symmetric Jaccard (J ~ 0.56-0.60) and
     of CTPH (spamsum score 0-89: a doubled length often changes the
-    blocksize scale entirely)."""
+    blocksize scale entirely).  tr: truncation to ~55% (teaser /
+    preview re-uploads) — containment stays exactly 1.0 while
+    symmetric J falls to ~0.55 and bottom-k J to 0.32-0.46 (below or
+    at the MH verify gate), the SECOND class only the asymmetric CN
+    channel covers reliably (measured shared postings 31-40 of 64 vs
+    the 16 gate)."""
     if kind == "ex":
         return t
     if kind == "ws":
@@ -2724,6 +2729,9 @@ def _otx_transform(t: str, kind: str, i: int) -> str:
             if rng.random() < 0.05:
                 toks[j] = toks[j][::-1] + "q"
         return " ".join(toks)
+    if kind == "tr":
+        cut = t.rfind(" ", 0, int(len(t) * 0.55))
+        return t[:cut]
     # ct: disjoint-vocab boilerplate insert at the middle token boundary
     donor = " ".join(tok + "zz" for tok in _otx_base_text(i + 7777).split())
     ins = donor[: len(t)]
@@ -2736,7 +2744,7 @@ def _text_omni_corpus_dir(n_base: int = 60, dup_every: int = 2) -> str:
     the five transform kinds. Truth rides the naming: "txNNNNN_<kind>"
     duplicates "txNNNNN"."""
     import os
-    out = f"/tmp/destor_ray_omnitext/v1_n{n_base}_e{dup_every}"
+    out = f"/tmp/destor_ray_omnitext/v2_n{n_base}_e{dup_every}"
     if os.path.isdir(out):
         return out
     ids, texts = [], []
@@ -2797,10 +2805,13 @@ def omni_text_dedup(sf_dir: str, n_base: int = 60, dup_every: int = 2):
       scale). Candidates = docs sharing a posting; verify = shared
       posting COUNT per pair (summed across buckets by the pair
       groupby — no payload rides at all) >= 0.25 * min(k): true
-      >= 0.469 vs distinct <= 0.078. Hot postings (> 32 docs) are
-      skipped — the flagship's hot-band cap; at corpus scale a
-      posting shared by thousands of docs is a stop-shingle, not
-      evidence.
+      >= 0.469 vs distinct <= 0.078. CN also solely covers the
+      TRUNCATION class (tr, ~55% teaser cut: containment exactly
+      1.0, shared postings 31-40 of 64, while bottom-k J sits at
+      0.32-0.46 — below or at MH's verify gate). Hot postings
+      (> 32 docs) are skipped — the flagship's hot-band cap; at
+      corpus scale a posting shared by thousands of docs is a
+      stop-shingle, not evidence.
 
     Verified edges from ALL channels union into one pair set; recall
     is accounted PER PLANTED TRANSFORM CLASS, false merges globally.

@@ -1323,6 +1323,12 @@ def test_omni_text_channel_invariants():
         ws = _otx_transform(base, "ws", i)
         assert ws != base and _otx_norm(ws) == _otx_norm(base)
 
+        tr = _otx_transform(base, "tr", i)
+        a, b = bottomk(base), bottomk(tr)
+        shared = len(np.intersect1d(a, b, assume_unique=True))
+        assert shared >= _OTX_CN_FRAC * min(len(a), len(b))
+        assert shared >= 8
+
     # distinct-pair background: below every gate
     for k in range(6):
         a = bottomk(_otx_base_text(k))
@@ -1343,7 +1349,7 @@ def test_omni_text_dedup_per_class_full_recall(ray_session):
     out = omni_text_dedup("/root/testdata/sf0.001")
     assert list(out["kind"]) == list(_OTX_KINDS) + ["_total"]
     per = out[out.kind != "_total"]
-    assert (per.n_planted == 6).all()
+    assert (per.n_planted == 5).all()
     assert (per.recall_ppm == 1_000_000).all()
     tot = out[out.kind == "_total"].iloc[0]
     assert tot.n_planted == tot.n_found == 30
