@@ -437,6 +437,21 @@ queries() entries map to SURVEY.md §2 operators:
                        false merges — certifies the channels COMPOSE
                        without cross-channel false amplification
                        (rows-only; pytest pins)
+  audiotrack_video_dedup CROSS-MODAL dedup over MJPEG AVI files with
+                       a REAL interleaved PCM audio stream (avi.py
+                       encodes/decodes the 'auds' strl + '01wb'
+                       chunks; audio=None stays byte-identical): one
+                       container walk runs BOTH modality families
+                       through ONE unified exchange — VS k-slot
+                       DC-thumb dual bands + slot-majority PSNR,
+                       AT Haitsma-Kalker words + offset dual-arm
+                       verify at dt 0; planted classes are the
+                       families' exact complements and the output
+                       ATTRIBUTES pairs per family: at (same audio,
+                       new visuals — slideshow re-post) lands with
+                       n_video == 0, vt (re-dub) with n_audio == 0,
+                       re found by BOTH; recall 1.0, zero false
+                       merges (rows-only; pytest pins)
   omni_audio_dedup     PRODUCTION COMPOSITION of the audio channels:
                        one decode + ONE FFT pass per clip, sample-
                        rate NORMALIZED at decode (the sr class
@@ -2180,6 +2195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "letterbox_video_dedup": ingest.letterbox_video_dedup,
         "mirror_video_dedup": ingest.mirror_video_dedup,
         "omni_video_dedup": ingest.omni_video_dedup,
+        "audiotrack_video_dedup": ingest.audiotrack_video_dedup,
         "omni_audio_dedup": ingest.omni_audio_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,

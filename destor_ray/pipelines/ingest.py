@@ -8011,3 +8011,310 @@ def omni_audio_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
     for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal (audio-track) video dedup: MJPEG AVI files with a real
+# interleaved PCM audio stream. The re-post classes split cleanly by
+# modality — same audio under NEW visuals (slideshow / lyric-video
+# re-upload) is invisible to every DC-thumb video channel, and a
+# re-dub (same video, new music bed) is invisible to every audio
+# channel — so the production pipeline walks each container ONCE and
+# runs BOTH families through one unified exchange.
+
+_AVAT_VS, _AVAT_AT = 0, 1        # family ids in the unified key space
+_AVAT_KINDS = ("re", "at", "vt")
+
+
+def _avi_at_corpus_dir(n_base: int = 30, dup_every: int = 3,
+                       n_frames: int = 16, fps: int = 8,
+                       sr: int = 8000) -> str:
+    """AVI+audio mixed fixture: each base video is n_frames of the
+    rolling-brightness frame walk over a seed-23 base image plus a 2 s
+    five-tone >=60-Hz-separated per-tone-AM audio track (the proven
+    audio-fixture recipe). ONE planted dup per class, kinds cycling:
+
+      re — the standard re-upload: every frame re-encoded at q70 AND
+           the same audio at 0.7x gain with fresh dither;
+      at — audio-track dup: the SAME audio (0.7x gain, fresh dither)
+           under COMPLETELY DIFFERENT visuals (seed-29 base image —
+           the slideshow / lyric-video re-post);
+      vt — re-dub: the same video re-encoded at q70 under a
+           DIFFERENT five-tone track (fresh Philox key).
+    """
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import jpeg as jpeg_mod
+
+    out = (f"/tmp/destor_ray_avi_at/"
+           f"v1_n{n_base}_d{dup_every}_f{n_frames}_r{fps}_s{sr}")
+    if os.path.isdir(out):
+        return out
+    t = np.arange(2 * sr, dtype=np.float64) / sr
+
+    def synth(key: int) -> np.ndarray:
+        rng = np.random.Generator(np.random.Philox(key=key))
+        sig = np.zeros_like(t)
+        chosen: list[float] = []
+        for _ in range(5):
+            f = rng.uniform(80, 1800)
+            while chosen and min(abs(f - c) for c in chosen) < 60.0:
+                f = rng.uniform(80, 1800)
+            chosen.append(f)
+            a = rng.uniform(0.2, 0.5)
+            ph = rng.uniform(0, 6.28)
+            lv = rng.uniform(0.2, 1.0, 9)
+            env = np.interp(np.linspace(0, 8, len(t)), np.arange(9), lv)
+            sig += a * env * np.sin(2 * np.pi * f * t + ph)
+        sig += 0.05 * rng.normal(0, 1, len(t))
+        return sig / 4.0
+
+    def to_i16(sig, gain, dither_key):
+        rng = np.random.Generator(np.random.Philox(key=dither_key))
+        x = gain * sig + rng.normal(0, 1e-4, len(sig))
+        return np.round(np.clip(x, -1, 1) * 32000).astype(np.int16)
+
+    def make_frames(seed: int, row: int, quality: int) -> list[bytes]:
+        px, w, h, _, _ = corpus_mod._base_pixels(seed=seed, row=row)
+        frames = []
+        for j in range(n_frames):
+            fr = np.roll(px, shift=3 * j, axis=1).astype(np.int16)
+            fr = np.clip(fr + 4 * j, 0, 255).astype(np.uint8)
+            frames.append(jpeg_mod.encode(fr, quality=quality))
+        return frames, w, h
+
+    ids, blobs = [], []
+    for i in range(n_base):
+        frames, w, h = make_frames(23, i, 85)
+        sig = synth(8000 + i)
+        ids.append(f"av{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(
+            frames, w=w, h=h, fps=fps,
+            audio=to_i16(sig, 1.0, 100 + i), audio_rate=sr))
+        if i % dup_every == 0:
+            k = i // dup_every
+            kind = _AVAT_KINDS[k % len(_AVAT_KINDS)]
+            if kind == "re":
+                dfr = [jpeg_mod.encode(jpeg_mod.decode(f), quality=70)
+                       for f in frames]
+                dau = to_i16(sig, 0.7, 500 + i)
+            elif kind == "at":
+                dfr, w, h = make_frames(29, i, 85)
+                dau = to_i16(sig, 0.7, 500 + i)
+            else:  # vt
+                dfr = [jpeg_mod.encode(jpeg_mod.decode(f), quality=70)
+                       for f in frames]
+                dau = to_i16(synth(9000 + i), 1.0, 500 + i)
+            ids.append(f"av{i:05d}_{kind}")
+            blobs.append(avi_mod.encode_mjpeg(
+                dfr, w=w, h=h, fps=fps, audio=dau, audio_rate=sr))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def audiotrack_video_dedup(sf_dir: str, n_base: int = 30,
+                           dup_every: int = 3, k_frames: int = 4,
+                           canonical_sr: int = 8000):
+    """(kind, n_planted, n_found, n_false, recall_ppm, n_video,
+    n_audio) per planted class + "_total" — CROSS-MODAL video dedup
+    over MJPEG AVI files carrying a real interleaved PCM audio
+    stream: each container is walked ONCE and BOTH modality families
+    ship through ONE unified band exchange (family << 24 | key):
+
+    * VS (video): the proven avi_video_dedup machinery — k sampled
+      slot frames DC-decoded (no IDCT), dual phash+aHash 8x8-bit slot
+      bands, verify = slot-aligned 16x16 thumb PSNR >= 28 dB on >= 3
+      of 4 slots (one coincidentally-similar frame cannot merge two
+      videos);
+    * AT (audio track): avi.decode_audio -> canonical-rate resample
+      -> the omni-audio SL family — Haitsma-Kalker 4-slot delta-sign
+      word, 8x8-bit bands, verify = _audio_offset_verify dual arm at
+      dt 0 >= 0.95 (the proven configuration; the mean-profile-only
+      verify is structurally unsound and not used anywhere).
+
+    The planted classes are the families' exact complements, and the
+    output ATTRIBUTES every found pair to its families (n_video /
+    n_audio): the at class (same audio, NEW visuals — slideshow /
+    lyric-video re-post) must land with n_video == 0 (distinct
+    visuals move every slot hash past any band by construction), and
+    the vt class (re-dub: same video, new music bed) with
+    n_audio == 0 (fresh five-tone tracks collide on no HK band or
+    fail the dual arm — the omni-audio fixture's zero-false-merge
+    margin); the re class is found by BOTH — the agreement signal a
+    production pipeline uses to rank confidence. PCM and full frames
+    never shuffle: AT rows ride the ~1.7 KB env+spec verify payload,
+    VS rows the k x 256 B thumbs (pair-rendezvous applies at corpus
+    scale, NOTES.md lever #1).
+
+    Scale shape: one container walk + k DC decodes + one FFT per
+    video; ~2x16x8 VS rows + ~8 AT rows per video; one unified
+    exchange; one pair groupby."""
+    from .. import avi as avi_mod
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _avi_at_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+    n_planted = -(-n_base // dup_every)
+
+    N_BANDS, BITS = 8, 8
+
+    class CrossModalSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bkeys, vids, payloads = [], [], []
+
+            def emit(family, key, vid, payload):
+                bkeys.append((family << 24) | int(key))
+                vids.append(vid)
+                payloads.append(payload)
+
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = avi_mod.decode_frames(data)
+                nf = len(frames)
+                k = min(k_frames, nf)
+                grays, tb = [], b""
+                for j in range(k):
+                    dc = jpeg.decode_dc_luma(frames[(j * nf) // k])
+                    grays.append(codec.resize_nn(dc, 32, 32))
+                    tb += codec.resize_nn(dc, 16, 16).tobytes()
+                stack = np.stack(grays)
+                phs = codec.phash64_batch(stack).view(np.uint64)
+                ahs = codec.ahash64_batch(stack).view(np.uint64)
+                mask = np.uint64((1 << BITS) - 1)
+                for ch, hv in enumerate((phs, ahs)):
+                    for fi in range(k):
+                        for band in range(N_BANDS):
+                            bits = int((hv[fi] >> np.uint64(BITS * band))
+                                       & mask)
+                            slot = (ch * k_frames + fi) * N_BANDS + band
+                            emit(_AVAT_VS, (slot << BITS) | bits,
+                                 vid, tb)
+
+                pcm, sr = avi_mod.decode_audio(data)
+                pcm = pcm.astype(np.float64) / 32768.0
+                if sr != canonical_sr:
+                    n_out = int(len(pcm) * canonical_sr / sr)
+                    pcm = np.interp(
+                        np.arange(n_out) * sr / canonical_sr,
+                        np.arange(len(pcm)), pcm)
+                env, el16, spec4, _tracks, _prof, word = \
+                    _audio_omni_feats(pcm)
+                env_b = np.round(env * 1000).astype(np.int16).tobytes()
+                spec_b = np.round(spec4 * 1000).astype(np.int16) \
+                    .tobytes()
+                at_payload = (len(env_b)).to_bytes(4, "little") \
+                    + env_b + spec_b
+                for band in range(8):
+                    bits = int((word >> np.uint64(8 * band))
+                               & np.uint64(0xFF))
+                    emit(_AVAT_AT, (band << 8) | bits, vid, at_payload)
+
+            return pa.table({
+                "bkey": pa.array(bkeys, pa.int64()),
+                "video_id": pa.array(vids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            })
+
+    bands = ds.map_batches(CrossModalSignature, batch_size=8,
+                           concurrency=2, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, fams = [], [], []
+        seen = set()
+        for bkey, g in df.groupby("bkey", sort=False):
+            ids_ = g["video_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            fam = int(bkey) >> 24
+            raw = list(g["payload"])
+            for i in range(len(ids_)):
+                for j in range(i + 1, len(ids_)):
+                    if ids_[i] == ids_[j]:
+                        continue
+                    pair = tuple(sorted((ids_[i], ids_[j])))
+                    if (fam, pair) in seen:
+                        continue
+                    seen.add((fam, pair))
+                    if fam == _AVAT_VS:
+                        ta = np.frombuffer(raw[i], np.uint8) \
+                            .reshape(-1, 16, 16)
+                        tb_ = np.frombuffer(raw[j], np.uint8) \
+                            .reshape(-1, 16, 16)
+                        k = min(len(ta), len(tb_))
+                        good = sum(
+                            1 for s in range(k)
+                            if codec.psnr(ta[s], tb_[s]) >= 28.0)
+                        ok = good >= min(3, k)
+                    else:
+                        def unpack(r):
+                            ne = int.from_bytes(r[:4], "little")
+                            e = np.frombuffer(r[4:4 + ne], np.int16) \
+                                .astype(np.float64) / 1000
+                            sp = np.frombuffer(r[4 + ne:], np.int16) \
+                                .astype(np.float64) / 1000
+                            return e, sp.reshape(-1, _AOF_NB)
+                        ea, sa = unpack(raw[i])
+                        eb, sb = unpack(raw[j])
+                        ok = _audio_offset_verify(ea, sa, eb, sb,
+                                                  0) >= 0.95
+                    if ok:
+                        ls.append(pair[0])
+                        rs.append(pair[1])
+                        fams.append(fam)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "fam": pa.array(fams, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas() \
+        .drop_duplicates(["l", "r", "fam"])
+    by_fam = {fam: set(zip(g["l"], g["r"]))
+              for fam, g in pairs.groupby("fam")}
+    vs_got = by_fam.get(_AVAT_VS, set())
+    at_got = by_fam.get(_AVAT_AT, set())
+    got = vs_got | at_got
+
+    truth_by_kind = {kind: set() for kind in _AVAT_KINDS}
+    for i in range(0, n_base, dup_every):
+        k = i // dup_every
+        kind = _AVAT_KINDS[k % len(_AVAT_KINDS)]
+        truth_by_kind[kind].add((f"av{i:05d}", f"av{i:05d}_{kind}"))
+    all_truth = set().union(*truth_by_kind.values())
+    n_false = len(got - all_truth)
+
+    import pandas as pd
+    rows = []
+    for kind in _AVAT_KINDS:
+        t = truth_by_kind[kind]
+        rows.append({"kind": kind, "n_planted": len(t),
+                     "n_found": len(got & t), "n_false": 0,
+                     "recall_ppm": len(got & t) * 1_000_000
+                     // max(1, len(t)),
+                     "n_video": len(vs_got & t),
+                     "n_audio": len(at_got & t)})
+    rows.append({"kind": "_total", "n_planted": n_planted,
+                 "n_found": len(got & all_truth), "n_false": n_false,
+                 "recall_ppm": len(got & all_truth) * 1_000_000
+                 // n_planted,
+                 "n_video": len(vs_got & all_truth),
+                 "n_audio": len(at_got & all_truth)})
+    out = pd.DataFrame(rows)
+    for c in ("n_planted", "n_found", "n_false", "recall_ppm",
+              "n_video", "n_audio"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -800,3 +800,65 @@ def test_omni_audio_dedup_per_class_full_recall(ray_session):
     tot = out[out.kind == "_total"].iloc[0]
     assert tot.n_planted == 10 and tot.n_found == 10
     assert tot.n_false == 0
+
+
+def test_avi_audio_stream_round_trip():
+    """the 'auds' extension of the AVI container: interleaved '01wb'
+    PCM chunks round-trip exactly, the video frames are untouched by
+    the presence of audio, a no-audio file raises, and the audio=None
+    writer still emits a single-stream file whose avih stream count
+    is 1 (back-compat with every existing fixture)."""
+    import struct
+
+    import numpy as np
+
+    from destor_ray import avi, corpus, jpeg
+
+    px, w, h, _, _ = corpus._base_pixels(seed=23, row=3)
+    frames = [jpeg.encode(np.roll(px, j, axis=1), 85) for j in range(4)]
+    rng = np.random.default_rng(7)
+    pcm = rng.normal(0, 3000, 16000).astype(np.int16)
+
+    blob = avi.encode_mjpeg(frames, w=w, h=h, fps=10,
+                            audio=pcm, audio_rate=8000)
+    assert avi.decode_frames(blob) == frames
+    a2, rate = avi.decode_audio(blob)
+    assert rate == 8000
+    assert np.array_equal(a2, pcm)
+    assert avi.meta(blob) == (4, w, h, 10)
+
+    plain = avi.encode_mjpeg(frames, w=w, h=h, fps=10)
+    try:
+        avi.decode_audio(plain)
+        raise AssertionError("decode_audio should raise without audio")
+    except ValueError:
+        pass
+    # avih dwStreams: offset 12+8(LIST hdrl)+4+8(avih)+24
+    for fourcc, p, ln in avi._walk_chunks(plain, 12, len(plain)):
+        if fourcc == b"LIST" and plain[p:p + 4] == b"hdrl":
+            for fcc, hp, hln in avi._walk_chunks(plain, p + 4, p + ln):
+                if fcc == b"avih":
+                    assert struct.unpack_from("<I", plain, hp + 24)[0] == 1
+
+
+def test_audiotrack_video_dedup_attribution_matrix(ray_session):
+    """the cross-modal composition: the at class (same audio, NEW
+    visuals) must be found by the audio family ONLY (distinct visuals
+    move every slot hash past any band), the vt re-dub class by the
+    video family ONLY, and the re class by BOTH — with full recall
+    and zero false merges. The per-family attribution columns ARE the
+    blindness certification at the output level."""
+    from destor_ray.pipelines.ingest import (_AVAT_KINDS,
+                                             audiotrack_video_dedup)
+
+    out = audiotrack_video_dedup("/root/testdata/sf0.001")
+    assert list(out["kind"]) == list(_AVAT_KINDS) + ["_total"]
+    per = out.set_index("kind")
+    assert (out[out.kind != "_total"].recall_ppm == 1_000_000).all()
+    assert per.loc["at", "n_video"] == 0
+    assert per.loc["at", "n_audio"] == per.loc["at", "n_planted"]
+    assert per.loc["vt", "n_audio"] == 0
+    assert per.loc["vt", "n_video"] == per.loc["vt", "n_planted"]
+    assert per.loc["re", "n_video"] == per.loc["re", "n_planted"]
+    assert per.loc["re", "n_audio"] == per.loc["re", "n_planted"]
+    assert per.loc["_total", "n_false"] == 0
