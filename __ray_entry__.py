@@ -516,6 +516,25 @@ queries() entries map to SURVEY.md §2 operators:
                        vs distinct ≤0.56; also excludes s=0 grayscale
                        conversions by construction); planted recall
                        1.0, 0 false merges (rows-only; pytest pins)
+  grayscale_image_dedup near-dup detection for GRAYSCALE RE-UPLOADS
+                       (color→gray + re-encode) — the s=0 class the
+                       hue/sat chroma arm excludes by construction.
+                       Which converter the uploader used decides which
+                       existing arm survives (601 is the G channel's
+                       fixpoint at 43.8 dB; RGB-mean drops G thumb
+                       PSNR to 20.5 and chroma ZNCC to 0.0), so
+                       candidates hash BOTH luma projections (Rec601 +
+                       RGB-mean dual bands, 32 rows/image; union
+                       collision 20/20 per converter incl. 709) and
+                       verify is converter-AGNOSTIC: least-squares fit
+                       of the best linear converter over the colored
+                       side's 3×16×16 channel thumbs vs the gray
+                       side's thumb, residual PSNR ≥32 dB (true ≥48.4
+                       for all three wild converters vs distinct
+                       ≤21.8); both-chromatic pairs skipped (other
+                       channels' job — zero false-merge surface on
+                       colored content); planted recall 1.0, 0 false
+                       merges (rows-only; pytest pins)
   omni_image_dedup     the PRODUCTION COMPOSITION of the image
                        channels: ONE decode pass computes every
                        channel's signature, ONE unified band exchange
@@ -2199,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "omni_audio_dedup": ingest.omni_audio_dedup,
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,
+        "grayscale_image_dedup": ingest.grayscale_image_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,

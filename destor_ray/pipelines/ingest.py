@@ -5158,6 +5158,266 @@ def huesat_image_dedup(sf_dir: str, n_base: int = 144,
 
 
 # ---------------------------------------------------------------------------
+# Grayscale-conversion dedup: the s=0 class the hue/sat channel excludes
+# ---------------------------------------------------------------------------
+
+# the three linear gray converters seen in the wild: ITU-R 601 (JPEG/old
+# web), ITU-R 709 (HD video frame grabs), plain RGB mean (naive tools)
+_GRAY_CONVERTERS = ((0.299, 0.587, 0.114),
+                    (0.2126, 0.7152, 0.0722),
+                    (1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0))
+
+
+def _gray_convert(px: np.ndarray, w: tuple) -> np.ndarray:
+    """Linear grayscale conversion with weights w, replicated to 3
+    channels (what a save-as-RGB grayscale re-upload actually ships)."""
+    p = px.astype(np.float64)
+    g = np.clip(np.round(p[..., 0] * w[0] + p[..., 1] * w[1]
+                         + p[..., 2] * w[2]), 0, 255).astype(np.uint8)
+    return np.stack([g] * 3, axis=2)
+
+
+def _chan_thumb16(ch: np.ndarray) -> np.ndarray:
+    """16×16 box-mean thumb of one channel (32×32 NN resize then 2×2
+    box) — the exact recipe the gray-fit margins were measured on."""
+    from .. import codec as codec_mod
+    t = codec_mod.resize_nn(ch, 32, 32).astype(np.float64)
+    return t.reshape(16, 2, 16, 2).mean(axis=(1, 3))
+
+
+def _achromatic(px: np.ndarray, gate: float = 4.0) -> bool:
+    """True when the image carries (almost) no chroma: mean absolute
+    deviation of channels from their per-pixel mean < gate. Measured
+    on the smooth corpus: colored rows ≥ 33.2, decoded gray-replicated
+    re-encodes 0.0 — the detector has a 29-point margin at gate 4."""
+    p = px.astype(np.float64)
+    return float(np.abs(p - p.mean(axis=2, keepdims=True)).mean()) < gate
+
+
+def _ls_gray_fit_psnr(cth3: np.ndarray, gthumb: np.ndarray) -> float:
+    """PSNR of the best LINEAR gray-converter fit: solve
+    min_w ‖[R G B]·w − gray‖ over the 256 thumb pixels, report the
+    residual PSNR. Because the converter weights are solved per pair,
+    this one verify covers EVERY linear grayscale converter (601, 709,
+    mean, arbitrary channel weighting) — measured true ≥ 48.4 dB for
+    all three wild converters vs distinct-pair max 21.8 dB (3 free
+    params against 256 values can't fake a match)."""
+    A = cth3.reshape(3, -1).T
+    b = gthumb.reshape(-1)
+    w, *_ = np.linalg.lstsq(A, b, rcond=None)
+    r = A @ w - b
+    mse = float((r * r).mean())
+    return 99.0 if mse <= 0 else float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+def _grayscale_corpus_dir(n_base: int = 144, quality: int = 85,
+                          dup_every: int = 3, dup_quality: int = 70) -> str:
+    """Deterministic JFIF fixture WITH PLANTED GRAYSCALE-CONVERSION
+    near-dups: every dup_every-th base image also appears converted to
+    grayscale (converter cycling 601 / 709 / RGB-mean) and re-encoded
+    at lower quality. Truth rides the naming: "gsNNNNN_g" duplicates
+    "gsNNNNN"."""
+    from .. import corpus as corpus_mod
+    from .. import jpeg
+
+    out = (f"/tmp/destor_ray_graydup/"
+           f"v1_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=43, row=i)
+        ids.append(f"gs{i:05d}")
+        blobs.append(jpeg.encode(px, quality))
+        if i % dup_every == 0:
+            k = i // dup_every
+            g = _gray_convert(px, _GRAY_CONVERTERS[k % 3])
+            ids.append(f"gs{i:05d}_g")
+            blobs.append(jpeg.encode(g, dup_quality))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/images.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def grayscale_image_dedup(sf_dir: str, n_base: int = 144,
+                          dup_every: int = 3,
+                          fit_psnr_min_centi: int = 3200):
+    """(n_images, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — near-dup detection for GRAYSCALE
+    RE-UPLOADS (color → gray conversion + re-encode), the s=0 class
+    the hue/sat channel EXCLUDES BY CONSTRUCTION (its chroma-magnitude
+    ZNCC arm reads 0.0 on a gray side — documented boundary in
+    huesat_image_dedup). Existing arms measured on this class: the
+    Rec601 G channel covers ONLY the 601 converter (its own fixpoint,
+    thumb PSNR 43.8); mean-RGB conversion drops G thumb PSNR to
+    20.5-22 (below the 28 gate, ZNCC 0.66 below 0.94) and 709 sits
+    between — the converter the uploader picked decides whether the
+    flagship sees the pair, which is not a channel, it's luck.
+
+    Fix: candidates hash BOTH luma projections (Rec601 dual bands +
+    RGB-mean dual bands, 32 rows/image): a gray image's single gray
+    equals ITS converter's luma of the source, and every wild
+    converter's output band-collides with at least one of the two
+    emitted projections (measured per converter: 601 20/20 via G,
+    709 20/20 via G, mean 20/20 via M — union 20/20 each). Verify is
+    converter-AGNOSTIC: when exactly one side is achromatic
+    (_achromatic: colored ≥ 33.2 vs gray 0.0 measured), solve the
+    best linear converter by least squares over the colored side's
+    3×16×16 channel thumbs against the gray side's thumb and gate the
+    residual PSNR ≥ 32 dB (true ≥ 48.4 for all three converters vs
+    distinct max 21.8); both-achromatic pairs (gray vs gray
+    re-encode) gate direct thumb PSNR ≥ 32 (distinct gray-vs-gray max
+    20.0); both-chromatic pairs are SKIPPED — they belong to the
+    re-encode/photometric/hue-sat channels, keeping this channel's
+    false-merge surface zero on colored content.
+
+    Scale shape: one decode pass, dual-projection band exchange (32
+    rows/image) with 768 B channel thumbs riding, one pair-dedup
+    groupby — the flagship topology; full pixels never shuffle."""
+    from .. import codec, jpeg
+    from ..stages.grouped import bucketed_group_map
+
+    d = _grayscale_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+    n_planted = -(-n_base // dup_every)
+    n_images = n_base + n_planted
+
+    class GraySignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            g32s, m32s, thumbs, achro = [], [], [], []
+            for data in batch["bytes"].to_pylist():
+                px = jpeg.decode(data)
+                g32s.append(codec.resize_nn(codec.to_gray(px), 32, 32))
+                m32s.append(codec.resize_nn(_mean_luma(px), 32, 32))
+                cth = np.stack([_chan_thumb16(px[:, :, c])
+                                for c in range(3)])
+                thumbs.append(np.clip(np.round(cth), 0, 255)
+                              .astype(np.uint8).tobytes())
+                achro.append(_achromatic(px))
+            if ids:
+                gstack, mstack = np.stack(g32s), np.stack(m32s)
+                gph = codec.phash64_batch(gstack)
+                gah = codec.ahash64_batch(gstack)
+                mph = codec.phash64_batch(mstack)
+                mah = codec.ahash64_batch(mstack)
+            else:
+                gph = gah = mph = mah = np.array([], np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "gph": pa.array(gph, pa.int64()),
+                "gah": pa.array(gah, pa.int64()),
+                "mph": pa.array(mph, pa.int64()),
+                "mah": pa.array(mah, pa.int64()),
+                "achro": pa.array(np.asarray(achro, np.uint8)),
+                "cthumb": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(GraySignature, batch_size=64, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+    FAMS = ("gph", "gah", "mph", "mah")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        reps = len(FAMS) * N_BANDS
+        keys = np.empty(reps * n, np.int64)
+        mask = np.uint64((1 << BITS) - 1)
+        for fi, col in enumerate(FAMS):
+            h = batch[col].to_numpy(zero_copy_only=False) \
+                .view(np.uint64)
+            for band in range(N_BANDS):
+                bits = (h >> np.uint64(BITS * band)) & mask
+                slot = fi * N_BANDS + band
+                keys[slot * n:(slot + 1) * n] = \
+                    (np.int64(slot) << np.int64(BITS)) \
+                    | bits.astype(np.int64)
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
+                                 pa.string()),
+            "achro": pa.array(
+                np.tile(batch["achro"].to_numpy(zero_copy_only=False),
+                        reps)),
+            "cthumb": pa.array(batch["cthumb"].to_pylist() * reps,
+                               pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, qs = [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            ids_ = g["image_id"].tolist()
+            if len(ids_) < 2:
+                continue
+            ach = g["achro"].to_numpy(np.uint8)
+            ths = [np.frombuffer(t, np.uint8).reshape(3, 16, 16)
+                   .astype(np.float64) for t in g["cthumb"]]
+            for i in range(len(ids_)):
+                for j in range(i + 1, len(ids_)):
+                    if ids_[i] == ids_[j]:
+                        continue
+                    if not (ach[i] or ach[j]):
+                        continue  # colored pairs: other channels' job
+                    pair = tuple(sorted((ids_[i], ids_[j])))
+                    if pair in seen:
+                        continue
+                    seen.add(pair)
+                    if ach[i] and ach[j]:
+                        dlt = ths[i][0] - ths[j][0]
+                        mse = (dlt * dlt).mean()
+                        p = 99.0 if mse == 0 else \
+                            10.0 * np.log10(255.0 ** 2 / mse)
+                    elif ach[i]:
+                        p = _ls_gray_fit_psnr(ths[j], ths[i][0])
+                    else:
+                        p = _ls_gray_fit_psnr(ths[i], ths[j][0])
+                    if int(round(p * 100)) < fit_psnr_min_centi:
+                        continue
+                    ls.append(pair[0])
+                    rs.append(pair[1])
+                    qs.append(int(round(p * 100)))
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "fit_psnr_centi": pa.array(qs, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    n_cand = len(pairs)
+    pairs = pairs.drop_duplicates(["l", "r"])
+    truth = {(f"gs{i:05d}", f"gs{i:05d}_g")
+             for i in range(0, n_base, dup_every)}
+    got = set(zip(pairs["l"], pairs["r"]))
+    n_true = len(got & truth)
+    n_false = len(got - truth)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "n_images": [n_images], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [n_false],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
 # Omni-channel image dedup: one decode, one exchange, every invariance class
 # ---------------------------------------------------------------------------
 

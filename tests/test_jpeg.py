@@ -663,6 +663,55 @@ def test_huesat_chroma_mag_rotation_exact_scale_linear():
     assert _zncc(cm0, np.zeros_like(cm0)) == 0.0
 
 
+def test_grayscale_image_dedup_full_recall_no_false_merges(ray_session):
+    """every planted grayscale conversion (converter cycling Rec601 /
+    Rec709 / RGB-mean) + q70 re-encode is found — recall 1.0, zero
+    false merges. The hue/sat channel excludes s=0 by construction and
+    the G channel covers only the 601 converter; here candidates hash
+    BOTH luma projections and verify solves the converter by least
+    squares, so ANY linear grayscale converter lands."""
+    from destor_ray.pipelines.ingest import grayscale_image_dedup
+
+    out = grayscale_image_dedup("/root/testdata/sf0.001").iloc[0]
+    assert out.n_images == 192 and out.n_planted == 48
+    assert out.recall_ppm == 1_000_000
+    assert out.n_false == 0
+    assert out.n_true == out.n_verified_pairs == 48
+
+
+def test_grayscale_ls_fit_margins():
+    """kernel pins for the grayscale channel: (a) the LS converter fit
+    recovers ANY linear converter — residual PSNR ≥ 45 dB for 601, 709,
+    mean AND an exotic (0.5,0.3,0.2) converter on jpeg'd thumbs, while
+    a DISTINCT colored image fits a gray thumb at ≤ 30 dB (3 free
+    params cannot fake 256 values); (b) the achromatic detector
+    separates decoded gray re-encodes (0.0) from colored rows (≥ 33)."""
+    import numpy as np
+
+    from destor_ray import codec, jpeg
+    from destor_ray import corpus as corpus_mod
+    from destor_ray.pipelines.ingest import (_achromatic, _chan_thumb16,
+                                             _gray_convert,
+                                             _ls_gray_fit_psnr)
+
+    pxs = [corpus_mod._base_pixels(seed=43, row=i)[0] for i in range(6)]
+    deco = [jpeg.decode(jpeg.encode(px, 85)) for px in pxs]
+    cths = [np.stack([_chan_thumb16(d[:, :, c]) for c in range(3)])
+            for d in deco]
+    for w in ((0.299, 0.587, 0.114), (0.2126, 0.7152, 0.0722),
+              (1 / 3, 1 / 3, 1 / 3), (0.5, 0.3, 0.2)):
+        for i, px in enumerate(pxs):
+            gd = jpeg.decode(jpeg.encode(_gray_convert(px, w), 70))
+            assert _achromatic(gd)
+            gth = _chan_thumb16(codec.to_gray(gd))
+            assert _ls_gray_fit_psnr(cths[i], gth) >= 45.0
+            # distinct colored image cannot fit this gray thumb
+            other = cths[(i + 1) % len(pxs)]
+            assert _ls_gray_fit_psnr(other, gth) <= 30.0
+    for d in deco:
+        assert not _achromatic(d)
+
+
 def test_omni_image_dedup_per_class_full_recall(ray_session):
     """the production composition: one decode, one unified band
     exchange, per-channel verify dispatch — on a mixed corpus planting
