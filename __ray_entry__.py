@@ -546,7 +546,8 @@ queries() entries map to SURVEY.md §2 operators:
                        sweep, orbit-aligned PSNR, rolled polar PSNR);
                        mixed fixture plants one dup per class
                        (re-encode, dihedral, letterbox, photometric,
-                       tone-curve, hue/sat, overlay, rotation) —
+                       tone-curve, hue/sat, overlay, rotation,
+                       grayscale) —
                        per-class recall 1.0, zero false merges: the
                        channels COMPOSE without cross-channel false
                        amplification (rows-only; pytest pins)

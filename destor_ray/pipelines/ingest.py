@@ -3410,14 +3410,20 @@ def _overlay_corpus_dir(n_base: int = 144, quality: int = 85,
 
 
 def _trimmed_tile_psnr(ta: np.ndarray, tb: np.ndarray,
-                       drop: int = 4) -> float:
+                       drop: int = 6) -> float:
     """PSNR over a 16×16 thumb pair EXCLUDING the `drop` worst 4×4
     tiles by MSE — the occlusion-robust verify: a localized overlay
     concentrates all error into the few tiles it covers (drop them and
     the rest must agree), while structurally different images disagree
     EVERYWHERE so trimming cannot rescue them (measured: true ≥ 41.5 dB
     vs distinct ≤ 24.7 dB with drop=4; plain PSNR on the same true
-    pairs bottoms at 13.6 dB — a global gate rejects every one)."""
+    pairs bottoms at 13.6 dB — a global gate rejects every one).
+    drop=6 default: a 0.33h×0.38w overlay box can SPAN up to 3×3 tile
+    rows/cols once NN-resize smears its edges — one omni fixture draw
+    measured 25.1 dB at drop=4 (miss) vs 45.9 at drop=6, while the
+    distinct background only rises 22.1 → 22.8 dB (the 32 dB gate
+    keeps a 23 dB margin; trimming cannot rescue structurally
+    different thumbs because they disagree in EVERY tile)."""
     a = ta.astype(np.float64)
     b = tb.astype(np.float64)
     tiles_a = a.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3).reshape(16, 16)
@@ -5421,7 +5427,7 @@ def grayscale_image_dedup(sf_dir: str, n_base: int = 144,
 # Omni-channel image dedup: one decode, one exchange, every invariance class
 # ---------------------------------------------------------------------------
 
-_OMNI_KINDS = ("re", "d4", "lb", "ph", "tc", "hs", "ov", "rt")
+_OMNI_KINDS = ("re", "d4", "lb", "ph", "tc", "hs", "ov", "rt", "gy")
 
 
 def _omni_transform(px: np.ndarray, kind: str, k: int) -> np.ndarray:
@@ -5475,23 +5481,25 @@ def _omni_transform(px: np.ndarray, kind: str, k: int) -> np.ndarray:
         ov[y0:y0 + oh, x0:x0 + ow] = color
         ov[y0:y0 + 2, x0:x0 + ow] = 255 - color
         return ov
+    if kind == "gy":
+        return _gray_convert(px, _GRAY_CONVERTERS[k % 3])
     # "rt"
     degs = (2.0, -3.0, 4.0, -5.0, 6.0, -8.0, 3.5, -2.5)
     return codec.rotate_nn(px, degs[k % 8])
 
 
-def _omni_corpus_dir(n_base: int = 168, quality: int = 85,
+def _omni_corpus_dir(n_base: int = 189, quality: int = 85,
                      dup_every: int = 3, dup_quality: int = 70) -> str:
     """Deterministic JFIF fixture WITH ONE PLANTED DUP PER CLASS
-    cycling the 8 transform kinds (re-encode, dihedral, letterbox,
-    photometric, tone-curve, hue/sat, overlay, rotation) — the
-    mixed-reality corpus a production dedup run actually sees. Truth
-    rides the naming: "omNNNNN_<kind>" duplicates "omNNNNN"."""
+    cycling the 9 transform kinds (re-encode, dihedral, letterbox,
+    photometric, tone-curve, hue/sat, overlay, rotation, grayscale) —
+    the mixed-reality corpus a production dedup run actually sees.
+    Truth rides the naming: "omNNNNN_<kind>" duplicates "omNNNNN"."""
     from .. import jpeg
     from .. import corpus as corpus_mod
 
     out = (f"/tmp/destor_ray_omnidup/"
-           f"v1_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+           f"v2_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -5521,10 +5529,11 @@ def _omni_corpus_dir(n_base: int = 168, quality: int = 85,
 
 
 # channel ids for the unified band-key namespace
-_OMNI_G, _OMNI_TC, _OMNI_HS, _OMNI_LB, _OMNI_D4, _OMNI_RT = range(6)
+(_OMNI_G, _OMNI_TC, _OMNI_HS, _OMNI_LB, _OMNI_D4, _OMNI_RT,
+ _OMNI_GY) = range(7)
 
 
-def omni_image_dedup(sf_dir: str, n_base: int = 168,
+def omni_image_dedup(sf_dir: str, n_base: int = 189,
                      dup_every: int = 3):
     """(kind, n_planted, n_found, n_false, recall_ppm) per transform
     class + a "_total" row — the PRODUCTION COMPOSITION of the image
@@ -5550,7 +5559,12 @@ def omni_image_dedup(sf_dir: str, n_base: int = 168,
       any relative orientation rendezvouses): dual-Hamming prefilter
       + orientation/shift-aligned thumb PSNR ≥ 35 dB;
     * RT (polar angular-FFT bands): min-over-R/G/B rolled polar
-      PSNR ≥ 24 dB (small-angle rotation).
+      PSNR ≥ 24 dB (small-angle rotation);
+    * GY (dual luma-projection bands, Rec601 slots 0-15 + RGB-mean
+      slots 16-31): achromatic-dispatch verify — one gray side ⇒
+      least-squares linear-converter fit PSNR ≥ 32 dB, both gray ⇒
+      direct thumb PSNR, both colored ⇒ skip (grayscale re-uploads,
+      any linear converter).
 
     Verified edges from ALL channels union into one pair set; recall
     is accounted PER PLANTED TRANSFORM CLASS against the mixed
@@ -5590,12 +5604,12 @@ def omni_image_dedup(sf_dir: str, n_base: int = 168,
         def __call__(self, batch: pa.Table) -> pa.Table:
             bkeys, iids, phs, ahs, payloads = [], [], [], [], []
 
-            def emit_dual(chan, ph, ah, iid, payload):
+            def emit_dual(chan, ph, ah, iid, payload, slot0=0):
                 for ci, h in enumerate((int(ph), int(ah))):
                     hu = h & 0xFFFFFFFFFFFFFFFF
                     for band in range(N_BANDS):
                         bits = (hu >> (BITS * band)) & 0xFF
-                        slot = ci * N_BANDS + band
+                        slot = slot0 + ci * N_BANDS + band
                         bkeys.append((chan << 24) | (slot << 8) | bits)
                         iids.append(iid)
                         phs.append(int(ph))
@@ -5639,6 +5653,20 @@ def omni_image_dedup(sf_dir: str, n_base: int = 168,
                 emit_dual(_OMNI_HS, ph_hs, ah_hs, iid,
                           codec.resize_nn(ml, 16, 16).tobytes()
                           + cm.tobytes())
+
+                # GY: grayscale re-uploads — the gray side's one hash
+                # must rendezvous with WHICHEVER luma projection its
+                # unknown converter matches, so both projections emit
+                # under this channel (601 slots 0-15, mean 16-31).
+                # Payload: achromatic flag + channel thumbs (768 B
+                # colored — reusing the TC 3×16×16 box-means — or the
+                # 256 B gray thumb when achromatic).
+                achro = _achromatic(px)
+                gy_payload = bytes([1]) + chans[0].tobytes() if achro \
+                    else bytes([0]) + np.stack(chans).tobytes()
+                emit_dual(_OMNI_GY, ph_g, ah_g, iid, gy_payload)
+                emit_dual(_OMNI_GY, ph_hs, ah_hs, iid, gy_payload,
+                          slot0=16)
 
                 # LB: trimmed-luma dual + 32x32 trimmed thumb
                 gt = codec.trim_uniform_border(g)
@@ -5785,6 +5813,32 @@ def omni_image_dedup(sf_dir: str, n_base: int = 168,
                                 .reshape(16, 16)
                             ok = _dihedral_aligned_psnr(
                                 ta, tb, None) >= 35.0
+                    elif chan == _OMNI_GY:
+                        seen.add((chan, pair))
+                        fa, fb = raw[i][0], raw[j][0]
+                        if fa or fb:
+                            if fa and fb:
+                                ta = np.frombuffer(
+                                    raw[i][1:], np.uint8) \
+                                    .reshape(16, 16).astype(np.float64)
+                                tb = np.frombuffer(
+                                    raw[j][1:], np.uint8) \
+                                    .reshape(16, 16).astype(np.float64)
+                                dlt = ta - tb
+                                mse = (dlt * dlt).mean()
+                                p = 99.0 if mse == 0 else \
+                                    10 * np.log10(255.0 ** 2 / mse)
+                            else:
+                                gi, ci_ = (i, j) if fa else (j, i)
+                                gth = np.frombuffer(
+                                    raw[gi][1:], np.uint8) \
+                                    .reshape(16, 16).astype(np.float64)
+                                c3 = np.frombuffer(
+                                    raw[ci_][1:], np.uint8) \
+                                    .reshape(3, 16, 16) \
+                                    .astype(np.float64)
+                                p = _ls_gray_fit_psnr(c3, gth)
+                            ok = p >= 32.0
                     else:  # _OMNI_RT
                         seen.add((chan, pair))
                         pa_ = np.frombuffer(raw[i], np.uint8) \

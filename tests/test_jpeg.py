@@ -727,7 +727,7 @@ def test_omni_image_dedup_per_class_full_recall(ray_session):
     assert (per.n_planted == 7).all()
     assert (per.recall_ppm == 1_000_000).all()
     tot = out[out.kind == "_total"].iloc[0]
-    assert tot.n_planted == tot.n_found == 56
+    assert tot.n_planted == tot.n_found == 63
     assert tot.n_false == 0
 
 
