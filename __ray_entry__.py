@@ -535,6 +535,23 @@ queries() entries map to SURVEY.md §2 operators:
                        channels' job — zero false-merge surface on
                        colored content); planted recall 1.0, 0 false
                        merges (rows-only; pytest pins)
+  degrade_image_dedup  per-class certification of the flagship
+                       G-channel arms against the everyday
+                       RECOMPRESSION family (blur σ2, half-res,
+                       quarter-res, Bayer-dither palette quantize,
+                       grain σ10, unsharp-mask): half-res / dither /
+                       grain / sharpen pass thumb PSNR-28 outright;
+                       blur σ2 and quarter-res expose the measured
+                       bandwidth-mismatch gap (1/24 and 3/24 arm
+                       misses) closed by the joint low-pass arm (8×8
+                       box PSNR ≥25 ∧ 3×3 blur-matched ZNCC ≥0.93
+                       under aHash ≤8; zero distinct false-passes);
+                       blur σ4 documented OUT of class (8×8 margin
+                       collapses to 0.3 dB — visually a different
+                       asset); fixture rejection-samples bases so
+                       cross pairs stay ≥2 dB below every gate;
+                       per-class recall 1.0, 0 false merges
+                       (rows-only; pytest pins)
   omni_image_dedup     the PRODUCTION COMPOSITION of the image
                        channels: ONE decode pass computes every
                        channel's signature, ONE unified band exchange
@@ -2220,6 +2237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rotation_image_dedup": ingest.rotation_image_dedup,
         "huesat_image_dedup": ingest.huesat_image_dedup,
         "grayscale_image_dedup": ingest.grayscale_image_dedup,
+        "degrade_image_dedup": ingest.degrade_image_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,

@@ -712,6 +712,67 @@ def test_grayscale_ls_fit_margins():
         assert not _achromatic(d)
 
 
+def test_degrade_image_dedup_per_class_full_recall(ray_session):
+    """every planted recompression-family dup (blur σ2, half-res,
+    quarter-res, Bayer dither, grain σ10, unsharp mask) is found with
+    zero false merges — the low-pass arm closes the measured blur /
+    quarter-res gaps without opening a false surface (the fixture's
+    rejection sampling guarantees cross pairs sit ≥2 dB below every
+    gate)."""
+    from destor_ray.pipelines.ingest import (_DEGRADE_KINDS,
+                                             degrade_image_dedup)
+
+    out = degrade_image_dedup("/root/testdata/sf0.001")
+    assert list(out["kind"]) == list(_DEGRADE_KINDS) + ["_total"]
+    per = out[out.kind != "_total"]
+    assert (per.n_planted == 8).all()
+    assert (per.recall_ppm == 1_000_000).all()
+    tot = out[out.kind == "_total"].iloc[0]
+    assert tot.n_planted == tot.n_found == 48
+    assert tot.n_false == 0
+
+
+def test_degrade_lowpass_arm_margins_and_sigma4_boundary():
+    """kernel pins for the low-pass verify arm: (a) blur σ2 and
+    quarter-res true pairs pass the joint gate while σ4 blur FAILS it
+    (the documented class boundary — its 8×8 margin vs distinct
+    content collapses to 0.3 dB, so accepting it would mean false
+    merges); (b) distinct base pairs never pass the joint gate."""
+    import numpy as np
+
+    from destor_ray import codec, jpeg
+    from destor_ray import corpus as corpus_mod
+    from destor_ray.pipelines.ingest import (_downscale_box2,
+                                             _gauss_blur, _lowpass_arm)
+
+    def thumb(px):
+        d = jpeg.decode(jpeg.encode(px, 70)) if px.ndim == 3 else px
+        return codec.resize_nn(codec.to_gray(d), 16, 16) \
+            .astype(np.float64)
+
+    base, thumbs = [], []
+    for i in range(8):
+        px, _, _, _, _ = corpus_mod._base_pixels(seed=53, row=i)
+        base.append(px)
+        d = jpeg.decode(jpeg.encode(px, 85))
+        thumbs.append(codec.resize_nn(codec.to_gray(d), 16, 16)
+                      .astype(np.float64))
+    n_bl2 = sum(_lowpass_arm(thumbs[i], thumb(_gauss_blur(base[i], 2.0)))
+                for i in range(8))
+    n_ds4 = sum(_lowpass_arm(
+        thumbs[i], thumb(_downscale_box2(_downscale_box2(base[i]))))
+        for i in range(8))
+    assert n_bl2 == 8 and n_ds4 == 8
+    # σ4 boundary: most pairs must FAIL the joint gate
+    n_bl4 = sum(_lowpass_arm(thumbs[i], thumb(_gauss_blur(base[i], 4.0)))
+                for i in range(8))
+    assert n_bl4 < 8
+    # distinct pairs never pass
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not _lowpass_arm(thumbs[i], thumbs[j])
+
+
 def test_omni_image_dedup_per_class_full_recall(ray_session):
     """the production composition: one decode, one unified band
     exchange, per-channel verify dispatch — on a mixed corpus planting
