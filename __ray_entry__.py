@@ -564,7 +564,7 @@ queries() entries map to SURVEY.md §2 operators:
                        mixed fixture plants one dup per class
                        (re-encode, dihedral, letterbox, photometric,
                        tone-curve, hue/sat, overlay, rotation,
-                       grayscale) —
+                       grayscale, blur σ2, half/quarter-res) —
                        per-class recall 1.0, zero false merges: the
                        channels COMPOSE without cross-channel false
                        amplification (rows-only; pytest pins)

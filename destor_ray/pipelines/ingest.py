@@ -3658,8 +3658,17 @@ def _patch16_bytes(sm: np.ndarray, y: int, x: int) -> bytes:
 def _box_thumb32(g: np.ndarray, n: int = 32) -> np.ndarray:
     """n×n box-mean thumb of an arbitrary (h, w) gray — uint8. Unlike
     resize_nn this AVERAGES each cell, so overlap-window sampling at
-    fractional rects stays faithful."""
+    fractional rects stays faithful. Inputs SMALLER than n×n (e.g. a
+    quarter-res re-upload of a 32 px base) are NN-replicated up first
+    — without this, zero-height cells divide by zero and pour NaNs
+    into the uint8 thumb."""
     h, w = g.shape
+    if h < n:
+        g = np.repeat(g, -(-n // h), axis=0)
+        h = g.shape[0]
+    if w < n:
+        g = np.repeat(g, -(-n // w), axis=1)
+        w = g.shape[1]
     ys = (np.arange(n + 1) * h) // n
     xs = (np.arange(n + 1) * w) // n
     c = np.cumsum(np.cumsum(
@@ -5756,7 +5765,8 @@ def degrade_image_dedup(sf_dir: str, n_base: int = 144,
 # Omni-channel image dedup: one decode, one exchange, every invariance class
 # ---------------------------------------------------------------------------
 
-_OMNI_KINDS = ("re", "d4", "lb", "ph", "tc", "hs", "ov", "rt", "gy")
+_OMNI_KINDS = ("re", "d4", "lb", "ph", "tc", "hs", "ov", "rt", "gy",
+               "bl", "ds")
 
 
 def _omni_transform(px: np.ndarray, kind: str, k: int) -> np.ndarray:
@@ -5812,28 +5822,50 @@ def _omni_transform(px: np.ndarray, kind: str, k: int) -> np.ndarray:
         return ov
     if kind == "gy":
         return _gray_convert(px, _GRAY_CONVERTERS[k % 3])
+    if kind == "bl":
+        return _gauss_blur(px, 2.0)
+    if kind == "ds":
+        d = _downscale_box2(px)
+        return _downscale_box2(d) if k % 2 else d
     # "rt"
     degs = (2.0, -3.0, 4.0, -5.0, 6.0, -8.0, 3.5, -2.5)
     return codec.rotate_nn(px, degs[k % 8])
 
 
-def _omni_corpus_dir(n_base: int = 189, quality: int = 85,
+def _omni_corpus_dir(n_base: int = 231, quality: int = 85,
                      dup_every: int = 3, dup_quality: int = 70) -> str:
     """Deterministic JFIF fixture WITH ONE PLANTED DUP PER CLASS
-    cycling the 9 transform kinds (re-encode, dihedral, letterbox,
-    photometric, tone-curve, hue/sat, overlay, rotation, grayscale) —
-    the mixed-reality corpus a production dedup run actually sees.
-    Truth rides the naming: "omNNNNN_<kind>" duplicates "omNNNNN"."""
-    from .. import jpeg
+    cycling the 11 transform kinds (re-encode, dihedral, letterbox,
+    photometric, tone-curve, hue/sat, overlay, rotation, grayscale,
+    blur, downscale) — the mixed-reality corpus a production dedup run
+    actually sees. Truth rides the naming: "omNNNNN_<kind>" duplicates
+    "omNNNNN". Bases are rejection-sampled (≥ 26 dB thumb-PSNR draws
+    vs any accepted base skipped) so the fixture's distinctness claim
+    holds — the smooth generator was measured drawing genuine
+    near-dup base pairs at 27.5 dB, within 0.5 dB of the production
+    verify gate (see _degrade_corpus_dir)."""
+    from .. import codec, jpeg
     from .. import corpus as corpus_mod
 
     out = (f"/tmp/destor_ray_omnidup/"
-           f"v2_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
+           f"v3_n{n_base}_q{quality}_e{dup_every}_d{dup_quality}")
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
+    thumbs = np.empty((0, 256), np.float64)
+    row = -1
     for i in range(n_base):
-        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=47, row=i)
+        while True:
+            row += 1
+            px, _w, _h, _, _ = corpus_mod._base_pixels(seed=47, row=row)
+            th = codec.resize_nn(codec.to_gray(px), 16, 16) \
+                .astype(np.float64).reshape(-1)
+            if len(thumbs):
+                mse = ((thumbs - th) ** 2).mean(axis=1)
+                if float(mse.min()) <= 255.0 ** 2 / 10 ** 2.6:
+                    continue  # >= 26 dB vs an accepted base: near-dup
+            thumbs = np.vstack([thumbs, th])
+            break
         ids.append(f"om{i:05d}")
         blobs.append(jpeg.encode(px, quality))
         if i % dup_every == 0:
@@ -5862,7 +5894,7 @@ def _omni_corpus_dir(n_base: int = 189, quality: int = 85,
  _OMNI_GY) = range(7)
 
 
-def omni_image_dedup(sf_dir: str, n_base: int = 189,
+def omni_image_dedup(sf_dir: str, n_base: int = 231,
                      dup_every: int = 3):
     """(kind, n_planted, n_found, n_false, recall_ppm) per transform
     class + a "_total" row — the PRODUCTION COMPOSITION of the image
@@ -5876,8 +5908,10 @@ def omni_image_dedup(sf_dir: str, n_base: int = 189,
 
     * G  (Rec601 dual bands): re-encode thumb PSNR ≥ 28 dB, OR
       photometric ZNCC ≥ 0.94 under aHash ≤ 6 (affine-equivariant
-      candidates), OR overlay trimmed-tile PSNR ≥ 32 dB — three
-      verify arms sharing one candidate family;
+      candidates), OR overlay trimmed-tile PSNR ≥ 32 dB, OR the
+      low-pass arm (8×8 box PSNR ≥ 25 ∧ blur-matched ZNCC ≥ 0.93
+      under aHash ≤ 8 — blur σ2 / half- and quarter-res re-uploads)
+      — four verify arms sharing one candidate family;
     * TC (rank-image dual bands): per-channel histogram-matched ZNCC,
       min over R/G/B ≥ 0.90 (monotone tone maps);
     * HS (RGB-mean-luma dual bands): mean-luma PSNR ≥ 28 dB AND
@@ -6091,6 +6125,10 @@ def omni_image_dedup(sf_dir: str, n_base: int = 189,
                             ok = _zncc(ta, tb) >= 0.94
                         if not ok:
                             ok = _trimmed_tile_psnr(ta, tb) >= 32.0
+                        if not ok and codec_mod.hamming64(
+                                ahv[i], ahv[j]) <= 8:
+                            ok = _lowpass_arm(ta.astype(np.float64),
+                                              tb.astype(np.float64))
                     elif chan == _OMNI_TC:
                         seen.add((chan, pair))
                         if codec_mod.hamming64(ahv[i], ahv[j]) <= 28:

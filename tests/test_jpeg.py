@@ -788,7 +788,7 @@ def test_omni_image_dedup_per_class_full_recall(ray_session):
     assert (per.n_planted == 7).all()
     assert (per.recall_ppm == 1_000_000).all()
     tot = out[out.kind == "_total"].iloc[0]
-    assert tot.n_planted == tot.n_found == 63
+    assert tot.n_planted == tot.n_found == 77
     assert tot.n_false == 0
 
 
@@ -809,7 +809,7 @@ def test_omni_transform_kinds_deterministic_and_distinct():
         assert np.array_equal(t1, t2)
         if kind == "re":
             assert np.array_equal(t1, px)
-        elif kind in ("d4", "lb", "rt"):
+        elif kind in ("d4", "lb", "rt", "ds"):
             assert t1.shape != px.shape or not np.array_equal(t1, px)
         else:
             assert t1.shape == px.shape and not np.array_equal(t1, px)
