@@ -381,6 +381,19 @@ queries() entries map to SURVEY.md §2 operators:
                        the 30 dB gate); frames decode DC-only; planted
                        recall 1.0, 0 false merges (rows-only; pytest
                        pins incl. exact cut shift-covariance)
+  framerate_video_dedup CERTIFIES the k-slot DC-thumb video channel
+                       is FRAME-RATE INVARIANT BY CONSTRUCTION:
+                       relative-position slot sampling (j·nf)//k
+                       lands at the same wall times for any fps at
+                       equal duration (5/15/25 fps reduce to pure
+                       re-encode at the slot times; 12.5 fps lands up
+                       to 0.04 s off and the 28 dB slot gate absorbs
+                       the one-motion-step error) — no normalization
+                       stage needed, unlike the audio sample-rate
+                       class; fps change that alters duration is a
+                       speed change (timescale_video_dedup's class,
+                       documented boundary); per-fps-class recall
+                       1.0, 0 false merges (rows-only; pytest pins)
   timescale_video_dedup TIME-SCALE-invariant video near-dup detection
                        (speed-changed / frame-rate-resampled re-uploads
                        rho 0.75-1.3, head-trimmed, q70 — trim+scale
@@ -2238,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "huesat_image_dedup": ingest.huesat_image_dedup,
         "grayscale_image_dedup": ingest.grayscale_image_dedup,
         "degrade_image_dedup": ingest.degrade_image_dedup,
+        "framerate_video_dedup": ingest.framerate_video_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,

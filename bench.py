@@ -151,6 +151,7 @@ def main() -> None:
                  "overlay_image_dedup", "crop_image_dedup",
                  "huesat_image_dedup", "omni_image_dedup",
                  "grayscale_image_dedup", "degrade_image_dedup",
+                 "framerate_video_dedup",
                  "timescale_audio_dedup", "timescale_video_dedup",
                  "letterbox_video_dedup", "samplerate_audio_dedup"]:
         t0 = time.time()

@@ -607,40 +607,24 @@ def _avi_dup_corpus_dir(n_base: int = 36, dup_every: int = 3,
     return out
 
 
-def avi_video_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
-                    k_frames: int = 4, psnr_min_centi: int = 2800,
-                    min_slots: int = 3):
-    """(n_videos, n_planted, n_candidate_pairs, n_verified_pairs,
-    n_true, n_false, recall_ppm) — NEAR-DUP VIDEO detection over real
-    MJPEG AVI files: the flagship image-dedup machinery lifted one
-    level (a video is a sampled SET of frames; a transcode copy shares
-    near-identical frames at every sampled slot). The signature stage
-    is container walk + DC-ONLY decode of k sampled frames per video
-    (no IDCT, no full decode, the other N−k frames never entropy-
-    decoded), per-frame dual phash+aHash 8×8-bit LSH bands (the
-    independent-flip union jfif_dc_dedup measured), and verify runs
-    slot-aligned thumb PSNR over the k DC thumbs that ride the band
-    rows — a pair is a duplicate when ≥ min_slots of k slots clear the
-    PSNR gate, so a single coincidentally-similar frame cannot merge
-    two distinct videos. One band-keyed exchange + one tiny pair
-    groupby; payloads never shuffle.
+def _slot_video_pairs(ds, k_frames: int = 4,
+                      psnr_min_centi: int = 2800, min_slots: int = 3,
+                      num_buckets: int = 8):
+    """The k-slot DC-thumb video dedup core shared by avi_video_dedup
+    and framerate_video_dedup: container walk + DC-only decode of k
+    frames sampled at RELATIVE positions (j·nf)//k, per-frame dual
+    phash+aHash 8×8-bit bands, slot-majority thumb-PSNR verify
+    (≥ min_slots of k slots clear the gate). Returns the deduped
+    pandas pair frame plus the pre-dedup candidate count.
 
-    At corpus scale the k-thumb band payload (k·256 B) is the
-    volume term — the pair-rendezvous variant (candidates only in the
-    band exchange, thumbs attached by two endpoint-keyed joins)
-    applies unchanged when the network is the binding resource
-    (NOTES.md lever #1)."""
-    import numpy as np
-
+    Sampling by relative position makes the signature FRAME-RATE
+    INVARIANT by construction: for two encodings of the same content
+    at the same wall duration T, slot j lands at time (j·⌊T·fps⌋//k)
+    / fps ≈ j·T/k on both sides regardless of fps — certified by
+    framerate_video_dedup."""
     from .. import avi as avi_mod
     from .. import codec, jpeg
     from ..stages.grouped import bucketed_group_map
-
-    d = _avi_dup_corpus_dir(n_base=n_base, dup_every=dup_every)
-    ds = ray.data.read_parquet(f"{d}/videos.parquet",
-                               columns=["video_id", "bytes"])
-    n_planted = -(-n_base // dup_every)
-    n_videos = n_base + n_planted
 
     class VideoDCSignature:
         def __init__(self):
@@ -728,9 +712,43 @@ def avi_video_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
                          "r": pa.array(rs, pa.string())})
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
-                               num_buckets=8).to_pandas()
+                               num_buckets=num_buckets).to_pandas()
     n_cand = len(pairs)
-    pairs = pairs.drop_duplicates(["l", "r"])
+    return pairs.drop_duplicates(["l", "r"]), n_cand
+
+
+def avi_video_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
+                    k_frames: int = 4, psnr_min_centi: int = 2800,
+                    min_slots: int = 3):
+    """(n_videos, n_planted, n_candidate_pairs, n_verified_pairs,
+    n_true, n_false, recall_ppm) — NEAR-DUP VIDEO detection over real
+    MJPEG AVI files: the flagship image-dedup machinery lifted one
+    level (a video is a sampled SET of frames; a transcode copy shares
+    near-identical frames at every sampled slot). The signature stage
+    is container walk + DC-ONLY decode of k sampled frames per video
+    (no IDCT, no full decode, the other N−k frames never entropy-
+    decoded), per-frame dual phash+aHash 8×8-bit LSH bands (the
+    independent-flip union jfif_dc_dedup measured), and verify runs
+    slot-aligned thumb PSNR over the k DC thumbs that ride the band
+    rows — a pair is a duplicate when ≥ min_slots of k slots clear the
+    PSNR gate, so a single coincidentally-similar frame cannot merge
+    two distinct videos. One band-keyed exchange + one tiny pair
+    groupby; payloads never shuffle.
+
+    At corpus scale the k-thumb band payload (k·256 B) is the
+    volume term — the pair-rendezvous variant (candidates only in the
+    band exchange, thumbs attached by two endpoint-keyed joins)
+    applies unchanged when the network is the binding resource
+    (NOTES.md lever #1)."""
+    d = _avi_dup_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet",
+                               columns=["video_id", "bytes"])
+    n_planted = -(-n_base // dup_every)
+    n_videos = n_base + n_planted
+
+    pairs, n_cand = _slot_video_pairs(
+        ds, k_frames=k_frames, psnr_min_centi=psnr_min_centi,
+        min_slots=min_slots)
     truth = {(f"avi{i:05d}", f"avi{i:05d}_re")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
@@ -745,6 +763,125 @@ def avi_video_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
         "n_true": [n_true], "n_false": [n_false],
         "recall_ppm": [n_true * 1_000_000 // n_planted],
     }).astype("int64")
+
+
+_FPS_KINDS = ("fps5", "fps12", "fps15", "fps25")
+_FPS_NF = {"fps5": 4, "fps12": 10, "fps15": 12, "fps25": 20}
+
+
+def _framerate_frame(px: np.ndarray, t: float) -> np.ndarray:
+    """Frame of the continuous motion model at wall time t seconds:
+    horizontal pan at 30 px/s + brightness ramp at 40 levels/s —
+    the TIME-parameterized version of _avi_dup_corpus_dir's per-frame
+    model, so any frame rate samples the same underlying content."""
+    fr = np.roll(px, shift=int(round(30.0 * t)), axis=1).astype(np.int16)
+    return np.clip(fr + int(round(40.0 * t)), 0, 255).astype(np.uint8)
+
+
+def _framerate_corpus_dir(n_base: int = 32, dup_every: int = 2,
+                          base_nf: int = 8) -> str:
+    """AVI fixture WITH PLANTED FRAME-RATE-RESAMPLED near-dups: base
+    videos at 10 fps (8 frames, T=0.8 s), and every dup_every-th base
+    re-rendered from the SAME continuous motion model at a different
+    frame rate cycling 5 / 12.5 / 15 / 25 fps (4 / 10 / 12 / 20
+    frames over the same wall duration), re-encoded q70. Truth rides
+    the naming: "fr<i>_<kind>" duplicates "fr<i>"."""
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import jpeg as jpeg_mod
+
+    out = f"/tmp/destor_ray_fpsdup/v1_n{n_base}_d{dup_every}_f{base_nf}"
+    if os.path.isdir(out):
+        return out
+    T = base_nf / 10.0
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, w, h, _, _ = corpus_mod._base_pixels(seed=19, row=i)
+        frames = [jpeg_mod.encode(_framerate_frame(px, j / 10.0), 85)
+                  for j in range(base_nf)]
+        ids.append(f"fr{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(frames, w=w, h=h, fps=10))
+        if i % dup_every == 0:
+            k = i // dup_every
+            kind = _FPS_KINDS[k % len(_FPS_KINDS)]
+            nf = _FPS_NF[kind]
+            dupf = [jpeg_mod.encode(_framerate_frame(px, j * T / nf), 70)
+                    for j in range(nf)]
+            ids.append(f"fr{i:05d}_{kind}")
+            blobs.append(avi_mod.encode_mjpeg(
+                dupf, w=w, h=h, fps=max(1, nf * 10 // base_nf)))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def framerate_video_dedup(sf_dir: str, n_base: int = 32,
+                          dup_every: int = 2, k_frames: int = 4,
+                          psnr_min_centi: int = 2800,
+                          min_slots: int = 3):
+    """(kind, n_planted, n_found, n_false, recall_ppm) per frame-rate
+    class + "_total" — CERTIFIES that the k-slot DC-thumb video
+    channel is FRAME-RATE INVARIANT BY CONSTRUCTION: slots sample at
+    RELATIVE positions (j·nf)//k, so two renderings of the same
+    content at the same wall duration land their slots at (nearly)
+    the same times regardless of fps — no normalization stage needed,
+    unlike the audio sample-rate class (samplerate_audio_dedup, where
+    Haitsma-Kalker words moved 30/60 bits until a canonical-rate
+    resample was inserted). The 12.5 fps class is the adversarial
+    one: ⌊j·10/4⌋ slots land up to 0.04 s off the base's slot times,
+    i.e. the verify must absorb one motion step (≈1 px pan + 2
+    brightness levels at this model) — which the 28 dB slot-PSNR gate
+    does with margin; 5/15/25 fps divide evenly and reduce to pure
+    re-encode at the slot times. A frame-rate change that ALSO
+    changes wall duration is a speed change — that is
+    timescale_video_dedup's class, not this one (documented
+    boundary).
+
+    Scale shape: identical to avi_video_dedup (shared
+    _slot_video_pairs core) — one DC-only decode pass, one band
+    exchange, one pair groupby; full frames never shuffle."""
+    d = _framerate_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+    pairs, _ = _slot_video_pairs(
+        ds, k_frames=k_frames, psnr_min_centi=psnr_min_centi,
+        min_slots=min_slots)
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _FPS_KINDS}
+    for i in range(0, n_base, dup_every):
+        k = i // dup_every
+        kind = _FPS_KINDS[k % len(_FPS_KINDS)]
+        truth_by_kind[kind].add((f"fr{i:05d}", f"fr{i:05d}_{kind}"))
+    all_truth = set().union(*truth_by_kind.values())
+    n_planted = len(all_truth)
+    n_false = len(got - all_truth)
+
+    import pandas as pd
+    rows = []
+    for kind in _FPS_KINDS:
+        t = truth_by_kind[kind]
+        found = len(got & t)
+        rows.append({"kind": kind, "n_planted": len(t),
+                     "n_found": found, "n_false": 0,
+                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
+    rows.append({"kind": "_total", "n_planted": n_planted,
+                 "n_found": len(got & all_truth), "n_false": n_false,
+                 "recall_ppm": len(got & all_truth) * 1_000_000
+                 // max(1, n_planted)})
+    out = pd.DataFrame(rows)
+    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
 
 
 def video_frame_stats(sf_dir: str, n_videos: int = 256):

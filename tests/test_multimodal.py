@@ -374,6 +374,25 @@ def test_avi_frame_stats_query_exact(ray_session):
     assert out.mean_video_bytes > 0
 
 
+def test_framerate_video_dedup_per_class_full_recall(ray_session):
+    """frame-rate-resampled re-uploads (5 / 12.5 / 15 / 25 fps of the
+    same wall-duration content) are found by the UNMODIFIED k-slot
+    channel — relative-position sampling is fps-invariant by
+    construction; the 12.5 fps class certifies the slot gate absorbs
+    the ≤0.04 s slot-time rounding error."""
+    from destor_ray.pipelines.ingest import (_FPS_KINDS,
+                                             framerate_video_dedup)
+
+    out = framerate_video_dedup("/root/testdata/sf0.001")
+    assert list(out["kind"]) == list(_FPS_KINDS) + ["_total"]
+    per = out[out.kind != "_total"]
+    assert (per.n_planted == 4).all()
+    assert (per.recall_ppm == 1_000_000).all()
+    tot = out[out.kind == "_total"].iloc[0]
+    assert tot.n_planted == tot.n_found == 16
+    assert tot.n_false == 0
+
+
 def test_avi_video_dedup_full_recall_no_false_merges(ray_session):
     """video-level dedup over real MJPEG AVIs: every planted q85→q70
     transcode copy is found, no distinct videos merge, and the
