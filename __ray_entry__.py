@@ -349,6 +349,23 @@ queries() entries map to SURVEY.md §2 operators:
                        profiles, true 0.990 < distinct 0.9946; dual
                        arm separates 0.991 vs 0.533); planted recall
                        1.0, 0 false merges (rows-only; pytest pins)
+  stereo_audio_dedup   STEREO-RE-MASTER-invariant audio near-dup
+                       detection (mono recording re-released as a
+                       2-channel master: constant-power pan /
+                       Haas-delay widening / mid-side widening).
+                       Measured: NO single decode projection is
+                       invariant across the three styles — Haas
+                       comb-filters the mean downmix (11.5/60 bits,
+                       verify 0.88 < gate) but leaves ch0 bit-exact,
+                       mid/side moves ch0/ch1 by 23-25 bits (verify
+                       0.61) but cancels exactly in the downmix —
+                       so multi-channel clips emit the HK words of
+                       the {downmix, ch0, ch1} PROJECTION SET (the
+                       grayscale dual-luma rendezvous pattern) and
+                       verify maxes the dual-arm gate over combos
+                       present (true ≥0.99 vs distinct ≤0.534 at
+                       0.95); per-class recall 1.0, 0 false merges
+                       (rows-only; pytest pins)
   pitchshift_audio_dedup PITCH-SHIFT-invariant audio near-dup
                        detection (±2-4 semitone tempo-preserving
                        transposition — the "nightcore" / key-change
@@ -2239,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_offset_dedup": ingest.audio_offset_dedup,
         "timescale_audio_dedup": ingest.timescale_audio_dedup,
         "samplerate_audio_dedup": ingest.samplerate_audio_dedup,
+        "stereo_audio_dedup": ingest.stereo_audio_dedup,
         "pitchshift_audio_dedup": ingest.pitchshift_audio_dedup,
         "video_offset_dedup": ingest.video_offset_dedup,
         "timescale_video_dedup": ingest.timescale_video_dedup,

@@ -383,12 +383,17 @@ def dihedral_stack8(g: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def wav_encode(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
-    """Encode mono float32 samples in [-1, 1] as a real 16-bit PCM WAV
-    file (RIFF/WAVE fmt+data chunks, readable by any audio tool)."""
+    """Encode float32 samples in [-1, 1] as a real 16-bit PCM WAV file
+    (RIFF/WAVE fmt+data chunks, readable by any audio tool). 1-D input
+    writes mono; 2-D (n, ch) writes interleaved multi-channel in the
+    standard sample-frame layout (wav_decode downmixes it back by
+    channel mean)."""
     x = np.clip(np.asarray(pcm, dtype=np.float64), -1.0, 1.0)
+    nch = 1 if x.ndim == 1 else x.shape[1]
     i16 = np.round(x * 32767.0).astype("<i2")
-    data = i16.tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    data = i16.reshape(-1).tobytes()  # C-order = interleaved frames
+    fmt = struct.pack("<HHIIHH", 1, nch, sample_rate,
+                      sample_rate * 2 * nch, 2 * nch, 16)
     riff = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(data)) + data)
@@ -400,6 +405,19 @@ def wav_decode(data) -> tuple[np.ndarray, int]:
     sample_rate). Supports PCM (format 1) and IEEE float (format 3),
     8/16/32-bit, any channel count (downmixed to mono by averaging).
     Accepts bytes or uint8 buffer views."""
+    ch, sr = wav_decode_channels(data)
+    return ch.mean(axis=1).astype(np.float32), sr
+
+
+def wav_decode_channels(data) -> tuple[np.ndarray, int]:
+    """Decode a real WAV file → ((n_frames, n_channels) float32 in
+    [-1, 1], sample_rate) WITHOUT downmixing — the stereo-master dedup
+    channel fingerprints each channel projection separately because no
+    single projection is invariant across mastering styles (a Haas
+    widener's delayed channel comb-filters the mean downmix while
+    ch0 is the untouched signal; a mid/side widener's side signal
+    cancels ONLY in the downmix). Same chunk walk / format support as
+    wav_decode."""
     if bytes(data[:4]) != b"RIFF" or bytes(data[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -429,9 +447,9 @@ def wav_decode(data) -> tuple[np.ndarray, int]:
                 x = np.frombuffer(bytes(body), dtype="<i4").astype(np.float32) / 2147483647.0
             else:
                 raise ValueError(f"unsupported WAV bit depth {bits}")
-            if nch and nch > 1:
-                x = x[: (len(x) // nch) * nch].reshape(-1, nch).mean(axis=1)
-            samples = x.astype(np.float32)
+            c = max(1, int(nch or 1))
+            samples = x[: (len(x) // c) * c].reshape(-1, c) \
+                .astype(np.float32)
     if samples is None or sr is None:
         raise ValueError("truncated WAV (missing fmt/data chunk)")
     return samples, int(sr)

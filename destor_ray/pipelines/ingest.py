@@ -7502,6 +7502,244 @@ def samplerate_audio_dedup(sf_dir: str, n_base: int = 36,
 
 
 # ---------------------------------------------------------------------------
+# Stereo-re-master-invariant audio dedup: a mono recording re-released
+# as a stereo master (pan-law placement, Haas-delay widening,
+# mid/side widening) — measured: NO single decode projection is
+# invariant across the three mastering styles, so clips emit a small
+# PROJECTION SET {downmix, ch0, ch1} (the grayscale dual-luma
+# rendezvous pattern, one modality over) and any one collision finds
+# the pair.
+
+_STEREO_KINDS = ("pan", "haas", "ms")
+
+
+def _wav_stereo_corpus_dir(n_base: int = 36, dup_every: int = 3,
+                           sr: int = 8000) -> str:
+    """WAV fixture WITH PLANTED STEREO RE-MASTERS: the proven 3 s AM
+    three-tone broadband mono recipe at 8 kHz; every dup_every-th base
+    also appears as `<id>_s` — the SAME signal mastered to 2-channel
+    stereo with fresh dither, cycling the three wild mastering styles:
+    `pan` = constant-power pan law (L=cos(th)x, R=sin(th)x — every
+    projection is a pure gain), `haas` = precedence-effect widening
+    (L=x, R=0.85x delayed 8/16 ms — the mean DOWNMIX is comb-filtered:
+    measured 11.5/60 fingerprint bits move, verify corr drops to
+    0.8822, but ch0 is the untouched signal), `ms` = mid/side widening
+    (L=0.9(x+s), R=0.9(x-s) with band-limited side noise — ch0/ch1
+    move 23-25/60 bits and verify at 0.61, but the side signal cancels
+    EXACTLY in the mean downmix)."""
+    from .. import codec
+
+    out = f"/tmp/destor_ray_wav_st/v1_n{n_base}_d{dup_every}_sr{sr}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+    for i in range(n_base):
+        rng = np.random.Generator(np.random.Philox(key=500 + i))
+        sig = np.zeros_like(t)
+        for _ in range(3):
+            f = rng.uniform(80, 1800)
+            a = rng.uniform(0.2, 0.5)
+            sig += a * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+        sig += 0.1 * rng.normal(0, 1, len(t))
+        lv = rng.uniform(0.2, 1.0, 25)
+        env = np.interp(np.linspace(0, 24, len(t)), np.arange(25), lv)
+        base = (sig * env / 3.0).astype(np.float64)
+        d1 = np.random.Generator(np.random.Philox(key=5 + i)) \
+            .normal(0, 1e-4, len(base))
+        ids.append(f"stx{i:05d}")
+        blobs.append(codec.wav_encode(
+            (base + d1).astype(np.float32), sr))
+        if i % dup_every == 0:
+            kind = _STEREO_KINDS[(i // dup_every) % len(_STEREO_KINDS)]
+            rng2 = np.random.Generator(np.random.Philox(key=900 + i))
+            if kind == "pan":
+                th = rng2.uniform(0.2, 1.37)
+                l_, r_ = np.cos(th) * base, np.sin(th) * base
+            elif kind == "haas":
+                d_ms = 0.008 if (i // dup_every) % 2 == 0 else 0.016
+                nd = int(sr * d_ms)
+                xd = np.concatenate([np.zeros(nd), base[:-nd]])
+                l_, r_ = base, 0.85 * xd
+            else:  # ms
+                s = 0.25 * rng2.normal(0, 1, len(base))
+                s = np.convolve(s, np.ones(8) / 8, mode="same")
+                l_, r_ = 0.9 * (base + s), 0.9 * (base - s)
+            st = np.stack([l_, r_], axis=1)
+            d2 = rng2.normal(0, 1e-4, st.shape)
+            ids.append(f"stx{i:05d}_s")
+            blobs.append(codec.wav_encode(
+                np.clip(st + d2, -1, 1).astype(np.float32), sr))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/clips.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def stereo_audio_dedup(sf_dir: str, n_base: int = 36,
+                       dup_every: int = 3,
+                       corr_min_milli: int = 950):
+    """(kind, n_planted, n_found, n_false, recall_ppm) per stereo
+    mastering class + a "_total" row — STEREO-RE-MASTER-invariant
+    audio near-dup detection: the same mono recording re-released as a
+    2-channel master. Measured per-projection invariants (12-clip
+    design ladder): a constant-power PAN is a pure gain in every
+    projection (≤1/60 HK bits move); HAAS widening (R = 0.85x delayed
+    8-16 ms) comb-filters the mean downmix (11.5/60 bits mean, 3/12
+    past every band, verify 0.8822 < gate) while ch0 is bit-exact
+    (≤1 bit, verify 1.0); MID/SIDE widening moves ch0/ch1 by 23-25/60
+    bits (verify 0.61) while the side signal cancels EXACTLY in the
+    mean downmix (≤1 bit, verify 1.0). No single projection covers all
+    three classes, so multi-channel clips emit the Haitsma-Kalker
+    delta-sign words of THREE projections {mean downmix, ch0, ch1}
+    (mono clips emit one) through the proven 8x8-bit band exchange;
+    verify takes the MAX of _audio_offset_verify at offset 0 over the
+    projection payload combos present in the colliding bucket (true
+    invariant-projection pairs ≥ 0.99, distinct background ≤ 0.5341 at
+    the 0.95 gate — the extra combos add no false-merge surface).
+
+    Scale shape: one band exchange + one pair groupby; PCM never
+    shuffles (per-projection 360 B envelope + 1.4 KB block-spectrogram
+    ride the band rows; stereo clips ship 3x8 = 24 rows vs mono 8)."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _wav_stereo_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/clips.parquet")
+    n_planted = -(-n_base // dup_every)
+
+    class StereoProjFingerprint:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"bkey": [], "clip_id": [], "proj": [],
+                   "env": [], "spec": []}
+            for cid, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                ch, _sr = codec.wav_decode_channels(data)
+                ch = ch.astype(np.float64)
+                projs = [(0, ch.mean(axis=1))]
+                if ch.shape[1] > 1:
+                    projs += [(1, ch[:, 0]), (2, ch[:, 1])]
+                for pj, pcm in projs:
+                    el = _audio_band_log(pcm)
+                    e = np.exp(el)
+                    d_t = np.diff(e, axis=0)
+                    bits = (d_t[:, :-1] - d_t[:, 1:]) > 0
+                    slots = [(j * (len(bits) - 1)) // 3
+                             for j in range(4)]
+                    word = np.uint64(0)
+                    nb = bits.shape[1]
+                    for j, s in enumerate(slots):
+                        w_ = int(np.packbits(
+                            bits[s],
+                            bitorder="big")[:2].view(">u2")[0] >> 1)
+                        word |= np.uint64(
+                            (w_ & ((1 << nb) - 1))) << np.uint64(j * nb)
+                    env_tot = np.log(e.sum(axis=1) + 1e-300)
+                    nblk = len(el) // 4
+                    spec4 = el[:nblk * 4].reshape(nblk, 4, _AOF_NB) \
+                        .mean(axis=1)
+                    env_b = np.round(env_tot * 1000) \
+                        .astype(np.int16).tobytes()
+                    spec_b = np.round(spec4 * 1000) \
+                        .astype(np.int16).tobytes()
+                    for band in range(8):
+                        bits8 = int((word >> np.uint64(8 * band))
+                                    & np.uint64(0xFF))
+                        out["bkey"].append((band << 8) | bits8)
+                        out["clip_id"].append(cid)
+                        out["proj"].append(pj)
+                        out["env"].append(env_b)
+                        out["spec"].append(spec_b)
+            return pa.table({
+                "bkey": pa.array(out["bkey"], pa.int64()),
+                "clip_id": pa.array(out["clip_id"], pa.string()),
+                "proj": pa.array(out["proj"], pa.int8()),
+                "env": pa.array(out["env"], pa.binary()),
+                "spec": pa.array(out["spec"], pa.binary()),
+            })
+
+    bands = ds.map_batches(StereoProjFingerprint, batch_size=16,
+                           concurrency=2, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, cs = [], [], []
+        seen = set()
+        for _, g in df.groupby("bkey", sort=False):
+            payload = {}
+            for cid, pj, eb, sb in zip(g["clip_id"], g["proj"],
+                                       g["env"], g["spec"]):
+                payload.setdefault(cid, {})
+                if pj not in payload[cid]:
+                    payload[cid][pj] = (
+                        np.frombuffer(eb, np.int16).astype(np.float64)
+                        / 1000,
+                        np.frombuffer(sb, np.int16).astype(np.float64)
+                        .reshape(-1, _AOF_NB) / 1000)
+            u = sorted(payload)
+            for i in range(len(u)):
+                for j in range(i + 1, len(u)):
+                    if (u[i], u[j]) in seen:
+                        continue
+                    seen.add((u[i], u[j]))
+                    best = -1.0
+                    for ea, sa in payload[u[i]].values():
+                        for eb_, sb_ in payload[u[j]].values():
+                            best = max(best, _audio_offset_verify(
+                                ea, sa, eb_, sb_, 0))
+                            if int(round(best * 1000)) \
+                                    >= corr_min_milli:
+                                break
+                        else:
+                            continue
+                        break
+                    if int(round(best * 1000)) >= corr_min_milli:
+                        ls.append(u[i])
+                        rs.append(u[j])
+                        cs.append(int(round(best * 1000)))
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "corr_milli": pa.array(cs, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    pairs = pairs.drop_duplicates(["l", "r"])
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _STEREO_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _STEREO_KINDS[(i // dup_every) % len(_STEREO_KINDS)]
+        truth_by_kind[kind].add((f"stx{i:05d}", f"stx{i:05d}_s"))
+    all_truth = set().union(*truth_by_kind.values())
+    n_false = len(got - all_truth)
+
+    import pandas as pd
+    rows = []
+    for kind in _STEREO_KINDS:
+        t = truth_by_kind[kind]
+        found = len(got & t)
+        rows.append({"kind": kind, "n_planted": len(t),
+                     "n_found": found, "n_false": 0,
+                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
+    rows.append({"kind": "_total", "n_planted": n_planted,
+                 "n_found": len(got & all_truth), "n_false": n_false,
+                 "recall_ppm": len(got & all_truth) * 1_000_000
+                 // n_planted})
+    out = pd.DataFrame(rows)
+    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Mirror/rotation-orbit-invariant video dedup: horizontally mirrored
 # (and upside-down) re-uploads — the most common manual evasion edit —
 # move every slot hash past any band; the image dihedral channel's

@@ -697,6 +697,93 @@ def test_samplerate_audio_dedup_rate_invariant_full_recall(ray_session):
     assert out.n_true == out.n_verified_pairs == 12
 
 
+def test_wav_decode_channels_stereo_roundtrip():
+    """wav_encode 2-D (n, ch) writes interleaved multi-channel frames
+    and wav_decode_channels recovers each channel separately (the
+    stereo dedup channel's per-projection seam); wav_decode still
+    downmixes by channel mean."""
+    from destor_ray import codec
+    rng = np.random.default_rng(7)
+    st = rng.uniform(-1, 1, (500, 2)).astype(np.float32)
+    blob = codec.wav_encode(st, 8000)
+    ch, sr = codec.wav_decode_channels(blob)
+    assert sr == 8000 and ch.shape == (500, 2)
+    assert np.max(np.abs(ch - st)) < 1.0 / 32000
+    mono, _ = codec.wav_decode(blob)
+    assert np.max(np.abs(mono - st.mean(axis=1))) < 1.0 / 16000
+
+
+def test_stereo_projection_invariants():
+    """pins the measured per-projection design ladder: a Haas-widened
+    master's mean DOWNMIX is comb-filtered (>= 4/60 HK bits move)
+    while ch0 is bit-near-exact (<= 1); a mid/side master's ch0 moves
+    >= 15 bits while the side signal cancels exactly in the downmix
+    (<= 1). No single projection covers both classes — the reason the
+    channel emits the {downmix, ch0, ch1} projection set."""
+    from destor_ray import codec
+    from destor_ray.pipelines.ingest import _audio_band_log
+
+    sr = 8000
+    t = np.arange(3 * sr, dtype=np.float64) / sr
+    rng = np.random.default_rng(11)
+    x = np.zeros_like(t)
+    for _ in range(3):
+        x += rng.uniform(0.2, 0.5) * np.sin(
+            2 * np.pi * rng.uniform(80, 1800) * t + rng.uniform(0, 6))
+    x += 0.1 * rng.normal(0, 1, len(t))
+    env = np.interp(np.linspace(0, 24, len(t)), np.arange(25),
+                    rng.uniform(0.2, 1.0, 25))
+    x = x * env / 3.0
+
+    def hk_word(pcm):
+        el = _audio_band_log(pcm.astype(np.float64))
+        e = np.exp(el)
+        d_t = np.diff(e, axis=0)
+        bits = (d_t[:, :-1] - d_t[:, 1:]) > 0
+        slots = [(j * (len(bits) - 1)) // 3 for j in range(4)]
+        word, nb = 0, bits.shape[1]
+        for j, s in enumerate(slots):
+            w_ = int(np.packbits(
+                bits[s], bitorder="big")[:2].view(">u2")[0] >> 1)
+            word |= (w_ & ((1 << nb) - 1)) << (j * nb)
+        return word
+
+    w0 = hk_word(x)
+    nd = int(sr * 0.012)
+    haas = np.stack(
+        [x, 0.85 * np.concatenate([np.zeros(nd), x[:-nd]])], axis=1)
+    s = np.convolve(0.25 * rng.normal(0, 1, len(x)),
+                    np.ones(8) / 8, mode="same")
+    ms = np.stack([0.9 * (x + s), 0.9 * (x - s)], axis=1)
+    for st_px, bad_proj, good_proj in (
+            (haas, lambda c: c.mean(axis=1), lambda c: c[:, 0]),
+            (ms, lambda c: c[:, 0], lambda c: c.mean(axis=1))):
+        ch, _ = codec.wav_decode_channels(
+            codec.wav_encode(st_px.astype(np.float32), sr))
+        ch = ch.astype(np.float64)
+        moved_bad = bin(w0 ^ hk_word(bad_proj(ch))).count("1")
+        moved_good = bin(w0 ^ hk_word(good_proj(ch))).count("1")
+        assert moved_bad >= 4, moved_bad
+        assert moved_good <= 1, moved_good
+
+
+def test_stereo_audio_dedup_per_class_full_recall(ray_session):
+    """every planted stereo re-master (constant-power pan / Haas-delay
+    widening / mid-side widening) is found via its measured invariant
+    projection — per-class recall 1.0, zero false merges."""
+    from destor_ray.pipelines.ingest import (_STEREO_KINDS,
+                                             stereo_audio_dedup)
+
+    out = stereo_audio_dedup("/root/testdata/sf0.001")
+    assert list(out["kind"]) == list(_STEREO_KINDS) + ["_total"]
+    per = out[out.kind != "_total"]
+    assert (per.n_planted == 4).all()
+    assert (per.recall_ppm == 1_000_000).all()
+    tot = out[out.kind == "_total"].iloc[0]
+    assert tot.n_planted == tot.n_found == 12
+    assert tot.n_false == 0
+
+
 def test_mirror_video_dedup_orbit_invariant_full_recall(ray_session):
     """every planted mirrored (fliplr) and upside-down (rot180) copy
     at q70 is found — recall 1.0, zero false merges. Flips move slot
