@@ -411,6 +411,19 @@ queries() entries map to SURVEY.md §2 operators:
                        speed change (timescale_video_dedup's class,
                        documented boundary); per-fps-class recall
                        1.0, 0 false merges (rows-only; pytest pins)
+  resolution_video_dedup SPATIAL-RESOLUTION-invariant video near-dup
+                       detection (the 1080p→720p re-upload class:
+                       box half/quarter res, 2× upscale, aliasing
+                       NN-2/3). The DC-only slot channel is MEASURED
+                       BLIND (half-res: 18.1 dB min slot PSNR, 0/4
+                       slots past the gate; quarter-res: 0 band
+                       collisions); the channel fully decodes ONLY
+                       the k sampled frames and hashes/verifies
+                       _box_thumb32 area averages of full-res luma —
+                       scale-invariant by construction (true ≥26.3 dB
+                       vs distinct ≤18.2 at the 25 dB slot gate);
+                       per-class recall 1.0, 0 false merges
+                       (rows-only; pytest pins)
   timescale_video_dedup TIME-SCALE-invariant video near-dup detection
                        (speed-changed / frame-rate-resampled re-uploads
                        rho 0.75-1.3, head-trimmed, q70 — trim+scale
@@ -2270,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grayscale_image_dedup": ingest.grayscale_image_dedup,
         "degrade_image_dedup": ingest.degrade_image_dedup,
         "framerate_video_dedup": ingest.framerate_video_dedup,
+        "resolution_video_dedup": ingest.resolution_video_dedup,
         "omni_image_dedup": ingest.omni_image_dedup,
         "schema_evolution_backfill": ingest.schema_evolution_backfill,
         "compact_small_files": ingest.compact_small_files,

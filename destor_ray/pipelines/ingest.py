@@ -609,22 +609,38 @@ def _avi_dup_corpus_dir(n_base: int = 36, dup_every: int = 3,
 
 def _slot_video_pairs(ds, k_frames: int = 4,
                       psnr_min_centi: int = 2800, min_slots: int = 3,
-                      num_buckets: int = 8):
-    """The k-slot DC-thumb video dedup core shared by avi_video_dedup
-    and framerate_video_dedup: container walk + DC-only decode of k
-    frames sampled at RELATIVE positions (j·nf)//k, per-frame dual
-    phash+aHash 8×8-bit bands, slot-majority thumb-PSNR verify
-    (≥ min_slots of k slots clear the gate). Returns the deduped
-    pandas pair frame plus the pre-dedup candidate count.
+                      num_buckets: int = 8, decode: str = "dc"):
+    """The k-slot DC-thumb video dedup core shared by avi_video_dedup,
+    framerate_video_dedup and resolution_video_dedup: container walk +
+    decode of k frames sampled at RELATIVE positions (j·nf)//k,
+    per-frame dual phash+aHash 8×8-bit bands, slot-majority thumb-PSNR
+    verify (≥ min_slots of k slots clear the gate). Returns the
+    deduped pandas pair frame plus the pre-dedup candidate count.
 
     Sampling by relative position makes the signature FRAME-RATE
     INVARIANT by construction: for two encodings of the same content
     at the same wall duration T, slot j lands at time (j·⌊T·fps⌋//k)
     / fps ≈ j·T/k on both sides regardless of fps — certified by
-    framerate_video_dedup."""
+    framerate_video_dedup.
+
+    decode="dc" (default) never entropy-decodes past the DC
+    coefficients — the cheap path, but its 32×32 gray is an NN resample
+    of the (h/8, w/8) DC grid, whose box-mean BLOCK SCALE tracks the
+    encoded resolution: MEASURED (resolution_video_dedup ladder), a
+    half-res re-render drops slot thumb PSNR to 18.1 dB min / 0 slots
+    past the 28 gate and a quarter-res one loses even banding (0 band
+    collisions vs the distinct background's max 3) — the DC path is
+    resolution-BLIND. decode="full-box" fully decodes the k slot
+    frames only (bounded full decodes, the letterbox channel's cost
+    class) and takes _box_thumb32 area averages over the full-res
+    luma, which are resolution-invariant by construction: true-pair
+    slot PSNR ≥ 26.3 dB across half/quarter/2×-up/NN-2/3 re-renders
+    vs distinct ≤ 18.2 (band collisions ≥ 20/64 vs ≤ 3)."""
     from .. import avi as avi_mod
     from .. import codec, jpeg
     from ..stages.grouped import bucketed_group_map
+
+    full_box = decode == "full-box"
 
     class VideoDCSignature:
         def __init__(self):
@@ -640,6 +656,12 @@ def _slot_video_pairs(ds, k_frames: int = 4,
                 grays = []
                 tb = b""
                 for j in range(k):
+                    if full_box:
+                        g = codec.to_gray(
+                            jpeg.decode(frames[(j * nf) // k]))
+                        grays.append(_box_thumb32(g, 32))
+                        tb += _box_thumb32(g, 16).tobytes()
+                        continue
                     dc = jpeg.decode_dc_luma(frames[(j * nf) // k])
                     grays.append(codec.resize_nn(dc, 32, 32))
                     tb += codec.resize_nn(dc, 16, 16).tobytes()
@@ -869,6 +891,139 @@ def framerate_video_dedup(sf_dir: str, n_base: int = 32,
     import pandas as pd
     rows = []
     for kind in _FPS_KINDS:
+        t = truth_by_kind[kind]
+        found = len(got & t)
+        rows.append({"kind": kind, "n_planted": len(t),
+                     "n_found": found, "n_false": 0,
+                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
+    rows.append({"kind": "_total", "n_planted": n_planted,
+                 "n_found": len(got & all_truth), "n_false": n_false,
+                 "recall_ppm": len(got & all_truth) * 1_000_000
+                 // max(1, n_planted)})
+    out = pd.DataFrame(rows)
+    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+_RES_KINDS = ("half", "quarter", "up2", "nn23")
+
+
+def _res_transform(px: np.ndarray, kind: str) -> np.ndarray:
+    """Spatial re-render of a frame: box-mean half/quarter res (the
+    player/proxy downscale), 2× pixel replication (the naive
+    upscaled re-upload), NN point-sample to 2/3 (the cheap aliasing
+    resize low-end encoders apply)."""
+    from .. import codec
+    if kind == "half":
+        return _downscale_box2(px)
+    if kind == "quarter":
+        return _downscale_box2(_downscale_box2(px))
+    if kind == "up2":
+        return np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+    if kind == "nn23":
+        h, w = px.shape[:2]
+        return codec.resize_nn(px, (2 * h) // 3, (2 * w) // 3)
+    raise ValueError(kind)
+
+
+def _resolution_corpus_dir(n_base: int = 32, dup_every: int = 2,
+                           base_nf: int = 8) -> str:
+    """AVI fixture WITH PLANTED RESOLUTION-RE-RENDERED near-dups:
+    base videos at 10 fps / native ≥64 px resolution (sub-64 bases
+    are 2× replicated up so a quarter-res dup keeps a non-degenerate
+    frame), and every dup_every-th base re-rendered frame-by-frame at
+    a different spatial resolution cycling half / quarter / 2×-up /
+    NN-2/3, re-encoded q70. Truth rides the naming: "rs<i>_<kind>"
+    duplicates "rs<i>"."""
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import jpeg as jpeg_mod
+
+    out = f"/tmp/destor_ray_resdup/v1_n{n_base}_d{dup_every}_f{base_nf}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _, _, _, _ = corpus_mod._base_pixels(seed=23, row=i)
+        while min(px.shape[:2]) < 64:
+            px = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+        h, w = px.shape[:2]
+        frames = [jpeg_mod.encode(_framerate_frame(px, j / 10.0), 85)
+                  for j in range(base_nf)]
+        ids.append(f"rs{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(frames, w=w, h=h, fps=10))
+        if i % dup_every == 0:
+            kind = _RES_KINDS[(i // dup_every) % len(_RES_KINDS)]
+            dpx = [_res_transform(_framerate_frame(px, j / 10.0), kind)
+                   for j in range(base_nf)]
+            dh, dw = dpx[0].shape[:2]
+            dupf = [jpeg_mod.encode(f, 70) for f in dpx]
+            ids.append(f"rs{i:05d}_{kind}")
+            blobs.append(avi_mod.encode_mjpeg(dupf, w=dw, h=dh, fps=10))
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    pq_.write_table(pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }), f"{tmp}/videos.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def resolution_video_dedup(sf_dir: str, n_base: int = 32,
+                           dup_every: int = 2, k_frames: int = 4,
+                           psnr_min_centi: int = 2500,
+                           min_slots: int = 3):
+    """(kind, n_planted, n_found, n_false, recall_ppm) per resolution
+    class + "_total" — SPATIAL-RESOLUTION-invariant video near-dup
+    detection (the 1080p→720p re-upload, THE most common real video
+    re-encode class). The DC-only slot channel is MEASURED BLIND
+    here: its 32×32 gray NN-resamples the (h/8, w/8) DC grid, whose
+    box-mean block scale tracks the encoded resolution, so a half-res
+    re-render keeps only 18.1 dB min slot PSNR / 0 of 4 slots past
+    the 28 gate and quarter-res loses banding outright (0 collisions
+    vs the distinct background's max 3). The fix is the image resize
+    channel's recipe lifted per-slot: decode="full-box" fully decodes
+    ONLY the k sampled frames (bounded full decodes — the letterbox
+    channel's cost class; the other N−k frames still never
+    entropy-decode) and hashes/verifies _box_thumb32 AREA AVERAGES of
+    the full-res luma, which are scale-invariant by construction.
+    MEASURED at this fixture: true-pair slot PSNR ≥ 26.3 dB across
+    half / quarter / 2×-up / NN-2/3 (the NN-2/3 class aliases — point
+    sampling drops rows — and sets the floor; box-mean classes sit
+    ≥ 39.4) vs distinct ≤ 18.2, hence the 25 dB slot gate (8 dB
+    clearance); band collisions ≥ 20/64 vs distinct ≤ 3/64.
+
+    Scale shape: identical to avi_video_dedup — one decode pass, one
+    band exchange, one pair groupby; full frames never shuffle. In
+    the omni composition this channel's bands would ride the same
+    unified exchange under their own channel id; a router can skip it
+    when both headers agree on (w, h) AND the DC channel already
+    matched, but cross-resolution recall REQUIRES it."""
+    d = _resolution_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+    pairs, _ = _slot_video_pairs(
+        ds, k_frames=k_frames, psnr_min_centi=psnr_min_centi,
+        min_slots=min_slots, decode="full-box")
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _RES_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _RES_KINDS[(i // dup_every) % len(_RES_KINDS)]
+        truth_by_kind[kind].add((f"rs{i:05d}", f"rs{i:05d}_{kind}"))
+    all_truth = set().union(*truth_by_kind.values())
+    n_planted = len(all_truth)
+    n_false = len(got - all_truth)
+
+    import pandas as pd
+    rows = []
+    for kind in _RES_KINDS:
         t = truth_by_kind[kind]
         found = len(got & t)
         rows.append({"kind": kind, "n_planted": len(t),

@@ -393,6 +393,26 @@ def test_framerate_video_dedup_per_class_full_recall(ray_session):
     assert tot.n_false == 0
 
 
+def test_resolution_video_dedup_per_class_full_recall(ray_session):
+    """spatially re-rendered re-uploads (box half/quarter res, 2×
+    pixel-replicate upscale, aliasing NN-2/3) are found by the
+    full-box slot channel at the 25 dB slot gate with zero false
+    merges — the DC-only path is measured blind on this class (see
+    resolution_video_dedup docstring ladder), so the channel's
+    bounded full decode of the k slot frames is load-bearing."""
+    from destor_ray.pipelines.ingest import (_RES_KINDS,
+                                             resolution_video_dedup)
+
+    out = resolution_video_dedup("/root/testdata/sf0.001")
+    assert list(out["kind"]) == list(_RES_KINDS) + ["_total"]
+    per = out[out.kind != "_total"]
+    assert (per.n_planted == 4).all()
+    assert (per.recall_ppm == 1_000_000).all()
+    tot = out[out.kind == "_total"].iloc[0]
+    assert tot.n_planted == tot.n_found == 16
+    assert tot.n_false == 0
+
+
 def test_avi_video_dedup_full_recall_no_false_merges(ray_session):
     """video-level dedup over real MJPEG AVIs: every planted q85→q70
     transcode copy is found, no distinct videos merge, and the
