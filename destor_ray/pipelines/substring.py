@@ -12,16 +12,19 @@ Topology (same scale shape as text.ngram_jaccard_pairs):
      GUARANTEES a shared fingerprint for any pair with a common
      substring of length >= gram + window - 1, so candidate recall for
      the `min_len` predicate is exactly 1.
-  2. bucketed groupby(fp) → candidate pairs (output-scale).
-  3. rendezvous-by-pair verify: each participating doc ships its text
-     to its pair ids; the pair bucket computes the EXACT answer —
-     distinct shared min_len-grams (SQL-parity, oracle-checked) or the
-     exact longest-common-substring length via generalized suffix
-     array + Kasai LCP (not SQL-expressible; pytest vs DP brute force).
+  2. bucketed groupby(fp) → candidate pairs (output-scale), globally
+     deduped by a canonical-pair-hash exchange (slim: 24 B/pair).
+  3. doc-keyed rendezvous: endpoint routing rows meet the (doc_id,
+     text) table — the one corpus-proportional exchange — then each
+     pair's two texts meet in a pair-hash bucket that computes the
+     EXACT answer: distinct shared min_len-grams (SQL-parity,
+     oracle-checked) or the exact longest-common-substring length via
+     generalized suffix array + Kasai LCP (not SQL-expressible; pytest
+     vs DP brute force).
 
-The shuffles are proportional to corpus fingerprints (step 2) and to
-candidate pairs × text size (step 3) — the corpus text never crosses a
-shuffle unpaired and is never read on the driver.
+Nothing is materialized on the driver (round 3 removed the pair pull +
+routing broadcast); the verify exchange ships exactly 2 texts per
+unique candidate pair.
 """
 
 from __future__ import annotations
@@ -48,11 +51,31 @@ def _winnow_params(min_len: int) -> tuple[int, int]:
     return gram, window
 
 
-def _candidate_pairs(ds, gram: int, window: int,
-                     max_driver_pairs: int) -> tuple[list[int], list[int]]:
-    """Winnow-fingerprint LSH: fp rows → bucketed groupby(fp) → deduped
-    candidate (l<r) pair list, pulled to the driver (output-scale, same
-    gate as text.ngram_jaccard_pairs)."""
+def _pair_text_rendezvous(ds, gram: int, window: int,
+                          num_buckets: int = 32):
+    """Distributed candidate channel + text rendezvous (no driver
+    materialization anywhere — round 3 removed the pair pull + routing
+    broadcast this module used to share with text.ngram_jaccard_pairs):
+
+      1. fp shuffle: winnow (fp, doc_id) rows → per-bucket candidate
+         (l < r) pairs (cross-bucket duplicates possible);
+      2. pair-dedup exchange keyed by the canonical pair hash — every
+         duplicate of a pair lands in one bucket and survives once;
+         the bucket emits TWO endpoint routing rows per unique pair;
+      3. doc rendezvous: routing rows tag-and-union with the slim
+         (doc_id, text) table bucketed by doc_id; each participating
+         doc's text is attached to every routing row.  The single
+         corpus-proportional exchange; the verify exchange that
+         follows is candidate-proportional (2 texts per unique pair).
+
+    Returns a Dataset of (pkey, left_id, right_id, doc_id, text) —
+    group by pkey and verify by (left_id, right_id) inside the bucket
+    (pkey hash collisions are harmless: it only routes)."""
+    from ..functions.hashing import mix_u64
+
+    def _pkey(l: np.ndarray, r: np.ndarray) -> np.ndarray:
+        return mix_u64(mix_u64(l.astype(np.uint64), 0x9E37)
+                       ^ r.astype(np.uint64), 0x85EB).view(np.int64)
 
     def fp_rows(batch: pa.Table) -> pa.Table:
         out_f, out_d = [], []
@@ -95,81 +118,96 @@ def _candidate_pairs(ds, gram: int, window: int,
         return pa.Table.from_pandas(out, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    cand = bucketed_group_map(fps, "fp", pairs_bucket, num_buckets=32)
+    cand = bucketed_group_map(fps, "fp", pairs_bucket,
+                              num_buckets=num_buckets)
 
-    seen: set[tuple[int, int]] = set()
-    pl: list[int] = []
-    pr: list[int] = []
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        for l, r in zip(b["left_id"].to_pylist(), b["right_id"].to_pylist()):
-            key = (l, r) if l < r else (r, l)
-            if key not in seen:
-                seen.add(key)
-                pl.append(key[0])
-                pr.append(key[1])
-        if len(seen) > max_driver_pairs:
-            raise ValueError(
-                f"candidate pairs exceed max_driver_pairs={max_driver_pairs}; "
-                "raise min_len (longer fingerprint grams) for this corpus")
-    return pl, pr
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        l = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pkey": pa.array(_pkey(l, r), pa.int64()),
+                         "left_id": pa.array(l, pa.int64()),
+                         "right_id": pa.array(r, pa.int64())})
 
+    def route_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["left_id", "right_id"])
+        l = df["left_id"].to_numpy(np.int64)
+        r = df["right_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([l, r]), pa.int64()),
+            "left": pa.array(np.concatenate([l, l]), pa.int64()),
+            "right": pa.array(np.concatenate([r, r]), pa.int64()),
+            "text": pa.array([""] * (2 * len(df)), pa.string()),
+        })
 
-def _pair_text_shards(ds, pl: list[int], pr: list[int]):
-    """Rendezvous shuffle: (pid, doc_id, text) rows, one per (pair, side)."""
-    import ray
+    routes = bucketed_group_map(cand.map_batches(add_pkey,
+                                                 batch_format="pyarrow"),
+                                "pkey", route_bucket,
+                                num_buckets=num_buckets)
 
-    routing: dict[int, list[int]] = {}
-    for pid, (l, r) in enumerate(zip(pl, pr)):
-        routing.setdefault(l, []).append(pid)
-        routing.setdefault(r, []).append(pid)
-    rref = ray.put(routing)
+    def text_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "left": pa.array(np.full(m, -1, np.int64), pa.int64()),
+            "right": pa.array(np.full(m, -1, np.int64), pa.int64()),
+            "text": batch["text"].cast(pa.string()),
+        })
 
-    def ship_text(batch: pa.Table) -> pa.Table:
-        rmap = ray.get(rref)
-        out_pid, out_did, out_t = [], [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            pids = rmap.get(did)
-            if not pids:
-                continue
-            for pid in pids:
-                out_pid.append(pid)
-                out_did.append(did)
-                out_t.append(t)
-        return pa.table({"pid": pa.array(out_pid, pa.int64()),
-                         "doc_id": pa.array(out_did, pa.int64()),
-                         "text": pa.array(out_t, pa.string())})
+    tagged = ds.map_batches(text_rows, batch_format="pyarrow").union(routes)
+    empty_sh = pa.table({"pkey": pa.array([], pa.int64()),
+                         "left_id": pa.array([], pa.int64()),
+                         "right_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "text": pa.array([], pa.string())})
 
-    return ds.map_batches(ship_text, batch_format="pyarrow")
+    def rendezvous_bucket(df: pd.DataFrame) -> pa.Table:
+        is_route = df["left"].to_numpy(np.int64) >= 0
+        routes_df = df[is_route]
+        if routes_df.empty:
+            return empty_sh
+        texts = df[~is_route].drop_duplicates("doc_id") \
+            .set_index("doc_id")["text"]
+        keep = routes_df["doc_id"].isin(texts.index)
+        routes_df = routes_df[keep]
+        l = routes_df["left"].to_numpy(np.int64)
+        r = routes_df["right"].to_numpy(np.int64)
+        return pa.table({
+            "pkey": pa.array(_pkey(l, r), pa.int64()),
+            "left_id": pa.array(l, pa.int64()),
+            "right_id": pa.array(r, pa.int64()),
+            "doc_id": pa.array(routes_df["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "text": pa.array(texts[routes_df["doc_id"]].tolist(),
+                             pa.string()),
+        })
+
+    return bucketed_group_map(tagged, "doc_id", rendezvous_bucket,
+                              num_buckets=num_buckets)
 
 
 def common_substring_pairs(sf_dir: str, min_len: int = 24,
-                           max_driver_pairs: int = 50_000_000):
+                           max_driver_pairs: int | None = None):
     """EXACT pairs of documents sharing >= 1 common substring of length
     `min_len`, with the count of DISTINCT shared min_len-char grams —
     DuckDB-oracle-checked (gram-unnest self-join SQL). Candidates come
     from winnowing fingerprints (recall 1 for this predicate, see module
     docstring); the verify intersects the pair's actual char-gram STRING
     sets, so the output is hash-exact vs the SQL regardless of any
-    fingerprint hash collisions. Returns (left_id, right_id, n_shared)."""
-    import ray
-
+    fingerprint hash collisions. `max_driver_pairs` is retained for API
+    compatibility but ignored (no driver materialization remains).
+    Returns (left_id, right_id, n_shared)."""
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
     gram, window = _winnow_params(min_len)
-    pl, pr = _candidate_pairs(ds, gram, window, max_driver_pairs)
+    shards = _pair_text_rendezvous(ds, gram, window)
     empty_out = pa.table({"left_id": pa.array([], pa.int64()),
                           "right_id": pa.array([], pa.int64()),
                           "n_shared": pa.array([], pa.int64())})
-    if not pl:
-        return ray.data.from_arrow(empty_out)
-    shards = _pair_text_shards(ds, pl, pr)
-    lref = ray.put((np.asarray(pl, dtype=np.int64), np.asarray(pr, dtype=np.int64)))
 
     def verify_bucket(df: pd.DataFrame) -> pa.Table:
         if not len(df):
             return empty_out
-        apl, apr = ray.get(lref)
         out_l, out_r, out_n = [], [], []
-        for pid, g in df.groupby("pid", sort=False):
+        for (l, r), g in df.groupby(["left_id", "right_id"], sort=False):
             g = g.drop_duplicates("doc_id")
             if len(g) != 2:
                 continue
@@ -179,44 +217,38 @@ def common_substring_pairs(sf_dir: str, min_len: int = 24,
             gb = {b[i:i + min_len] for i in range(len(b) - min_len + 1)}
             n_sh = len(ga & gb)
             if n_sh:
-                out_l.append(int(apl[pid]))
-                out_r.append(int(apr[pid]))
+                out_l.append(int(l))
+                out_r.append(int(r))
                 out_n.append(n_sh)
         return pa.table({"left_id": pa.array(out_l, pa.int64()),
                          "right_id": pa.array(out_r, pa.int64()),
                          "n_shared": pa.array(out_n, pa.int64())})
 
-    return bucketed_group_map(shards, "pid", verify_bucket, num_buckets=32)
+    return bucketed_group_map(shards, "pkey", verify_bucket, num_buckets=32)
 
 
 def lcs_pairs(sf_dir: str, min_len: int = 24,
-              max_driver_pairs: int = 50_000_000):
+              max_driver_pairs: int | None = None):
     """Pairs with longest-common-substring length >= min_len, with the
     EXACT LCS length computed by a generalized suffix array + Kasai LCP
     over the concatenated pair (functions/suffixes.py). Same candidate
     channel (recall 1: lcs >= min_len implies a shared min_len-gram
     implies a shared winnow fingerprint). Not SQL-expressible — pytest
-    verifies vs the O(n*m) DP brute force. Returns
+    verifies vs the O(n*m) DP brute force. `max_driver_pairs` is
+    retained for API compatibility but ignored. Returns
     (left_id, right_id, lcs_len)."""
-    import ray
-
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
     gram, window = _winnow_params(min_len)
-    pl, pr = _candidate_pairs(ds, gram, window, max_driver_pairs)
+    shards = _pair_text_rendezvous(ds, gram, window)
     empty_out = pa.table({"left_id": pa.array([], pa.int64()),
                           "right_id": pa.array([], pa.int64()),
                           "lcs_len": pa.array([], pa.int64())})
-    if not pl:
-        return ray.data.from_arrow(empty_out)
-    shards = _pair_text_shards(ds, pl, pr)
-    lref = ray.put((np.asarray(pl, dtype=np.int64), np.asarray(pr, dtype=np.int64)))
 
     def verify_bucket(df: pd.DataFrame) -> pa.Table:
         if not len(df):
             return empty_out
-        apl, apr = ray.get(lref)
         out_l, out_r, out_n = [], [], []
-        for pid, g in df.groupby("pid", sort=False):
+        for (l, r), g in df.groupby(["left_id", "right_id"], sort=False):
             g = g.drop_duplicates("doc_id")
             if len(g) != 2:
                 continue
@@ -228,14 +260,14 @@ def lcs_pairs(sf_dir: str, min_len: int = 24,
                 g["text"].iloc[0].encode("utf-8"),
                 g["text"].iloc[1].encode("utf-8"))
             if n_lcs >= min_len:
-                out_l.append(int(apl[pid]))
-                out_r.append(int(apr[pid]))
+                out_l.append(int(l))
+                out_r.append(int(r))
                 out_n.append(n_lcs)
         return pa.table({"left_id": pa.array(out_l, pa.int64()),
                          "right_id": pa.array(out_r, pa.int64()),
                          "lcs_len": pa.array(out_n, pa.int64())})
 
-    return bucketed_group_map(shards, "pid", verify_bucket, num_buckets=32)
+    return bucketed_group_map(shards, "pkey", verify_bucket, num_buckets=32)
 
 
 def edit_distance_pairs(sf_dir: str, k: int = 4, max_dist: int = 10):

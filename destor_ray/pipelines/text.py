@@ -748,31 +748,34 @@ def segment_routing(sf_dir: str, top_k: int = 2, ratio: int = 16,
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
-                        max_driver_pairs: int = 50_000_000):
+                        max_driver_pairs: int | None = None):
     """Exact n-gram Jaccard near-dup pairs: LSH candidates verified by the
-    TRUE shingle-set Jaccard (not the MinHash estimate), computed by a
-    rendezvous-by-pair shuffle — the text table is NEVER read on the
-    driver or broadcast, and no document is ever re-shingled per pair.
+    TRUE shingle-set Jaccard (not the MinHash estimate) — FULLY
+    distributed: the text table is never read on the driver, never
+    broadcast, and (round 3) the candidate pair list never touches the
+    driver either. `max_driver_pairs` is retained for API compatibility
+    but ignored: there is no driver materialization left to gate.
 
-    Topology (all volumes proportional to the CANDIDATE set, not the
-    corpus):
-      1. slim band shuffle: (band_key, doc_id) rows only (16 B/row) →
-         per-bucket candidate pair generation;
-      2. the candidate pair list (output-scale, like the flagship's
-         verified edge set) is pulled once; docs that participate get a
-         pair-id routing map broadcast via ray.put — a dict of int lists,
-         size O(pairs), NOT the text;
-      3. each participating doc ships its deduped shingle-hash set to
-         every pair it belongs to (key = pair id); the pair's bucket
-         computes exact |A∩B|/|A∪B| via np.intersect1d. Shuffle volume
-         = Σ_pairs (|A|+|B|) hashes.
-    `max_driver_pairs` gates step 2 the same way the flagship gates
-    driver CC (dedup.py); above it, callers should raise the LSH
-    threshold/bands — an exact verify of a super-massive candidate set
-    is mis-parameterized, not a bigger cluster's job.
+    Topology (4 exchanges; volumes annotated for the 100 TB read):
+      1. slim band shuffle: (band_key, doc_id) rows only (16 B/row,
+         num_bands rows/doc) -> per-bucket candidate pair generation;
+      2. pair-dedup exchange: candidate pairs bucketed by the canonical
+         pair hash — a pair colliding in several bands lands in ONE
+         bucket and survives exactly once; the bucket emits TWO routing
+         rows per unique pair (doc_id, left, right).  Pair-proportional
+         (24 B/row).
+      3. doc rendezvous: routing rows tag-and-union with the slim
+         (doc_id, text) table, bucketed by doc_id; each participating
+         doc is shingled ONCE and its deduped shingle-hash set is
+         attached to every routing row.  This is the single
+         corpus-proportional exchange (1 B/char text — 8x cheaper than
+         shipping u64 shingle hashes) + pair-proportional shingle
+         payloads out.
+      4. verify exchange keyed by the pair hash: the two sides meet,
+         exact |A∩B|/|A∪B| via np.intersect1d.  Volume =
+         Σ_pairs (|A|+|B|) hashes, candidate-proportional.
     Returns (left_id, right_id, jaccard rounded 6); rows-only check."""
-    import ray
-
+    from ..functions.hashing import mix_u64
     from ..stages.grouped import bucketed_group_map
     cfg = EngineConfig()
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
@@ -792,6 +795,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
         })
 
     bands = ds.map_batches(sig_fn, batch_format="pyarrow")
+
+    def _pkey(l: np.ndarray, r: np.ndarray) -> np.ndarray:
+        # deterministic canonical-pair hash (l < r by construction);
+        # used ONLY for bucketing/grouping — the verify bucket groups by
+        # (left_id, right_id), so hash collisions cannot merge pairs
+        return mix_u64(mix_u64(l.astype(np.uint64), 0x9E37)
+                       ^ r.astype(np.uint64), 0x85EB).view(np.int64)
 
     def pairs_bucket(df: pd.DataFrame) -> pa.Table:
         df = df.drop_duplicates(["band_key", "doc_id"]).sort_values(
@@ -814,63 +824,91 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
 
     cand = bucketed_group_map(bands, "band_key", pairs_bucket, num_buckets=32)
 
-    # step 2: pull the candidate pair list (the output-sized set), dedupe
-    # across buckets, build doc → pair-id routing
-    seen: set[tuple[int, int]] = set()
-    pair_left: list[int] = []
-    pair_right: list[int] = []
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        for l, r in zip(b["left_id"].to_pylist(), b["right_id"].to_pylist()):
-            key = (l, r) if l < r else (r, l)
-            if key not in seen:
-                seen.add(key)
-                pair_left.append(key[0])
-                pair_right.append(key[1])
-        if len(seen) > max_driver_pairs:
-            raise ValueError(
-                f"candidate pairs exceed max_driver_pairs={max_driver_pairs}; "
-                "raise the LSH threshold or band selectivity")
-    routing: dict[int, list[int]] = {}
-    for pid, (l, r) in enumerate(zip(pair_left, pair_right)):
-        routing.setdefault(l, []).append(pid)
-        routing.setdefault(r, []).append(pid)
-    rref = ray.put(routing)
+    # exchange 2: global pair dedup by canonical pair hash; each unique
+    # pair fans out into two endpoint routing rows.  This bounds the
+    # verify-exchange volume at exactly 2 shingle sets per unique pair
+    # (without it a pair colliding in k bands would ship its payload
+    # k times).
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        l = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pkey": pa.array(_pkey(l, r), pa.int64()),
+                         "left_id": pa.array(l, pa.int64()),
+                         "right_id": pa.array(r, pa.int64())})
+
+    def route_bucket(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["left_id", "right_id"])
+        l = df["left_id"].to_numpy(np.int64)
+        r = df["right_id"].to_numpy(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([l, r]), pa.int64()),
+            "left": pa.array(np.concatenate([l, l]), pa.int64()),
+            "right": pa.array(np.concatenate([r, r]), pa.int64()),
+            "text": pa.array([""] * (2 * len(df)), pa.string()),
+        })
+
+    routes = bucketed_group_map(cand.map_batches(add_pkey,
+                                                 batch_format="pyarrow"),
+                                "pkey", route_bucket, num_buckets=32)
+
+    # exchange 3: doc-keyed rendezvous — routing rows meet the text;
+    # left = -1 marks a text row (routing rows always carry left >= 0)
+    def text_rows(batch: pa.Table) -> pa.Table:
+        m = batch.num_rows
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "left": pa.array(np.full(m, -1, np.int64), pa.int64()),
+            "right": pa.array(np.full(m, -1, np.int64), pa.int64()),
+            "text": batch["text"].cast(pa.string()),
+        })
+
+    tagged = ds.map_batches(text_rows, batch_format="pyarrow").union(routes)
+    empty_sh = pa.table({"pkey": pa.array([], pa.int64()),
+                         "left_id": pa.array([], pa.int64()),
+                         "right_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "shingles": pa.array([], pa.list_(pa.int64()))})
+
+    def rendezvous_bucket(df: pd.DataFrame) -> pa.Table:
+        is_route = df["left"].to_numpy(np.int64) >= 0
+        routes_df = df[is_route]
+        if routes_df.empty:
+            return empty_sh
+        texts = df[~is_route].drop_duplicates("doc_id") \
+            .set_index("doc_id")["text"]
+        # shingle each participating doc ONCE (Python loop is
+        # participant-proportional, not corpus-proportional)
+        sh_map = {
+            did: np.unique(hashing.char_shingles_u64(
+                texts[did], n)).view(np.int64)
+            for did in routes_df["doc_id"].unique() if did in texts.index}
+        keep = routes_df["doc_id"].isin(sh_map.keys())
+        routes_df = routes_df[keep]
+        l = routes_df["left"].to_numpy(np.int64)
+        r = routes_df["right"].to_numpy(np.int64)
+        return pa.table({
+            "pkey": pa.array(_pkey(l, r), pa.int64()),
+            "left_id": pa.array(l, pa.int64()),
+            "right_id": pa.array(r, pa.int64()),
+            "doc_id": pa.array(routes_df["doc_id"].to_numpy(np.int64),
+                               pa.int64()),
+            "shingles": pa.array([sh_map[d] for d in routes_df["doc_id"]],
+                                 pa.list_(pa.int64())),
+        })
+
+    shards = bucketed_group_map(tagged, "doc_id", rendezvous_bucket,
+                                num_buckets=32)
     empty_out = pa.table({"left_id": pa.array([], pa.int64()),
                           "right_id": pa.array([], pa.int64()),
                           "jaccard": pa.array([], pa.float64())})
-    if not pair_left:
-        return ray.data.from_arrow(empty_out)
 
-    def ship_shingles(batch: pa.Table) -> pa.Table:
-        rmap = ray.get(rref)
-        out_pid, out_did, out_sh = [], [], []
-        for did, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            pids = rmap.get(did)
-            if not pids:
-                continue
-            sh = np.unique(hashing.char_shingles_u64(t, n)).view(np.int64)
-            for pid in pids:
-                out_pid.append(pid)
-                out_did.append(did)
-                out_sh.append(sh)
-        if not out_pid:
-            return pa.table({"pid": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "shingles": pa.array([], pa.list_(pa.int64()))})
-        return pa.table({"pid": pa.array(out_pid, pa.int64()),
-                         "doc_id": pa.array(out_did, pa.int64()),
-                         "shingles": pa.array(out_sh, pa.list_(pa.int64()))})
-
-    shards = ds.map_batches(ship_shingles, batch_format="pyarrow")
-    lref = ray.put((np.asarray(pair_left, dtype=np.int64),
-                    np.asarray(pair_right, dtype=np.int64)))
-
+    # exchange 4: the two sides of each pair meet; grouping is by the
+    # REAL pair columns, so pkey hash collisions are harmless
     def jaccard_bucket(df: pd.DataFrame) -> pa.Table:
         if not len(df):
             return empty_out
-        pl, pr = ray.get(lref)
         out_l, out_r, out_j = [], [], []
-        for pid, g in df.groupby("pid", sort=False):
+        for (l, r), g in df.groupby(["left_id", "right_id"], sort=False):
             g = g.drop_duplicates("doc_id")
             if len(g) != 2:
                 continue  # a side was filtered out (shouldn't happen)
@@ -878,17 +916,17 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
             b = np.asarray(g["shingles"].iloc[1], dtype=np.int64)
             inter = len(np.intersect1d(a, b, assume_unique=True))
             union = len(a) + len(b) - inter
-            # two empty shingle sets are identical ⇒ J = 1 (minhash.jaccard)
+            # two empty shingle sets are identical => J = 1 (minhash.jaccard)
             j = inter / union if union else 1.0
             if j >= threshold:
-                out_l.append(int(pl[pid]))
-                out_r.append(int(pr[pid]))
+                out_l.append(int(l))
+                out_r.append(int(r))
                 out_j.append(round(j, 6))
         return pa.table({"left_id": pa.array(out_l, pa.int64()),
                          "right_id": pa.array(out_r, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    return bucketed_group_map(shards, "pid", jaccard_bucket, num_buckets=32)
+    return bucketed_group_map(shards, "pkey", jaccard_bucket, num_buckets=32)
 
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, num_bands: int = 8):
