@@ -415,10 +415,13 @@ def run_incremental_job(delta_corpus_dir: str, workdir: str,
       3. merged assignment — mixed edges anchor delta rows to base
          CLUSTER ids through one nid-keyed exchange (the base
          assignment table is partitioned, never broadcast), then
-         union-find over (delta-delta ∪ delta-anchor) edges. A delta
-         bridge can merge two base clusters; the survivor is the
-         smaller cluster id and the base side is re-pointed through the
-         (tiny) merge map.
+         DISTRIBUTED min-label CC over (delta-delta ∪ delta-anchor)
+         edges (stages/cluster.assign_clusters — anchors sort below
+         delta nids, so the component min IS the surviving base id).
+         A delta bridge can merge two base clusters; the survivor is
+         the smaller cluster id and the base side is re-pointed through
+         the (tiny, touched-cluster-bounded) merge map — the only
+         driver-side state on the delta path.
 
     Invariant (tested): combined assignment == a from-scratch job over
     base+delta, except on hot bands past full_pair_cap where the
@@ -521,35 +524,35 @@ def run_incremental_job(delta_corpus_dir: str, workdir: str,
             .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
         anchored = bucketed_group_map(tagged, "key", anchor,
                                       num_buckets=16)
-        dsu = cluster.union_find_driver(
-            anchored.iter_batches(batch_format="pyarrow"))
-        delta_ids = sorted(candidates.parse_nid(
-            [r["image_id"] for r in
-             sigs.select_columns(["image_id"]).take_all()]).tolist())
-        ddf = cluster.clusters_from_dsu(dsu, delta_ids)
-        # anchors in the DSU are base CLUSTER ids (edges were anchored
-        # through the assignment table); per component, the min anchor
-        # is the surviving id — chain-free by construction
-        comp_min_anchor: dict[int, int] = {}
-        for x in list(dsu.parent):
-            if x < _nbase:
-                r = dsu.find(x)
-                comp_min_anchor[r] = min(comp_min_anchor.get(r, x), x)
-        merge_map: dict[int, int] = {}
-        for x in list(dsu.parent):
-            if x < _nbase:
-                tgt = comp_min_anchor[dsu.find(x)]
-                if x != tgt:
-                    merge_map[x] = tgt
-        # delta assignment: min base anchor when present, else min node
-        out_rows = []
-        for node, c in zip(ddf["node"], ddf["cluster"]):
-            rep = dsu.find(node) if node in dsu.parent else node
-            cid = comp_min_anchor.get(rep, int(c))
-            out_rows.append((int(node), int(cid)))
-        merged = pd.DataFrame(out_rows, columns=["nid", "cid"])
-        # combined output stays DISTRIBUTED: base rows re-point through
-        # the (tiny, broadcast) merge map; only delta rows are new
+        # distributed min-label CC over the anchored edge set (round 3:
+        # no take_all / per-row Python on the delta path).  Anchors are
+        # base CLUSTER ids (< _nbase) and delta nids are >= _nbase, so a
+        # component's min label IS its min base anchor when one exists —
+        # exactly the incremental survivor rule — else the min delta nid.
+        def nid_rows(batch: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.array(candidates.parse_nid(
+                batch["image_id"].to_pylist()), pa.int64())})
+
+        delta_nodes = sigs.select_columns(["image_id"]).map_batches(
+            nid_rows, batch_format="pyarrow")
+        # materialized: consumed by the merge pull, the delta output and
+        # the metrics aggregate (delta-bounded, stays in the object store)
+        assign_pairs = cluster.assign_clusters(
+            delta_nodes, anchored, rounds=2, num_buckets=16).materialize()
+
+        # the ONLY driver pull: base anchors whose component rep differs
+        # — bounded by the number of base clusters a delta edge touches
+        def merge_rows(batch: pa.Table) -> pa.Table:
+            nd = batch["node"].to_numpy(zero_copy_only=False)
+            cl = batch["cluster"].to_numpy(zero_copy_only=False)
+            m = (nd < _nbase) & (nd != cl)
+            return pa.table({"node": pa.array(nd[m], pa.int64()),
+                             "cluster": pa.array(cl[m], pa.int64())})
+
+        merge_map: dict[int, int] = {
+            int(r["node"]): int(r["cluster"])
+            for r in assign_pairs.map_batches(
+                merge_rows, batch_format="pyarrow").take_all()}
         mm_ref = ray.put(merge_map)
 
         def repoint(batch: pa.Table) -> pa.Table:
@@ -568,23 +571,39 @@ def run_incremental_job(delta_corpus_dir: str, workdir: str,
                 "cluster_id": candidates.format_nid(cid),
             })
 
-        delta_t = pa.table({
-            "image_id": candidates.format_nid(
-                merged["nid"].to_numpy(np.int64)),
-            "cluster_id": candidates.format_nid(
-                merged["cid"].to_numpy(np.int64)),
-        })
+        def delta_out(batch: pa.Table) -> pa.Table:
+            nd = batch["node"].to_numpy(zero_copy_only=False)
+            cl = batch["cluster"].to_numpy(zero_copy_only=False)
+            m = nd >= _nbase
+            return pa.table({
+                "image_id": candidates.format_nid(nd[m].astype(np.int64)),
+                "cluster_id": candidates.format_nid(cl[m].astype(np.int64)),
+            })
+
+        def delta_metrics(batch: pa.Table) -> pa.Table:
+            nd = batch["node"].to_numpy(zero_copy_only=False)
+            cl = batch["cluster"].to_numpy(zero_copy_only=False)
+            m = nd >= _nbase
+            return pa.table({
+                "n_delta": pa.array([int(m.sum())], pa.int64()),
+                "joined": pa.array([int((cl[m] < _nbase).sum())],
+                                   pa.int64()),
+                "orig": pa.array([int((cl[m] == nd[m]).sum())],
+                                 pa.int64()),
+            })
+
+        msum = assign_pairs.map_batches(
+            delta_metrics, batch_format="pyarrow") \
+            .sum(["n_delta", "joined", "orig"])
         combined = base_assign.map_batches(
             repoint, batch_format="pyarrow") \
-            .union(ray.data.from_arrow(delta_t))
+            .union(assign_pairs.map_batches(delta_out,
+                                            batch_format="pyarrow"))
         n_out = _write_parquet(combined, out)
         meta = {
-            "n_delta": int(len(merged)),
-            "joined_existing": int((merged["cid"].to_numpy(np.int64)
-                                    < _nbase).sum()),
-            "new_originals": int((merged["cid"].to_numpy(np.int64)
-                                  == merged["nid"].to_numpy(np.int64))
-                                 .sum()),
+            "n_delta": int(msum["sum(n_delta)"] or 0),
+            "joined_existing": int(msum["sum(joined)"] or 0),
+            "new_originals": int(msum["sum(orig)"] or 0),
             "base_cluster_merges": int(len(merge_map)),
         }
         with open(os.path.join(out, "_metrics.json"), "w") as f:
