@@ -4183,31 +4183,44 @@ def crop_image_dedup(sf_dir: str, n_base: int = 144, dup_every: int = 3,
     # of 8×8-bit bands.
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        out = {"bkey": [], "image_id": [], "ay": [], "ax": [],
-               "patch": []}
+        # fully vectorized (round 3): flatten the per-image anchor
+        # arrays, compute all band keys in one broadcast shift, and
+        # fan out x N_BANDS via np.repeat + Arrow take — no per-anchor
+        # Python (this was the one channel whose band construction
+        # looped; see omni_image_dedup for the shared idiom)
+        ids = batch["image_id"]
+        ys_l = [np.frombuffer(b, np.int32) for b in batch["ys"].to_pylist()]
+        xs_l = [np.frombuffer(b, np.int32) for b in batch["xs"].to_pylist()]
+        hs_l = [np.frombuffer(b, np.uint64)
+                for b in batch["hashes"].to_pylist()]
+        counts = np.array([len(y) for y in ys_l], np.int64)
+        n = int(counts.sum())
+        if n == 0:
+            return pa.table({"bkey": pa.array([], pa.int64()),
+                             "image_id": pa.array([], pa.string()),
+                             "ay": pa.array([], pa.int32()),
+                             "ax": pa.array([], pa.int32()),
+                             "patch": pa.array([], pa.binary())})
+        ys = np.concatenate(ys_l)
+        xs = np.concatenate(xs_l)
+        hs = np.concatenate(hs_l)
+        patches = pa.array(
+            [pb[a * 256:(a + 1) * 256]
+             for pb, k in zip(batch["patches"].to_pylist(), counts)
+             for a in range(k)], pa.binary())
+        row_idx = np.repeat(np.arange(len(counts)), counts)
+        shifts = np.arange(N_BANDS, dtype=np.uint64) * np.uint64(BAND_BITS)
         mask = np.uint64((1 << BAND_BITS) - 1)
-        for i in range(batch.num_rows):
-            iid = batch["image_id"][i].as_py()
-            ys = np.frombuffer(batch["ys"][i].as_py(), np.int32)
-            xs = np.frombuffer(batch["xs"][i].as_py(), np.int32)
-            hs = np.frombuffer(batch["hashes"][i].as_py(), np.uint64)
-            pbuf = batch["patches"][i].as_py()
-            for a in range(len(ys)):
-                patch = pbuf[a * 256:(a + 1) * 256]
-                for band in range(N_BANDS):
-                    bits = int((hs[a] >> np.uint64(BAND_BITS * band))
-                               & mask)
-                    out["bkey"].append((band << BAND_BITS) | bits)
-                    out["image_id"].append(iid)
-                    out["ay"].append(int(ys[a]))
-                    out["ax"].append(int(xs[a]))
-                    out["patch"].append(patch)
+        bits = ((hs[:, None] >> shifts[None, :]) & mask).astype(np.int64)
+        bkey = (bits + (np.arange(N_BANDS, dtype=np.int64)
+                        << BAND_BITS)[None, :]).reshape(-1)
+        rep = np.repeat(np.arange(n), N_BANDS)
         return pa.table({
-            "bkey": pa.array(out["bkey"], pa.int64()),
-            "image_id": pa.array(out["image_id"], pa.string()),
-            "ay": pa.array(out["ay"], pa.int32()),
-            "ax": pa.array(out["ax"], pa.int32()),
-            "patch": pa.array(out["patch"], pa.binary()),
+            "bkey": pa.array(bkey, pa.int64()),
+            "image_id": ids.take(pa.array(row_idx[rep])),
+            "ay": pa.array(ys[rep], pa.int32()),
+            "ax": pa.array(xs[rep], pa.int32()),
+            "patch": patches.take(pa.array(rep)),
         })
 
     bands = sig.drop_columns(["thumb", "h", "w"]) \
@@ -4218,15 +4231,15 @@ def crop_image_dedup(sf_dir: str, n_base: int = 144, dup_every: int = 3,
     mse_max = 255.0 ** 2 / (10.0 ** (patch_gate_centi / 1000.0))
 
     def propose_bucket(df) -> pa.Table:
-        pairs, dys, dxs = [], [], []
-        seen = set()
+        import pandas as _pd
+        parts = []
         for _, g in df.groupby("bkey", sort=False):
             n = len(g)
             if n < 2:
                 continue
             ids = g["image_id"].to_numpy()
-            ays = g["ay"].to_numpy()
-            axs = g["ax"].to_numpy()
+            ays = g["ay"].to_numpy().astype(np.int64)
+            axs = g["ax"].to_numpy().astype(np.int64)
             pats = np.stack([np.frombuffer(p, np.uint8)
                              for p in g["patch"]]).astype(np.float32)
             # pairwise MSE via the gram trick, one matmul per bucket key
@@ -4235,23 +4248,24 @@ def crop_image_dedup(sf_dir: str, n_base: int = 144, dup_every: int = 3,
                    - 2.0 * (pats @ pats.T)) / pats.shape[1]
             ii, jj = np.nonzero(np.triu(mse <= mse_max, k=1)
                                 & (ids[:, None] != ids[None, :]))
-            for i, j in zip(ii, jj):
-                if ids[i] < ids[j]:
-                    l_, r_ = i, j
-                else:
-                    l_, r_ = j, i
-                dy = int(ays[l_]) - int(ays[r_])
-                dx = int(axs[l_]) - int(axs[r_])
-                key = (ids[l_], ids[r_], dy, dx)
-                if key in seen:
-                    continue
-                seen.add(key)
-                pairs.append(f"{ids[l_]}|{ids[r_]}")
-                dys.append(dy)
-                dxs.append(dx)
-        return pa.table({"pair": pa.array(pairs, pa.string()),
-                         "dy": pa.array(dys, pa.int32()),
-                         "dx": pa.array(dxs, pa.int32())})
+            if not len(ii):
+                continue
+            # canonical orientation + displacement, vectorized (object-
+            # dtype string compares are elementwise in numpy)
+            swap = ids[ii] > ids[jj]
+            l_ = np.where(swap, jj, ii)
+            r_ = np.where(swap, ii, jj)
+            parts.append(_pd.DataFrame({
+                "pair": ids[l_].astype(object) + "|" + ids[r_].astype(object),
+                "dy": (ays[l_] - ays[r_]).astype(np.int32),
+                "dx": (axs[l_] - axs[r_]).astype(np.int32)}))
+        if not parts:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "dy": pa.array([], pa.int32()),
+                             "dx": pa.array([], pa.int32())})
+        out = _pd.concat(parts).drop_duplicates(["pair", "dy", "dx"])
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
     raw_props = bucketed_group_map(bands, "bkey", propose_bucket,
                                    num_buckets=8)
