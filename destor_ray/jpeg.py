@@ -246,63 +246,108 @@ def _dht_payload(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return bytes([tc_th] + bits + vals)
 
 
+_SUBSAMP_FACTORS = {        # component (h, v) sampling factors
+    "444": ((1, 1), (1, 1), (1, 1)),
+    "422": ((2, 1), (1, 1), (1, 1)),
+    "420": ((2, 2), (1, 1), (1, 1)),
+}
+
+
+def _emit_block(bwr: "_BitWriter", zz: np.ndarray, ss: np.ndarray,
+                dc_tbl, ac_tbl, pred: int) -> int:
+    """Huffman-emit one zigzag block; returns the new DC predictor."""
+    diff = int(zz[0]) - pred
+    s = int(_bit_size(np.array([diff]))[0])
+    code, ln = dc_tbl[s]
+    bwr.put(code, ln)
+    if s:
+        bwr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    # AC: walk only the nonzero positions; runs are the gaps
+    nz = np.flatnonzero(zz[1:]) + 1
+    prev = 0
+    for k in nz:
+        run = int(k) - prev - 1
+        prev = int(k)
+        while run > 15:
+            code, ln = ac_tbl[0xF0]              # ZRL
+            bwr.put(code, ln)
+            run -= 16
+        v = int(zz[k])
+        s = int(ss[k])
+        code, ln = ac_tbl[(run << 4) | s]
+        bwr.put(code, ln)
+        bwr.put(v if v >= 0 else v + (1 << s) - 1, s)
+    if not len(nz) or nz[-1] < 63:
+        code, ln = ac_tbl[0x00]                  # EOB
+        bwr.put(code, ln)
+    return int(zz[0])
+
+
+def _box2(plane: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Integer-factor box-mean downsample (the standard chroma
+    decimation; T.81 leaves the filter to the encoder)."""
+    if fy == 1 and fx == 1:
+        return plane
+    h, w = plane.shape
+    return plane.reshape(h // fy, fy, w // fx, fx).mean(axis=(1, 3))
+
+
 def encode(pixels: np.ndarray, quality: int = 90,
-           exif: dict | None = None) -> bytes:
-    """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes (YCbCr 4:4:4).
+           exif: dict | None = None, subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes.
+
+    `subsampling` ∈ {"444", "422", "420"}: chroma sampling factors per
+    T.81 interleaved-MCU layout — "420" (2×2-decimated chroma, 16×16
+    MCUs of Y00 Y01 Y10 Y11 Cb Cr) is what virtually every camera and
+    web encoder emits; "444" stays byte-identical to the pre-subsampling
+    encoder (one 8×8 MCU per component).
 
     `exif`, when given, is embedded as a standard APP1 Exif segment
     (see build_exif) right after APP0 — the camera-provenance metadata
     a real web corpus carries; parse_exif reads it back header-only."""
+    factors = _SUBSAMP_FACTORS[subsampling]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     h, w = pixels.shape[:2]
     lt, ct = quality_tables(quality)
     ycc = _rgb_to_ycbcr(pixels)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
 
-    comp_q = []
+    comp_q, comp_ss, comp_grid = [], [], []
     for ci in range(3):
-        blocks, bh, bw = _to_blocks(ycc[..., ci] - 128.0)
+        hi, vi = factors[ci]
+        plane = ycc[..., ci]
+        # pad the FULL-RES plane to the MCU lattice (edge replicate),
+        # then box-decimate — decimating after padding keeps partial
+        # MCUs consistent between Y and chroma
+        H, W = 8 * vmax * mcuy, 8 * hmax * mcux
+        if (H, W) != (h, w):
+            plane = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+        plane = _box2(plane, vmax // vi, hmax // hi)
+        blocks, bh, bw = _to_blocks(plane - 128.0)
         coef = _D @ blocks @ _DT                     # (n, 8, 8) DCT
         qt = lt if ci == 0 else ct
         qv = np.round(coef / qt).astype(np.int64)
         comp_q.append(qv.reshape(len(qv), 64)[:, ZIGZAG])
-
-    # magnitude categories (SSSS) computed vectorized per component —
-    # no per-coefficient numpy allocations inside the emission walk
-    comp_ss = [_bit_size(q) for q in comp_q]
+        comp_ss.append(_bit_size(comp_q[-1]))
+        comp_grid.append((bh, bw))
 
     bwr = _BitWriter()
     pred = [0, 0, 0]
-    n_blocks = len(comp_q[0])
-    for bi in range(n_blocks):
-        for ci in range(3):
-            zz = comp_q[ci][bi]
-            ss = comp_ss[ci][bi]
-            dc_tbl = ENC_DC_L if ci == 0 else ENC_DC_C
-            ac_tbl = ENC_AC_L if ci == 0 else ENC_AC_C
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s = int(_bit_size(np.array([diff]))[0])
-            code, ln = dc_tbl[s]
-            bwr.put(code, ln)
-            if s:
-                bwr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            # AC: walk only the nonzero positions; runs are the gaps
-            nz = np.flatnonzero(zz[1:]) + 1
-            prev = 0
-            for k in nz:
-                run = int(k) - prev - 1
-                prev = int(k)
-                while run > 15:
-                    code, ln = ac_tbl[0xF0]          # ZRL
-                    bwr.put(code, ln)
-                    run -= 16
-                v = int(zz[k])
-                s = int(ss[k])
-                code, ln = ac_tbl[(run << 4) | s]
-                bwr.put(code, ln)
-                bwr.put(v if v >= 0 else v + (1 << s) - 1, s)
-            if not len(nz) or nz[-1] < 63:
-                code, ln = ac_tbl[0x00]              # EOB
-                bwr.put(code, ln)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(3):
+                hi, vi = factors[ci]
+                bw_c = comp_grid[ci][1]
+                dc_tbl = ENC_DC_L if ci == 0 else ENC_DC_C
+                ac_tbl = ENC_AC_L if ci == 0 else ENC_AC_C
+                for v in range(vi):
+                    for hh in range(hi):
+                        bi = (my * vi + v) * bw_c + (mx * hi + hh)
+                        pred[ci] = _emit_block(
+                            bwr, comp_q[ci][bi], comp_ss[ci][bi],
+                            dc_tbl, ac_tbl, pred[ci])
 
     out = bytearray(b"\xff\xd8")                     # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
@@ -311,7 +356,10 @@ def encode(pixels: np.ndarray, quality: int = 90,
     out += _seg(0xDB, bytes([0]) + bytes(lt.ravel()[ZIGZAG].astype(np.uint8)))
     out += _seg(0xDB, bytes([1]) + bytes(ct.ravel()[ZIGZAG].astype(np.uint8)))
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
-        bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+        bytes([3,
+               1, (factors[0][0] << 4) | factors[0][1], 0,
+               2, (factors[1][0] << 4) | factors[1][1], 1,
+               3, (factors[2][0] << 4) | factors[2][1], 1])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_payload(0x00, DC_LUMA_BITS, DC_LUMA_VALS))
     out += _seg(0xC4, _dht_payload(0x10, AC_LUMA_BITS, AC_LUMA_VALS))
@@ -409,13 +457,17 @@ def _parse_dqt_seg(seg: np.ndarray) -> dict[int, np.ndarray]:
 
 def _parse_headers(buf: np.ndarray):
     """Shared baseline-JFIF header walk for decode() and
-    decode_dc_luma(): (qts, dcs, acs, h, w, comp_spec, scan_start).
-    Raises on anything outside the supported baseline 4:4:4 subset."""
+    decode_dc_luma(): (qts, dcs, acs, h, w, comp_spec, scan_start)
+    where comp_spec rows are (id, qt, dc/ac sel, h_samp, v_samp).
+    Supports baseline sequential 3-component streams with sampling
+    factors up to 2×2 — 4:4:4, 4:2:2, 4:4:0 and the near-universal
+    4:2:0; raises on progressive scans, 16-bit DQT and exotic
+    factors."""
     qts: dict[int, np.ndarray] = {}
     dcs: dict[int, _HuffDec] = {}
     acs: dict[int, _HuffDec] = {}
     h = w = 0
-    comp_spec: list[tuple[int, int, int]] = []   # (id, qt, dc/ac sel)
+    comp_spec: list[tuple[int, int, int, int, int]] = []
     i = 2
     scan_start = None
     while i < len(buf):
@@ -437,9 +489,11 @@ def _parse_headers(buf: np.ndarray):
             for c in range(nc):
                 cid, samp, tq = int(seg[6 + 3 * c]), int(seg[7 + 3 * c]), \
                     int(seg[8 + 3 * c])
-                if samp != 0x11:
-                    raise NotImplementedError("only 4:4:4")
-                comp_spec.append((cid, tq, -1))
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise NotImplementedError(
+                        f"sampling factors {hs}x{vs} (max 2x2)")
+                comp_spec.append((cid, tq, -1, hs, vs))
         elif m in (0xC1, 0xC2, 0xC3):
             raise NotImplementedError("baseline sequential only")
         elif m == 0xC4:
@@ -456,7 +510,8 @@ def _parse_headers(buf: np.ndarray):
             sel = {}
             for c in range(ns):
                 sel[int(seg[1 + 2 * c])] = int(seg[2 + 2 * c])
-            comp_spec = [(cid, tq, sel[cid]) for cid, tq, _ in comp_spec]
+            comp_spec = [(cid, tq, sel[cid], hs, vs)
+                         for cid, tq, _, hs, vs in comp_spec]
             scan_start = i + 2 + ln
             break
         i += 2 + ln
@@ -466,49 +521,64 @@ def _parse_headers(buf: np.ndarray):
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF JPEG bytes → (h, w, 3) uint8 RGB. Supports the
-    subset this module (and any standard baseline 4:4:4 encoder)
-    emits: one scan, no restart markers, 8-bit."""
+    """Baseline JFIF JPEG bytes → (h, w, 3) uint8 RGB. Interleaved
+    MCU walk per T.81 A.2.3: per MCU each component contributes
+    h_samp × v_samp blocks in raster order. Covers 4:4:4 / 4:2:2 /
+    4:4:0 / 4:2:0 (one scan, no restart markers, 8-bit); subsampled
+    chroma planes are IDCT'd at their stored resolution and
+    pixel-replicated up (libjpeg's "simple" upsampler)."""
     buf = np.frombuffer(data, np.uint8)
     if not is_jfif(buf):
         raise ValueError("not a JPEG (missing SOI)")
     qts, dcs, acs, h, w, comp_spec, scan_start = _parse_headers(buf)
-    # find EOI
-    tail = buf[scan_start:]
-    br = _BitReader(tail)
+    br = _BitReader(buf[scan_start:])
 
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw
-    planes = []
-    coefs = [np.zeros((n_blocks, 64), np.int32) for _ in range(3)]
+    hmax = max(c[3] for c in comp_spec)
+    vmax = max(c[4] for c in comp_spec)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = [(mcuy * vs, mcux * hs) for _, _, _, hs, vs in comp_spec]
+    coefs = [np.zeros((gh * gw, 64), np.int32) for gh, gw in grids]
     pred = [0, 0, 0]
-    for bi in range(n_blocks):
-        for ci, (cid, tq, tsel) in enumerate(comp_spec):
-            dc = dcs[tsel >> 4]
-            ac = acs[tsel & 0xF]
-            zz = coefs[ci][bi]
-            s = dc.decode(br)
-            diff = _extend(br.receive(s), s)
-            pred[ci] += diff
-            zz[0] = pred[ci]
-            k = 1
-            while k <= 63:
-                rs = ac.decode(br)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break                                     # EOB
-                k += r
-                zz[k] = _extend(br.receive(s), s)
-                k += 1
-    for ci, (cid, tq, _) in enumerate(comp_spec):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, tq, tsel, hs, vs) in enumerate(comp_spec):
+                dc = dcs[tsel >> 4]
+                ac = acs[tsel & 0xF]
+                gw = grids[ci][1]
+                for v in range(vs):
+                    for hh in range(hs):
+                        zz = coefs[ci][(my * vs + v) * gw + (mx * hs + hh)]
+                        s = dc.decode(br)
+                        diff = _extend(br.receive(s), s)
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k <= 63:
+                            rs = ac.decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break                     # EOB
+                            k += r
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+    planes = []
+    for ci, (cid, tq, _, hs, vs) in enumerate(comp_spec):
+        gh, gw = grids[ci]
         qt = qts[tq]
-        blocks = coefs[ci][:, UNZIGZAG].reshape(n_blocks, 8, 8) \
+        blocks = coefs[ci][:, UNZIGZAG].reshape(gh * gw, 8, 8) \
             .astype(np.float64) * qt
         spatial = _DT @ blocks @ _D + 128.0
-        planes.append(_from_blocks(spatial, bh, bw, h, w))
+        # crop to the component's true size, then replicate up
+        ch, cw = -(-h * vs // vmax), -(-w * hs // hmax)
+        plane = _from_blocks(spatial, gh, gw, ch, cw)
+        if vs != vmax or hs != hmax:
+            plane = plane.repeat(vmax // vs, axis=0) \
+                .repeat(hmax // hs, axis=1)
+        planes.append(plane[:h, :w])
     ycc = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(ycc)
 
@@ -585,44 +655,57 @@ def decode_dc_luma(data: bytes) -> np.ndarray:
     The Huffman scan must still be walked bit-exactly (AC runs decide
     where the next block starts), but AC coefficients are discarded:
     no dequantize, no IDCT, no chroma planes, no color convert.
-    Parses the same baseline 4:4:4 subset as decode() (decode():387
-    above); kept as a separate function so the full decoder stays
-    byte-identical to its tests."""
+    Walks the same interleaved-MCU subset as decode() — luma is
+    full-resolution under every supported subsampling, so the returned
+    grid is ceil(h/8) × ceil(w/8) for 4:2:0 streams too; kept as a
+    separate function so the full decoder stays byte-identical to its
+    tests."""
     buf = np.frombuffer(data, np.uint8)
     if not is_jfif(buf):
         raise ValueError("not a JPEG (missing SOI)")
     qts, dcs, acs, h, w, comp_spec, scan_start = _parse_headers(buf)
     br = _BitReader(buf[scan_start:])
 
-    bh, bw = -(-h // 8), -(-w // 8)
-    n_blocks = bh * bw
-    y_dc = np.zeros(n_blocks, np.int32)
+    hmax = max(c[3] for c in comp_spec)
+    vmax = max(c[4] for c in comp_spec)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    h0, v0 = comp_spec[0][3], comp_spec[0][4]
+    gh0, gw0 = mcuy * v0, mcux * h0
+    y_dc = np.zeros(gh0 * gw0, np.int32)
     pred = [0, 0, 0]
-    for bi in range(n_blocks):
-        for ci, (cid, tq, tsel) in enumerate(comp_spec):
-            dc = dcs[tsel >> 4]
-            ac = acs[tsel & 0xF]
-            s = dc.decode(br)
-            diff = _extend(br.receive(s), s)
-            pred[ci] += diff
-            if ci == 0:
-                y_dc[bi] = pred[0]
-            k = 1
-            while k <= 63:       # walk ACs for bit alignment, discard
-                rs = ac.decode(br)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16
-                        continue
-                    break
-                k += r
-                br.receive(s)
-                k += 1
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, tq, tsel, hs, vs) in enumerate(comp_spec):
+                dc = dcs[tsel >> 4]
+                ac = acs[tsel & 0xF]
+                for v in range(vs):
+                    for hh in range(hs):
+                        s = dc.decode(br)
+                        diff = _extend(br.receive(s), s)
+                        pred[ci] += diff
+                        if ci == 0:
+                            y_dc[(my * vs + v) * gw0
+                                 + (mx * hs + hh)] = pred[0]
+                        k = 1
+                        while k <= 63:   # walk ACs for alignment, discard
+                            rs = ac.decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break
+                            k += r
+                            br.receive(s)
+                            k += 1
     q00 = float(qts[comp_spec[0][1]][0, 0])
     means = y_dc.astype(np.float64) * q00 / 8.0 + 128.0
-    return np.clip(np.round(means), 0, 255).astype(np.uint8) \
-        .reshape(bh, bw)
+    grid = np.clip(np.round(means), 0, 255).astype(np.uint8) \
+        .reshape(gh0, gw0)
+    # crop the MCU-padded luma grid to the true block grid (a 4:2:0
+    # stream with h % 16 <= 8 pads one extra block row)
+    return grid[:-(-h // 8), :-(-w // 8)]
 
 
 # ---------------------------------------------------------------------------

@@ -1111,20 +1111,25 @@ def _jfif_corpus_dir(n_images: int = 256, quality: int = 85) -> str:
     """Deterministic cached corpus of REAL baseline JFIF JPEGs
     (destor_ray.jpeg encoder over the procedural corpus pixels) — the
     fixture that proves the engine ingests interchange-format JPEG, not
-    just its own containers."""
+    just its own containers. Round 3: the fixture mixes chroma
+    subsampling the way a real crawl does — i%4==1 → 4:2:0 (the
+    near-universal camera/web mode), i%4==3 → 4:2:2, else 4:4:4 — so
+    every JFIF-consuming query exercises the subsampled decode path."""
     from .. import corpus as corpus_mod
 
-    out = f"/tmp/destor_ray_jfif/n{n_images}_q{quality}"
+    out = f"/tmp/destor_ray_jfif/n{n_images}_q{quality}_mix420"
     if os.path.isdir(out):
         return out
     from ..jpeg import encode as jfif_encode
-    ids, blobs, ws, hs = [], [], [], []
+    ids, blobs, ws, hs, subs = [], [], [], [], []
     for i in range(n_images):
         px, w, h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
+        sub = {1: "420", 3: "422"}.get(i % 4, "444")
         ids.append(f"jf{i:05d}")
-        blobs.append(jfif_encode(px, quality))
+        blobs.append(jfif_encode(px, quality, subsampling=sub))
         ws.append(w)
         hs.append(h)
+        subs.append(sub)
     import pyarrow.parquet as pq_
     tmp = f"{out}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
@@ -1133,6 +1138,7 @@ def _jfif_corpus_dir(n_images: int = 256, quality: int = 85) -> str:
         "bytes": pa.array(blobs, pa.binary()),
         "w": pa.array(ws, pa.int32()),
         "h": pa.array(hs, pa.int32()),
+        "subsampling": pa.array(subs, pa.string()),
     }), f"{tmp}/images.parquet")
     try:
         os.rename(tmp, out)

@@ -102,11 +102,16 @@ def test_jfif_corpus_psnr_vs_generator():
 
     d = _jfif_corpus_dir(n_images=32)
     t = pq.read_table(f"{d}/images.parquet")
-    for i, data in enumerate(t["bytes"].to_pylist()):
+    subs = t["subsampling"].to_pylist()
+    assert {"444", "420", "422"} <= set(subs)   # the fixture mixes modes
+    for i, (data, sub) in enumerate(zip(t["bytes"].to_pylist(), subs)):
         px, w, h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
         out = codec.decode(data)
         assert out.shape == (h, w, 3)
-        assert _psnr(px, out) >= 35, i
+        # chroma decimation is lossy by design: the fixture pixels have
+        # sharp chroma edges, so subsampled rows bound at ~28 dB while
+        # 4:4:4 holds the original 35 dB bar
+        assert _psnr(px, out) >= (35 if sub == "444" else 27), (i, sub)
 
 
 def test_jpeg_hypothesis_roundtrip():
@@ -161,6 +166,56 @@ def test_decode_dc_luma_matches_box_mean():
     # partial blocks; interior blocks must agree to ~1 gray level
     err = np.abs(box[:5, :6] - dc[:5, :6].astype(np.float64))
     assert err.max() <= 1.0, err.max()
+
+
+def test_subsampled_roundtrip_all_modes():
+    """4:2:0 / 4:2:2 / 4:4:0-shaped streams round-trip at every
+    awkward size (odd dims, partial MCUs): shape-exact, luma
+    near-lossless, full-RGB within chroma-decimation tolerance."""
+    for (h, w) in [(16, 16), (17, 23), (37, 53), (40, 56), (9, 25),
+                   (8, 8), (1, 1), (15, 16), (16, 15)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(np.stack([(yy * 2 + xx) % 200 + 20,
+                                (yy + xx * 3) % 200 + 20,
+                                (yy * 5 + xx * 7) % 200 + 20],
+                               axis=-1), 0, 255).astype(np.uint8)
+        for sub in ("420", "422"):
+            data = jpeg.encode(img, 92, subsampling=sub)
+            out = jpeg.decode(data)
+            assert out.shape == img.shape, (h, w, sub)
+            # luma is full-resolution under every mode
+            ly = 0.299 * img[..., 0] + 0.587 * img[..., 1] \
+                + 0.114 * img[..., 2]
+            lo = 0.299 * out[..., 0] + 0.587 * out[..., 1] \
+                + 0.114 * out[..., 2]
+            assert _psnr(ly.astype(np.uint8), lo.astype(np.uint8)) >= 30, \
+                (h, w, sub)
+            assert jpeg.meta(data) == (w, h)
+            # quality estimate is DQT-only: unaffected by subsampling
+            assert jpeg.estimate_quality(data) == (92, 0)
+
+
+def test_subsampled_dc_luma_grid_and_exactness():
+    """decode_dc_luma returns the TRUE luma block grid (ceil/8) under
+    4:2:0 — the MCU padding row/col is cropped — and stays within one
+    gray level of the decoded image's 8x box means."""
+    for (h, w) in [(40, 56), (17, 23), (24, 24), (25, 24)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(np.stack([(yy * 3 + xx) % 200 + 20,
+                                (yy + xx * 2) % 200 + 20,
+                                (yy + xx) % 200 + 20], -1),
+                      0, 255).astype(np.uint8)
+        for sub in ("444", "420", "422"):
+            data = jpeg.encode(img, 92, subsampling=sub)
+            th = jpeg.decode_dc_luma(data)
+            assert th.shape == (-(-h // 8), -(-w // 8)), (h, w, sub)
+            full = jpeg.decode(data)
+            ycc = (0.299 * full[..., 0] + 0.587 * full[..., 1]
+                   + 0.114 * full[..., 2])
+            H, W = -(-h // 8) * 8, -(-w // 8) * 8
+            g = np.pad(ycc, ((0, H - h), (0, W - w)), mode="edge")
+            bm = g.reshape(H // 8, 8, W // 8, 8).mean((1, 3))
+            assert np.abs(th.astype(float) - bm).max() <= 1.5, (h, w, sub)
 
 
 def test_jfif_dc_thumbnail_stats_query(ray_session):
