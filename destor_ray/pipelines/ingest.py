@@ -659,8 +659,9 @@ def _slot_video_pairs(ds, k_frames: int = 4,
                     if full_box:
                         g = codec.to_gray(
                             jpeg.decode(frames[(j * nf) // k]))
-                        grays.append(_box_thumb32(g, 32))
-                        tb += _box_thumb32(g, 16).tobytes()
+                        t32, t16 = _box_thumbs(g, (32, 16))
+                        grays.append(t32)
+                        tb += t16.tobytes()
                         continue
                     dc = jpeg.decode_dc_luma(frames[(j * nf) // k])
                     grays.append(codec.resize_nn(dc, 32, 32))
@@ -887,6 +888,7 @@ def framerate_video_dedup(sf_dir: str, n_base: int = 32,
     all_truth = set().union(*truth_by_kind.values())
     n_planted = len(all_truth)
     n_false = len(got - all_truth)
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
 
     import pandas as pd
     rows = []
@@ -894,7 +896,7 @@ def framerate_video_dedup(sf_dir: str, n_base: int = 32,
         t = truth_by_kind[kind]
         found = len(got & t)
         rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": 0,
+                     "n_found": found, "n_false": fbk[kind],
                      "recall_ppm": found * 1_000_000 // max(1, len(t))})
     rows.append({"kind": "_total", "n_planted": n_planted,
                  "n_found": len(got & all_truth), "n_false": n_false,
@@ -1020,6 +1022,7 @@ def resolution_video_dedup(sf_dir: str, n_base: int = 32,
     all_truth = set().union(*truth_by_kind.values())
     n_planted = len(all_truth)
     n_false = len(got - all_truth)
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
 
     import pandas as pd
     rows = []
@@ -1027,7 +1030,7 @@ def resolution_video_dedup(sf_dir: str, n_base: int = 32,
         t = truth_by_kind[kind]
         found = len(got & t)
         rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": 0,
+                     "n_found": found, "n_false": fbk[kind],
                      "recall_ppm": found * 1_000_000 // max(1, len(t))})
     rows.append({"kind": "_total", "n_planted": n_planted,
                  "n_found": len(got & all_truth), "n_false": n_false,
@@ -3953,6 +3956,26 @@ def _patch16_bytes(sm: np.ndarray, y: int, x: int) -> bytes:
             .astype(np.uint8).tobytes())
 
 
+def _false_by_kind(false_pairs, truth_by_kind):
+    """Attribute each FALSE pair to the planted class of a member id
+    that appears in the planted-truth plan (ADVICE r2: per-class
+    n_false was hardcoded 0, so only the _total row could reveal a
+    false merge). Pairs touching no planted id are left unattributed —
+    they still count in the _total row, so per-class n_false sums to
+    _total n_false minus the unattributed residue."""
+    id_kind: dict = {}
+    for kind, pairs in truth_by_kind.items():
+        for l, r in pairs:
+            id_kind.setdefault(r, kind)   # dup ids are class-specific
+            id_kind.setdefault(l, kind)
+    out = {k: 0 for k in truth_by_kind}
+    for l, r in false_pairs:
+        k = id_kind.get(r, id_kind.get(l))
+        if k is not None:
+            out[k] += 1
+    return out
+
+
 def _box_thumb32(g: np.ndarray, n: int = 32) -> np.ndarray:
     """n×n box-mean thumb of an arbitrary (h, w) gray — uint8. Unlike
     resize_nn this AVERAGES each cell, so overlap-window sampling at
@@ -3967,14 +3990,34 @@ def _box_thumb32(g: np.ndarray, n: int = 32) -> np.ndarray:
     if w < n:
         g = np.repeat(g, -(-n // w), axis=1)
         w = g.shape[1]
-    ys = (np.arange(n + 1) * h) // n
-    xs = (np.arange(n + 1) * w) // n
     c = np.cumsum(np.cumsum(
         np.pad(g.astype(np.float64), ((1, 0), (1, 0))), 0), 1)
+    return _box_sample(c, h, w, n)
+
+
+def _box_sample(c: np.ndarray, h: int, w: int, n: int) -> np.ndarray:
+    """Sample an n×n box-mean grid from a (h+1, w+1) integral image."""
+    ys = (np.arange(n + 1) * h) // n
+    xs = (np.arange(n + 1) * w) // n
     s = (c[ys[1:]][:, xs[1:]] - c[ys[:-1]][:, xs[1:]]
          - c[ys[1:]][:, xs[:-1]] + c[ys[:-1]][:, xs[:-1]])
     area = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
     return np.clip(s / area, 0, 255).astype(np.uint8)
+
+
+def _box_thumbs(g: np.ndarray, sizes=(32, 16)) -> list:
+    """Several box-mean thumbs of one gray plane sharing ONE O(h·w)
+    integral image (ADVICE r2: the full-box video path built the
+    dominant-cost integral twice per slot frame). Exact-identical to
+    calling _box_thumb32 per size; inputs smaller than the largest
+    size take the (cheap) per-size fallback so the replication guard
+    semantics stay bit-equal."""
+    h, w = g.shape
+    if h < max(sizes) or w < max(sizes):
+        return [_box_thumb32(g, n) for n in sizes]
+    c = np.cumsum(np.cumsum(
+        np.pad(g.astype(np.float64), ((1, 0), (1, 0))), 0), 1)
+    return [_box_sample(c, h, w, n) for n in sizes]
 
 
 def _overlap_psnr_sweep(ta: np.ndarray, ha: int, wa: int, tb: np.ndarray,
@@ -6054,6 +6097,7 @@ def degrade_image_dedup(sf_dir: str, n_base: int = 144,
         truth_by_kind[kind].add((f"dg{i:05d}", f"dg{i:05d}_{kind}"))
     all_truth = set().union(*truth_by_kind.values())
     n_false = len(got - all_truth)
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
 
     import pandas as pd
     rows = []
@@ -6061,7 +6105,7 @@ def degrade_image_dedup(sf_dir: str, n_base: int = 144,
         t = truth_by_kind[kind]
         found = len(got & t)
         rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": 0,
+                     "n_found": found, "n_false": fbk[kind],
                      "recall_ppm": found * 1_000_000 // max(1, len(t))})
     rows.append({"kind": "_total", "n_planted": n_planted,
                  "n_found": len(got & all_truth), "n_false": n_false,
@@ -6551,6 +6595,7 @@ def omni_image_dedup(sf_dir: str, n_base: int = 231,
         truth_by_kind[kind].add((f"om{i:05d}", f"om{i:05d}_{kind}"))
     all_truth = set().union(*truth_by_kind.values())
     n_false = len(got - all_truth)
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
 
     import pandas as pd
     rows = []
@@ -6558,7 +6603,7 @@ def omni_image_dedup(sf_dir: str, n_base: int = 231,
         t = truth_by_kind[kind]
         found = len(got & t)
         rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": 0,
+                     "n_found": found, "n_false": fbk[kind],
                      "recall_ppm": found * 1_000_000 // max(1, len(t))})
     rows.append({"kind": "_total", "n_planted": n_planted,
                  "n_found": len(got & all_truth), "n_false": n_false,
@@ -7895,6 +7940,7 @@ def stereo_audio_dedup(sf_dir: str, n_base: int = 36,
         truth_by_kind[kind].add((f"stx{i:05d}", f"stx{i:05d}_s"))
     all_truth = set().union(*truth_by_kind.values())
     n_false = len(got - all_truth)
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
 
     import pandas as pd
     rows = []
@@ -7902,7 +7948,7 @@ def stereo_audio_dedup(sf_dir: str, n_base: int = 36,
         t = truth_by_kind[kind]
         found = len(got & t)
         rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": 0,
+                     "n_found": found, "n_false": fbk[kind],
                      "recall_ppm": found * 1_000_000 // max(1, len(t))})
     rows.append({"kind": "_total", "n_planted": n_planted,
                  "n_found": len(got & all_truth), "n_false": n_false,
@@ -8829,6 +8875,7 @@ def omni_video_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
         truth_by_kind[kind].add((f"omv{i:05d}", f"omv{i:05d}_{kind}"))
     all_truth = set().union(*truth_by_kind.values())
     n_false = len(got - all_truth)
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
 
     import pandas as pd
     rows = []
@@ -8836,7 +8883,7 @@ def omni_video_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
         t = truth_by_kind[kind]
         found = len(got & t)
         rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": 0,
+                     "n_found": found, "n_false": fbk[kind],
                      "recall_ppm": found * 1_000_000 // max(1, len(t))})
     rows.append({"kind": "_total", "n_planted": n_planted,
                  "n_found": len(got & all_truth), "n_false": n_false,
@@ -9225,6 +9272,7 @@ def omni_audio_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
         truth_by_kind[kind].add((f"oma{i:05d}", f"oma{i:05d}_{kind}"))
     all_truth = set().union(*truth_by_kind.values())
     n_false = len(got - all_truth)
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
 
     import pandas as pd
     rows = []
@@ -9232,7 +9280,7 @@ def omni_audio_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
         t = truth_by_kind[kind]
         found = len(got & t)
         rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": 0,
+                     "n_found": found, "n_false": fbk[kind],
                      "recall_ppm": found * 1_000_000 // max(1, len(t))})
     rows.append({"kind": "_total", "n_planted": n_planted,
                  "n_found": len(got & all_truth), "n_false": n_false,
@@ -9527,13 +9575,14 @@ def audiotrack_video_dedup(sf_dir: str, n_base: int = 30,
         truth_by_kind[kind].add((f"av{i:05d}", f"av{i:05d}_{kind}"))
     all_truth = set().union(*truth_by_kind.values())
     n_false = len(got - all_truth)
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
 
     import pandas as pd
     rows = []
     for kind in _AVAT_KINDS:
         t = truth_by_kind[kind]
         rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": len(got & t), "n_false": 0,
+                     "n_found": len(got & t), "n_false": fbk[kind],
                      "recall_ppm": len(got & t) * 1_000_000
                      // max(1, len(t)),
                      "n_video": len(vs_got & t),
