@@ -81,8 +81,13 @@ class AudioFeatures:
             if len(data) >= 12 and bytes(data[:4]) == b"RIFF":
                 pcm, _ = codec.wav_decode(data)
                 return pcm
+            from .. import softcodecs
+            pcm = softcodecs.decode_audio(bytes(data))
+            if pcm is not None:          # libsndfile present: mp3/flac/ogg
+                return pcm
             raise NotImplementedError(
-                "non-WAV audio payload; plug libsndfile/ffmpeg here")
+                "non-WAV audio payload and no libsndfile binding "
+                "(pip install soundfile to enable)")
         # deterministic fake: 1 second of hash-seeded samples
         rng = np.random.Generator(np.random.Philox(key=_payload_seed(data)))
         return rng.standard_normal(sr).astype(np.float32)
@@ -134,8 +139,14 @@ class VideoFrameSample:
 
     def _frame(self, data: bytes, idx: int) -> np.ndarray:
         if self.decoder == "real":
+            from .. import softcodecs
+            frames = softcodecs.decode_video_frames(bytes(data))
+            if frames is not None:       # PyAV present: H.264 etc.
+                return frames[min(idx, len(frames) - 1)]
             raise NotImplementedError(
-                "no video codec in this environment; plug ffmpeg here")
+                "inter-frame video needs an ffmpeg binding "
+                "(pip install av to enable); MJPEG-AVI payloads decode "
+                "natively via decoder='mjpeg-avi'")
         rng = np.random.Generator(np.random.Philox(key=_payload_seed(data, idx)))
         return rng.integers(0, 256, (self.thumb, self.thumb, 3), dtype=np.uint8)
 
