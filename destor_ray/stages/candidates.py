@@ -261,6 +261,103 @@ def verify_bucket(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table
     return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
+def binary_matrix(col) -> np.ndarray:
+    """(n, w) uint8 view of an equal-width Arrow binary column built
+    from the array's offset/data buffers — no per-row Python bytes
+    objects (the cost the pandas conversion pays). Falls back to a
+    join-copy for ragged widths (never the case for thumb columns)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.uint8)
+    off_dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], off_dt)[col.offset:col.offset + n + 1]         .astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8)
+    w = int(offs[1] - offs[0])
+    if w <= 0 or not (np.diff(offs) == w).all():
+        return np.frombuffer(b"".join(col.to_pylist()), np.uint8)             .reshape(n, -1)
+    return data[offs[0]:offs[0] + n * w].reshape(n, w)
+
+
+def verify_bucket_arrow(batch: pa.Table,
+                        cfg: EngineConfig | None = None) -> pa.Table:
+    """Arrow-native verify_bucket (round 3, VERDICT r2 #7): identical
+    semantics to verify_bucket above, but the bucket arrives as a
+    pyarrow Table and the thumb column is gathered as one (n, w) uint8
+    view of the Arrow data buffer — the pandas hop that object-boxed
+    every thumb into a Python bytes is gone. Used by the flagship
+    inline path; the pandas twin stays for the champion/salted/
+    rendezvous callers."""
+    cfg = cfg or EngineConfig()
+    n0 = batch.num_rows
+    if n0 < 2:
+        return empty_edges_table()
+    bk0 = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nid0 = batch["nid"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((nid0, bk0))
+    bk = bk0[order]
+    nid = nid0[order]
+    keep = np.ones(n0, bool)
+    keep[1:] = (bk[1:] != bk[:-1]) | (nid[1:] != nid[:-1])
+    idx = order[keep]          # original positions, (band_key, nid)-sorted
+    bk = bk[keep]
+    nid = nid[keep]
+    n = len(idx)
+    if n < 2:
+        return empty_edges_table()
+    brk = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+    counts = np.diff(np.r_[brk, n])
+    coll = counts >= 2
+    if not coll.any():
+        return empty_edges_table()
+    starts_c = brk[coll]
+    counts_c = counts[coll]
+    cap = cfg.lsh.full_pair_cap
+    li_parts, ri_parts = [], []
+    small = counts_c <= cap
+    for c in np.unique(counts_c[small]):
+        gl, gr = _triu_cached(int(c))
+        st = starts_c[small][counts_c[small] == c]
+        li_parts.append((st[:, None] + gl[None, :]).ravel())
+        ri_parts.append((st[:, None] + gr[None, :]).ravel())
+    for s, c in zip(starts_c[~small], counts_c[~small]):
+        gl, gr = _pair_indices(int(c), cap)
+        li_parts.append(gl + s)
+        ri_parts.append(gr + s)
+    li = np.concatenate(li_parts)
+    ri = np.concatenate(ri_parts)
+    names = batch.column_names
+    if "is_base" in names:
+        isb = batch["is_base"].to_numpy(zero_copy_only=False)             .astype(bool)[idx]
+        m = ~(isb[li] & isb[ri])
+        li, ri = li[m], ri[m]
+        if len(li) == 0:
+            return empty_edges_table()
+    thumbs = binary_matrix(batch["thumb"])[idx]
+    ph = (batch["phash"].to_numpy(zero_copy_only=False)
+          .astype(np.int64)[idx]
+          if "phash" in names and not cfg.simulation else None)
+    ok, psnr = verify_pair_arrays(
+        thumbs[li], thumbs[ri],
+        ph[li] if ph is not None else None,
+        ph[ri] if ph is not None else None, cfg)
+    l_ = nid[li[ok]]
+    r_ = nid[ri[ok]]
+    ps = np.minimum(psnr[ok], 1e9).astype(np.float64)
+    # same pair via several bands: keep first in (l, r) order
+    o = np.lexsort((r_, l_))
+    l_, r_, ps = l_[o], r_[o], ps[o]
+    kp = np.ones(len(l_), bool)
+    kp[1:] = (l_[1:] != l_[:-1]) | (r_[1:] != r_[:-1])
+    return pa.table({
+        "left_id": pa.array(l_[kp], pa.int64()),
+        "right_id": pa.array(r_[kp], pa.int64()),
+        "psnr": pa.array(ps[kp], pa.float64()),
+    })
+
+
 def verify_bucket_champions(df: pd.DataFrame, cfg: EngineConfig | None = None) -> pa.Table:
     """Champion-mode verify (destor parity preset, cfg.lsh.champion_top_k
     > 0): instead of exhaustively verifying every in-group pair, each row
@@ -662,11 +759,15 @@ def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,
     bands = signatures_ds.map_batches(
         lambda b: explode_bands(b, cfg), batch_format="pyarrow")
     if not salt_hot_bands:
-        bucket_fn = (verify_bucket_champions if cfg.lsh.champion_top_k > 0
-                     else verify_bucket)
+        if cfg.lsh.champion_top_k > 0:
+            return bucketed_group_map(bands, "band_key",
+                                      lambda df: verify_bucket_champions(df, cfg),
+                                      num_buckets=num_buckets)
+        # arrow-native bucket: zero-copy thumb gather (VERDICT r2 #7)
         return bucketed_group_map(bands, "band_key",
-                                  lambda df: bucket_fn(df, cfg),
-                                  num_buckets=num_buckets)
+                                  lambda t: verify_bucket_arrow(t, cfg),
+                                  num_buckets=num_buckets,
+                                  batch_format="pyarrow")
     return _salted_candidate_edges(bands, cfg, num_buckets)
 
 

@@ -34,15 +34,28 @@ def _pairs_from_edges(batch: pa.Table) -> pa.Table:
     })
 
 
-def _hash_to_min_bucket(df: pd.DataFrame) -> pa.Table:
+def _sorted_node_member(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(node, member) int64 arrays of an Arrow bucket, (node, member)-
+    lexsorted and deduped — the shared arrow-native front half of the
+    CC bucket fns (round 3: these shuffles skip the pandas hop)."""
+    nodes = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    members = t["member"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((members, nodes))
+    nodes = nodes[order]
+    members = members[order]
+    if len(nodes):
+        keep = np.ones(len(nodes), bool)
+        keep[1:] = (nodes[1:] != nodes[:-1]) | (members[1:] != members[:-1])
+        nodes, members = nodes[keep], members[keep]
+    return nodes, members
+
+
+def _hash_to_min_bucket(t: pa.Table) -> pa.Table:
     """One vectorized hash-to-min round over every node-group in a bucket:
     for each node v with neighbor-set M and m = min(M ∪ {v}), emit
     (m, u) and (u, m) for all u ∈ M ∪ {v}. Fully vectorized — no
     per-group Python."""
-    df = df.drop_duplicates(["node", "member"]).sort_values(
-        ["node", "member"], kind="stable")
-    nodes = df["node"].to_numpy().astype(np.int64)
-    members = df["member"].to_numpy().astype(np.int64)
+    nodes, members = _sorted_node_member(t)
     _, starts, counts = np.unique(nodes, return_index=True, return_counts=True)
     m_g = np.minimum(members[starts], nodes[starts])  # min(neighbors ∪ self)
     m_rep = np.repeat(m_g, counts)
@@ -52,10 +65,8 @@ def _hash_to_min_bucket(df: pd.DataFrame) -> pa.Table:
                      "member": pa.array(out_member, pa.int64())})
 
 
-def _min_member_bucket(df: pd.DataFrame) -> pa.Table:
-    df = df.sort_values(["node", "member"], kind="stable")
-    nodes = df["node"].to_numpy().astype(np.int64)
-    members = df["member"].to_numpy().astype(np.int64)
+def _min_member_bucket(t: pa.Table) -> pa.Table:
+    nodes, members = _sorted_node_member(t)
     _, starts, _ = np.unique(nodes, return_index=True, return_counts=True)
     return pa.table({"node": pa.array(nodes[starts], pa.int64()),
                      "cluster": pa.array(members[starts], pa.int64())})
@@ -70,7 +81,8 @@ def connected_components_distributed(edges_ds, rounds: int = 2,
     pairs = edges_ds.map_batches(_pairs_from_edges, batch_format="pyarrow")
     for _ in range(rounds):
         pairs = bucketed_group_map(pairs, "node", _hash_to_min_bucket,
-                                   num_buckets=num_buckets)
+                                   num_buckets=num_buckets,
+                                   batch_format="pyarrow")
     return pairs
 
 
@@ -87,7 +99,8 @@ def assign_clusters(node_ids_ds, edges_ds, rounds: int = 2,
 
     allp = node_ids_ds.map_batches(self_pairs, batch_format="pyarrow").union(labels)
     return bucketed_group_map(allp, "node", _min_member_bucket,
-                              num_buckets=num_buckets)
+                              num_buckets=num_buckets,
+                              batch_format="pyarrow")
 
 
 def connected_components_numpy(left: np.ndarray, right: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

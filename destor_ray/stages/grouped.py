@@ -100,18 +100,37 @@ def _add_bucket(batch: pa.Table, key: str, num_buckets: int, salt: int,
     yield out
 
 
-def bucketed_group_map(ds, key: str, bucket_fn: Callable[[pd.DataFrame], pa.Table],
-                       num_buckets: int = 64, salt: int = 0x6B):
+def bucketed_group_map(ds, key: str, bucket_fn: Callable,
+                       num_buckets: int = 64, salt: int = 0x6B,
+                       batch_format: str = "pandas"):
     """Apply `bucket_fn` to each hash-bucket of rows (all rows of any
-    `key` value share a bucket). `bucket_fn` receives a pandas DataFrame
-    (unsorted; sort by key inside if needed, vectorized) and returns a
-    pyarrow Table. Under the hash shuffle strategy, sentinel-only
-    buckets exist (see _sentinel_domain) — bucket_fn must tolerate an
-    empty input frame (every vectorized group loop already does)."""
+    `key` value share a bucket). With batch_format="pandas" (default)
+    `bucket_fn` receives a pandas DataFrame (unsorted; sort by key
+    inside if needed, vectorized); with "pyarrow" it receives a
+    pyarrow Table — the zero-copy path for the hottest shuffles
+    (flagship verify, CC), skipping the Arrow→pandas hop that
+    object-boxes binary columns. Either way it returns a pyarrow
+    Table. Under the hash shuffle strategy, sentinel-only buckets
+    exist (see _sentinel_domain) — bucket_fn must tolerate an empty
+    input (every vectorized group loop already does)."""
     n_sent = _sentinel_domain(num_buckets)
     withb = ds.map_batches(
         lambda b: _add_bucket(b, key, num_buckets, salt, n_sent),
         batch_format="pyarrow")
+
+    if batch_format == "pyarrow":
+        import pyarrow.compute as pc
+
+        def wrap_arrow(t: pa.Table) -> pa.Table:
+            real = t.filter(pc.invert(t[SENTINEL_COL]))
+            if real.num_rows == 0:
+                # sentinel-only bucket — see wrap() below
+                return pa.table({})
+            return bucket_fn(
+                real.drop_columns([BUCKET_COL, SENTINEL_COL]))
+
+        return withb.groupby(BUCKET_COL).map_groups(
+            wrap_arrow, batch_format="pyarrow")
 
     def wrap(df: pd.DataFrame) -> pa.Table:
         real = df[~df[SENTINEL_COL]]
