@@ -245,28 +245,28 @@ def triangle_count(sf_dir: str):
     n_nodes = len(deg_df)
     n_edges = edges.count()
     import ray as _ray
-    vocab_sorted = np.sort(deg_df["tok"].to_numpy(dtype=object))
-    deg_sorted = deg_df.set_index("tok").loc[vocab_sorted, "deg"] \
-        .to_numpy(np.int64)
-    deg_ref = _ray.put((vocab_sorted, deg_sorted))
+    vocab_arr = pa.array(deg_df["tok"].tolist(), pa.string())
+    deg_arr = deg_df["deg"].to_numpy(np.int64)
+    deg_ref = _ray.put((vocab_arr, deg_arr))
 
     def orient(batch: pa.Table) -> pa.Table:
         vocab, degs = _ray.get(deg_ref)
-        a = np.asarray(batch["a"].to_pylist(), dtype=object)
-        b = np.asarray(batch["b"].to_pylist(), dtype=object)
-        # vectorized degree lookup: binary search on the sorted vocab
+        # vectorized degree lookup via Arrow hash join (pc.index_in) —
+        # endpoints never round-trip through Python string objects
         # (every edge endpoint is in the degree table by construction)
-        da = degs[np.searchsorted(vocab, a)]
-        db = degs[np.searchsorted(vocab, b)]
+        ia = pc.index_in(batch["a"].combine_chunks(), value_set=vocab) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = pc.index_in(batch["b"].combine_chunks(), value_set=vocab) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        da = degs[ia]
+        db = degs[ib]
         # low→high by (degree, token); (a, b) is already token-ordered,
         # so a degree tie keeps (a, b) — a total order overall
-        a_first = da <= db
-        src = np.where(a_first, a, b)
-        dst = np.where(a_first, b, a)
-        sd = np.where(a_first, db, da)
-        return pa.table({"src": pa.array(src, pa.string()),
-                         "dst": pa.array(dst, pa.string()),
-                         "ddeg": pa.array(sd, pa.int64())})
+        a_first = pa.array(da <= db)
+        return pa.table({
+            "src": pc.if_else(a_first, batch["a"], batch["b"]),
+            "dst": pc.if_else(a_first, batch["b"], batch["a"]),
+            "ddeg": pa.array(np.where(da <= db, db, da), pa.int64())})
 
     oriented = edges.map_batches(orient, batch_format="pyarrow")
 

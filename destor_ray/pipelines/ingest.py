@@ -29,6 +29,102 @@ import ray.data
 from ..sources import read_table
 
 
+def _per_class_report(got: set, truth_by_kind: dict, kinds):
+    """The shared per-class channel scorecard: one row per planted
+    transform kind + a _total row — (kind, n_planted, n_found,
+    n_false, recall_ppm), counts int64. False pairs attribute to the
+    planted class of the ids involved (_false_by_kind); the
+    unattributed residue appears only in _total."""
+    import pandas as pd
+    all_truth = set().union(*truth_by_kind.values())
+    fbk = _false_by_kind(got - all_truth, truth_by_kind)
+    rows = []
+    for kind in kinds:
+        t = truth_by_kind[kind]
+        found = len(got & t)
+        rows.append({"kind": kind, "n_planted": len(t),
+                     "n_found": found, "n_false": fbk[kind],
+                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
+    n_planted = len(all_truth)
+    rows.append({"kind": "_total", "n_planted": n_planted,
+                 "n_found": len(got & all_truth),
+                 "n_false": len(got - all_truth),
+                 "recall_ppm": len(got & all_truth) * 1_000_000
+                 // max(1, n_planted)})
+    out = pd.DataFrame(rows)
+    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _pair_report(first_col: str, n_units: int, n_planted: int,
+                 n_cand: int, got: set, truth: set):
+    """The shared one-row channel scorecard: (n_<units>, n_planted,
+    n_candidate_pairs, n_verified_pairs, n_true, n_false, recall_ppm),
+    all int64 (round-3 channel-harness extraction — ~20 copies)."""
+    import pandas as pd
+    n_true = len(got & truth)
+    return pd.DataFrame({
+        first_col: [n_units], "n_planted": [n_planted],
+        "n_candidate_pairs": [n_cand],
+        "n_verified_pairs": [len(got)],
+        "n_true": [n_true], "n_false": [len(got - truth)],
+        "recall_ppm": [n_true * 1_000_000 // n_planted],
+    }).astype("int64")
+
+
+def _hash_band_rows(batch: pa.Table, id_col: str, fams, payloads,
+                    n_bands: int = 8, bits: int = 8) -> pa.Table:
+    """Shared LSH band fan-out (round-3 channel-harness extraction —
+    this exact kernel appeared per-channel ~10 times): each 64-bit
+    hash-family column splits into n_bands bit-slices; row i of family
+    fi, band b emits band key (slot << bits) | slice with slot =
+    fi*n_bands + b, slot-major row order (bit-identical to the
+    per-channel originals). Payload columns ride every band row —
+    numeric via np.tile, string/binary via list replication."""
+    n = batch.num_rows
+    reps = len(fams) * n_bands
+    keys = np.empty(reps * n, np.int64)
+    mask = np.uint64((1 << bits) - 1)
+    for fi, col in enumerate(fams):
+        h = batch[col].to_numpy(zero_copy_only=False).view(np.uint64)
+        for band in range(n_bands):
+            sl = (h >> np.uint64(bits * band)) & mask
+            slot = fi * n_bands + band
+            keys[slot * n:(slot + 1) * n] = \
+                (np.int64(slot) << np.int64(bits)) | sl.astype(np.int64)
+    cols = {"bkey": pa.array(keys, pa.int64()),
+            id_col: pa.array(batch[id_col].to_pylist() * reps,
+                             pa.string())}
+    for c in payloads:
+        t = batch[c].type
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            cols[c] = pa.array(
+                np.tile(batch[c].to_numpy(zero_copy_only=False), reps), t)
+        else:
+            cols[c] = pa.array(batch[c].to_pylist() * reps, t)
+    return pa.table(cols)
+
+
+def _commit_fixture(out: str, tables: dict) -> str:
+    """Atomically publish a deterministic fixture dir (the shared
+    scaffold of every planted-dup channel corpus): write the tables
+    into a pid-suffixed tmp dir, rename into place. A lost rename race
+    is benign — the winner published the identical deterministic
+    fixture."""
+    import pyarrow.parquet as pq_
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for name, t in tables.items():
+        pq_.write_table(t, f"{tmp}/{name}.parquet")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def _jsonl_export_dir(sf_dir: str) -> str:
     """Deterministic cached JSONL export of the documents table."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -93,19 +189,11 @@ def _wav_corpus_dir(n_clips: int = 512, sr: int = 8000) -> str:
         rows.append(codec.wav_encode(pcm, sr))
         ids.append(f"clip{i:05d}")
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"clips": pa.table({
         "clip_id": pa.array(ids, pa.string()),
         "bytes": pa.array(rows, pa.binary()),
         "sample_rate": pa.array([sr] * n_clips, pa.int32()),
-    }), f"{tmp}/clips.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _wav_dup_corpus_dir(n_base: int = 36, dup_every: int = 3,
@@ -151,18 +239,10 @@ def _wav_dup_corpus_dir(n_base: int = 36, dup_every: int = 3,
             ids.append(f"wav{i:05d}_g")
             blobs.append(codec.wav_encode(dup, sr))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"clips": pa.table({
         "clip_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/clips.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def wav_audio_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
@@ -303,17 +383,7 @@ def wav_audio_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
     truth = {(f"wav{i:05d}", f"wav{i:05d}_g")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_clips": [n_clips], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_clips", n_clips, n_planted, n_cand, got, truth)
 
 
 def audio_wav_stats(sf_dir: str, n_clips: int = 512):
@@ -430,19 +500,11 @@ def _video_corpus_dir(n_videos: int = 256) -> str:
         blobs.append(seed * (8 + i % 17))
         nframes.append(24 * (1 + i % 10))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
         "n_frames": pa.array(nframes, pa.int32()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _avi_corpus_dir(n_videos: int = 48, frames_per_video: int = 8) -> str:
@@ -473,21 +535,13 @@ def _avi_corpus_dir(n_videos: int = 48, frames_per_video: int = 8) -> str:
         ws.append(w)
         hs.append(h)
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
         "n_frames": pa.array(nframes, pa.int32()),
         "w": pa.array(ws, pa.int32()),
         "h": pa.array(hs, pa.int32()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def avi_frame_stats(sf_dir: str, n_videos: int = 48):
@@ -592,19 +646,11 @@ def _avi_dup_corpus_dir(n_base: int = 36, dup_every: int = 3,
             blobs.append(avi_mod.encode_mjpeg(re, w=w, h=h, fps=10))
             nframes.append(frames_per_video)
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
         "n_frames": pa.array(nframes, pa.int32()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _slot_video_pairs(ds, k_frames: int = 4,
@@ -775,17 +821,7 @@ def avi_video_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
     truth = {(f"avi{i:05d}", f"avi{i:05d}_re")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_videos": [n_videos], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_videos", n_videos, n_planted, n_cand, got, truth)
 
 
 _FPS_KINDS = ("fps5", "fps12", "fps15", "fps25")
@@ -834,18 +870,10 @@ def _framerate_corpus_dir(n_base: int = 32, dup_every: int = 2,
             blobs.append(avi_mod.encode_mjpeg(
                 dupf, w=w, h=h, fps=max(1, nf * 10 // base_nf)))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def framerate_video_dedup(sf_dir: str, n_base: int = 32,
@@ -885,27 +913,7 @@ def framerate_video_dedup(sf_dir: str, n_base: int = 32,
         k = i // dup_every
         kind = _FPS_KINDS[k % len(_FPS_KINDS)]
         truth_by_kind[kind].add((f"fr{i:05d}", f"fr{i:05d}_{kind}"))
-    all_truth = set().union(*truth_by_kind.values())
-    n_planted = len(all_truth)
-    n_false = len(got - all_truth)
-    fbk = _false_by_kind(got - all_truth, truth_by_kind)
-
-    import pandas as pd
-    rows = []
-    for kind in _FPS_KINDS:
-        t = truth_by_kind[kind]
-        found = len(got & t)
-        rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": fbk[kind],
-                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
-    rows.append({"kind": "_total", "n_planted": n_planted,
-                 "n_found": len(got & all_truth), "n_false": n_false,
-                 "recall_ppm": len(got & all_truth) * 1_000_000
-                 // max(1, n_planted)})
-    out = pd.DataFrame(rows)
-    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
+    return _per_class_report(got, truth_by_kind, _FPS_KINDS)
 
 
 _RES_KINDS = ("half", "quarter", "up2", "nn23")
@@ -964,18 +972,10 @@ def _resolution_corpus_dir(n_base: int = 32, dup_every: int = 2,
             ids.append(f"rs{i:05d}_{kind}")
             blobs.append(avi_mod.encode_mjpeg(dupf, w=dw, h=dh, fps=10))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def resolution_video_dedup(sf_dir: str, n_base: int = 32,
@@ -1019,27 +1019,7 @@ def resolution_video_dedup(sf_dir: str, n_base: int = 32,
     for i in range(0, n_base, dup_every):
         kind = _RES_KINDS[(i // dup_every) % len(_RES_KINDS)]
         truth_by_kind[kind].add((f"rs{i:05d}", f"rs{i:05d}_{kind}"))
-    all_truth = set().union(*truth_by_kind.values())
-    n_planted = len(all_truth)
-    n_false = len(got - all_truth)
-    fbk = _false_by_kind(got - all_truth, truth_by_kind)
-
-    import pandas as pd
-    rows = []
-    for kind in _RES_KINDS:
-        t = truth_by_kind[kind]
-        found = len(got & t)
-        rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": fbk[kind],
-                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
-    rows.append({"kind": "_total", "n_planted": n_planted,
-                 "n_found": len(got & all_truth), "n_false": n_false,
-                 "recall_ppm": len(got & all_truth) * 1_000_000
-                 // max(1, n_planted)})
-    out = pd.DataFrame(rows)
-    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
+    return _per_class_report(got, truth_by_kind, _RES_KINDS)
 
 
 def video_frame_stats(sf_dir: str, n_videos: int = 256):
@@ -1115,40 +1095,36 @@ def _jfif_corpus_dir(n_images: int = 256, quality: int = 85) -> str:
     (destor_ray.jpeg encoder over the procedural corpus pixels) — the
     fixture that proves the engine ingests interchange-format JPEG, not
     just its own containers. Round 3: the fixture mixes chroma
-    subsampling the way a real crawl does — i%4==1 → 4:2:0 (the
-    near-universal camera/web mode), i%4==3 → 4:2:2, else 4:4:4 — so
-    every JFIF-consuming query exercises the subsampled decode path."""
+    subsampling AND scan modes the way a real crawl does — i%4==1 →
+    4:2:0 (the near-universal camera/web mode), i%4==3 → 4:2:2, else
+    4:4:4; every 5th image is PROGRESSIVE (SOF2, ~real-web share) — so
+    every JFIF-consuming query exercises the subsampled and
+    progressive decode paths."""
     from .. import corpus as corpus_mod
 
-    out = f"/tmp/destor_ray_jfif/n{n_images}_q{quality}_mix420"
+    out = f"/tmp/destor_ray_jfif/n{n_images}_q{quality}_mix420p"
     if os.path.isdir(out):
         return out
     from ..jpeg import encode as jfif_encode
+    from ..jpeg import encode_progressive as jfif_encode_prog
     ids, blobs, ws, hs, subs = [], [], [], [], []
     for i in range(n_images):
         px, w, h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
         sub = {1: "420", 3: "422"}.get(i % 4, "444")
+        enc = jfif_encode_prog if i % 5 == 0 else jfif_encode
         ids.append(f"jf{i:05d}")
-        blobs.append(jfif_encode(px, quality, subsampling=sub))
+        blobs.append(enc(px, quality, subsampling=sub))
         ws.append(w)
         hs.append(h)
-        subs.append(sub)
+        subs.append(sub + ("p" if i % 5 == 0 else ""))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
         "w": pa.array(ws, pa.int32()),
         "h": pa.array(hs, pa.int32()),
         "subsampling": pa.array(subs, pa.string()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def jfif_decode_stats(sf_dir: str, n_images: int = 256):
@@ -1223,18 +1199,10 @@ def _corrupt_jfif_corpus_dir(n_images: int = 256, n_corrupt: int = 32) -> str:
             b = bytearray(blobs[i])
             b[0] = 0x00                                    # broken SOI
             blobs[i] = bytes(b)
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": t["image_id"],
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def decode_quarantine_stats(sf_dir: str, n_images: int = 256,
@@ -1903,18 +1871,10 @@ def _jfif_dup_corpus_dir(n_base: int = 192, quality: int = 85,
             ids.append(f"jf{i:05d}_re")
             blobs.append(jfif_encode(px, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def jfif_quality_estimate(sf_dir: str, n_images: int = 96,
@@ -2059,25 +2019,8 @@ def jfif_dc_dedup(sf_dir: str, n_base: int = 192, dup_every: int = 3,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False).view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
-                              pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("thumb",), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -2111,17 +2054,7 @@ def jfif_dc_dedup(sf_dir: str, n_base: int = 192, dup_every: int = 3,
     truth = {(f"jf{i:05d}", f"jf{i:05d}_re")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -2159,18 +2092,10 @@ def _dihedral_dup_corpus_dir(n_base: int = 144, quality: int = 85,
                 np.ascontiguousarray(codec.dihedral_apply(px, k)),
                 dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _dihedral_aligned_psnr(ta: np.ndarray, tb: np.ndarray,
@@ -2283,32 +2208,8 @@ def dihedral_image_dedup(sf_dir: str, n_base: int = 144,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(
-                batch["image_id"].to_pylist() * reps, pa.string()),
-            "phash": pa.array(
-                np.tile(batch["phash"].to_numpy(zero_copy_only=False),
-                        reps), pa.int64()),
-            "ahash": pa.array(
-                np.tile(batch["ahash"].to_numpy(zero_copy_only=False),
-                        reps), pa.int64()),
-            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
-                              pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("phash", "ahash", "thumb"), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -2352,17 +2253,7 @@ def dihedral_image_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"dh{i:05d}", f"dh{i:05d}_t{1 + (i // dup_every) % 7}")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -2411,18 +2302,10 @@ def _exif_corpus_dir(n_base: int = 144, quality: int = 85,
                 "make": make, "model": model, "orientation": o,
                 "datetime": f"2026:02:{1 + i % 28:02d} 12:00:00"}))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def jfif_exif_stats(sf_dir: str, n_base: int = 144,
@@ -2563,26 +2446,8 @@ def exif_orientation_dedup(sf_dir: str, n_base: int = 144,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
-                              pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("thumb",), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -2616,17 +2481,7 @@ def exif_orientation_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"ex{i:05d}", f"ex{i:05d}_o{2 + (i // dup_every) % 7}")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -2681,18 +2536,10 @@ def _letterbox_corpus_dir(n_base: int = 144, quality: int = 85,
             blobs.append(jpeg.encode(_letterbox(px, style, bar, color),
                                      dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _inset_shift_psnr(ta: np.ndarray, tb: np.ndarray) -> float:
@@ -2796,26 +2643,8 @@ def letterbox_image_dedup(sf_dir: str, n_base: int = 144,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
-                              pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("thumb",), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -2853,17 +2682,7 @@ def letterbox_image_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"lb{i:05d}", f"lb{i:05d}_p{(i // dup_every) % 3}")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -2906,18 +2725,10 @@ def _ctph_corpus_dir(n_base: int = 96) -> str:
             blobs.append(base[:keep] + xrng.integers(
                 0, 256, n - keep, dtype=np.uint8).tobytes())
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"files": pa.table({
         "file_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/files.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 _CTPH_CHARIDX = {c: k for k, c in enumerate(
@@ -3073,18 +2884,10 @@ def _tint_corpus_dir(n_base: int = 144, quality: int = 85,
             ids.append(f"ph{i:05d}_t")
             blobs.append(jpeg.encode(tinted, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _zncc(ta: np.ndarray, tb: np.ndarray) -> float:
@@ -3171,29 +2974,8 @@ def photometric_image_dedup(sf_dir: str, n_base: int = 144,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "ahash": pa.array(
-                np.tile(batch["ahash"].to_numpy(zero_copy_only=False),
-                        reps), pa.int64()),
-            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
-                              pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("ahash", "thumb"), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -3235,17 +3017,7 @@ def photometric_image_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"ph{i:05d}", f"ph{i:05d}_t")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -3298,19 +3070,11 @@ def _avi_shot_corpus_dir(n_videos: int = 24,
         blobs.append(avi_mod.encode_mjpeg(frames, w=w, h=h, fps=10))
         cuts_col.append(",".join(map(str, cuts)))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
         "true_cuts": pa.array(cuts_col, pa.string()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def avi_shot_stats(sf_dir: str, n_videos: int = 24,
@@ -3435,18 +3199,10 @@ def _tone_corpus_dir(n_base: int = 144, quality: int = 85,
             ids.append(f"tc{i:05d}_t")
             blobs.append(jpeg.encode(toned, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _rank_image(g32: np.ndarray) -> np.ndarray:
@@ -3573,29 +3329,8 @@ def tonecurve_image_dedup(sf_dir: str, n_base: int = 144,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "ahash": pa.array(
-                np.tile(batch["ahash"].to_numpy(zero_copy_only=False),
-                        reps), pa.int64()),
-            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
-                              pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("ahash", "thumb"), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -3642,17 +3377,7 @@ def tonecurve_image_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"tc{i:05d}", f"tc{i:05d}_t")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -3696,18 +3421,10 @@ def _overlay_corpus_dir(n_base: int = 144, quality: int = 85,
             ids.append(f"ov{i:05d}_t")
             blobs.append(jpeg.encode(ov, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _trimmed_tile_psnr(ta: np.ndarray, tb: np.ndarray,
@@ -3795,26 +3512,8 @@ def overlay_image_dedup(sf_dir: str, n_base: int = 144,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
-                              pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("thumb",), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -3852,17 +3551,7 @@ def overlay_image_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"ov{i:05d}", f"ov{i:05d}_t")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -4123,18 +3812,10 @@ def _crop_corpus_dir(n_base: int = 144, quality: int = 85,
             blobs.append(jpeg.encode(px[y0:y0 + ch, x0:x0 + cw],
                                      dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def crop_image_dedup(sf_dir: str, n_base: int = 144, dup_every: int = 3,
@@ -4578,18 +4259,10 @@ def _wav_shift_corpus_dir(n_base: int = 36, dup_every: int = 3,
             blobs.append(codec.wav_encode(
                 (0.6 * dup + d2).astype(np.float32), sr))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"clips": pa.table({
         "clip_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/clips.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _audio_offset_verify(env_a, spec_a, env_b, spec_b, df: int,
@@ -4759,17 +4432,7 @@ def audio_offset_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
     truth = {(f"sft{i:05d}", f"sft{i:05d}_s")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_clips": [n_clips], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_clips", n_clips, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -4847,18 +4510,10 @@ def _avi_offset_corpus_dir(n_base: int = 24, dup_every: int = 3,
         ids.append(f"ov{i:05d}_s")
         blobs.append(avi_mod.encode_mjpeg(dup, w=w, h=h, fps=10))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _video_cuts(t16: np.ndarray) -> list:
@@ -5146,18 +4801,10 @@ def _rot_corpus_dir(n_base: int = 144, quality: int = 85,
             ids.append(f"rt{i:05d}_r")
             blobs.append(jpeg.encode(rot, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def rotation_image_dedup(sf_dir: str, n_base: int = 144,
@@ -5265,17 +4912,7 @@ def rotation_image_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"rt{i:05d}", f"rt{i:05d}_r")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -5346,18 +4983,10 @@ def _huesat_corpus_dir(n_base: int = 144, quality: int = 85,
             ids.append(f"hs{i:05d}_c")
             blobs.append(jpeg.encode(graded, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def huesat_image_dedup(sf_dir: str, n_base: int = 144,
@@ -5439,31 +5068,8 @@ def huesat_image_dedup(sf_dir: str, n_base: int = 144,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "ahash": pa.array(
-                np.tile(batch["ahash"].to_numpy(zero_copy_only=False),
-                        reps), pa.int64()),
-            "lthumb": pa.array(batch["lthumb"].to_pylist() * reps,
-                               pa.binary()),
-            "cthumb": pa.array(batch["cthumb"].to_pylist() * reps,
-                               pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("ahash", "lthumb", "cthumb"), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -5514,17 +5120,7 @@ def huesat_image_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"hs{i:05d}", f"hs{i:05d}_c")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -5605,18 +5201,10 @@ def _grayscale_corpus_dir(n_base: int = 144, quality: int = 85,
             ids.append(f"gs{i:05d}_g")
             blobs.append(jpeg.encode(g, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def grayscale_image_dedup(sf_dir: str, n_base: int = 144,
@@ -5703,29 +5291,8 @@ def grayscale_image_dedup(sf_dir: str, n_base: int = 144,
     FAMS = ("gph", "gah", "mph", "mah")
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = len(FAMS) * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for fi, col in enumerate(FAMS):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = fi * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "achro": pa.array(
-                np.tile(batch["achro"].to_numpy(zero_copy_only=False),
-                        reps)),
-            "cthumb": pa.array(batch["cthumb"].to_pylist() * reps,
-                               pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", FAMS,
+                               ("achro", "cthumb"), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -5774,17 +5341,7 @@ def grayscale_image_dedup(sf_dir: str, n_base: int = 144,
     truth = {(f"gs{i:05d}", f"gs{i:05d}_g")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_images": [n_images], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_images", n_images, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -5948,18 +5505,10 @@ def _degrade_corpus_dir(n_base: int = 144, quality: int = 85,
             ids.append(f"dg{i:05d}_{kind}")
             blobs.append(jpeg.encode(t, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def degrade_image_dedup(sf_dir: str, n_base: int = 144,
@@ -6022,29 +5571,8 @@ def degrade_image_dedup(sf_dir: str, n_base: int = 144,
     N_BANDS, BITS = 8, 8
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        reps = 2 * N_BANDS
-        keys = np.empty(reps * n, np.int64)
-        mask = np.uint64((1 << BITS) - 1)
-        for ch, col in enumerate(("phash", "ahash")):
-            h = batch[col].to_numpy(zero_copy_only=False) \
-                .view(np.uint64)
-            for band in range(N_BANDS):
-                bits = (h >> np.uint64(BITS * band)) & mask
-                slot = ch * N_BANDS + band
-                keys[slot * n:(slot + 1) * n] = \
-                    (np.int64(slot) << np.int64(BITS)) \
-                    | bits.astype(np.int64)
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "image_id": pa.array(batch["image_id"].to_pylist() * reps,
-                                 pa.string()),
-            "ahash": pa.array(
-                np.tile(batch["ahash"].to_numpy(zero_copy_only=False),
-                        reps), pa.int64()),
-            "thumb": pa.array(batch["thumb"].to_pylist() * reps,
-                              pa.binary()),
-        })
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("ahash", "thumb"), N_BANDS, BITS)
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
@@ -6095,26 +5623,7 @@ def degrade_image_dedup(sf_dir: str, n_base: int = 144,
         k = i // dup_every
         kind = _DEGRADE_KINDS[k % len(_DEGRADE_KINDS)]
         truth_by_kind[kind].add((f"dg{i:05d}", f"dg{i:05d}_{kind}"))
-    all_truth = set().union(*truth_by_kind.values())
-    n_false = len(got - all_truth)
-    fbk = _false_by_kind(got - all_truth, truth_by_kind)
-
-    import pandas as pd
-    rows = []
-    for kind in _DEGRADE_KINDS:
-        t = truth_by_kind[kind]
-        found = len(got & t)
-        rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": fbk[kind],
-                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
-    rows.append({"kind": "_total", "n_planted": n_planted,
-                 "n_found": len(got & all_truth), "n_false": n_false,
-                 "recall_ppm": len(got & all_truth) * 1_000_000
-                 // n_planted})
-    out = pd.DataFrame(rows)
-    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
+    return _per_class_report(got, truth_by_kind, _DEGRADE_KINDS)
 
 
 # ---------------------------------------------------------------------------
@@ -6231,18 +5740,10 @@ def _omni_corpus_dir(n_base: int = 231, quality: int = 85,
             ids.append(f"om{i:05d}_{kind}")
             blobs.append(jpeg.encode(t, dup_quality))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"images": pa.table({
         "image_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/images.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 # channel ids for the unified band-key namespace
@@ -6593,26 +6094,7 @@ def omni_image_dedup(sf_dir: str, n_base: int = 231,
         k = i // dup_every
         kind = _OMNI_KINDS[k % len(_OMNI_KINDS)]
         truth_by_kind[kind].add((f"om{i:05d}", f"om{i:05d}_{kind}"))
-    all_truth = set().union(*truth_by_kind.values())
-    n_false = len(got - all_truth)
-    fbk = _false_by_kind(got - all_truth, truth_by_kind)
-
-    import pandas as pd
-    rows = []
-    for kind in _OMNI_KINDS:
-        t = truth_by_kind[kind]
-        found = len(got & t)
-        rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": fbk[kind],
-                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
-    rows.append({"kind": "_total", "n_planted": n_planted,
-                 "n_found": len(got & all_truth), "n_false": n_false,
-                 "recall_ppm": len(got & all_truth) * 1_000_000
-                 // n_planted})
-    out = pd.DataFrame(rows)
-    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
+    return _per_class_report(got, truth_by_kind, _OMNI_KINDS)
 
 
 # ---------------------------------------------------------------------------
@@ -6829,18 +6311,10 @@ def _wav_scale_corpus_dir(n_base: int = 36, dup_every: int = 3,
             blobs.append(codec.wav_encode(
                 (0.7 * dup + d2).astype(np.float32), sr))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"clips": pa.table({
         "clip_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/clips.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def timescale_audio_dedup(sf_dir: str, n_base: int = 36,
@@ -6985,17 +6459,7 @@ def timescale_audio_dedup(sf_dir: str, n_base: int = 36,
     truth = {(f"scl{i:05d}", f"scl{i:05d}_r")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_clips": [n_clips], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_clips", n_clips, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -7068,18 +6532,10 @@ def _avi_scale_corpus_dir(n_base: int = 24, dup_every: int = 3,
             ids.append(f"vs{i:05d}_r")
             blobs.append(avi_mod.encode_mjpeg(dup, w=w, h=h, fps=10))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def _video_scale_proposals(cuts_a: list, nf_a: int, cuts_b: list,
@@ -7291,17 +6747,7 @@ def timescale_video_dedup(sf_dir: str, n_base: int = 24,
     truth = {(f"vs{i:05d}", f"vs{i:05d}_r")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_videos": [n_videos], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_videos", n_videos, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -7371,18 +6817,10 @@ def _avi_letterbox_corpus_dir(n_base: int = 24, dup_every: int = 3,
             blobs.append(avi_mod.encode_mjpeg(
                 boxed, w=w + 2 * lr, h=h + 2 * tb, fps=10))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def letterbox_video_dedup(sf_dir: str, n_base: int = 24,
@@ -7509,17 +6947,7 @@ def letterbox_video_dedup(sf_dir: str, n_base: int = 24,
     truth = {(f"lbv{i:05d}", f"lbv{i:05d}_lb")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_videos": [n_videos], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_videos", n_videos, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -7573,18 +7001,10 @@ def _wav_sr_corpus_dir(n_base: int = 36, dup_every: int = 3,
             blobs.append(codec.wav_encode(
                 (0.8 * dup + d2).astype(np.float32), sr2))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"clips": pa.table({
         "clip_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/clips.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def samplerate_audio_dedup(sf_dir: str, n_base: int = 36,
@@ -7708,17 +7128,7 @@ def samplerate_audio_dedup(sf_dir: str, n_base: int = 36,
     truth = {(f"srx{i:05d}", f"srx{i:05d}_f")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_clips": [n_clips], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_clips", n_clips, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -7791,18 +7201,10 @@ def _wav_stereo_corpus_dir(n_base: int = 36, dup_every: int = 3,
             blobs.append(codec.wav_encode(
                 np.clip(st + d2, -1, 1).astype(np.float32), sr))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"clips": pa.table({
         "clip_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/clips.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def stereo_audio_dedup(sf_dir: str, n_base: int = 36,
@@ -7938,26 +7340,7 @@ def stereo_audio_dedup(sf_dir: str, n_base: int = 36,
     for i in range(0, n_base, dup_every):
         kind = _STEREO_KINDS[(i // dup_every) % len(_STEREO_KINDS)]
         truth_by_kind[kind].add((f"stx{i:05d}", f"stx{i:05d}_s"))
-    all_truth = set().union(*truth_by_kind.values())
-    n_false = len(got - all_truth)
-    fbk = _false_by_kind(got - all_truth, truth_by_kind)
-
-    import pandas as pd
-    rows = []
-    for kind in _STEREO_KINDS:
-        t = truth_by_kind[kind]
-        found = len(got & t)
-        rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": fbk[kind],
-                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
-    rows.append({"kind": "_total", "n_planted": n_planted,
-                 "n_found": len(got & all_truth), "n_false": n_false,
-                 "recall_ppm": len(got & all_truth) * 1_000_000
-                 // n_planted})
-    out = pd.DataFrame(rows)
-    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
+    return _per_class_report(got, truth_by_kind, _STEREO_KINDS)
 
 
 # ---------------------------------------------------------------------------
@@ -8010,19 +7393,11 @@ def _avi_mirror_corpus_dir(n_base: int = 24, dup_every: int = 3,
                 w=w, h=h, fps=10))
             nframes.append(frames_per_video)
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
         "n_frames": pa.array(nframes, pa.int32()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def mirror_video_dedup(sf_dir: str, n_base: int = 24, dup_every: int = 3,
@@ -8167,17 +7542,7 @@ def mirror_video_dedup(sf_dir: str, n_base: int = 24, dup_every: int = 3,
     truth = {(f"mrv{i:05d}", f"mrv{i:05d}_mr")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_videos": [n_videos], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_videos", n_videos, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -8354,18 +7719,10 @@ def _wav_pitch_corpus_dir(n_base: int = 36, dup_every: int = 3,
             blobs.append(codec.wav_encode(
                 (0.8 * synth(i, alpha, 1)).astype(np.float32), sr))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"clips": pa.table({
         "clip_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/clips.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def pitchshift_audio_dedup(sf_dir: str, n_base: int = 36,
@@ -8486,17 +7843,7 @@ def pitchshift_audio_dedup(sf_dir: str, n_base: int = 36,
     truth = {(f"pit{i:05d}", f"pit{i:05d}_p")
              for i in range(0, n_base, dup_every)}
     got = set(zip(pairs["l"], pairs["r"]))
-    n_true = len(got & truth)
-    n_false = len(got - truth)
-
-    import pandas as pd
-    return pd.DataFrame({
-        "n_clips": [n_clips], "n_planted": [n_planted],
-        "n_candidate_pairs": [n_cand],
-        "n_verified_pairs": [len(got)],
-        "n_true": [n_true], "n_false": [n_false],
-        "recall_ppm": [n_true * 1_000_000 // n_planted],
-    }).astype("int64")
+    return _pair_report("n_clips", n_clips, n_planted, n_cand, got, truth)
 
 
 # ---------------------------------------------------------------------------
@@ -8605,18 +7952,10 @@ def _avi_omni_corpus_dir(n_base: int = 30, dup_every: int = 3,
             [jpeg_mod.encode(f, quality=70) for f in dup_px],
             w=dw, h=dh, fps=10))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def omni_video_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
@@ -8873,26 +8212,7 @@ def omni_video_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
     for i in range(0, n_base, dup_every):
         kind = _OMNIV_KINDS[(i // dup_every) % len(_OMNIV_KINDS)]
         truth_by_kind[kind].add((f"omv{i:05d}", f"omv{i:05d}_{kind}"))
-    all_truth = set().union(*truth_by_kind.values())
-    n_false = len(got - all_truth)
-    fbk = _false_by_kind(got - all_truth, truth_by_kind)
-
-    import pandas as pd
-    rows = []
-    for kind in _OMNIV_KINDS:
-        t = truth_by_kind[kind]
-        found = len(got & t)
-        rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": fbk[kind],
-                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
-    rows.append({"kind": "_total", "n_planted": n_planted,
-                 "n_found": len(got & all_truth), "n_false": n_false,
-                 "recall_ppm": len(got & all_truth) * 1_000_000
-                 // n_planted})
-    out = pd.DataFrame(rows)
-    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
+    return _per_class_report(got, truth_by_kind, _OMNIV_KINDS)
 
 
 # ---------------------------------------------------------------------------
@@ -9019,18 +8339,10 @@ def _wav_omni_corpus_dir(n_base: int = 30, dup_every: int = 3,
         blobs.append(codec.wav_encode(
             (dup + d2).astype(np.float32), out_sr))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"clips": pa.table({
         "clip_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/clips.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def omni_audio_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
@@ -9270,26 +8582,7 @@ def omni_audio_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
     for i in range(0, n_base, dup_every):
         kind = _OMNIA_KINDS[(i // dup_every) % len(_OMNIA_KINDS)]
         truth_by_kind[kind].add((f"oma{i:05d}", f"oma{i:05d}_{kind}"))
-    all_truth = set().union(*truth_by_kind.values())
-    n_false = len(got - all_truth)
-    fbk = _false_by_kind(got - all_truth, truth_by_kind)
-
-    import pandas as pd
-    rows = []
-    for kind in _OMNIA_KINDS:
-        t = truth_by_kind[kind]
-        found = len(got & t)
-        rows.append({"kind": kind, "n_planted": len(t),
-                     "n_found": found, "n_false": fbk[kind],
-                     "recall_ppm": found * 1_000_000 // max(1, len(t))})
-    rows.append({"kind": "_total", "n_planted": n_planted,
-                 "n_found": len(got & all_truth), "n_false": n_false,
-                 "recall_ppm": len(got & all_truth) * 1_000_000
-                 // n_planted})
-    out = pd.DataFrame(rows)
-    for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
-        out[c] = out[c].astype("int64")
-    return out
+    return _per_class_report(got, truth_by_kind, _OMNIA_KINDS)
 
 
 # ---------------------------------------------------------------------------
@@ -9388,18 +8681,10 @@ def _avi_at_corpus_dir(n_base: int = 30, dup_every: int = 3,
             blobs.append(avi_mod.encode_mjpeg(
                 dfr, w=w, h=h, fps=fps, audio=dau, audio_rate=sr))
     import pyarrow.parquet as pq_
-    tmp = f"{out}.tmp.{os.getpid()}"
-    os.makedirs(tmp, exist_ok=True)
-    pq_.write_table(pa.table({
+    return _commit_fixture(out, {"videos": pa.table({
         "video_id": pa.array(ids, pa.string()),
         "bytes": pa.array(blobs, pa.binary()),
-    }), f"{tmp}/videos.parquet")
-    try:
-        os.rename(tmp, out)
-    except OSError:
-        import shutil
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    })})
 
 
 def audiotrack_video_dedup(sf_dir: str, n_base: int = 30,
