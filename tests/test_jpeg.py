@@ -84,12 +84,49 @@ def test_codec_dispatch():
     assert codec.decode_meta(codec.encode(img, "png"))[0] == "png"
 
 
-def test_decoder_rejects_progressive():
+def test_decoder_rejects_malformed_progressive():
+    """A sequential stream whose SOF marker merely CLAIMS progressive
+    is malformed (single full-band scan, no valid progressive scan
+    script) — the progressive dispatch must fail loudly, not return
+    garbage pixels. A REAL progressive stream decodes (tests below)."""
     data = bytearray(jpeg.encode(_smooth(), 90))
     i = data.index(b"\xff\xc0")
     data[i + 1] = 0xC2  # claim progressive
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((ValueError, IndexError)):
         jpeg.decode(bytes(data))
+
+
+def test_progressive_matches_sequential_bit_exact():
+    """encode_progressive codes the same quantized coefficients as the
+    sequential encoder, so decode() output is BIT-IDENTICAL between
+    the two — across subsampling modes, qualities, awkward sizes, the
+    standard-table script AND the custom-table EOBn-run script. The
+    DC-luma thumbnail matches too (and reads only the leading DC
+    scans of the progressive stream)."""
+    for (h, w) in [(24, 32), (17, 23), (40, 56), (9, 25), (8, 8)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        for img in (
+            np.clip(np.stack([yy // 4 + 100, xx // 4 + 90,
+                              (yy + xx) // 8 + 80], -1),
+                    0, 255).astype(np.uint8),      # smooth: EOB runs
+            np.clip(np.stack([(yy * 2 + xx) % 200 + 20,
+                              (yy + xx * 3) % 200 + 20,
+                              (yy * 5 + xx * 7) % 200 + 20], -1),
+                    0, 255).astype(np.uint8),      # busy: dense ACs
+        ):
+            for sub in ("444", "420"):
+                for er in (False, True):
+                    bs = jpeg.encode(img, 88, subsampling=sub)
+                    bp = jpeg.encode_progressive(
+                        img, 88, subsampling=sub, eob_runs=er)
+                    assert np.array_equal(jpeg.decode(bs),
+                                          jpeg.decode(bp)), (h, w, sub, er)
+                    assert np.array_equal(jpeg.decode_dc_luma(bs),
+                                          jpeg.decode_dc_luma(bp)), \
+                        (h, w, sub, er)
+                    # header-only reads work unchanged on SOF2
+                    assert jpeg.meta(bp) == (w, h)
+                    assert jpeg.estimate_quality(bp) == (88, 0)
 
 
 def test_jfif_corpus_psnr_vs_generator():
@@ -103,7 +140,8 @@ def test_jfif_corpus_psnr_vs_generator():
     d = _jfif_corpus_dir(n_images=32)
     t = pq.read_table(f"{d}/images.parquet")
     subs = t["subsampling"].to_pylist()
-    assert {"444", "420", "422"} <= set(subs)   # the fixture mixes modes
+    assert {"444", "420", "422"} <= {s.rstrip("p") for s in subs}
+    assert any(s.endswith("p") for s in subs)   # progressive rows mixed
     for i, (data, sub) in enumerate(zip(t["bytes"].to_pylist(), subs)):
         px, w, h, _, _ = corpus_mod._base_pixels(seed=7, row=i)
         out = codec.decode(data)
@@ -111,7 +149,8 @@ def test_jfif_corpus_psnr_vs_generator():
         # chroma decimation is lossy by design: the fixture pixels have
         # sharp chroma edges, so subsampled rows bound at ~28 dB while
         # 4:4:4 holds the original 35 dB bar
-        assert _psnr(px, out) >= (35 if sub == "444" else 27), (i, sub)
+        assert _psnr(px, out) >= (35 if sub.rstrip("p") == "444"
+                                  else 27), (i, sub)
 
 
 def test_jpeg_hypothesis_roundtrip():
@@ -216,6 +255,42 @@ def test_subsampled_dc_luma_grid_and_exactness():
             g = np.pad(ycc, ((0, H - h), (0, W - w)), mode="edge")
             bm = g.reshape(H // 8, 8, W // 8, 8).mean((1, 3))
             assert np.abs(th.astype(float) - bm).max() <= 1.5, (h, w, sub)
+
+
+def test_16bit_dqt_decodes_identically():
+    """A Pq=1 (16-bit big-endian) DQT stream decodes bit-identically
+    to its 8-bit twin — full decode, DC thumbnail, and the DQT-based
+    quality estimate all read through the precision flag (T.81
+    B.2.4.1; archival/high-quality encoders emit these)."""
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(np.stack([(yy * 2 + xx) % 200 + 20,
+                            (yy + xx * 3) % 200 + 20,
+                            (yy + xx) % 200 + 20], -1),
+                  0, 255).astype(np.uint8)
+    data = jpeg.encode(img, 90)
+    buf = bytearray(data)
+    out = bytearray(buf[:2])
+    i = 2
+    while i < len(buf):
+        m = buf[i + 1]
+        if m == 0xDA:
+            out += buf[i:]
+            break
+        ln = (buf[i + 2] << 8) | buf[i + 3]
+        seg = buf[i + 4:i + 2 + ln]
+        if m == 0xDB:           # widen payload to 16-bit entries
+            pay = bytes([0x10 | (seg[0] & 0x0F)]) + b"".join(
+                int(v).to_bytes(2, "big") for v in seg[1:65])
+            out += b"\xff\xdb" + (len(pay) + 2).to_bytes(2, "big") + pay
+        else:
+            out += buf[i:i + 2 + ln]
+        i += 2 + ln
+    data16 = bytes(out)
+    assert np.array_equal(jpeg.decode(data), jpeg.decode(data16))
+    assert np.array_equal(jpeg.decode_dc_luma(data),
+                          jpeg.decode_dc_luma(data16))
+    assert jpeg.estimate_quality(data16) == (90, 0)
 
 
 def test_jfif_dc_thumbnail_stats_query(ray_session):
