@@ -327,8 +327,14 @@ def _quantized_components(pixels: np.ndarray, quality: int,
 
 
 def encode(pixels: np.ndarray, quality: int = 90,
-           exif: dict | None = None, subsampling: str = "444") -> bytes:
+           exif: dict | None = None, subsampling: str = "444",
+           restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF JPEG bytes.
+
+    `restart_interval` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (T.81 F.1.2.3 — the error-resilience feature most
+    camera firmwares enable); 0 (default) keeps the historical
+    marker-free stream byte-identical.
 
     `subsampling` ∈ {"444", "422", "420"}: chroma sampling factors per
     T.81 interleaved-MCU layout — "420" (2×2-decimated chroma, 16×16
@@ -347,8 +353,18 @@ def encode(pixels: np.ndarray, quality: int = 90,
 
     bwr = _BitWriter()
     pred = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
+    scan_parts: list[bytes] = []
+    for mi in range(mcuy * mcux):
+        if restart_interval and mi and mi % restart_interval == 0:
+            # flush the segment, byte-align, emit RSTn (cycling D0..D7),
+            # reset DC predictors (T.81 F.1.2.3)
+            scan_parts.append(bwr.tobytes())
+            scan_parts.append(bytes([0xFF, 0xD0
+                                     + (mi // restart_interval - 1) % 8]))
+            bwr = _BitWriter()
+            pred = [0, 0, 0]
+        my, mx = divmod(mi, mcux)
+        if True:
             for ci in range(3):
                 hi, vi = factors[ci]
                 bw_c = comp_grid[ci][1]
@@ -360,6 +376,7 @@ def encode(pixels: np.ndarray, quality: int = 90,
                         pred[ci] = _emit_block(
                             bwr, comp_q[ci][bi], comp_ss[ci][bi],
                             dc_tbl, ac_tbl, pred[ci])
+    scan_parts.append(bwr.tobytes())
 
     out = bytearray(b"\xff\xd8")                     # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
@@ -377,8 +394,10 @@ def encode(pixels: np.ndarray, quality: int = 90,
     out += _seg(0xC4, _dht_payload(0x10, AC_LUMA_BITS, AC_LUMA_VALS))
     out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
     out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    out += bwr.tobytes()
+    out += b"".join(scan_parts)
     out += b"\xff\xd9"                               # EOI
     return bytes(out)
 
@@ -487,6 +506,7 @@ def _parse_headers(buf: np.ndarray):
     dcs: dict[int, _HuffDec] = {}
     acs: dict[int, _HuffDec] = {}
     h = w = 0
+    ri = 0                     # restart interval (DRI), MCUs
     comp_spec: list[tuple[int, int, int, int, int]] = []
     i = 2
     scan_start = None
@@ -525,6 +545,8 @@ def _parse_headers(buf: np.ndarray):
                 vals = [int(x) for x in seg[p + 17:p + 17 + nv]]
                 (dcs if tc == 0 else acs)[th] = _HuffDec(bits, vals)
                 p += 17 + nv
+        elif m == 0xDD:
+            ri = (int(seg[0]) << 8) | int(seg[1])
         elif m == 0xDA:
             ns = int(seg[0])
             sel = {}
@@ -537,7 +559,24 @@ def _parse_headers(buf: np.ndarray):
         i += 2 + ln
     if scan_start is None or not h:
         raise ValueError("truncated JPEG")
-    return qts, dcs, acs, h, w, comp_spec, scan_start
+    return qts, dcs, acs, h, w, comp_spec, scan_start, ri
+
+
+def _restart_segments(tail: np.ndarray, ri: int) -> list:
+    """Scan entropy bytes → per-restart-segment byte arrays (RSTn
+    markers stripped; stuffed 0xFF00 preserved for _BitReader)."""
+    if ri == 0:
+        return [tail]
+    ff = np.flatnonzero(tail[:-1] == 0xFF)
+    nxt = tail[ff + 1]
+    rst = ff[(nxt >= 0xD0) & (nxt <= 0xD7)]
+    segs = []
+    start = 0
+    for p in rst:
+        segs.append(tail[start:p])
+        start = int(p) + 2
+    segs.append(tail[start:])
+    return segs
 
 
 def _sof_marker(buf: np.ndarray) -> int:
@@ -571,8 +610,9 @@ def decode(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     if _sof_marker(buf) == 0xC2:
         return decode_progressive(data)
-    qts, dcs, acs, h, w, comp_spec, scan_start = _parse_headers(buf)
-    br = _BitReader(buf[scan_start:])
+    qts, dcs, acs, h, w, comp_spec, scan_start, ri = _parse_headers(buf)
+    segs = _restart_segments(buf[scan_start:], ri)
+    br = _BitReader(segs[0])
 
     hmax = max(c[3] for c in comp_spec)
     vmax = max(c[4] for c in comp_spec)
@@ -581,8 +621,13 @@ def decode(data: bytes) -> np.ndarray:
     grids = [(mcuy * vs, mcux * hs) for _, _, _, hs, vs in comp_spec]
     coefs = [np.zeros((gh * gw, 64), np.int32) for gh, gw in grids]
     pred = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for mi in range(mcuy * mcux):
+        if ri and mi and mi % ri == 0:
+            # restart: fresh byte-aligned entropy segment, DC preds reset
+            br = _BitReader(segs[mi // ri])
+            pred = [0, 0, 0]
+        my, mx = divmod(mi, mcux)
+        if True:
             for ci, (cid, tq, tsel, hs, vs) in enumerate(comp_spec):
                 dc = dcs[tsel >> 4]
                 ac = acs[tsel & 0xF]
@@ -706,8 +751,9 @@ def decode_dc_luma(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     if _sof_marker(buf) == 0xC2:
         return decode_dc_luma_progressive(data)
-    qts, dcs, acs, h, w, comp_spec, scan_start = _parse_headers(buf)
-    br = _BitReader(buf[scan_start:])
+    qts, dcs, acs, h, w, comp_spec, scan_start, ri = _parse_headers(buf)
+    segs = _restart_segments(buf[scan_start:], ri)
+    br = _BitReader(segs[0])
 
     hmax = max(c[3] for c in comp_spec)
     vmax = max(c[4] for c in comp_spec)
@@ -717,8 +763,12 @@ def decode_dc_luma(data: bytes) -> np.ndarray:
     gh0, gw0 = mcuy * v0, mcux * h0
     y_dc = np.zeros(gh0 * gw0, np.int32)
     pred = [0, 0, 0]
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for mi in range(mcuy * mcux):
+        if ri and mi and mi % ri == 0:
+            br = _BitReader(segs[mi // ri])
+            pred = [0, 0, 0]
+        my, mx = divmod(mi, mcux)
+        if True:
             for ci, (cid, tq, tsel, hs, vs) in enumerate(comp_spec):
                 dc = dcs[tsel >> 4]
                 ac = acs[tsel & 0xF]

@@ -293,6 +293,30 @@ def test_16bit_dqt_decodes_identically():
     assert jpeg.estimate_quality(data16) == (90, 0)
 
 
+def test_restart_markers_decode_identically():
+    """A DRI/RSTn stream (restart_interval MCUs per segment, cycling
+    D0..D7 markers, DC predictors reset per segment — the
+    error-resilience layout camera firmwares enable) decodes to
+    EXACTLY the pixels of its marker-free twin; the DC thumbnail path
+    handles the segments too; restart_interval=0 stays byte-identical
+    to the historical encoder."""
+    for (h, w) in [(24, 32), (40, 56), (17, 23)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.clip(np.stack([(yy * 2 + xx) % 200 + 20,
+                                (yy + xx * 3) % 200 + 20,
+                                (yy + xx) % 200 + 20], -1),
+                      0, 255).astype(np.uint8)
+        for sub in ("444", "420"):
+            b0 = jpeg.encode(img, 88, subsampling=sub)
+            for ri in (1, 3, 7):
+                br = jpeg.encode(img, 88, subsampling=sub,
+                                 restart_interval=ri)
+                assert b"\xff\xdd" in br and br != b0
+                assert np.array_equal(jpeg.decode(b0), jpeg.decode(br))
+                assert np.array_equal(jpeg.decode_dc_luma(b0),
+                                      jpeg.decode_dc_luma(br))
+
+
 def test_jfif_dc_thumbnail_stats_query(ray_session):
     import __ray_entry__ as em
     out = em.queries()["jfif_dc_thumbnail_stats"](
