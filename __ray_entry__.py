@@ -159,6 +159,9 @@ queries() entries map to SURVEY.md §2 operators:
   video_frame_stats    VIDEO multimodal path: binary payloads fan out
                        through the frame-sample actor pool (ffmpeg
                        seam stubbed; Ray plumbing real + exact pytest)
+  jfif_scan_mode_stats per-scan-mode read economics: entropy bytes the
+                       DC-thumbnail path Huffman-walks vs stream total
+                       (progressive rows walk only the leading DC scans)
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2289,6 +2292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_small_files": ingest.compact_small_files,
         "transactional_commit_readback": ingest.transactional_commit_readback,
         "jfif_dc_thumbnail_stats": ingest.jfif_dc_thumbnail_stats,
+        "jfif_scan_mode_stats": ingest.jfif_scan_mode_stats,
         "resilient_read_stats": ingest.resilient_read_stats,
         "storage_orphan_gc": ingest.storage_orphan_gc,
         "user_erasure_certified": ingest.user_erasure_certified,

@@ -1388,3 +1388,39 @@ def decode_dc_luma_progressive(data: bytes) -> np.ndarray:
     grid = np.clip(np.round(means), 0, 255).astype(np.uint8) \
         .reshape(gh0, gw0)
     return grid[:-(-h // 8), :-(-w // 8)]
+
+
+def dc_decode_cost(data: bytes) -> tuple[int, int]:
+    """(entropy bytes the DC-thumbnail path must Huffman-walk, total
+    entropy bytes in the stream). Sequential streams walk EVERY scan
+    byte (AC run lengths decide where blocks start); progressive
+    streams walk only the DC scans, which lead the file — the
+    measurable read/compute advantage jfif_scan_mode_stats reports."""
+    buf = np.frombuffer(data, np.uint8)
+    if not is_jfif(buf):
+        raise ValueError("not a JPEG (missing SOI)")
+    progressive = _sof_marker(buf) == 0xC2
+    walked = total = 0
+    i = 2
+    n = len(buf)
+    while i < n - 1:
+        if buf[i] != 0xFF:
+            break
+        m = int(buf[i + 1])
+        if m == 0xD9:
+            break
+        ln = (int(buf[i + 2]) << 8) | int(buf[i + 3])
+        if m == 0xDA:
+            seg = buf[i + 4:i + 2 + ln]
+            ns = int(seg[0])
+            ss = int(seg[1 + 2 * ns])
+            start = i + 2 + ln
+            end = _scan_end(buf, start)
+            nbytes = end - start
+            total += nbytes
+            if not progressive or ss == 0:
+                walked += nbytes
+            i = end
+            continue
+        i += 2 + ln
+    return walked, total

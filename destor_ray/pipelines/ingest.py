@@ -1579,6 +1579,59 @@ def jfif_dc_thumbnail_stats(sf_dir: str, n_images: int = 256):
     })
 
 
+def jfif_scan_mode_stats(sf_dir: str, n_images: int = 256):
+    """(mode, n, total_entropy_bytes, dc_walked_bytes, dc_walk_ppm) —
+    the scan-mode READ-ECONOMICS table over the mixed JFIF fixture:
+    per encoding mode (444/420/422, progressive rows suffixed 'p'),
+    how many entropy bytes the DC-thumbnail dedup path must
+    Huffman-walk vs the stream total. Sequential streams walk 100%
+    (AC run lengths decide block boundaries); progressive streams
+    walk ONLY the leading DC scans — measured ~25-30% here — which at
+    object-storage scale turns the thumbnail signature pass into
+    ranged GETs of file heads. Deterministic fixture → pytest pins
+    progressive < sequential; rows-only driver check."""
+    from ray.data.aggregate import Count, Sum
+
+    from .. import jpeg
+
+    ds = ray.data.read_parquet(f"{_jfif_corpus_dir(n_images)}/images.parquet",
+                               columns=["bytes", "subsampling"])
+
+    def cost(batch: pa.Table) -> pa.Table:
+        walked, total = [], []
+        for data in batch["bytes"].to_pylist():
+            wk, tt = jpeg.dc_decode_cost(data)
+            walked.append(wk)
+            total.append(tt)
+        return pa.table({
+            "mode": batch["subsampling"],
+            "walked": pa.array(walked, pa.int64()),
+            "total": pa.array(total, pa.int64()),
+        })
+
+    agg = ds.map_batches(cost, batch_format="pyarrow") \
+        .groupby("mode").aggregate(
+            Count(alias_name="n"),
+            Sum("total", alias_name="total_entropy_bytes"),
+            Sum("walked", alias_name="dc_walked_bytes"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = pc.cast(b["total_entropy_bytes"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        wk = pc.cast(b["dc_walked_bytes"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "mode": b["mode"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "total_entropy_bytes": pa.array(tot, pa.int64()),
+            "dc_walked_bytes": pa.array(wk, pa.int64()),
+            "dc_walk_ppm": pa.array(wk * 1_000_000 // np.maximum(tot, 1),
+                                    pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def resilient_read_stats(sf_dir: str):
     """(status, n_files, n_rows) — CORRUPT-FILE-tolerant reads: a
     staged copy of the documents table gets one file truncated

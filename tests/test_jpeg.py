@@ -967,3 +967,18 @@ def test_omni_transform_kinds_deterministic_and_distinct():
             assert t1.shape != px.shape or not np.array_equal(t1, px)
         else:
             assert t1.shape == px.shape and not np.array_equal(t1, px)
+
+
+def test_jfif_scan_mode_stats_query(ray_session):
+    """Progressive rows Huffman-walk only their leading DC scans on
+    the thumbnail path; sequential rows walk 100% of entropy bytes."""
+    import __ray_entry__ as em
+
+    out = em.queries()["jfif_scan_mode_stats"](
+        "/root/testdata/sf0.001").to_pandas()
+    assert int(out["n"].sum()) == 256
+    prog = out[out["mode"].str.endswith("p")]
+    seq = out[~out["mode"].str.endswith("p")]
+    assert len(prog) and len(seq)
+    assert (seq["dc_walk_ppm"] == 1_000_000).all()
+    assert (prog["dc_walk_ppm"] < 600_000).all()
