@@ -733,9 +733,12 @@ def candidate_edges_incremental(base_sigs_ds, delta_sigs_ds,
 
     bands = base_sigs_ds.map_batches(base_fn, batch_format="pyarrow") \
         .union(delta_sigs_ds.map_batches(tag(0), batch_format="pyarrow"))
+    # arrow-native verify (is_base mask handled inside) — same bucket
+    # kernel as the flagship inline path
     return bucketed_group_map(bands, "band_key",
-                              lambda df: verify_bucket(df, cfg),
-                              num_buckets=num_buckets)
+                              lambda t: verify_bucket_arrow(t, cfg),
+                              num_buckets=num_buckets,
+                              batch_format="pyarrow")
 
 
 def candidate_edges(signatures_ds, cfg: EngineConfig | None = None,
