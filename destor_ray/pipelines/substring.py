@@ -122,6 +122,12 @@ def _pair_text_rendezvous(ds, gram: int, window: int,
                               num_buckets=num_buckets)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
+        if "left_id" not in batch.column_names:
+            # zero-column empty block from a sentinel-only bucket
+            # (hash-shuffle strategy) — same guard as _add_bucket
+            return pa.table({"pkey": pa.array([], pa.int64()),
+                             "left_id": pa.array([], pa.int64()),
+                             "right_id": pa.array([], pa.int64())})
         l = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         r = batch["right_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"pkey": pa.array(_pkey(l, r), pa.int64()),
