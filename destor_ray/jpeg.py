@@ -298,11 +298,21 @@ def _quantized_components(pixels: np.ndarray, quality: int,
     RGB → quantized zigzag DCT coefficients per component on the MCU
     lattice. Returns (factors, hmax, vmax, mcux, mcuy, lt, ct,
     comp_q, comp_grid); comp_q[ci] is (n_blocks, 64) int64 zigzag."""
+    h, w = pixels.shape[:2]
+    lt, ct = quality_tables(quality)
+    if pixels.ndim == 2:
+        # grayscale: one full-resolution luma component, no color
+        # transform (JFIF grayscale = luma-only stream)
+        factors = ((1, 1),)
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        blocks, bh, bw = _to_blocks(pixels.astype(np.float64) - 128.0)
+        coef = _D @ blocks @ _DT
+        qv = np.round(coef / lt).astype(np.int64)
+        return (factors, 1, 1, mcux, mcuy, lt, ct,
+                [qv.reshape(len(qv), 64)[:, ZIGZAG]], [(bh, bw)])
     factors = _SUBSAMP_FACTORS[subsampling]
     hmax = max(f[0] for f in factors)
     vmax = max(f[1] for f in factors)
-    h, w = pixels.shape[:2]
-    lt, ct = quality_tables(quality)
     ycc = _rgb_to_ycbcr(pixels)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
@@ -349,6 +359,7 @@ def encode(pixels: np.ndarray, quality: int = 90,
      comp_q, comp_grid) = _quantized_components(pixels, quality,
                                                 subsampling)
     h, w = pixels.shape[:2]
+    ncomp = len(comp_q)
     comp_ss = [_bit_size(q) for q in comp_q]
 
     bwr = _BitWriter()
@@ -365,7 +376,7 @@ def encode(pixels: np.ndarray, quality: int = 90,
             pred = [0, 0, 0]
         my, mx = divmod(mi, mcux)
         if True:
-            for ci in range(3):
+            for ci in range(ncomp):
                 hi, vi = factors[ci]
                 bw_c = comp_grid[ci][1]
                 dc_tbl = ENC_DC_L if ci == 0 else ENC_DC_C
@@ -383,20 +394,29 @@ def encode(pixels: np.ndarray, quality: int = 90,
     if exif is not None:
         out += _seg(0xE1, build_exif(exif))
     out += _seg(0xDB, bytes([0]) + bytes(lt.ravel()[ZIGZAG].astype(np.uint8)))
-    out += _seg(0xDB, bytes([1]) + bytes(ct.ravel()[ZIGZAG].astype(np.uint8)))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
-        bytes([3,
-               1, (factors[0][0] << 4) | factors[0][1], 0,
-               2, (factors[1][0] << 4) | factors[1][1], 1,
-               3, (factors[2][0] << 4) | factors[2][1], 1])
+    if ncomp == 3:
+        out += _seg(0xDB, bytes([1])
+                    + bytes(ct.ravel()[ZIGZAG].astype(np.uint8)))
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+            bytes([3,
+                   1, (factors[0][0] << 4) | factors[0][1], 0,
+                   2, (factors[1][0] << 4) | factors[1][1], 1,
+                   3, (factors[2][0] << 4) | factors[2][1], 1])
+    else:
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+            bytes([1, 1, 0x11, 0])
     out += _seg(0xC0, sof)
     out += _seg(0xC4, _dht_payload(0x00, DC_LUMA_BITS, DC_LUMA_VALS))
     out += _seg(0xC4, _dht_payload(0x10, AC_LUMA_BITS, AC_LUMA_VALS))
-    out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
-    out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_BITS, AC_CHROMA_VALS))
+    if ncomp == 3:
+        out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_BITS,
+                                       DC_CHROMA_VALS))
+        out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_BITS,
+                                       AC_CHROMA_VALS))
     if restart_interval:
         out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
-    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+                if ncomp == 3 else bytes([1, 1, 0x00, 0, 63, 0]))
     out += b"".join(scan_parts)
     out += b"\xff\xd9"                               # EOI
     return bytes(out)
@@ -524,12 +544,17 @@ def _parse_headers(buf: np.ndarray):
             h = (int(seg[1]) << 8) | int(seg[2])
             w = (int(seg[3]) << 8) | int(seg[4])
             nc = int(seg[5])
-            if nc != 3:
-                raise NotImplementedError("only 3-component")
+            if nc not in (1, 3):
+                raise NotImplementedError("only 1- or 3-component")
             for c in range(nc):
                 cid, samp, tq = int(seg[6 + 3 * c]), int(seg[7 + 3 * c]), \
                     int(seg[8 + 3 * c])
                 hs, vs = samp >> 4, samp & 0xF
+                if nc == 1:
+                    # single-component scans are non-interleaved by
+                    # definition (T.81 A.2.2): sampling factors do not
+                    # apply; normalize to 1x1
+                    hs = vs = 1
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise NotImplementedError(
                         f"sampling factors {hs}x{vs} (max 2x2)")
@@ -665,6 +690,10 @@ def decode(data: bytes) -> np.ndarray:
             plane = plane.repeat(vmax // vs, axis=0) \
                 .repeat(hmax // hs, axis=1)
         planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        # grayscale stream: luma replicates into RGB
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=-1)
     ycc = np.stack(planes, axis=-1)
     return _ycbcr_to_rgb(ycc)
 
@@ -977,11 +1006,12 @@ def encode_progressive(pixels: np.ndarray, quality: int = 90,
      comp_q, comp_grid) = _quantized_components(pixels, quality,
                                                 subsampling)
     h, w = pixels.shape[:2]
+    ncomp = len(comp_q)
 
     dc_order = []
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci in range(3):
+            for ci in range(ncomp):
                 hi, vi = factors[ci]
                 bw_c = comp_grid[ci][1]
                 for v in range(vi):
@@ -1014,14 +1044,16 @@ def encode_progressive(pixels: np.ndarray, quality: int = 90,
         if s:
             bwr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
     scans.append((bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0,
-                         (0 << 4) | AL_DC]), bwr.tobytes()))
+                         (0 << 4) | AL_DC]) if ncomp == 3
+                  else bytes([1, 1, 0x00, 0, 0, (0 << 4) | AL_DC]),
+                  bwr.tobytes()))
 
     ac_tbl_sel = (lambda ci: 0) if eob_runs else (lambda ci: 0 if ci == 0 else 1)
     ac_codes = (lambda ci: _ENC_PROG_AC) if eob_runs else \
         (lambda ci: ENC_AC_L if ci == 0 else ENC_AC_C)
 
     # ---- scans 2-4: AC first per component, Ss=1..63, Al=1 ----
-    for ci in range(3):
+    for ci in range(ncomp):
         tbl = ac_codes(ci)
         bwr = _BitWriter()
         eobrun = 0
@@ -1066,10 +1098,12 @@ def encode_progressive(pixels: np.ndarray, quality: int = 90,
     for ci, bi in dc_order:
         bwr.put(int(comp_q[ci][bi][0]) & 1, 1)
     scans.append((bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0,
-                         (1 << 4) | 0]), bwr.tobytes()))
+                         (1 << 4) | 0]) if ncomp == 3
+                  else bytes([1, 1, 0x00, 0, 0, (1 << 4) | 0]),
+                  bwr.tobytes()))
 
     # ---- scans 6-8: AC refinement per component, Ah=1 Al=0 ----
-    for ci in range(3):
+    for ci in range(ncomp):
         tbl = ac_codes(ci)
         bwr = _BitWriter()
         eobrun = 0
@@ -1127,21 +1161,29 @@ def encode_progressive(pixels: np.ndarray, quality: int = 90,
     if exif is not None:
         out += _seg(0xE1, build_exif(exif))
     out += _seg(0xDB, bytes([0]) + bytes(lt.ravel()[ZIGZAG].astype(np.uint8)))
-    out += _seg(0xDB, bytes([1]) + bytes(ct.ravel()[ZIGZAG].astype(np.uint8)))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
-        bytes([3,
-               1, (factors[0][0] << 4) | factors[0][1], 0,
-               2, (factors[1][0] << 4) | factors[1][1], 1,
-               3, (factors[2][0] << 4) | factors[2][1], 1])
+    if ncomp == 3:
+        out += _seg(0xDB, bytes([1])
+                    + bytes(ct.ravel()[ZIGZAG].astype(np.uint8)))
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+            bytes([3,
+                   1, (factors[0][0] << 4) | factors[0][1], 0,
+                   2, (factors[1][0] << 4) | factors[1][1], 1,
+                   3, (factors[2][0] << 4) | factors[2][1], 1])
+    else:
+        sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + \
+            bytes([1, 1, 0x11, 0])
     out += _seg(0xC2, sof)
     out += _seg(0xC4, _dht_payload(0x00, DC_LUMA_BITS, DC_LUMA_VALS))
-    out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_BITS, DC_CHROMA_VALS))
+    if ncomp == 3:
+        out += _seg(0xC4, _dht_payload(0x01, DC_CHROMA_BITS,
+                                       DC_CHROMA_VALS))
     if eob_runs:
         out += _seg(0xC4, _dht_payload(0x10, _PROG_AC_BITS, _PROG_AC_VALS))
     else:
         out += _seg(0xC4, _dht_payload(0x10, AC_LUMA_BITS, AC_LUMA_VALS))
-        out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_BITS,
-                                       AC_CHROMA_VALS))
+        if ncomp == 3:
+            out += _seg(0xC4, _dht_payload(0x11, AC_CHROMA_BITS,
+                                           AC_CHROMA_VALS))
     for sos, data in scans:
         out += _seg(0xDA, sos)
         out += data
@@ -1194,12 +1236,15 @@ def _decode_progressive_coefs(data: bytes, dc_only: bool = False):
         elif m == 0xC2:
             h = (int(seg[1]) << 8) | int(seg[2])
             w = (int(seg[3]) << 8) | int(seg[4])
-            if int(seg[5]) != 3:
-                raise NotImplementedError("only 3-component")
-            for c in range(3):
+            nc = int(seg[5])
+            if nc not in (1, 3):
+                raise NotImplementedError("only 1- or 3-component")
+            for c in range(nc):
                 cid, samp, tq = int(seg[6 + 3 * c]), \
                     int(seg[7 + 3 * c]), int(seg[8 + 3 * c])
                 hs, vs = samp >> 4, samp & 0xF
+                if nc == 1:
+                    hs = vs = 1          # see _parse_headers note
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise NotImplementedError(
                         f"sampling factors {hs}x{vs} (max 2x2)")
@@ -1372,6 +1417,9 @@ def decode_progressive(data: bytes) -> np.ndarray:
             plane = plane.repeat(vmax // vs, axis=0) \
                 .repeat(hmax // hs, axis=1)
         planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=-1)
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 

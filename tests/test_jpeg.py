@@ -982,3 +982,31 @@ def test_jfif_scan_mode_stats_query(ray_session):
     assert len(prog) and len(seq)
     assert (seq["dc_walk_ppm"] == 1_000_000).all()
     assert (prog["dc_walk_ppm"] < 600_000).all()
+
+
+def test_grayscale_1component_roundtrip():
+    """Single-component (grayscale) streams — common in scanned/archival
+    corpora — encode and decode in BOTH scan modes: output replicates
+    luma into RGB, DC thumbnails keep the ceil/8 grid, and the
+    progressive twin is bit-identical to the sequential one."""
+    for (h, w) in [(24, 32), (17, 23), (8, 8)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = np.clip((yy * 3 + xx * 2) % 200 + 20, 0, 255).astype(np.uint8)
+        for q in (70, 92):
+            bs = jpeg.encode(g, q)
+            out = jpeg.decode(bs)
+            assert out.shape == (h, w, 3)
+            assert (out[..., 0] == out[..., 1]).all()
+            assert (out[..., 0] == out[..., 2]).all()
+            assert _psnr(g, out[..., 0]) >= 30
+            assert jpeg.meta(bs) == (w, h)
+            assert jpeg.decode_dc_luma(bs).shape == (-(-h // 8),
+                                                     -(-w // 8))
+            for er in (False, True):
+                bp = jpeg.encode_progressive(g, q, eob_runs=er)
+                assert np.array_equal(out, jpeg.decode(bp))
+                assert np.array_equal(jpeg.decode_dc_luma(bs),
+                                      jpeg.decode_dc_luma(bp))
+            # restart-marked gray stream decodes identically too
+            assert np.array_equal(out, jpeg.decode(
+                jpeg.encode(g, q, restart_interval=3)))
