@@ -124,16 +124,45 @@ def _png_unfilter(data: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+_ADAM7 = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]   # x0, dx, y0, dy
+
+
+def _png_expand_rows(recon: np.ndarray, pw: int, nch: int,
+                     depth: int) -> np.ndarray:
+    """(ph, rowbytes) reconstructed bytes → (ph, pw, nch) uint8
+    samples. 16-bit takes the high byte (the standard 8-bit
+    reduction); sub-byte depths unpack MSB-first bit groups."""
+    ph = recon.shape[0]
+    if depth == 8:
+        return recon[:, :pw * nch].reshape(ph, pw, nch)
+    if depth == 16:
+        return recon[:, :pw * nch * 2].reshape(ph, pw, nch, 2)[..., 0]
+    bits = np.unpackbits(recon, axis=1)
+    n_samp = pw * nch
+    groups = bits[:, :n_samp * depth].reshape(ph, n_samp, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (groups.astype(np.uint16) * weights).sum(axis=2)
+    return vals.reshape(ph, pw, nch).astype(np.uint8)
+
+
 def png_decode(data) -> np.ndarray:
-    """Real PNG decode → (h, w, 3) uint8 RGB. Supports 8-bit gray (0),
-    RGB (2) and RGBA (6, alpha dropped), non-interlaced, filters 0-4,
-    multiple IDAT chunks. Accepts bytes or any uint8 buffer view (the
-    signature stage passes zero-copy numpy views over Arrow buffers)."""
+    """Real PNG decode → (h, w, 3) uint8 RGB. Round 3 widened the
+    subset to the full RFC 2083 still-image matrix a web corpus
+    carries: color types 0 (gray), 2 (RGB), 3 (palette/PLTE — the
+    dominant web-graphics type), 4 (gray+alpha) and 6 (RGBA); bit
+    depths 1/2/4/8/16 (16-bit reduces to the high byte, sub-byte gray
+    rescales to 8-bit, sub-byte palette indexes directly); Adam7
+    interlaced and non-interlaced; filters 0-4; multiple IDAT chunks;
+    alpha is dropped (compositing is a pipeline choice, not a codec
+    one). Accepts bytes or any uint8 buffer view (the signature stage
+    passes zero-copy numpy views over Arrow buffers)."""
     if not is_png(data):
         raise ValueError("bad signature; not a PNG")
     pos = 8
     w = h = None
-    ctype = None
+    ctype = depth = interlace = None
+    palette = None
     idat = []
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
@@ -141,25 +170,64 @@ def png_decode(data) -> np.ndarray:
         payload = data[pos + 8: pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", bytes(payload))
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
-            if ctype not in (0, 2, 6):
-                raise ValueError(f"unsupported PNG color type {ctype}")
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", bytes(payload))
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise ValueError(
+                    f"unsupported PNG (comp={comp}, interlace={interlace})")
+            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       4: (8, 16), 6: (8, 16)}
+            if ctype not in allowed or depth not in allowed[ctype]:
+                raise ValueError(
+                    f"invalid PNG color type {ctype} / depth {depth}")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(bytes(payload), np.uint8) \
+                .reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(bytes(payload))
         elif tag == b"IEND":
             break
     if w is None or not idat:
         raise ValueError("truncated PNG")
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    if ctype == 3 and palette is None:
+        raise ValueError("palette PNG without PLTE")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    arr = _png_unfilter(raw, h, w, ch)
-    if ch == 1:
-        arr = np.repeat(arr, 3, axis=2)
-    elif ch == 4:
-        arr = arr[:, :, :3]
-    return arr
+    bpp = max(1, nch * depth // 8)      # filter unit, bytes
+
+    def one_pass(off: int, pw: int, ph: int):
+        # rowbytes is always a whole number of bpp filter units:
+        # depth >= 8 makes bpp = nch*depth/8 divide w*nch*depth/8, and
+        # sub-byte depths use bpp = 1
+        rowbytes = -(-pw * nch * depth // 8)
+        stride = 1 + rowbytes
+        flat = raw[off:off + ph * stride]
+        recon = _png_unfilter(flat, ph, rowbytes // bpp, bpp) \
+            .reshape(ph, rowbytes)
+        return off + ph * stride, _png_expand_rows(recon, pw, nch, depth)
+
+    if interlace == 0:
+        _, arr = one_pass(0, w, h)
+    else:
+        arr = np.zeros((h, w, nch), np.uint8)
+        off = 0
+        for x0, dx, y0, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            off, sub = one_pass(off, pw, ph)
+            arr[y0::dy, x0::dx] = sub
+
+    if ctype == 3:
+        return palette[arr[:, :, 0]]
+    if ctype in (0, 4):
+        g = arr[:, :, 0]
+        if depth < 8:
+            g = (g.astype(np.uint16) * 255 // ((1 << depth) - 1)) \
+                .astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return arr[:, :, :3]
 
 
 def png_meta(data) -> tuple[int, int]:

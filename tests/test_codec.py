@@ -214,3 +214,96 @@ def test_trim_uniform_border_jpeg_noise():
     gray = codec.to_gray(jpeg.decode(jpeg.encode(padded, 70)))
     t = codec.trim_uniform_border(gray)
     assert 40 <= t.shape[0] <= 48 and 40 <= t.shape[1] <= 48, t.shape
+
+
+def test_png_full_type_matrix():
+    """Round-3 PNG subset widening: palette (PLTE, depth 4/8), 16-bit
+    gray/RGB (high-byte reduction), gray+alpha, RGBA, sub-byte gray
+    (rescaled), each in BOTH non-interlaced and Adam7-interlaced
+    layouts — decoded exactly from handcrafted spec-conformant files
+    (filter 0 rows; filters 1-4 are covered by the encoder
+    round-trip tests)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from destor_ray import codec
+
+    def chunk(tag, payload):
+        c = struct.pack(">I", len(payload)) + tag + payload
+        return c + struct.pack(">I", zlib.crc32(tag + payload)
+                               & 0xFFFFFFFF)
+
+    ADAM7 = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+             (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+
+    def rows(arr_full, depth):
+        def fn(pw, ph, x0, dx, y0, dy):
+            sub = arr_full[y0::dy, x0::dx]
+            out = b""
+            for y in range(ph):
+                rv = sub[y].reshape(-1)
+                if depth == 8:
+                    rb = rv.astype(np.uint8).tobytes()
+                elif depth == 16:
+                    rb = np.stack([rv, np.zeros_like(rv)], -1) \
+                        .astype(np.uint8).tobytes()
+                else:
+                    bits = np.unpackbits(
+                        rv.astype(np.uint8)[:, None], axis=1)[:, 8 - depth:]
+                    flat = bits.reshape(-1)
+                    flat = np.concatenate(
+                        [flat, np.zeros((-len(flat)) % 8, np.uint8)])
+                    rb = np.packbits(flat).tobytes()
+                out += b"\x00" + rb
+            return out
+        return fn
+
+    def build(w, h, depth, ctype, interlace, fn, palette=None):
+        out = b"\x89PNG\r\n\x1a\n"
+        out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                          ctype, 0, 0, interlace))
+        if palette is not None:
+            out += chunk(b"PLTE", palette.tobytes())
+        if interlace == 0:
+            raw = fn(w, h, 0, 1, 0, 1)
+        else:
+            raw = b""
+            for x0, dx, y0, dy in ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw > 0 and ph > 0:
+                    raw += fn(pw, ph, x0, dx, y0, dy)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    rng = np.random.default_rng(0)
+    for (w, h) in [(13, 9), (16, 16), (1, 1)]:
+        idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ga = rng.integers(0, 256, (h, w, 2)).astype(np.uint8)
+        rgba = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        for il in (0, 1):
+            assert np.array_equal(codec.png_decode(
+                build(w, h, 4, 3, il, rows(idx[..., None], 4), pal)),
+                pal[idx])
+            assert np.array_equal(codec.png_decode(
+                build(w, h, 8, 3, il, rows(idx[..., None], 8), pal)),
+                pal[idx])
+            assert np.array_equal(codec.png_decode(
+                build(w, h, 16, 0, il, rows(gray[..., None], 16))),
+                np.repeat(gray[..., None], 3, -1))
+            assert np.array_equal(codec.png_decode(
+                build(w, h, 8, 4, il, rows(ga, 8))),
+                np.repeat(ga[..., 0:1], 3, -1))
+            assert np.array_equal(codec.png_decode(
+                build(w, h, 16, 2, il, rows(rgb, 16))), rgb)
+            assert np.array_equal(codec.png_decode(
+                build(w, h, 8, 6, il, rows(rgba, 8))), rgba[..., :3])
+            g2 = (gray >> 6).astype(np.uint8)
+            assert np.array_equal(codec.png_decode(
+                build(w, h, 2, 0, il, rows(g2[..., None], 2))),
+                np.repeat(((g2.astype(np.uint16) * 255) // 3)
+                          .astype(np.uint8)[..., None], 3, -1))
