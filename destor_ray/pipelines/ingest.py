@@ -1182,7 +1182,10 @@ def _corrupt_jfif_corpus_dir(n_images: int = 256, n_corrupt: int = 32) -> str:
     import hashlib
 
     src = _jfif_corpus_dir(n_images)
-    out = f"/tmp/destor_ray_jfif_bad/n{n_images}_c{n_corrupt}"
+    # cache key carries the SOURCE fixture tag so a source-mix change
+    # (e.g. the round-3 420/progressive mix) busts this cache too
+    out = (f"/tmp/destor_ray_jfif_bad/"
+           f"{os.path.basename(src)}_c{n_corrupt}")
     if os.path.isdir(out):
         return out
     import pyarrow.parquet as pq_
