@@ -162,6 +162,8 @@ queries() entries map to SURVEY.md §2 operators:
   jfif_scan_mode_stats per-scan-mode read economics: entropy bytes the
                        DC-thumbnail path Huffman-walks vs stream total
                        (progressive rows walk only the leading DC scans)
+  gif_decode_stats     REAL GIF89a files (variable-width LZW, palette,
+                       interlace) through the flagship decode actor pool
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2251,6 +2253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_wav_stats": ingest.audio_wav_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
+        "gif_decode_stats": ingest.gif_decode_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,
         "zonemap_prune_stats": ingest.zonemap_prune_stats,

@@ -266,13 +266,17 @@ def encode(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode payload bytes (PNG, real JFIF JPEG, or DRI1 — dispatched
-    on the byte signature) back into an (h, w, 3) uint8 array."""
+    """Decode payload bytes (PNG, real JFIF JPEG, GIF, or DRI1 —
+    dispatched on the byte signature) back into an (h, w, 3) uint8
+    array."""
     if is_png(data):
         return png_decode(data)
     if bytes(data[:2]) == b"\xff\xd8":
         from . import jpeg as _jpeg
         return _jpeg.decode(data)
+    if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
+        from . import gif as _gif
+        return _gif.decode(data)
     magic, codec, qual, w, h, chans = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError("bad magic; not PNG, JFIF, or DRI1")

@@ -1208,6 +1208,89 @@ def _corrupt_jfif_corpus_dir(n_images: int = 256, n_corrupt: int = 32) -> str:
     })})
 
 
+def _gif_corpus_dir(n_images: int = 192) -> str:
+    """Deterministic cached corpus of REAL GIF89a files: the procedural
+    corpus pixels quantized to the 3-3-2 RGB cube (the classic web-GIF
+    palette), every 3rd file interlaced — the fixture that proves the
+    engine ingests the third ubiquitous web image format."""
+    from .. import corpus as corpus_mod
+    from .. import gif as gif_mod
+
+    out = f"/tmp/destor_ray_gif/n{n_images}_v1"
+    if os.path.isdir(out):
+        return out
+    # 3-3-2 palette: index = r3 g3 b2 bit-packed
+    rr = (np.arange(256) >> 5) & 7
+    gg = (np.arange(256) >> 2) & 7
+    bb = np.arange(256) & 3
+    palette = np.stack([rr * 36, gg * 36, bb * 85], axis=1) \
+        .astype(np.uint8)
+    ids, blobs, ws, hs, ils = [], [], [], [], []
+    for i in range(n_images):
+        px, w, h, _, _ = corpus_mod._base_pixels(seed=11, row=i)
+        idx = ((px[:, :, 0] >> 5).astype(np.uint8) << 5
+               | (px[:, :, 1] >> 5) << 2 | (px[:, :, 2] >> 6))
+        il = i % 3 == 0
+        ids.append(f"gf{i:05d}")
+        blobs.append(gif_mod.encode(idx, palette, interlace=il))
+        ws.append(w)
+        hs.append(h)
+        ils.append(il)
+    return _commit_fixture(out, {"images": pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "w": pa.array(ws, pa.int32()),
+        "h": pa.array(hs, pa.int32()),
+        "interlaced": pa.array(ils, pa.bool_()),
+    })})
+
+
+def gif_decode_stats(sf_dir: str, n_images: int = 192):
+    """(w, h, n_images, mean_lum_micro) — REAL GIF ingestion: a corpus
+    of interchange-format GIF89a files (variable-width LZW, 3-3-2
+    palette, a third of them Adam-style row-interlaced) decoded by the
+    SAME ImageDecodeResize actor pool the flagship uses (codec.decode
+    dispatches on the GIF signature), aggregated per source dimension
+    — the GIF twin of jfif_decode_stats. `sf_dir` unused (cached
+    deterministic fixture), standard queries() signature."""
+    import numpy as np
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.multimodal import ImageDecodeResize
+
+    ds = ray.data.read_parquet(f"{_gif_corpus_dir(n_images)}/images.parquet")
+    thumbs = ds.map_batches(ImageDecodeResize, batch_format="pyarrow",
+                            batch_size=64, concurrency=2,
+                            fn_constructor_kwargs={"out_size": 16})
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        raw = np.frombuffer(b"".join(batch["thumb"].to_pylist()), np.uint8)
+        px = raw.reshape(batch.num_rows, -1)
+        lum = (px.sum(axis=1, dtype=np.int64) * 1_000_000
+               // px.shape[1])
+        return pa.table({
+            "w": pc.cast(batch["w"], pa.int64()),
+            "h": pc.cast(batch["h"], pa.int64()),
+            "lum_micro": pa.array(lum, pa.int64()),
+        })
+
+    agg = thumbs.map_batches(narrow, batch_format="pyarrow") \
+        .groupby(["w", "h"]).aggregate(
+            Count(alias_name="n_images"),
+            Sum("lum_micro", alias_name="lum_sum"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "w": b["w"], "h": b["h"],
+            "n_images": pc.cast(b["n_images"], pa.int64()),
+            "mean_lum_micro": pa.array(
+                pc.cast(b["lum_sum"], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                // pc.cast(b["n_images"], pa.int64()).to_numpy(
+                    zero_copy_only=False), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def decode_quarantine_stats(sf_dir: str, n_images: int = 256,
                             n_corrupt: int = 32):
     """(status, err, n) — the POISON-ROW path: a corpus with planted
