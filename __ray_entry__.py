@@ -164,6 +164,8 @@ queries() entries map to SURVEY.md §2 operators:
                        (progressive rows walk only the leading DC scans)
   gif_decode_stats     REAL GIF89a files (variable-width LZW, palette,
                        interlace) through the flagship decode actor pool
+  gif_palette_dedup    GIF re-save near-dups (palette permutation, depth
+                       reduction, interlace re-layout), per-class recall
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2254,6 +2256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
         "gif_decode_stats": ingest.gif_decode_stats,
+        "gif_palette_dedup": ingest.gif_palette_dedup,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,
         "zonemap_prune_stats": ingest.zonemap_prune_stats,

@@ -1291,6 +1291,151 @@ def gif_decode_stats(sf_dir: str, n_images: int = 192):
         }), batch_format="pyarrow")
 
 
+_GIFD_KINDS = ("perm", "depth", "inter")
+_PAL332 = np.stack([((np.arange(256) >> 5) & 7) * 36,
+                    ((np.arange(256) >> 2) & 7) * 36,
+                    (np.arange(256) & 3) * 85], 1).astype(np.uint8)
+_PAL222 = np.stack([((np.arange(64) >> 4) & 3) * 85,
+                    ((np.arange(64) >> 2) & 3) * 85,
+                    (np.arange(64) & 3) * 85], 1).astype(np.uint8)
+
+
+def _gifdup_corpus_dir(n_base: int = 96, dup_every: int = 3) -> str:
+    """GIF fixture WITH PLANTED RE-SAVE near-dups, one class per slot
+    (cycling): `perm` — palette randomly PERMUTED and indices remapped
+    (pixel-identical bytes-different re-save, what every optimizer
+    emits); `depth` — re-quantized to the 64-color 2-2-2 cube (the
+    'reduce colors' re-save, lossy); `inter` — re-encoded interlaced
+    (pixel-identical, different scanline layout). Truth rides the
+    naming: gd<NNNNN>_<kind> duplicates gd<NNNNN>."""
+    from .. import corpus as corpus_mod
+    from .. import gif as gif_mod
+
+    out = f"/tmp/destor_ray_gifdup/v1_n{n_base}_e{dup_every}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=11, row=i)
+        idx = ((px[:, :, 0] >> 5).astype(np.uint8) << 5
+               | (px[:, :, 1] >> 5) << 2 | (px[:, :, 2] >> 6))
+        ids.append(f"gd{i:05d}")
+        blobs.append(gif_mod.encode(idx, _PAL332))
+        if i % dup_every:
+            continue
+        kind = _GIFD_KINDS[(i // dup_every) % len(_GIFD_KINDS)]
+        if kind == "perm":
+            rng = np.random.default_rng(1000 + i)
+            perm = rng.permutation(256).astype(np.uint8)
+            inv = np.empty(256, np.uint8)
+            inv[perm] = np.arange(256, dtype=np.uint8)
+            blob = gif_mod.encode(inv[idx], _PAL332[perm])
+        elif kind == "depth":
+            rgb = _PAL332[idx]
+            idx2 = ((rgb[:, :, 0] >> 6).astype(np.uint8) << 4
+                    | (rgb[:, :, 1] >> 6) << 2 | (rgb[:, :, 2] >> 6))
+            blob = gif_mod.encode(idx2, _PAL222)
+        else:
+            blob = gif_mod.encode(idx, _PAL332, interlace=True)
+        ids.append(f"gd{i:05d}_{kind}")
+        blobs.append(blob)
+    return _commit_fixture(out, {"images": pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    })})
+
+
+def gif_palette_dedup(sf_dir: str, n_base: int = 96, dup_every: int = 3,
+                      psnr_min_centi: int = 2100):
+    """(kind, n_planted, n_found, n_false, recall_ppm) — GIF RE-SAVE
+    near-dup detection: the three re-save classes a GIF corpus
+    actually accumulates (palette permutation, color-depth reduction,
+    interlace re-layout) detected by the flagship topology over
+    DECODED pixels — decoding maps palette indices back to RGB, so
+    palette-space differences vanish by construction and only the
+    depth class is lossy. Dual phash+aHash 8×8-bit bands over the
+    32×32 gray; 16×16 thumbs ride the band rows; PSNR gate at 21 dB —
+    MEASURED: depth-reduced true pairs hold ≥ 23.6 dB vs distinct
+    ≤ 19.2 (2.1 / 2.4 dB clearance; perm and inter re-saves are
+    pixel-identical, PSNR ∞). One decode pass, one band exchange, one
+    pair groupby — payloads never shuffle; per-class recall 1.0, zero
+    false merges (pytest-pinned)."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _gifdup_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+
+    class GifSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            grays, thumbs = [], []
+            for data in batch["bytes"].to_pylist():
+                g = codec.to_gray(codec.decode(data))
+                grays.append(codec.resize_nn(g, 32, 32))
+                thumbs.append(codec.resize_nn(g, 16, 16).tobytes())
+            stack = np.stack(grays) if ids else \
+                np.empty((0, 32, 32), np.uint8)
+            ph = codec.phash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            ah = codec.ahash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(GifSignature, batch_size=64, concurrency=2,
+                          batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return _hash_band_rows(batch, "image_id", ("phash", "ahash"),
+                               ("thumb",), N_BANDS, BITS)
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs, ps = [], [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["image_id"].tolist()
+            if len(ids) < 2:
+                continue
+            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                      for t in g["thumb"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    p = codec.psnr(thumbs[i], thumbs[j])
+                    pc_ = int(round(min(p, 99.99) * 100))
+                    if pc_ >= psnr_min_centi:
+                        l, r = sorted((ids[i], ids[j]))
+                        ls.append(l)
+                        rs.append(r)
+                        ps.append(pc_)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string()),
+                         "p": pa.array(ps, pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    pairs = pairs.drop_duplicates(["l", "r"])
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _GIFD_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _GIFD_KINDS[(i // dup_every) % len(_GIFD_KINDS)]
+        truth_by_kind[kind].add((f"gd{i:05d}", f"gd{i:05d}_{kind}"))
+    return _per_class_report(got, truth_by_kind, _GIFD_KINDS)
+
+
 def decode_quarantine_stats(sf_dir: str, n_images: int = 256,
                             n_corrupt: int = 32):
     """(status, err, n) — the POISON-ROW path: a corpus with planted

@@ -103,3 +103,18 @@ def test_gif_decode_stats_query(ray_session):
                         axis=-1).astype(np.uint8)
         got = codec.decode(t["bytes"][i].as_py())
         assert np.array_equal(got, want), i
+
+
+def test_gif_palette_dedup_per_class_full_recall(ray_session):
+    """All three GIF re-save classes (palette permutation, 2-2-2 depth
+    reduction, interlace re-layout) detect with per-class recall 1.0
+    and zero false merges; the measured gate margins (depth true pairs
+    >= 23.6 dB vs distinct <= 19.2, gate 21) hold."""
+    import __ray_entry__ as em
+
+    out = em.queries()["gif_palette_dedup"]("/root/testdata/sf0.001")
+    df = out.set_index("kind")
+    assert int(df.loc["_total", "n_planted"]) == 32
+    for kind in ("perm", "depth", "inter", "_total"):
+        assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
+        assert int(df.loc[kind, "n_false"]) == 0, kind
