@@ -166,6 +166,8 @@ queries() entries map to SURVEY.md §2 operators:
                        interlace) through the flagship decode actor pool
   gif_palette_dedup    GIF re-save near-dups (palette permutation, depth
                        reduction, interlace re-layout), per-class recall
+  gif_animation_dedup  animated-GIF near-dups (k-slot sampling: depth /
+                       frame-drop / palette-perm classes), per-class recall
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2257,6 +2259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jfif_decode_stats": ingest.jfif_decode_stats,
         "gif_decode_stats": ingest.gif_decode_stats,
         "gif_palette_dedup": ingest.gif_palette_dedup,
+        "gif_animation_dedup": ingest.gif_animation_dedup,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,
         "zonemap_prune_stats": ingest.zonemap_prune_stats,

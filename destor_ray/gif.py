@@ -117,6 +117,36 @@ def encode(indices: np.ndarray, palette: np.ndarray,
     return bytes(out)
 
 
+def encode_animation(frames: list[np.ndarray], palette: np.ndarray,
+                     delay_cs: int = 10) -> bytes:
+    """List of (h, w) uint8 index frames + shared palette → animated
+    GIF89a (full-frame replace per frame, graphic-control delay,
+    NETSCAPE loop extension)."""
+    h, w = frames[0].shape
+    n = len(palette)
+    bits = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    gct = np.zeros((1 << bits, 3), np.uint8)
+    gct[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0])
+    out += gct.tobytes()
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, bits)
+    for fr in frames:
+        out += b"\x21\xf9" + bytes([4, 0x00]) \
+            + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([min_code])
+        data = _lzw_compress(fr.reshape(-1), min_code)
+        for i in range(0, len(data), 255):
+            sub = data[i:i + 255]
+            out += bytes([len(sub)]) + sub
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     """Full variable-width GIF LZW decode → uint8 index array."""
     clear = 1 << min_code

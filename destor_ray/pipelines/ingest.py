@@ -1436,6 +1436,179 @@ def gif_palette_dedup(sf_dir: str, n_base: int = 96, dup_every: int = 3,
     return _per_class_report(got, truth_by_kind, _GIFD_KINDS)
 
 
+_GIFA_KINDS = ("depth", "drop", "perm")
+
+
+def _gifanim_corpus_dir(n_base: int = 36, dup_every: int = 3,
+                        n_frames: int = 8) -> str:
+    """Animated-GIF fixture WITH PLANTED RE-UPLOAD near-dups, one class
+    per slot (cycling): `depth` — every frame re-quantized to the
+    2-2-2 cube; `drop` — every 2nd frame dropped (the frame-rate
+    halving re-encode); `perm` — palette permuted, indices remapped
+    (pixel-identical). Base animation i: the seed-11 procedural image
+    translated 5 px/frame (pure content motion, deterministic)."""
+    from .. import corpus as corpus_mod
+    from .. import gif as gif_mod
+
+    out = (f"/tmp/destor_ray_gifanim/"
+           f"v1_n{n_base}_e{dup_every}_f{n_frames}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=11, row=i)
+        idx0 = ((px[:, :, 0] >> 5).astype(np.uint8) << 5
+                | (px[:, :, 1] >> 5) << 2 | (px[:, :, 2] >> 6))
+        frames = [np.roll(idx0, 5 * t, axis=1) for t in range(n_frames)]
+        ids.append(f"ga{i:05d}")
+        blobs.append(gif_mod.encode_animation(frames, _PAL332))
+        if i % dup_every:
+            continue
+        kind = _GIFA_KINDS[(i // dup_every) % len(_GIFA_KINDS)]
+        if kind == "depth":
+            dframes = []
+            for fr in frames:
+                rgb = _PAL332[fr]
+                dframes.append(
+                    ((rgb[:, :, 0] >> 6).astype(np.uint8) << 4
+                     | (rgb[:, :, 1] >> 6) << 2 | (rgb[:, :, 2] >> 6)))
+            blob = gif_mod.encode_animation(dframes, _PAL222)
+        elif kind == "drop":
+            blob = gif_mod.encode_animation(frames[::2], _PAL332)
+        else:
+            rng = np.random.default_rng(2000 + i)
+            perm = rng.permutation(256).astype(np.uint8)
+            inv = np.empty(256, np.uint8)
+            inv[perm] = np.arange(256, dtype=np.uint8)
+            blob = gif_mod.encode_animation([inv[fr] for fr in frames],
+                                            _PAL332[perm])
+        ids.append(f"ga{i:05d}_{kind}")
+        blobs.append(blob)
+    return _commit_fixture(out, {"videos": pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    })})
+
+
+def gif_animation_dedup(sf_dir: str, n_base: int = 36,
+                        dup_every: int = 3, k_frames: int = 4,
+                        psnr_min_centi: int = 2100,
+                        min_slots: int = 3):
+    """(kind, n_planted, n_found, n_false, recall_ppm) — ANIMATED-GIF
+    near-dup detection: the k-slot relative-position sampling of the
+    video channels (avi_video_dedup's topology) applied to GIF
+    animations. Slot j samples frame (j·nf)//k, so the `drop`
+    (frame-rate halving) class aligns by construction — the dropped
+    copy's slots land on the SAME content frames; `perm` decodes to
+    identical pixels; `depth` is the lossy class and sets the gate
+    (the static channel's measured 23.6-vs-19.2 dB ladder applies
+    per slot; 21 dB gate, ≥ 3/4 slot majority so no single similar
+    frame merges two animations). One decode pass, one slot-tagged
+    band exchange, one pair groupby; frames never shuffle — slot
+    thumbs (k×256 B) ride the band rows."""
+    from .. import codec
+    from .. import gif as gif_mod
+    from ..stages.grouped import bucketed_group_map
+
+    d = _gifanim_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+
+    class GifAnimSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids, phs, ahs, thumbs = [], [], [], []
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = gif_mod.decode_frames(data)
+                nf = len(frames)
+                k = min(k_frames, nf)
+                grays, tb = [], b""
+                for j in range(k):
+                    g = codec.to_gray(frames[(j * nf) // k])
+                    grays.append(codec.resize_nn(g, 32, 32))
+                    tb += codec.resize_nn(g, 16, 16).tobytes()
+                stack = np.stack(grays)
+                vids.append(vid)
+                phs.append(codec.phash64_batch(stack))
+                ahs.append(codec.ahash64_batch(stack))
+                thumbs.append(tb)
+            n = len(vids)
+            ph = np.stack(phs) if n else np.empty((0, k_frames), np.int64)
+            ah = np.stack(ahs) if n else np.empty((0, k_frames), np.int64)
+            return pa.table({
+                "video_id": pa.array(vids, pa.string()),
+                "phash": pa.array(list(ph), pa.list_(pa.int64())),
+                "ahash": pa.array(list(ah), pa.list_(pa.int64())),
+                "thumbs": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(GifAnimSignature, batch_size=32,
+                          concurrency=2, batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        keys, vids, thumbs = [], [], []
+        mask = np.uint64((1 << BITS) - 1)
+        tcol = batch["thumbs"].to_pylist()
+        idcol = batch["video_id"].to_pylist()
+        for ch, col in enumerate(("phash", "ahash")):
+            hl = batch[col].to_pylist()
+            for r, hv in enumerate(hl):
+                hv = np.asarray(hv, np.int64).view(np.uint64)
+                for slot in range(len(hv)):
+                    for band in range(N_BANDS):
+                        bits = (hv[slot] >> np.uint64(BITS * band)) & mask
+                        slotkey = ((slot * 2 + ch) * N_BANDS + band)
+                        keys.append((slotkey << BITS) | int(bits))
+                        vids.append(idcol[r])
+                        thumbs.append(tcol[r])
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "video_id": pa.array(vids, pa.string()),
+            "thumbs": pa.array(thumbs, pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs = [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["video_id"].tolist()
+            if len(ids) < 2:
+                continue
+            tset = [np.frombuffer(t, np.uint8).reshape(-1, 16, 16)
+                    for t in g["thumbs"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    k = min(len(tset[i]), len(tset[j]))
+                    good = sum(
+                        1 for s in range(k)
+                        if codec.psnr(tset[i][s], tset[j][s]) * 100
+                        >= psnr_min_centi)
+                    if good >= min(min_slots, k):
+                        l, r = sorted((ids[i], ids[j]))
+                        ls.append(l)
+                        rs.append(r)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    pairs = pairs.drop_duplicates(["l", "r"])
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _GIFA_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _GIFA_KINDS[(i // dup_every) % len(_GIFA_KINDS)]
+        truth_by_kind[kind].add((f"ga{i:05d}", f"ga{i:05d}_{kind}"))
+    return _per_class_report(got, truth_by_kind, _GIFA_KINDS)
+
+
 def decode_quarantine_stats(sf_dir: str, n_images: int = 256,
                             n_corrupt: int = 32):
     """(status, err, n) — the POISON-ROW path: a corpus with planted

@@ -118,3 +118,19 @@ def test_gif_palette_dedup_per_class_full_recall(ray_session):
     for kind in ("perm", "depth", "inter", "_total"):
         assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
         assert int(df.loc[kind, "n_false"]) == 0, kind
+
+
+def test_gif_animation_dedup_per_class_full_recall(ray_session):
+    """The three animated-GIF re-upload classes (depth re-quantize,
+    frame-drop halving, palette permutation) detect with per-class
+    recall 1.0 and zero false merges via k-slot relative-position
+    sampling — slot j of an N-frame animation and of its N/2-frame
+    drop copy land on the SAME content frame by construction."""
+    import __ray_entry__ as em
+
+    out = em.queries()["gif_animation_dedup"]("/root/testdata/sf0.001")
+    df = out.set_index("kind")
+    assert int(df.loc["_total", "n_planted"]) == 12
+    for kind in ("depth", "drop", "perm", "_total"):
+        assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
+        assert int(df.loc[kind, "n_false"]) == 0, kind
