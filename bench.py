@@ -153,7 +153,9 @@ def main() -> None:
                  "grayscale_image_dedup", "degrade_image_dedup",
                  "framerate_video_dedup",
                  "timescale_audio_dedup", "timescale_video_dedup",
-                 "letterbox_video_dedup", "samplerate_audio_dedup"]:
+                 "letterbox_video_dedup", "samplerate_audio_dedup",
+                 "ngram_jaccard_pairs", "gif_palette_dedup",
+                 "gif_animation_dedup"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver
