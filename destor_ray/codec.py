@@ -266,9 +266,9 @@ def encode(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode payload bytes (PNG, real JFIF JPEG, GIF, or DRI1 —
-    dispatched on the byte signature) back into an (h, w, 3) uint8
-    array."""
+    """Decode payload bytes (PNG, real JFIF JPEG, GIF, BMP, TIFF,
+    Netpbm, or DRI1 — dispatched on the byte signature) back into an
+    (h, w, 3) uint8 array."""
     if is_png(data):
         return png_decode(data)
     if bytes(data[:2]) == b"\xff\xd8":
@@ -277,6 +277,15 @@ def decode(data: bytes) -> np.ndarray:
     if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
         from . import gif as _gif
         return _gif.decode(data)
+    if bytes(data[:2]) == b"BM":
+        from . import bmp as _bmp
+        return _bmp.decode(data)
+    if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
+        from . import tiff as _tiff
+        return _tiff.decode(data)
+    if len(data) >= 2 and data[0:1] == b"P" and data[1] in range(0x31, 0x37):
+        from . import netpbm as _netpbm
+        return _netpbm.decode(data)
     magic, codec, qual, w, h, chans = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError("bad magic; not PNG, JFIF, or DRI1")
@@ -297,6 +306,22 @@ def decode_meta(data: bytes) -> tuple[str, int, int, int]:
         from . import jpeg as _jpeg
         w, h = _jpeg.meta(data)
         return ("jpeg", 0, w, h)  # JFIF carries no quality field
+    if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
+        import struct as _struct
+        w, h = _struct.unpack_from("<HH", data, 6)
+        return ("gif", 100, w, h)
+    if bytes(data[:2]) == b"BM":
+        from . import bmp as _bmp
+        w, h = _bmp.meta(data)
+        return ("bmp", 100, w, h)
+    if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
+        from . import tiff as _tiff
+        w, h = _tiff.meta(data)
+        return ("tiff", 100, w, h)
+    if len(data) >= 2 and data[0:1] == b"P" and data[1] in range(0x31, 0x37):
+        from . import netpbm as _netpbm
+        w, h = _netpbm.meta(data)
+        return ("netpbm", 100, w, h)
     magic, codec, qual, w, h, _ = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
         raise ValueError("bad magic; not PNG, JFIF, or DRI1")

@@ -1,0 +1,266 @@
+"""BMP / Netpbm / TIFF codecs (destor_ray.bmp / netpbm / tiff) —
+round trips, handcrafted decode-only conformance paths, codec
+dispatch."""
+
+import struct
+
+import numpy as np
+
+from destor_ray import bmp, codec, netpbm, tiff
+
+RNG = np.random.default_rng(17)
+PX = RNG.integers(0, 256, (37, 53, 3), dtype=np.uint8)
+GRAY = RNG.integers(0, 256, (37, 53), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------- BMP
+
+def test_bmp_24bit_roundtrip_both_row_orders():
+    for topdown in (False, True):
+        data = bmp.encode(PX, topdown=topdown)
+        assert np.array_equal(bmp.decode(data), PX), topdown
+        assert bmp.meta(data) == (53, 37)
+
+
+def test_bmp_palette_and_rle8():
+    idx = RNG.integers(0, 256, (23, 41), dtype=np.uint8)
+    pal = RNG.integers(0, 256, (256, 3), dtype=np.uint8)
+    for rle in (False, True):
+        out = bmp.decode(bmp.encode_palette(idx, pal, rle=rle))
+        assert np.array_equal(out, pal[idx]), rle
+    # RLE8 with long runs (the encoded-run path, not just literals)
+    runs = np.repeat(np.arange(16, dtype=np.uint8), 64).reshape(4, 256)
+    out = bmp.decode(bmp.encode_palette(runs, pal, rle=True))
+    assert np.array_equal(out, pal[runs])
+
+
+def _raw_bmp(w, h, bpp, comp, pal_rgbx, body, masks=b""):
+    n = len(pal_rgbx) // 4
+    pix_off = 14 + 40 + len(masks) + len(pal_rgbx)
+    hdr = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0,
+                      pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                       len(body), 0, 0, n, 0)
+    return hdr + info + masks + pal_rgbx + body
+
+
+def test_bmp_1_and_4_bit_handcrafted():
+    # 1-bit: 10x2, palette black/white, rows bottom-up, 4-byte stride
+    pal = bytes([0, 0, 0, 0]) + bytes([255, 255, 255, 0])
+    row0 = bytes([0b10110000, 0b10000000]) + b"\0\0"  # displayed row 1
+    row1 = bytes([0b01001111, 0b01000000]) + b"\0\0"  # displayed row 0
+    out = bmp.decode(_raw_bmp(10, 2, 1, 0, pal, row1 + row0))
+    bits_top = np.array([1, 0, 1, 1, 0, 0, 0, 0, 1, 0])
+    bits_bot = np.array([0, 1, 0, 0, 1, 1, 1, 1, 0, 1])
+    exp = np.stack([bits_top, bits_bot]) * 255
+    assert np.array_equal(out, np.repeat(exp[:, :, None], 3, 2))
+
+    # 4-bit: 3x1, indices 2, 10, 5
+    pal4 = b"".join(bytes([i, 2 * i, 3 * i, 0]) for i in range(16))
+    body = bytes([0x2A, 0x50]) + b"\0\0"
+    out = bmp.decode(_raw_bmp(3, 1, 4, 0, pal4, body))
+    # palette entries are stored BGRX → RGB = (3i, 2i, i)
+    exp = np.array([[[6, 4, 2], [30, 20, 10], [15, 10, 5]]], np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_bmp_16bit_565_bitfields_and_32bit():
+    # one pixel, RGB565 via BI_BITFIELDS: pure red / green / blue
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    vals = [0xF800, 0x07E0, 0x001F]
+    body = b"".join(struct.pack("<H", v) for v in vals) + b"\0\0"
+    out = bmp.decode(_raw_bmp(3, 1, 16, 3, b"", body, masks))
+    exp = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]]], np.uint8)
+    assert np.array_equal(out, exp)
+
+    # 32-bit XRGB (no compression): BGRX byte order
+    body = bytes([10, 20, 30, 0, 40, 50, 60, 0])
+    out = bmp.decode(_raw_bmp(2, 1, 32, 0, b"", body))
+    exp = np.array([[[30, 20, 10], [60, 50, 40]]], np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_bmp_rle4_handcrafted():
+    pal4 = b"".join(bytes([17 * i, 17 * i, 17 * i, 0]) for i in range(16))
+    # encoded run: 5 pixels alternating 3,4 then EOL, then EOB
+    body = bytes([5, 0x34, 0, 0, 0, 1])
+    out = bmp.decode(_raw_bmp(5, 1, 4, 2, pal4, body))
+    exp_idx = np.array([[3, 4, 3, 4, 3]])
+    assert np.array_equal(out[:, :, 0], (exp_idx * 17).astype(np.uint8))
+
+
+# ------------------------------------------------------------- Netpbm
+
+def test_netpbm_p6_p5_roundtrip_and_dispatch():
+    d6 = netpbm.encode(PX)
+    assert np.array_equal(netpbm.decode(d6), PX)
+    assert netpbm.meta(d6) == (53, 37)
+    assert np.array_equal(codec.decode(d6), PX)
+    assert codec.decode_meta(d6) == ("netpbm", 100, 53, 37)
+    d5 = netpbm.encode_gray(GRAY)
+    assert np.array_equal(netpbm.decode(d5),
+                          np.repeat(GRAY[:, :, None], 3, 2))
+
+
+def test_netpbm_ascii_variants_with_comments():
+    h, w = PX.shape[:2]
+    p3 = (b"P3\n# a comment\n%d # inline\n%d\n255\n" % (w, h)
+          + b" ".join(str(v).encode() for v in PX.reshape(-1)))
+    assert np.array_equal(netpbm.decode(p3), PX)
+    v = RNG.integers(0, 1001, (9, 11))
+    p2 = (b"P2\n11 9\n1000\n"
+          + b" ".join(str(x).encode() for x in v.reshape(-1)))
+    assert np.array_equal(netpbm.decode(p2)[:, :, 0],
+                          ((v * 255) // 1000).astype(np.uint8))
+
+
+def test_netpbm_bitmaps_and_16bit():
+    bits = RNG.integers(0, 2, (16, 23), dtype=np.uint8)
+    p1 = (b"P1\n23 16\n"
+          + b"\n".join(b" ".join(str(v).encode() for v in row)
+                       for row in bits))
+    stride = (23 + 7) // 8
+    packed = np.packbits(
+        np.pad(bits, ((0, 0), (0, stride * 8 - 23))), axis=1)
+    p4 = b"P4\n23 16\n" + packed.tobytes()
+    exp = np.repeat(((1 - bits.astype(np.int64)) * 255)
+                    .astype(np.uint8)[:, :, None], 3, 2)
+    assert np.array_equal(netpbm.decode(p1), exp)
+    assert np.array_equal(netpbm.decode(p4), exp)
+    v = RNG.integers(0, 65536, (9, 11))
+    p5 = b"P5\n11 9\n65535\n" + v.astype(">u2").tobytes()
+    assert np.array_equal(netpbm.decode(p5)[:, :, 0],
+                          ((v * 255) // 65535).astype(np.uint8))
+
+
+# --------------------------------------------------------------- TIFF
+
+def test_tiff_rgb_roundtrip_compressions_and_strips():
+    for comp in ("none", "packbits", "lzw", "deflate"):
+        for rps in (0, 5):
+            d = tiff.encode(PX, compression=comp, rows_per_strip=rps)
+            assert np.array_equal(tiff.decode(d), PX), (comp, rps)
+    assert tiff.meta(tiff.encode(PX)) == (53, 37)
+
+
+def test_tiff_predictor_and_byte_order():
+    sm = np.repeat(np.repeat(
+        RNG.integers(0, 256, (10, 14, 3), dtype=np.uint8), 4, 0),
+        4, 1)[:37, :53]
+    for comp in ("lzw", "deflate"):
+        d = tiff.encode(sm, compression=comp, predictor=True,
+                        rows_per_strip=7)
+        assert np.array_equal(tiff.decode(d), sm), comp
+    d = tiff.encode(PX, compression="packbits", byte_order=">")
+    assert np.array_equal(tiff.decode(d), PX)
+
+
+def test_tiff_lzw_width_boundaries_and_clear():
+    """A 200x300 noisy image drives the LZW table through the
+    511/1022/2046 early-change bumps and past the 4093-entry CLEAR."""
+    big = RNG.integers(0, 256, (200, 300, 3), dtype=np.uint8)
+    assert np.array_equal(tiff.decode(tiff.encode(big, compression="lzw")),
+                          big)
+
+
+def test_tiff_gray_roundtrip():
+    d = tiff.encode(GRAY, compression="lzw")
+    assert np.array_equal(tiff.decode(d),
+                          np.repeat(GRAY[:, :, None], 3, 2))
+
+
+def _raw_tiff(tags, body, bo="<"):
+    """Minimal single-strip little-endian TIFF with literal tags;
+    `tags` = [(tag, type, [vals])], strip data appended after IFD."""
+    entries = b""
+    extra = b""
+    n = len(tags)
+    ifd_off = 8
+    data_start = ifd_off + 2 + 12 * n + 4
+    # compute where strip body goes: after extra arrays
+    sizes = {3: 2, 4: 4}
+    ex_len = 0
+    for _t, ty, vals in tags:
+        tot = sizes[ty] * len(vals)
+        if tot > 4:
+            ex_len += tot + (tot & 1)
+    strip_off = data_start + ex_len
+    out_tags = []
+    for t, ty, vals in tags:
+        if t == 273:
+            vals = [strip_off]
+        out_tags.append((t, ty, vals))
+    pos = data_start
+    for t, ty, vals in sorted(out_tags):
+        fmt = {3: "H", 4: "I"}[ty]
+        packed = struct.pack(bo + fmt * len(vals), *vals)
+        if len(packed) <= 4:
+            entries += struct.pack(bo + "HHI", t, ty, len(vals)) \
+                + packed.ljust(4, b"\0")
+        else:
+            entries += struct.pack(bo + "HHII", t, ty, len(vals), pos)
+            extra += packed
+            if len(packed) & 1:
+                extra += b"\0"
+            pos += len(packed) + (len(packed) & 1)
+    head = struct.pack(bo + "2sHI",
+                       b"II" if bo == "<" else b"MM", 42, 8)
+    ifd = struct.pack(bo + "H", n) + entries + struct.pack(bo + "I", 0)
+    return head + ifd + extra + body
+
+
+def test_tiff_palette_decode():
+    idx = np.array([[0, 1, 2, 3]], np.uint8)
+    # ColorMap: 16-bit, all reds then greens then blues
+    reds = [0, 65535, 0, 30000] + [0] * 252
+    greens = [0, 0, 65535, 20000] + [0] * 252
+    blues = [65535, 0, 0, 10000] + [0] * 252
+    d = _raw_tiff([
+        (256, 4, [4]), (257, 4, [1]), (258, 3, [8]), (259, 3, [1]),
+        (262, 3, [3]), (273, 4, [0]), (277, 3, [1]), (278, 4, [1]),
+        (279, 4, [4]), (320, 3, reds + greens + blues),
+    ], idx.tobytes())
+    out = tiff.decode(d)
+    exp = np.array([[[0, 0, 255], [255, 0, 0], [0, 255, 0],
+                     [30000 >> 8, 20000 >> 8, 10000 >> 8]]], np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_tiff_bilevel_and_4bit_gray_and_inverted():
+    # 1-bit WhiteIsZero (photometric 0): bit 1 -> black
+    bits = bytes([0b10100000])
+    d = _raw_tiff([
+        (256, 4, [3]), (257, 4, [1]), (258, 3, [1]), (259, 3, [1]),
+        (262, 3, [0]), (273, 4, [0]), (277, 3, [1]), (278, 4, [1]),
+        (279, 4, [1]),
+    ], bits)
+    out = tiff.decode(d)
+    assert out[0, :, 0].tolist() == [0, 255, 0]
+    # 4-bit BlackIsZero gray: values 0..15 scale to 0..255
+    d = _raw_tiff([
+        (256, 4, [4]), (257, 4, [1]), (258, 3, [4]), (259, 3, [1]),
+        (262, 3, [1]), (273, 4, [0]), (277, 3, [1]), (278, 4, [1]),
+        (279, 4, [2]),
+    ], bytes([0x0F, 0x8C]))
+    out = tiff.decode(d)
+    exp = [(0 * 255) // 15, (15 * 255) // 15, (8 * 255) // 15,
+           (12 * 255) // 15]
+    assert out[0, :, 0].tolist() == exp
+
+
+def test_tiff_16bit_rgb_decode():
+    s16 = RNG.integers(0, 65536, (2, 3, 3)).astype("<u2")
+    d = _raw_tiff([
+        (256, 4, [3]), (257, 4, [2]), (258, 3, [16, 16, 16]),
+        (259, 3, [1]), (262, 3, [2]), (273, 4, [0]), (277, 3, [3]),
+        (278, 4, [2]), (279, 4, [s16.nbytes]),
+    ], s16.tobytes())
+    assert np.array_equal(tiff.decode(d),
+                          (s16.astype(np.uint32) >> 8).astype(np.uint8))
+
+
+def test_codec_dispatch_bmp_tiff():
+    for d, fmt in [(bmp.encode(PX), "bmp"),
+                   (tiff.encode(PX, compression="lzw"), "tiff")]:
+        assert np.array_equal(codec.decode(d), PX), fmt
+        assert codec.decode_meta(d) == (fmt, 100, 53, 37)
