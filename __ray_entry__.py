@@ -168,6 +168,14 @@ queries() entries map to SURVEY.md §2 operators:
                        reduction, interlace re-layout), per-class recall
   gif_animation_dedup  animated-GIF near-dups (k-slot sampling: depth /
                        frame-drop / palette-perm classes), per-class recall
+  format_convert_dedup container-format-conversion dups (same picture
+                       re-hosted as BMP/PPM/TIFF-LZW — byte-hash-blind,
+                       pixel-lossless — or re-encoded JPEG/GIF), exact
+                       pixel-SHA band family + perceptual bands,
+                       per-class recall
+  image_format_stats   uniform six-container ingestion (PNG/JPEG/GIF/
+                       BMP/PPM/TIFF) through one decode dispatch,
+                       per-format counts + mean luminance
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2260,6 +2268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_decode_stats": ingest.gif_decode_stats,
         "gif_palette_dedup": ingest.gif_palette_dedup,
         "gif_animation_dedup": ingest.gif_animation_dedup,
+        "format_convert_dedup": ingest.format_convert_dedup,
+        "image_format_stats": ingest.image_format_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,
         "zonemap_prune_stats": ingest.zonemap_prune_stats,

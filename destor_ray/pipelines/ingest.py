@@ -1609,6 +1609,214 @@ def gif_animation_dedup(sf_dir: str, n_base: int = 36,
     return _per_class_report(got, truth_by_kind, _GIFA_KINDS)
 
 
+_FMTC_KINDS = ("bmp", "pnm", "tifflzw", "jfif", "gifq")
+
+
+def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
+    """Mixed-container fixture WITH PLANTED FORMAT-CONVERSION dups,
+    one class per slot (cycling): the SAME picture re-hosted in a
+    different container — `bmp` (24-bit BMP), `pnm` (raw P6 PPM),
+    `tifflzw` (TIFF, LZW + predictor 2): all pixel-lossless, the
+    class a byte-hash dedup misses entirely; `jfif` (JPEG q90
+    re-save) and `gifq` (GIF after 3-3-2 palette quantization): the
+    lossy conversions. Base rows are PNGs. Truth rides the naming:
+    fc<NNNNN>_<kind> duplicates fc<NNNNN>."""
+    from .. import bmp as bmp_mod
+    from .. import codec as codec_mod
+    from .. import corpus as corpus_mod
+    from .. import gif as gif_mod
+    from .. import jpeg as jpeg_mod
+    from .. import netpbm as netpbm_mod
+    from .. import tiff as tiff_mod
+
+    out = f"/tmp/destor_ray_fmtconv/v1_n{n_base}_e{dup_every}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=11, row=i)
+        ids.append(f"fc{i:05d}")
+        blobs.append(codec_mod.png_encode(px))
+        if i % dup_every:
+            continue
+        kind = _FMTC_KINDS[(i // dup_every) % len(_FMTC_KINDS)]
+        if kind == "bmp":
+            blob = bmp_mod.encode(px)
+        elif kind == "pnm":
+            blob = netpbm_mod.encode(px)
+        elif kind == "tifflzw":
+            blob = tiff_mod.encode(px, compression="lzw",
+                                   predictor=True, rows_per_strip=16)
+        elif kind == "jfif":
+            blob = jpeg_mod.encode(px, 90)
+        else:  # gifq
+            idx = ((px[:, :, 0] >> 5).astype(np.uint8) << 5
+                   | (px[:, :, 1] >> 5) << 2 | (px[:, :, 2] >> 6))
+            blob = gif_mod.encode(idx, _PAL332)
+        ids.append(f"fc{i:05d}_{kind}")
+        blobs.append(blob)
+    return _commit_fixture(out, {"images": pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    })})
+
+
+def format_convert_dedup(sf_dir: str, n_base: int = 90,
+                         dup_every: int = 3,
+                         psnr_min_centi: int = 2400):
+    """(kind, n_planted, n_found, n_false, recall_ppm) — CONTAINER-
+    FORMAT-CONVERSION dedup: the same picture re-hosted as BMP / PPM /
+    TIFF-LZW (pixel-lossless — invisible to byte-hash dedup, pixel-
+    identical after decode) or re-encoded as JPEG q90 / palette-
+    quantized GIF (lossy). One decode pass through the signature
+    actor pool (codec.decode dispatches all six containers), THREE
+    8×8-bit band families — phash, aHash, and the leading 64 bits of
+    the decoded-pixel SHA-1 (the exact tier: identical pixels collide
+    on every slice; MEASURED: the lossy classes share ≥6 of the 16
+    perceptual band slots) — one band exchange, PSNR gate 24 dB
+    (MEASURED: true jfif ≥48.6, true gifq ≥28.0 vs distinct ≤21.0 —
+    3.0/3.0 dB clearance; lossless classes are PSNR ∞ by
+    construction). Per-class recall 1.0, zero false merges
+    (pytest-pinned). 100 TB shape: identical to the flagship — narrow
+    signature rows, payloads only on band rows, bucketed verify."""
+    import hashlib
+
+    from .. import codec as codec_mod
+    from ..stages.grouped import bucketed_group_map
+
+    d = _fmtconv_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+
+    class ConvSignature:
+        def __init__(self):
+            codec_mod._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["image_id"].to_pylist()
+            grays, thumbs, shas = [], [], []
+            for data in batch["bytes"].to_pylist():
+                px = codec_mod.decode(data)
+                shas.append(np.frombuffer(
+                    hashlib.sha1(px.tobytes()).digest()[:8],
+                    "<i8")[0])
+                g = codec_mod.to_gray(px)
+                grays.append(codec_mod.resize_nn(g, 32, 32))
+                thumbs.append(codec_mod.resize_nn(g, 16, 16).tobytes())
+            stack = np.stack(grays) if ids else \
+                np.empty((0, 32, 32), np.uint8)
+            ph = codec_mod.phash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            ah = codec_mod.ahash64_batch(stack) if ids else \
+                np.array([], np.int64)
+            return pa.table({
+                "image_id": pa.array(ids, pa.string()),
+                "phash": pa.array(ph, pa.int64()),
+                "ahash": pa.array(ah, pa.int64()),
+                "pixsha": pa.array(np.asarray(shas, np.int64),
+                                   pa.int64()),
+                "thumb": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(ConvSignature, batch_size=64, concurrency=2,
+                          batch_format="pyarrow")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return _hash_band_rows(batch, "image_id",
+                               ("phash", "ahash", "pixsha"),
+                               ("thumb",), 8, 8)
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs = [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["image_id"].tolist()
+            if len(ids) < 2:
+                continue
+            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
+                      for t in g["thumb"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    p = codec_mod.psnr(thumbs[i], thumbs[j])
+                    if int(round(min(p, 99.99) * 100)) >= psnr_min_centi:
+                        l, r = sorted((ids[i], ids[j]))
+                        ls.append(l)
+                        rs.append(r)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _FMTC_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _FMTC_KINDS[(i // dup_every) % len(_FMTC_KINDS)]
+        truth_by_kind[kind].add((f"fc{i:05d}", f"fc{i:05d}_{kind}"))
+    return _per_class_report(got, truth_by_kind, _FMTC_KINDS)
+
+
+def image_format_stats(sf_dir: str, n_base: int = 90):
+    """(fmt, n, mean_w, mean_h, mean_lum_micro) — uniform ingestion
+    across ALL SIX still containers (PNG, JPEG, GIF, BMP, PPM, TIFF)
+    through the one codec.decode dispatch: the mixed-format fixture
+    decoded by an actor pool, per-format counts and integer mean
+    luminance. The read-side proof that a crawl's container mix needs
+    no per-format pipelines. Rows-only driver check; exact pytest
+    pins the per-format counts."""
+    from ray.data.aggregate import Count, Sum
+
+    from .. import codec as codec_mod
+
+    d = _fmtconv_corpus_dir(n_base=n_base)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+
+    class DecodeStats:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fmts, ws, hs, lums = [], [], [], []
+            for data in batch["bytes"].to_pylist():
+                fmt, _q, w, h = codec_mod.decode_meta(data)
+                px = codec_mod.decode(data)
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+                lums.append(int(px.sum(dtype=np.int64))
+                            * 1_000_000 // px.size)
+            return pa.table({
+                "fmt": pa.array(fmts, pa.string()),
+                "w": pa.array(ws, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "lum_micro": pa.array(lums, pa.int64()),
+            })
+
+    stats = ds.map_batches(DecodeStats, batch_size=64, concurrency=2,
+                           batch_format="pyarrow")
+    agg = stats.groupby("fmt").aggregate(
+        Count(alias_name="n"), Sum("w", alias_name="w_sum"),
+        Sum("h", alias_name="h_sum"),
+        Sum("lum_micro", alias_name="lum_sum"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "fmt": b["fmt"],
+            "n": pa.array(n, pa.int64()),
+            "mean_w": pa.array(
+                pc.cast(b["w_sum"], pa.int64())
+                .to_numpy(zero_copy_only=False) // n, pa.int64()),
+            "mean_h": pa.array(
+                pc.cast(b["h_sum"], pa.int64())
+                .to_numpy(zero_copy_only=False) // n, pa.int64()),
+            "mean_lum_micro": pa.array(
+                pc.cast(b["lum_sum"], pa.int64())
+                .to_numpy(zero_copy_only=False) // n, pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def decode_quarantine_stats(sf_dir: str, n_images: int = 256,
                             n_corrupt: int = 32):
     """(status, err, n) — the POISON-ROW path: a corpus with planted
