@@ -169,12 +169,12 @@ queries() entries map to SURVEY.md §2 operators:
   gif_animation_dedup  animated-GIF near-dups (k-slot sampling: depth /
                        frame-drop / palette-perm classes), per-class recall
   format_convert_dedup container-format-conversion dups (same picture
-                       re-hosted as BMP/PPM/TIFF-LZW — byte-hash-blind,
-                       pixel-lossless — or re-encoded JPEG/GIF), exact
-                       pixel-SHA band family + perceptual bands,
-                       per-class recall
-  image_format_stats   uniform six-container ingestion (PNG/JPEG/GIF/
-                       BMP/PPM/TIFF) through one decode dispatch,
+                       re-hosted as BMP/PPM/TIFF-LZW/lossless-WebP —
+                       byte-hash-blind, pixel-lossless — or re-encoded
+                       JPEG/GIF), exact pixel-SHA band family +
+                       perceptual bands, per-class recall
+  image_format_stats   uniform seven-container ingestion (PNG/JPEG/GIF/
+                       BMP/PPM/TIFF/WebP) through one decode dispatch,
                        per-format counts + mean luminance
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's

@@ -280,6 +280,9 @@ def decode(data: bytes) -> np.ndarray:
     if bytes(data[:2]) == b"BM":
         from . import bmp as _bmp
         return _bmp.decode(data)
+    if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WEBP":
+        from . import webp as _webp
+        return _webp.decode(data)
     if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
         from . import tiff as _tiff
         return _tiff.decode(data)
@@ -314,6 +317,10 @@ def decode_meta(data: bytes) -> tuple[str, int, int, int]:
         from . import bmp as _bmp
         w, h = _bmp.meta(data)
         return ("bmp", 100, w, h)
+    if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WEBP":
+        from . import webp as _webp
+        w, h = _webp.meta(data)
+        return ("webp", 100, w, h)
     if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
         from . import tiff as _tiff
         w, h = _tiff.meta(data)

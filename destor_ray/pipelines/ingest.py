@@ -1609,17 +1609,18 @@ def gif_animation_dedup(sf_dir: str, n_base: int = 36,
     return _per_class_report(got, truth_by_kind, _GIFA_KINDS)
 
 
-_FMTC_KINDS = ("bmp", "pnm", "tifflzw", "jfif", "gifq")
+_FMTC_KINDS = ("bmp", "pnm", "tifflzw", "webp", "jfif", "gifq")
 
 
 def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
     """Mixed-container fixture WITH PLANTED FORMAT-CONVERSION dups,
     one class per slot (cycling): the SAME picture re-hosted in a
     different container — `bmp` (24-bit BMP), `pnm` (raw P6 PPM),
-    `tifflzw` (TIFF, LZW + predictor 2): all pixel-lossless, the
-    class a byte-hash dedup misses entirely; `jfif` (JPEG q90
-    re-save) and `gifq` (GIF after 3-3-2 palette quantization): the
-    lossy conversions. Base rows are PNGs. Truth rides the naming:
+    `tifflzw` (TIFF, LZW + predictor 2), `webp` (lossless VP8L,
+    subtract-green + runs): all pixel-lossless, the class a
+    byte-hash dedup misses entirely; `jfif` (JPEG q90 re-save) and
+    `gifq` (GIF after 3-3-2 palette quantization): the lossy
+    conversions. Base rows are PNGs. Truth rides the naming:
     fc<NNNNN>_<kind> duplicates fc<NNNNN>."""
     from .. import bmp as bmp_mod
     from .. import codec as codec_mod
@@ -1628,8 +1629,9 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
     from .. import jpeg as jpeg_mod
     from .. import netpbm as netpbm_mod
     from .. import tiff as tiff_mod
+    from .. import webp as webp_mod
 
-    out = f"/tmp/destor_ray_fmtconv/v1_n{n_base}_e{dup_every}"
+    out = f"/tmp/destor_ray_fmtconv/v2_n{n_base}_e{dup_every}"
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -1647,6 +1649,8 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
         elif kind == "tifflzw":
             blob = tiff_mod.encode(px, compression="lzw",
                                    predictor=True, rows_per_strip=16)
+        elif kind == "webp":
+            blob = webp_mod.encode(px)
         elif kind == "jfif":
             blob = jpeg_mod.encode(px, 90)
         else:  # gifq
@@ -1760,8 +1764,9 @@ def format_convert_dedup(sf_dir: str, n_base: int = 90,
 
 def image_format_stats(sf_dir: str, n_base: int = 90):
     """(fmt, n, mean_w, mean_h, mean_lum_micro) — uniform ingestion
-    across ALL SIX still containers (PNG, JPEG, GIF, BMP, PPM, TIFF)
-    through the one codec.decode dispatch: the mixed-format fixture
+    across ALL SEVEN still containers (PNG, JPEG, GIF, BMP, PPM,
+    TIFF, lossless WebP) through the one codec.decode dispatch: the
+    mixed-format fixture
     decoded by an actor pool, per-format counts and integer mean
     luminance. The read-side proof that a crawl's container mix needs
     no per-format pipelines. Rows-only driver check; exact pytest

@@ -269,8 +269,9 @@ def test_codec_dispatch_bmp_tiff():
 # ------------------------------------------- channel + stats queries
 
 def test_format_convert_dedup_per_class_full_recall(ray_session):
-    """All five container-conversion classes — pixel-lossless BMP /
-    PPM / TIFF-LZW re-hosts (invisible to byte-hash dedup) and lossy
+    """All six container-conversion classes — pixel-lossless BMP /
+    PPM / TIFF-LZW / lossless-WebP re-hosts (invisible to byte-hash
+    dedup) and lossy
     JPEG-q90 / GIF-quantize re-encodes — detect with per-class recall
     1.0 and zero false merges; measured gate margins (jfif >= 48.6 dB,
     gifq >= 28.0 vs distinct <= 21.0, gate 24) hold."""
@@ -279,18 +280,19 @@ def test_format_convert_dedup_per_class_full_recall(ray_session):
     out = em.queries()["format_convert_dedup"]("/root/testdata/sf0.001")
     df = out.set_index("kind")
     assert int(df.loc["_total", "n_planted"]) == 30
-    for kind in ("bmp", "pnm", "tifflzw", "jfif", "gifq", "_total"):
+    for kind in ("bmp", "pnm", "tifflzw", "webp", "jfif", "gifq",
+                 "_total"):
         assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
         assert int(df.loc[kind, "n_false"]) == 0, kind
 
 
 def test_image_format_stats_counts(ray_session):
     """The mixed-container fixture ingests through the one decode
-    dispatch: exactly 6 rows per converted container + 90 PNGs."""
+    dispatch: exactly 5 rows per converted container + 90 PNGs."""
     import __ray_entry__ as em
 
     out = em.queries()["image_format_stats"]("/root/testdata/sf0.001")
     df = out.to_pandas().set_index("fmt")["n"]
     assert int(df["png"]) == 90
-    for fmt in ("bmp", "netpbm", "tiff", "jpeg", "gif"):
-        assert int(df[fmt]) == 6, fmt
+    for fmt in ("bmp", "netpbm", "tiff", "webp", "jpeg", "gif"):
+        assert int(df[fmt]) == 5, fmt
