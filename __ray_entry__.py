@@ -176,6 +176,10 @@ queries() entries map to SURVEY.md §2 operators:
   image_format_stats   uniform seven-container ingestion (PNG/JPEG/GIF/
                        BMP/PPM/TIFF/WebP) through one decode dispatch,
                        per-format counts + mean luminance
+  crossformat_animation_dedup the same animation re-hosted as animated
+                       GIF / lossless animated WebP / MJPEG-AVI (the
+                       GIF-to-video transcode), one container-agnostic
+                       decode_frames signature stage, per-class recall
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2269,6 +2273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gif_palette_dedup": ingest.gif_palette_dedup,
         "gif_animation_dedup": ingest.gif_animation_dedup,
         "format_convert_dedup": ingest.format_convert_dedup,
+        "crossformat_animation_dedup":
+            ingest.crossformat_animation_dedup,
         "image_format_stats": ingest.image_format_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,

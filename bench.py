@@ -155,7 +155,8 @@ def main() -> None:
                  "timescale_audio_dedup", "timescale_video_dedup",
                  "letterbox_video_dedup", "samplerate_audio_dedup",
                  "ngram_jaccard_pairs", "gif_palette_dedup",
-                 "gif_animation_dedup", "format_convert_dedup"]:
+                 "gif_animation_dedup", "format_convert_dedup",
+                 "crossformat_animation_dedup"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver

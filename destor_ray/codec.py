@@ -601,3 +601,22 @@ def trim_uniform_border(gray: np.ndarray, mad_tol: int = 4,
             break
         gg = gg[t:h - b, le:w - r]
     return gg
+
+
+def decode_frames(data: bytes) -> list:
+    """Container-agnostic frame list: animated GIF, (animated)
+    lossless WebP, MJPEG AVI, or any still container — dispatched on
+    the byte signature, every frame an (h, w, 3) uint8 array. The
+    single decode seam the cross-container animation dedup channel
+    rides."""
+    if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
+        from . import gif as _gif
+        return _gif.decode_frames(data)
+    if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WEBP":
+        from . import webp as _webp
+        return _webp.decode_frames(data)
+    if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"AVI ":
+        from . import avi as _avi
+        from . import jpeg as _jpeg
+        return [_jpeg.decode(f) for f in _avi.decode_frames(data)]
+    return [decode(data)]

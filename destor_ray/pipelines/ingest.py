@@ -1609,6 +1609,182 @@ def gif_animation_dedup(sf_dir: str, n_base: int = 36,
     return _per_class_report(got, truth_by_kind, _GIFA_KINDS)
 
 
+_XANIM_KINDS = ("webp", "avi", "webpdrop")
+
+
+def _xanim_corpus_dir(n_base: int = 36, dup_every: int = 3,
+                      n_frames: int = 8) -> str:
+    """Cross-CONTAINER animation fixture WITH PLANTED RE-HOST dups,
+    one class per slot (cycling): the same animation (procedural
+    content translated 5 px/frame, 3-3-2 quantized) published as an
+    animated GIF and re-hosted as `webp` (lossless animated WebP —
+    pixel-identical frames, what sticker pipelines emit), `avi`
+    (MJPEG q85 video — the GIF-to-video transcode every large
+    platform applies) or `webpdrop` (animated WebP at half the frame
+    count — transcode + frame-rate halving). Truth rides the naming:
+    xa<NNNNN>_<kind> duplicates xa<NNNNN>."""
+    from .. import avi as avi_mod
+    from .. import corpus as corpus_mod
+    from .. import gif as gif_mod
+    from .. import jpeg as jpeg_mod
+    from .. import webp as webp_mod
+
+    out = (f"/tmp/destor_ray_xanim/"
+           f"v1_n{n_base}_e{dup_every}_f{n_frames}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_base):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=11, row=i)
+        h, w = px.shape[:2]
+        idx_frames = []
+        for f in range(n_frames):
+            sh = np.roll(px, 5 * f, axis=1)
+            idx_frames.append(
+                (sh[:, :, 0] >> 5).astype(np.uint8) << 5
+                | (sh[:, :, 1] >> 5) << 2 | (sh[:, :, 2] >> 6))
+        ids.append(f"xa{i:05d}")
+        blobs.append(gif_mod.encode_animation(idx_frames, _PAL332))
+        if i % dup_every:
+            continue
+        kind = _XANIM_KINDS[(i // dup_every) % len(_XANIM_KINDS)]
+        rgb_frames = [_PAL332[fidx] for fidx in idx_frames]
+        if kind == "webp":
+            blob = webp_mod.encode_animation(rgb_frames)
+        elif kind == "avi":
+            blob = avi_mod.encode_mjpeg(
+                [jpeg_mod.encode(fr, 85) for fr in rgb_frames], w, h)
+        else:  # webpdrop
+            blob = webp_mod.encode_animation(rgb_frames[::2])
+        ids.append(f"xa{i:05d}_{kind}")
+        blobs.append(blob)
+    return _commit_fixture(out, {"videos": pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    })})
+
+
+def crossformat_animation_dedup(sf_dir: str, n_base: int = 36,
+                                dup_every: int = 3, k_frames: int = 4,
+                                psnr_min_centi: int = 2100,
+                                min_slots: int = 3):
+    """(kind, n_planted, n_found, n_false, recall_ppm) — CROSS-
+    CONTAINER animation dedup: the same animation re-hosted as
+    animated GIF, lossless animated WebP, or MJPEG-AVI video (the
+    GIF-to-video transcode platforms apply on upload). ONE signature
+    stage rides codec.decode_frames — the container-agnostic frame
+    dispatch — so the channel is gif_animation_dedup's k-slot
+    relative-position topology verbatim: slot j samples frame
+    (j·nf)//k (frame-count halving aligns by construction), dual
+    phash+aHash 8×8-bit bands per slot, k×256 B slot thumbs ride,
+    ≥3/4 slot majority at the 21 dB gate (webp re-hosts are
+    pixel-identical, PSNR ∞; MJPEG q85 sits far above the gate —
+    same ladder as the gif depth class). Per-class recall 1.0, zero
+    false merges (pytest-pinned). 100 TB shape: identical to
+    avi_video_dedup — one decode pass, one band exchange, payloads
+    never shuffle."""
+    from .. import codec
+    from ..stages.grouped import bucketed_group_map
+
+    d = _xanim_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+
+    class XAnimSignature:
+        def __init__(self):
+            codec._dct_matrix(32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vids, phs, ahs, thumbs = [], [], [], []
+            for vid, data in zip(batch["video_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                frames = codec.decode_frames(data)
+                nf = len(frames)
+                k = min(k_frames, nf)
+                grays, tb = [], b""
+                for j in range(k):
+                    g = codec.to_gray(frames[(j * nf) // k])
+                    grays.append(codec.resize_nn(g, 32, 32))
+                    tb += codec.resize_nn(g, 16, 16).tobytes()
+                stack = np.stack(grays)
+                vids.append(vid)
+                phs.append(codec.phash64_batch(stack))
+                ahs.append(codec.ahash64_batch(stack))
+                thumbs.append(tb)
+            n = len(vids)
+            ph = np.stack(phs) if n else np.empty((0, k_frames), np.int64)
+            ah = np.stack(ahs) if n else np.empty((0, k_frames), np.int64)
+            return pa.table({
+                "video_id": pa.array(vids, pa.string()),
+                "phash": pa.array(list(ph), pa.list_(pa.int64())),
+                "ahash": pa.array(list(ah), pa.list_(pa.int64())),
+                "thumbs": pa.array(thumbs, pa.binary()),
+            })
+
+    sigs = ds.map_batches(XAnimSignature, batch_size=32,
+                          concurrency=2, batch_format="pyarrow")
+
+    N_BANDS, BITS = 8, 8
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        keys, vids, thumbs = [], [], []
+        mask = np.uint64((1 << BITS) - 1)
+        tcol = batch["thumbs"].to_pylist()
+        idcol = batch["video_id"].to_pylist()
+        for ch, col in enumerate(("phash", "ahash")):
+            hl = batch[col].to_pylist()
+            for r, hv in enumerate(hl):
+                hv = np.asarray(hv, np.int64).view(np.uint64)
+                for slot in range(len(hv)):
+                    for band in range(N_BANDS):
+                        bits = (hv[slot] >> np.uint64(BITS * band)) & mask
+                        slotkey = ((slot * 2 + ch) * N_BANDS + band)
+                        keys.append((slotkey << BITS) | int(bits))
+                        vids.append(idcol[r])
+                        thumbs.append(tcol[r])
+        return pa.table({
+            "bkey": pa.array(keys, pa.int64()),
+            "video_id": pa.array(vids, pa.string()),
+            "thumbs": pa.array(thumbs, pa.binary()),
+        })
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ls, rs = [], []
+        for _, g in df.groupby("bkey", sort=False):
+            ids = g["video_id"].tolist()
+            if len(ids) < 2:
+                continue
+            tset = [np.frombuffer(t, np.uint8).reshape(-1, 16, 16)
+                    for t in g["thumbs"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if ids[i] == ids[j]:
+                        continue
+                    k = min(len(tset[i]), len(tset[j]))
+                    good = sum(
+                        1 for s in range(k)
+                        if codec.psnr(tset[i][s], tset[j][s]) * 100
+                        >= psnr_min_centi)
+                    if good >= min(min_slots, k):
+                        l, r = sorted((ids[i], ids[j]))
+                        ls.append(l)
+                        rs.append(r)
+        return pa.table({"l": pa.array(ls, pa.string()),
+                         "r": pa.array(rs, pa.string())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    pairs = pairs.drop_duplicates(["l", "r"])
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _XANIM_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _XANIM_KINDS[(i // dup_every) % len(_XANIM_KINDS)]
+        truth_by_kind[kind].add((f"xa{i:05d}", f"xa{i:05d}_{kind}"))
+    return _per_class_report(got, truth_by_kind, _XANIM_KINDS)
+
+
 _FMTC_KINDS = ("bmp", "pnm", "tifflzw", "webp", "jfif", "gifq")
 
 

@@ -443,7 +443,12 @@ def _find_vp8l(data: bytes) -> bytes:
 
 
 def meta(data: bytes) -> tuple[int, int]:
-    """(w, h) from the VP8L header without decoding."""
+    """(w, h) from the VP8L header (or the VP8X canvas for animated
+    files) without decoding."""
+    if is_webp(data) and bytes(data[12:16]) == b"VP8X":
+        body = data[20:30]
+        return (int.from_bytes(body[4:7], "little") + 1,
+                int.from_bytes(body[7:10], "little") + 1)
     payload = _find_vp8l(data)
     if payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
@@ -697,3 +702,86 @@ def encode(pixels: np.ndarray, subtract_green: bool = True,
         vp8l += b"\0"
     riff = b"WEBP" + vp8l
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+# --------------------------------------------------- animation (VP8X)
+
+def _u24(v: int) -> bytes:
+    return struct.pack("<I", v)[:3]
+
+
+def encode_animation(frames: list[np.ndarray],
+                     duration_ms: int = 100) -> bytes:
+    """List of (h, w, 3) uint8 frames → animated WebP (VP8X + ANIM +
+    one full-canvas lossless ANMF frame each, no-blend/keep
+    disposal)."""
+    h, w = frames[0].shape[:2]
+    chunks = bytearray()
+    chunks += b"VP8X" + struct.pack("<I", 10)
+    chunks += bytes([0x02]) + b"\0\0\0" + _u24(w - 1) + _u24(h - 1)
+    chunks += b"ANIM" + struct.pack("<I", 6) + struct.pack("<IH", 0, 0)
+    for fr in frames:
+        sub = encode(fr)
+        # reuse the VP8L chunk from the single-image container
+        vp8l = sub[12:]
+        anmf = (_u24(0) + _u24(0) + _u24(w - 1) + _u24(h - 1)
+                + _u24(duration_ms) + bytes([0x02]) + vp8l)
+        chunks += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            chunks += b"\0"
+    riff = b"WEBP" + bytes(chunks)
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def decode_frames(data: bytes) -> list[np.ndarray]:
+    """All frames of a (possibly animated) lossless WebP as (h, w, 3)
+    arrays, composited onto the canvas like a viewer (keep-disposal;
+    alpha blending out of scope — this repo's codec contract is
+    opaque RGB)."""
+    if not is_webp(data):
+        raise ValueError("not a WebP stream")
+    pos = 12
+    canvas = None
+    frames = []
+    while pos + 8 <= len(data):
+        tag = bytes(data[pos:pos + 4])
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8X":
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            canvas = np.zeros((ch, cw, 3), np.uint8)
+        elif tag == b"ANMF":
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            sub = body[16:]
+            # frame payload: nested VP8L chunk
+            stag = bytes(sub[0:4])
+            ssize = struct.unpack_from("<I", sub, 4)[0]
+            if stag != b"VP8L":
+                raise NotImplementedError(
+                    f"animated frame payload {stag!r} (lossy VP8 "
+                    "frames are the declared VP8 seam)")
+            payload = sub[8:8 + ssize]
+            if payload[0] != 0x2F:
+                raise ValueError("bad VP8L signature in ANMF")
+            br = _BitReader(payload[1:])
+            fw = br.read(14) + 1
+            fh = br.read(14) + 1
+            br.read(1)
+            if br.read(3) != 0:
+                raise ValueError("unsupported VP8L version")
+            img, _ = _decode_image_stream(br, fw, fh, True)
+            rgb = img.view(np.uint8).reshape(fh, fw, 4)[:, :, 2::-1]
+            if canvas is None:
+                canvas = np.zeros((fh + fy, fw + fx, 3), np.uint8)
+            canvas[fy:fy + fh, fx:fx + fw] = rgb
+            frames.append(canvas.copy())
+        elif tag == b"VP8L":
+            return [decode(data)]
+        elif tag == b"VP8 ":
+            raise NotImplementedError("lossy VP8 payload (declared seam)")
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("no frames found")
+    return frames

@@ -280,3 +280,34 @@ def test_lossy_vp8_is_declared_seam():
             + b"VP8 " + struct.pack("<I", 4) + b"\0\0\0\0")
     with pytest.raises(NotImplementedError):
         webp.decode(fake)
+
+
+def test_animation_roundtrip_and_meta():
+    frames = [RNG.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+              for _ in range(5)]
+    d = webp.encode_animation(frames)
+    out = webp.decode_frames(d)
+    assert len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    assert webp.meta(d) == (32, 24)
+    # still image through the frame API
+    px = RNG.integers(0, 256, (10, 11, 3), dtype=np.uint8)
+    assert np.array_equal(webp.decode_frames(webp.encode(px))[0], px)
+
+
+def test_crossformat_animation_dedup_per_class_full_recall(ray_session):
+    """The same animation re-hosted as lossless animated WebP,
+    MJPEG-AVI (the GIF-to-video platform transcode) and half-rate
+    animated WebP detects with per-class recall 1.0 and zero false
+    merges through ONE container-agnostic decode_frames signature
+    stage."""
+    import __ray_entry__ as em
+
+    out = em.queries()["crossformat_animation_dedup"](
+        "/root/testdata/sf0.001")
+    df = out.set_index("kind")
+    assert int(df.loc["_total", "n_planted"]) == 12
+    for kind in ("webp", "avi", "webpdrop", "_total"):
+        assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
+        assert int(df.loc[kind, "n_false"]) == 0, kind
