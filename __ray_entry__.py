@@ -180,6 +180,10 @@ queries() entries map to SURVEY.md §2 operators:
                        GIF / lossless animated WebP / MJPEG-AVI (the
                        GIF-to-video transcode), one container-agnostic
                        decode_frames signature stage, per-class recall
+  webdataset_roundtrip_stats image+caption corpus exported as POSIX
+                       tar shards (one file per map task, content-
+                       hashed, resumable) and read back one-task-per-
+                       shard; per-shard counts + byte sums, exact
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2275,6 +2279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "format_convert_dedup": ingest.format_convert_dedup,
         "crossformat_animation_dedup":
             ingest.crossformat_animation_dedup,
+        "webdataset_roundtrip_stats": ingest.webdataset_roundtrip_stats,
         "image_format_stats": ingest.image_format_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,

@@ -9729,3 +9729,62 @@ def audiotrack_video_dedup(sf_dir: str, n_base: int = 30,
               "n_video", "n_audio"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def webdataset_roundtrip_stats(sf_dir: str, n_rows: int = 512,
+                               samples_per_shard: int = 128):
+    """(shard, n_samples, img_bytes, txt_bytes) per tar shard plus a
+    _total row — the WEBDATASET interchange leg: the flagship
+    image+caption corpus exported as POSIX tar shards
+    (sources.webdataset.write_webdataset — one file per map task,
+    content-hashed names, resumable) and read back with one Ray task
+    per shard (read_webdataset). The round trip is exact: pytest pins
+    total samples and byte sums against the parquet source. This is
+    the layout large public image+caption crawls actually ship —
+    shards are sequential reads and the shard list is the partition
+    plan (destor's container-as-IO-unit discipline,
+    destor/src/containerstore.c, recast for training data)."""
+    import glob
+
+    from ray.data.aggregate import Count, Sum
+
+    from .. import corpus as corpus_mod
+    from ..sources import webdataset as wds_mod
+
+    cdir = corpus_mod.ensure_corpus_parquet(n_rows, seed=42)
+    out = (f"/tmp/destor_ray_wds/v1_n{n_rows}_s{samples_per_shard}_"
+           f"{os.path.basename(cdir)}")
+    if not os.path.isdir(out) or not glob.glob(f"{out}/*.tar"):
+        ds = ray.data.read_parquet(
+            cdir, columns=["image_id", "bytes", "caption"])
+        wds_mod.write_webdataset(
+            ds, out, "image_id", {"bytes": "img", "caption": "txt"},
+            samples_per_shard=samples_per_shard)
+    shards = sorted(glob.glob(f"{out}/*.tar"))
+    wds = wds_mod.read_webdataset(shards, fields=["img", "txt"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard": batch["shard"],
+            "img_len": pa.array(
+                [len(v) for v in batch["img"].to_pylist()], pa.int64()),
+            "txt_len": pa.array(
+                [len(v) for v in batch["txt"].to_pylist()], pa.int64()),
+        })
+
+    agg = wds.map_batches(narrow, batch_format="pyarrow") \
+        .groupby("shard").aggregate(
+            Count(alias_name="n_samples"),
+            Sum("img_len", alias_name="img_bytes"),
+            Sum("txt_len", alias_name="txt_bytes")) \
+        .to_pandas().sort_values("shard").reset_index(drop=True)
+    for c in ("n_samples", "img_bytes", "txt_bytes"):
+        agg[c] = agg[c].astype("int64")
+    total = {
+        "shard": "_total",
+        "n_samples": int(agg["n_samples"].sum()),
+        "img_bytes": int(agg["img_bytes"].sum()),
+        "txt_bytes": int(agg["txt_bytes"].sum()),
+    }
+    import pandas as pd
+    return pd.concat([agg, pd.DataFrame([total])], ignore_index=True)

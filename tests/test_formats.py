@@ -296,3 +296,47 @@ def test_image_format_stats_counts(ray_session):
     assert int(df["png"]) == 90
     for fmt in ("bmp", "netpbm", "tiff", "webp", "jpeg", "gif"):
         assert int(df[fmt]) == 5, fmt
+
+
+def test_webdataset_roundtrip_exact(ray_session):
+    """Tar-shard export → read-back is exact: total samples and byte
+    sums match the parquet source; shards are content-hash named and
+    each holds <= samples_per_shard samples."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+    from destor_ray import corpus
+
+    out = em.queries()["webdataset_roundtrip_stats"](
+        "/root/testdata/sf0.001")
+    tot = out[out["shard"] == "_total"].iloc[0]
+    src = pq.read_table(corpus.ensure_corpus_parquet(512, seed=42),
+                        columns=["bytes", "caption"])
+    assert int(tot["n_samples"]) == 512
+    assert int(tot["img_bytes"]) == sum(
+        len(b) for b in src["bytes"].to_pylist())
+    assert int(tot["txt_bytes"]) == sum(
+        len(c.encode()) for c in src["caption"].to_pylist())
+    per = out[out["shard"] != "_total"]
+    assert (per["n_samples"] <= 128).all()
+    assert per["shard"].str.startswith("shard-").all()
+
+
+def test_webdataset_sample_grouping_kernel():
+    """iter_tar_samples groups members by basename before the FIRST
+    dot (the webdataset convention) and preserves member bytes."""
+    import io
+    import tarfile
+
+    from destor_ray.sources.webdataset import iter_tar_samples
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:") as tf:
+        for name, blob in [("a.img", b"AA"), ("a.seg.png", b"S"),
+                           ("a.txt", b"cap"), ("b.img", b"BB")]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+    got = dict(iter_tar_samples(buf.getvalue()))
+    assert got == {"a": {"img": b"AA", "seg.png": b"S", "txt": b"cap"},
+                   "b": {"img": b"BB"}}
