@@ -184,6 +184,9 @@ queries() entries map to SURVEY.md §2 operators:
                        tar shards (one file per map task, content-
                        hashed, resumable) and read back one-task-per-
                        shard; per-shard counts + byte sums, exact
+  corpus_dedup_from_wds input-format independence: the flagship runs
+                       unchanged over tar shards and produces the
+                       IDENTICAL cluster partition as over parquet
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2280,6 +2283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossformat_animation_dedup":
             ingest.crossformat_animation_dedup,
         "webdataset_roundtrip_stats": ingest.webdataset_roundtrip_stats,
+        "corpus_dedup_from_wds": ingest.corpus_dedup_from_wds,
         "image_format_stats": ingest.image_format_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "partitioned_write_readback": ingest.partitioned_write_readback,

@@ -1609,7 +1609,7 @@ def gif_animation_dedup(sf_dir: str, n_base: int = 36,
     return _per_class_report(got, truth_by_kind, _GIFA_KINDS)
 
 
-_XANIM_KINDS = ("webp", "avi", "webpdrop")
+_XANIM_KINDS = ("webp", "avi", "webpdrop", "poster")
 
 
 def _xanim_corpus_dir(n_base: int = 36, dup_every: int = 3,
@@ -1621,16 +1621,21 @@ def _xanim_corpus_dir(n_base: int = 36, dup_every: int = 3,
     pixel-identical frames, what sticker pipelines emit), `avi`
     (MJPEG q85 video — the GIF-to-video transcode every large
     platform applies) or `webpdrop` (animated WebP at half the frame
-    count — transcode + frame-rate halving). Truth rides the naming:
-    xa<NNNNN>_<kind> duplicates xa<NNNNN>."""
+    count — transcode + frame-rate halving) or reduced to `poster`
+    (a still PNG of frame 0 — the preview image platforms generate
+    for every animation; k=1 slot aligns with the animation's slot 0
+    by construction and verify degrades to the single-slot gate).
+    Truth rides the naming: xa<NNNNN>_<kind> duplicates
+    xa<NNNNN>."""
     from .. import avi as avi_mod
+    from .. import codec as codec_mod
     from .. import corpus as corpus_mod
     from .. import gif as gif_mod
     from .. import jpeg as jpeg_mod
     from .. import webp as webp_mod
 
     out = (f"/tmp/destor_ray_xanim/"
-           f"v1_n{n_base}_e{dup_every}_f{n_frames}")
+           f"v2_n{n_base}_e{dup_every}_f{n_frames}")
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -1654,8 +1659,10 @@ def _xanim_corpus_dir(n_base: int = 36, dup_every: int = 3,
         elif kind == "avi":
             blob = avi_mod.encode_mjpeg(
                 [jpeg_mod.encode(fr, 85) for fr in rgb_frames], w, h)
-        else:  # webpdrop
+        elif kind == "webpdrop":
             blob = webp_mod.encode_animation(rgb_frames[::2])
+        else:  # poster: the platform-generated still preview (frame 0)
+            blob = codec_mod.png_encode(rgb_frames[0])
         ids.append(f"xa{i:05d}_{kind}")
         blobs.append(blob)
     return _commit_fixture(out, {"videos": pa.table({
@@ -1671,8 +1678,9 @@ def crossformat_animation_dedup(sf_dir: str, n_base: int = 36,
     """(kind, n_planted, n_found, n_false, recall_ppm) — CROSS-
     CONTAINER animation dedup: the same animation re-hosted as
     animated GIF, lossless animated WebP, or MJPEG-AVI video (the
-    GIF-to-video transcode platforms apply on upload). ONE signature
-    stage rides codec.decode_frames — the container-agnostic frame
+    GIF-to-video transcode platforms apply on upload) or reduced to
+    a still poster frame (the generated preview). ONE signature stage
+    rides codec.decode_frames — the container-agnostic frame
     dispatch — so the channel is gif_animation_dedup's k-slot
     relative-position topology verbatim: slot j samples frame
     (j·nf)//k (frame-count halving aligns by construction), dual
@@ -1707,16 +1715,15 @@ def crossformat_animation_dedup(sf_dir: str, n_base: int = 36,
                     tb += codec.resize_nn(g, 16, 16).tobytes()
                 stack = np.stack(grays)
                 vids.append(vid)
-                phs.append(codec.phash64_batch(stack))
-                ahs.append(codec.ahash64_batch(stack))
+                phs.append([int(v) for v in codec.phash64_batch(stack)])
+                ahs.append([int(v) for v in codec.ahash64_batch(stack)])
                 thumbs.append(tb)
-            n = len(vids)
-            ph = np.stack(phs) if n else np.empty((0, k_frames), np.int64)
-            ah = np.stack(ahs) if n else np.empty((0, k_frames), np.int64)
+            # ragged lists: a still poster frame contributes k=1
+            # slot hashes next to the animations' k=4
             return pa.table({
                 "video_id": pa.array(vids, pa.string()),
-                "phash": pa.array(list(ph), pa.list_(pa.int64())),
-                "ahash": pa.array(list(ah), pa.list_(pa.int64())),
+                "phash": pa.array(phs, pa.list_(pa.int64())),
+                "ahash": pa.array(ahs, pa.list_(pa.int64())),
                 "thumbs": pa.array(thumbs, pa.binary()),
             })
 
@@ -9788,3 +9795,77 @@ def webdataset_roundtrip_stats(sf_dir: str, n_rows: int = 512,
     }
     import pandas as pd
     return pd.concat([agg, pd.DataFrame([total])], ignore_index=True)
+
+
+def corpus_dedup_from_wds(sf_dir: str, n_rows: int = 2000):
+    """(n_rows, n_shards, n_clusters_wds, n_clusters_pq,
+    partitions_equal) — INPUT-FORMAT INDEPENDENCE certification: the
+    flagship near-dup pipeline runs UNCHANGED over webdataset tar
+    shards (read_webdataset → json-sidecar metadata reconstructed to
+    the corpus schema) and over the parquet original, and produces
+    the IDENTICAL cluster partition (compared as sets of member
+    sets — labels are representative-dependent, partitions are not).
+    At 100 TB this is the guarantee that a crawl delivered as tar
+    shards needs no conversion pass before dedup. Rows-only driver
+    check; pytest pins partitions_equal == 1."""
+    import glob
+    import json as json_mod
+
+    import pandas as pd
+
+    from .. import corpus as corpus_mod
+    from ..pipelines.dedup import dedup_pipeline, dedup_pipeline_from_dir
+    from ..sources import webdataset as wds_mod
+
+    cdir = corpus_mod.ensure_corpus_parquet(n_rows, seed=42)
+    out = f"/tmp/destor_ray_wds_flag/v1_n{n_rows}_{os.path.basename(cdir)}"
+    if not os.path.isdir(out) or not glob.glob(f"{out}/*.tar"):
+        ds = ray.data.read_parquet(cdir)
+
+        def add_json(batch: pa.Table) -> pa.Table:
+            metas = [json_mod.dumps(
+                {"w": w, "h": h, "fmt": f, "phash": p})
+                for w, h, f, p in zip(
+                    batch["w"].to_pylist(), batch["h"].to_pylist(),
+                    batch["fmt"].to_pylist(),
+                    batch["phash"].to_pylist())]
+            return batch.append_column(
+                "meta", pa.array(metas, pa.string()))
+
+        wds_mod.write_webdataset(
+            ds.map_batches(add_json, batch_format="pyarrow"), out,
+            "image_id",
+            {"bytes": "img", "caption": "txt", "meta": "json"},
+            samples_per_shard=256)
+    shards = sorted(glob.glob(f"{out}/*.tar"))
+    wds = wds_mod.read_webdataset(shards, fields=["img", "txt", "json"])
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        metas = [json_mod.loads(m.decode())
+                 for m in batch["json"].to_pylist()]
+        return pa.table({
+            "image_id": batch["sample_id"],
+            "bytes": batch["img"],
+            "w": pa.array([m["w"] for m in metas], pa.int32()),
+            "h": pa.array([m["h"] for m in metas], pa.int32()),
+            "fmt": pa.array([m["fmt"] for m in metas], pa.string()),
+            "caption": pa.array(
+                [t.decode() for t in batch["txt"].to_pylist()],
+                pa.string()),
+            "phash": pa.array([m["phash"] for m in metas], pa.int64()),
+        })
+
+    corpus_ds = wds.map_batches(to_corpus, batch_format="pyarrow")
+    a_wds = dedup_pipeline(corpus_ds, n_rows_hint=n_rows).to_pandas()
+    a_pq = dedup_pipeline_from_dir(cdir).to_pandas()
+
+    def partition(df: pd.DataFrame) -> set:
+        return set(frozenset(g) for _, g in
+                   df.groupby("cluster_id")["image_id"])
+
+    p_wds, p_pq = partition(a_wds), partition(a_pq)
+    return pd.DataFrame({
+        "n_rows": [n_rows], "n_shards": [len(shards)],
+        "n_clusters_wds": [len(p_wds)], "n_clusters_pq": [len(p_pq)],
+        "partitions_equal": [int(p_wds == p_pq)],
+    }).astype("int64")

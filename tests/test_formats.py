@@ -340,3 +340,17 @@ def test_webdataset_sample_grouping_kernel():
     got = dict(iter_tar_samples(buf.getvalue()))
     assert got == {"a": {"img": b"AA", "seg.png": b"S", "txt": b"cap"},
                    "b": {"img": b"BB"}}
+
+
+def test_flagship_from_webdataset_identical_partition(ray_session):
+    """The flagship near-dup pipeline over webdataset tar shards
+    produces the identical cluster partition as over the parquet
+    original — input-format independence, certified member-set by
+    member-set."""
+    import __ray_entry__ as em
+
+    out = em.queries()["corpus_dedup_from_wds"]("/root/testdata/sf0.001")
+    row = out.iloc[0]
+    assert int(row["partitions_equal"]) == 1
+    assert int(row["n_clusters_wds"]) == int(row["n_clusters_pq"])
+    assert int(row["n_shards"]) >= 4
