@@ -192,6 +192,9 @@ queries() entries map to SURVEY.md §2 operators:
                        actor pool; PSNR pinned by pytest (rows-only)
   partitioned_write_readback hive-partitioned write → pruned read-back
                        round trip, WHERE-mirror certified (oracle)
+  decode_quarantine_mixed dead-letter routing across ALL SEVEN codecs
+                       (corruption planted per container; fmt still
+                       attributed via signature sniff), exact split
   decode_quarantine_stats poison-row dead-letter routing: planted
                        corrupt payloads quarantine per-row, job never
                        fails (rows-only + exact pytest)
@@ -2286,6 +2289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_from_wds": ingest.corpus_dedup_from_wds,
         "image_format_stats": ingest.image_format_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
+        "decode_quarantine_mixed": ingest.decode_quarantine_mixed,
         "partitioned_write_readback": ingest.partitioned_write_readback,
         "zonemap_prune_stats": ingest.zonemap_prune_stats,
         "jfif_dc_dedup": ingest.jfif_dc_dedup,

@@ -9869,3 +9869,125 @@ def corpus_dedup_from_wds(sf_dir: str, n_rows: int = 2000):
         "n_clusters_wds": [len(p_wds)], "n_clusters_pq": [len(p_pq)],
         "partitions_equal": [int(p_wds == p_pq)],
     }).astype("int64")
+
+
+_SNIFF_FMTS = ("png", "jfif", "gif", "bmp", "pnm", "tiff", "webp")
+
+
+def _sniff_fmt(data: bytes) -> str:
+    """Container identification from the signature bytes alone — works
+    on corrupt payloads whose headers survived (the quarantine report
+    needs the fmt even when decode cannot run)."""
+    head = bytes(data[:12])
+    if head[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if head[:2] == b"\xff\xd8":
+        return "jfif"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if head[:2] == b"BM":
+        return "bmp"
+    if head[:1] == b"P" and len(head) > 1 and 0x31 <= head[1] <= 0x36:
+        return "pnm"
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "webp"
+    return "unknown"
+
+
+def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
+                              corrupt_every: int = 4) -> str:
+    """Seven-container corpus with planted corruption in EVERY codec:
+    every `corrupt_every`-th payload of each format is either
+    truncated to half (headers survive — the sniffer still attributes
+    the format) or, for WebP, its chunk tag is wrecked. Deterministic;
+    the quarantine split is exactly pinnable."""
+    from .. import bmp as bmp_mod
+    from .. import codec as codec_mod
+    from .. import corpus as corpus_mod
+    from .. import gif as gif_mod
+    from .. import jpeg as jpeg_mod
+    from .. import netpbm as netpbm_mod
+    from .. import tiff as tiff_mod
+    from .. import webp as webp_mod
+
+    out = f"/tmp/destor_ray_mixed_bad/v1_n{n_per_fmt}_e{corrupt_every}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    for i in range(n_per_fmt):
+        px, _w, _h, _, _ = corpus_mod._base_pixels(seed=13, row=i)
+        idx = ((px[:, :, 0] >> 5).astype(np.uint8) << 5
+               | (px[:, :, 1] >> 5) << 2 | (px[:, :, 2] >> 6))
+        row = {
+            "png": codec_mod.png_encode(px),
+            "jfif": jpeg_mod.encode(px, 88),
+            "gif": gif_mod.encode(idx, _PAL332),
+            "bmp": bmp_mod.encode(px),
+            "pnm": netpbm_mod.encode(px),
+            "tiff": tiff_mod.encode(px, compression="lzw"),
+            "webp": webp_mod.encode(px),
+        }
+        for fmt in _SNIFF_FMTS:
+            blob = row[fmt]
+            if i % corrupt_every == 0:
+                if fmt == "webp":
+                    b = bytearray(blob)
+                    b[12:16] = b"XXXX"  # headers survive, chunk walk fails
+                    blob = bytes(b)
+                else:
+                    blob = blob[:len(blob) // 2]
+            ids.append(f"mx{i:05d}_{fmt}")
+            blobs.append(blob)
+    return _commit_fixture(out, {"images": pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    })})
+
+
+def decode_quarantine_mixed(sf_dir: str, n_per_fmt: int = 32,
+                            corrupt_every: int = 4):
+    """(fmt, status, n) — the dead-letter discipline ACROSS ALL SEVEN
+    codecs: a mixed-container corpus with corruption planted in every
+    format flows through the same ImageDecodeQuarantine pool; bad
+    rows quarantine per-row with the container still attributed (the
+    signature sniff survives truncation), good rows decode — no codec
+    can fail the job. Includes the VP8L hardening this query forced:
+    a truncated WebP now RAISES instead of fabricating zero bits into
+    garbage pixels. Exact pytest pins the per-format split."""
+    from ray.data.aggregate import Count
+
+    from ..stages.multimodal import ImageDecodeQuarantine
+
+    d = _corrupt_mixed_corpus_dir(n_per_fmt, corrupt_every)
+    ds = ray.data.read_parquet(f"{d}/images.parquet")
+
+    def add_fmt(batch: pa.Table) -> pa.Table:
+        fmts = [_sniff_fmt(b) for b in batch["bytes"].to_pylist()]
+        return batch.append_column("fmt", pa.array(fmts, pa.string()))
+
+    out = ds.map_batches(add_fmt, batch_format="pyarrow") \
+        .map_batches(_QuarantineKeepFmt, batch_format="pyarrow",
+                     batch_size=64, concurrency=2)
+    agg = out.groupby(["fmt", "status"]).aggregate(
+        Count(alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "fmt": b["fmt"], "status": b["status"],
+            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+class _QuarantineKeepFmt:
+    """ImageDecodeQuarantine with the sniffed fmt column riding
+    through (the stage's schema is fixed; this wrapper joins fmt back
+    without a shuffle — same batch, same order)."""
+
+    def __init__(self):
+        from ..stages.multimodal import ImageDecodeQuarantine
+        self._inner = ImageDecodeQuarantine()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        res = self._inner(batch.drop_columns(["fmt"]))
+        return res.append_column("fmt", batch["fmt"])

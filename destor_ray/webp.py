@@ -71,6 +71,10 @@ class _BitReader:
     def read(self, n: int) -> int:
         if n == 0:
             return 0
+        if self.pos + n > len(self.data) * 8:
+            # fabricating zero bits would decode garbage pixels from a
+            # truncated shard instead of routing it to quarantine
+            raise ValueError("truncated VP8L stream")
         byte0 = self.pos >> 3
         window = int.from_bytes(
             self.data[byte0:byte0 + (((self.pos & 7) + n + 7) >> 3)],

@@ -354,3 +354,28 @@ def test_flagship_from_webdataset_identical_partition(ray_session):
     assert int(row["partitions_equal"]) == 1
     assert int(row["n_clusters_wds"]) == int(row["n_clusters_pq"])
     assert int(row["n_shards"]) >= 4
+
+
+def test_decode_quarantine_mixed_exact_split(ray_session):
+    """Corruption planted in every one of the seven codecs routes to
+    quarantine per-row with the container still attributed; good rows
+    decode. The truncated-VP8L case is the regression this pinned:
+    the bit reader now raises instead of fabricating zero bits."""
+    import __ray_entry__ as em
+
+    out = em.queries()["decode_quarantine_mixed"](
+        "/root/testdata/sf0.001")
+    df = out.to_pandas().set_index(["fmt", "status"])["n"]
+    for fmt in ("png", "jfif", "gif", "bmp", "pnm", "tiff", "webp"):
+        assert int(df[(fmt, "corrupt")]) == 8, fmt
+        assert int(df[(fmt, "ok")]) == 24, fmt
+
+
+def test_truncated_vp8l_raises():
+    from destor_ray import webp
+
+    px = RNG.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+    d = webp.encode(px)
+    import pytest
+    with pytest.raises(ValueError):
+        webp.decode(d[:len(d) // 2])
