@@ -619,4 +619,7 @@ def decode_frames(data: bytes) -> list:
         from . import avi as _avi
         from . import jpeg as _jpeg
         return [_jpeg.decode(f) for f in _avi.decode_frames(data)]
+    if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
+        from . import tiff as _tiff
+        return _tiff.decode_pages(data)  # multi-page scans
     return [decode(data)]

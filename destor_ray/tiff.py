@@ -6,8 +6,11 @@ value arrays, stripped images (any RowsPerStrip), compressions 1
 8/32946 (zlib Deflate) and 32773 (PackBits), horizontal-differencing
 predictor 2, photometric interpretations 0/1 (gray, either polarity,
 1/4/8/16 bits), 2 (RGB, 8 or 16 bits/sample, chunky planar config)
-and 3 (palette via the 16-bit ColorMap tag). TIFF is the archival /
-scanner format of a crawl's document slice.
+and 3 (palette via the 16-bit ColorMap tag), plus the TILED layout
+(TileWidth/TileLength/TileOffsets, padded edge tiles) and MULTI-PAGE
+IFD chains (decode_pages — scanner/fax outputs; codec.decode_frames
+dispatches them as frames). TIFF is the archival / scanner format of
+a crawl's document slice.
 
 Encoder: 8-bit RGB and grayscale writers with compression
 none/PackBits/LZW (+ optional predictor 2) and configurable
@@ -37,12 +40,15 @@ def is_tiff(data) -> bool:
     return head in (b"II*\x00", b"MM\x00*")
 
 
-def _read_ifd(data: bytes):
-    """Parse the first IFD into {tag: numpy value array}."""
+def _read_ifd(data: bytes, off: int | None = None):
+    """Parse one IFD into {tag: numpy value array}; returns
+    (byte_order, tags, next_ifd_offset) — 0 next-offset ends the
+    multi-page chain."""
     if not is_tiff(data):
         raise ValueError("not a TIFF stream")
     bo = "<" if data[:2] == b"II" else ">"
-    off = struct.unpack_from(bo + "I", data, 4)[0]
+    if off is None:
+        off = struct.unpack_from(bo + "I", data, 4)[0]
     n = struct.unpack_from(bo + "H", data, off)[0]
     tags = {}
     for i in range(n):
@@ -66,12 +72,13 @@ def _read_ifd(data: bytes):
         else:
             continue
         tags[tag] = vals
-    return bo, tags
+    nxt = struct.unpack_from(bo + "I", data, off + 2 + 12 * n)[0]
+    return bo, tags, nxt
 
 
 def meta(data: bytes) -> tuple[int, int]:
     """(w, h) from the first IFD without decoding strips."""
-    _, tags = _read_ifd(data)
+    _, tags, _ = _read_ifd(data)
     return int(tags[256][0]), int(tags[257][0])
 
 
@@ -217,8 +224,42 @@ def _packbits_encode(row: bytes) -> bytes:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode a baseline TIFF into an (h, w, 3) uint8 RGB array."""
-    bo, tags = _read_ifd(data)
+    """Decode a baseline TIFF (first page) into an (h, w, 3) uint8
+    RGB array."""
+    bo, tags, _ = _read_ifd(data)
+    return _decode_ifd(data, bo, tags)
+
+
+def decode_pages(data: bytes) -> list[np.ndarray]:
+    """All pages of a multi-page TIFF (the IFD chain — scanner and
+    fax outputs), each an (h, w, 3) array."""
+    bo, tags, nxt = _read_ifd(data)
+    pages = [_decode_ifd(data, bo, tags)]
+    seen = set()
+    while nxt and nxt not in seen and len(pages) < 4096:
+        seen.add(nxt)
+        bo, tags, nxt = _read_ifd(data, nxt)
+        pages.append(_decode_ifd(data, bo, tags))
+    return pages
+
+
+def _decompress(buf: bytes, comp: int, expect: int) -> bytes:
+    if comp == 1:
+        raw = buf[:expect]
+    elif comp == 5:
+        raw = _lzw_decode(buf)[:expect]
+    elif comp in (8, 32946):
+        raw = zlib.decompress(buf)[:expect]
+    elif comp == 32773:
+        raw = _packbits_decode(buf, expect)
+    else:
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if len(raw) < expect:
+        raise ValueError("truncated strip/tile data")
+    return raw
+
+
+def _decode_ifd(data: bytes, bo: str, tags: dict) -> np.ndarray:
     w = int(tags[256][0])
     h = int(tags[257][0])
     comp = int(tags.get(259, [1])[0])
@@ -235,36 +276,48 @@ def decode(data: bytes) -> np.ndarray:
     bps = int(bits[0])
     if np.any(bits != bps):
         raise ValueError(f"mixed BitsPerSample {bits}")
-    offs = tags[273]
-    cnts = tags.get(279)
-    if cnts is None:
-        if len(offs) != 1:
-            raise ValueError("missing StripByteCounts")
-        cnts = np.array([len(data) - int(offs[0])])
-
     row_bytes = (w * spp * bps + 7) // 8
-    chunks = []
-    for si in range(len(offs)):
-        o, c = int(offs[si]), int(cnts[si])
-        buf = data[o:o + c]
-        nrows = min(rps, h - si * rps)
-        expect = row_bytes * nrows
-        if comp == 1:
-            raw = buf[:expect]
-        elif comp == 5:
-            raw = _lzw_decode(buf)[:expect]
-        elif comp in (8, 32946):
-            raw = zlib.decompress(buf)[:expect]
-        elif comp == 32773:
-            raw = _packbits_decode(buf, expect)
-        else:
-            raise ValueError(f"unsupported TIFF compression {comp}")
-        if len(raw) < expect:
-            raise ValueError("truncated strip data")
-        chunks.append(raw)
-    flat = np.frombuffer(b"".join(chunks), np.uint8)
+    if 322 in tags:  # tiled layout (TileWidth/TileLength/TileOffsets)
+        if bps != 8:
+            raise ValueError("tiled TIFF supported at 8 bits/sample")
+        tw_t = int(tags[322][0])
+        th_t = int(tags[323][0])
+        offs = tags[324]
+        cnts = tags[325]
+        n_across = -(-w // tw_t)
+        n_down = -(-h // th_t)
+        canvas = np.zeros((n_down * th_t, n_across * tw_t, spp),
+                          np.uint8)
+        trow = tw_t * spp
+        for ti in range(len(offs)):
+            raw = _decompress(data[int(offs[ti]):int(offs[ti])
+                                   + int(cnts[ti])], comp, trow * th_t)
+            tile = np.frombuffer(raw, np.uint8).reshape(th_t, tw_t, spp)
+            ty, tx = divmod(ti, n_across)
+            canvas[ty * th_t:(ty + 1) * th_t,
+                   tx * tw_t:(tx + 1) * tw_t] = tile
+        samp = canvas[:h, :w].astype(np.uint8)
+        if pred == 2:
+            raise ValueError("predictor on tiled TIFF unsupported")
+        flat = None
+    else:
+        offs = tags[273]
+        cnts = tags.get(279)
+        if cnts is None:
+            if len(offs) != 1:
+                raise ValueError("missing StripByteCounts")
+            cnts = np.array([len(data) - int(offs[0])])
+        chunks = []
+        for si in range(len(offs)):
+            nrows = min(rps, h - si * rps)
+            chunks.append(_decompress(
+                data[int(offs[si]):int(offs[si]) + int(cnts[si])],
+                comp, row_bytes * nrows))
+        flat = np.frombuffer(b"".join(chunks), np.uint8)
 
-    if bps == 8:
+    if flat is None:
+        pass  # tiled path already produced `samp`
+    elif bps == 8:
         samp = flat.reshape(h, w, spp).astype(np.uint8).copy()
         if pred == 2:
             np.cumsum(samp, axis=1, dtype=np.uint8, out=samp)

@@ -379,3 +379,148 @@ def test_truncated_vp8l_raises():
     import pytest
     with pytest.raises(ValueError):
         webp.decode(d[:len(d) // 2])
+
+
+def _raw_tiff_multi(pages, bo="<"):
+    """Minimal multi-page TIFF: each page an (h, w, 3) uint8 array,
+    uncompressed single strip; IFDs chained via next-IFD offsets."""
+    head = struct.pack(bo + "2sH", b"II" if bo == "<" else b"MM", 42)
+    blobs = []
+    # layout: header(8) | for each page: [IFD][strip]
+    n_tags = 9
+    ifd_size = 2 + 12 * n_tags + 4
+    pos = 8
+    metas = []
+    for px in pages:
+        h, w = px.shape[:2]
+        strip_off = pos + ifd_size
+        strip_len = h * w * 3
+        metas.append((pos, strip_off, strip_len, w, h))
+        pos = strip_off + strip_len + (strip_len & 1)
+    out = bytearray(head + struct.pack(bo + "I", 8))
+    for i, (px, (ifd_off, strip_off, strip_len, w, h)) in enumerate(
+            zip(pages, metas)):
+        nxt = metas[i + 1][0] if i + 1 < len(pages) else 0
+        tags = [(256, 4, [w]), (257, 4, [h]), (258, 3, [8, 8, 8]),
+                (259, 3, [1]), (262, 3, [2]), (273, 4, [strip_off]),
+                (277, 3, [3]), (278, 4, [h]), (279, 4, [strip_len])]
+        entries = b""
+        extra_pos = None
+        for t, ty, vals in sorted(tags):
+            fmt = {3: "H", 4: "I"}[ty]
+            packed = struct.pack(bo + fmt * len(vals), *vals)
+            if len(packed) <= 4:
+                entries += struct.pack(bo + "HHI", t, ty, len(vals)) \
+                    + packed.ljust(4, b"\0")
+            else:
+                # only 258 ([8,8,8], 6 bytes) goes out of line: stash
+                # it in the 2 spare bytes? no — inline SHORT[3] needs
+                # 6 bytes; point it at a constant we append after the
+                # strip of the LAST page
+                entries += struct.pack(bo + "HHII", t, ty, len(vals),
+                                       extra_pos or 0)
+        ifd = struct.pack(bo + "H", len(tags)) + entries \
+            + struct.pack(bo + "I", nxt)
+        assert len(ifd) == 2 + 12 * len(tags) + 4
+        out += ifd + px.tobytes()
+        if (h * w * 3) & 1:
+            out += b"\0"
+    # patch every 258 entry to point at a shared [8,8,8] at the end
+    bps_off = len(out)
+    out += struct.pack(bo + "HHH", 8, 8, 8)
+    blob = bytes(out)
+    patched = bytearray(blob)
+    pos = 8
+    for ifd_off, *_ in metas:
+        n = struct.unpack_from(bo + "H", blob, ifd_off)[0]
+        for k in range(n):
+            base = ifd_off + 2 + 12 * k
+            tag = struct.unpack_from(bo + "H", blob, base)[0]
+            if tag == 258:
+                struct.pack_into(bo + "I", patched, base + 8, bps_off)
+    return bytes(patched)
+
+
+def test_tiff_multipage_chain():
+    pages = [RNG.integers(0, 256, (9, 7, 3), dtype=np.uint8),
+             RNG.integers(0, 256, (5, 11, 3), dtype=np.uint8),
+             RNG.integers(0, 256, (6, 6, 3), dtype=np.uint8)]
+    d = _raw_tiff_multi(pages)
+    out = tiff.decode_pages(d)
+    assert len(out) == 3
+    for a, b in zip(pages, out):
+        assert np.array_equal(a, b)
+    # decode() returns the first page only
+    assert np.array_equal(tiff.decode(d), pages[0])
+
+
+def test_tiff_tiled_decode():
+    """12x10 RGB image in 8x8 tiles (2x2 grid, right/bottom padding),
+    PackBits-compressed tiles."""
+    from destor_ray.tiff import _packbits_encode
+
+    px = RNG.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    th, tw = 8, 8
+    tiles = []
+    for ty in range(2):
+        for tx in range(2):
+            tile = np.zeros((th, tw, 3), np.uint8)
+            seg = px[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+            tile[:seg.shape[0], :seg.shape[1]] = seg
+            raw = tile.tobytes()
+            comp = b"".join(_packbits_encode(raw[r:r + tw * 3])
+                            for r in range(0, len(raw), tw * 3))
+            tiles.append(comp)
+    # assemble: header + IFD + tile data
+    bo = "<"
+    n_tags = 10
+    ifd_size = 2 + 12 * n_tags + 4
+    data_start = 8 + ifd_size
+    # out-of-line arrays: bps[3] (6B), offsets[4] (16B), counts[4] (16B)
+    bps_off = data_start
+    offs_off = bps_off + 6
+    cnts_off = offs_off + 16
+    tile0 = cnts_off + 16
+    offsets, pos = [], tile0
+    for t in tiles:
+        offsets.append(pos)
+        pos += len(t) + (len(t) & 1)
+    tags = [(256, 4, [12]), (257, 4, [10]), (258, 3, None),
+            (259, 3, [32773]), (262, 3, [2]), (277, 3, [3]),
+            (322, 4, [8]), (323, 4, [8]), (324, 4, None),
+            (325, 4, None)]
+    entries = b""
+    for t, ty_, vals in sorted(tags):
+        if t == 258:
+            entries += struct.pack(bo + "HHII", t, ty_, 3, bps_off)
+        elif t == 324:
+            entries += struct.pack(bo + "HHII", t, ty_, 4, offs_off)
+        elif t == 325:
+            entries += struct.pack(bo + "HHII", t, ty_, 4, cnts_off)
+        else:
+            packed = struct.pack(bo + {3: "H", 4: "I"}[ty_] * len(vals),
+                                 *vals)
+            entries += struct.pack(bo + "HHI", t, ty_, len(vals)) \
+                + packed.ljust(4, b"\0")
+    out = bytearray(struct.pack(bo + "2sHI", b"II", 42, 8))
+    out += struct.pack(bo + "H", n_tags) + entries \
+        + struct.pack(bo + "I", 0)
+    out += struct.pack(bo + "HHH", 8, 8, 8)
+    out += struct.pack(bo + "IIII", *offsets)
+    out += struct.pack(bo + "IIII", *[len(t) for t in tiles])
+    for t in tiles:
+        out += t
+        if len(t) & 1:
+            out += b"\0"
+    got = tiff.decode(bytes(out))
+    assert np.array_equal(got, px)
+
+
+def test_codec_decode_frames_multipage_tiff():
+    from destor_ray import codec as codec_mod
+
+    pages = [RNG.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+             for _ in range(2)]
+    frames = codec_mod.decode_frames(_raw_tiff_multi(pages))
+    assert len(frames) == 2
+    assert np.array_equal(frames[1], pages[1])
