@@ -36,7 +36,9 @@ BENCH_CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_CORPUS_ROWS", "50000"))
 
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # children only contribute the headline; skip the query sweep
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
@@ -132,10 +134,11 @@ def main() -> None:
     }
     timings["corpus_dedup_clusters"] = round(headline, 3)
 
-    # operator queries over the driver tables at SF_DIR
+    # operator queries over the driver tables at SF_DIR (skipped in
+    # scaling children — their sweep timings are never consumed)
     import __ray_entry__ as em
     qs = em.queries()
-    for name in ["exact_dedup_docs", "minhash_lsh_docs", "ann_topk",
+    for name in [] if os.environ.get("GRAFT_HEADLINE_ONLY") else ["exact_dedup_docs", "minhash_lsh_docs", "ann_topk",
                  "embedding_dedup_pairs", "container_refs",
                  "cap_top_containers", "token_count",
                  "curation_pipeline", "segment_dedup", "bm25_scores",
