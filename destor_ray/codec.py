@@ -265,6 +265,32 @@ def encode(pixels: np.ndarray, fmt: str, quality: int = 90) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def sniff_format(data) -> str:
+    """Canonical container label from the byte signature alone — the
+    ONE magic-number table behind decode, decode_meta and the
+    quarantine attribution (works on corrupt payloads whose headers
+    survived): png / jpeg / gif / bmp / pnm / tiff / webp / dri1 /
+    unknown."""
+    head = bytes(data[:12]) if len(data) >= 12 else bytes(data)
+    if head[:8] == PNG_SIG:
+        return "png"
+    if head[:2] == b"\xff\xd8":
+        return "jpeg"
+    if head[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if head[:2] == b"BM":
+        return "bmp"
+    if head[:1] == b"P" and len(head) > 1 and 0x31 <= head[1] <= 0x36:
+        return "pnm"
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
+        return "webp"
+    if head[:4] == MAGIC:
+        return "dri1"
+    return "unknown"
+
+
 def decode(data: bytes) -> np.ndarray:
     """Decode payload bytes (PNG, real JFIF JPEG, GIF, BMP, TIFF,
     Netpbm, or DRI1 — dispatched on the byte signature) back into an
@@ -291,7 +317,8 @@ def decode(data: bytes) -> np.ndarray:
         return _netpbm.decode(data)
     magic, codec, qual, w, h, chans = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
-        raise ValueError("bad magic; not PNG, JFIF, or DRI1")
+        raise ValueError(
+            "bad magic; not one of the seven containers or DRI1")
     raw = np.frombuffer(zlib.decompress(data[_HDR.size:]), dtype=np.uint8)
     arr = raw.reshape(h, w, chans)
     if codec == 1:
@@ -328,10 +355,11 @@ def decode_meta(data: bytes) -> tuple[str, int, int, int]:
     if len(data) >= 2 and data[0:1] == b"P" and data[1] in range(0x31, 0x37):
         from . import netpbm as _netpbm
         w, h = _netpbm.meta(data)
-        return ("netpbm", 100, w, h)
+        return ("pnm", 100, w, h)
     magic, codec, qual, w, h, _ = _HDR.unpack_from(data, 0)
     if magic != MAGIC:
-        raise ValueError("bad magic; not PNG, JFIF, or DRI1")
+        raise ValueError(
+            "bad magic; not one of the seven containers or DRI1")
     return ("png" if codec == 0 else "jpeg", qual, w, h)
 
 

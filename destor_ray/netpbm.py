@@ -71,7 +71,14 @@ def decode(data: bytes) -> np.ndarray:
             raise ValueError(f"bad maxval {maxval}")
     n_samp = w * h * (3 if kind in b"36" else 1)
 
-    if kind in b"123":  # ASCII sample text
+    if kind == b"1":  # ASCII bitmap: digits need NO separators (pbm(5))
+        text = re.sub(rb"#[^\n]*", b"", data[pos:])
+        arr = np.frombuffer(text, np.uint8)
+        vals = (arr[(arr == 0x30) | (arr == 0x31)] - 0x30) \
+            .astype(np.int64)[:n_samp]
+        if len(vals) < n_samp:
+            raise ValueError("truncated netpbm samples")
+    elif kind in b"23":  # ASCII sample text
         text = data[pos:]
         vals = np.array(text.split()[:n_samp], dtype=np.int64)
         if len(vals) < n_samp:

@@ -9761,12 +9761,20 @@ def webdataset_roundtrip_stats(sf_dir: str, n_rows: int = 512,
     cdir = corpus_mod.ensure_corpus_parquet(n_rows, seed=42)
     out = (f"/tmp/destor_ray_wds/v1_n{n_rows}_s{samples_per_shard}_"
            f"{os.path.basename(cdir)}")
-    if not os.path.isdir(out) or not glob.glob(f"{out}/*.tar"):
+    if not os.path.isdir(out):
+        # atomic publish: a crashed partial export must never be
+        # mistaken for the corpus (the _commit_fixture discipline)
+        tmp = f"{out}.tmp.{os.getpid()}"
         ds = ray.data.read_parquet(
             cdir, columns=["image_id", "bytes", "caption"])
         wds_mod.write_webdataset(
-            ds, out, "image_id", {"bytes": "img", "caption": "txt"},
+            ds, tmp, "image_id", {"bytes": "img", "caption": "txt"},
             samples_per_shard=samples_per_shard)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     shards = sorted(glob.glob(f"{out}/*.tar"))
     wds = wds_mod.read_webdataset(shards, fields=["img", "txt"])
 
@@ -9819,7 +9827,8 @@ def corpus_dedup_from_wds(sf_dir: str, n_rows: int = 2000):
 
     cdir = corpus_mod.ensure_corpus_parquet(n_rows, seed=42)
     out = f"/tmp/destor_ray_wds_flag/v1_n{n_rows}_{os.path.basename(cdir)}"
-    if not os.path.isdir(out) or not glob.glob(f"{out}/*.tar"):
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
         ds = ray.data.read_parquet(cdir)
 
         def add_json(batch: pa.Table) -> pa.Table:
@@ -9833,10 +9842,15 @@ def corpus_dedup_from_wds(sf_dir: str, n_rows: int = 2000):
                 "meta", pa.array(metas, pa.string()))
 
         wds_mod.write_webdataset(
-            ds.map_batches(add_json, batch_format="pyarrow"), out,
+            ds.map_batches(add_json, batch_format="pyarrow"), tmp,
             "image_id",
             {"bytes": "img", "caption": "txt", "meta": "json"},
             samples_per_shard=256)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     shards = sorted(glob.glob(f"{out}/*.tar"))
     wds = wds_mod.read_webdataset(shards, fields=["img", "txt", "json"])
 
@@ -9871,29 +9885,15 @@ def corpus_dedup_from_wds(sf_dir: str, n_rows: int = 2000):
     }).astype("int64")
 
 
-_SNIFF_FMTS = ("png", "jfif", "gif", "bmp", "pnm", "tiff", "webp")
+_SNIFF_FMTS = ("png", "jpeg", "gif", "bmp", "pnm", "tiff", "webp")
 
 
 def _sniff_fmt(data: bytes) -> str:
-    """Container identification from the signature bytes alone — works
-    on corrupt payloads whose headers survived (the quarantine report
-    needs the fmt even when decode cannot run)."""
-    head = bytes(data[:12])
-    if head[:8] == b"\x89PNG\r\n\x1a\n":
-        return "png"
-    if head[:2] == b"\xff\xd8":
-        return "jfif"
-    if head[:6] in (b"GIF87a", b"GIF89a"):
-        return "gif"
-    if head[:2] == b"BM":
-        return "bmp"
-    if head[:1] == b"P" and len(head) > 1 and 0x31 <= head[1] <= 0x36:
-        return "pnm"
-    if head[:4] in (b"II*\x00", b"MM\x00*"):
-        return "tiff"
-    if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
-        return "webp"
-    return "unknown"
+    """Container identification from the signature bytes alone — the
+    quarantine report needs the fmt even when decode cannot run.
+    Delegates to the ONE magic-number table (codec.sniff_format)."""
+    from .. import codec as codec_mod
+    return codec_mod.sniff_format(data)
 
 
 def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
@@ -9912,7 +9912,7 @@ def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
     from .. import tiff as tiff_mod
     from .. import webp as webp_mod
 
-    out = f"/tmp/destor_ray_mixed_bad/v1_n{n_per_fmt}_e{corrupt_every}"
+    out = f"/tmp/destor_ray_mixed_bad/v2_n{n_per_fmt}_e{corrupt_every}"
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -9922,7 +9922,7 @@ def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
                | (px[:, :, 1] >> 5) << 2 | (px[:, :, 2] >> 6))
         row = {
             "png": codec_mod.png_encode(px),
-            "jfif": jpeg_mod.encode(px, 88),
+            "jpeg": jpeg_mod.encode(px, 88),
             "gif": gif_mod.encode(idx, _PAL332),
             "bmp": bmp_mod.encode(px),
             "pnm": netpbm_mod.encode(px),
@@ -9957,8 +9957,6 @@ def decode_quarantine_mixed(sf_dir: str, n_per_fmt: int = 32,
     a truncated WebP now RAISES instead of fabricating zero bits into
     garbage pixels. Exact pytest pins the per-format split."""
     from ray.data.aggregate import Count
-
-    from ..stages.multimodal import ImageDecodeQuarantine
 
     d = _corrupt_mixed_corpus_dir(n_per_fmt, corrupt_every)
     ds = ray.data.read_parquet(f"{d}/images.parquet")

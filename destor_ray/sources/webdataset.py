@@ -2,8 +2,9 @@
 recast for training-data interchange).
 
 WebDataset shards are plain POSIX tar files whose members group into
-samples by basename: `000123.jpg` + `000123.txt` + `000123.json` is
-one sample with three fields keyed by extension. It is the standard
+samples by path-up-to-the-first-dot (directories kept):
+`00/000123.jpg` + `00/000123.txt` + `00/000123.json` is one sample
+with three fields keyed by extension. It is the standard
 sharded layout for image+caption training corpora (used by the
 open-source webdataset library and the large public crawls), chosen
 precisely because a shard is a sequential read and shards parallelize
@@ -27,6 +28,7 @@ discipline the brief requires.
 
 from __future__ import annotations
 
+import hashlib
 import io
 import os
 import tarfile
@@ -45,11 +47,12 @@ def iter_tar_samples(data: bytes):
     for member in tf:
         if not member.isfile():
             continue
-        name = os.path.basename(member.name)
+        dirn, name = os.path.split(member.name)
         if "." not in name:
-            key, ext = name, ""
+            stem, ext = name, ""
         else:
-            key, ext = name.split(".", 1)
+            stem, ext = name.split(".", 1)
+        key = f"{dirn}/{stem}" if dirn else stem
         if key != cur_key and cur_key is not None:
             yield cur_key, fields
             fields = {}
@@ -127,7 +130,6 @@ def write_webdataset(ds, out_dir: str, id_col: str,
             data = _tar_bytes(members)
             # deterministic per-content shard name: no cross-task
             # coordination, identical bytes on retry
-            import hashlib
             tag = hashlib.sha1(data).hexdigest()[:16]
             path = os.path.join(out_dir, f"shard-{tag}.tar")
             tmp = f"{path}.tmp.{os.getpid()}"

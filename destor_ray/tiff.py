@@ -88,9 +88,7 @@ def _lzw_decode(buf: bytes) -> bytes:
     (width increments when the NEXT code would not fit — one entry
     earlier than GIF's convention)."""
     out = bytearray()
-    data = np.frombuffer(buf, np.uint8)
-    # Unpack the whole stream to a bit cursor
-    nbits_total = len(data) * 8
+    nbits_total = len(buf) * 8
     pos = 0
     width = 9
 

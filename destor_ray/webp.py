@@ -606,6 +606,8 @@ def encode(pixels: np.ndarray, subtract_green: bool = True,
     if pixels.dtype != np.uint8 or pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError(f"expected (h,w,3) uint8, got {pixels.shape}")
     h, w = pixels.shape[:2]
+    if w > 16384 or h > 16384:
+        raise ValueError(f"VP8L dimensions cap at 16384, got {w}x{h}")
     r = pixels[:, :, 0].astype(np.int64).reshape(-1)
     g = pixels[:, :, 1].astype(np.int64).reshape(-1)
     b = pixels[:, :, 2].astype(np.int64).reshape(-1)

@@ -96,7 +96,7 @@ def test_netpbm_p6_p5_roundtrip_and_dispatch():
     assert np.array_equal(netpbm.decode(d6), PX)
     assert netpbm.meta(d6) == (53, 37)
     assert np.array_equal(codec.decode(d6), PX)
-    assert codec.decode_meta(d6) == ("netpbm", 100, 53, 37)
+    assert codec.decode_meta(d6) == ("pnm", 100, 53, 37)
     d5 = netpbm.encode_gray(GRAY)
     assert np.array_equal(netpbm.decode(d5),
                           np.repeat(GRAY[:, :, None], 3, 2))
@@ -127,6 +127,11 @@ def test_netpbm_bitmaps_and_16bit():
                     .astype(np.uint8)[:, :, None], 3, 2)
     assert np.array_equal(netpbm.decode(p1), exp)
     assert np.array_equal(netpbm.decode(p4), exp)
+    # P1 digits need NO separators per pbm(5) — packed rows decode too
+    p1_packed = (b"P1\n23 16\n"
+                 + b"\n".join(b"".join(str(v).encode() for v in row)
+                              for row in bits))
+    assert np.array_equal(netpbm.decode(p1_packed), exp)
     v = RNG.integers(0, 65536, (9, 11))
     p5 = b"P5\n11 9\n65535\n" + v.astype(">u2").tobytes()
     assert np.array_equal(netpbm.decode(p5)[:, :, 0],
@@ -294,7 +299,7 @@ def test_image_format_stats_counts(ray_session):
     out = em.queries()["image_format_stats"]("/root/testdata/sf0.001")
     df = out.to_pandas().set_index("fmt")["n"]
     assert int(df["png"]) == 90
-    for fmt in ("bmp", "netpbm", "tiff", "webp", "jpeg", "gif"):
+    for fmt in ("bmp", "pnm", "tiff", "webp", "jpeg", "gif"):
         assert int(df[fmt]) == 5, fmt
 
 
@@ -340,6 +345,18 @@ def test_webdataset_sample_grouping_kernel():
     got = dict(iter_tar_samples(buf.getvalue()))
     assert got == {"a": {"img": b"AA", "seg.png": b"S", "txt": b"cap"},
                    "b": {"img": b"BB"}}
+    # directory-aware keys: same basename in different dirs stays
+    # two samples (the real-shard layout)
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:") as tf:
+        for name, blob in [("00/0001.img", b"A"), ("00/0001.txt", b"x"),
+                           ("01/0001.img", b"B"), ("01/0001.txt", b"y")]:
+            info = tarfile.TarInfo(name=name)
+            info.size = len(blob)
+            tf.addfile(info, io.BytesIO(blob))
+    got = dict(iter_tar_samples(buf.getvalue()))
+    assert got == {"00/0001": {"img": b"A", "txt": b"x"},
+                   "01/0001": {"img": b"B", "txt": b"y"}}
 
 
 def test_flagship_from_webdataset_identical_partition(ray_session):
@@ -366,7 +383,7 @@ def test_decode_quarantine_mixed_exact_split(ray_session):
     out = em.queries()["decode_quarantine_mixed"](
         "/root/testdata/sf0.001")
     df = out.to_pandas().set_index(["fmt", "status"])["n"]
-    for fmt in ("png", "jfif", "gif", "bmp", "pnm", "tiff", "webp"):
+    for fmt in ("png", "jpeg", "gif", "bmp", "pnm", "tiff", "webp"):
         assert int(df[(fmt, "corrupt")]) == 8, fmt
         assert int(df[(fmt, "ok")]) == 24, fmt
 
