@@ -541,3 +541,28 @@ def test_codec_decode_frames_multipage_tiff():
     frames = codec_mod.decode_frames(_raw_tiff_multi(pages))
     assert len(frames) == 2
     assert np.array_equal(frames[1], pages[1])
+
+
+def test_sniff_format_canonical_labels():
+    """One magic-number table: decode, decode_meta and the quarantine
+    attribution all agree on the canonical container labels."""
+    from destor_ray import codec as codec_mod
+    from destor_ray import gif, jpeg, webp
+
+    px = RNG.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    idx = (px[:, :, 0] >> 4).astype(np.uint8)
+    pal = RNG.integers(0, 256, (16, 3), dtype=np.uint8)
+    cases = {
+        "png": codec_mod.png_encode(px),
+        "jpeg": jpeg.encode(px, 90),
+        "gif": gif.encode(idx, pal),
+        "bmp": bmp.encode(px),
+        "pnm": netpbm.encode(px),
+        "tiff": tiff.encode(px),
+        "webp": webp.encode(px),
+    }
+    for want, blob in cases.items():
+        assert codec_mod.sniff_format(blob) == want, want
+        # truncation keeps the attribution (the quarantine use case)
+        assert codec_mod.sniff_format(blob[:16]) == want, want
+    assert codec_mod.sniff_format(b"\x00\x01garbage") == "unknown"
