@@ -1547,55 +1547,10 @@ def gif_animation_dedup(sf_dir: str, n_base: int = 36,
     sigs = ds.map_batches(GifAnimSignature, batch_size=32,
                           concurrency=2, batch_format="pyarrow")
 
-    N_BANDS, BITS = 8, 8
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        keys, vids, thumbs = [], [], []
-        mask = np.uint64((1 << BITS) - 1)
-        tcol = batch["thumbs"].to_pylist()
-        idcol = batch["video_id"].to_pylist()
-        for ch, col in enumerate(("phash", "ahash")):
-            hl = batch[col].to_pylist()
-            for r, hv in enumerate(hl):
-                hv = np.asarray(hv, np.int64).view(np.uint64)
-                for slot in range(len(hv)):
-                    for band in range(N_BANDS):
-                        bits = (hv[slot] >> np.uint64(BITS * band)) & mask
-                        slotkey = ((slot * 2 + ch) * N_BANDS + band)
-                        keys.append((slotkey << BITS) | int(bits))
-                        vids.append(idcol[r])
-                        thumbs.append(tcol[r])
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "video_id": pa.array(vids, pa.string()),
-            "thumbs": pa.array(thumbs, pa.binary()),
-        })
-
-    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+    bands = sigs.map_batches(_slot_band_rows, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs = [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["video_id"].tolist()
-            if len(ids) < 2:
-                continue
-            tset = [np.frombuffer(t, np.uint8).reshape(-1, 16, 16)
-                    for t in g["thumbs"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    k = min(len(tset[i]), len(tset[j]))
-                    good = sum(
-                        1 for s in range(k)
-                        if codec.psnr(tset[i][s], tset[j][s]) * 100
-                        >= psnr_min_centi)
-                    if good >= min(min_slots, k):
-                        l, r = sorted((ids[i], ids[j]))
-                        ls.append(l)
-                        rs.append(r)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string())})
+        return _slot_verify_bucket(df, psnr_min_centi, min_slots)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -1607,6 +1562,68 @@ def gif_animation_dedup(sf_dir: str, n_base: int = 36,
         kind = _GIFA_KINDS[(i // dup_every) % len(_GIFA_KINDS)]
         truth_by_kind[kind].add((f"ga{i:05d}", f"ga{i:05d}_{kind}"))
     return _per_class_report(got, truth_by_kind, _GIFA_KINDS)
+
+
+
+def _slot_band_rows(batch: pa.Table, n_bands: int = 8,
+                    bits: int = 8) -> pa.Table:
+    """Shared k-slot LSH band fan-out for animation/video channels
+    (round-3 harness extraction — gif_animation_dedup and
+    crossformat_animation_dedup carried identical copies): per row,
+    per hash family (phash/ahash list columns, ragged lengths OK),
+    per slot, per band — band key (slotkey << bits) | slice with
+    slotkey = (slot*2 + family)*n_bands + band; the packed slot-thumb
+    payload rides every band row."""
+    keys, vids, thumbs = [], [], []
+    mask = np.uint64((1 << bits) - 1)
+    tcol = batch["thumbs"].to_pylist()
+    idcol = batch["video_id"].to_pylist()
+    for ch, col in enumerate(("phash", "ahash")):
+        hl = batch[col].to_pylist()
+        for r, hv in enumerate(hl):
+            hv = np.asarray(hv, np.int64).view(np.uint64)
+            for slot in range(len(hv)):
+                for band in range(n_bands):
+                    bslice = (hv[slot] >> np.uint64(bits * band)) & mask
+                    slotkey = ((slot * 2 + ch) * n_bands + band)
+                    keys.append((slotkey << bits) | int(bslice))
+                    vids.append(idcol[r])
+                    thumbs.append(tcol[r])
+    return pa.table({
+        "bkey": pa.array(keys, pa.int64()),
+        "video_id": pa.array(vids, pa.string()),
+        "thumbs": pa.array(thumbs, pa.binary()),
+    })
+
+
+def _slot_verify_bucket(df, psnr_min_centi: int, min_slots: int):
+    """Shared slot-majority verify for animation/video channels: a
+    pair merges when >= min(min_slots, k) of the k aligned slot
+    thumbs clear the PSNR gate (k = the shorter reel — a still
+    poster frame degrades to the single-slot gate)."""
+    from .. import codec
+    ls, rs = [], []
+    for _, g in df.groupby("bkey", sort=False):
+        ids = g["video_id"].tolist()
+        if len(ids) < 2:
+            continue
+        tset = [np.frombuffer(t, np.uint8).reshape(-1, 16, 16)
+                for t in g["thumbs"]]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                k = min(len(tset[i]), len(tset[j]))
+                good = sum(
+                    1 for s in range(k)
+                    if codec.psnr(tset[i][s], tset[j][s]) * 100
+                    >= psnr_min_centi)
+                if good >= min(min_slots, k):
+                    l, r = sorted((ids[i], ids[j]))
+                    ls.append(l)
+                    rs.append(r)
+    return pa.table({"l": pa.array(ls, pa.string()),
+                     "r": pa.array(rs, pa.string())})
 
 
 _XANIM_KINDS = ("webp", "avi", "webpdrop", "poster")
@@ -1730,55 +1747,10 @@ def crossformat_animation_dedup(sf_dir: str, n_base: int = 36,
     sigs = ds.map_batches(XAnimSignature, batch_size=32,
                           concurrency=2, batch_format="pyarrow")
 
-    N_BANDS, BITS = 8, 8
-
-    def band_rows(batch: pa.Table) -> pa.Table:
-        keys, vids, thumbs = [], [], []
-        mask = np.uint64((1 << BITS) - 1)
-        tcol = batch["thumbs"].to_pylist()
-        idcol = batch["video_id"].to_pylist()
-        for ch, col in enumerate(("phash", "ahash")):
-            hl = batch[col].to_pylist()
-            for r, hv in enumerate(hl):
-                hv = np.asarray(hv, np.int64).view(np.uint64)
-                for slot in range(len(hv)):
-                    for band in range(N_BANDS):
-                        bits = (hv[slot] >> np.uint64(BITS * band)) & mask
-                        slotkey = ((slot * 2 + ch) * N_BANDS + band)
-                        keys.append((slotkey << BITS) | int(bits))
-                        vids.append(idcol[r])
-                        thumbs.append(tcol[r])
-        return pa.table({
-            "bkey": pa.array(keys, pa.int64()),
-            "video_id": pa.array(vids, pa.string()),
-            "thumbs": pa.array(thumbs, pa.binary()),
-        })
-
-    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+    bands = sigs.map_batches(_slot_band_rows, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs = [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["video_id"].tolist()
-            if len(ids) < 2:
-                continue
-            tset = [np.frombuffer(t, np.uint8).reshape(-1, 16, 16)
-                    for t in g["thumbs"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    k = min(len(tset[i]), len(tset[j]))
-                    good = sum(
-                        1 for s in range(k)
-                        if codec.psnr(tset[i][s], tset[j][s]) * 100
-                        >= psnr_min_centi)
-                    if good >= min(min_slots, k):
-                        l, r = sorted((ids[i], ids[j]))
-                        ls.append(l)
-                        rs.append(r)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string())})
+        return _slot_verify_bucket(df, psnr_min_centi, min_slots)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
