@@ -187,6 +187,10 @@ queries() entries map to SURVEY.md §2 operators:
   corpus_dedup_from_wds input-format independence: the flagship runs
                        unchanged over tar shards and produces the
                        IDENTICAL cluster partition as over parquet
+  corpus_dedup_export_wds the full production curation path composed:
+                       flagship clustering -> keep-best-quality write
+                       decision -> representatives shipped as tar
+                       shards -> read-back certified equal
   jfif_decode_stats    REAL baseline JFIF JPEGs (pure-numpy T.81 codec,
                        Annex K tables) decoded by the flagship's
                        actor pool; PSNR pinned by pytest (rows-only)
@@ -2287,6 +2291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ingest.crossformat_animation_dedup,
         "webdataset_roundtrip_stats": ingest.webdataset_roundtrip_stats,
         "corpus_dedup_from_wds": ingest.corpus_dedup_from_wds,
+        "corpus_dedup_export_wds": ingest.corpus_dedup_export_wds,
         "image_format_stats": ingest.image_format_stats,
         "decode_quarantine_stats": ingest.decode_quarantine_stats,
         "decode_quarantine_mixed": ingest.decode_quarantine_mixed,

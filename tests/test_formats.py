@@ -566,3 +566,16 @@ def test_sniff_format_canonical_labels():
         # truncation keeps the attribution (the quarantine use case)
         assert codec_mod.sniff_format(blob[:16]) == want, want
     assert codec_mod.sniff_format(b"\x00\x01garbage") == "unknown"
+
+
+def test_dedup_export_wds_composition(ray_session):
+    """dedup → keep-best → tar-shard export → read-back: rep ids and
+    cluster count survive the whole composition intact."""
+    import __ray_entry__ as em
+
+    out = em.queries()["corpus_dedup_export_wds"](
+        "/root/testdata/sf0.001")
+    row = out.iloc[0]
+    assert int(row["readback_equal"]) == 1
+    assert int(row["n_reps_exported"]) == int(row["n_clusters"])
+    assert int(row["n_shards"]) >= 4
