@@ -286,6 +286,8 @@ def sniff_format(data) -> str:
         return "tiff"
     if head[:4] == b"RIFF" and head[8:12] == b"WEBP":
         return "webp"
+    if head[:4] == b"\x00\x00\x01\x00":
+        return "ico"
     if head[:4] == MAGIC:
         return "dri1"
     return "unknown"
@@ -309,6 +311,9 @@ def decode(data: bytes) -> np.ndarray:
     if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WEBP":
         from . import webp as _webp
         return _webp.decode(data)
+    if bytes(data[:4]) == b"\x00\x00\x01\x00":
+        from . import ico as _ico
+        return _ico.decode(data)
     if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
         from . import tiff as _tiff
         return _tiff.decode(data)
@@ -348,6 +353,10 @@ def decode_meta(data: bytes) -> tuple[str, int, int, int]:
         from . import webp as _webp
         w, h = _webp.meta(data)
         return ("webp", 100, w, h)
+    if bytes(data[:4]) == b"\x00\x00\x01\x00":
+        from . import ico as _ico
+        w, h = _ico.meta(data)
+        return ("ico", 100, w, h)
     if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
         from . import tiff as _tiff
         w, h = _tiff.meta(data)
@@ -650,4 +659,7 @@ def decode_frames(data: bytes) -> list:
     if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
         from . import tiff as _tiff
         return _tiff.decode_pages(data)  # multi-page scans
+    if bytes(data[:4]) == b"\x00\x00\x01\x00":
+        from . import ico as _ico
+        return _ico.decode_frames(data)  # favicon size variants
     return [decode(data)]

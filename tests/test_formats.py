@@ -579,3 +579,28 @@ def test_dedup_export_wds_composition(ray_session):
     assert int(row["readback_equal"]) == 1
     assert int(row["n_reps_exported"]) == int(row["n_clusters"])
     assert int(row["n_shards"]) >= 4
+
+
+# ----------------------------------------------------------------- ICO
+
+def test_ico_roundtrip_bmp_and_png_entries():
+    from destor_ray import codec as codec_mod
+    from destor_ray import ico
+
+    imgs = [RNG.integers(0, 256, (s, s, 3), dtype=np.uint8)
+            for s in (16, 32, 48)]
+    for png in (False, True):
+        d = ico.encode(imgs, png=png)
+        out = ico.decode_frames(d)
+        assert len(out) == 3
+        for a, b in zip(imgs, out):
+            assert np.array_equal(a, b), png
+        # decode() = largest entry; dispatch + sniff agree
+        assert np.array_equal(codec_mod.decode(d), imgs[2])
+        assert codec_mod.decode_meta(d) == ("ico", 100, 48, 48)
+        assert codec_mod.sniff_format(d) == "ico"
+        assert len(codec_mod.decode_frames(d)) == 3
+    # the 256-px entry stores 0 in the 1-byte directory dims
+    big = [RNG.integers(0, 256, (256, 256, 3), dtype=np.uint8)]
+    assert ico.meta(ico.encode(big)) == (256, 256)
+    assert np.array_equal(ico.decode(ico.encode(big)), big[0])
