@@ -1764,7 +1764,7 @@ def crossformat_animation_dedup(sf_dir: str, n_base: int = 36,
     return _per_class_report(got, truth_by_kind, _XANIM_KINDS)
 
 
-_FMTC_KINDS = ("bmp", "pnm", "tifflzw", "webp", "jfif", "gifq")
+_FMTC_KINDS = ("bmp", "pnm", "tifflzw", "webp", "ico", "jfif", "gifq")
 
 
 def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
@@ -1772,8 +1772,8 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
     one class per slot (cycling): the SAME picture re-hosted in a
     different container — `bmp` (24-bit BMP), `pnm` (raw P6 PPM),
     `tifflzw` (TIFF, LZW + predictor 2), `webp` (lossless VP8L,
-    subtract-green + runs): all pixel-lossless, the class a
-    byte-hash dedup misses entirely; `jfif` (JPEG q90 re-save) and
+    subtract-green + runs), `ico` (single-entry icon, BMP plane):
+    all pixel-lossless, the class a byte-hash dedup misses entirely; `jfif` (JPEG q90 re-save) and
     `gifq` (GIF after 3-3-2 palette quantization): the lossy
     conversions. Base rows are PNGs. Truth rides the naming:
     fc<NNNNN>_<kind> duplicates fc<NNNNN>."""
@@ -1786,7 +1786,7 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
     from .. import tiff as tiff_mod
     from .. import webp as webp_mod
 
-    out = f"/tmp/destor_ray_fmtconv/v2_n{n_base}_e{dup_every}"
+    out = f"/tmp/destor_ray_fmtconv/v3_n{n_base}_e{dup_every}"
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -1806,6 +1806,9 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
                                    predictor=True, rows_per_strip=16)
         elif kind == "webp":
             blob = webp_mod.encode(px)
+        elif kind == "ico":
+            from .. import ico as ico_mod
+            blob = ico_mod.encode([px])
         elif kind == "jfif":
             blob = jpeg_mod.encode(px, 90)
         else:  # gifq
@@ -9857,7 +9860,7 @@ def corpus_dedup_from_wds(sf_dir: str, n_rows: int = 2000):
     }).astype("int64")
 
 
-_SNIFF_FMTS = ("png", "jpeg", "gif", "bmp", "pnm", "tiff", "webp")
+_SNIFF_FMTS = ("png", "jpeg", "gif", "bmp", "pnm", "tiff", "webp", "ico")
 
 
 def _sniff_fmt(data: bytes) -> str:
@@ -9884,7 +9887,7 @@ def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
     from .. import tiff as tiff_mod
     from .. import webp as webp_mod
 
-    out = f"/tmp/destor_ray_mixed_bad/v2_n{n_per_fmt}_e{corrupt_every}"
+    out = f"/tmp/destor_ray_mixed_bad/v3_n{n_per_fmt}_e{corrupt_every}"
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -9900,6 +9903,7 @@ def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
             "pnm": netpbm_mod.encode(px),
             "tiff": tiff_mod.encode(px, compression="lzw"),
             "webp": webp_mod.encode(px),
+            "ico": __import__("destor_ray.ico", fromlist=["ico"]).encode([px]),
         }
         for fmt in _SNIFF_FMTS:
             blob = row[fmt]
