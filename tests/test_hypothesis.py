@@ -98,3 +98,58 @@ def test_segmented_rolling_sum_matches_pandas(rows, w):
         assert roll_n.tolist() == want_n.astype(int).tolist()
     else:
         assert len(roll_sum) == 0 and len(roll_n) == 0
+
+
+# ---- round-3 codec property round trips (any shape, any content) ----
+
+_img = st.integers(min_value=1, max_value=40)
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=_img, w=_img, seed=st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+    from destor_ray import bmp
+    px = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    for topdown in (False, True):
+        assert np.array_equal(bmp.decode(bmp.encode(px, topdown)), px)
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=_img, w=_img, seed=st.integers(0, 2**31 - 1))
+def test_netpbm_roundtrip_property(h, w, seed):
+    import numpy as np
+    from destor_ray import netpbm
+    px = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(netpbm.decode(netpbm.encode(px)), px)
+
+
+@settings(max_examples=12, deadline=None)
+@given(h=_img, w=_img, seed=st.integers(0, 2**31 - 1),
+       comp=st.sampled_from(["none", "packbits", "lzw", "deflate"]),
+       rps=st.sampled_from([0, 3, 7]))
+def test_tiff_roundtrip_property(h, w, seed, comp, rps):
+    import numpy as np
+    from destor_ray import tiff
+    px = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    d = tiff.encode(px, compression=comp, rows_per_strip=rps)
+    assert np.array_equal(tiff.decode(d), px)
+
+
+@settings(max_examples=12, deadline=None)
+@given(h=_img, w=_img, seed=st.integers(0, 2**31 - 1),
+       sg=st.booleans(), runs=st.booleans(),
+       flatness=st.integers(1, 8))
+def test_webp_roundtrip_property(h, w, seed, sg, runs, flatness):
+    """VP8L round trip over content from noise to heavy runs (the
+    flatness divisor quantizes pixels so LZ77 runs actually fire)."""
+    import numpy as np
+    from destor_ray import webp
+    px = np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8)
+    px = (px // flatness) * flatness
+    d = webp.encode(px, subtract_green=sg, use_runs=runs)
+    assert np.array_equal(webp.decode(d), px)
