@@ -1007,14 +1007,25 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3, num_bands: int = 8):
 
 
 def _shingle_pair_partials(sf_dir: str, k: int = 5,
-                           num_buckets: int = 64):
+                           num_buckets: int = 64,
+                           max_pairs: int = 200_000_000):
     """Shared inverted-index set-similarity machinery: docs → distinct
     k-char shingle STRINGS (exact SQL parity — no hashing) →
     groupby(shingle): all (l<r) pairs per posting, pre-aggregated per
     bucket (map-side combine) → pair-keyed rows (left_id, right_id,
     c=local intersection, nl=|A|, nr=|B|, pk=pair hash), ready for the
     final pair-keyed reduce. Used by jaccard_join_exact (symmetric) and
-    containment_join_exact (directed)."""
+    containment_join_exact (directed).
+
+    Applicability pre-pass (the ppjoin guard applied here too): before
+    any pair expansion launches, Σ c·(c-1)/2 over per-shingle posting
+    counts estimates the pair-row volume from a distinct-shingle-sized
+    aggregate (shingles recomputed, not materialized — stateless and
+    CPU-cheap, so peak memory stays one pass). Past `max_pairs` the
+    join refuses with a pointer at the LSH path — MEASURED failure
+    mode this replaces: at sf0.1 the shared-vocabulary corpus drove
+    the expansion to an 80 GB object-store spill and OutOfDiskError
+    half-way through the shuffle."""
     from ..functions.hashing import mix_u64
     from ..stages.grouped import bucketed_group_map
 
@@ -1034,6 +1045,21 @@ def _shingle_pair_partials(sf_dir: str, k: int = 5,
                          "n": pa.array(out_n, pa.int64())})
 
     shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+    counts_ds = ds.map_batches(shingle_rows, batch_format="pyarrow") \
+        .groupby("s").aggregate(Count(alias_name="c"))
+    est = 0
+    for b in counts_ds.iter_batches(batch_format="pyarrow"):
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        est += int((c * (c - 1) // 2).sum())
+        if est > max_pairs:
+            raise ValueError(
+                f"~{est}+ pair rows exceed max_pairs={max_pairs}: the "
+                "corpus shares too much vocabulary for an exact "
+                "all-pairs join — use minhash_lsh_oph / "
+                "ngram_jaccard_pairs (LSH candidates) or raise the "
+                "threshold")
 
     def posting_pairs(df: pd.DataFrame) -> pa.Table:
         # all (l<r) pairs per shingle group, pre-aggregated within the
