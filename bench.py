@@ -159,7 +159,10 @@ def main() -> None:
                  "letterbox_video_dedup", "samplerate_audio_dedup",
                  "ngram_jaccard_pairs", "gif_palette_dedup",
                  "gif_animation_dedup", "format_convert_dedup",
-                 "crossformat_animation_dedup"]:
+                 "crossformat_animation_dedup",
+                 "decode_quarantine_mixed", "image_format_stats",
+                 "webdataset_roundtrip_stats",
+                 "corpus_dedup_export_wds"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver
