@@ -269,8 +269,8 @@ def sniff_format(data) -> str:
     """Canonical container label from the byte signature alone — the
     ONE magic-number table behind decode, decode_meta and the
     quarantine attribution (works on corrupt payloads whose headers
-    survived): png / jpeg / gif / bmp / pnm / tiff / webp / dri1 /
-    unknown."""
+    survived): png / jpeg / gif / bmp / pnm / tiff / webp / ico /
+    dri1 / unknown."""
     head = bytes(data[:12]) if len(data) >= 12 else bytes(data)
     if head[:8] == PNG_SIG:
         return "png"

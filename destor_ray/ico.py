@@ -36,11 +36,18 @@ def is_ico(data) -> bool:
 
 def _entries(data: bytes):
     n = struct.unpack_from("<H", data, 4)[0]
+    if len(data) < 6 + 16 * n:
+        raise ValueError("truncated ICO directory")
     out = []
     for i in range(6, 6 + 16 * n, 16):
         w, h = data[i], data[i + 1]
         size, off = struct.unpack_from("<II", data, i + 8)
-        out.append((w or 256, h or 256, data[off:off + size]))
+        blob = data[off:off + size]
+        if len(blob) < size or size < 16:
+            raise ValueError("truncated ICO entry")
+        out.append((w or 256, h or 256, blob))
+    if not out:
+        raise ValueError("empty ICO directory")
     return out
 
 
@@ -48,22 +55,28 @@ def _decode_entry(blob: bytes) -> np.ndarray:
     if is_png(blob):
         return png_decode(blob)
     # headerless BMP: BITMAPINFOHEADER with height = 2*h (XOR + AND)
+    if len(blob) < 40:
+        raise ValueError("truncated ICO BMP entry")
     hdr_size = struct.unpack_from("<I", blob, 0)[0]
+    if hdr_size < 40 or hdr_size > len(blob):
+        raise ValueError(f"bad ICO BMP header size {hdr_size}")
     w, h2, planes, bpp, comp = struct.unpack_from("<iiHHI", blob, 4)
     h = h2 // 2
     n_colors = struct.unpack_from("<I", blob, 32)[0]
     if bpp <= 8 and n_colors == 0:
         n_colors = 1 << bpp
-    # rebuild a standalone BMP with the true height; the AND mask
-    # bytes trailing the XOR plane are simply never read
-    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp, 0,
-                       0, 0, n_colors, 0)
-    pal = blob[hdr_size:hdr_size + 4 * (n_colors if bpp <= 8 else 0)]
-    body = blob[hdr_size + len(pal):]
-    pix_off = 14 + 40 + len(pal)
-    file_hdr = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0,
-                           0, pix_off)
-    return _bmp.decode(file_hdr + info + pal + body)
+    # rebuild a standalone BMP: keep the ORIGINAL header bytes (so
+    # BI_BITFIELDS masks and the palette stay at their true offsets)
+    # and only patch the doubled height; the AND-mask bytes trailing
+    # the XOR plane are simply never read
+    hdr = bytearray(blob[:hdr_size])
+    struct.pack_into("<i", hdr, 8, h)
+    masks_len = 12 if comp == 3 and hdr_size == 40 else 0
+    pal_len = 4 * (n_colors if bpp <= 8 else 0)
+    pix_off = 14 + hdr_size + masks_len + pal_len
+    file_hdr = struct.pack("<2sIHHI", b"BM",
+                           14 + len(blob), 0, 0, pix_off)
+    return _bmp.decode(file_hdr + bytes(hdr) + blob[hdr_size:])
 
 
 def decode(data: bytes) -> np.ndarray:

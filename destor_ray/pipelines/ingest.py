@@ -1922,8 +1922,8 @@ def format_convert_dedup(sf_dir: str, n_base: int = 90,
 
 def image_format_stats(sf_dir: str, n_base: int = 90):
     """(fmt, n, mean_w, mean_h, mean_lum_micro) — uniform ingestion
-    across ALL SEVEN still containers (PNG, JPEG, GIF, BMP, PPM,
-    TIFF, lossless WebP) through the one codec.decode dispatch: the
+    across ALL EIGHT still containers (PNG, JPEG, GIF, BMP, PPM,
+    TIFF, lossless WebP, ICO) through the one codec.decode dispatch: the
     mixed-format fixture
     decoded by an actor pool, per-format counts and integer mean
     luminance. The read-side proof that a crawl's container mix needs
@@ -2038,6 +2038,8 @@ def partitioned_write_readback(sf_dir: str, keep_type: str = "purchase"):
         except OSError:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(out):  # not a lost race: surface it
+                raise
 
     pruned = ray.data.read_parquet(
         out,
@@ -2621,6 +2623,8 @@ def zonemap_prune_stats(sf_dir: str, n_shards: int = 16):
         except OSError:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(out):  # not a lost race: surface it
+                raise
 
     # zonemap from footer statistics only — a Dataset over the file
     # listing; each task opens one footer (never a data page)
@@ -9750,6 +9754,8 @@ def webdataset_roundtrip_stats(sf_dir: str, n_rows: int = 512,
         except OSError:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(out):  # not a lost race: surface it
+                raise
     shards = sorted(glob.glob(f"{out}/*.tar"))
     wds = wds_mod.read_webdataset(shards, fields=["img", "txt"])
 
@@ -9826,6 +9832,8 @@ def corpus_dedup_from_wds(sf_dir: str, n_rows: int = 2000):
         except OSError:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(out):  # not a lost race: surface it
+                raise
     shards = sorted(glob.glob(f"{out}/*.tar"))
     wds = wds_mod.read_webdataset(shards, fields=["img", "txt", "json"])
 
@@ -9873,7 +9881,7 @@ def _sniff_fmt(data: bytes) -> str:
 
 def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
                               corrupt_every: int = 4) -> str:
-    """Seven-container corpus with planted corruption in EVERY codec:
+    """Eight-container corpus with planted corruption in EVERY codec:
     every `corrupt_every`-th payload of each format is either
     truncated to half (headers survive — the sniffer still attributes
     the format) or, for WebP, its chunk tag is wrecked. Deterministic;
@@ -9924,7 +9932,7 @@ def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
 
 def decode_quarantine_mixed(sf_dir: str, n_per_fmt: int = 32,
                             corrupt_every: int = 4):
-    """(fmt, status, n) — the dead-letter discipline ACROSS ALL SEVEN
+    """(fmt, status, n) — the dead-letter discipline ACROSS ALL EIGHT
     codecs: a mixed-container corpus with corruption planted in every
     format flows through the same ImageDecodeQuarantine pool; bad
     rows quarantine per-row with the container still attributed (the
@@ -10006,7 +10014,8 @@ def corpus_dedup_export_wds(sf_dir: str, n_rows: int = 2000,
                          for i in batch["image_id"].to_pylist()])
         return batch.filter(mask)
 
-    out = f"/tmp/destor_ray_wds_reps/v1_n{n_rows}"
+    out = (f"/tmp/destor_ray_wds_reps/"
+           f"v1_n{n_rows}_s{samples_per_shard}")
     if not os.path.isdir(out):
         tmp = f"{out}.tmp.{os.getpid()}"
         ds = ray.data.read_parquet(
@@ -10020,6 +10029,8 @@ def corpus_dedup_export_wds(sf_dir: str, n_rows: int = 2000,
         except OSError:
             import shutil
             shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(out):  # not a lost race: surface it
+                raise
     shards = sorted(glob.glob(f"{out}/*.tar"))
     wds = wds_mod.read_webdataset(shards, fields=["img"])
 

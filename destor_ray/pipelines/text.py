@@ -1047,8 +1047,7 @@ def _shingle_pair_partials(sf_dir: str, k: int = 5,
     shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
 
     from ray.data.aggregate import Count
-    counts_ds = ds.map_batches(shingle_rows, batch_format="pyarrow") \
-        .groupby("s").aggregate(Count(alias_name="c"))
+    counts_ds = shingles.groupby("s").aggregate(Count(alias_name="c"))
     est = 0
     for b in counts_ds.iter_batches(batch_format="pyarrow"):
         c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -293,14 +293,19 @@ def test_format_convert_dedup_per_class_full_recall(ray_session):
 
 def test_image_format_stats_counts(ray_session):
     """The mixed-container fixture ingests through the one decode
-    dispatch: 4-5 rows per converted container + 90 PNGs."""
+    dispatch: exact per-container counts + 90 PNGs."""
     import __ray_entry__ as em
 
     out = em.queries()["image_format_stats"]("/root/testdata/sf0.001")
     df = out.to_pandas().set_index("fmt")["n"]
     assert int(df["png"]) == 90
-    for fmt in ("bmp", "pnm", "tiff", "webp", "ico", "jpeg", "gif"):
-        assert int(df[fmt]) in (4, 5), fmt  # 30 dups cycle 7 kinds
+    # 30 dup slots cycle the 7 kinds deterministically: the first two
+    # kinds (bmp, pnm) land 5 each, the rest 4
+    exp = {"bmp": 5, "pnm": 5, "tiff": 4, "webp": 4, "ico": 4,
+           "jpeg": 4, "gif": 4}
+    for fmt, n in exp.items():
+        assert int(df[fmt]) == n, fmt
+    assert int(df.drop("png").sum()) == 30
 
 
 def test_webdataset_roundtrip_exact(ray_session):
