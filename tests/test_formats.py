@@ -610,3 +610,34 @@ def test_ico_roundtrip_bmp_and_png_entries():
     big = [RNG.integers(0, 256, (256, 256, 3), dtype=np.uint8)]
     assert ico.meta(ico.encode(big)) == (256, 256)
     assert np.array_equal(ico.decode(ico.encode(big)), big[0])
+
+
+def test_ico_bitfields_entry_and_error_types():
+    """A 32bpp BI_BITFIELDS ICO entry decodes with the masks at their
+    true offsets (regression: the rebuilt header once dropped the 12
+    mask bytes and read pixels 12 bytes early); malformed directories
+    raise ValueError like every other codec."""
+    import pytest
+
+    from destor_ray import ico
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    bgrx = np.zeros((4, 4, 4), np.uint8)
+    bgrx[:, :, 0] = px[:, :, 2]
+    bgrx[:, :, 1] = px[:, :, 1]
+    bgrx[:, :, 2] = px[:, :, 0]
+    xor = bgrx[::-1].tobytes()
+    masks = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 8, 1, 32, 3,
+                       len(xor) + 8, 0, 0, 0, 0)
+    blob = info + masks + xor + b"\0" * 16  # AND mask
+    d = (struct.pack("<HHH", 0, 1, 1)
+         + struct.pack("<BBBBHHII", 4, 4, 0, 0, 1, 32, len(blob), 22)
+         + blob)
+    assert np.array_equal(ico.decode(d), px)
+
+    for bad in (b"\x00\x00\x01\x00\x01",
+                b"\x00\x00\x01\x00" + b"\x00" * 20,
+                b"\x00\x00\x01\x00\x00\x00"):
+        with pytest.raises(ValueError):
+            ico.decode(bad)
