@@ -10004,15 +10004,19 @@ def corpus_dedup_export_wds(sf_dir: str, n_rows: int = 2000,
     rep_ids = set(manifest["rep_id"])
 
     # export ONLY the representatives (broadcast the rep-id set —
-    # cluster-count-bounded, the keep-list every curation job ships)
+    # cluster-count-bounded, the keep-list every curation job ships);
+    # the actor builds the Arrow value set ONCE and filters each
+    # batch with the vectorized is_in kernel
     import ray as ray_mod
-    rep_ref = ray_mod.put(rep_ids)
+    rep_ref = ray_mod.put(sorted(rep_ids))
 
-    def keep_reps(batch: pa.Table) -> pa.Table:
-        keep = ray_mod.get(rep_ref)
-        mask = pa.array([i in keep
-                         for i in batch["image_id"].to_pylist()])
-        return batch.filter(mask)
+    class KeepReps:
+        def __init__(self):
+            self._vals = pa.array(ray_mod.get(rep_ref), pa.string())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch["image_id"], value_set=self._vals))
 
     out = (f"/tmp/destor_ray_wds_reps/"
            f"v1_n{n_rows}_s{samples_per_shard}")
@@ -10020,7 +10024,8 @@ def corpus_dedup_export_wds(sf_dir: str, n_rows: int = 2000,
         tmp = f"{out}.tmp.{os.getpid()}"
         ds = ray.data.read_parquet(
             cdir, columns=["image_id", "bytes", "caption"]) \
-            .map_batches(keep_reps, batch_format="pyarrow")
+            .map_batches(KeepReps, batch_format="pyarrow",
+                         batch_size=512, concurrency=2)
         wds_mod.write_webdataset(
             ds, tmp, "image_id", {"bytes": "img", "caption": "txt"},
             samples_per_shard=samples_per_shard)
