@@ -270,7 +270,7 @@ def sniff_format(data) -> str:
     ONE magic-number table behind decode, decode_meta and the
     quarantine attribution (works on corrupt payloads whose headers
     survived): png / jpeg / gif / bmp / pnm / tiff / webp / ico /
-    dri1 / unknown."""
+    tga (footer-signed) / dri1 / unknown."""
     head = bytes(data[:12]) if len(data) >= 12 else bytes(data)
     if head[:8] == PNG_SIG:
         return "png"
@@ -290,6 +290,9 @@ def sniff_format(data) -> str:
         return "ico"
     if head[:4] == MAGIC:
         return "dri1"
+    # TGA has no leading magic — the v2.0 footer is the signature
+    if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE.\x00":
+        return "tga"
     return "unknown"
 
 
@@ -314,6 +317,9 @@ def decode(data: bytes) -> np.ndarray:
     if bytes(data[:4]) == b"\x00\x00\x01\x00":
         from . import ico as _ico
         return _ico.decode(data)
+    if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE.\x00":
+        from . import tga as _tga
+        return _tga.decode(data)  # TGA signs at the FOOTER
     if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
         from . import tiff as _tiff
         return _tiff.decode(data)
@@ -357,6 +363,10 @@ def decode_meta(data: bytes) -> tuple[str, int, int, int]:
         from . import ico as _ico
         w, h = _ico.meta(data)
         return ("ico", 100, w, h)
+    if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE.\x00":
+        from . import tga as _tga
+        w, h = _tga.meta(data)
+        return ("tga", 100, w, h)
     if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
         from . import tiff as _tiff
         w, h = _tiff.meta(data)

@@ -641,3 +641,44 @@ def test_ico_bitfields_entry_and_error_types():
                 b"\x00\x00\x01\x00\x00\x00"):
         with pytest.raises(ValueError):
             ico.decode(bad)
+
+
+# ----------------------------------------------------------------- TGA
+
+def test_tga_roundtrip_and_handcrafted():
+    from destor_ray import codec as codec_mod
+    from destor_ray import tga
+
+    px = RNG.integers(0, 256, (23, 41, 3), dtype=np.uint8)
+    for rle in (False, True):
+        d = tga.encode(px, rle=rle)
+        assert np.array_equal(tga.decode(d), px), rle
+        assert np.array_equal(codec_mod.decode(d), px)
+        assert codec_mod.decode_meta(d) == ("tga", 100, 41, 23)
+        assert codec_mod.sniff_format(d) == "tga"
+    sm = np.repeat(np.repeat(
+        RNG.integers(0, 256, (5, 7, 3), dtype=np.uint8), 5, 0), 5, 1)
+    d = tga.encode(sm, rle=True)
+    assert len(d) < sm.nbytes  # RLE bites
+    assert np.array_equal(tga.decode(d), sm)
+    # 8-bit grayscale, top-down
+    g = RNG.integers(0, 256, (4, 6), dtype=np.uint8)
+    foot = struct.pack("<II", 0, 0) + b"TRUEVISION-XFILE.\x00"
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 3, 0, 0, 0, 0, 0, 6, 4,
+                      8, 0x20)
+    assert np.array_equal(tga.decode(hdr + g.tobytes() + foot),
+                          np.repeat(g[:, :, None], 3, 2))
+    # color-mapped with nonzero first-entry index
+    pal = RNG.integers(0, 256, (4, 3), dtype=np.uint8)
+    idx = RNG.integers(2, 6, (3, 5), dtype=np.uint8)
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 1, 1, 2, 4, 24, 0, 0, 5, 3,
+                      8, 0x20)
+    d = hdr + pal[:, ::-1].tobytes() + idx.tobytes() + foot
+    assert np.array_equal(tga.decode(d), pal[idx - 2])
+    # 16-bit A1R5G5B5 truecolor
+    vals = np.array([[0x7C00, 0x03E0, 0x001F]], np.uint16)
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 3, 1,
+                      16, 0x20)
+    out = tga.decode(hdr + vals.astype("<u2").tobytes() + foot)
+    exp = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]]], np.uint8)
+    assert np.array_equal(out, exp)
