@@ -1764,7 +1764,8 @@ def crossformat_animation_dedup(sf_dir: str, n_base: int = 36,
     return _per_class_report(got, truth_by_kind, _XANIM_KINDS)
 
 
-_FMTC_KINDS = ("bmp", "pnm", "tifflzw", "webp", "ico", "jfif", "gifq")
+_FMTC_KINDS = ("bmp", "pnm", "tifflzw", "webp", "ico", "tga",
+               "jfif", "gifq")
 
 
 def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
@@ -1772,8 +1773,9 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
     one class per slot (cycling): the SAME picture re-hosted in a
     different container — `bmp` (24-bit BMP), `pnm` (raw P6 PPM),
     `tifflzw` (TIFF, LZW + predictor 2), `webp` (lossless VP8L,
-    subtract-green + runs), `ico` (single-entry icon, BMP plane):
-    all pixel-lossless, the class a byte-hash dedup misses entirely; `jfif` (JPEG q90 re-save) and
+    subtract-green + runs), `ico` (single-entry icon, BMP plane),
+    `tga` (RLE Targa): all pixel-lossless, the class a byte-hash
+    dedup misses entirely; `jfif` (JPEG q90 re-save) and
     `gifq` (GIF after 3-3-2 palette quantization): the lossy
     conversions. Base rows are PNGs. Truth rides the naming:
     fc<NNNNN>_<kind> duplicates fc<NNNNN>."""
@@ -1786,7 +1788,7 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
     from .. import tiff as tiff_mod
     from .. import webp as webp_mod
 
-    out = f"/tmp/destor_ray_fmtconv/v3_n{n_base}_e{dup_every}"
+    out = f"/tmp/destor_ray_fmtconv/v4_n{n_base}_e{dup_every}"
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -1809,6 +1811,9 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
         elif kind == "ico":
             from .. import ico as ico_mod
             blob = ico_mod.encode([px])
+        elif kind == "tga":
+            from .. import tga as tga_mod
+            blob = tga_mod.encode(px, rle=True)
         elif kind == "jfif":
             blob = jpeg_mod.encode(px, 90)
         else:  # gifq

@@ -285,8 +285,8 @@ def test_format_convert_dedup_per_class_full_recall(ray_session):
     out = em.queries()["format_convert_dedup"]("/root/testdata/sf0.001")
     df = out.set_index("kind")
     assert int(df.loc["_total", "n_planted"]) == 30
-    for kind in ("bmp", "pnm", "tifflzw", "webp", "ico", "jfif",
-                 "gifq", "_total"):
+    for kind in ("bmp", "pnm", "tifflzw", "webp", "ico", "tga",
+                 "jfif", "gifq", "_total"):
         assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
         assert int(df.loc[kind, "n_false"]) == 0, kind
 
@@ -299,10 +299,10 @@ def test_image_format_stats_counts(ray_session):
     out = em.queries()["image_format_stats"]("/root/testdata/sf0.001")
     df = out.to_pandas().set_index("fmt")["n"]
     assert int(df["png"]) == 90
-    # 30 dup slots cycle the 7 kinds deterministically: the first two
-    # kinds (bmp, pnm) land 5 each, the rest 4
-    exp = {"bmp": 5, "pnm": 5, "tiff": 4, "webp": 4, "ico": 4,
-           "jpeg": 4, "gif": 4}
+    # 30 dup slots cycle the 8 kinds deterministically: the first six
+    # kinds land 4 each, the last two 3
+    exp = {"bmp": 4, "pnm": 4, "tiff": 4, "webp": 4, "ico": 4,
+           "tga": 4, "jpeg": 3, "gif": 3}
     for fmt, n in exp.items():
         assert int(df[fmt]) == n, fmt
     assert int(df.drop("png").sum()) == 30
