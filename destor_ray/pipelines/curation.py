@@ -622,49 +622,178 @@ def _lang_length_cutoffs(sf_dir: str, pct: float) -> dict:
     return thr
 
 
-def _pack_partials_fn(off_ref, seq_len: int, restrict: bool):
-    """Sequence-packing partials kernel shared by sequence_pack and the
-    capstone pipeline: tokens of each (kept) doc map arithmetically to
-    sequence ids from the broadcast per-doc offsets; emits one
-    (seq_id, doc_id, n) partial per (sequence, doc) per batch. With
-    `restrict`, docs absent from the offsets table are dropped (the
-    capstone packs only dedup survivors)."""
-    import ray as _ray
+def _empty_partials() -> pa.Table:
+    return pa.table({"seq_id": pa.array([], pa.int64()),
+                     "doc_id": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())})
 
-    def partials(batch: pa.Table) -> pa.Table:
-        doc_keys, starts = _ray.get(off_ref)
-        docs_all = batch["doc_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(doc_keys, docs_all)
-        if restrict:
-            pos[pos >= len(doc_keys)] = 0
-            hit = doc_keys[pos] == docs_all if len(doc_keys) else \
-                np.zeros(len(docs_all), bool)
+
+def _seq_partials(batch: pa.Table, st: np.ndarray, seq_len: int) -> pa.Table:
+    """Sequence-packing partials kernel shared by sequence_pack and the
+    capstone pipeline: given each doc's global token-start offset `st`
+    (aligned to `batch` rows), tokens map arithmetically to sequence
+    ids; emits one (seq_id, doc_id, n) partial per (sequence, doc) per
+    batch so the final seq-keyed exchange is output-bounded."""
+    toks = pc.split_pattern(batch["text"], " ")
+    n = pc.list_value_length(toks).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    docs = batch["doc_id"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    if total == 0:
+        return _empty_partials()
+    doc_rep = np.repeat(np.arange(len(docs)), n)
+    first = np.concatenate(([0], np.cumsum(n)[:-1]))
+    within = np.arange(total) - np.repeat(first, n)
+    gp = np.repeat(st, n) + within
+    seq = gp // seq_len
+    comp = seq * (1 << 22) + doc_rep  # docs-per-batch < 2^22
+    uniq, cnt = np.unique(comp, return_counts=True)
+    return pa.table({
+        "seq_id": pa.array(uniq >> 22, pa.int64()),
+        "doc_id": pa.array(docs[(uniq & ((1 << 22) - 1))], pa.int64()),
+        "n": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def _doc_offsets_sidecar(counts, num_buckets: int = 64):
+    """HIERARCHICAL global prefix sum over (doc_id, n_toks) rows in
+    doc_id order — no corpus-row-proportional driver materialization:
+
+      1. doc_ids range-bucket into `num_buckets` contiguous id ranges
+         (width from one Min/Max aggregate);
+      2. per-bucket token SUBTOTALS via one groupby whose driver table
+         is O(num_buckets) rows — the only thing the driver ever sees;
+      3. a tiny exclusive scan over bucket subtotals → per-bucket base
+         offsets (broadcast, O(num_buckets));
+      4. one bucket-keyed map_groups cumsums each bucket's rows locally
+         and rebases by its base — per-doc offsets never co-locate
+         anywhere, and the result is WRITTEN as hive-partitioned
+         parquet (b=<bucket>/) so the pack pass can partition-prune its
+         side reads (destor's recipe store role,
+         /root/reference/src/recipestore.c — sequential metadata
+         sidecar keyed for the restore path).
+
+    Returns (off_dir, lo, width): the sidecar directory plus the range
+    bucketing parameters the pack stage re-derives bucket ids from.
+    At 10^12 rows size num_buckets ~4× total cores; driver state stays
+    O(num_buckets) regardless of corpus row count."""
+    import tempfile
+
+    import pandas as pd
+    import ray as _ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    counts = counts.materialize()  # one int64 pair per doc, distributed
+    mm = counts.aggregate(Min("doc_id"), Max("doc_id"))
+    lo = mm.get("min(doc_id)")
+    hi = mm.get("max(doc_id)")
+    lo = 0 if lo is None else int(lo)
+    hi = lo if hi is None else int(hi)
+    width = max(1, -(-(hi - lo + 1) // num_buckets))
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "b", pa.array((d - lo) // width, pa.int64()))
+
+    keyed = counts.map_batches(add_b, batch_format="pyarrow")
+    subs = keyed.groupby("b").aggregate(
+        Sum("n_toks", alias_name="sub")).to_pandas()  # O(num_buckets)
+    sub_arr = np.zeros(num_buckets, np.int64)
+    if len(subs):
+        sub_arr[subs["b"].to_numpy(np.int64)] = \
+            subs["sub"].to_numpy(np.int64)
+    base = np.zeros(num_buckets, np.int64)
+    base[1:] = np.cumsum(sub_arr)[:-1]  # exclusive scan, O(num_buckets)
+    base_ref = _ray.put(base)
+
+    def rebase(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table({})
+        bs = _ray.get(base_ref)
+        d = df["doc_id"].to_numpy(np.int64)
+        n = df["n_toks"].to_numpy(np.int64)
+        b = int(df["b"].iloc[0])
+        o = np.argsort(d, kind="stable")
+        d, n = d[o], n[o]
+        st = np.zeros(len(d), np.int64)
+        st[1:] = np.cumsum(n)[:-1]
+        return pa.table({"doc_id": pa.array(d, pa.int64()),
+                         "start": pa.array(st + bs[b], pa.int64()),
+                         "b": pa.array(np.full(len(d), b), pa.int64())})
+
+    off_dir = tempfile.mkdtemp(prefix="destor_pack_off_")
+    keyed.groupby("b").map_groups(rebase, batch_format="pandas") \
+        .write_parquet(off_dir, partition_cols=["b"])
+    return off_dir, lo, width
+
+
+class _PackPartials:
+    """Actor-pool pack stage: per-doc start offsets come from the
+    hive-partitioned sidecar written by `_doc_offsets_sidecar` — each
+    batch loads ONLY the offset partitions its doc_ids touch (a small
+    LRU of range-bucket arrays; with doc-clustered input blocks that's
+    1-2 partitions per batch), so no corpus-row-proportional object is
+    ever broadcast to tasks or pulled to the driver. With `restrict`,
+    docs absent from the sidecar are dropped (the capstone packs only
+    dedup survivors); without it a missing doc is a hard error."""
+
+    def __init__(self, off_dir: str, lo: int, width: int, num_buckets: int,
+                 seq_len: int, restrict: bool, cache_max: int = 16):
+        self.off_dir, self.lo, self.width = off_dir, lo, width
+        self.nb, self.seq_len = num_buckets, seq_len
+        self.restrict, self.cache_max = restrict, cache_max
+        self._cache: dict = {}  # b -> (sorted doc_ids, starts); LRU
+
+    def _bucket(self, b: int):
+        got = self._cache.pop(b, None)
+        if got is None:
+            import os
+
+            import pyarrow.parquet as pq
+            path = os.path.join(self.off_dir, f"b={b}")
+            if os.path.isdir(path):
+                t = pq.read_table(path, columns=["doc_id", "start"])
+                k = t["doc_id"].to_numpy().astype(np.int64)
+                s = t["start"].to_numpy().astype(np.int64)
+                o = np.argsort(k, kind="stable")
+                got = (k[o], s[o])
+            else:  # bucket range held no (kept) docs
+                got = (np.array([], np.int64), np.array([], np.int64))
+        self._cache[b] = got
+        while len(self._cache) > self.cache_max:
+            self._cache.pop(next(iter(self._cache)))
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(docs):
+            return _empty_partials()
+        inr = (docs >= self.lo) & (docs < self.lo + self.width * self.nb)
+        if not inr.all():
+            if not self.restrict:
+                raise ValueError("doc_id outside the offsets-sidecar domain")
+            batch = batch.filter(pa.array(inr))
+            docs = docs[inr]
+            if not len(docs):
+                return _empty_partials()
+        parts = [self._bucket(int(b))
+                 for b in np.unique((docs - self.lo) // self.width)]
+        # buckets are contiguous doc_id ranges → concatenating them in
+        # ascending bucket order is globally doc_id-sorted
+        keys = np.concatenate([p[0] for p in parts])
+        starts = np.concatenate([p[1] for p in parts])
+        pos = np.minimum(np.searchsorted(keys, docs),
+                         max(len(keys) - 1, 0))
+        hit = keys[pos] == docs if len(keys) else np.zeros(len(docs), bool)
+        if not hit.all():
+            if not self.restrict:
+                raise ValueError("doc_id missing from the offsets sidecar")
             batch = batch.filter(pa.array(hit))
             pos = pos[hit]
-        toks = pc.split_pattern(batch["text"], " ")
-        n = pc.list_value_length(toks).cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        docs = batch["doc_id"].to_numpy(zero_copy_only=False)
-        st = starts[pos]
-        total = int(n.sum())
-        if total == 0:
-            return pa.table({"seq_id": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        doc_rep = np.repeat(np.arange(len(docs)), n)
-        first = np.concatenate(([0], np.cumsum(n)[:-1]))
-        within = np.arange(total) - np.repeat(first, n)
-        gp = np.repeat(st, n) + within
-        seq = gp // seq_len
-        comp = seq * (1 << 22) + doc_rep  # docs-per-batch < 2^22
-        uniq, cnt = np.unique(comp, return_counts=True)
-        return pa.table({
-            "seq_id": pa.array(uniq >> 22, pa.int64()),
-            "doc_id": pa.array(docs[(uniq & ((1 << 22) - 1))], pa.int64()),
-            "n": pa.array(cnt.astype(np.int64), pa.int64()),
-        })
-
-    return partials
+            if batch.num_rows == 0:
+                return _empty_partials()
+        return _seq_partials(batch, starts[pos], self.seq_len)
 
 
 def _reduce_seq(df) -> pa.Table:
@@ -762,17 +891,16 @@ def sequence_pack(sf_dir: str, seq_len: int = 128):
     each sequence reports its token count (== seq_len except the tail)
     and how many documents it spans.
 
-    The primitive being exercised is the GLOBAL PREFIX SUM: pass 1 is
-    a map-only per-doc token count whose (doc_id, n_tokens) rows are
-    cumsum'd into per-doc start offsets (driver-side here — one int64
-    pair per document; at 100 TB the same cumsum runs hierarchically:
-    per-partition subtotals, a tiny exclusive scan over partitions,
-    then a map-only rebase — the offsets table stays metadata-sized
-    either way). Pass 2 is map-only: each doc knows its offset, so its
-    tokens' sequence ids are arithmetic, and per-(seq, doc) partials
-    make the final seq-keyed exchange output-bounded."""
-    import ray as _ray
-
+    The primitive being exercised is the GLOBAL PREFIX SUM, run
+    HIERARCHICALLY (see `_doc_offsets_sidecar`): pass 1 is a map-only
+    per-doc token count; per-range-bucket subtotals reach the driver
+    (O(num_buckets) rows — the only driver table), a tiny exclusive
+    scan produces per-bucket bases, and a bucket-local cumsum rebases
+    each range into a hive-partitioned offsets sidecar. Pass 2 is
+    map-only over an actor pool: each task partition-prunes its side
+    reads to the offset buckets its doc_ids touch, tokens' sequence
+    ids are arithmetic from there, and per-(seq, doc) partials make
+    the final seq-keyed exchange output-bounded."""
     from ..stages.grouped import bucketed_group_map
 
     ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
@@ -783,14 +911,13 @@ def sequence_pack(sf_dir: str, seq_len: int = 128):
         return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
                          "n_toks": n})
 
-    counts = ds.map_batches(doc_counts, batch_format="pyarrow") \
-        .to_pandas().sort_values("doc_id")
-    start = np.zeros(len(counts), np.int64)
-    start[1:] = np.cumsum(counts["n_toks"].to_numpy(np.int64))[:-1]
-    off_ref = _ray.put((counts["doc_id"].to_numpy(np.int64), start))
+    counts = ds.map_batches(doc_counts, batch_format="pyarrow")
+    off_dir, lo, width = _doc_offsets_sidecar(counts, num_buckets=64)
 
-    rows = ds.map_batches(_pack_partials_fn(off_ref, seq_len, False),
-                          batch_format="pyarrow")
+    rows = ds.map_batches(
+        _PackPartials,
+        fn_constructor_args=(off_dir, lo, width, 64, seq_len, False),
+        batch_format="pyarrow", concurrency=(1, 8))
     return bucketed_group_map(rows, "seq_id", _reduce_seq, num_buckets=8)
 
 
@@ -808,10 +935,12 @@ def pretraining_pipeline(sf_dir: str, pct: float = 0.5, fp_k: int = 4,
 
     Scale shape: the filter is profile-pass + broadcast cutoffs
     (map-only), the dedup is one 30 B/row fp exchange, and packing is
-    the global-prefix-sum primitive; the kept-id set and per-doc
-    offsets are driver-scanned here (one int64 pair per kept doc) with
-    the hierarchical per-partition scan as the documented 10^12-row
-    path (see sequence_pack)."""
+    the HIERARCHICAL global-prefix-sum primitive over the kept rows
+    (see `_doc_offsets_sidecar` / sequence_pack) — the driver sees
+    only O(num_buckets) subtotals; kept-doc offsets live in the
+    hive-partitioned sidecar and the pack actors partition-prune
+    their side reads. Docs dropped by filter/dedup are absent from
+    the sidecar, so the pack stage's `restrict` lookup drops them."""
     import pandas as pd
     import ray as _ray
 
@@ -854,17 +983,15 @@ def pretraining_pipeline(sf_dir: str, pct: float = 0.5, fp_k: int = 4,
             "doc_id": pa.array(doc[order][starts], pa.int64()),
             "n_toks": pa.array(ntk[order][starts], pa.int64())})
 
-    kept = bucketed_group_map(rows, "fp", best, num_buckets=16) \
-        .to_pandas().sort_values("doc_id")  # one int64 pair per kept doc
+    kept = bucketed_group_map(rows, "fp", best, num_buckets=16)
 
-    # ---- stage 3: pack (global prefix sum over kept docs) ----
-    start = np.zeros(len(kept), np.int64)
-    start[1:] = np.cumsum(kept["n_toks"].to_numpy(np.int64))[:-1]
-    off_ref = _ray.put((kept["doc_id"].to_numpy(np.int64), start))
+    # ---- stage 3: pack (hierarchical prefix sum over kept docs) ----
+    off_dir, lo, width = _doc_offsets_sidecar(kept, num_buckets=64)
 
-    packed = ds.select_columns(["doc_id", "text"]) \
-        .map_batches(_pack_partials_fn(off_ref, seq_len, True),
-                     batch_format="pyarrow")
+    packed = ds.select_columns(["doc_id", "text"]).map_batches(
+        _PackPartials,
+        fn_constructor_args=(off_dir, lo, width, 64, seq_len, True),
+        batch_format="pyarrow", concurrency=(1, 8))
     return bucketed_group_map(packed, "seq_id", _reduce_seq, num_buckets=8)
 
 

@@ -1868,8 +1868,10 @@ def sorted_neighborhood_pairs(sf_dir: str, key_len: int = 16,
     the same linear-bound concern).
 
     Scale shape (no global sort, no driver text):
-      sample   a deterministic 1/sample_mod doc_id slice of blocking
-               keys → range SPLITTERS (the TeraSort sampler);
+      sample   a deterministic doc_id slice of blocking keys → range
+               SPLITTERS (the TeraSort sampler); the slice rate is
+               row-count-scaled so the driver sample is capped at
+               ~64k keys no matter the corpus size;
       map      key + prefix computed vectorized (utf8_slice/lower),
                range-bucket by searchsorted(splitters) — equal keys
                never straddle a bucket (side='right');
@@ -1896,12 +1898,24 @@ def sorted_neighborhood_pairs(sf_dir: str, key_len: int = 16,
 
     keys = ds.map_batches(narrow, batch_format="pyarrow")
 
-    # TeraSort-style splitter sample: deterministic doc_id slice, tiny
+    # TeraSort-style splitter sample: deterministic doc_id slice whose
+    # DRIVER SIZE IS CAPPED — `sample_mod` scales with the corpus row
+    # count (a metadata-only parquet count) so at most ~64k keys ever
+    # reach the driver regardless of corpus size. Samplers must be
+    # size-bounded, not rate-bounded: a constant 1/11 of 10^10 rows is
+    # 10^9 driver keys; 64k splitter candidates bound every bucket to
+    # ~rows/64k with the same high probability, which is all the
+    # splitters are for.
+    import pyarrow.parquet as pq
+    n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    max_sample = 65536
+    eff_mod = max(sample_mod, -(-n_rows // max_sample))
+
     def sample(batch: pa.Table) -> pa.Table:
-        m = pc.equal(pc.bit_wise_and(batch["doc_id"], sample_mod - 1), 0) \
-            if (sample_mod & (sample_mod - 1)) == 0 else \
+        m = pc.equal(pc.bit_wise_and(batch["doc_id"], eff_mod - 1), 0) \
+            if (eff_mod & (eff_mod - 1)) == 0 else \
             pa.array(batch["doc_id"].to_numpy(zero_copy_only=False)
-                     % sample_mod == 0)
+                     % eff_mod == 0)
         return batch.filter(m).select(["bkey"])
 
     samp = keys.map_batches(sample, batch_format="pyarrow").to_pandas()
