@@ -32,6 +32,31 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CORPUS_ROWS = int(os.environ.get("GRAFT_BENCH_CORPUS_ROWS", "50000"))
+BENCH_REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "5"))
+
+
+def calibration_sec() -> float:
+    """Fixed single-process CPU microbench (hash-mix, sort/unique,
+    float32 matmul — the flagship's kernel mix) so a slow host phase is
+    detectable from the emitted JSON alone: the sandbox VM shows 2-3x
+    run-to-run variance (VERDICT r3 adjudicated an apparent 2.3x
+    headline regression as exactly such a phase), and a headline whose
+    ratio to the SAME-RUN calibration is stable across rounds is a real
+    measurement while one whose calibration also doubled is host noise.
+    Deterministic input, best-of-3, ~0.1 s/iter on a quiet host."""
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**63, size=2_000_000, dtype=np.int64) \
+        .astype(np.uint64)
+    m = rng.random((512, 512), dtype=np.float32)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = a * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(29)
+        np.unique(x % np.uint64(1_000_003))
+        (m @ m).sum()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
 
 
 def run_scaling() -> None:
@@ -72,6 +97,8 @@ def run_scaling() -> None:
         "median_sec_8": lo.get("median_sec"), "median_sec_32": hi.get("median_sec"),
         "scaling_efficiency_median": round(eff_med, 3),
         "corpus_rows": BENCH_CORPUS_ROWS,
+        "calibration_sec_8": lo.get("calibration_sec"),
+        "calibration_sec_32": hi.get("calibration_sec"),
     }))
 
 
@@ -108,20 +135,34 @@ def main() -> None:
         batch_format="pyarrow")
     warm.groupby("x").count().materialize()
 
-    # 3 timed runs: report best (headline, comparable to round 1) AND
-    # median (robust to this host's 2-3x run-to-run noise), plus the
-    # per-stage wall split of the best run so round-over-round deltas
-    # are attributable (VERDICT r1 #9)
-    runs = []
-    for _ in range(3):
+    # BENCH_REPEATS timed runs (default best-of-5): report best
+    # (headline, comparable to round 1) AND median (robust to this
+    # host's 2-3x run-to-run noise), plus the per-stage wall split of
+    # the best run so round-over-round deltas are attributable
+    # (VERDICT r1 #9). Outlier rule (VERDICT r3 #3): if the median
+    # lands > 1.5x the best — the signature of a mid-bench host
+    # phase — re-run up to 2 extra times so one slow phase can't drag
+    # the reported median.
+    cal_pre = calibration_sec()
+
+    def timed() -> dict:
         st: dict = {}
         t0 = time.time()
         n_out = dedup_pipeline_from_dir(cdir, stage_times=st).count()
         dt = time.time() - t0
         assert n_out == BENCH_CORPUS_ROWS
         st["total"] = round(dt, 3)
-        runs.append(st)
+        return st
+
+    runs = [timed() for _ in range(BENCH_REPEATS)]
     runs.sort(key=lambda s: s["total"])
+    extra = 0
+    while (runs[len(runs) // 2]["total"] > 1.5 * runs[0]["total"]
+           and extra < 2):
+        runs.append(timed())
+        runs.sort(key=lambda s: s["total"])
+        extra += 1
+    cal_post = calibration_sec()
     headline = runs[0]["total"]
     median = runs[len(runs) // 2]["total"]
     best = runs[0]
@@ -184,6 +225,15 @@ def main() -> None:
         "images_per_sec_median": round(BENCH_CORPUS_ROWS / median, 1),
         "headline_stages": stage_split,
         "total_sec": round(total, 3),
+        "n_headline_runs": len(runs),
+        "headline_runs_sec": [r["total"] for r in runs],
+        # host-noise detectors: calibration before/after the timed runs
+        # and the headline/calibration ratio (stable across rounds on a
+        # quiet host; a doubled calibration flags a slow host phase)
+        "calibration_sec": min(cal_pre, cal_post),
+        "calibration_pre": cal_pre,
+        "calibration_post": cal_post,
+        "headline_x_calibration": round(headline / min(cal_pre, cal_post), 1),
     }))
     ray.shutdown()
 
