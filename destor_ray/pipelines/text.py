@@ -748,7 +748,8 @@ def segment_routing(sf_dir: str, top_k: int = 2, ratio: int = 16,
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
-                        max_driver_pairs: int | None = None):
+                        max_driver_pairs: int | None = None,
+                        measure: str = "jaccard"):
     """Exact n-gram Jaccard near-dup pairs: LSH candidates verified by the
     TRUE shingle-set Jaccard (not the MinHash estimate) — FULLY
     distributed: the text table is never read on the driver, never
@@ -774,7 +775,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
       4. verify exchange keyed by the pair hash: the two sides meet,
          exact |A∩B|/|A∪B| via np.intersect1d.  Volume =
          Σ_pairs (|A|+|B|) hashes, candidate-proportional.
-    Returns (left_id, right_id, jaccard rounded 6); rows-only check."""
+    Returns (left_id, right_id, jaccard rounded 6); rows-only check.
+
+    With measure="containment" the verify step scores Broder's directed
+    containment c/|A| instead and emits BOTH directions >= threshold as
+    (contained_id, container_id, containment) — the degrade target for
+    containment_join_exact past its volume guard. Candidates still come
+    from Jaccard-MinHash bands, so high-containment/low-Jaccard pairs
+    (tiny doc inside a huge one) can be missed — approximate by
+    construction, which is why the exact path stays the default."""
     from ..functions.hashing import mix_u64
     from ..stages.grouped import bucketed_group_map
     cfg = EngineConfig()
@@ -904,9 +913,14 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
 
     shards = bucketed_group_map(tagged, "doc_id", rendezvous_bucket,
                                 num_buckets=32)
-    empty_out = pa.table({"left_id": pa.array([], pa.int64()),
-                          "right_id": pa.array([], pa.int64()),
-                          "jaccard": pa.array([], pa.float64())})
+    if measure == "containment":
+        empty_out = pa.table({"contained_id": pa.array([], pa.int64()),
+                              "container_id": pa.array([], pa.int64()),
+                              "containment": pa.array([], pa.float64())})
+    else:
+        empty_out = pa.table({"left_id": pa.array([], pa.int64()),
+                              "right_id": pa.array([], pa.int64()),
+                              "jaccard": pa.array([], pa.float64())})
 
     # exchange 4: the two sides of each pair meet; grouping is by the
     # REAL pair columns, so pkey hash collisions are harmless
@@ -918,9 +932,23 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
             g = g.drop_duplicates("doc_id")
             if len(g) != 2:
                 continue  # a side was filtered out (shouldn't happen)
-            a = np.asarray(g["shingles"].iloc[0], dtype=np.int64)
-            b = np.asarray(g["shingles"].iloc[1], dtype=np.int64)
+            # align sides to the pair identity: row with doc_id == l is A
+            ga = g[g["doc_id"] == l]
+            gb = g[g["doc_id"] == r]
+            if len(ga) != 1 or len(gb) != 1:
+                continue
+            a = np.asarray(ga["shingles"].iloc[0], dtype=np.int64)
+            b = np.asarray(gb["shingles"].iloc[0], dtype=np.int64)
             inter = len(np.intersect1d(a, b, assume_unique=True))
+            if measure == "containment":
+                # both directions: c/|A| (l contained in r), c/|B|
+                for cid, oid, den in ((l, r, len(a)), (r, l, len(b))):
+                    cont = inter / den if den else 1.0
+                    if cont >= threshold:
+                        out_l.append(int(cid))
+                        out_r.append(int(oid))
+                        out_j.append(round(cont, 6))
+                continue
             union = len(a) + len(b) - inter
             # two empty shingle sets are identical => J = 1 (minhash.jaccard)
             j = inter / union if union else 1.0
@@ -928,9 +956,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
                 out_l.append(int(l))
                 out_r.append(int(r))
                 out_j.append(round(j, 6))
-        return pa.table({"left_id": pa.array(out_l, pa.int64()),
-                         "right_id": pa.array(out_r, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
+        return pa.table({empty_out.column_names[0]: pa.array(out_l, pa.int64()),
+                         empty_out.column_names[1]: pa.array(out_r, pa.int64()),
+                         empty_out.column_names[2]: pa.array(out_j, pa.float64())})
 
     return bucketed_group_map(shards, "pkey", jaccard_bucket, num_buckets=32)
 
@@ -1104,19 +1132,28 @@ def _shingle_pair_partials(sf_dir: str, k: int = 5,
     return partials.map_batches(add_pair_key, batch_format="pyarrow")
 
 
-def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5):
+def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5,
+                       strict: bool = False):
     """EXACT all-pairs n-gram Jaccard >= threshold via the inverted-
     index set-similarity join (_shingle_pair_partials): final pair-keyed
     reduce sums intersections → J = c / (|A|+|B|-c).
 
     Scale caveat (documented, inherent): exactness forbids posting-list
     caps, so a stop-shingle shared by M docs costs O(M²) pair rows —
-    this is the price of the exact join; ngram_jaccard_pairs (LSH
-    candidates + rendezvous verify) is the skew-safe approximate path.
+    this is the price of the exact join. Past the volume guard the join
+    AUTO-DEGRADES to ngram_jaccard_pairs (LSH candidates + TRUE-Jaccard
+    rendezvous verify — same schema, exact scores, approximate candidate
+    RECALL) instead of erroring; pass strict=True to keep the refusal
+    (the mode for callers that must not silently lose pairs).
     Returns (left_id, right_id, jaccard rounded 6)."""
     from ..stages.grouped import bucketed_group_map
 
-    keyed = _shingle_pair_partials(sf_dir, k)
+    try:
+        keyed = _shingle_pair_partials(sf_dir, k)
+    except ValueError:
+        if strict:
+            raise
+        return ngram_jaccard_pairs(sf_dir, threshold, k)
 
     def reduce_pairs(df: pd.DataFrame) -> pa.Table:
         if not len(df):
@@ -1140,7 +1177,7 @@ def jaccard_join_exact(sf_dir: str, threshold: float = 0.5, k: int = 5):
 
 
 def containment_join_exact(sf_dir: str, threshold: float = 0.8,
-                           k: int = 5):
+                           k: int = 5, strict: bool = False):
     """(contained_id, container_id, containment) — EXACT all-pairs
     shingle-set CONTAINMENT c/|A| >= threshold (Broder's asymmetric
     measure): detects documents largely COPIED INTO a bigger one —
@@ -1150,10 +1187,22 @@ def containment_join_exact(sf_dir: str, threshold: float = 0.8,
     and pair-keyed reduce as jaccard_join_exact
     (_shingle_pair_partials); the only difference is the final
     normalization, evaluated in BOTH directions from the undirected
-    (l<r) partials."""
+    (l<r) partials.
+
+    Past the volume guard the join AUTO-DEGRADES to the LSH-candidate
+    rendezvous path with containment scoring (see ngram_jaccard_pairs
+    measure="containment" — exact scores, approximate candidate recall,
+    and Jaccard-banded candidates under-reach high-containment/
+    low-Jaccard pairs); strict=True keeps the refusal."""
     from ..stages.grouped import bucketed_group_map
 
-    keyed = _shingle_pair_partials(sf_dir, k)
+    try:
+        keyed = _shingle_pair_partials(sf_dir, k)
+    except ValueError:
+        if strict:
+            raise
+        return ngram_jaccard_pairs(sf_dir, threshold, k,
+                                   measure="containment")
 
     def reduce_pairs(df: pd.DataFrame) -> pa.Table:
         empty = pa.table({"contained_id": pa.array([], pa.int64()),
@@ -1207,7 +1256,27 @@ def token_count_bpe(sf_dir: str):
 
 
 def jaccard_join_ppjoin(sf_dir: str, threshold: float = 0.5, k: int = 5,
-                        max_driver_pairs: int = 50_000_000):
+                        max_driver_pairs: int = 50_000_000,
+                        strict: bool = False):
+    """Volume-guarded wrapper: past `max_driver_pairs` (driver pre-pass,
+    in-bucket estimate, or driver candidate accumulation — whichever
+    trips first) the join AUTO-DEGRADES to ngram_jaccard_pairs (same
+    schema, exact verify scores, approximate candidate recall) unless
+    strict=True, which preserves the clean refusal."""
+    try:
+        return _jaccard_join_ppjoin_impl(sf_dir, threshold, k,
+                                         max_driver_pairs)
+    except Exception as e:
+        guard = ("max_driver_pairs" in str(e)
+                 or "all-pairs join" in str(e))
+        if strict or not guard:
+            raise
+        return ngram_jaccard_pairs(sf_dir, threshold, k)
+
+
+def _jaccard_join_ppjoin_impl(sf_dir: str, threshold: float = 0.5,
+                              k: int = 5,
+                              max_driver_pairs: int = 50_000_000):
     """EXACT all-pairs n-gram Jaccard >= threshold — same result set as
     jaccard_join_exact (the DuckDB oracle hash-matches both) — via the
     skew-safe AllPairs/PPJoin topology (Bayardo et al., WWW'07; Xiao et
