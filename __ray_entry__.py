@@ -173,9 +173,9 @@ queries() entries map to SURVEY.md §2 operators:
                        byte-hash-blind, pixel-lossless — or re-encoded
                        JPEG/GIF), exact pixel-SHA band family +
                        perceptual bands, per-class recall
-  image_format_stats   uniform seven-container ingestion (PNG/JPEG/GIF/
-                       BMP/PPM/TIFF/WebP) through one decode dispatch,
-                       per-format counts + mean luminance
+  image_format_stats   uniform nine-container ingestion (PNG/JPEG/GIF/
+                       BMP/PPM/TIFF/WebP/ICO/TGA) through one decode
+                       dispatch, per-format counts + mean luminance
   crossformat_animation_dedup the same animation re-hosted as animated
                        GIF / lossless animated WebP / MJPEG-AVI (the
                        GIF-to-video transcode), one container-agnostic
@@ -196,7 +196,7 @@ queries() entries map to SURVEY.md §2 operators:
                        actor pool; PSNR pinned by pytest (rows-only)
   partitioned_write_readback hive-partitioned write → pruned read-back
                        round trip, WHERE-mirror certified (oracle)
-  decode_quarantine_mixed dead-letter routing across ALL SEVEN codecs
+  decode_quarantine_mixed dead-letter routing across ALL EIGHT codecs
                        (corruption planted per container; fmt still
                        attributed via signature sniff), exact split
   decode_quarantine_stats poison-row dead-letter routing: planted

@@ -297,39 +297,42 @@ def sniff_format(data) -> str:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode payload bytes (PNG, real JFIF JPEG, GIF, BMP, TIFF,
-    Netpbm, or DRI1 — dispatched on the byte signature) back into an
-    (h, w, 3) uint8 array."""
-    if is_png(data):
+    """Decode payload bytes (PNG, JFIF JPEG, GIF, BMP, TIFF, Netpbm,
+    WebP, ICO, TGA, or DRI1) back into an (h, w, 3) uint8 array.
+    Dispatch IS sniff_format — the one magic-number table — so a
+    payload is always decoded as the format it sniffs as (a leading
+    TIFF/Netpbm magic wins over a coincidental trailing TGA footer)."""
+    fmt = sniff_format(data)
+    if fmt == "png":
         return png_decode(data)
-    if bytes(data[:2]) == b"\xff\xd8":
+    if fmt == "jpeg":
         from . import jpeg as _jpeg
         return _jpeg.decode(data)
-    if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
+    if fmt == "gif":
         from . import gif as _gif
         return _gif.decode(data)
-    if bytes(data[:2]) == b"BM":
+    if fmt == "bmp":
         from . import bmp as _bmp
         return _bmp.decode(data)
-    if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WEBP":
+    if fmt == "webp":
         from . import webp as _webp
         return _webp.decode(data)
-    if bytes(data[:4]) == b"\x00\x00\x01\x00":
+    if fmt == "ico":
         from . import ico as _ico
         return _ico.decode(data)
-    if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE.\x00":
+    if fmt == "tga":
         from . import tga as _tga
         return _tga.decode(data)  # TGA signs at the FOOTER
-    if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
+    if fmt == "tiff":
         from . import tiff as _tiff
         return _tiff.decode(data)
-    if len(data) >= 2 and data[0:1] == b"P" and data[1] in range(0x31, 0x37):
+    if fmt == "pnm":
         from . import netpbm as _netpbm
         return _netpbm.decode(data)
-    magic, codec, qual, w, h, chans = _HDR.unpack_from(data, 0)
-    if magic != MAGIC:
+    if fmt != "dri1":
         raise ValueError(
-            "bad magic; not one of the seven containers or DRI1")
+            "bad magic; not one of the nine containers or DRI1")
+    magic, codec, qual, w, h, chans = _HDR.unpack_from(data, 0)
     raw = np.frombuffer(zlib.decompress(data[_HDR.size:]), dtype=np.uint8)
     arr = raw.reshape(h, w, chans)
     if codec == 1:
@@ -339,46 +342,48 @@ def decode(data: bytes) -> np.ndarray:
 
 
 def decode_meta(data: bytes) -> tuple[str, int, int, int]:
-    """(fmt, quality, w, h) from the header without decompressing."""
-    if is_png(data):
+    """(fmt, quality, w, h) from the header without decompressing.
+    Same single sniff_format dispatch as decode()."""
+    fmt = sniff_format(data)
+    if fmt == "png":
         w, h = png_meta(data)
         return ("png", 100, w, h)
-    if bytes(data[:2]) == b"\xff\xd8":
+    if fmt == "jpeg":
         from . import jpeg as _jpeg
         w, h = _jpeg.meta(data)
         return ("jpeg", 0, w, h)  # JFIF carries no quality field
-    if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
+    if fmt == "gif":
         import struct as _struct
         w, h = _struct.unpack_from("<HH", data, 6)
         return ("gif", 100, w, h)
-    if bytes(data[:2]) == b"BM":
+    if fmt == "bmp":
         from . import bmp as _bmp
         w, h = _bmp.meta(data)
         return ("bmp", 100, w, h)
-    if bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WEBP":
+    if fmt == "webp":
         from . import webp as _webp
         w, h = _webp.meta(data)
         return ("webp", 100, w, h)
-    if bytes(data[:4]) == b"\x00\x00\x01\x00":
+    if fmt == "ico":
         from . import ico as _ico
         w, h = _ico.meta(data)
         return ("ico", 100, w, h)
-    if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE.\x00":
+    if fmt == "tga":
         from . import tga as _tga
         w, h = _tga.meta(data)
         return ("tga", 100, w, h)
-    if bytes(data[:4]) in (b"II*\x00", b"MM\x00*"):
+    if fmt == "tiff":
         from . import tiff as _tiff
         w, h = _tiff.meta(data)
         return ("tiff", 100, w, h)
-    if len(data) >= 2 and data[0:1] == b"P" and data[1] in range(0x31, 0x37):
+    if fmt == "pnm":
         from . import netpbm as _netpbm
         w, h = _netpbm.meta(data)
         return ("pnm", 100, w, h)
-    magic, codec, qual, w, h, _ = _HDR.unpack_from(data, 0)
-    if magic != MAGIC:
+    if fmt != "dri1":
         raise ValueError(
-            "bad magic; not one of the seven containers or DRI1")
+            "bad magic; not one of the nine containers or DRI1")
+    magic, codec, qual, w, h, _ = _HDR.unpack_from(data, 0)
     return ("png" if codec == 0 else "jpeg", qual, w, h)
 
 

@@ -1927,8 +1927,8 @@ def format_convert_dedup(sf_dir: str, n_base: int = 90,
 
 def image_format_stats(sf_dir: str, n_base: int = 90):
     """(fmt, n, mean_w, mean_h, mean_lum_micro) — uniform ingestion
-    across ALL EIGHT still containers (PNG, JPEG, GIF, BMP, PPM,
-    TIFF, lossless WebP, ICO) through the one codec.decode dispatch: the
+    across ALL NINE still containers (PNG, JPEG, GIF, BMP, PPM,
+    TIFF, lossless WebP, ICO, TGA) through the one codec.decode dispatch: the
     mixed-format fixture
     decoded by an actor pool, per-format counts and integer mean
     luminance. The read-side proof that a crawl's container mix needs

@@ -129,9 +129,22 @@ def write_webdataset(ds, out_dir: str, id_col: str,
                     members.append((f"{ids[i]}.{ext}", v))
             data = _tar_bytes(members)
             # deterministic per-content shard name: no cross-task
-            # coordination, identical bytes on retry
+            # coordination, identical bytes on retry. CONTENT-ADDRESSED
+            # semantics: byte-identical shards coalesce to one file
+            # (the dedup-engine convention — destor's containers are
+            # fingerprint-keyed the same way); a same-name shard with
+            # DIFFERING bytes (a 64-bit hash-prefix collision) would
+            # silently lose data, so it errors instead.
             tag = hashlib.sha1(data).hexdigest()[:16]
             path = os.path.join(out_dir, f"shard-{tag}.tar")
+            if os.path.exists(path):
+                with open(path, "rb") as f:
+                    if f.read() != data:
+                        raise ValueError(
+                            f"shard name collision with differing "
+                            f"content at {path}")
+                paths.append(path)
+                continue
             tmp = f"{path}.tmp.{os.getpid()}"
             with open(tmp, "wb") as f:
                 f.write(data)
@@ -142,4 +155,5 @@ def write_webdataset(ds, out_dir: str, id_col: str,
     out = ds.select_columns(cols).map_batches(
         write_block, batch_format="pyarrow",
         batch_size=samples_per_shard)
-    return sorted(out.to_pandas()["shard_path"].tolist())
+    # coalesced (byte-identical) shards appear once
+    return sorted(set(out.to_pandas()["shard_path"].tolist()))

@@ -450,6 +450,12 @@ def meta(data: bytes) -> tuple[int, int]:
     """(w, h) from the VP8L header (or the VP8X canvas for animated
     files) without decoding."""
     if is_webp(data) and bytes(data[12:16]) == b"VP8X":
+        # the VP8X body is 10 bytes (flags + 24-bit w-1/h-1); validate
+        # both the declared chunk size and the actual bytes so a
+        # truncated file raises instead of yielding garbage dimensions
+        declared = struct.unpack_from("<I", data, 16)[0]
+        if declared < 10 or len(data) < 30:
+            raise ValueError("truncated VP8X chunk")
         body = data[20:30]
         return (int.from_bytes(body[4:7], "little") + 1,
                 int.from_bytes(body[7:10], "little") + 1)

@@ -682,3 +682,39 @@ def test_tga_roundtrip_and_handcrafted():
     out = tga.decode(hdr + vals.astype("<u2").tobytes() + foot)
     exp = np.array([[[255, 0, 0], [0, 255, 0], [0, 0, 255]]], np.uint8)
     assert np.array_equal(out, exp)
+
+
+def test_decode_dispatch_matches_sniff_on_footer_collision():
+    """A payload with a valid LEADING magic plus a coincidental trailing
+    TGA footer must dispatch to the leading-magic decoder in decode()/
+    decode_meta() exactly as sniff_format() attributes it (ADVICE r3:
+    the TGA footer check used to run before the TIFF/Netpbm magics)."""
+    import numpy as np
+
+    from destor_ray import codec as codec_mod
+    from destor_ray import netpbm, tiff
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    for blob, want in [(tiff.encode(px), "tiff"),
+                       (netpbm.encode(px), "pnm")]:
+        evil = blob + b"\x00" * 8 + b"TRUEVISION-XFILE.\x00"
+        assert codec_mod.sniff_format(evil) == want
+        assert np.array_equal(codec_mod.decode(evil), px)
+        assert codec_mod.decode_meta(evil)[0] == want
+
+
+def test_webp_truncated_vp8x_raises():
+    """A VP8X header chunk whose declared size or actual bytes are short
+    must raise cleanly instead of parsing garbage dimensions."""
+    import struct
+
+    import pytest
+
+    from destor_ray import webp as webp_mod
+
+    # minimal RIFF/WEBP/VP8X wrapper truncated after 6 VP8X body bytes
+    body = bytes(6)
+    riff = (b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP"
+            + b"VP8X" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(ValueError, match="truncated VP8X"):
+        webp_mod.meta(riff)
