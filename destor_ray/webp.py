@@ -1,4 +1,4 @@
-"""WebP lossless (VP8L) codec — pure numpy/Python, no external library.
+"""WebP container + lossless (VP8L) codec — pure numpy/Python.
 
 Decoder: the full VP8L still-image bitstream per RFC 9649 (WebP) —
 RIFF/WEBP chunk walk (VP8X containers dispatch to their VP8L chunk),
@@ -8,8 +8,9 @@ color-indexing incl. sub-byte pixel bundling), meta-Huffman code
 groups, canonical DEFLATE-style prefix codes (simple and
 code-length-coded forms, 16/17/18 repeats), LZ77 backward references
 with the 120-entry 2D distance neighborhood, and the hash-keyed color
-cache. Lossy VP8 payloads raise a declared seam error (the intra
-predictor/DCT stack is out of scope here, as H.264 is for video).
+cache. LOSSY `VP8 ` chunks dispatch to the RFC 6386 key-frame codec
+in vp8.py (round 4 — closing round 3's declared seam), so decode()
+handles both WebP flavors through one call.
 
 Encoder: a valid VP8L writer — optional subtract-green transform,
 canonical Huffman codes per channel (length-limited), optional
@@ -427,8 +428,11 @@ def _inverse_color(img: np.ndarray, bits: int,
     return out.reshape(h, -1).view(np.uint32).reshape(h, w)
 
 
-def _find_vp8l(data: bytes) -> bytes:
-    """Walk the RIFF chunks to the VP8L payload."""
+def _find_payload(data: bytes) -> tuple[str, bytes]:
+    """Walk the RIFF chunks to the still-image payload: ("vp8l", b)
+    for lossless, ("vp8", b) for lossy key frames (decoded by the
+    pure-numpy RFC 6386 codec in vp8.py — round-4 closure of the
+    round-3 'declared seam')."""
     if not is_webp(data):
         raise ValueError("not a WebP stream")
     pos = 12
@@ -436,19 +440,23 @@ def _find_vp8l(data: bytes) -> bytes:
         tag = bytes(data[pos:pos + 4])
         size = struct.unpack_from("<I", data, pos + 4)[0]
         if tag == b"VP8L":
-            return bytes(data[pos + 8:pos + 8 + size])
+            return "vp8l", bytes(data[pos + 8:pos + 8 + size])
         if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 payload: intra-prediction/DCT decode is a "
-                "declared seam (like H.264 for video); re-encode as "
-                "lossless WebP, PNG or JPEG")
+            return "vp8", bytes(data[pos + 8:pos + 8 + size])
         pos += 8 + size + (size & 1)
-    raise ValueError("no VP8L chunk found")
+    raise ValueError("no VP8L/VP8 chunk found")
+
+
+def _find_vp8l(data: bytes) -> bytes:
+    kind, payload = _find_payload(data)
+    if kind != "vp8l":
+        raise ValueError("not a lossless WebP")
+    return payload
 
 
 def meta(data: bytes) -> tuple[int, int]:
-    """(w, h) from the VP8L header (or the VP8X canvas for animated
-    files) without decoding."""
+    """(w, h) from the VP8L/VP8 header (or the VP8X canvas for
+    animated/extended files) without decoding."""
     if is_webp(data) and bytes(data[12:16]) == b"VP8X":
         # the VP8X body is 10 bytes (flags + 24-bit w-1/h-1); validate
         # both the declared chunk size and the actual bytes so a
@@ -459,7 +467,10 @@ def meta(data: bytes) -> tuple[int, int]:
         body = data[20:30]
         return (int.from_bytes(body[4:7], "little") + 1,
                 int.from_bytes(body[7:10], "little") + 1)
-    payload = _find_vp8l(data)
+    kind, payload = _find_payload(data)
+    if kind == "vp8":
+        from . import vp8 as _vp8
+        return _vp8.meta(payload)
     if payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload[1:])
@@ -469,9 +480,12 @@ def meta(data: bytes) -> tuple[int, int]:
 
 
 def decode(data: bytes) -> np.ndarray:
-    """Decode a lossless WebP into an (h, w, 3) uint8 RGB array
-    (alpha dropped)."""
-    payload = _find_vp8l(data)
+    """Decode a WebP still (lossless VP8L or lossy VP8 key frame)
+    into an (h, w, 3) uint8 RGB array (alpha dropped)."""
+    kind, payload = _find_payload(data)
+    if kind == "vp8":
+        from . import vp8 as _vp8
+        return _vp8.decode(payload)
     if payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     br = _BitReader(payload[1:])
@@ -716,6 +730,19 @@ def encode(pixels: np.ndarray, subtract_green: bool = True,
     return b"RIFF" + struct.pack("<I", len(riff)) + riff
 
 
+def encode_lossy(pixels: np.ndarray, qindex: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB → LOSSY WebP (RIFF-wrapped VP8 key frame,
+    vp8.py encoder). The lossy twin of encode(); decode() dispatches
+    on the chunk tag so both round-trip through the same call."""
+    from . import vp8 as _vp8
+    payload = _vp8.encode(pixels, qindex=qindex)
+    chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\0"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 # --------------------------------------------------- animation (VP8X)
 
 def _u24(v: int) -> bytes:
@@ -770,29 +797,31 @@ def decode_frames(data: bytes) -> list[np.ndarray]:
             # frame payload: nested VP8L chunk
             stag = bytes(sub[0:4])
             ssize = struct.unpack_from("<I", sub, 4)[0]
-            if stag != b"VP8L":
-                raise NotImplementedError(
-                    f"animated frame payload {stag!r} (lossy VP8 "
-                    "frames are the declared VP8 seam)")
             payload = sub[8:8 + ssize]
-            if payload[0] != 0x2F:
-                raise ValueError("bad VP8L signature in ANMF")
-            br = _BitReader(payload[1:])
-            fw = br.read(14) + 1
-            fh = br.read(14) + 1
-            br.read(1)
-            if br.read(3) != 0:
-                raise ValueError("unsupported VP8L version")
-            img, _ = _decode_image_stream(br, fw, fh, True)
-            rgb = img.view(np.uint8).reshape(fh, fw, 4)[:, :, 2::-1]
+            if stag == b"VP8 ":
+                from . import vp8 as _vp8
+                rgb = _vp8.decode(payload)
+                fh, fw = rgb.shape[:2]
+            elif stag == b"VP8L":
+                if payload[0] != 0x2F:
+                    raise ValueError("bad VP8L signature in ANMF")
+                br = _BitReader(payload[1:])
+                fw = br.read(14) + 1
+                fh = br.read(14) + 1
+                br.read(1)
+                if br.read(3) != 0:
+                    raise ValueError("unsupported VP8L version")
+                img, _ = _decode_image_stream(br, fw, fh, True)
+                rgb = img.view(np.uint8).reshape(fh, fw, 4)[:, :, 2::-1]
+            else:
+                raise NotImplementedError(
+                    f"animated frame payload {stag!r}")
             if canvas is None:
                 canvas = np.zeros((fh + fy, fw + fx, 3), np.uint8)
             canvas[fy:fy + fh, fx:fx + fw] = rgb
             frames.append(canvas.copy())
-        elif tag == b"VP8L":
+        elif tag in (b"VP8L", b"VP8 "):
             return [decode(data)]
-        elif tag == b"VP8 ":
-            raise NotImplementedError("lossy VP8 payload (declared seam)")
         pos += 8 + size + (size & 1)
     if not frames:
         raise ValueError("no frames found")

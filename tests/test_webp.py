@@ -273,12 +273,33 @@ def test_codec_dispatch_webp():
     assert codec.decode_meta(d) == ("webp", 100, 29, 19)
 
 
-def test_lossy_vp8_is_declared_seam():
-    import struct
+def test_lossy_vp8_decodes():
+    """Round 3's declared VP8 seam is closed: a lossy WebP (RIFF VP8
+    key frame from vp8.py) decodes through the same webp.decode()
+    dispatch at PSNR >= 40, and a truncated VP8 chunk still raises
+    cleanly (quarantine contract)."""
     import pytest
+
+    from destor_ray import codec as codec_mod
+
+    h, w = 41, 57
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    img = np.zeros((h, w, 3), np.uint8)
+    for c in range(3):
+        img[..., c] = np.clip(
+            127 + 60 * np.sin(xx / 13 + c) + 50 * np.cos(yy / 9 - c),
+            0, 255)
+    d = webp.encode_lossy(img, qindex=4)
+    assert codec_mod.sniff_format(d) == "webp"
+    assert webp.meta(d) == (w, h)
+    out = webp.decode(d)
+    assert out.shape == img.shape
+    assert codec_mod.psnr(out, img) >= 40
+    # truncated payload raises (never fabricates pixels)
+    import struct
     fake = (b"RIFF" + struct.pack("<I", 20) + b"WEBP"
             + b"VP8 " + struct.pack("<I", 4) + b"\0\0\0\0")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         webp.decode(fake)
 
 
