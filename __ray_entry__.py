@@ -169,10 +169,11 @@ queries() entries map to SURVEY.md §2 operators:
   gif_animation_dedup  animated-GIF near-dups (k-slot sampling: depth /
                        frame-drop / palette-perm classes), per-class recall
   format_convert_dedup container-format-conversion dups (same picture
-                       re-hosted as BMP/PPM/TIFF-LZW/lossless-WebP —
-                       byte-hash-blind, pixel-lossless — or re-encoded
-                       JPEG/GIF), exact pixel-SHA band family +
-                       perceptual bands, per-class recall
+                       re-hosted as BMP/PPM/TIFF-LZW/lossless-WebP/
+                       ICO/TGA — byte-hash-blind, pixel-lossless — or
+                       re-encoded JPEG/GIF/lossy-VP8-WebP), exact
+                       pixel-SHA band family + perceptual bands,
+                       per-class recall
   image_format_stats   uniform nine-container ingestion (PNG/JPEG/GIF/
                        BMP/PPM/TIFF/WebP/ICO/TGA) through one decode
                        dispatch, per-format counts + mean luminance

@@ -1765,7 +1765,7 @@ def crossformat_animation_dedup(sf_dir: str, n_base: int = 36,
 
 
 _FMTC_KINDS = ("bmp", "pnm", "tifflzw", "webp", "ico", "tga",
-               "jfif", "gifq")
+               "jfif", "gifq", "webpv8")
 
 
 def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
@@ -1775,9 +1775,10 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
     `tifflzw` (TIFF, LZW + predictor 2), `webp` (lossless VP8L,
     subtract-green + runs), `ico` (single-entry icon, BMP plane),
     `tga` (RLE Targa): all pixel-lossless, the class a byte-hash
-    dedup misses entirely; `jfif` (JPEG q90 re-save) and
-    `gifq` (GIF after 3-3-2 palette quantization): the lossy
-    conversions. Base rows are PNGs. Truth rides the naming:
+    dedup misses entirely; `jfif` (JPEG q90 re-save), `gifq` (GIF
+    after 3-3-2 palette quantization) and `webpv8` (LOSSY WebP — the
+    RFC 6386 VP8 key-frame codec, round 4): the lossy conversions.
+    Base rows are PNGs. Truth rides the naming:
     fc<NNNNN>_<kind> duplicates fc<NNNNN>."""
     from .. import bmp as bmp_mod
     from .. import codec as codec_mod
@@ -1788,7 +1789,7 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
     from .. import tiff as tiff_mod
     from .. import webp as webp_mod
 
-    out = f"/tmp/destor_ray_fmtconv/v4_n{n_base}_e{dup_every}"
+    out = f"/tmp/destor_ray_fmtconv/v5_n{n_base}_e{dup_every}"
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -1816,6 +1817,8 @@ def _fmtconv_corpus_dir(n_base: int = 90, dup_every: int = 3) -> str:
             blob = tga_mod.encode(px, rle=True)
         elif kind == "jfif":
             blob = jpeg_mod.encode(px, 90)
+        elif kind == "webpv8":
+            blob = webp_mod.encode_lossy(px, qindex=4)
         else:  # gifq
             idx = ((px[:, :, 0] >> 5).astype(np.uint8) << 5
                    | (px[:, :, 1] >> 5) << 2 | (px[:, :, 2] >> 6))
@@ -1835,8 +1838,9 @@ def format_convert_dedup(sf_dir: str, n_base: int = 90,
     FORMAT-CONVERSION dedup: the same picture re-hosted as BMP / PPM /
     TIFF-LZW (pixel-lossless — invisible to byte-hash dedup, pixel-
     identical after decode) or re-encoded as JPEG q90 / palette-
-    quantized GIF (lossy). One decode pass through the signature
-    actor pool (codec.decode dispatches all six containers), THREE
+    quantized GIF / lossy VP8 WebP (lossy). One decode pass through
+    the signature actor pool (codec.decode dispatches every
+    container incl. the RFC 6386 VP8 path), THREE
     8×8-bit band families — phash, aHash, and the leading 64 bits of
     the decoded-pixel SHA-1 (the exact tier: identical pixels collide
     on every slice; MEASURED: the lossy classes share ≥6 of the 16

@@ -274,19 +274,19 @@ def test_codec_dispatch_bmp_tiff():
 # ------------------------------------------- channel + stats queries
 
 def test_format_convert_dedup_per_class_full_recall(ray_session):
-    """All six container-conversion classes — pixel-lossless BMP /
-    PPM / TIFF-LZW / lossless-WebP re-hosts (invisible to byte-hash
-    dedup) and lossy
-    JPEG-q90 / GIF-quantize re-encodes — detect with per-class recall
-    1.0 and zero false merges; measured gate margins (jfif >= 48.6 dB,
-    gifq >= 28.0 vs distinct <= 21.0, gate 24) hold."""
+    """All nine container-conversion classes — pixel-lossless BMP /
+    PPM / TIFF-LZW / lossless-WebP / ICO / TGA re-hosts (invisible to
+    byte-hash dedup) and lossy JPEG-q90 / GIF-quantize / VP8-WebP
+    re-encodes — detect with per-class recall 1.0 and zero false
+    merges; measured gate margins (jfif >= 48.6 dB, gifq >= 28.0 vs
+    distinct <= 21.0, gate 24) hold."""
     import __ray_entry__ as em
 
     out = em.queries()["format_convert_dedup"]("/root/testdata/sf0.001")
     df = out.set_index("kind")
     assert int(df.loc["_total", "n_planted"]) == 30
     for kind in ("bmp", "pnm", "tifflzw", "webp", "ico", "tga",
-                 "jfif", "gifq", "_total"):
+                 "jfif", "gifq", "webpv8", "_total"):
         assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
         assert int(df.loc[kind, "n_false"]) == 0, kind
 
@@ -299,10 +299,12 @@ def test_image_format_stats_counts(ray_session):
     out = em.queries()["image_format_stats"]("/root/testdata/sf0.001")
     df = out.to_pandas().set_index("fmt")["n"]
     assert int(df["png"]) == 90
-    # 30 dup slots cycle the 8 kinds deterministically: the first six
-    # kinds land 4 each, the last two 3
-    exp = {"bmp": 4, "pnm": 4, "tiff": 4, "webp": 4, "ico": 4,
-           "tga": 4, "jpeg": 3, "gif": 3}
+    # 30 dup slots cycle the 9 kinds deterministically: the first
+    # three kinds land 4 each, the remaining six 3 each; the webpv8
+    # (lossy VP8) rows sniff as fmt "webp", so that fmt counts both
+    # WebP flavors
+    exp = {"bmp": 4, "pnm": 4, "tiff": 4, "webp": 3 + 3, "ico": 3,
+           "tga": 3, "jpeg": 3, "gif": 3}
     for fmt, n in exp.items():
         assert int(df[fmt]) == n, fmt
     assert int(df.drop("png").sum()) == 30
