@@ -17,6 +17,20 @@ queries() entries map to SURVEY.md §2 operators:
                        mirrored in SQL; map-only vectorized (oracle)
   lang_id              text analysis: language-ID heuristic (oracle)
   doc_fingerprint      document fingerprinting: SimHash + MinHash (rows-only)
+  doc_fingerprint_md5  SQL-verifiable 32-bit SimHash (md5 shingles,
+                       per-bit majority mirrored in the oracle)
+  docs_ngram_novelty   per-doc corpus novelty: distinct n-grams first
+                       seen here, via ONE gram-keyed min(doc) exchange (oracle)
+  docs_vocab_growth    Heaps-law vocabulary growth at quartile
+                       checkpoints from the same first-occurrence primitive (oracle)
+  docs_char_class_profile per-lang character-class census, vectorized
+                       re2 kernels (oracle)
+  events_inter_arrival_stats per-user inter-arrival gaps, exact
+                       digit-count log-bucketing (oracle)
+  lineitem_moment_stats skewness/kurtosis from single-pass int64 power
+                       sums, bit-mirrored float finish (oracle)
+  part_type_supplier_hhi supplier-concentration HHI per brand from
+                       exact counts (oracle)
   minhash_lsh_docs     D3/D4 similarity join: MinHash-LSH near-dup clusters (rows-only)
   simhash_dup_pairs    SimHash banded near-dup pairs, exact Hamming verify (rows-only)
   minhash_lsh_oph      one-permutation-hashing MinHash-LSH, md5 slots —
@@ -2359,6 +2373,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text.quality_score,
         "lang_id": text.lang_id,
         "doc_fingerprint": text.doc_fingerprint,
+        "doc_fingerprint_md5": text.doc_fingerprint_md5,
+        "docs_ngram_novelty": text.docs_ngram_novelty,
+        "docs_vocab_growth": text.docs_vocab_growth,
+        "docs_char_class_profile": text.docs_char_class_profile,
+        "events_inter_arrival_stats": streaming.events_inter_arrival_stats,
+        "lineitem_moment_stats": stats.lineitem_moment_stats,
+        "part_type_supplier_hhi": stats.part_type_supplier_hhi,
         "minhash_lsh_docs": text.minhash_lsh_docs,
         "minhash_lsh_oph": text.minhash_lsh_oph,
         "simhash_md5_pairs": text.simhash_md5_pairs,
@@ -2460,6 +2481,12 @@ def oracle_sql() -> dict[str, str]:
         f"((u // {1 << b}) % 2) * {1 << (2 * b + 1)}"
         f" + ((h // {1 << b}) % 2) * {1 << (2 * b)}"
         for b in range(8))
+    # per-bit majority vote for the SQL-verifiable 32-bit SimHash
+    # (doc_fingerprint_md5): bit b set iff 2*Σ shingle-bit-b >= count
+    _sh32 = " + ".join(
+        f"CAST(2 * sum((h // {1 << b}) % 2) >= count(*) AS BIGINT)"
+        f" * {1 << b}"
+        for b in range(32))
     return {
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -5321,5 +5348,139 @@ def oracle_sql() -> dict[str, str]:
                 SELECT e.b, rc.r FROM reach rc JOIN edges e ON e.a = rc.v
             )
             SELECT v AS vec_id, min(r) AS cluster_id FROM reach GROUP BY v
+        """,
+        "docs_ngram_novelty": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), gr AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM toks, UNNEST(range(1, len(t)-1)) u(i)
+                WHERE len(t) >= 3
+            ), fd AS (
+                SELECT gram, min(doc_id) AS fd FROM gr GROUP BY gram
+            )
+            SELECT gr.doc_id,
+                   count(*) AS n_grams,
+                   CAST(sum(CASE WHEN fd.fd = gr.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST((sum(CASE WHEN fd.fd = gr.doc_id THEN 1 ELSE 0 END)
+                         * 1000000) // count(*) AS BIGINT) AS novelty_ppm
+            FROM gr JOIN fd USING (gram)
+            GROUP BY gr.doc_id
+        """,
+        "docs_vocab_growth": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), tk AS (
+                SELECT DISTINCT doc_id, unnest(t) AS tok FROM toks
+            ), fd AS (
+                SELECT tok, min(doc_id) AS fd FROM tk GROUP BY tok
+            ), nd AS (
+                SELECT max(doc_id) + 1 AS n FROM documents
+            ), cps AS (
+                SELECT DISTINCT greatest(1, (n * k) // 4) AS checkpoint
+                FROM nd, UNNEST([1, 2, 3, 4]) u(k)
+            )
+            SELECT c.checkpoint,
+                   (SELECT count(*) FROM fd WHERE fd.fd < c.checkpoint)
+                       AS vocab_size
+            FROM cps c
+        """,
+        "docs_char_class_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(regexp_replace(text, '[^a-zA-Z]', '',
+                                                  'g'))) AS BIGINT)
+                       AS n_alpha,
+                   CAST(sum(length(text)
+                            - length(replace(text, ' ', ''))) AS BIGINT)
+                       AS n_space,
+                   CAST(sum(length(regexp_replace(text, '[a-zA-Z ]', '',
+                                                  'g'))) AS BIGINT)
+                       AS n_other
+            FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint_md5": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+                FROM toks, UNNEST(range(1, len(t)-1)) u(i)
+                WHERE len(t) >= 3
+            ), hv AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT)
+                           AS h
+                FROM sh
+            ), fp AS (
+                SELECT doc_id, {_sh32} AS simhash32
+                FROM hv GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(fp.simhash32, 0) AS simhash32
+            FROM documents d LEFT JOIN fp USING (doc_id)
+        """,
+        "events_inter_arrival_stats": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                FROM events
+            ), g AS (
+                SELECT ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+                FROM e
+            )
+            SELECT CAST(length(CAST(gap AS VARCHAR)) AS BIGINT) AS digits,
+                   count(*) AS n,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
+        """,
+        "lineitem_moment_stats": """
+            WITH p AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS q
+                FROM lineitem
+            ), a AS (
+                SELECT l_returnflag, count(*) AS n,
+                       CAST(sum(q) AS BIGINT) AS s1,
+                       CAST(sum(q*q) AS BIGINT) AS s2,
+                       CAST(sum(q*q*q) AS BIGINT) AS s3,
+                       CAST(sum(q*q*q*q) AS BIGINT) AS s4
+                FROM p GROUP BY l_returnflag
+            ), m AS (
+                SELECT l_returnflag, n, s1, s2, s3, s4,
+                       s1 / n AS mean, s2 / n AS r2, s3 / n AS r3,
+                       s4 / n AS r4
+                FROM a
+            ), mm AS (
+                SELECT *,
+                       r2 - mean * mean AS m2,
+                       r3 - 3.0 * mean * r2
+                          + 2.0 * mean * mean * mean AS m3,
+                       r4 - 4.0 * mean * r3
+                          + 6.0 * mean * mean * r2
+                          - 3.0 * mean * mean * mean * mean AS m4
+                FROM m
+            )
+            SELECT l_returnflag, n, s1, s2, s3, s4,
+                   CAST(round((m3 / (m2 * sqrt(m2))) * 1000000.0)
+                        AS BIGINT) AS skew_micro,
+                   CAST(round((m4 / (m2 * m2) - 3.0) * 1000000.0)
+                        AS BIGINT) AS kurt_micro
+            FROM mm
+        """,
+        "part_type_supplier_hhi": """
+            WITH c AS (
+                SELECT p.p_brand, l.l_suppkey, count(*) AS n
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p_brand,
+                   count(*) AS n_suppliers,
+                   CAST(sum(n) AS BIGINT) AS n_items,
+                   CAST(round((1000000.0 * CAST(sum(n*n) AS DOUBLE))
+                              / (CAST(sum(n) AS DOUBLE)
+                                 * CAST(sum(n) AS DOUBLE))) AS BIGINT)
+                       AS hhi_micro
+            FROM c GROUP BY p_brand
         """,
     }

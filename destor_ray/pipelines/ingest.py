@@ -106,6 +106,185 @@ def _hash_band_rows(batch: pa.Table, id_col: str, fams, payloads,
     return pa.table(cols)
 
 
+def _group_pairs(bk: np.ndarray, codes: np.ndarray):
+    """Vectorized within-group (i<j) pair generation over one verify
+    bucket (round-4 channel-harness extraction, VERDICT r3 #6): one
+    lexsort by (band key, id code) replaces the per-group pandas
+    groupby + nested Python pair loop that appeared ~30 times; rows
+    duplicated on (key, id) collapse (the loops' ids[i]==ids[j] skip),
+    group runs come from one diff, and the (i<j) index templates are
+    np.triu batches by group size — the flagship verify topology
+    (stages/candidates.py verify_bucket_arrow:299-330) generalized to
+    the string-id channels. Returns (li, ri) row indices into the
+    ORIGINAL frame, one entry per in-group candidate pair."""
+    n = len(bk)
+    empty = np.array([], np.int64)
+    if n < 2:
+        return empty, empty
+    order = np.lexsort((codes, bk))
+    bs, cs = bk[order], codes[order]
+    keep = np.ones(n, bool)
+    keep[1:] = (bs[1:] != bs[:-1]) | (cs[1:] != cs[:-1])
+    idx = order[keep]
+    bs = bs[keep]
+    m = len(idx)
+    if m < 2:
+        return empty, empty
+    brk = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+    counts = np.diff(np.r_[brk, m])
+    coll = counts >= 2
+    if not coll.any():
+        return empty, empty
+    starts_c, counts_c = brk[coll], counts[coll]
+    li_p, ri_p = [], []
+    for c in np.unique(counts_c):
+        gl, gr = np.triu_indices(int(c), k=1)
+        st = starts_c[counts_c == c]
+        li_p.append((st[:, None] + gl[None, :]).ravel())
+        ri_p.append((st[:, None] + gr[None, :]).ravel())
+    li = np.concatenate(li_p)
+    ri = np.concatenate(ri_p)
+    return idx[li], idx[ri]
+
+
+def _bucket_pairs(df, id_col: str, dedupe: bool = False):
+    """(ids_obj_array, li, ri) for one verify-bucket DataFrame: id
+    strings factorized to codes, pairs from _group_pairs. With
+    `dedupe`, each unordered id pair survives once (the cross-group
+    `seen` sets of the original loops — outcome-identical because
+    every channel gate depends only on row payloads, which are
+    constant per id)."""
+    import pandas as pd
+    ids = df[id_col].to_numpy()
+    codes = pd.factorize(ids)[0].astype(np.int64)
+    bk = df["bkey"].to_numpy(np.int64)
+    li, ri = _group_pairs(bk, codes)
+    if dedupe and len(li):
+        a = np.minimum(codes[li], codes[ri])
+        b = np.maximum(codes[li], codes[ri])
+        _, first = np.unique((a << np.int64(32)) | b, return_index=True)
+        first.sort()
+        li, ri = li[first], ri[first]
+    return ids, li, ri
+
+
+def _psnr_centi_pairs(ta: np.ndarray, tb: np.ndarray) -> np.ndarray:
+    """Vectorized per-pair centi-dB PSNR over (n_pairs, w) uint8 thumb
+    matrices — identical rounding to the loops' min(psnr, 99.99)*100
+    (codec.psnr returns inf on equality; 9999 here)."""
+    d = ta.astype(np.float64) - tb.astype(np.float64)
+    mse = (d * d).mean(axis=1)
+    p = np.where(mse == 0.0, 99.99,
+                 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-300)))
+    return np.round(np.minimum(p, 99.99) * 100).astype(np.int64)
+
+
+def _thumb_matrix(df, col: str = "thumb") -> np.ndarray:
+    """(n, w) uint8 matrix from a bytes column (equal widths)."""
+    n = len(df)
+    if n == 0:
+        return np.empty((0, 0), np.uint8)
+    return np.frombuffer(b"".join(df[col]), np.uint8).reshape(n, -1)
+
+
+def _emit_pairs(ids, li, ri, ok, score=None, score_col: str = "p") -> pa.Table:
+    """Canonicalized (l < r, string order) pair table, the shape every
+    channel's bucketed_group_map reducer returns; optional int64 score
+    column (constant per pair across bands, so cross-band keep-first
+    dedup downstream is order-independent)."""
+    la, ra = ids[li[ok]], ids[ri[ok]]
+    sw = la > ra
+    l = np.where(sw, ra, la)
+    r = np.where(sw, la, ra)
+    cols = {"l": pa.array(l.astype(object), pa.string()),
+            "r": pa.array(r.astype(object), pa.string())}
+    if score is not None:
+        cols[score_col] = pa.array(score[ok], pa.int64())
+    return pa.table(cols)
+
+
+def _zncc_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized _zncc over (n_pairs, w) float stacks — identical
+    zero-norm edge semantics (both flat -> 1.0, one flat -> 0.0)."""
+    za = a - a.mean(axis=1, keepdims=True)
+    zb = b - b.mean(axis=1, keepdims=True)
+    na = np.sqrt((za * za).sum(axis=1))
+    nb = np.sqrt((zb * zb).sum(axis=1))
+    num = (za * zb).sum(axis=1)
+    return np.where((na == 0) | (nb == 0),
+                    np.where(na == nb, 1.0, 0.0),
+                    num / np.maximum(na * nb, 1e-300))
+
+
+def _psnr_db_pairs(a: np.ndarray, b: np.ndarray,
+                   equal_db: float = 99.0) -> np.ndarray:
+    """Vectorized plain PSNR (dB, float) over (n_pairs, w) stacks —
+    the `99.0 if mse == 0` convention of the inline channel gates."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = (d * d).mean(axis=1)
+    return np.where(mse == 0.0, equal_db,
+                    10.0 * np.log10(255.0 * 255.0
+                                    / np.maximum(mse, 1e-300)))
+
+
+def _psnr_verify_bucket(id_col: str, psnr_min_centi: int,
+                        with_score: bool = True,
+                        ham_pregates: tuple = ()):
+    """Factory for the STANDARD channel verify bucket (the dominant
+    shape of the ~30 originals): optional any-of hamming pre-gates
+    ((col, max_dist), ...) then the vectorized thumb-PSNR gate.
+    Per-pair semantics identical to the replaced loops; Python cost is
+    O(size-classes), not O(sum g^2) interpreter iterations."""
+
+    def verify_bucket(df) -> pa.Table:
+        ids, li, ri = _bucket_pairs(df, id_col)
+        if not len(li):
+            t = {"l": pa.array([], pa.string()),
+                 "r": pa.array([], pa.string())}
+            if with_score:
+                t["p"] = pa.array([], pa.int64())
+            return pa.table(t)
+        if ham_pregates:
+            from .. import codec as codec_mod
+            pre = np.zeros(len(li), bool)
+            for col, hmax in ham_pregates:
+                hv = df[col].to_numpy(np.int64)
+                pre |= codec_mod.hamming64(hv[li], hv[ri]) <= hmax
+            li, ri = li[pre], ri[pre]
+        thumbs = _thumb_matrix(df)
+        pc_ = _psnr_centi_pairs(thumbs[li], thumbs[ri])
+        ok = pc_ >= psnr_min_centi
+        return _emit_pairs(ids, li, ri, ok,
+                           pc_ if with_score else None)
+
+    return verify_bucket
+
+
+def _corr_verify_bucket(id_col: str, corr_min_milli: int,
+                        prof_col: str = "prof",
+                        dtype=np.int32):
+    """Factory for the correlation-gate channels (audio/video profile
+    signatures): vectorized normalized dot product over all in-group
+    pairs at once."""
+
+    def verify_bucket(df) -> pa.Table:
+        ids, li, ri = _bucket_pairs(df, id_col)
+        if not len(li):
+            return pa.table({"l": pa.array([], pa.string()),
+                             "r": pa.array([], pa.string())})
+        n = len(df)
+        profs = np.frombuffer(b"".join(df[prof_col]), dtype) \
+            .reshape(n, -1).astype(np.float64)
+        a, b = profs[li], profs[ri]
+        denom = np.sqrt((a * a).sum(axis=1) * (b * b).sum(axis=1))
+        corr = np.where(denom > 0, (a * b).sum(axis=1)
+                        / np.maximum(denom, 1e-300), 0.0)
+        ok = corr * 1000 >= corr_min_milli
+        return _emit_pairs(ids, li, ri, ok)
+
+    return verify_bucket
+
+
 def _commit_fixture(out: str, tables: dict) -> str:
     """Atomically publish a deterministic fixture dir (the shared
     scaffold of every planted-dup channel corpus): write the tables
@@ -354,27 +533,7 @@ def wav_audio_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def verify_bucket(df) -> pa.Table:
-        ls, rs = [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["clip_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            profs = [np.frombuffer(p, np.int32).astype(np.float64)
-                     for p in g["prof"]]
-            for i in range(len(ids_)):
-                for j in range(i + 1, len(ids_)):
-                    if ids_[i] == ids_[j]:
-                        continue
-                    a, b = profs[i], profs[j]
-                    denom = np.sqrt((a * a).sum() * (b * b).sum())
-                    corr = (a * b).sum() / denom if denom else 0.0
-                    if corr * 1000 >= corr_min_milli:
-                        l, r = sorted((ids_[i], ids_[j]))
-                        ls.append(l)
-                        rs.append(r)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string())})
+    verify_bucket = _corr_verify_bucket("clip_id", corr_min_milli)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -757,28 +916,7 @@ def _slot_video_pairs(ds, k_frames: int = 4,
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs = [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["video_id"].tolist()
-            if len(ids) < 2:
-                continue
-            tset = [np.frombuffer(t, np.uint8).reshape(-1, 16, 16)
-                    for t in g["thumbs"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    k = min(len(tset[i]), len(tset[j]))
-                    good = sum(
-                        1 for s in range(k)
-                        if codec.psnr(tset[i][s], tset[j][s]) * 100
-                        >= psnr_min_centi)
-                    if good >= min(min_slots, k):
-                        l, r = sorted((ids[i], ids[j]))
-                        ls.append(l)
-                        rs.append(r)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string())})
+        return _slot_verify_bucket(df, psnr_min_centi, min_slots)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=num_buckets).to_pandas()
@@ -1401,28 +1539,7 @@ def gif_palette_dedup(sf_dir: str, n_base: int = 96, dup_every: int = 3,
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def verify_bucket(df) -> pa.Table:
-        ls, rs, ps = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["image_id"].tolist()
-            if len(ids) < 2:
-                continue
-            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                      for t in g["thumb"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    p = codec.psnr(thumbs[i], thumbs[j])
-                    pc_ = int(round(min(p, 99.99) * 100))
-                    if pc_ >= psnr_min_centi:
-                        l, r = sorted((ids[i], ids[j]))
-                        ls.append(l)
-                        rs.append(r)
-                        ps.append(pc_)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "p": pa.array(ps, pa.int64())})
+    verify_bucket = _psnr_verify_bucket("image_id", psnr_min_centi)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -1596,34 +1713,37 @@ def _slot_band_rows(batch: pa.Table, n_bands: int = 8,
     })
 
 
-def _slot_verify_bucket(df, psnr_min_centi: int, min_slots: int):
+def _slot_verify_bucket(df, psnr_min_centi: int, min_slots: int,
+                        id_col: str = "video_id",
+                        thumbs_col: str = "thumbs"):
     """Shared slot-majority verify for animation/video channels: a
     pair merges when >= min(min_slots, k) of the k aligned slot
     thumbs clear the PSNR gate (k = the shorter reel — a still
-    poster frame degrades to the single-slot gate)."""
-    from .. import codec
-    ls, rs = [], []
-    for _, g in df.groupby("bkey", sort=False):
-        ids = g["video_id"].tolist()
-        if len(ids) < 2:
+    poster frame degrades to the single-slot gate). Vectorized
+    (round 4, VERDICT r3 #6): pairs from _group_pairs, ragged slot
+    reels padded into one (n, smax, 256) stack, and the per-slot PSNR
+    gate runs over ALL pairs at once per slot — Python cost is
+    O(rows + slots), not O(sum g^2)."""
+    ids, li, ri = _bucket_pairs(df, id_col)
+    if not len(li):
+        return pa.table({"l": pa.array([], pa.string()),
+                         "r": pa.array([], pa.string())})
+    raw = [np.frombuffer(t, np.uint8) for t in df[thumbs_col]]
+    lens = np.array([len(x) // 256 for x in raw], np.int64)
+    smax = int(lens.max())
+    mat = np.zeros((len(df), smax, 256), np.uint8)
+    for i, x in enumerate(raw):
+        mat[i, :lens[i]] = x.reshape(-1, 256)
+    k = np.minimum(lens[li], lens[ri])
+    good = np.zeros(len(li), np.int64)
+    for s in range(smax):
+        valid = k > s
+        if not valid.any():
             continue
-        tset = [np.frombuffer(t, np.uint8).reshape(-1, 16, 16)
-                for t in g["thumbs"]]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                k = min(len(tset[i]), len(tset[j]))
-                good = sum(
-                    1 for s in range(k)
-                    if codec.psnr(tset[i][s], tset[j][s]) * 100
-                    >= psnr_min_centi)
-                if good >= min(min_slots, k):
-                    l, r = sorted((ids[i], ids[j]))
-                    ls.append(l)
-                    rs.append(r)
-    return pa.table({"l": pa.array(ls, pa.string()),
-                     "r": pa.array(rs, pa.string())})
+        pc_ = _psnr_centi_pairs(mat[li[valid], s], mat[ri[valid], s])
+        good[valid] += pc_ >= psnr_min_centi
+    ok = good >= np.minimum(min_slots, k)
+    return _emit_pairs(ids, li, ri, ok)
 
 
 _XANIM_KINDS = ("webp", "avi", "webpdrop", "poster")
@@ -1898,25 +2018,8 @@ def format_convert_dedup(sf_dir: str, n_base: int = 90,
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def verify_bucket(df) -> pa.Table:
-        ls, rs = [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["image_id"].tolist()
-            if len(ids) < 2:
-                continue
-            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                      for t in g["thumb"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    p = codec_mod.psnr(thumbs[i], thumbs[j])
-                    if int(round(min(p, 99.99) * 100)) >= psnr_min_centi:
-                        l, r = sorted((ids[i], ids[j]))
-                        ls.append(l)
-                        rs.append(r)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string())})
+    verify_bucket = _psnr_verify_bucket("image_id", psnr_min_centi,
+                                        with_score=False)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -2865,28 +2968,7 @@ def jfif_dc_dedup(sf_dir: str, n_base: int = 192, dup_every: int = 3,
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def verify_bucket(df) -> pa.Table:
-        ls, rs, ps = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["image_id"].tolist()
-            if len(ids) < 2:
-                continue
-            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                      for t in g["thumb"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    p = codec.psnr(thumbs[i], thumbs[j])
-                    pc_ = int(round(min(p, 99.99) * 100))
-                    if pc_ >= psnr_min_centi:
-                        l, r = sorted((ids[i], ids[j]))
-                        ls.append(l)
-                        rs.append(r)
-                        ps.append(pc_)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "p": pa.array(ps, pa.int64())})
+    verify_bucket = _psnr_verify_bucket("image_id", psnr_min_centi)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -3055,37 +3137,27 @@ def dihedral_image_dedup(sf_dir: str, n_base: int = 144,
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, ps = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            if len(g) < 2:
-                continue
-            ids = g["image_id"].tolist()
-            phv = g["phash"].to_numpy(np.int64)
-            ahv = g["ahash"].to_numpy(np.int64)
-            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                      for t in g["thumb"]]
-            seen = set()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    pair = tuple(sorted((ids[i], ids[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    if codec.hamming64(phv[i], phv[j]) > ham_max \
-                            and codec.hamming64(ahv[i], ahv[j]) > ah_max:
-                        continue
-                    p = _dihedral_aligned_psnr(thumbs[i], thumbs[j],
-                                               codec.psnr)
-                    pc_ = int(round(min(p, 99.99) * 100))
-                    if pc_ >= psnr_min_centi:
-                        ls.append(pair[0])
-                        rs.append(pair[1])
-                        ps.append(pc_)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "p": pa.array(ps, pa.int64())})
+        # vectorized pair generation + hamming pre-gate (round 4,
+        # VERDICT r3 #6); the dihedral-aligned PSNR loops only over
+        # pre-gate survivors
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        if not len(li):
+            return pa.table({"l": pa.array([], pa.string()),
+                             "r": pa.array([], pa.string()),
+                             "p": pa.array([], pa.int64())})
+        phv = df["phash"].to_numpy(np.int64)
+        ahv = df["ahash"].to_numpy(np.int64)
+        pre = (codec.hamming64(phv[li], phv[ri]) <= ham_max) \
+            | (codec.hamming64(ahv[li], ahv[ri]) <= ah_max)
+        li, ri = li[pre], ri[pre]
+        thumbs = _thumb_matrix(df)
+        pc_ = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            p = _dihedral_aligned_psnr(thumbs[li[k]].reshape(16, 16),
+                                       thumbs[ri[k]].reshape(16, 16),
+                                       codec.psnr)
+            pc_[k] = int(round(min(p, 99.99) * 100))
+        return _emit_pairs(ids_a, li, ri, pc_ >= psnr_min_centi, pc_)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -3292,28 +3364,7 @@ def exif_orientation_dedup(sf_dir: str, n_base: int = 144,
 
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
-    def verify_bucket(df) -> pa.Table:
-        ls, rs, ps = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["image_id"].tolist()
-            if len(ids) < 2:
-                continue
-            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                      for t in g["thumb"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    p = codec.psnr(thumbs[i], thumbs[j])
-                    pc_ = int(round(min(p, 99.99) * 100))
-                    if pc_ >= psnr_min_centi:
-                        l, r = sorted((ids[i], ids[j]))
-                        ls.append(l)
-                        rs.append(r)
-                        ps.append(pc_)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "p": pa.array(ps, pa.int64())})
+    verify_bucket = _psnr_verify_bucket("image_id", psnr_min_centi)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -3490,31 +3541,14 @@ def letterbox_image_dedup(sf_dir: str, n_base: int = 144,
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, ps = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["image_id"].tolist()
-            if len(ids) < 2:
-                continue
-            thumbs = [np.frombuffer(t, np.uint8).reshape(32, 32)
-                      for t in g["thumb"]]
-            seen = set()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    pair = tuple(sorted((ids[i], ids[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    p = _inset_shift_psnr(thumbs[i], thumbs[j])
-                    pc_ = int(round(min(p, 99.99) * 100))
-                    if pc_ >= psnr_min_centi:
-                        ls.append(pair[0])
-                        rs.append(pair[1])
-                        ps.append(pc_)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "p": pa.array(ps, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        thumbs = _thumb_matrix(df)
+        pc_ = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            p = _inset_shift_psnr(thumbs[li[k]].reshape(32, 32),
+                                  thumbs[ri[k]].reshape(32, 32))
+            pc_[k] = int(round(min(p, 99.99) * 100))
+        return _emit_pairs(ids_a, li, ri, pc_ >= psnr_min_centi, pc_)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -3648,29 +3682,13 @@ def ctph_fuzzy_dedup(sf_dir: str, n_base: int = 96,
                            batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, sc = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["file_id"].tolist()
-            if len(ids) < 2:
-                continue
-            digs = g["dig"].tolist()
-            seen = set()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    pair = tuple(sorted((ids[i], ids[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    s = ctph.similarity(digs[i], digs[j])
-                    if s >= score_min:
-                        ls.append(pair[0])
-                        rs.append(pair[1])
-                        sc.append(s)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "score": pa.array(sc, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "file_id", dedupe=True)
+        digs = df["dig"].to_numpy()
+        sc = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            sc[k] = ctph.similarity(digs[li[k]], digs[ri[k]])
+        return _emit_pairs(ids_a, li, ri, sc >= score_min, sc,
+                           score_col="score")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -3822,34 +3840,23 @@ def photometric_image_dedup(sf_dir: str, n_base: int = 144,
 
     def verify_bucket(df) -> pa.Table:
         from .. import codec as codec_mod
-        ls, rs, zs = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["image_id"].tolist()
-            if len(ids) < 2:
-                continue
-            ahv = g["ahash"].to_numpy(np.int64)
-            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                      for t in g["thumb"]]
-            seen = set()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    pair = tuple(sorted((ids[i], ids[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    if codec_mod.hamming64(ahv[i], ahv[j]) > ah_max:
-                        continue
-                    z = _zncc(thumbs[i], thumbs[j])
-                    z_ppm = int(round(z * 1_000_000))
-                    if z_ppm >= zncc_min_ppm:
-                        ls.append(pair[0])
-                        rs.append(pair[1])
-                        zs.append(z_ppm)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "zncc_ppm": pa.array(zs, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        empty = pa.table({"l": pa.array([], pa.string()),
+                          "r": pa.array([], pa.string()),
+                          "zncc_ppm": pa.array([], pa.int64())})
+        if not len(li):
+            return empty
+        ahv = df["ahash"].to_numpy(np.int64)
+        pre = codec_mod.hamming64(ahv[li], ahv[ri]) <= ah_max
+        li, ri = li[pre], ri[pre]
+        if not len(li):
+            return empty
+        thumbs = _thumb_matrix(df).astype(np.float64)
+        z_ppm = np.round(
+            _zncc_pairs(thumbs[li], thumbs[ri]) * 1_000_000) \
+            .astype(np.int64)
+        return _emit_pairs(ids_a, li, ri, z_ppm >= zncc_min_ppm,
+                           z_ppm, score_col="zncc_ppm")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -4177,39 +4184,27 @@ def tonecurve_image_dedup(sf_dir: str, n_base: int = 144,
 
     def verify_bucket(df) -> pa.Table:
         from .. import codec as codec_mod
-        ls, rs, zs = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["image_id"].tolist()
-            if len(ids) < 2:
-                continue
-            ahv = g["ahash"].to_numpy(np.int64)
-            thumbs = [np.frombuffer(t, np.uint8).reshape(3, 16, 16)
-                      for t in g["thumb"]]
-            seen = set()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    pair = tuple(sorted((ids[i], ids[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    if codec_mod.hamming64(ahv[i], ahv[j]) > ah_max:
-                        continue
-                    z = min(
-                        max(_histmatch_zncc(thumbs[i][c],
-                                            thumbs[j][c]),
-                            _histmatch_zncc(thumbs[j][c],
-                                            thumbs[i][c]))
-                        for c in range(3))
-                    z_ppm = int(round(z * 1_000_000))
-                    if z_ppm >= hz_min_ppm:
-                        ls.append(pair[0])
-                        rs.append(pair[1])
-                        zs.append(z_ppm)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "hz_ppm": pa.array(zs, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        empty = pa.table({"l": pa.array([], pa.string()),
+                          "r": pa.array([], pa.string()),
+                          "hz_ppm": pa.array([], pa.int64())})
+        if not len(li):
+            return empty
+        ahv = df["ahash"].to_numpy(np.int64)
+        pre = codec_mod.hamming64(ahv[li], ahv[ri]) <= ah_max
+        li, ri = li[pre], ri[pre]
+        if not len(li):
+            return empty
+        thumbs = _thumb_matrix(df).reshape(len(df), 3, 16, 16)
+        z_ppm = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            a3, b3 = thumbs[li[k]], thumbs[ri[k]]
+            z = min(max(_histmatch_zncc(a3[c], b3[c]),
+                        _histmatch_zncc(b3[c], a3[c]))
+                    for c in range(3))
+            z_ppm[k] = int(round(z * 1_000_000))
+        return _emit_pairs(ids_a, li, ri, z_ppm >= hz_min_ppm,
+                           z_ppm, score_col="hz_ppm")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -4359,31 +4354,15 @@ def overlay_image_dedup(sf_dir: str, n_base: int = 144,
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, ps = [], [], []
-        for _, g in df.groupby("bkey", sort=False):
-            ids = g["image_id"].tolist()
-            if len(ids) < 2:
-                continue
-            thumbs = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                      for t in g["thumb"]]
-            seen = set()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    if ids[i] == ids[j]:
-                        continue
-                    pair = tuple(sorted((ids[i], ids[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    p = _trimmed_tile_psnr(thumbs[i], thumbs[j])
-                    p_centi = int(round(p * 100))
-                    if p_centi >= psnr_min_centi:
-                        ls.append(pair[0])
-                        rs.append(pair[1])
-                        ps.append(p_centi)
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "tpsnr_centi": pa.array(ps, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        thumbs = _thumb_matrix(df)
+        pc_ = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            p = _trimmed_tile_psnr(thumbs[li[k]].reshape(16, 16),
+                                   thumbs[ri[k]].reshape(16, 16))
+            pc_[k] = int(round(p * 100))
+        return _emit_pairs(ids_a, li, ri, pc_ >= psnr_min_centi, pc_,
+                           score_col="tpsnr_centi")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -5916,43 +5895,28 @@ def huesat_image_dedup(sf_dir: str, n_base: int = 144,
 
     def verify_bucket(df) -> pa.Table:
         from .. import codec as codec_mod
-        ls, rs, qs = [], [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["image_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            ahv = g["ahash"].to_numpy(np.int64)
-            lth = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                   for t in g["lthumb"]]
-            cth = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                   for t in g["cthumb"]]
-            for i in range(len(ids_)):
-                for j in range(i + 1, len(ids_)):
-                    if ids_[i] == ids_[j]:
-                        continue
-                    pair = tuple(sorted((ids_[i], ids_[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    if codec_mod.hamming64(ahv[i], ahv[j]) > ah_max:
-                        continue
-                    dlt = lth[i].astype(np.float64) \
-                        - lth[j].astype(np.float64)
-                    mse = (dlt * dlt).mean()
-                    lp = 99.0 if mse == 0 else \
-                        10.0 * np.log10(255.0 * 255.0 / mse)
-                    if int(round(lp * 100)) < lpsnr_min_centi:
-                        continue
-                    cz = _zncc(cth[i], cth[j])
-                    if int(round(cz * 1_000_000)) < czncc_min_ppm:
-                        continue
-                    ls.append(pair[0])
-                    rs.append(pair[1])
-                    qs.append(int(round(lp * 100)))
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "lpsnr_centi": pa.array(qs, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        empty = pa.table({"l": pa.array([], pa.string()),
+                          "r": pa.array([], pa.string()),
+                          "lpsnr_centi": pa.array([], pa.int64())})
+        if not len(li):
+            return empty
+        ahv = df["ahash"].to_numpy(np.int64)
+        pre = codec_mod.hamming64(ahv[li], ahv[ri]) <= ah_max
+        li, ri = li[pre], ri[pre]
+        if not len(li):
+            return empty
+        lth = _thumb_matrix(df, "lthumb").astype(np.float64)
+        pc_ = np.round(_psnr_db_pairs(lth[li], lth[ri]) * 100) \
+            .astype(np.int64)
+        ok = pc_ >= lpsnr_min_centi
+        if ok.any():
+            cth = _thumb_matrix(df, "cthumb").astype(np.float64)
+            cz = _zncc_pairs(cth[li[ok]], cth[ri[ok]])
+            ok[np.flatnonzero(ok)] = \
+                np.round(cz * 1_000_000) >= czncc_min_ppm
+        return _emit_pairs(ids_a, li, ri, ok, pc_,
+                           score_col="lpsnr_centi")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -6138,42 +6102,31 @@ def grayscale_image_dedup(sf_dir: str, n_base: int = 144,
     bands = sigs.map_batches(band_rows, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, qs = [], [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["image_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            ach = g["achro"].to_numpy(np.uint8)
-            ths = [np.frombuffer(t, np.uint8).reshape(3, 16, 16)
-                   .astype(np.float64) for t in g["cthumb"]]
-            for i in range(len(ids_)):
-                for j in range(i + 1, len(ids_)):
-                    if ids_[i] == ids_[j]:
-                        continue
-                    if not (ach[i] or ach[j]):
-                        continue  # colored pairs: other channels' job
-                    pair = tuple(sorted((ids_[i], ids_[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    if ach[i] and ach[j]:
-                        dlt = ths[i][0] - ths[j][0]
-                        mse = (dlt * dlt).mean()
-                        p = 99.0 if mse == 0 else \
-                            10.0 * np.log10(255.0 ** 2 / mse)
-                    elif ach[i]:
-                        p = _ls_gray_fit_psnr(ths[j], ths[i][0])
-                    else:
-                        p = _ls_gray_fit_psnr(ths[i], ths[j][0])
-                    if int(round(p * 100)) < fit_psnr_min_centi:
-                        continue
-                    ls.append(pair[0])
-                    rs.append(pair[1])
-                    qs.append(int(round(p * 100)))
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "fit_psnr_centi": pa.array(qs, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        empty = pa.table({"l": pa.array([], pa.string()),
+                          "r": pa.array([], pa.string()),
+                          "fit_psnr_centi": pa.array([], pa.int64())})
+        if not len(li):
+            return empty
+        ach = df["achro"].to_numpy(np.uint8).astype(bool)
+        keep = ach[li] | ach[ri]  # colored pairs: other channels' job
+        li, ri = li[keep], ri[keep]
+        if not len(li):
+            return empty
+        ths = _thumb_matrix(df, "cthumb") \
+            .reshape(len(df), 3, 256).astype(np.float64)
+        p = np.empty(len(li), np.float64)
+        both = ach[li] & ach[ri]
+        if both.any():
+            p[both] = _psnr_db_pairs(ths[li[both], 0], ths[ri[both], 0])
+        for k in np.flatnonzero(~both):
+            i, j = li[k], ri[k]
+            gi, ci_ = (i, j) if ach[i] else (j, i)
+            p[k] = _ls_gray_fit_psnr(ths[ci_].reshape(3, 16, 16),
+                                     ths[gi][0].reshape(16, 16))
+        pc_ = np.round(p * 100).astype(np.int64)
+        return _emit_pairs(ids_a, li, ri, pc_ >= fit_psnr_min_centi,
+                           pc_, score_col="fit_psnr_centi")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -6419,40 +6372,30 @@ def degrade_image_dedup(sf_dir: str, n_base: int = 144,
 
     def verify_bucket(df) -> pa.Table:
         from .. import codec as codec_mod
-        ls, rs = [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["image_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            ahv = g["ahash"].to_numpy(np.int64)
-            ths = [np.frombuffer(t, np.uint8).reshape(16, 16)
-                   .astype(np.float64) for t in g["thumb"]]
-            for i in range(len(ids_)):
-                for j in range(i + 1, len(ids_)):
-                    if ids_[i] == ids_[j]:
-                        continue
-                    pair = tuple(sorted((ids_[i], ids_[j])))
-                    if pair in seen:
-                        continue
-                    seen.add(pair)
-                    dlt = ths[i] - ths[j]
-                    mse = (dlt * dlt).mean()
-                    p = 99.0 if mse == 0 else \
-                        10 * np.log10(255.0 ** 2 / mse)
-                    ham = codec_mod.hamming64(ahv[i], ahv[j])
-                    ok = p >= 28.0
-                    if not ok and ham <= 6:
-                        ok = _zncc(ths[i], ths[j]) >= 0.94
-                    if not ok:
-                        ok = _trimmed_tile_psnr(ths[i], ths[j]) >= 32.0
-                    if not ok and ham <= 8:
-                        ok = _lowpass_arm(ths[i], ths[j])
-                    if ok:
-                        ls.append(pair[0])
-                        rs.append(pair[1])
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string())})
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        if not len(li):
+            return pa.table({"l": pa.array([], pa.string()),
+                             "r": pa.array([], pa.string())})
+        ahv = df["ahash"].to_numpy(np.int64)
+        ham = codec_mod.hamming64(ahv[li], ahv[ri])
+        ths = _thumb_matrix(df).astype(np.float64)
+        # arm 1 vectorized; the cascade's later arms loop only over
+        # still-undecided pairs
+        ok = _psnr_db_pairs(ths[li], ths[ri]) >= 28.0
+        znc = np.zeros(len(li), bool)
+        narrow = ~ok & (ham <= 6)
+        if narrow.any():
+            znc[narrow] = _zncc_pairs(ths[li[narrow]],
+                                      ths[ri[narrow]]) >= 0.94
+        ok |= znc
+        for k in np.flatnonzero(~ok):
+            ta = ths[li[k]].reshape(16, 16)
+            tb = ths[ri[k]].reshape(16, 16)
+            good = _trimmed_tile_psnr(ta, tb) >= 32.0
+            if not good and ham[k] <= 8:
+                good = _lowpass_arm(ta, tb)
+            ok[k] = good
+        return _emit_pairs(ids_a, li, ri, ok)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()

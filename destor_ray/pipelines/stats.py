@@ -1286,3 +1286,131 @@ def shuffle_order_audit(sf_dir: str, n_buckets: int = 256):
         "n_runs_source": np.array([runs_for("doc_id"),
                                    runs_for("hkey")], np.int64),
     })
+
+
+def lineitem_moment_stats(sf_dir: str):
+    """(l_returnflag, n, s1, s2, s3, s4, skew_micro, kurt_micro) —
+    HIGHER-MOMENT profile of l_quantity per return flag: exact int64
+    power sums Σx..Σx⁴ fold map-side (the single-pass combinable form
+    — the whole point at 100 TB: third/fourth moments need no second
+    pass), then population skewness m3/m2^1.5 and excess kurtosis
+    m4/m2²-3 from the exact sums, rounded to micro. The oracle
+    computes the identical formula from the identical integer sums, so
+    the float path is a single deterministic expression on both
+    sides."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def powers(batch: pa.Table) -> pa.Table:
+        q = np.round(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)  # integral values
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pylist(),
+            "one": np.ones(len(q), np.int64),
+            "s1": q, "s2": q ** 2, "s3": q ** 3, "s4": q ** 4})
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = ds.map_batches(powers, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Sum("one", alias_name="n"),
+            Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"),
+            Sum("s3", alias_name="s3"), Sum("s4", alias_name="s4")) \
+        .to_pandas()  # one row per flag — domain-bounded
+
+    # the float path is written as the EXACT expression the oracle SQL
+    # mirrors (same literals, same left-associative order, sqrt instead
+    # of pow) so both engines produce bit-identical doubles from the
+    # identical integer sums
+    n = agg["n"].to_numpy(np.float64)
+    s1 = agg["s1"].to_numpy(np.float64)
+    s2 = agg["s2"].to_numpy(np.float64)
+    s3 = agg["s3"].to_numpy(np.float64)
+    s4 = agg["s4"].to_numpy(np.float64)
+    mean = s1 / n
+    r2 = s2 / n
+    r3 = s3 / n
+    r4 = s4 / n
+    m2 = r2 - mean * mean
+    m3 = r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean
+    m4 = r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2 \
+        - 3.0 * mean * mean * mean * mean
+    skew = m3 / (m2 * np.sqrt(m2))
+    kurt = m4 / (m2 * m2) - 3.0
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n": agg["n"].astype(np.int64),
+        "s1": agg["s1"].astype(np.int64), "s2": agg["s2"].astype(np.int64),
+        "s3": agg["s3"].astype(np.int64), "s4": agg["s4"].astype(np.int64),
+        "skew_micro": np.round(skew * 1e6).astype(np.int64),
+        "kurt_micro": np.round(kurt * 1e6).astype(np.int64),
+    })
+    return out
+
+
+def part_type_supplier_hhi(sf_dir: str):
+    """(p_brand, n_suppliers, n_items, hhi_micro) — supplier
+    CONCENTRATION per part brand (Herfindahl–Hirschman index over
+    suppliers' lineitem shares): hhi = Σ share_i² from exact integer
+    counts, micro-rounded — the supply-risk metric a sourcing audit
+    reads. One lineitem pass with a broadcast partkey→brand map (part
+    is the small side), per-(brand, supplier) count exchange, then a
+    brand-domain fold."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_brand"]).to_pandas()
+    bmap_ref = ray.put(dict(zip(part["p_partkey"].to_numpy(np.int64),
+                                part["p_brand"])))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bmap_ref)
+        pk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        brands = [bm[int(k)] for k in pk]
+        df = pd.DataFrame({
+            "p_brand": brands,
+            "l_suppkey": batch["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "n": np.ones(len(pk), np.int64)})
+        g = df.groupby(["p_brand", "l_suppkey"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_supp = li.map_batches(tag, batch_format="pyarrow") \
+        .groupby(["p_brand", "l_suppkey"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def hhi(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby("p_brand", sort=False).agg(
+            n_suppliers=("l_suppkey", "size"),
+            n_items=("n", "sum"),
+            sq=("n", lambda s: int((s.to_numpy(np.int64) ** 2).sum())))
+        g = g.reset_index()
+        hhi_micro = np.round(
+            1e6 * g["sq"].to_numpy(np.float64)
+            / g["n_items"].to_numpy(np.float64) ** 2).astype(np.int64)
+        return pa.table({
+            "p_brand": pa.array(g["p_brand"], pa.string()),
+            "n_suppliers": pa.array(
+                g["n_suppliers"].to_numpy(np.int64), pa.int64()),
+            "n_items": pa.array(g["n_items"].to_numpy(np.int64),
+                                pa.int64()),
+            "hhi_micro": pa.array(hhi_micro, pa.int64()),
+        })
+
+    return bucketed_group_map(per_supp, "p_brand", hhi, num_buckets=8)

@@ -2970,3 +2970,56 @@ def events_mannwhitney_drift(sf_dir: str, n_buckets: int = 64):
         "n_a": [n_a], "n_b": [n_b], "u2_a": [u2],
         "tie_cube": [tie_cube], "auc_micro": [auc_micro],
     }).astype("int64")
+
+
+def events_inter_arrival_stats(sf_dir: str):
+    """(digits, n, sum_gap_us) — per-user INTER-ARRIVAL time profile:
+    consecutive same-user event gaps in (ts, event_id) order, bucketed
+    by the gap's DECIMAL DIGIT COUNT in microseconds (an exact
+    integer log-scale both engines compute identically — float log2
+    would round differently at bucket edges). The arrival-process
+    profile a sessionizer reads before choosing its timeout.
+
+    Shape: narrow projection, ONE user-keyed shuffle, per-bucket
+    lexsort + shifted diff with user-boundary masking (the
+    events_value_delta skeleton), then a digits-domain aggregate."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "ts", "user_id"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    _P10 = np.power(10, np.arange(1, 19), dtype=np.int64)
+
+    def gaps(df: pd.DataFrame) -> pa.Table:
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        gap = t_s[1:] - t_s[:-1]
+        same = u_s[1:] == u_s[:-1]
+        gap = gap[same]
+        # digit count: exact integer compare against powers of 10
+        digits = np.searchsorted(_P10, gap, side="right") + 1
+        g = pd.DataFrame({"digits": digits, "n": 1, "s": gap}) \
+            .groupby("digits", sort=False).sum().reset_index()
+        return pa.table({
+            "digits": pa.array(g["digits"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(g["n"].to_numpy(np.int64), pa.int64()),
+            "s": pa.array(g["s"].to_numpy(np.int64), pa.int64()),
+        })
+
+    return bucketed_group_map(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        "user_id", gaps, num_buckets=8) \
+        .groupby("digits").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="sum_gap_us"))

@@ -3122,3 +3122,186 @@ def omni_text_dedup(sf_dir: str, n_base: int = 60, dup_every: int = 2):
     for c in ("n_planted", "n_found", "n_false", "recall_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus-novelty / vocabulary-growth / fingerprint operators (round 4):
+# oracle-checked additions to the rows-only tail (VERDICT r3 #9)
+# ---------------------------------------------------------------------------
+
+def docs_ngram_novelty(sf_dir: str, n: int = 3):
+    """(doc_id, n_grams, n_novel, novelty_ppm) — per-document corpus
+    NOVELTY: over each doc's DISTINCT word n-grams, how many appear
+    here FIRST (no doc with a smaller doc_id contains them)? The
+    dedup-adjacent curation metric ("is this document new material or
+    recombination") used to schedule crawling and to weight training
+    mixtures; a near-dup has novelty ~0 without any pair comparison.
+
+    Scale shape: distinct (gram, doc) rows stream into ONE gram-keyed
+    exchange computing min(doc_id) + a doc-keyed count re-join — both
+    volumes bounded by total distinct grams; no text co-locates. Docs
+    with < n tokens emit no row (no grams)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        out_g, out_d = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            toks = t.split(" ")
+            gs = {" ".join(toks[i:i + n])
+                  for i in range(len(toks) - n + 1)}
+            out_g.extend(gs)
+            out_d.extend([did] * len(gs))
+        return pa.table({"g": pa.array(out_g, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow")
+
+    def first_doc(df: pd.DataFrame) -> pa.Table:
+        gmin = df.groupby("g", sort=False)["doc_id"].min()
+        # per (gram, doc) row: novel iff doc == min holder; emit
+        # per-doc partials (n_grams, n_novel) for this bucket's grams
+        m = df.merge(gmin.rename("fd"), left_on="g", right_index=True)
+        m["nov"] = (m["fd"] == m["doc_id"]).astype(np.int64)
+        agg = m.groupby("doc_id", sort=False).agg(
+            n_grams=("g", "size"), n_novel=("nov", "sum")).reset_index()
+        return pa.table({
+            "doc_id": pa.array(agg["doc_id"].to_numpy(np.int64), pa.int64()),
+            "n_grams": pa.array(agg["n_grams"].to_numpy(np.int64), pa.int64()),
+            "n_novel": pa.array(agg["n_novel"].to_numpy(np.int64), pa.int64()),
+        })
+
+    partials = bucketed_group_map(grams, "g", first_doc, num_buckets=16)
+    per_doc = partials.groupby("doc_id").aggregate(
+        Sum("n_grams", alias_name="n_grams"),
+        Sum("n_novel", alias_name="n_novel"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ng = batch["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = batch["n_novel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_novel": pa.array(nv, pa.int64()),
+            "novelty_ppm": pa.array(nv * 1_000_000 // ng, pa.int64()),
+        })
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def docs_vocab_growth(sf_dir: str):
+    """(checkpoint, vocab_size) — the Heaps-law VOCABULARY GROWTH
+    curve: distinct tokens seen among docs with doc_id < checkpoint,
+    at the four quartile checkpoints of the doc_id domain. The corpus
+    profile a tokenizer-training / dedup-planning pass reads first.
+
+    Scale shape: ONE token-keyed min(doc_id) exchange (the same
+    first-occurrence primitive as docs_ngram_novelty), then a 4-bin
+    histogram over the tiny (token, first_doc) table — counts fold
+    map-side; no token list ever reaches the driver."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+    dmax = int(ds.aggregate(Max("doc_id"))["max(doc_id)"])
+    n_docs = dmax + 1
+    cps = sorted({max(1, n_docs * k // 4) for k in (1, 2, 3, 4)})
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        out_t, out_d = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch["text"].to_pylist()):
+            ts = set(t.split(" "))
+            out_t.extend(ts)
+            out_d.extend([did] * len(ts))
+        return pa.table({"tok": pa.array(out_t, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow")
+
+    def first_hist(df: pd.DataFrame) -> pa.Table:
+        fd = df.groupby("tok", sort=False)["doc_id"].min().to_numpy(np.int64)
+        rows = {f"c{c}": np.array([int((fd < c).sum())], np.int64)
+                for c in cps}
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    hist = bucketed_group_map(toks, "tok", first_hist, num_buckets=16) \
+        .sum([f"c{c}" for c in cps])
+    return pd.DataFrame({
+        "checkpoint": np.array(cps, np.int64),
+        "vocab_size": np.array([int(hist[f"sum(c{c})"]) for c in cps],
+                               np.int64),
+    })
+
+
+def docs_char_class_profile(sf_dir: str):
+    """(lang, n_docs, n_alpha, n_space, n_other) — per-language
+    character-class census (the quality-scoring feature extraction a
+    filter pipeline runs before setting thresholds): counts via the
+    vectorized re2 kernel, map-side combined, one lang-domain
+    exchange. The identical character classes run in the DuckDB
+    oracle (both engines are RE2)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["lang", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        alpha = pc.cast(pc.count_substring_regex(t, "[a-zA-Z]"),
+                        pa.int64())
+        space = pc.cast(pc.count_substring_regex(t, " "), pa.int64())
+        total = pc.cast(pc.utf8_length(t), pa.int64())
+        other = pc.subtract(total, pc.add(alpha, space))
+        return pa.table({"lang": batch["lang"],
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 np.int64), pa.int64()),
+                         "alpha": alpha, "space": space, "other": other})
+
+    return ds.map_batches(counts, batch_format="pyarrow") \
+        .groupby("lang").aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("alpha", alias_name="n_alpha"),
+            Sum("space", alias_name="n_space"),
+            Sum("other", alias_name="n_other"))
+
+
+def doc_fingerprint_md5(sf_dir: str, n: int = 3, bits: int = 32):
+    """(doc_id, simhash32) — SQL-VERIFIABLE document SimHash: over
+    each doc's DISTINCT word n-gram shingles, hash = first 8 md5 hex
+    chars (32 bits), and simhash bit b is the majority vote of shingle
+    bit b (ties, exactly half set, resolve to 1 — mirrored by the
+    oracle's 2*sum >= n rule). The hash-verifiable twin of
+    doc_fingerprint (whose splitmix simhash64 SQL cannot express);
+    same role as minhash_lsh_oph vs minhash_lsh_docs. Docs with no
+    n-gram emit simhash32 = 0.
+
+    Scale shape: map-only per doc (shingle → md5 → per-bit counts,
+    vectorized via unpackbits); no shuffle at all."""
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = np.zeros(batch.num_rows, np.int64)
+        for k, t in enumerate(batch["text"].to_pylist()):
+            toks = t.split(" ")
+            gs = {" ".join(toks[i:i + n])
+                  for i in range(len(toks) - n + 1)}
+            if not gs:
+                continue
+            hv = np.fromiter(
+                (int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                 for g in gs), np.uint32, count=len(gs))
+            bits_m = np.unpackbits(hv.view(np.uint8).reshape(-1, 4)
+                                   [:, ::-1], axis=1)  # MSB-first
+            votes = bits_m.sum(axis=0)
+            maj = (2 * votes >= len(gs)).astype(np.uint8)
+            out[k] = int(np.packbits(maj).view(">u4")[0])
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "simhash32": pa.array(out, pa.int64())})
+
+    return ds.map_batches(fp, batch_format="pyarrow")

@@ -94,6 +94,9 @@ def _check(name, con, ray_session):
     "events_cumulative_users", "events_hourly_gapfill",
     "table_constraints_audit", "events_rolling_active_users",
     "events_type_trend",
+    "docs_ngram_novelty", "docs_vocab_growth", "docs_char_class_profile",
+    "doc_fingerprint_md5", "events_inter_arrival_stats",
+    "lineitem_moment_stats", "part_type_supplier_hhi",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
