@@ -31,6 +31,20 @@ queries() entries map to SURVEY.md §2 operators:
                        sums, bit-mirrored float finish (oracle)
   part_type_supplier_hhi supplier-concentration HHI per brand from
                        exact counts (oracle)
+  events_user_daily_streaks gaps-and-islands: per-user consecutive
+                       active-day runs (oracle)
+  events_session_count_sweep session counts at candidate timeouts from
+                       one gap pass (oracle)
+  events_value_benford first-significant-digit census over exact
+                       cents (oracle)
+  orders_repeat_latency_histogram first-to-second-order day gaps per
+                       customer (oracle)
+  lineitem_ship_latency_histogram order-to-ship day latency via the
+                       union-tag bucketed join (oracle)
+  lineitem_returns_rate_by_month monthly return-rate ppm from exact
+                       counts (oracle)
+  supplier_part_bipartite_degree bipartite degree distributions over
+                       the distinct-edge exchange (oracle)
   minhash_lsh_docs     D3/D4 similarity join: MinHash-LSH near-dup clusters (rows-only)
   simhash_dup_pairs    SimHash banded near-dup pairs, exact Hamming verify (rows-only)
   minhash_lsh_oph      one-permutation-hashing MinHash-LSH, md5 slots —
@@ -2378,6 +2392,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_growth": text.docs_vocab_growth,
         "docs_char_class_profile": text.docs_char_class_profile,
         "events_inter_arrival_stats": streaming.events_inter_arrival_stats,
+        "events_user_daily_streaks": streaming.events_user_daily_streaks,
+        "events_session_count_sweep": streaming.events_session_count_sweep,
+        "events_value_benford": streaming.events_value_benford,
+        "orders_repeat_latency_histogram":
+            relational.orders_repeat_latency_histogram,
+        "lineitem_ship_latency_histogram":
+            relational.lineitem_ship_latency_histogram,
+        "lineitem_returns_rate_by_month":
+            relational.lineitem_returns_rate_by_month,
+        "supplier_part_bipartite_degree":
+            relational.supplier_part_bipartite_degree,
         "lineitem_moment_stats": stats.lineitem_moment_stats,
         "part_type_supplier_hhi": stats.part_type_supplier_hhi,
         "minhash_lsh_docs": text.minhash_lsh_docs,
@@ -5467,6 +5492,110 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round((m4 / (m2 * m2) - 3.0) * 1000000.0)
                         AS BIGINT) AS kurt_micro
             FROM mm
+        """,
+        "events_user_daily_streaks": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            ), r AS (
+                SELECT user_id, day,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day) AS rn
+                FROM d
+            ), s AS (
+                SELECT user_id, count(*) AS len
+                FROM r GROUP BY user_id, day - rn
+            )
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   count(*) AS n_streaks,
+                   CAST(max(len) AS BIGINT) AS max_streak_days
+            FROM s GROUP BY user_id
+        """,
+        "events_session_count_sweep": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                FROM events
+            ), g AS (
+                SELECT ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+                FROM e
+            ), t AS (
+                SELECT unnest([60, 300, 1800]) AS timeout_s
+            )
+            SELECT CAST(t.timeout_s AS BIGINT) AS timeout_s,
+                   (SELECT count(DISTINCT user_id) FROM e) AS n_users,
+                   (SELECT count(DISTINCT user_id) FROM e)
+                   + (SELECT count(*) FROM g
+                      WHERE gap > t.timeout_s * 1000000) AS n_sessions
+            FROM t
+        """,
+        "events_value_benford": """
+            WITH c AS (
+                SELECT CAST(abs(round(value * 100)) AS BIGINT) AS cents
+                FROM events
+            ), d AS (
+                SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                            AS BIGINT) AS digit
+                FROM c WHERE cents > 0
+            )
+            SELECT digit, count(*) AS n,
+                   CAST((count(*) * 1000000)
+                        // (SELECT count(*) FROM d) AS BIGINT)
+                       AS share_ppm
+            FROM d GROUP BY digit
+        """,
+        "orders_repeat_latency_histogram": """
+            WITH r AS (
+                SELECT o_custkey, epoch_us(o_orderdate) AS d_us,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders
+            )
+            SELECT (b.d_us - a.d_us) // 86400000000 AS gap_days,
+                   count(*) AS n_customers
+            FROM r a JOIN r b
+              ON a.o_custkey = b.o_custkey AND a.rn = 1 AND b.rn = 2
+            GROUP BY 1
+        """,
+        "lineitem_ship_latency_histogram": """
+            SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                   // 86400000000 AS latency_days,
+                   count(*) AS n
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        """,
+        "lineitem_returns_rate_by_month": """
+            WITH p AS (
+                SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                            AS BIGINT) AS ym,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                           AS r
+                FROM lineitem
+            )
+            SELECT ym, count(*) AS n,
+                   CAST(sum(r) AS BIGINT) AS n_returned,
+                   CAST((sum(r) * 1000000) // count(*) AS BIGINT)
+                       AS return_ppm
+            FROM p GROUP BY ym
+        """,
+        "supplier_part_bipartite_degree": """
+            WITH e AS (
+                SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+                FROM lineitem
+            ), sd AS (
+                SELECT s, count(*) AS d FROM e GROUP BY s
+            ), pd AS (
+                SELECT p, count(*) AS d FROM e GROUP BY p
+            )
+            SELECT 'supplier' AS side, d AS degree,
+                   count(*) AS n_nodes
+            FROM sd GROUP BY d
+            UNION ALL
+            SELECT 'part', d, count(*) FROM pd GROUP BY d
         """,
         "part_type_supplier_hhi": """
             WITH c AS (

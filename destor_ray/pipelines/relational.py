@@ -3153,3 +3153,199 @@ def q20_excess_stock_suppliers(sf_dir: str, name_prefix: str = "small",
         })
 
     return bucketed_group_map(sups, "s_suppkey", attach, num_buckets=4)
+
+
+def orders_repeat_latency_histogram(sf_dir: str):
+    """(gap_days, n_customers) — REPEAT-PURCHASE latency: for every
+    customer with >= 2 orders, exact whole days between the first and
+    second order (ordered by o_orderdate, ties by o_orderkey),
+    histogrammed. The conversion-latency curve a retention model is
+    fit on; exact integers end to end.
+
+    Shape: narrow (custkey, date_us, orderkey) rows, ONE custkey
+    exchange, per-bucket lexsort + group-start arithmetic, then a tiny
+    gap-domain aggregate."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_orderdate",
+                                        "o_orderkey"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cust": batch["o_custkey"].cast(pa.int64()),
+            "d_us": batch["o_orderdate"].cast(pa.int64()),
+            "okey": batch["o_orderkey"].cast(pa.int64()),
+        })
+
+    def first_two(df: pd.DataFrame) -> pa.Table:
+        c = df["cust"].to_numpy(np.int64)
+        d = df["d_us"].to_numpy(np.int64)
+        k = df["okey"].to_numpy(np.int64)
+        order = np.lexsort((k, d, c))
+        c, d = c[order], d[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        counts = np.diff(np.r_[starts, len(c)])
+        has2 = counts >= 2
+        s = starts[has2]
+        gap_days = (d[s + 1] - d[s]) // 86_400_000_000
+        g = pd.DataFrame({"gap_days": gap_days, "n": 1}) \
+            .groupby("gap_days", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return bucketed_group_map(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        "cust", first_two, num_buckets=8) \
+        .groupby("gap_days").aggregate(Sum("n", alias_name="n_customers"))
+
+
+def lineitem_ship_latency_histogram(sf_dir: str):
+    """(latency_days, n) — order-to-ship latency: exact whole days
+    between o_orderdate and each line's l_shipdate, joined on
+    orderkey with the union-tag bucketed join (both sides exchange
+    ONCE on the join key; no broadcast — orders is not a small side
+    at 10^12 rows), histogrammed over the tiny latency domain."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_orderdate"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_shipdate"])
+
+    def o_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["o_orderkey"].cast(pa.int64()),
+            "d_us": batch["o_orderdate"].cast(pa.int64()),
+            "is_order": pa.array(np.ones(n, np.int8), pa.int8()),
+        })
+
+    def l_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "key": batch["l_orderkey"].cast(pa.int64()),
+            "d_us": batch["l_shipdate"].cast(pa.int64()),
+            "is_order": pa.array(np.zeros(n, np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(o_rows, batch_format="pyarrow") \
+        .union(li.map_batches(l_rows, batch_format="pyarrow"))
+
+    def join_hist(df: pd.DataFrame) -> pa.Table:
+        iso = df["is_order"].to_numpy(np.int8).astype(bool)
+        omap = pd.Series(df["d_us"].to_numpy(np.int64)[iso],
+                         index=df["key"].to_numpy(np.int64)[iso])
+        lk = df["key"].to_numpy(np.int64)[~iso]
+        ld = df["d_us"].to_numpy(np.int64)[~iso]
+        od = omap.reindex(lk).to_numpy(np.int64)
+        lat = (ld - od) // 86_400_000_000
+        g = pd.DataFrame({"latency_days": lat, "n": 1}) \
+            .groupby("latency_days", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return bucketed_group_map(tagged, "key", join_hist, num_buckets=16) \
+        .groupby("latency_days").aggregate(Sum("n", alias_name="n"))
+
+
+def lineitem_returns_rate_by_month(sf_dir: str):
+    """(ym, n, n_returned, return_ppm) — monthly return rate: ym =
+    year*100 + month of l_shipdate (integer calendar key both engines
+    derive identically), n_returned counts l_returnflag = 'R', ppm
+    from exact integer division. Map-side combined; one tiny
+    month-domain exchange."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_shipdate", "l_returnflag"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        y = pc.year(batch["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = pc.month(batch["l_shipdate"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ret = (np.asarray(batch["l_returnflag"].to_pylist(), object)
+               == "R").astype(np.int64)
+        g = pd.DataFrame({"ym": y * 100 + m, "n": 1, "r": ret}) \
+            .groupby("ym", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = batch["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ym": batch["ym"].cast(pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "n_returned": pa.array(r, pa.int64()),
+            "return_ppm": pa.array(r * 1_000_000 // n, pa.int64()),
+        })
+
+    return ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("ym").aggregate(Sum("n", alias_name="n"),
+                                 Sum("r", alias_name="r")) \
+        .map_batches(finish, batch_format="pyarrow")
+
+
+def supplier_part_bipartite_degree(sf_dir: str):
+    """(side, degree, n_nodes) — degree distributions of the
+    supplier-part BIPARTITE graph induced by lineitem (distinct
+    (suppkey, partkey) edges): how many parts each supplier ships /
+    how many suppliers each part has. The relational twin of
+    degree_distribution (token graph) — graph profiling over a
+    distinct-edge exchange: map-side distinct partials, one edge
+    exchange, two degree folds over the tiny degree domains."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_suppkey", "l_partkey"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s": batch["l_suppkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "p": batch["l_partkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    e = ds.map_batches(edges, batch_format="pyarrow") \
+        .groupby(["s", "p"]).aggregate(Count(alias_name="c"))
+
+    def deg_partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "s": batch["s"].to_numpy(zero_copy_only=False),
+            "p": batch["p"].to_numpy(zero_copy_only=False), "n": 1})
+        gs = df.groupby("s", sort=False)["n"].sum().reset_index()
+        gp = df.groupby("p", sort=False)["n"].sum().reset_index()
+        return pa.table({
+            "side": pa.array(["supplier"] * len(gs) + ["part"] * len(gp),
+                             pa.string()),
+            "node": pa.array(np.concatenate([
+                gs["s"].to_numpy(np.int64), gp["p"].to_numpy(np.int64)]),
+                pa.int64()),
+            "d": pa.array(np.concatenate([
+                gs["n"].to_numpy(np.int64), gp["n"].to_numpy(np.int64)]),
+                pa.int64()),
+        })
+
+    deg = e.map_batches(deg_partials, batch_format="pyarrow") \
+        .groupby(["side", "node"]).aggregate(Sum("d", alias_name="degree"))
+    return deg.map_batches(
+        lambda b: pa.table({"side": b["side"],
+                            "degree": b["degree"].cast(pa.int64()),
+                            "one": pa.array(np.ones(b.num_rows, np.int64),
+                                            pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby(["side", "degree"]).aggregate(
+            Sum("one", alias_name="n_nodes"))

@@ -3023,3 +3023,133 @@ def events_inter_arrival_stats(sf_dir: str):
         .groupby("digits").aggregate(
             Sum("n", alias_name="n"),
             Sum("s", alias_name="sum_gap_us"))
+
+
+def events_user_daily_streaks(sf_dir: str):
+    """(user_id, n_active_days, n_streaks, max_streak_days) — the
+    GAPS-AND-ISLANDS primitive: per user, runs of consecutive active
+    DAYS (integer day = epoch_us // 86.4e9, mirrored by the oracle's
+    row_number anchor trick). The engagement-streak shape every
+    activity dashboard computes.
+
+    Shape: distinct (user, day) partials fold map-side, ONE user-keyed
+    exchange, per-bucket vectorized island detection (sort + boundary
+    diff — no per-user Python)."""
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["ts", "user_id"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    uday = ds.map_batches(days, batch_format="pyarrow")
+
+    def islands(df: pd.DataFrame) -> pa.Table:
+        df = df.drop_duplicates(["user_id", "day"])
+        uid = df["user_id"].to_numpy(np.int64)
+        day = df["day"].to_numpy(np.int64)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        n = len(uid)
+        new_seg = np.ones(n, bool)
+        new_seg[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        seg = np.cumsum(new_seg) - 1
+        seg_len = np.bincount(seg)
+        seg_user = uid[np.flatnonzero(new_seg)]
+        g = pd.DataFrame({"user_id": seg_user, "len": seg_len}) \
+            .groupby("user_id", sort=False).agg(
+                n_active_days=("len", "sum"), n_streaks=("len", "size"),
+                max_streak_days=("len", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return bucketed_group_map(uday, "user_id", islands, num_buckets=8)
+
+
+def events_session_count_sweep(sf_dir: str, timeouts=(60, 300, 1800)):
+    """(timeout_s, n_users, n_sessions) — session-count sensitivity
+    sweep: for each candidate inactivity timeout, n_sessions =
+    n_users + #(same-user gaps > timeout) — all exact integers from
+    ONE gap computation (the events_inter_arrival_stats skeleton);
+    the sweep a sessionizer runs before fixing its timeout."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(["event_id", "ts", "user_id"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    touts = tuple(int(t) for t in timeouts)
+
+    def gaps(df: pd.DataFrame) -> pa.Table:
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        gap = t_s[1:] - t_s[:-1]
+        same = u_s[1:] == u_s[:-1]
+        gap = gap[same]
+        cols = {"n_users": pa.array([len(np.unique(uid))], pa.int64())}
+        for t in touts:
+            cols[f"b{t}"] = pa.array(
+                [int((gap > t * 1_000_000).sum())], pa.int64())
+        return pa.table(cols)
+
+    agg = bucketed_group_map(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        "user_id", gaps, num_buckets=8) \
+        .sum(["n_users"] + [f"b{t}" for t in touts])
+    n_users = int(agg["sum(n_users)"])
+    return pd.DataFrame({
+        "timeout_s": np.array(touts, np.int64),
+        "n_users": np.full(len(touts), n_users, np.int64),
+        "n_sessions": np.array(
+            [n_users + int(agg[f"sum(b{t})"]) for t in touts], np.int64),
+    })
+
+
+def events_value_benford(sf_dir: str):
+    """(digit, n, share_ppm) — Benford first-significant-digit census
+    of |value| in exact cents (zero-cent rows excluded): the
+    data-quality screen fabricated numeric columns fail. First digit
+    comes from exact integer arithmetic (power-of-ten searchsorted
+    here, VARCHAR substr in the oracle — identical for positive
+    ints); share_ppm = n * 1e6 // total."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir).select_columns(["value"])
+    p10 = np.power(10, np.arange(1, 19), dtype=np.int64)
+
+    def digits(batch: pa.Table) -> pa.Table:
+        cents = np.abs(np.round(batch["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64))
+        cents = cents[cents > 0]
+        nd = np.searchsorted(p10, cents, side="right")
+        div = np.where(nd == 0, 1, p10[np.maximum(nd, 1) - 1])
+        first = cents // div
+        g = pd.DataFrame({"digit": first, "n": 1}) \
+            .groupby("digit", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = ds.map_batches(digits, batch_format="pyarrow") \
+        .groupby("digit").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()  # digit domain: 9 rows
+    total = int(agg["n"].sum())
+    return pd.DataFrame({
+        "digit": agg["digit"].to_numpy(np.int64),
+        "n": agg["n"].to_numpy(np.int64),
+        "share_ppm": (agg["n"].to_numpy(np.int64) * 1_000_000 // total),
+    })

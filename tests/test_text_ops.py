@@ -97,6 +97,10 @@ def _check(name, con, ray_session):
     "docs_ngram_novelty", "docs_vocab_growth", "docs_char_class_profile",
     "doc_fingerprint_md5", "events_inter_arrival_stats",
     "lineitem_moment_stats", "part_type_supplier_hhi",
+    "events_user_daily_streaks", "events_session_count_sweep",
+    "events_value_benford", "orders_repeat_latency_histogram",
+    "lineitem_ship_latency_histogram", "lineitem_returns_rate_by_month",
+    "supplier_part_bipartite_degree",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
