@@ -932,13 +932,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5, n: int = 5,
             g = g.drop_duplicates("doc_id")
             if len(g) != 2:
                 continue  # a side was filtered out (shouldn't happen)
-            # align sides to the pair identity: row with doc_id == l is A
-            ga = g[g["doc_id"] == l]
-            gb = g[g["doc_id"] == r]
-            if len(ga) != 1 or len(gb) != 1:
-                continue
-            a = np.asarray(ga["shingles"].iloc[0], dtype=np.int64)
-            b = np.asarray(gb["shingles"].iloc[0], dtype=np.int64)
+            a = np.asarray(g["shingles"].iloc[0], dtype=np.int64)
+            b = np.asarray(g["shingles"].iloc[1], dtype=np.int64)
+            # align sides to the pair identity (containment is directed)
+            if int(g["doc_id"].iloc[0]) != l:
+                a, b = b, a
             inter = len(np.intersect1d(a, b, assume_unique=True))
             if measure == "containment":
                 # both directions: c/|A| (l contained in r), c/|B|
