@@ -293,6 +293,12 @@ def sniff_format(data) -> str:
     # TGA has no leading magic — the v2.0 footer is the signature
     if len(data) >= 44 and bytes(data[-18:]) == b"TRUEVISION-XFILE.\x00":
         return "tga"
+    # last resort: FOOTERLESS pre-2.0 TGA via the conservative header
+    # plausibility test (round 4) — after every leading-magic format
+    # has failed to claim the payload
+    from . import tga as _tga
+    if _tga.sniff_headerless(data):
+        return "tga"
     return "unknown"
 
 

@@ -9847,7 +9847,7 @@ def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
     from .. import tiff as tiff_mod
     from .. import webp as webp_mod
 
-    out = f"/tmp/destor_ray_mixed_bad/v3_n{n_per_fmt}_e{corrupt_every}"
+    out = f"/tmp/destor_ray_mixed_bad/v4_n{n_per_fmt}_e{corrupt_every}"
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -9864,14 +9864,19 @@ def _corrupt_mixed_corpus_dir(n_per_fmt: int = 32,
             "tiff": tiff_mod.encode(px, compression="lzw"),
             "webp": webp_mod.encode(px),
             "ico": __import__("destor_ray.ico", fromlist=["ico"]).encode([px]),
+            # lossy VP8 twin (round 4): sniffs as "webp" like the
+            # VP8L row, so the report folds both WebP flavors
+            "webpv8": webp_mod.encode_lossy(px, qindex=6),
         }
-        for fmt in _SNIFF_FMTS:
+        for fmt in (*_SNIFF_FMTS, "webpv8"):
             blob = row[fmt]
             if i % corrupt_every == 0:
                 if fmt == "webp":
                     b = bytearray(blob)
                     b[12:16] = b"XXXX"  # headers survive, chunk walk fails
                     blob = bytes(b)
+                elif fmt == "webpv8":
+                    blob = blob[:len(blob) // 2]  # first partition cut
                 else:
                     blob = blob[:len(blob) // 2]
             ids.append(f"mx{i:05d}_{fmt}")

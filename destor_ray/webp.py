@@ -439,10 +439,15 @@ def _find_payload(data: bytes) -> tuple[str, bytes]:
     while pos + 8 <= len(data):
         tag = bytes(data[pos:pos + 4])
         size = struct.unpack_from("<I", data, pos + 4)[0]
-        if tag == b"VP8L":
-            return "vp8l", bytes(data[pos + 8:pos + 8 + size])
-        if tag == b"VP8 ":
-            return "vp8", bytes(data[pos + 8:pos + 8 + size])
+        if tag in (b"VP8L", b"VP8 "):
+            if pos + 8 + size > len(data):
+                # the RIFF header declares more payload than remains;
+                # raise instead of letting the arithmetic decoder
+                # zero-feed a silently-wrong image (same hardening as
+                # the truncated-VP8L bit reader)
+                raise ValueError("truncated WebP chunk")
+            return ("vp8l" if tag == b"VP8L" else "vp8",
+                    bytes(data[pos + 8:pos + 8 + size]))
         pos += 8 + size + (size & 1)
     raise ValueError("no VP8L/VP8 chunk found")
 

@@ -390,10 +390,13 @@ def test_decode_quarantine_mixed_exact_split(ray_session):
     out = em.queries()["decode_quarantine_mixed"](
         "/root/testdata/sf0.001")
     df = out.to_pandas().set_index(["fmt", "status"])["n"]
-    for fmt in ("png", "jpeg", "gif", "bmp", "pnm", "tiff", "webp",
-                "ico"):
+    for fmt in ("png", "jpeg", "gif", "bmp", "pnm", "tiff", "ico"):
         assert int(df[(fmt, "corrupt")]) == 8, fmt
         assert int(df[(fmt, "ok")]) == 24, fmt
+    # both WebP flavors (VP8L chunk-wreck + lossy-VP8 truncation)
+    # sniff as "webp" and fold into one row pair
+    assert int(df[("webp", "corrupt")]) == 16
+    assert int(df[("webp", "ok")]) == 48
 
 
 def test_truncated_vp8l_raises():
@@ -720,3 +723,29 @@ def test_webp_truncated_vp8x_raises():
             + b"VP8X" + struct.pack("<I", len(body)) + body)
     with pytest.raises(ValueError, match="truncated VP8X"):
         webp_mod.meta(riff)
+
+
+def test_footerless_tga_sniffs_and_decodes():
+    """Pre-2.0 TGAs (no TRUEVISION-XFILE footer) sniff as 'tga' via
+    the conservative header-plausibility test and decode through the
+    one dispatch; random bytes and truncated files stay unknown."""
+    import struct
+
+    from destor_ray import codec as codec_mod
+    from destor_ray import tga
+
+    px = RNG.integers(0, 256, (23, 41, 3), dtype=np.uint8)
+    full = tga.encode(px)
+    footerless = full[:-26]  # strip 8-byte footer prefix + signature
+    assert codec_mod.sniff_format(footerless) == "tga"
+    assert np.array_equal(codec_mod.decode(footerless), px)
+    assert codec_mod.decode_meta(footerless) == ("tga", 100, 41, 23)
+    # RLE variant, footerless
+    rle = tga.encode(px, rle=True)[:-26]
+    assert codec_mod.sniff_format(rle) == "tga"
+    assert np.array_equal(codec_mod.decode(rle), px)
+    # negatives: truncated raw body (size bound fails), zero dims
+    assert codec_mod.sniff_format(footerless[:200]) == "unknown"
+    zd = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 0, 5,
+                     24, 0) + b"\0" * 64
+    assert codec_mod.sniff_format(zd) == "unknown"
