@@ -20,9 +20,11 @@ container read path being unconditional while its chunking/dedup core
 is the actual subject — /root/reference/src/storage/containerstore.c):
   * inter frames raise NotImplementedError (video P-frames are the
     same seam as H.264 in stages/multimodal.py);
-  * the in-loop deblocking filter is not applied (our encoder signals
-    filter level 0, so OUR streams reconstruct exactly; real streams
-    decode in-sync but with up to filter-strength pixel deltas);
+  * the in-loop deblocking filter (normal + simple, RFC 6386
+    section 15) is applied to the display output when the header
+    signals a level — our encoder defaults to level 0 so fixture
+    bytes stay stable, and per-MB lf_delta adjustments are parsed but
+    not applied (no segmentation support);
   * probability TABLES transcribed from memory — see vp8_tables.py's
     provenance note; the bitstream structure itself is spec-exact and
     round-trip verified (tests/test_vp8.py).
@@ -528,6 +530,178 @@ def predict_b4(mode: int, a: np.ndarray, l: np.ndarray, p: int,
 
 
 # ----------------------------------------------------------------------
+# in-loop deblocking filter (RFC 6386 section 15) — applied to the
+# DISPLAY output after full reconstruction; VP8 intra prediction uses
+# the unfiltered pixels, so encoding is unaffected (round 4: closes the
+# round-3 "loop filter not applied" seam for real streams)
+# ----------------------------------------------------------------------
+
+
+def _lf_params(level: int, sharpness: int) -> tuple[int, int, int, int]:
+    interior = level
+    if sharpness:
+        interior >>= 1 if sharpness <= 4 else 2
+        interior = min(interior, 9 - sharpness)
+    interior = max(interior, 1)
+    hev_t = 2 if level >= 40 else (1 if level >= 15 else 0)
+    mb_edge = (level + 2) * 2 + interior
+    sub_edge = level * 2 + interior
+    return interior, hev_t, mb_edge, sub_edge
+
+
+def _c128(x: np.ndarray) -> np.ndarray:
+    return np.clip(x, -128, 127)
+
+
+def _lf_edge(plane: np.ndarray, pos: int, lanes: slice, horizontal: bool,
+             interior: int, edge_limit: int, hev_t: int,
+             mode: str) -> None:
+    """Filter ONE edge in `plane` (padded uint8 array): pixels p3..p0
+    sit before `pos`, q0..q3 from `pos`, along axis 0 if `horizontal`
+    else axis 1. Vectorized across the edge's lanes. `mode`: "mb" =
+    the 27/18/9 macroblock filter, "sub" = the subblock filter,
+    "simple" = the simple-filter common adjust (luma only, outer taps
+    always, p0/q0 only, edge-limit mask only)."""
+    def col(off):
+        if horizontal:
+            return plane[pos + off, lanes].astype(np.int64)
+        return plane[lanes, pos + off].astype(np.int64)
+
+    def setcol(off, v):
+        v8 = np.clip(v, -128, 127) + 128
+        if horizontal:
+            plane[pos + off, lanes] = v8.astype(np.uint8)
+        else:
+            plane[lanes, pos + off] = v8.astype(np.uint8)
+
+    p3, p2, p1, p0 = col(-4), col(-3), col(-2), col(-1)
+    q0, q1, q2, q3 = col(0), col(1), col(2), col(3)
+    edge_ok = np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2 <= edge_limit
+    if mode == "simple":
+        fmask = edge_ok
+    else:
+        fmask = (edge_ok
+                 & (np.abs(p3 - p2) <= interior)
+                 & (np.abs(p2 - p1) <= interior)
+                 & (np.abs(p1 - p0) <= interior)
+                 & (np.abs(q1 - q0) <= interior)
+                 & (np.abs(q2 - q1) <= interior)
+                 & (np.abs(q3 - q2) <= interior))
+    if not fmask.any():
+        return
+    # signed domain
+    sp1, sp0 = p1 - 128, p0 - 128
+    sq0, sq1 = q0 - 128, q1 - 128
+    if mode == "simple":
+        a = _c128(_c128(sp1 - sq1) + 3 * (sq0 - sp0))
+        F = _c128(a + 4) >> 3
+        E = _c128(a + 3) >> 3
+        setcol(0, np.where(fmask, sq0 - F, sq0))
+        setcol(-1, np.where(fmask, sp0 + E, sp0))
+        return
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    if mode == "mb":
+        w = _c128(_c128(sp1 - sq1) + 3 * (sq0 - sp0))
+        # hev branch: common adjust with outer taps (p0/q0 only)
+        F = _c128(w + 4) >> 3
+        E = _c128(w + 3) >> 3
+        m_h = fmask & hev
+        nq0 = np.where(m_h, sq0 - F, sq0)
+        np0 = np.where(m_h, sp0 + E, sp0)
+        # !hev branch: 27/18/9 cascade across three pixel pairs
+        m = fmask & ~hev
+        a0 = _c128((27 * w + 63) >> 7)
+        a1 = _c128((18 * w + 63) >> 7)
+        a2 = _c128((9 * w + 63) >> 7)
+        nq0 = np.where(m, sq0 - a0, nq0)
+        np0 = np.where(m, sp0 + a0, np0)
+        nq1 = np.where(m, sq1 - a1, sq1)
+        np1 = np.where(m, sp1 + a1, sp1)
+        sp2, sq2 = p2 - 128, q2 - 128
+        nq2 = np.where(m, sq2 - a2, sq2)
+        np2 = np.where(m, sp2 + a2, sp2)
+        setcol(-3, np2)
+        setcol(2, nq2)
+        setcol(-2, np1)
+        setcol(1, nq1)
+        setcol(-1, np0)
+        setcol(0, nq0)
+        return
+    # subblock filter
+    a = _c128(np.where(hev, _c128(sp1 - sq1), 0) + 3 * (sq0 - sp0))
+    F = _c128(a + 4) >> 3
+    E = _c128(a + 3) >> 3
+    nq0 = np.where(fmask, sq0 - F, sq0)
+    np0 = np.where(fmask, sp0 + E, sp0)
+    a2 = (F + 1) >> 1
+    m = fmask & ~hev
+    nq1 = np.where(m, sq1 - a2, sq1)
+    np1 = np.where(m, sp1 + a2, sp1)
+    setcol(-2, np1)
+    setcol(1, nq1)
+    setcol(-1, np0)
+    setcol(0, nq0)
+
+
+def _loop_filter(Y: np.ndarray, U: np.ndarray, V: np.ndarray,
+                 mb_rows: int, mb_cols: int, filter_type: int,
+                 level: int, sharpness: int,
+                 inner: np.ndarray) -> None:
+    """RFC 6386 section 15 deblocking over the padded planes (data
+    starts at index 1). Per-MB raster order, each MB: left MB edge,
+    internal vertical edges, top MB edge, internal horizontal edges
+    (internal edges only when `inner[r, c]` — the MB has coefficients
+    or is B_PRED). filter_type 1 = simple filter (luma only)."""
+    interior, hev_t, mb_lim, sub_lim = _lf_params(level, sharpness)
+    for r in range(mb_rows):
+        for c in range(mb_cols):
+            y0, x0 = r * 16 + 1, c * 16 + 1
+            rows = slice(y0, y0 + 16)
+            cols = slice(x0, x0 + 16)
+            if filter_type == 1:  # simple: luma block edges only
+                if c > 0:
+                    _lf_edge(Y, x0, rows, False, 0, mb_lim, 0, "simple")
+                if inner[r, c]:
+                    for k in (4, 8, 12):
+                        _lf_edge(Y, x0 + k, rows, False, 0, sub_lim,
+                                 0, "simple")
+                if r > 0:
+                    _lf_edge(Y, y0, cols, True, 0, mb_lim, 0, "simple")
+                if inner[r, c]:
+                    for k in (4, 8, 12):
+                        _lf_edge(Y, y0 + k, cols, True, 0, sub_lim,
+                                 0, "simple")
+                continue
+            uv0, ux0 = r * 8 + 1, c * 8 + 1
+            urows = slice(uv0, uv0 + 8)
+            ucols = slice(ux0, ux0 + 8)
+            if c > 0:
+                _lf_edge(Y, x0, rows, False, interior, mb_lim, hev_t, "mb")
+                for P in (U, V):
+                    _lf_edge(P, ux0, urows, False, interior, mb_lim,
+                             hev_t, "mb")
+            if inner[r, c]:
+                for k in (4, 8, 12):
+                    _lf_edge(Y, x0 + k, rows, False, interior, sub_lim,
+                             hev_t, "sub")
+                for P in (U, V):
+                    _lf_edge(P, ux0 + 4, urows, False, interior, sub_lim,
+                             hev_t, "sub")
+            if r > 0:
+                _lf_edge(Y, y0, cols, True, interior, mb_lim, hev_t, "mb")
+                for P in (U, V):
+                    _lf_edge(P, uv0, ucols, True, interior, mb_lim,
+                             hev_t, "mb")
+            if inner[r, c]:
+                for k in (4, 8, 12):
+                    _lf_edge(Y, y0 + k, cols, True, interior, sub_lim,
+                             hev_t, "sub")
+                for P in (U, V):
+                    _lf_edge(P, uv0 + 4, ucols, True, interior, sub_lim,
+                             hev_t, "sub")
+
+
+# ----------------------------------------------------------------------
 # frame decode
 # ----------------------------------------------------------------------
 
@@ -561,14 +735,15 @@ def meta(data: bytes) -> tuple[int, int]:
 
 def _read_header_flags(d1: BoolDecoder):
     """First-partition header after the uncompressed chunk; returns
-    (coef_probs, num_parts, qindex_factors, skip_prob or None)."""
+    (coef_probs, num_parts, qindex_factors, skip_prob or None,
+    (filter_type, filter_level, sharpness))."""
     d1.literal(1)  # color space
     d1.literal(1)  # clamping type
     if d1.bit():  # segmentation_enabled
         raise NotImplementedError("VP8 segmentation maps")
-    d1.literal(1)  # filter type
-    d1.literal(6)  # loop filter level (not applied — module docstring)
-    d1.literal(3)  # sharpness
+    filter_type = d1.literal(1)
+    filter_level = d1.literal(6)
+    sharpness = d1.literal(3)
     if d1.bit():  # loop_filter_adj_enabled
         if d1.bit():  # mode_ref_lf_delta_update
             for _ in range(8):
@@ -598,14 +773,16 @@ def _read_header_flags(d1: BoolDecoder):
                                                  127)])),
                int(T.AC_QLOOKUP[np.clip(y_ac_qi + deltas[4], 0, 127)])),
     }
-    return probs, num_parts, q, skip_prob
+    return probs, num_parts, q, skip_prob, \
+        (filter_type, filter_level, sharpness)
 
 
 def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """VP8 key-frame payload -> (Y, U, V) uint8 planes (cropped)."""
     w, h, part1, rest = _parse_frame_header(data)
     d1 = BoolDecoder(part1)
-    probs, num_parts, q, skip_prob = _read_header_flags(d1)
+    probs, num_parts, q, skip_prob, (ftype, flevel, fsharp) = \
+        _read_header_flags(d1)
 
     # token partition table
     if num_parts > 1:
@@ -674,6 +851,8 @@ def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
     # nonzero contexts: per plane, per 4x4 column/row
     above_nz = np.zeros((mb_cols, 9), np.int64)  # 4Y 2U 2V 1Y2
+    # loop-filter inner-edge eligibility: MB has coefficients or B_PRED
+    inner = np.zeros((mb_rows, mb_cols), bool)
     for r in range(mb_rows):
         left_nz = np.zeros(9, np.int64)
         d2 = d2s[r % num_parts]
@@ -723,6 +902,11 @@ def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                                                 q["uv"][0], q["uv"][1])
                         cf[b] = blk
                         above_nz[c, off + bc] = left_nz[off + br] = nz
+            if not skips[r, c]:
+                inner[r, c] = bool(coefs_y.any() or coefs_u.any()
+                                   or coefs_v.any() or y2_dcs.any())
+            if ym == T.B_PRED:
+                inner[r, c] = True
             # ---- reconstruct luma ----
             y0, x0 = r * 16 + 1, c * 16 + 1
             res = idct4x4(coefs_y)
@@ -777,6 +961,10 @@ def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         Y[r * 16 + 1:r * 16 + 17, xw + 1:] = \
             Y[r * 16 + 1:r * 16 + 17, xw][:, None]
 
+    if flevel > 0:
+        _loop_filter(Y, U, V, mb_rows, mb_cols, ftype, flevel, fsharp,
+                     inner)
+
     return (Y[1:h + 1, 1:w + 1].copy(),
             U[1:(h + 1) // 2 + 1, 1:(w + 1) // 2 + 1].copy(),
             V[1:(h + 1) // 2 + 1, 1:(w + 1) // 2 + 1].copy())
@@ -823,10 +1011,14 @@ def _mb_plane_pad(plane: np.ndarray, mbs: int) -> np.ndarray:
     return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
 
 
-def encode(rgb: np.ndarray, qindex: int = 6) -> bytes:
+def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
+           sharpness: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB -> VP8 key-frame payload (one token
-    partition, no segmentation, loop filter 0, 16x16 intra only,
-    best-of-DC/V/H/TM per macroblock)."""
+    partition, no segmentation, 16x16 intra only, best-of-DC/V/H/TM
+    per macroblock). `filter_level` > 0 signals the normal in-loop
+    deblocking filter to the decoder (display-side only — VP8 intra
+    prediction uses unfiltered pixels, so the encode loop is
+    unchanged); the default 0 keeps fixture bytes stable."""
     from .jpeg import _rgb_to_ycbcr
     rgb = np.ascontiguousarray(rgb)
     h, w = rgb.shape[:2]
@@ -872,9 +1064,9 @@ def encode(rgb: np.ndarray, qindex: int = 6) -> bytes:
     be_hdr.literal(0, 1)  # color space
     be_hdr.literal(0, 1)  # clamping
     be_hdr.bit(0)  # segmentation
-    be_hdr.literal(0, 1)  # filter type
-    be_hdr.literal(0, 6)  # loop filter level 0
-    be_hdr.literal(0, 3)  # sharpness
+    be_hdr.literal(0, 1)  # filter type (normal)
+    be_hdr.literal(int(np.clip(filter_level, 0, 63)), 6)
+    be_hdr.literal(int(np.clip(sharpness, 0, 7)), 3)
     be_hdr.bit(0)  # lf adjustments
     be_hdr.literal(0, 2)  # 1 token partition
     be_hdr.literal(int(np.clip(qindex, 0, 127)), 7)

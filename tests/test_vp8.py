@@ -175,3 +175,36 @@ def test_b4_prediction_modes_shapes():
         out = vp8.predict_b4(mode, a, l, p, ar)
         assert out.shape == (4, 4)
         assert out.min() >= 0 and out.max() <= 255
+
+
+def test_loop_filter_improves_coarse_quant_psnr():
+    """The RFC 6386 deblocking filter is a DISPLAY-side improvement:
+    at coarse quantizers the filtered decode must beat the unfiltered
+    one on PSNR (it removes block edges), and a flat image must be a
+    fixed point (all adjustments cancel on equal pixels)."""
+    img = _smooth(48, 64)
+    for qi in (40, 80):
+        d0 = vp8.encode(img, qindex=qi, filter_level=0)
+        d1 = vp8.encode(img, qindex=qi, filter_level=20)
+        p0 = _psnr(vp8.decode(d0), img)
+        p1 = _psnr(vp8.decode(d1), img)
+        assert p1 > p0, (qi, p0, p1)
+    flat = np.full((32, 32, 3), 77, np.uint8)
+    df = vp8.encode(flat, qindex=0, filter_level=30)
+    assert np.array_equal(vp8.decode(df), flat)
+
+
+def test_loop_filter_simple_mode_smooths_block_edge():
+    """filter_type=1 (simple filter, luma only): a hard step at a
+    block edge is softened; pixels far from edges are untouched."""
+    Y = np.empty((33, 37), np.uint8)
+    Y[:] = 60
+    Y[:, 17:] = 80  # step exactly at the x=16 MB edge (data offset 1)
+    U = np.full((17, 17), 90, np.uint8)
+    V = np.full((17, 17), 90, np.uint8)
+    before = Y.copy()
+    inner = np.ones((2, 2), bool)
+    vp8._loop_filter(Y, U, V, 2, 2, 1, 30, 0, inner)
+    assert (Y[1:, 16] != before[1:, 16]).any()  # edge softened
+    assert (Y[1:, 5] == before[1:, 5]).all()    # interior untouched
+    assert (U == 90).all() and (V == 90).all()  # simple = luma only
