@@ -128,12 +128,19 @@ def main() -> None:
     pads.dataset(cdir).head(1)  # warm page cache
 
     # untimed warmup: spin up the worker pool + shuffle machinery so the
-    # timed run measures steady-state throughput, not cluster start
+    # timed run measures steady-state throughput, not cluster start.
+    # Its duration is RECORDED as a second, IPC-sensitive calibration:
+    # the single-process `calibration_sec` misses host phases that slow
+    # only object-store/worker IPC (observed in round 4 — headline 1.4x
+    # slower while calibration stayed flat), but this tiny groupby
+    # rides exactly those paths.
     import pyarrow as pa
+    wt0 = time.perf_counter()
     warm = ray.data.range(200_000).map_batches(
         lambda b: pa.table({"x": pa.array(np.asarray(b["id"]) % 97, pa.int64())}),
         batch_format="pyarrow")
     warm.groupby("x").count().materialize()
+    warmup_sec = round(time.perf_counter() - wt0, 3)
 
     # BENCH_REPEATS timed runs (default best-of-5): report best
     # (headline, comparable to round 1) AND median (robust to this
@@ -233,6 +240,7 @@ def main() -> None:
         "calibration_sec": min(cal_pre, cal_post),
         "calibration_pre": cal_pre,
         "calibration_post": cal_post,
+        "warmup_sec": warmup_sec,
         "headline_x_calibration": round(headline / min(cal_pre, cal_post), 1),
     }))
     ray.shutdown()
