@@ -1068,7 +1068,8 @@ def _mb_plane_pad(plane: np.ndarray, mbs: int) -> np.ndarray:
 
 
 def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
-           sharpness: int = 0, segments: list | None = None) -> bytes:
+           sharpness: int = 0, segments: list | None = None,
+           token_partitions: int = 1) -> bytes:
     """(h, w, 3) uint8 RGB -> VP8 key-frame payload (one token
     partition, no segmentation, 16x16 intra only, best-of-DC/V/H/TM
     per macroblock). `filter_level` > 0 signals the normal in-loop
@@ -1124,7 +1125,9 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
         P[0, 0] = 127
 
     be_hdr = BoolEncoder()  # partition 1: header + modes
-    be_tok = BoolEncoder()  # token partition
+    if token_partitions not in (1, 2, 4, 8):
+        raise ValueError("token_partitions must be 1, 2, 4 or 8")
+    be_toks = [BoolEncoder() for _ in range(token_partitions)]
 
     # header flags (see _read_header_flags for the field walk)
     be_hdr.literal(0, 1)  # color space
@@ -1151,7 +1154,7 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
     be_hdr.literal(int(np.clip(filter_level, 0, 63)), 6)
     be_hdr.literal(int(np.clip(sharpness, 0, 7)), 3)
     be_hdr.bit(0)  # lf adjustments
-    be_hdr.literal(0, 2)  # 1 token partition
+    be_hdr.literal({1: 0, 2: 1, 4: 2, 8: 3}[token_partitions], 2)
     be_hdr.literal(int(np.clip(qindex, 0, 127)), 7)
     for _ in range(5):
         be_hdr.bit(0)  # no quant deltas
@@ -1175,6 +1178,7 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
     token_bits = []  # deferred per-MB token closures
     for r in range(mb_rows):
         left_nz = np.zeros(9, np.int64)
+        be_tok = be_toks[r % token_partitions]
         for c in range(mb_cols):
             seg_id = (r + c) % nseg if segments else 0
             q = q_list[seg_id]
@@ -1293,9 +1297,11 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
         tree_write(be_hdr, _UV_MODE_PATHS, T.KF_UV_MODE_PROB, uvm)
 
     part1 = be_hdr.finish()
-    part2 = be_tok.finish()
+    parts = [e.finish() for e in be_toks]
+    table = b"".join(
+        len(pt).to_bytes(3, "little") for pt in parts[:-1])
     tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
     head = bytes([tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF,
                   0x9D, 0x01, 0x2A,
                   w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F])
-    return head + part1 + part2
+    return head + part1 + table + b"".join(parts)

@@ -226,3 +226,14 @@ def test_segmentation_roundtrip_and_quality_ordering():
     assert vp8.decode(d4).shape == img.shape
     with pytest.raises(ValueError):
         vp8.encode(img, segments=[1, 2, 3, 4, 5])
+
+
+@pytest.mark.parametrize("tp", [2, 4, 8])
+def test_multi_token_partitions_decode_identically(tp):
+    """Residual tokens split across 2/4/8 partitions (MB row modulo —
+    the parallel-entropy layout) decode pixel-identically to the
+    single-partition stream; the partition size table parses."""
+    img = _smooth(80, 64)
+    base = vp8.decode(vp8.encode(img, qindex=6))
+    out = vp8.decode(vp8.encode(img, qindex=6, token_partitions=tp))
+    assert np.array_equal(out, base)
