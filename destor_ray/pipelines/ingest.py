@@ -5698,32 +5698,26 @@ def rotation_image_dedup(sf_dir: str, n_base: int = 144,
                            batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, ps = [], [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["image_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            pols = [np.frombuffer(b, np.uint8).astype(np.float64)
+        ids_a, li, ri = _bucket_pairs(df, "image_id", dedupe=True)
+        raw = df["pol"].to_numpy()
+        memo: dict = {}
+
+        def pol(k):
+            got = memo.get(ids_a[k])
+            if got is None:
+                got = memo[ids_a[k]] = np.frombuffer(
+                    raw[k], np.uint8).astype(np.float64) \
                     .reshape(3, _ROT_NR, _ROT_NA)
-                    for b in g["pol"]]
-            for i in range(len(ids_)):
-                for j in range(i + 1, len(ids_)):
-                    if ids_[i] == ids_[j]:
-                        continue
-                    l, r = sorted((ids_[i], ids_[j]))
-                    if (l, r) in seen:
-                        continue
-                    seen.add((l, r))
-                    a_, b_ = (i, j) if ids_[i] < ids_[j] else (j, i)
-                    p = _rot_polar_psnr3(list(pols[a_]), list(pols[b_]))
-                    if int(round(p * 100)) >= psnr_min_centi:
-                        ls.append(l)
-                        rs.append(r)
-                        ps.append(int(round(p * 100)))
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "psnr_centi": pa.array(ps, pa.int64())})
+            return got
+
+        pc_ = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            a_, b_ = ((li[k], ri[k]) if ids_a[li[k]] < ids_a[ri[k]]
+                      else (ri[k], li[k]))
+            pc_[k] = int(round(_rot_polar_psnr3(
+                list(pol(a_)), list(pol(b_))) * 100))
+        return _emit_pairs(ids_a, li, ri, pc_ >= psnr_min_centi, pc_,
+                           score_col="psnr_centi")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -7696,33 +7690,26 @@ def letterbox_video_dedup(sf_dir: str, n_base: int = 24,
         return best
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, ps = [], [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["video_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            payload = {}
-            for vid, t in zip(ids_, g["thumbs"]):
-                if vid not in payload:
-                    payload[vid] = np.frombuffer(t, np.uint8) \
-                        .reshape(-1, 16, 16)
-            u = sorted(payload)
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    if (u[i], u[j]) in seen:
-                        continue
-                    seen.add((u[i], u[j]))
-                    k = min(len(payload[u[i]]), len(payload[u[j]]))
-                    p = inset_psnr(payload[u[i]][:k],
-                                   payload[u[j]][:k])
-                    if int(round(p * 100)) >= psnr_min_centi:
-                        ls.append(u[i])
-                        rs.append(u[j])
-                        ps.append(int(round(p * 100)))
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "psnr_centi": pa.array(ps, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "video_id", dedupe=True)
+        raw = df["thumbs"].to_numpy()
+        memo: dict = {}
+
+        def reel(k):
+            got = memo.get(ids_a[k])
+            if got is None:
+                got = memo[ids_a[k]] = np.frombuffer(
+                    raw[k], np.uint8).reshape(-1, 16, 16)
+            return got
+
+        pc_ = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            a_, b_ = ((li[k], ri[k]) if ids_a[li[k]] < ids_a[ri[k]]
+                      else (ri[k], li[k]))
+            ra, rb = reel(a_), reel(b_)
+            kk = min(len(ra), len(rb))
+            pc_[k] = int(round(inset_psnr(ra[:kk], rb[:kk]) * 100))
+        return _emit_pairs(ids_a, li, ri, pc_ >= psnr_min_centi, pc_,
+                           score_col="psnr_centi")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -7874,36 +7861,31 @@ def samplerate_audio_dedup(sf_dir: str, n_base: int = 36,
                            concurrency=2, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, cs = [], [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["clip_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            payload = {}
-            for cid, eb, sb in zip(ids_, g["env"], g["spec"]):
-                if cid not in payload:
-                    payload[cid] = (
-                        np.frombuffer(eb, np.int16).astype(np.float64)
-                        / 1000,
-                        np.frombuffer(sb, np.int16).astype(np.float64)
-                        .reshape(-1, _AOF_NB) / 1000)
-            u = sorted(payload)
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    if (u[i], u[j]) in seen:
-                        continue
-                    seen.add((u[i], u[j]))
-                    ea, sa = payload[u[i]]
-                    eb_, sb_ = payload[u[j]]
-                    c = _audio_offset_verify(ea, sa, eb_, sb_, 0)
-                    if int(round(c * 1000)) >= corr_min_milli:
-                        ls.append(u[i])
-                        rs.append(u[j])
-                        cs.append(int(round(c * 1000)))
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "corr_milli": pa.array(cs, pa.int64())})
+        ids_a, li, ri = _bucket_pairs(df, "clip_id", dedupe=True)
+        renv = df["env"].to_numpy()
+        rspec = df["spec"].to_numpy()
+        memo: dict = {}
+
+        def clip(k):
+            got = memo.get(ids_a[k])
+            if got is None:
+                got = memo[ids_a[k]] = (
+                    np.frombuffer(renv[k], np.int16).astype(np.float64)
+                    / 1000,
+                    np.frombuffer(rspec[k], np.int16).astype(np.float64)
+                    .reshape(-1, _AOF_NB) / 1000)
+            return got
+
+        cm = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            a_, b_ = ((li[k], ri[k]) if ids_a[li[k]] < ids_a[ri[k]]
+                      else (ri[k], li[k]))
+            ea, sa = clip(a_)
+            eb_, sb_ = clip(b_)
+            cm[k] = int(round(_audio_offset_verify(
+                ea, sa, eb_, sb_, 0) * 1000))
+        return _emit_pairs(ids_a, li, ri, cm >= corr_min_milli, cm,
+                           score_col="corr_milli")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -8077,43 +8059,43 @@ def stereo_audio_dedup(sf_dir: str, n_base: int = 36,
                            concurrency=2, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs, cs = [], [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            payload = {}
-            for cid, pj, eb, sb in zip(g["clip_id"], g["proj"],
-                                       g["env"], g["spec"]):
-                payload.setdefault(cid, {})
-                if pj not in payload[cid]:
-                    payload[cid][pj] = (
-                        np.frombuffer(eb, np.int16).astype(np.float64)
-                        / 1000,
-                        np.frombuffer(sb, np.int16).astype(np.float64)
-                        .reshape(-1, _AOF_NB) / 1000)
-            u = sorted(payload)
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    if (u[i], u[j]) in seen:
-                        continue
-                    seen.add((u[i], u[j]))
-                    best = -1.0
-                    for ea, sa in payload[u[i]].values():
-                        for eb_, sb_ in payload[u[j]].values():
-                            best = max(best, _audio_offset_verify(
-                                ea, sa, eb_, sb_, 0))
-                            if int(round(best * 1000)) \
-                                    >= corr_min_milli:
-                                break
-                        else:
-                            continue
-                        break
+        # pairs from the shared harness; per-clip PROJECTION sets are
+        # collected bucket-wide (the original evaluated each pair with
+        # only the projections co-present in its first colliding
+        # group — the bucket-wide set is the better-defined superset;
+        # recall/false pins unchanged)
+        ids_a, li, ri = _bucket_pairs(df, "clip_id", dedupe=True)
+        empty = pa.table({"l": pa.array([], pa.string()),
+                          "r": pa.array([], pa.string()),
+                          "corr_milli": pa.array([], pa.int64())})
+        if not len(li):
+            return empty
+        pay: dict = {}
+        for cid, pj, eb, sb in zip(df["clip_id"], df["proj"],
+                                   df["env"], df["spec"]):
+            d_ = pay.setdefault(cid, {})
+            if pj not in d_:
+                d_[pj] = (
+                    np.frombuffer(eb, np.int16).astype(np.float64)
+                    / 1000,
+                    np.frombuffer(sb, np.int16).astype(np.float64)
+                    .reshape(-1, _AOF_NB) / 1000)
+        cm = np.empty(len(li), np.int64)
+        for k in range(len(li)):
+            a_, b_ = sorted((ids_a[li[k]], ids_a[ri[k]]))
+            best = -1.0
+            for ea, sa in pay[a_].values():
+                for eb_, sb_ in pay[b_].values():
+                    best = max(best, _audio_offset_verify(
+                        ea, sa, eb_, sb_, 0))
                     if int(round(best * 1000)) >= corr_min_milli:
-                        ls.append(u[i])
-                        rs.append(u[j])
-                        cs.append(int(round(best * 1000)))
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string()),
-                         "corr_milli": pa.array(cs, pa.int64())})
+                        break
+                else:
+                    continue
+                break
+            cm[k] = int(round(best * 1000))
+        return _emit_pairs(ids_a, li, ri, cm >= corr_min_milli, cm,
+                           score_col="corr_milli")
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -8293,31 +8275,25 @@ def mirror_video_dedup(sf_dir: str, n_base: int = 24, dup_every: int = 3,
         return best
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs = [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["video_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            payload = {}
-            for vid, t in zip(ids_, g["thumbs"]):
-                if vid not in payload:
-                    payload[vid] = np.frombuffer(t, np.uint8) \
-                        .reshape(-1, 16, 16)
-            u = sorted(payload)
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    if (u[i], u[j]) in seen:
-                        continue
-                    seen.add((u[i], u[j]))
-                    k = min(len(payload[u[i]]), len(payload[u[j]]))
-                    good = orbit_slot_good(payload[u[i]][:k],
-                                           payload[u[j]][:k])
-                    if good >= min(min_slots, k):
-                        ls.append(u[i])
-                        rs.append(u[j])
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string())})
+        ids_a, li, ri = _bucket_pairs(df, "video_id", dedupe=True)
+        raw = df["thumbs"].to_numpy()
+        memo: dict = {}
+
+        def reel(k):
+            got = memo.get(ids_a[k])
+            if got is None:
+                got = memo[ids_a[k]] = np.frombuffer(
+                    raw[k], np.uint8).reshape(-1, 16, 16)
+            return got
+
+        ok = np.zeros(len(li), bool)
+        for k in range(len(li)):
+            a_, b_ = ((li[k], ri[k]) if ids_a[li[k]] < ids_a[ri[k]]
+                      else (ri[k], li[k]))
+            ra, rb = reel(a_), reel(b_)
+            kk = min(len(ra), len(rb))
+            ok[k] = orbit_slot_good(ra[:kk], rb[:kk]) >= min(min_slots, kk)
+        return _emit_pairs(ids_a, li, ri, ok)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
@@ -8591,34 +8567,31 @@ def pitchshift_audio_dedup(sf_dir: str, n_base: int = 36,
                            concurrency=2, batch_format="pyarrow")
 
     def verify_bucket(df) -> pa.Table:
-        ls, rs = [], []
-        seen = set()
-        for _, g in df.groupby("bkey", sort=False):
-            ids_ = g["clip_id"].tolist()
-            if len(ids_) < 2:
-                continue
-            envs, profs = {}, {}
-            for cid, e, p in zip(ids_, g["env"], g["prof"]):
-                if cid not in envs:
-                    envs[cid] = np.frombuffer(e, np.int16) \
-                        .astype(np.float64) / 1000
-                    profs[cid] = np.frombuffer(p, np.uint16) \
-                        .astype(np.float64).reshape(-1, _APS_NB) / 10000
-            u = sorted(envs)
-            for i in range(len(u)):
-                for j in range(i + 1, len(u)):
-                    if (u[i], u[j]) in seen:
-                        continue
-                    seen.add((u[i], u[j]))
-                    ec, sc = _audio_pitch_verify(
-                        envs[u[i]], profs[u[i]],
-                        envs[u[j]], profs[u[j]])
-                    if (int(round(ec * 1000)) >= env_min_milli
-                            and int(round(sc * 1000)) >= spec_min_milli):
-                        ls.append(u[i])
-                        rs.append(u[j])
-        return pa.table({"l": pa.array(ls, pa.string()),
-                         "r": pa.array(rs, pa.string())})
+        ids_a, li, ri = _bucket_pairs(df, "clip_id", dedupe=True)
+        renv = df["env"].to_numpy()
+        rprof = df["prof"].to_numpy()
+        memo: dict = {}
+
+        def clip(k):
+            got = memo.get(ids_a[k])
+            if got is None:
+                got = memo[ids_a[k]] = (
+                    np.frombuffer(renv[k], np.int16)
+                    .astype(np.float64) / 1000,
+                    np.frombuffer(rprof[k], np.uint16)
+                    .astype(np.float64).reshape(-1, _APS_NB) / 10000)
+            return got
+
+        ok = np.zeros(len(li), bool)
+        for k in range(len(li)):
+            a_, b_ = ((li[k], ri[k]) if ids_a[li[k]] < ids_a[ri[k]]
+                      else (ri[k], li[k]))
+            ea, pa_ = clip(a_)
+            eb_, pb_ = clip(b_)
+            ec, sc = _audio_pitch_verify(ea, pa_, eb_, pb_)
+            ok[k] = (int(round(ec * 1000)) >= env_min_milli
+                     and int(round(sc * 1000)) >= spec_min_milli)
+        return _emit_pairs(ids_a, li, ri, ok)
 
     pairs = bucketed_group_map(bands, "bkey", verify_bucket,
                                num_buckets=8).to_pandas()
