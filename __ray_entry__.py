@@ -45,6 +45,12 @@ queries() entries map to SURVEY.md §2 operators:
                        counts (oracle)
   supplier_part_bipartite_degree bipartite degree distributions over
                        the distinct-edge exchange (oracle)
+  lineitem_price_qty_ols single-pass OLS from exact sufficient
+                       statistics, bit-mirrored float finish (oracle)
+  events_weekend_contrast weekday/weekend activity + cents per type
+                       (oracle)
+  docs_hapax_ratio     hapax legomena per language via one
+                       vocab-bounded count exchange (oracle)
   minhash_lsh_docs     D3/D4 similarity join: MinHash-LSH near-dup clusters (rows-only)
   simhash_dup_pairs    SimHash banded near-dup pairs, exact Hamming verify (rows-only)
   minhash_lsh_oph      one-permutation-hashing MinHash-LSH, md5 slots —
@@ -2405,6 +2411,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             relational.supplier_part_bipartite_degree,
         "lineitem_moment_stats": stats.lineitem_moment_stats,
         "part_type_supplier_hhi": stats.part_type_supplier_hhi,
+        "lineitem_price_qty_ols": stats.lineitem_price_qty_ols,
+        "events_weekend_contrast": streaming.events_weekend_contrast,
+        "docs_hapax_ratio": text.docs_hapax_ratio,
         "minhash_lsh_docs": text.minhash_lsh_docs,
         "minhash_lsh_oph": text.minhash_lsh_oph,
         "simhash_md5_pairs": text.simhash_md5_pairs,
@@ -5596,6 +5605,70 @@ def oracle_sql() -> dict[str, str]:
             FROM sd GROUP BY d
             UNION ALL
             SELECT 'part', d, count(*) FROM pd GROUP BY d
+        """,
+        "lineitem_price_qty_ols": """
+            WITH p AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), a AS (
+                SELECT l_returnflag, count(*) AS n,
+                       CAST(sum(x) AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(x*y) AS BIGINT) AS sxy,
+                       CAST(sum(x*x) AS BIGINT) AS sxx
+                FROM p GROUP BY l_returnflag
+            ), m AS (
+                SELECT l_returnflag, n,
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           AS slope,
+                       CAST(sx AS DOUBLE) AS sxd,
+                       CAST(sy AS DOUBLE) AS syd
+                FROM a
+            )
+            SELECT l_returnflag, n,
+                   CAST(round(slope * 1000000.0) AS BIGINT)
+                       AS slope_micro,
+                   CAST(round(((syd - slope * sxd) / n) * 1000000.0)
+                        AS BIGINT) AS intercept_micro
+            FROM m
+        """,
+        "events_weekend_contrast": """
+            WITH p AS (
+                SELECT event_type,
+                       CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7
+                                 >= 5 THEN 1 ELSE 0 END AS wk,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(sum(1 - wk) AS BIGINT) AS n_weekday,
+                   CAST(sum(wk) AS BIGINT) AS n_weekend,
+                   CAST(sum(cents * (1 - wk)) AS BIGINT)
+                       AS cents_weekday,
+                   CAST(sum(cents * wk) AS BIGINT) AS cents_weekend
+            FROM p GROUP BY event_type
+        """,
+        "docs_hapax_ratio": """
+            WITH toks AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), c AS (
+                SELECT lang, tok, count(*) AS n
+                FROM toks GROUP BY lang, tok
+            )
+            SELECT lang,
+                   CAST(sum(n) AS BIGINT) AS n_token_occurrences,
+                   count(*) AS n_distinct,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                         * 1000000) // count(*) AS BIGINT) AS hapax_ppm
+            FROM c GROUP BY lang
         """,
         "part_type_supplier_hhi": """
             WITH c AS (

@@ -1414,3 +1414,56 @@ def part_type_supplier_hhi(sf_dir: str):
         })
 
     return bucketed_group_map(per_supp, "p_brand", hhi, num_buckets=8)
+
+
+def lineitem_price_qty_ols(sf_dir: str):
+    """(l_returnflag, n, slope_micro, intercept_micro) — ordinary
+    least squares of extendedprice-cents on quantity per return flag,
+    from SUFFICIENT STATISTICS: exact int64 sums (n, Σx, Σy, Σxy, Σx²)
+    fold map-side in one pass (the single-pass regression shape — at
+    100 TB there is no second pass), then slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) and intercept = (Σy − slope·Σx)/n as ONE mirrored
+    float expression each, micro-rounded. The oracle computes the
+    identical formula from the identical integer sums."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+
+    def sums(batch: pa.Table) -> pa.Table:
+        x = np.round(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        y = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_pylist(),
+            "one": np.ones(len(x), np.int64),
+            "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        g = df.groupby("l_returnflag", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = ds.map_batches(sums, batch_format="pyarrow") \
+        .groupby("l_returnflag").aggregate(
+            Sum("one", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx")) \
+        .to_pandas()  # one row per flag
+
+    n = agg["n"].to_numpy(np.float64)
+    sx = agg["sx"].to_numpy(np.float64)
+    sy = agg["sy"].to_numpy(np.float64)
+    sxy = agg["sxy"].to_numpy(np.float64)
+    sxx = agg["sxx"].to_numpy(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n": agg["n"].astype(np.int64),
+        "slope_micro": np.round(slope * 1e6).astype(np.int64),
+        "intercept_micro": np.round(intercept * 1e6).astype(np.int64),
+    })

@@ -3153,3 +3153,37 @@ def events_value_benford(sf_dir: str):
         "n": agg["n"].to_numpy(np.int64),
         "share_ppm": (agg["n"].to_numpy(np.int64) * 1_000_000 // total),
     })
+
+
+def events_weekend_contrast(sf_dir: str):
+    """(event_type, n_weekday, n_weekend, cents_weekday, cents_weekend)
+    — weekday/weekend activity contrast per event type (the simplest
+    seasonality decomposition a capacity planner reads): dow from the
+    engine-agnostic (epoch_us // 86.4e9 + 4) % 7 convention (Monday=0,
+    weekend = 5/6), value in exact cents. Map-side combined, one
+    type-domain exchange."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir).select_columns(["ts", "event_type",
+                                              "value"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = (((us // 86_400_000_000 + 4) % 7) >= 5).astype(np.int64)
+        cents = np.round(batch["value"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "n_weekday": 1 - wk, "n_weekend": wk,
+            "cents_weekday": cents * (1 - wk),
+            "cents_weekend": cents * wk})
+        g = df.groupby("event_type", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    return ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n_weekday", alias_name="n_weekday"),
+            Sum("n_weekend", alias_name="n_weekend"),
+            Sum("cents_weekday", alias_name="cents_weekday"),
+            Sum("cents_weekend", alias_name="cents_weekend"))

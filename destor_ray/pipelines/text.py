@@ -3303,3 +3303,70 @@ def doc_fingerprint_md5(sf_dir: str, n: int = 3, bits: int = 32):
                          "simhash32": pa.array(out, pa.int64())})
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def docs_hapax_ratio(sf_dir: str):
+    """(lang, n_token_occurrences, n_distinct, n_hapax, hapax_ppm) —
+    hapax legomena per language: tokens whose corpus-wide occurrence
+    count (within the language) is exactly one. The Zipf-tail health
+    metric a tokenizer-training pass reads next to docs_vocab_growth
+    (a crawl full of boilerplate has few hapaxes; OCR noise has too
+    many). ONE (lang, token)-keyed count exchange bounded by
+    vocabulary, then a lang-domain fold — occurrences never
+    co-locate."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["lang", "text"])
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        langs, toks, ns = [], [], []
+        import collections
+        per = collections.Counter()
+        for lg, t in zip(batch["lang"].to_pylist(),
+                         batch["text"].to_pylist()):
+            for tok in t.split(" "):
+                per[(lg, tok)] += 1
+        for (lg, tok), n in per.items():
+            langs.append(lg)
+            toks.append(tok)
+            ns.append(n)
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "tok": pa.array(toks, pa.string()),
+                         "n": pa.array(np.asarray(ns, np.int64),
+                                       pa.int64())})
+
+    counts = ds.map_batches(tok_counts, batch_format="pyarrow")
+
+    def fold(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(["lang", "tok"], sort=False)["n"].sum() \
+            .reset_index()
+        agg = g.groupby("lang", sort=False).agg(
+            n_token_occurrences=("n", "sum"),
+            n_distinct=("n", "size"),
+            n_hapax=("n", lambda s: int((s == 1).sum()))).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_lang = bucketed_group_map(counts, "tok", fold, num_buckets=16) \
+        .groupby("lang").aggregate(
+            Sum("n_token_occurrences", alias_name="n_token_occurrences"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_hapax", alias_name="n_hapax"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nd = batch["n_distinct"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nh = batch["n_hapax"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "lang": batch["lang"],
+            "n_token_occurrences":
+                batch["n_token_occurrences"].cast(pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "n_hapax": pa.array(nh, pa.int64()),
+            "hapax_ppm": pa.array(nh * 1_000_000 // nd, pa.int64()),
+        })
+
+    return per_lang.map_batches(finish, batch_format="pyarrow")

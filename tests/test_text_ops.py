@@ -100,7 +100,8 @@ def _check(name, con, ray_session):
     "events_user_daily_streaks", "events_session_count_sweep",
     "events_value_benford", "orders_repeat_latency_histogram",
     "lineitem_ship_latency_histogram", "lineitem_returns_rate_by_month",
-    "supplier_part_bipartite_degree",
+    "supplier_part_bipartite_degree", "lineitem_price_qty_ols",
+    "events_weekend_contrast", "docs_hapax_ratio",
 ])
 def test_oracle_parity(name, con, ray_session):
     _check(name, con, ray_session)
