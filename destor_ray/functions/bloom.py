@@ -17,6 +17,19 @@ from .hashing import mix_u64
 
 
 class BloomFilter:
+    @staticmethod
+    def bits_for(n_keys: int, bits_per_key: int = 10,
+                 min_bits: int = 1 << 20, max_bits: int = 1 << 30) -> int:
+        """Power-of-two bit count sized to the expected key volume.
+
+        ~10 bits/key with k=7 gives ~0.9% FPR; the power-of-two round-up
+        only lowers that. Clamped: the floor keeps tiny builds cheap to
+        hash, the ceiling (128 MB of bits) bounds what ships to every
+        prober — past ~10^8 keys the FPR degrades gracefully and false
+        positives only cost verify work, never wrong output."""
+        want = max(int(n_keys) * bits_per_key, min_bits)
+        return min(1 << (want - 1).bit_length(), max_bits)
+
     def __init__(self, num_bits: int = 1 << 20, num_hashes: int = 7,
                  seed: int = 0xB100):
         assert num_bits & (num_bits - 1) == 0, "num_bits must be a power of two"

@@ -676,9 +676,11 @@ def _doc_offsets_sidecar(counts, num_buckets: int = 64):
     Returns (off_dir, lo, width): the sidecar directory plus the range
     bucketing parameters the pack stage re-derives bucket ids from.
     At 10^12 rows size num_buckets ~4× total cores; driver state stays
-    O(num_buckets) regardless of corpus row count."""
-    import tempfile
+    O(num_buckets) regardless of corpus row count.
 
+    The sidecar lives at `_sidecar_root()` — set DESTOR_SIDECAR_DIR to
+    a shared filesystem on a multi-node cluster (the tempfile fallback
+    is node-local and guarded by a single-node assert)."""
     import pandas as pd
     import ray as _ray
     from ray.data.aggregate import Max, Min, Sum
@@ -722,10 +724,55 @@ def _doc_offsets_sidecar(counts, num_buckets: int = 64):
                          "start": pa.array(st + bs[b], pa.int64()),
                          "b": pa.array(np.full(len(d), b), pa.int64())})
 
-    off_dir = tempfile.mkdtemp(prefix="destor_pack_off_")
+    off_dir = _sidecar_root()
     keyed.groupby("b").map_groups(rebase, batch_format="pandas") \
         .write_parquet(off_dir, partition_cols=["b"])
     return off_dir, lo, width
+
+
+def _sidecar_root() -> str:
+    """Allocate a fresh sidecar directory.
+
+    Multi-node: set DESTOR_SIDECAR_DIR to a path on a SHARED filesystem
+    (NFS / fuse-mounted bucket) reachable by every node — write tasks
+    and `_PackPartials` actors land on different nodes and must see the
+    same files. Without it the fallback is node-local tempfile, which is
+    only correct single-node, so a >1-node cluster without the env var
+    is a hard error, not silent wrong reads. Fallback dirs are removed
+    at interpreter exit (the pack Datasets are lazy, so eager per-call
+    deletion would race their consumption)."""
+    import os
+    import tempfile
+
+    import ray as _ray
+
+    shared = os.environ.get("DESTOR_SIDECAR_DIR")
+    if shared:
+        os.makedirs(shared, exist_ok=True)
+        return tempfile.mkdtemp(prefix="destor_pack_off_", dir=shared)
+    if _ray.is_initialized() and \
+            sum(1 for n in _ray.nodes() if n.get("Alive", False)) > 1:
+        raise RuntimeError(
+            "multi-node cluster detected: set DESTOR_SIDECAR_DIR to a "
+            "shared filesystem path for the pack offsets sidecar "
+            "(node-local /tmp is not visible to remote pack actors)")
+    d = tempfile.mkdtemp(prefix="destor_pack_off_")
+    _FALLBACK_SIDECARS.append(d)
+    return d
+
+
+_FALLBACK_SIDECARS: list = []
+
+
+def _cleanup_sidecars() -> None:
+    import shutil
+    while _FALLBACK_SIDECARS:
+        shutil.rmtree(_FALLBACK_SIDECARS.pop(), ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_sidecars)
 
 
 class _PackPartials:

@@ -452,12 +452,16 @@ def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT"):
     DDFS filter, §2.5, earning its keep on the relational surface):
 
       1. build: each build-side block adds its urgent o_orderkeys to a
-         BloomFilter; the per-block filters are OR-merged (mergeable by
-         construction) — at scale a tree reduce, here a driver fold;
-      2. probe: ONE compact bit-array (2^20 bits here, vs 8 B/key for an
-         exact set) ships to every prober via ray.put; the fact table is
-         pruned MAP-ONLY to candidates = true matches + bounded false
-         positives;
+         BloomFilter sized from the build file's parquet row-count
+         metadata (~10 bits/key, power-of-two, 128 MB cap — see
+         BloomFilter.bits_for); the per-block filters are OR-merged in a
+         log-depth TASK-SIDE tree (fan-in 16): the driver only ever
+         holds object refs, never blob bytes, so 10^5 build blocks cost
+         the driver 10^5 refs, not 10^5 × filter-size bytes;
+      2. probe: ONE compact bit-array (vs 8 B/key for an exact set)
+         ships to every prober as the tree root's object ref; the fact
+         table is pruned MAP-ONLY to candidates = true matches + bounded
+         false positives;
       3. exact verify: only the pruned candidates enter a tag-and-union
          rendezvous with the build keys — the shuffle is proportional to
          the MATCH volume, never the fact table — and per-bucket partial
@@ -470,24 +474,57 @@ def bloom_semi_join(sf_dir: str, priority: str = "1-URGENT"):
     from ..functions.bloom import BloomFilter
     from ..stages.grouped import bucketed_group_map
 
+    import pyarrow.parquet as pq
+
     build = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority"])
+
+    # Size from metadata, not a scan: total build rows upper-bound the
+    # selected keys, and oversizing only lowers the FPR.
+    n_build = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    num_bits = BloomFilter.bits_for(n_build)
 
     def block_filter(batch: pa.Table) -> pa.Table:
         keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
         sel = np.asarray(
             pc.equal(batch["o_orderpriority"],
                      priority).to_numpy(zero_copy_only=False), bool)
-        bf = BloomFilter()
+        bf = BloomFilter(num_bits=num_bits)
         bf.add(keys[sel].astype(np.uint64))
         return pa.table({"blob": pa.array([bf.to_bytes()], pa.binary())})
 
-    merged = BloomFilter()
-    for row in build.map_batches(block_filter,
-                                 batch_format="pyarrow").iter_rows():
-        merged = merged.merge(BloomFilter.from_bytes(row["blob"]))
-    bf_ref = _ray.put(merged.to_bytes())
+    @_ray.remote
+    def _or_leaf(*blocks) -> bytes:
+        # leaf: OR every blob row of ≤FAN block tables into one blob
+        out = None
+        for tbl in blocks:
+            for blob in tbl["blob"].to_pylist():
+                arr = np.frombuffer(blob, np.uint8)
+                out = arr.copy() if out is None else out.__ior__(arr)
+        if out is None:  # all-empty blocks
+            out = np.zeros(num_bits // 8, np.uint8)
+        return out.tobytes()
+
+    @_ray.remote
+    def _or_node(*blobs: bytes) -> bytes:
+        out = np.frombuffer(blobs[0], np.uint8).copy()
+        for b in blobs[1:]:
+            out |= np.frombuffer(b, np.uint8)
+        return out.tobytes()
+
+    FAN = 16
+    mat = build.map_batches(block_filter, batch_format="pyarrow") \
+        .materialize()
+    refs = [r for bundle in mat.iter_internal_ref_bundles()
+            for r in bundle.block_refs]
+    level = ([_or_leaf.remote(*refs[i:i + FAN])
+              for i in range(0, len(refs), FAN)] if refs
+             else [_ray.put(BloomFilter(num_bits=num_bits).to_bytes())])
+    while len(level) > 1:
+        level = [_or_node.remote(*level[i:i + FAN])
+                 for i in range(0, len(level), FAN)]
+    bf_ref = level[0]  # ONE blob, already in the object store
 
     fact = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",

@@ -1290,10 +1290,13 @@ def shuffle_order_audit(sf_dir: str, n_buckets: int = 256):
 
 def lineitem_moment_stats(sf_dir: str):
     """(l_returnflag, n, s1, s2, s3, s4, skew_micro, kurt_micro) —
-    HIGHER-MOMENT profile of l_quantity per return flag: exact int64
-    power sums Σx..Σx⁴ fold map-side (the single-pass combinable form
-    — the whole point at 100 TB: third/fourth moments need no second
-    pass), then population skewness m3/m2^1.5 and excess kurtosis
+    HIGHER-MOMENT profile of l_quantity per return flag: exact power
+    sums Σx..Σx⁴ fold map-side as (hi, lo) int64 LIMB PAIRS of each
+    batch partial (the single-pass combinable form — the whole point
+    at 100 TB: third/fourth moments need no second pass; the 32-bit
+    lo limb keeps the cross-batch Sum exact to ~2·10¹³ rows where a
+    raw int64 Σx⁴ fold would overflow near 10¹² — same scheme as
+    lineitem corr), then population skewness m3/m2^1.5 and excess
     m4/m2²-3 from the exact sums, rounded to micro. The oracle
     computes the identical formula from the identical integer sums, so
     the float path is a single deterministic expression on both
@@ -1306,6 +1309,8 @@ def lineitem_moment_stats(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_returnflag", "l_quantity"])
 
+    LIMB = 1 << 32
+
     def powers(batch: pa.Table) -> pa.Table:
         q = np.round(batch["l_quantity"].to_numpy(
             zero_copy_only=False)).astype(np.int64)  # integral values
@@ -1314,15 +1319,24 @@ def lineitem_moment_stats(sf_dir: str):
             "one": np.ones(len(q), np.int64),
             "s1": q, "s2": q ** 2, "s3": q ** 3, "s4": q ** 4})
         g = df.groupby("l_returnflag", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False) \
-            .replace_schema_metadata(None)
+        out = {"l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+               "one": pa.array(g["one"].to_numpy(np.int64), pa.int64())}
+        for c in ("s1", "s2", "s3", "s4"):  # nonneg → plain limb split
+            v = g[c].to_numpy(np.int64)
+            out[f"{c}_hi"] = pa.array(v >> np.int64(32), pa.int64())
+            out[f"{c}_lo"] = pa.array(v & np.int64(LIMB - 1), pa.int64())
+        return pa.table(out)
 
+    aggs = [Sum("one", alias_name="n")]
+    for c in ("s1", "s2", "s3", "s4"):
+        aggs += [Sum(f"{c}_hi", alias_name=f"{c}_hi"),
+                 Sum(f"{c}_lo", alias_name=f"{c}_lo")]
     agg = ds.map_batches(powers, batch_format="pyarrow") \
-        .groupby("l_returnflag").aggregate(
-            Sum("one", alias_name="n"),
-            Sum("s1", alias_name="s1"), Sum("s2", alias_name="s2"),
-            Sum("s3", alias_name="s3"), Sum("s4", alias_name="s4")) \
+        .groupby("l_returnflag").aggregate(*aggs) \
         .to_pandas()  # one row per flag — domain-bounded
+    for c in ("s1", "s2", "s3", "s4"):  # exact Python-int recombine
+        agg[c] = [(int(h) << 32) + int(l) for h, l in
+                  zip(agg[f"{c}_hi"], agg[f"{c}_lo"])]
 
     # the float path is written as the EXACT expression the oracle SQL
     # mirrors (same literals, same left-associative order, sqrt instead
@@ -1419,9 +1433,12 @@ def part_type_supplier_hhi(sf_dir: str):
 def lineitem_price_qty_ols(sf_dir: str):
     """(l_returnflag, n, slope_micro, intercept_micro) — ordinary
     least squares of extendedprice-cents on quantity per return flag,
-    from SUFFICIENT STATISTICS: exact int64 sums (n, Σx, Σy, Σxy, Σx²)
-    fold map-side in one pass (the single-pass regression shape — at
-    100 TB there is no second pass), then slope = (nΣxy − ΣxΣy) /
+    from SUFFICIENT STATISTICS: exact sums (n, Σx, Σy, Σxy, Σx²) fold
+    map-side in one pass as (hi, lo) int64 limb pairs of each batch
+    partial (the single-pass regression shape — at 100 TB there is no
+    second pass; Σxy is ~5·10⁸/row so a raw int64 fold overflows past
+    ~2·10¹⁰ rows, the limb fold stays exact to ~2·10¹³ — same scheme
+    as lineitem corr), then slope = (nΣxy − ΣxΣy) /
     (nΣx² − (Σx)²) and intercept = (Σy − slope·Σx)/n as ONE mirrored
     float expression each, micro-rounded. The oracle computes the
     identical formula from the identical integer sums."""
@@ -1444,15 +1461,25 @@ def lineitem_price_qty_ols(sf_dir: str):
             "one": np.ones(len(x), np.int64),
             "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
         g = df.groupby("l_returnflag", sort=False).sum().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False) \
-            .replace_schema_metadata(None)
+        out = {"l_returnflag": pa.array(g["l_returnflag"], pa.string()),
+               "one": pa.array(g["one"].to_numpy(np.int64), pa.int64())}
+        for c in ("sx", "sy", "sxy", "sxx"):  # nonneg → plain limb split
+            v = g[c].to_numpy(np.int64)
+            out[f"{c}_hi"] = pa.array(v >> np.int64(32), pa.int64())
+            out[f"{c}_lo"] = pa.array(v & np.int64((1 << 32) - 1),
+                                      pa.int64())
+        return pa.table(out)
 
+    aggs = [Sum("one", alias_name="n")]
+    for c in ("sx", "sy", "sxy", "sxx"):
+        aggs += [Sum(f"{c}_hi", alias_name=f"{c}_hi"),
+                 Sum(f"{c}_lo", alias_name=f"{c}_lo")]
     agg = ds.map_batches(sums, batch_format="pyarrow") \
-        .groupby("l_returnflag").aggregate(
-            Sum("one", alias_name="n"), Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
-            Sum("sxx", alias_name="sxx")) \
+        .groupby("l_returnflag").aggregate(*aggs) \
         .to_pandas()  # one row per flag
+    for c in ("sx", "sy", "sxy", "sxx"):  # exact Python-int recombine
+        agg[c] = [(int(h) << 32) + int(l) for h, l in
+                  zip(agg[f"{c}_hi"], agg[f"{c}_lo"])]
 
     n = agg["n"].to_numpy(np.float64)
     sx = agg["sx"].to_numpy(np.float64)

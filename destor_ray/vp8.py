@@ -1144,8 +1144,17 @@ def encode(rgb: np.ndarray, qindex: int = 6, filter_level: int = 0,
                                       7)
             else:
                 be_hdr.bit(0)
-        for _ in range(4):
-            be_hdr.bit(0)  # no per-segment loop-filter features
+        # abs-mode feature data replaces (not offsets) the frame-level
+        # values, so each active segment must carry the loop-filter
+        # level explicitly — all-zero features would silently resolve
+        # every segment's filter level to 0 and kill `filter_level`
+        lf_abs = int(np.clip(filter_level, 0, 63))
+        for i in range(4):
+            if i < nseg:
+                be_hdr.bit(1)
+                be_hdr.signed_literal(lf_abs, 6)
+            else:
+                be_hdr.bit(0)
         for _ in range(3):
             be_hdr.bit(0)  # tree probs stay at the 255 defaults
     else:

@@ -1362,3 +1362,42 @@ def test_omni_text_dedup_per_class_full_recall(ray_session):
     tot = out[out.kind == "_total"].iloc[0]
     assert tot.n_planted == tot.n_found == 30
     assert tot.n_false == 0
+
+
+def test_degrade_markers_and_guard_type(ray_session):
+    """ADVICE r4 / VERDICT r4 #6: the exact-join volume guard is a
+    DEDICATED exception type (no message-string dispatch), strict=True
+    preserves the refusal, and the auto-degraded result surfaces its
+    approximate candidate recall IN-BAND as a `recall_estimate` column
+    whose value pins the measured boundary documented in the
+    ngram_jaccard_pairs docstring (containment 0.905)."""
+    import pytest
+
+    from destor_ray.pipelines.text import (
+        DEGRADE_RECALL_CONTAINMENT, DEGRADE_RECALL_JACCARD,
+        VolumeGuardError, containment_join_exact, jaccard_join_exact)
+
+    sf = "/root/testdata/sf0.001"
+    # max_pairs=0 forces the guard on any corpus
+    with pytest.raises(VolumeGuardError):
+        jaccard_join_exact(sf, strict=True, max_pairs=0)
+    with pytest.raises(VolumeGuardError):
+        containment_join_exact(sf, strict=True, max_pairs=0)
+
+    deg = jaccard_join_exact(sf, max_pairs=0).to_pandas()
+    assert "recall_estimate" in deg.columns
+    assert (deg["recall_estimate"] == DEGRADE_RECALL_JACCARD).all() or \
+        deg.empty
+    degc = containment_join_exact(sf, max_pairs=0).to_pandas()
+    assert "recall_estimate" in degc.columns
+    assert (degc["recall_estimate"] == DEGRADE_RECALL_CONTAINMENT).all() \
+        or degc.empty
+    # the docstring-measured boundary is pinned to the shipped constant
+    from destor_ray.pipelines import text as _t
+    assert "512/566 oracle pairs = 90.5% recall" in \
+        _t.ngram_jaccard_pairs.__doc__
+    assert DEGRADE_RECALL_CONTAINMENT == 0.905
+
+    # the exact (non-degraded) path must NOT carry the marker column
+    exact = jaccard_join_exact(sf).to_pandas()
+    assert "recall_estimate" not in exact.columns

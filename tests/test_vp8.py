@@ -226,6 +226,15 @@ def test_segmentation_roundtrip_and_quality_ordering():
     assert vp8.decode(d4).shape == img.shape
     with pytest.raises(ValueError):
         vp8.encode(img, segments=[1, 2, 3, 4, 5])
+    # filter_level must stay LIVE for segmented streams: abs-mode
+    # feature data replaces frame-level values, so the encoder writes
+    # the lf level per active segment — all-zero features would
+    # silently deblock nothing (round-5 fix, ADVICE r4)
+    seg_lf0 = vp8.decode(vp8.encode(img, qindex=40, segments=[40, 60],
+                                    filter_level=0))
+    seg_lf40 = vp8.decode(vp8.encode(img, qindex=40, segments=[40, 60],
+                                     filter_level=40))
+    assert not np.array_equal(seg_lf0, seg_lf40)
 
 
 @pytest.mark.parametrize("tp", [2, 4, 8])
