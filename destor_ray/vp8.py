@@ -747,15 +747,39 @@ def meta(data: bytes) -> tuple[int, int]:
 _SEG_TREE = np.array([2, 4, 0, -1, -2, -3], dtype=np.int64)
 
 
-def _read_header_flags(d1: BoolDecoder):
+class Vp8ForeignStreamError(ValueError):
+    """Raised for VP8 streams that do not match this module's own
+    encoder shape (round 5, ADVICE r4 HIGH): the entropy tables in
+    vp8_tables.py are transcribed from memory, so a stream produced by
+    a real encoder (libvpx) whose priors differ does not raise — the
+    bool decoder silently desynchronizes and returns plausible-but-
+    garbage pixels, which would feed WRONG perceptual signatures into
+    dedup. Until the tables are conformance-verified (the skip-if-
+    absent libvpx test in tests/test_optional_deps.py), any stream
+    showing non-internal header features — coef-prob updates, loop-
+    filter adjustments, quantizer deltas, foreign segmentation shape —
+    is REJECTED here so the ingest path quarantines it with attribution
+    instead of mis-decoding. Internal-encoder round trips are
+    unaffected."""
+
+
+def _read_header_flags(d1: BoolDecoder, marks: list | None = None):
     """First-partition header after the uncompressed chunk; returns
     (coef_probs, num_parts, per_segment_qindex_factors, skip_prob or
     None, (filter_type, filter_level, sharpness), seg) where seg is
     the parsed segmentation state (round 4 — closes the
     segmentation NotImplementedError seam: segment map + per-segment
-    quantizer/filter features per RFC 6386 sections 9.3/10)."""
-    d1.literal(1)  # color space
-    d1.literal(1)  # clamping type
+    quantizer/filter features per RFC 6386 sections 9.3/10).
+
+    `marks` (round 5) collects provenance marks: header features our
+    own encoder never writes, i.e. evidence the stream came from a
+    foreign encoder whose entropy priors we cannot yet trust."""
+    if marks is None:
+        marks = []
+    if d1.literal(1):  # color space
+        marks.append("color-space")
+    if d1.literal(1):  # clamping type
+        marks.append("clamping")
     seg = {"enabled": False, "update_map": False, "abs_mode": False,
            "q": [0, 0, 0, 0], "lf": [0, 0, 0, 0],
            "tree_probs": [255, 255, 255]}
@@ -775,10 +799,17 @@ def _read_header_flags(d1: BoolDecoder):
             for i in range(3):
                 if d1.bit():
                     seg["tree_probs"][i] = d1.literal(8)
+        if (not seg["update_map"] or not update_data
+                or not seg["abs_mode"]
+                or seg["tree_probs"] != [255, 255, 255]):
+            marks.append("segmentation-shape")
     filter_type = d1.literal(1)
+    if filter_type:
+        marks.append("simple-filter")
     filter_level = d1.literal(6)
     sharpness = d1.literal(3)
     if d1.bit():  # loop_filter_adj_enabled
+        marks.append("lf-adjustments")
         if d1.bit():  # mode_ref_lf_delta_update
             for _ in range(8):
                 if d1.bit():
@@ -788,7 +819,10 @@ def _read_header_flags(d1: BoolDecoder):
     deltas = []
     for _ in range(5):  # y_dc, y2_dc, y2_ac, uv_dc, uv_ac
         deltas.append(d1.signed_literal(4) if d1.bit() else 0)
-    d1.bit()  # refresh entropy probs (key frame)
+    if any(deltas):
+        marks.append("quant-deltas")
+    if not d1.bit():  # refresh entropy probs (key frame; we write 1)
+        marks.append("no-entropy-refresh")
     probs = T.DEFAULT_COEF_PROBS.copy()
     for t in range(4):
         for b in range(8):
@@ -796,7 +830,10 @@ def _read_header_flags(d1: BoolDecoder):
                 for n in range(11):
                     if d1.bit(int(T.COEF_UPDATE_PROBS[t, b, c, n])):
                         probs[t, b, c, n] = d1.literal(8)
+                        marks.append("coef-prob-update")
     skip_prob = d1.literal(8) if d1.bit() else None  # mb_no_coeff_skip
+    if skip_prob is None:
+        marks.append("no-skip-prob")
 
     def q_for(base_qi: int) -> dict:
         return {
@@ -821,12 +858,26 @@ def _read_header_flags(d1: BoolDecoder):
         (filter_type, filter_level, sharpness), seg
 
 
-def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """VP8 key-frame payload -> (Y, U, V) uint8 planes (cropped)."""
+def decode_frame(data: bytes, allow_foreign: bool = False,
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """VP8 key-frame payload -> (Y, U, V) uint8 planes (cropped).
+
+    Streams showing header features our own encoder never emits are
+    rejected with Vp8ForeignStreamError unless `allow_foreign=True`
+    (the conformance-test escape hatch) — see that class's docstring
+    for why mis-decoding is silent and must be gated up front."""
     w, h, part1, rest = _parse_frame_header(data)
     d1 = BoolDecoder(part1)
+    marks: list = []
     probs, num_parts, qs, skip_prob, (ftype, flevel, fsharp), seg = \
-        _read_header_flags(d1)
+        _read_header_flags(d1, marks)
+    if marks and not allow_foreign:
+        raise Vp8ForeignStreamError(
+            "non-internal VP8 header features "
+            f"{sorted(set(marks))}: entropy tables are unverified "
+            "against real encoders — stream quarantined rather than "
+            "risk a silent bool-decoder desync (pass "
+            "allow_foreign=True only for conformance testing)")
 
     # token partition table
     if num_parts > 1:
@@ -1010,6 +1061,18 @@ def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         Y[r * 16 + 1:r * 16 + 17, xw + 1:] = \
             Y[r * 16 + 1:r * 16 + 17, xw][:, None]
 
+    # desync tripwire (round 5, ADVICE r4): a wrong entropy prior makes
+    # a bool decoder read past its partition end (zero-feed) without
+    # ever raising — reject the decode instead of returning plausible-
+    # but-garbage pixels. Correct streams stop within the 2-byte
+    # preload + one lookahead byte of their data.
+    for bd in [d1] + d2s:
+        if bd.pos > len(bd.data) + 4:
+            raise Vp8ForeignStreamError(
+                f"bool decoder overran its partition by "
+                f"{bd.pos - len(bd.data)} bytes — desynchronized "
+                "stream (foreign entropy priors?); quarantined")
+
     if seg["enabled"]:
         base = np.array(seg["lf"], np.int64)
         if not seg["abs_mode"]:
@@ -1026,10 +1089,12 @@ def decode_frame(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             V[1:(h + 1) // 2 + 1, 1:(w + 1) // 2 + 1].copy())
 
 
-def decode(data: bytes) -> np.ndarray:
-    """VP8 key-frame payload -> (h, w, 3) uint8 RGB."""
+def decode(data: bytes, allow_foreign: bool = False) -> np.ndarray:
+    """VP8 key-frame payload -> (h, w, 3) uint8 RGB. Foreign-shape
+    streams raise Vp8ForeignStreamError unless allow_foreign (see
+    decode_frame)."""
     from .jpeg import _ycbcr_to_rgb
-    y, u, v = decode_frame(data)
+    y, u, v = decode_frame(data, allow_foreign=allow_foreign)
     h, w = y.shape
     ub = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w]
     vb = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w]

@@ -22,9 +22,22 @@ PROVENANCE / VERIFICATION STATUS — read before trusting interop:
     emits B_PRED, so this only affects real-stream interop (same
     caveat as above).
 
-The dedup pipeline treats VP8 like every other codec: decode failures
-quarantine per-row (stages/multimodal.py), so a mis-decoded real
-stream degrades to a quarantine row, never a job failure.
+Round-5 gating (ADVICE r4 HIGH): a wrong arithmetic-coder prior does
+NOT raise — the bool decoder silently desynchronizes — so "decode
+failures quarantine" alone was insufficient for foreign streams.
+vp8.decode_frame now REJECTS (Vp8ForeignStreamError) any stream whose
+header shows features our own encoder never writes (coef-prob
+updates, lf adjustments, quant deltas, foreign segmentation shape,
+simple filter, missing skip prob) and additionally trips on bool-
+decoder overrun past the partition end, so externally-produced VP8
+lands on the quarantine path WITH attribution instead of yielding
+plausible-but-garbage pixels. The escape hatch (allow_foreign=True)
+exists for the cross-verification test
+tests/test_optional_deps.py::test_vp8_conformance_vs_libvpx, which
+runs whenever PyAV/libvpx is installed and checks BOTH directions
+(libvpx streams through our tables, our streams through libvpx);
+passing it upgrades this module's provenance from "recalled" to
+"cross-verified" — until then these tables remain unverified.
 """
 
 from __future__ import annotations

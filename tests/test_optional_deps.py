@@ -86,3 +86,61 @@ def test_lance_read_table_roundtrip(tmp_path, ray_session):
     ds = read_table(path, columns=["doc_id"])
     assert ds.count() == 3
     assert set(ds.schema().names) == {"doc_id"}
+
+
+@pytest.mark.skipif(not _HAVE_AV, reason="av (PyAV/libvpx) not installed")
+def test_vp8_conformance_vs_libvpx():
+    """VP8 entropy-table conformance (VERDICT r4 #2): when libvpx is
+    reachable through PyAV, (a) frames IT encodes must decode through
+    our pure-numpy RFC 6386 decoder with sane fidelity — this exercises
+    the recalled DEFAULT_COEF_PROBS / COEF_UPDATE_PROBS / kf B_PRED
+    tables against a real encoder's priors — and (b) our encoder's
+    streams must decode through libvpx with matching pixels. Either
+    direction failing means the memory-transcribed tables in
+    vp8_tables.py are wrong; passing upgrades their provenance from
+    'recalled' to 'cross-verified'. Foreign-shape gating is bypassed
+    explicitly (allow_foreign=True) — that gate exists precisely
+    because this test cannot run in the default sandbox."""
+    import io
+
+    import av
+
+    from destor_ray import vp8
+
+    h, w = 96, 128
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 2) % 256, (y * 3) % 256, ((x + y) * 2) % 256],
+                   -1).astype(np.uint8)
+
+    # (a) libvpx-encoded -> our decoder
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="ivf") as container:
+        stream = container.add_stream("vp8", rate=1)
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "yuv420p"
+        frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+        for packet in stream.encode(frame.reformat(format="yuv420p")):
+            container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    ivf = buf.getvalue()
+    # IVF: 32-byte file header, 12-byte frame header, then the payload
+    n = int.from_bytes(ivf[32:36], "little")
+    payload = ivf[44:44 + n]
+    ours = vp8.decode(payload, allow_foreign=True)
+    mse = float(np.mean((ours.astype(np.int64) - img.astype(np.int64))
+                        ** 2))
+    psnr = 10 * np.log10(255 ** 2 / max(mse, 1e-9))
+    assert psnr > 25, f"libvpx->ours PSNR {psnr:.1f} dB: tables wrong"
+
+    # (b) our encoder -> libvpx decoder
+    data = vp8.encode(img, qindex=10)
+    codec = av.CodecContext.create("vp8", "r")
+    pkt = av.Packet(data)
+    frames = codec.decode(pkt) + codec.decode(None)
+    assert frames, "libvpx rejected our stream"
+    theirs = frames[0].to_ndarray(format="rgb24")
+    mse2 = float(np.mean((theirs.astype(np.int64)
+                          - img.astype(np.int64)) ** 2))
+    psnr2 = 10 * np.log10(255 ** 2 / max(mse2, 1e-9))
+    assert psnr2 > 25, f"ours->libvpx PSNR {psnr2:.1f} dB: tables wrong"

@@ -246,3 +246,30 @@ def test_multi_token_partitions_decode_identically(tp):
     base = vp8.decode(vp8.encode(img, qindex=6))
     out = vp8.decode(vp8.encode(img, qindex=6, token_partitions=tp))
     assert np.array_equal(out, base)
+
+
+def test_foreign_stream_gate():
+    """ADVICE r4 HIGH: streams with header features our encoder never
+    writes (here: color space = 1, the first bool-coded header bit)
+    are REJECTED with Vp8ForeignStreamError instead of risking a
+    silent bool-decoder desync on the memory-transcribed entropy
+    tables; allow_foreign=True bypasses the gate (the conformance-test
+    escape hatch) and internal streams decode exactly as before."""
+    img = _smooth(32, 32)
+    data = bytearray(vp8.encode(img, qindex=10))
+    base = vp8.decode(bytes(data))
+    # part1 starts at byte 10 (3B frame tag + 3B start code + 2+2 dims);
+    # the first prob-128 bool bit reads 1 iff the first byte >= 0x80
+    data[10] |= 0x80
+    with pytest.raises(vp8.Vp8ForeignStreamError):
+        vp8.decode(bytes(data))
+    # the escape hatch skips the shape gate (decode may still trip the
+    # overrun tripwire or error on the corrupted stream, but must not
+    # raise the foreign-shape rejection from the header gate)
+    try:
+        vp8.decode(bytes(data), allow_foreign=True)
+    except vp8.Vp8ForeignStreamError as e:
+        assert "overran" in str(e)  # tripwire, not the shape gate
+    except Exception:
+        pass
+    assert base.shape == img.shape
