@@ -867,6 +867,18 @@ queries() entries map to SURVEY.md §2 operators:
   audio_wav_stats      audio multimodal path: real WAV PCM decode via
                        the AudioFeatures actor pool (rows-only;
                        exact pytest)
+  audio_format_convert_dedup lossless audio container-conversion dups:
+                       the same recording re-hosted as FLAC (two
+                       blocksizes) / IEEE-float WAV, canonical-PCM
+                       SHA band family, exact verify (rows-only;
+                       recall pytest-pinned)
+  audio_container_stats mixed wav+flac corpus through the one
+                       AudioFeatures dispatch (pure-numpy CRC-verified
+                       FLAC decoder) (rows-only; exact pytest)
+  audio_quarantine_stats audio poison-row dead-letter routing: CRC-
+                       flipped / truncated FLAC, garbage, unknown
+                       containers quarantine with attribution
+                       (rows-only; exact pytest)
   events_user_mode     grouped mode/argmax via map-side-combined pair
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
@@ -2316,6 +2328,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout_stats": streaming.zorder_layout_stats,
         "events_incremental_stats": streaming.events_incremental_stats,
         "audio_wav_stats": ingest.audio_wav_stats,
+        "audio_format_convert_dedup": ingest.audio_format_convert_dedup,
+        "audio_container_stats": ingest.audio_container_stats,
+        "audio_quarantine_stats": ingest.audio_quarantine_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
         "gif_decode_stats": ingest.gif_decode_stats,

@@ -9985,3 +9985,267 @@ def corpus_dedup_export_wds(sf_dir: str, n_rows: int = 2000,
         "rep_bytes_total": [int(back["nbytes"].sum())],
         "readback_equal": [equal],
     }).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# Lossless audio container-conversion dedup (round 5, VERDICT r4 #3 —
+# the audio twin of format_convert_dedup) + mixed-container stats
+# ---------------------------------------------------------------------------
+
+_AFC_KINDS = ("flac", "flacbs", "wavf32")
+
+
+def _wav_f32_bytes(i16: np.ndarray, sr: int) -> bytes:
+    """IEEE-float (format 3) WAV of the canonical int16 samples —
+    byte-different container, PCM-identical after canonicalization."""
+    import struct as _struct
+    f = (i16.astype(np.float64) / 32767.0).astype("<f4")
+    data = f.tobytes()
+    fmt = _struct.pack("<HHIIHH", 3, 1, sr, sr * 4, 4, 32)
+    riff = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data)
+    return b"RIFF" + _struct.pack("<I", len(riff)) + riff
+
+
+def _audio_fmtconv_corpus_dir(n_base: int = 60, dup_every: int = 3,
+                              sr: int = 8000) -> str:
+    """Deterministic fixture: Philox multi-tone int16 WAV clips; every
+    dup_every-th base plants one lossless container conversion —
+    `<id>_flac` (FLAC, default blocksize), `<id>_flacbs` (FLAC at
+    blocksize 512: different bytes, same PCM) or `<id>_wavf32`
+    (IEEE-float WAV) round-robin — byte-hash-invisible re-hosts whose
+    DECODED samples are identical."""
+    from .. import codec, flac
+
+    out = f"/tmp/destor_ray_audio_fmtconv/v1_n{n_base}_d{dup_every}_sr{sr}"
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+    t = np.arange(sr, dtype=np.float64) / sr
+    for i in range(n_base):
+        rng = np.random.Generator(np.random.Philox(key=7100 + i))
+        sig = np.zeros_like(t)
+        for _ in range(3):
+            sig += rng.uniform(0.1, 0.28) * np.sin(
+                2 * np.pi * rng.uniform(90, 1900) * t
+                + rng.uniform(0, 2 * np.pi))
+        i16 = np.round(32767 * sig).astype(np.int32)
+        base_id = f"afc{i:05d}"
+        ids.append(base_id)
+        blobs.append(codec.wav_encode(i16 / 32767.0, sr))
+        if i % dup_every == 0:
+            kind = _AFC_KINDS[(i // dup_every) % len(_AFC_KINDS)]
+            if kind == "flac":
+                b = flac.encode(i16, sr)
+            elif kind == "flacbs":
+                b = flac.encode(i16, sr, blocksize=512)
+            else:
+                b = _wav_f32_bytes(i16, sr)
+            ids.append(f"{base_id}_{kind}")
+            blobs.append(b)
+    return _commit_fixture(out, {"clips": pa.table({
+        "clip_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "sample_rate": pa.array([sr] * len(ids), pa.int32()),
+    })})
+
+
+def _pcm16_canonical(data: bytes) -> np.ndarray:
+    """ONE canonical int16 PCM view across containers: RIFF (16-bit
+    int or IEEE float) and FLAC payloads of the same recording yield
+    byte-identical arrays — the exact tier the lossless conversion
+    channel keys on. round(x*32767) inverts both WAV scalings
+    exactly (i/32767 in float32 stays within ±0.004 of i)."""
+    from .. import codec, flac
+
+    if len(data) >= 4 and bytes(data[:4]) == b"fLaC":
+        pcm, _sr, bps = flac.decode(bytes(data))
+        if bps != 16:
+            raise ValueError("canonical PCM expects 16-bit streams")
+        return pcm.astype(np.int16).reshape(-1)
+    ch, _sr = codec.wav_decode_channels(data)
+    return np.round(ch.astype(np.float64) * 32767.0) \
+        .astype(np.int16).reshape(-1)
+
+
+def audio_format_convert_dedup(sf_dir: str, n_base: int = 60,
+                               dup_every: int = 3):
+    """(kind, n_planted, n_found, n_false, recall_ppm) — LOSSLESS
+    AUDIO CONTAINER-CONVERSION dedup: the same recording re-hosted as
+    FLAC (two blocksizes) or IEEE-float WAV. One decode pass through
+    an actor-pool signature stage canonicalizes every container to
+    int16 PCM (_pcm16_canonical); the leading 64 bits of the PCM
+    SHA-1 band into 8 slices (the pixel-SHA exact tier of
+    format_convert_dedup: identical samples collide on EVERY slice),
+    one band exchange, and the verify arm compares the full PCM
+    SHA-256 riding each band row — exact-equality semantics without
+    shuffling PCM. Per-class recall 1.0, zero false merges
+    (pytest-pinned). 100 TB shape: identical to the image channel —
+    narrow signature rows, 40-byte payloads, bucketed verify."""
+    import hashlib
+
+    from ..stages.grouped import bucketed_group_map
+
+    d = _audio_fmtconv_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/clips.parquet")
+
+    class AudioConvSignature:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, sha64, ver = [], [], []
+            for cid, data in zip(batch["clip_id"].to_pylist(),
+                                 batch["bytes"].to_pylist()):
+                pcm = _pcm16_canonical(data)
+                raw = pcm.astype("<i2").tobytes()
+                sha64.append(np.frombuffer(
+                    hashlib.sha1(raw).digest()[:8], "<i8")[0])
+                ver.append(hashlib.sha256(raw).digest())
+                ids.append(cid)
+            return pa.table({
+                "clip_id": pa.array(ids, pa.string()),
+                "pcmsha": pa.array(np.asarray(sha64, np.int64),
+                                   pa.int64()),
+                "ver": pa.array(ver, pa.binary()),
+            })
+
+    sigs = ds.map_batches(AudioConvSignature, batch_size=32,
+                          concurrency=2, batch_format="pyarrow")
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return _hash_band_rows(batch, "clip_id", ("pcmsha",),
+                               ("ver",), 8, 8)
+
+    bands = sigs.map_batches(band_rows, batch_format="pyarrow")
+
+    def verify_bucket(df) -> pa.Table:
+        ids, li, ri = _bucket_pairs(df, "clip_id", dedupe=True)
+        if not len(li):
+            return pa.table({"l": pa.array([], pa.string()),
+                             "r": pa.array([], pa.string())})
+        vs = df["ver"].to_numpy()
+        ok = np.array([vs[a] == vs[b] for a, b in zip(li, ri)], bool)
+        return _emit_pairs(ids, li, ri, ok)
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=8).to_pandas()
+    got = set(zip(pairs["l"], pairs["r"]))
+
+    truth_by_kind = {kind: set() for kind in _AFC_KINDS}
+    for i in range(0, n_base, dup_every):
+        kind = _AFC_KINDS[(i // dup_every) % len(_AFC_KINDS)]
+        truth_by_kind[kind].add((f"afc{i:05d}", f"afc{i:05d}_{kind}"))
+    return _per_class_report(got, truth_by_kind, _AFC_KINDS)
+
+
+def audio_container_stats(sf_dir: str, n_base: int = 60,
+                          dup_every: int = 3):
+    """(container, n_clips, total_samples, rms_milli_mean) — the
+    audio_wav_stats family over a MIXED wav+flac corpus: every row
+    decodes through the one AudioFeatures dispatch (RIFF -> the numpy
+    WAV parser, fLaC -> the round-5 pure-numpy FLAC decoder), proving
+    a crawl's audio container mix needs no per-format pipelines.
+    Rows-only driver check; pytest pins the per-container counts."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.multimodal import audio_features
+
+    d = _audio_fmtconv_corpus_dir(n_base=n_base, dup_every=dup_every)
+    ds = ray.data.read_parquet(f"{d}/clips.parquet")
+    feats = audio_features(ds, concurrency=2, batch_size=32)
+
+    # container sniff re-derives from the payload on the SIGNATURE
+    # side (clip_id suffix is fixture-only knowledge)
+    sniff = ds.map_batches(
+        lambda b: pa.table({
+            "clip_id": b["clip_id"],
+            "container": pa.array(
+                ["flac" if bytes(v[:4]) == b"fLaC" else "wav"
+                 for v in b["bytes"].to_pylist()], pa.string()),
+        }), batch_format="pyarrow").to_pandas()
+    cmap = dict(zip(sniff["clip_id"], sniff["container"]))
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        ids = batch["clip_id"].to_pylist()
+        rms_milli = np.round(
+            batch["rms"].to_numpy(zero_copy_only=False) * 1000) \
+            .astype(np.int64)
+        return pa.table({
+            "container": pa.array([cmap[i] for i in ids], pa.string()),
+            "n_samples": batch["n_samples"],
+            "rms_milli": pa.array(rms_milli, pa.int64()),
+        })
+
+    agg = feats.map_batches(narrow, batch_format="pyarrow") \
+        .groupby("container").aggregate(
+            Count(alias_name="n_clips"),
+            Sum("n_samples", alias_name="total_samples"),
+            Sum("rms_milli", alias_name="rms_milli_sum"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "container": b["container"],
+            "n_clips": pc.cast(b["n_clips"], pa.int64()),
+            "total_samples": pc.cast(b["total_samples"], pa.int64()),
+            "rms_milli_mean": pa.array(
+                pc.cast(b["rms_milli_sum"], pa.int64()).to_numpy(
+                    zero_copy_only=False)
+                // pc.cast(b["n_clips"], pa.int64()).to_numpy(
+                    zero_copy_only=False), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def audio_quarantine_stats(sf_dir: str, n_base: int = 48,
+                           n_corrupt: int = 12):
+    """(status, err, n) — the audio POISON-ROW path (round 5, the
+    audio twin of decode_quarantine_stats): a mixed wav+flac corpus
+    with planted corruption — CRC-flipped FLAC bodies, truncated FLAC,
+    garbage bytes, and an unknown-container header — flows through the
+    AudioDecodeQuarantine actor pool; bad rows land in a queryable
+    quarantine slice carrying the error class (FLAC corruption is
+    DETECTED, not mis-decoded: every frame's CRC-8/CRC-16 is checked).
+    Deterministic fixture → exact pytest pins the split; rows-only
+    driver check."""
+    from ray.data.aggregate import Count
+
+    from .. import codec, flac
+    from ..stages.multimodal import AudioDecodeQuarantine
+
+    out = f"/tmp/destor_ray_audio_quar/v1_n{n_base}_c{n_corrupt}"
+    if not os.path.isdir(out):
+        sr = 8000
+        t = np.arange(sr, dtype=np.float64) / sr
+        ids, blobs = [], []
+        for i in range(n_base):
+            pcm = 0.4 * np.sin(2 * np.pi * (150 + 17 * i) * t)
+            if i % 2:
+                blobs.append(flac.encode(
+                    np.round(32767 * pcm).astype(np.int32), sr))
+            else:
+                blobs.append(codec.wav_encode(pcm, sr))
+            ids.append(f"aq{i:05d}")
+        for i in range(n_corrupt):
+            kind = i % 4
+            src = bytearray(blobs[1])  # a valid FLAC body
+            if kind == 0:    # bit rot mid-frame -> CRC-16 mismatch
+                src[len(src) // 2] ^= 0x20
+                b = bytes(src)
+            elif kind == 1:  # truncated FLAC
+                b = bytes(src[: len(src) // 3])
+            elif kind == 2:  # garbage
+                b = bytes((np.arange(64) * (i + 3) % 251).astype(np.uint8))
+            else:            # unknown container magic
+                b = b"OggS" + bytes(src[4:200])
+            ids.append(f"aqbad{i:05d}")
+            blobs.append(b)
+        _commit_fixture(out, {"clips": pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+        })})
+
+    ds = ray.data.read_parquet(f"{out}/clips.parquet")
+    res = ds.map_batches(AudioDecodeQuarantine, batch_format="pyarrow",
+                         batch_size=32, concurrency=2)
+    agg = res.groupby(["status", "err"]).aggregate(Count(alias_name="n"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "status": b["status"], "err": b["err"],
+            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")

@@ -4,9 +4,11 @@ stages.
 
 The image path is REAL (PNG via codec.png_decode, lossy via the
 deterministic DRI1 codec). The audio path is REAL for RIFF/WAVE PCM
-payloads (codec.wav_decode — pure numpy, no libsndfile); compressed
-audio (mp3/flac/ogg) and all video remain STUBS with a clearly-marked
-seam: `decoder="fake"` produces deterministic synthetic samples/frames
+payloads (codec.wav_decode — pure numpy, no libsndfile) and for FLAC
+(destor_ray.flac — round-5 pure-numpy decoder, CRC-verified);
+remaining compressed audio (mp3/ogg) and all video stay STUBS with a
+clearly-marked seam:
+`decoder="fake"` produces deterministic synthetic samples/frames
 (hash-seeded) so the Ray-side plumbing — schema, batch sizing, actor
 signature, output layout — is exercised end-to-end; the real-decoder
 path raises NotImplementedError where libsndfile/ffmpeg would be
@@ -81,12 +83,16 @@ class AudioFeatures:
             if len(data) >= 12 and bytes(data[:4]) == b"RIFF":
                 pcm, _ = codec.wav_decode(data)
                 return pcm
+            if len(data) >= 4 and bytes(data[:4]) == b"fLaC":
+                from .. import flac  # pure-numpy decoder (round 5)
+                pcm, _ = flac.decode_float_mono(bytes(data))
+                return pcm
             from .. import softcodecs
             pcm = softcodecs.decode_audio(bytes(data))
-            if pcm is not None:          # libsndfile present: mp3/flac/ogg
+            if pcm is not None:          # libsndfile present: mp3/ogg
                 return pcm
             raise NotImplementedError(
-                "non-WAV audio payload and no libsndfile binding "
+                "non-WAV/FLAC audio payload and no libsndfile binding "
                 "(pip install soundfile to enable)")
         # deterministic fake: 1 second of hash-seeded samples
         rng = np.random.Generator(np.random.Philox(key=_payload_seed(data)))
@@ -226,6 +232,48 @@ class ImageDecodeQuarantine:
             "err": pa.array(err, pa.string()),
             "w": pa.array(ws, pa.int32()),
             "h": pa.array(hs, pa.int32()),
+        })
+
+
+class AudioDecodeQuarantine:
+    """The audio twin of ImageDecodeQuarantine (round 5): each clip
+    decodes under a per-row guard through the same dispatch the
+    feature stage uses (RIFF -> numpy WAV parser, fLaC -> the
+    CRC-verified pure-numpy FLAC decoder, else the libsndfile seam)
+    and emits (clip_id, status, err, n_samples) — truncated FLAC
+    (CRC-16 mismatch), garbage bytes, and seam-stubbed containers all
+    become queryable quarantine rows, never job failures."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .. import codec as _codec
+        from .. import flac as _flac
+        ids, status, err, ns = [], [], [], []
+        for cid, data in zip(batch["clip_id"].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            ids.append(cid)
+            try:
+                if len(data) >= 4 and bytes(data[:4]) == b"fLaC":
+                    pcm, _sr = _flac.decode_float_mono(bytes(data))
+                elif len(data) >= 12 and bytes(data[:4]) == b"RIFF":
+                    pcm, _sr = _codec.wav_decode(data)
+                else:
+                    from .. import softcodecs
+                    pcm = softcodecs.decode_audio(bytes(data))
+                    if pcm is None:
+                        raise NotImplementedError(
+                            "unsupported audio container (seam)")
+                status.append("ok")
+                err.append("")
+                ns.append(len(pcm))
+            except Exception as e:  # noqa: BLE001 — the quarantine seam
+                status.append("corrupt")
+                err.append(type(e).__name__)
+                ns.append(0)
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "status": pa.array(status, pa.string()),
+            "err": pa.array(err, pa.string()),
+            "n_samples": pa.array(ns, pa.int64()),
         })
 
 

@@ -749,3 +749,52 @@ def test_footerless_tga_sniffs_and_decodes():
     zd = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 0, 5,
                      24, 0) + b"\0" * 64
     assert codec_mod.sniff_format(zd) == "unknown"
+
+
+def test_audio_format_convert_dedup_full_recall(ray_session):
+    """All three lossless audio container-conversion classes — FLAC
+    (default + 512 blocksize) and IEEE-float WAV re-hosts of the same
+    recording — detect with per-class recall 1.0 and zero false merges
+    through the canonical-PCM SHA band family."""
+    import __ray_entry__ as em
+
+    out = em.queries()["audio_format_convert_dedup"](
+        "/root/testdata/sf0.001")
+    df = out.set_index("kind")
+    assert int(df.loc["_total", "n_planted"]) == 20
+    for kind in ("flac", "flacbs", "wavf32", "_total"):
+        assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
+        assert int(df.loc[kind, "n_false"]) == 0, kind
+
+
+def test_audio_container_stats_counts(ray_session):
+    """The mixed wav+flac fixture decodes through the one
+    AudioFeatures dispatch: exact per-container counts and identical
+    per-clip sample totals (1 s at 8 kHz each)."""
+    import __ray_entry__ as em
+
+    df = em.queries()["audio_container_stats"]("/root/testdata/sf0.001") \
+        .to_pandas().set_index("container")
+    # 60 base wav clips + 20 planted conversions: flac+flacbs (14) are
+    # FLAC containers, wavf32 (6) sniffs as wav
+    assert int(df.loc["flac", "n_clips"]) == 14
+    assert int(df.loc["wav", "n_clips"]) == 66
+    assert int(df.loc["flac", "total_samples"]) == 14 * 8000
+    assert int(df.loc["wav", "total_samples"]) == 66 * 8000
+
+
+def test_audio_quarantine_stats_split(ray_session):
+    """Poison audio rows route to the quarantine slice with exact
+    error attribution: CRC-flipped + truncated FLAC raise ValueError
+    (the CRC contract — corruption is DETECTED, never mis-decoded),
+    garbage/unknown containers hit the seam's NotImplementedError,
+    and every healthy wav/flac row decodes ok."""
+    import __ray_entry__ as em
+
+    df = em.queries()["audio_quarantine_stats"]("/root/testdata/sf0.001") \
+        .to_pandas()
+    by = {(r.status, r.err): int(r.n) for r in df.itertuples()}
+    assert by[("ok", "")] == 48
+    assert by[("corrupt", "ValueError")] == 6
+    assert by[("corrupt", "NotImplementedError")] == 6
+    assert sum(v for (s, _), v in by.items() if s == "corrupt") == 12

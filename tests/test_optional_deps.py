@@ -144,3 +144,37 @@ def test_vp8_conformance_vs_libvpx():
                           - img.astype(np.int64)) ** 2))
     psnr2 = 10 * np.log10(255 ** 2 / max(mse2, 1e-9))
     assert psnr2 > 25, f"ours->libvpx PSNR {psnr2:.1f} dB: tables wrong"
+
+
+@pytest.mark.skipif(not _HAVE_SF, reason="soundfile not installed")
+def test_flac_conformance_vs_libflac():
+    """FLAC cross-conformance (round 5): when libFLAC is reachable
+    through soundfile, (a) our subset encoder's files must decode
+    through libFLAC to the exact PCM, and (b) libFLAC-encoded files
+    (which use LPC subframes and constant/verbatim mixes our encoder
+    never writes) must decode through our pure-numpy decoder to the
+    exact PCM — the audio twin of the VP8/libvpx conformance test."""
+    import io
+
+    import soundfile as sf
+
+    from destor_ray import flac
+
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    pcm = np.round(32767 * 0.4 * (np.sin(2 * np.pi * 440 * t)
+                                  + 0.3 * np.sin(2 * np.pi * 97 * t))) \
+        .astype(np.int32)
+
+    # (a) ours -> libFLAC
+    data = flac.encode(pcm, sr)
+    got, got_sr = sf.read(io.BytesIO(data), dtype="int16")
+    assert got_sr == sr
+    assert np.array_equal(got.astype(np.int32), pcm)
+
+    # (b) libFLAC -> ours
+    buf = io.BytesIO()
+    sf.write(buf, pcm.astype(np.int16), sr, format="FLAC")
+    out, osr, bps = flac.decode(buf.getvalue())
+    assert osr == sr and bps == 16
+    assert np.array_equal(out[:, 0], pcm)
