@@ -879,6 +879,12 @@ queries() entries map to SURVEY.md §2 operators:
                        flipped / truncated FLAC, garbage, unknown
                        containers quarantine with attribution
                        (rows-only; exact pytest)
+  video_container_stats per-container video attribution through one
+                       dispatch: MJPEG-AVI full decode, WebM EBML walk
+                       + VP8 key-frame decode, MP4 box-tree metadata
+                       (codec fourcc seam), inter-only/garbage
+                       quarantine with attribution (rows-only; exact
+                       pytest)
   events_user_mode     grouped mode/argmax via map-side-combined pair
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
@@ -2331,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_format_convert_dedup": ingest.audio_format_convert_dedup,
         "audio_container_stats": ingest.audio_container_stats,
         "audio_quarantine_stats": ingest.audio_quarantine_stats,
+        "video_container_stats": ingest.video_container_stats,
         "video_frame_stats": ingest.video_frame_stats,
         "jfif_decode_stats": ingest.jfif_decode_stats,
         "gif_decode_stats": ingest.gif_decode_stats,

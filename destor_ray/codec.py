@@ -683,4 +683,10 @@ def decode_frames(data: bytes) -> list:
     if bytes(data[:4]) == b"\x00\x00\x01\x00":
         from . import ico as _ico
         return _ico.decode_frames(data)  # favicon size variants
+    if bytes(data[:4]) == b"\x1a\x45\xdf\xa3":  # EBML / WebM (round 5)
+        from . import mkv as _mkv
+        return [px for _ts, px in _mkv.decode_keyframes(data)]
+    if len(data) >= 12 and bytes(data[4:8]) == b"ftyp":  # ISO BMFF
+        from . import bmff as _bmff
+        return _bmff.decode_frames(data)  # declared seam: attributed raise
     return [decode(data)]

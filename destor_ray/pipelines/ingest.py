@@ -10249,3 +10249,144 @@ def audio_quarantine_stats(sf_dir: str, n_base: int = 48,
             "status": b["status"], "err": b["err"],
             "n": pc.cast(b["n"], pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Video container attribution (round 5, VERDICT r4 #4): WebM/EBML walk
+# with real VP8 key-frame decode + MP4/ISO-BMFF metadata attribution
+# ---------------------------------------------------------------------------
+
+def _video_mixed_corpus_dir(n_avi: int = 12, n_webm: int = 12,
+                            n_mp4: int = 8, n_bad: int = 6) -> str:
+    """Deterministic mixed-container video fixture: MJPEG-AVI (full
+    real decode), WebM with our-encoder VP8 key frames (real key-frame
+    decode through the EBML walk), metadata-only MP4 skeletons
+    (attributed seam: avc1/hev1/mp4a tracks), WebM carrying ONLY inter
+    frames (the declared VP8 seam), and garbage bytes."""
+    from .. import avi as avi_mod
+    from .. import bmff, jpeg, mkv, vp8
+
+    out = (f"/tmp/destor_ray_video_mixed/"
+           f"v1_a{n_avi}_w{n_webm}_m{n_mp4}_b{n_bad}")
+    if os.path.isdir(out):
+        return out
+    ids, blobs = [], []
+
+    def frame_img(i, k):
+        yy, xx = np.mgrid[0:48, 0:64].astype(np.float64)
+        g = np.clip(127 + 60 * np.sin(xx / 11 + i) +
+                    50 * np.cos(yy / 7 + k), 0, 255).astype(np.uint8)
+        return np.stack([g] * 3, -1)
+
+    for i in range(n_avi):
+        frames = [jpeg.encode(frame_img(i, k), quality=90)
+                  for k in range(4)]
+        ids.append(f"vca{i:05d}")
+        blobs.append(avi_mod.encode_mjpeg(frames, 64, 48, fps=10))
+    for i in range(n_webm):
+        frames = [vp8.encode(frame_img(100 + i, k), qindex=8)
+                  for k in range(4)]
+        ids.append(f"vcw{i:05d}")
+        blobs.append(mkv.encode_webm(frames, 64, 48))
+    for i in range(n_mp4):
+        codec_4cc = (b"avc1", b"hev1", b"mp4a")[i % 3]
+        handler = b"soun" if codec_4cc == b"mp4a" else b"vide"
+        ids.append(f"vcm{i:05d}")
+        blobs.append(bmff.encode_mp4_skeleton(
+            320, 240, codec=codec_4cc, handler=handler,
+            duration=1000 + 100 * i))
+    for i in range(n_bad):
+        if i % 2:
+            # WebM whose video track is ALL inter frames: parses,
+            # attributes, but key-frame decode hits the declared seam
+            frames = [vp8.encode(frame_img(200 + i, k), qindex=8)
+                      for k in range(3)]
+            b = mkv.encode_webm(frames, 64, 48,
+                                keyframes=[False] * 3)
+        else:
+            b = bytes((np.arange(96) * (i + 7) % 251).astype(np.uint8))
+        ids.append(f"vcb{i:05d}")
+        blobs.append(b)
+    return _commit_fixture(out, {"videos": pa.table({
+        "video_id": pa.array(ids, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    })})
+
+
+def video_container_stats(sf_dir: str):
+    """(container, codec, status, n, n_frames_decoded) — per-container
+    ATTRIBUTION across the real-crawl video container mix, through ONE
+    dispatch (codec.decode_frames): MJPEG-AVI decodes fully, WebM
+    enumerates EBML tracks and decodes VP8 KEY frames via the round-4
+    RFC 6386 codec, MP4 walks the ISO-BMFF box tree and reports brand
+    + per-track codec fourcc (decode is the declared H.264/HEVC/AAC
+    seam), inter-only WebM and garbage quarantine WITH attribution —
+    'webm/V_VP8 seam' and 'unknown', never a blind failure. This is
+    the image_format_stats analog for video (VERDICT r4 #4).
+    Rows-only driver check; exact pytest pins every row."""
+    from ray.data.aggregate import Count, Sum
+
+    from .. import avi as avi_mod
+    from .. import bmff, codec as codec_mod, mkv
+
+    d = _video_mixed_corpus_dir()
+    ds = ray.data.read_parquet(f"{d}/videos.parquet")
+
+    class ContainerAttribution:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            containers, codecs, status, nf = [], [], [], []
+            for data in batch["bytes"].to_pylist():
+                data = bytes(data)
+                if mkv.is_webm(data):
+                    containers.append("webm")
+                    try:
+                        m = mkv.meta(data)
+                        codecs.append(",".join(sorted(
+                            {t["codec_id"] for t in m["tracks"]})))
+                    except Exception:
+                        codecs.append("?")
+                elif bmff.is_mp4(data):
+                    containers.append("mp4")
+                    try:
+                        m = bmff.meta(data)
+                        codecs.append(",".join(sorted(
+                            {t["codec"] for t in m["tracks"]})))
+                    except Exception:
+                        codecs.append("?")
+                elif avi_mod.is_avi(data):
+                    containers.append("avi")
+                    codecs.append("mjpeg")
+                else:
+                    containers.append("unknown")
+                    codecs.append("")
+                try:
+                    frames = codec_mod.decode_frames(data)
+                    status.append("ok")
+                    nf.append(len(frames))
+                except NotImplementedError:
+                    status.append("seam")
+                    nf.append(0)
+                except Exception:
+                    status.append("corrupt")
+                    nf.append(0)
+            return pa.table({
+                "container": pa.array(containers, pa.string()),
+                "codec": pa.array(codecs, pa.string()),
+                "status": pa.array(status, pa.string()),
+                "one": pa.array(np.ones(len(nf), np.int64), pa.int64()),
+                "nf": pa.array(nf, pa.int64()),
+            })
+
+    rows = ds.map_batches(ContainerAttribution, batch_format="pyarrow",
+                          batch_size=16, concurrency=2)
+    agg = rows.groupby(["container", "codec", "status"]).aggregate(
+        Sum("one", alias_name="n"),
+        Sum("nf", alias_name="n_frames_decoded"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "container": b["container"], "codec": b["codec"],
+            "status": b["status"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "n_frames_decoded": pc.cast(b["n_frames_decoded"],
+                                        pa.int64()),
+        }), batch_format="pyarrow")
