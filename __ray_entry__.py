@@ -889,6 +889,26 @@ queries() entries map to SURVEY.md §2 operators:
                        counts + per-group top-1 (oracle)
   training_mix_sample  mixture construction: per-source hash-ranked
                        quotas hitting target weights (oracle)
+  docs_stopword_profile per-source stopword density (fixed 20-word
+                       list, one re2 split + is_in) (oracle)
+  docs_prefix_cluster_sizes prefix-fingerprint dedup group-size
+                       histogram (collapse-factor sizing) (oracle)
+  docs_zipf_slope      Zipf log-log OLS over the vocab-bounded token
+                       frequency table (oracle)
+  events_funnel_conversion strictly-ordered view->click->purchase
+                       funnel, earliest-chain semantics (oracle)
+  events_daily_anomaly per-type daily-volume 2-sigma screen in exact
+                       integer arithmetic (oracle)
+  events_bounce_rate   session bounce by first-event type on the
+                       engine's sessionization rule (oracle)
+  customer_order_gap_stats per-segment inter-order day gaps via one
+                       custkey tag-and-union rendezvous (oracle)
+  supplier_revenue_pareto revenue-concentration prefix (exact-int
+                       cum-share thresholds) (oracle)
+  lsh_param_sweep, corpus_phash_topk, corpus_aspect_buckets gained
+                       DuckDB oracles this round (md5-OPH mirror /
+                       bit_count Hamming / metadata-only bucket math
+                       over the corpus parquet read directly by SQL)
   bigram_pmi           collocation mining: top-k bigrams by PMI,
                        micro-quantized (oracle)
   unigram_logprob      unigram LM quality score: train counts → top-V
@@ -2243,6 +2263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore_outliers": streaming.events_zscore_outliers,
         "bloom_semi_join": relational.bloom_semi_join,
         "orders_decile_stats": relational.orders_decile_stats,
+        "customer_order_gap_stats": relational.customer_order_gap_stats,
+        "supplier_revenue_pareto": relational.supplier_revenue_pareto,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_local_supplier_volume": relational.q5_local_supplier_volume,
         "orders_monthly_stats": relational.orders_monthly_stats,
@@ -2418,6 +2440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint_md5": text.doc_fingerprint_md5,
         "docs_ngram_novelty": text.docs_ngram_novelty,
         "docs_vocab_growth": text.docs_vocab_growth,
+        "docs_stopword_profile": text.docs_stopword_profile,
+        "docs_prefix_cluster_sizes": text.docs_prefix_cluster_sizes,
+        "docs_zipf_slope": text.docs_zipf_slope,
         "docs_char_class_profile": text.docs_char_class_profile,
         "events_inter_arrival_stats": streaming.events_inter_arrival_stats,
         "events_user_daily_streaks": streaming.events_user_daily_streaks,
@@ -2475,6 +2500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_percentiles": streaming.events_type_percentiles,
         "events_type_mad": streaming.events_type_mad,
         "events_user_mode": streaming.events_user_mode,
+        "events_funnel_conversion": streaming.events_funnel_conversion,
+        "events_daily_anomaly": streaming.events_daily_anomaly,
+        "events_bounce_rate": streaming.events_bounce_rate,
         "user_event_pivot": streaming.user_event_pivot,
         "ann_topk": ann.ann_topk,
         "filtered_ann_topk": ann.filtered_ann_topk,
@@ -2533,6 +2561,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from destor_ray.pipelines.ann import model_weights_sql_literal
     _wlit = model_weights_sql_literal()
+    # corpus-diagnostic oracles (round 5): the synthetic image corpus
+    # is a deterministic cached parquet dir; DuckDB reads it directly.
+    # The driver's gate runs at sf0.01 (the default); tools that sweep
+    # other sfs export GRAFT_SF_DIR so the embedded path tracks the
+    # corpus the Ray side reads.
+    import os as _os
+
+    from destor_ray import corpus as _corpus_mod
+    _sfd = _os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    _cdir = _corpus_mod.ensure_corpus_parquet(_corpus_rows_for(_sfd),
+                                              seed=42)
+    _cglob = f"{_cdir}/*.parquet"
+    _bvals = ", ".join(f"({i}, {bw}, {bh})" for i, (bw, bh)
+                       in enumerate(_ASPECT_BUCKETS))
+    from destor_ray.pipelines.text import STOPWORDS as _SW
+    _stoplist = ", ".join(f"'{w}'" for w in _SW)
     _zterms = " + ".join(
         f"((u // {1 << b}) % 2) * {1 << (2 * b + 1)}"
         f" + ((h // {1 << b}) % 2) * {1 << (2 * b)}"
@@ -3126,6 +3170,291 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
             FROM fp a JOIN fp b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.f, b.f)) <= 5
+        """,
+        "docs_stopword_profile": f"""
+            WITH toks AS (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            SELECT source, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN tok IN
+                       ({_stoplist})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                   CAST(sum(CASE WHEN tok IN
+                       ({_stoplist})
+                       THEN 1 ELSE 0 END) * 1000000 // count(*)
+                       AS BIGINT) AS stop_ratio_ppm
+            FROM toks GROUP BY source
+        """,
+        "docs_prefix_cluster_sizes": """
+            WITH fp AS (
+                SELECT array_to_string(
+                    list_slice(string_split(text, ' '), 1, 4), ' ')
+                    AS fp
+                FROM documents
+            ), g AS (SELECT fp, count(*) AS sz FROM fp GROUP BY fp)
+            SELECT sz AS group_size, count(*) AS n_groups,
+                   CAST(sum(sz) AS BIGINT) AS n_docs
+            FROM g GROUP BY sz
+        """,
+        "docs_zipf_slope": """
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ), f AS (SELECT t, count(*) AS freq FROM tok GROUP BY t),
+            r AS (SELECT freq,
+                         row_number() OVER (ORDER BY freq DESC, t ASC)
+                             AS rk
+                  FROM f),
+            s AS (SELECT count(*) AS n,
+                         sum(ln(CAST(rk AS DOUBLE))) AS sx,
+                         sum(ln(CAST(freq AS DOUBLE))) AS sy,
+                         sum(ln(CAST(rk AS DOUBLE))
+                             * ln(CAST(freq AS DOUBLE))) AS sxy,
+                         sum(ln(CAST(rk AS DOUBLE))
+                             * ln(CAST(rk AS DOUBLE))) AS sxx,
+                         CAST(sum(freq) AS BIGINT) AS ntok
+                  FROM r)
+            SELECT CAST(n AS BIGINT) AS n_types, ntok AS n_tokens,
+                   CAST(round(((n * sxy - sx * sy)
+                               / (n * sxx - sx * sx)) * 1000000.0)
+                        AS BIGINT) AS slope_micro,
+                   CAST(round(((sy - ((n * sxy - sx * sy)
+                                      / (n * sxx - sx * sx)) * sx) / n)
+                              * 1000000.0) AS BIGINT)
+                       AS intercept_micro
+            FROM s
+        """,
+        "events_funnel_conversion": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t
+                       FROM events),
+            s1 AS (SELECT user_id, min(t) AS t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.t) AS t2
+                   FROM e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.t > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.t) AS t3
+                   FROM e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.t > s2.t2
+                   GROUP BY e.user_id),
+            n1 AS (SELECT count(*) AS c FROM s1),
+            n2 AS (SELECT count(*) AS c FROM s2),
+            n3 AS (SELECT count(*) AS c FROM s3)
+            SELECT 1 AS step, 'view' AS step_name,
+                   (SELECT c FROM n1) AS n_users,
+                   CAST((SELECT c FROM n1) * 1000000
+                        // greatest((SELECT c FROM n1), 1) AS BIGINT)
+                       AS conversion_ppm
+            UNION ALL
+            SELECT 2, 'click', (SELECT c FROM n2),
+                   CAST((SELECT c FROM n2) * 1000000
+                        // greatest((SELECT c FROM n1), 1) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT c FROM n3),
+                   CAST((SELECT c FROM n3) * 1000000
+                        // greatest((SELECT c FROM n1), 1) AS BIGINT)
+        """,
+        "events_daily_anomaly": """
+            WITH d AS (
+                SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2
+            ), st AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(c) AS BIGINT) AS s1,
+                       CAST(sum(c * c) AS BIGINT) AS s2
+                FROM d GROUP BY 1
+            )
+            SELECT d.event_type, st.n AS n_days,
+                   CAST(sum(CASE WHEN
+                       (CAST(d.c AS HUGEINT) * st.n - st.s1)
+                       * (CAST(d.c AS HUGEINT) * st.n - st.s1)
+                       > 4 * CAST(st.n AS HUGEINT)
+                         * (CAST(st.n AS HUGEINT) * st.s2
+                            - CAST(st.s1 AS HUGEINT) * st.s1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+            FROM d JOIN st USING (event_type)
+            GROUP BY d.event_type, st.n
+        """,
+        "events_bounce_rate": """
+            WITH e AS (SELECT user_id, event_type, event_id,
+                              epoch_us(ts) AS t
+                       FROM events),
+            m AS (SELECT *,
+                         CASE WHEN lag(t) OVER w IS NULL
+                                   OR t - lag(t) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY t, event_id)),
+            s AS (SELECT *,
+                         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM m),
+            g AS (SELECT user_id, sid, count(*) AS ne,
+                         first(event_type ORDER BY t, event_id)
+                             AS first_type
+                  FROM s GROUP BY 1, 2)
+            SELECT first_type, count(*) AS n_sessions,
+                   CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END)
+                        * 1000000 // greatest(count(*), 1) AS BIGINT)
+                       AS bounce_ppm
+            FROM g GROUP BY first_type
+        """,
+        "customer_order_gap_stats": """
+            WITH o AS (
+                SELECT o_custkey,
+                       epoch_us(o_orderdate) // 86400000000 AS day
+                FROM orders
+            ), g AS (
+                SELECT o_custkey,
+                       day - lag(day) OVER (PARTITION BY o_custkey
+                                            ORDER BY day) AS gap
+                FROM o
+            ), p AS (
+                SELECT o_custkey, CAST(count(gap) AS BIGINT) AS ng,
+                       CAST(sum(gap) AS BIGINT) AS sg,
+                       CAST(max(gap) AS BIGINT) AS mg
+                FROM g WHERE gap IS NOT NULL GROUP BY 1
+            )
+            SELECT c.c_mktsegment,
+                   count(*) AS n_customers_multi,
+                   CAST(sum(p.ng) AS BIGINT) AS n_gaps,
+                   CAST(sum(p.sg) AS BIGINT) AS sum_gap_days,
+                   CAST(max(p.mg) AS BIGINT) AS max_gap_days
+            FROM p JOIN customer c ON c.c_custkey = p.o_custkey
+            GROUP BY 1
+        """,
+        "supplier_revenue_pareto": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1
+            ), r AS (
+                SELECT cents,
+                       CAST(sum(cents) OVER (ORDER BY cents DESC,
+                            l_suppkey ASC ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS cum,
+                       row_number() OVER (ORDER BY cents DESC,
+                                          l_suppkey ASC) AS k
+                FROM rev
+            ), tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+            pick AS (
+                SELECT th.th, min(r.k) AS n
+                FROM r, tot, (VALUES (50), (80), (90), (99)) th(th)
+                WHERE r.cum * 100 >= th.th * tot.t
+                GROUP BY th.th
+            )
+            SELECT CAST(p.th AS BIGINT) AS pct_threshold,
+                   CAST(p.n AS BIGINT) AS n_suppliers,
+                   CAST(r2.cum * 1000000 // greatest(tot.t, 1)
+                        AS BIGINT) AS share_ppm
+            FROM pick p JOIN r r2 ON r2.k = p.n, tot
+        """,
+        "lsh_param_sweep": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(t)-1)) u(i)
+                WHERE len(t) >= 3
+            ), hv AS (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+                FROM sh
+            ),
+            bm4 AS (SELECT doc_id, h % 4 AS band, min(h) AS mv
+                    FROM hv GROUP BY 1, 2),
+            bm8 AS (SELECT doc_id, h % 8 AS band, min(h) AS mv
+                    FROM hv GROUP BY 1, 2),
+            bm16 AS (SELECT doc_id, h % 16 AS band, min(h) AS mv
+                     FROM hv GROUP BY 1, 2),
+            bm32 AS (SELECT doc_id, h % 32 AS band, min(h) AS mv
+                     FROM hv GROUP BY 1, 2),
+            p4 AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+                   FROM bm4 a JOIN bm4 b
+                     ON a.band = b.band AND a.mv = b.mv
+                    AND a.doc_id < b.doc_id),
+            p8 AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+                   FROM bm8 a JOIN bm8 b
+                     ON a.band = b.band AND a.mv = b.mv
+                    AND a.doc_id < b.doc_id),
+            p16 AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+                    FROM bm16 a JOIN bm16 b
+                      ON a.band = b.band AND a.mv = b.mv
+                     AND a.doc_id < b.doc_id),
+            p32 AS (SELECT DISTINCT a.doc_id AS l, b.doc_id AS r
+                    FROM bm32 a JOIN bm32 b
+                      ON a.band = b.band AND a.mv = b.mv
+                     AND a.doc_id < b.doc_id),
+            nref AS (SELECT count(*) AS n FROM p32)
+            SELECT 4 AS bands,
+                   (SELECT count(*) FROM p4) AS n_candidate_pairs,
+                   (SELECT n FROM nref) AS n_ref_pairs,
+                   round(CAST((SELECT count(*) FROM p4 JOIN p32
+                               USING (l, r)) AS DOUBLE)
+                         / greatest((SELECT n FROM nref), 1), 6)
+                       AS recall_vs_ref
+            UNION ALL
+            SELECT 8, (SELECT count(*) FROM p8), (SELECT n FROM nref),
+                   round(CAST((SELECT count(*) FROM p8 JOIN p32
+                               USING (l, r)) AS DOUBLE)
+                         / greatest((SELECT n FROM nref), 1), 6)
+            UNION ALL
+            SELECT 16, (SELECT count(*) FROM p16), (SELECT n FROM nref),
+                   round(CAST((SELECT count(*) FROM p16 JOIN p32
+                               USING (l, r)) AS DOUBLE)
+                         / greatest((SELECT n FROM nref), 1), 6)
+            UNION ALL
+            SELECT 32, (SELECT count(*) FROM p32), (SELECT n FROM nref),
+                   round(CAST((SELECT count(*) FROM p32 JOIN p32 pp
+                               ON p32.l = pp.l AND p32.r = pp.r)
+                              AS DOUBLE)
+                         / greatest((SELECT n FROM nref), 1), 6)
+        """,
+        "corpus_phash_topk": f"""
+            WITH q AS (SELECT image_id AS qid, phash AS qh
+                       FROM read_parquet('{_cglob}')
+                       ORDER BY image_id LIMIT 1)
+            SELECT r.image_id,
+                   CAST(bit_count(xor(r.phash, q.qh)) AS BIGINT)
+                       AS hamming
+            FROM read_parquet('{_cglob}') r, q
+            WHERE r.image_id <> q.qid
+            ORDER BY hamming, r.image_id LIMIT 10
+        """,
+        "corpus_aspect_buckets": f"""
+            WITH buckets AS (
+                SELECT * FROM (VALUES {_bvals}) b(bidx, bw, bh)
+            ), assigned AS (
+                SELECT r.w, r.h,
+                       (SELECT b.bidx FROM buckets b
+                        ORDER BY abs(ln(CAST(r.w AS DOUBLE) / r.h)
+                                     - ln(CAST(b.bw AS DOUBLE) / b.bh)),
+                                 b.bidx
+                        LIMIT 1) AS bidx
+                FROM read_parquet('{_cglob}') r
+            ), kept AS (
+                SELECT a.bidx, b.bw, b.bh,
+                       least(exp(ln(CAST(a.w AS DOUBLE) / a.h)
+                                 - ln(CAST(b.bw AS DOUBLE) / b.bh)),
+                             1.0 / exp(ln(CAST(a.w AS DOUBLE) / a.h)
+                                       - ln(CAST(b.bw AS DOUBLE)
+                                            / b.bh))) AS k
+                FROM assigned a JOIN buckets b ON b.bidx = a.bidx
+            )
+            SELECT CAST(bw AS BIGINT) AS bucket_w,
+                   CAST(bh AS BIGINT) AS bucket_h,
+                   count(*) AS n,
+                   CAST(count(*) // 64 AS BIGINT) AS n_full_batches,
+                   round(100.0 * sum(k) / count(*), 3)
+                       AS pct_pixels_kept
+            FROM kept GROUP BY bidx, bw, bh
         """,
         "minhash_lsh_oph": """
             WITH toks AS (

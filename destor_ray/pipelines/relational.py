@@ -3386,3 +3386,140 @@ def supplier_part_bipartite_degree(sf_dir: str):
         batch_format="pyarrow") \
         .groupby(["side", "degree"]).aggregate(
             Sum("one", alias_name="n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 oracled relational operators
+# ---------------------------------------------------------------------------
+
+def customer_order_gap_stats(sf_dir: str):
+    """(c_mktsegment, n_customers_multi, n_gaps, sum_gap_days,
+    max_gap_days) — per-segment INTER-ORDER gap profile: for every
+    customer with >= 2 orders, day gaps between consecutive order
+    dates (date-sorted; same-day repeats gap 0), summed per market
+    segment. The repeat-purchase-cadence table a retention model
+    trains on. Shape: orders + customer rows meet in ONE custkey-keyed
+    tag-and-union rendezvous (no broadcast — the customer side ships
+    only (custkey, segment)); per-customer diffs are vectorized; only
+    segment-domain partials leave the bucket."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        # o_orderdate is timestamp[us]: int64 cast -> epoch us -> days
+        d = b["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "key": b["o_custkey"].cast(pa.int64()),
+            "seg": pa.array([""] * b.num_rows, pa.string()),
+            "day": pa.array(d // 86_400_000_000, pa.int64()),
+            "is_cust": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+        })
+
+    def c_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": b["c_custkey"].cast(pa.int64()),
+            "seg": b["c_mktsegment"],
+            "day": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            "is_cust": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+        })
+
+    tagged = orders.map_batches(o_rows, batch_format="pyarrow") \
+        .union(cust.map_batches(c_rows, batch_format="pyarrow"))
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        segmap = dict(zip(df.loc[df["is_cust"] == 1, "key"],
+                          df.loc[df["is_cust"] == 1, "seg"]))
+        parts = []
+        for key, g in df[df["is_cust"] == 0].groupby("key", sort=False):
+            if len(g) < 2:
+                continue
+            d = np.sort(g["day"].to_numpy(np.int64))
+            gaps = np.diff(d)
+            parts.append((segmap.get(key, ""), 1, len(gaps),
+                          int(gaps.sum()), int(gaps.max())))
+        if not parts:
+            return pa.table({"seg": pa.array([], pa.string()),
+                             "nc": pa.array([], pa.int64()),
+                             "ng": pa.array([], pa.int64()),
+                             "sg": pa.array([], pa.int64()),
+                             "mg": pa.array([], pa.int64())})
+        g = pd.DataFrame(parts, columns=["seg", "nc", "ng", "sg", "mg"]) \
+            .groupby("seg", sort=False) \
+            .agg(nc=("nc", "sum"), ng=("ng", "sum"), sg=("sg", "sum"),
+                 mg=("mg", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = bucketed_group_map(tagged, "key", per_bucket, num_buckets=8) \
+        .groupby("seg").aggregate(
+            Sum("nc", alias_name="n_customers_multi"),
+            Sum("ng", alias_name="n_gaps"),
+            Sum("sg", alias_name="sum_gap_days"),
+            Max("mg", alias_name="max_gap_days"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "c_mktsegment": b["seg"],
+            "n_customers_multi": pc.cast(b["n_customers_multi"],
+                                         pa.int64()),
+            "n_gaps": pc.cast(b["n_gaps"], pa.int64()),
+            "sum_gap_days": pc.cast(b["sum_gap_days"], pa.int64()),
+            "max_gap_days": pc.cast(b["max_gap_days"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def supplier_revenue_pareto(sf_dir: str,
+                            thresholds=(50, 80, 90, 99)):
+    """(pct_threshold, n_suppliers, share_ppm) — revenue
+    CONCENTRATION: the smallest supplier-count prefix (suppliers
+    ranked by exact lineitem revenue cents desc, ties to smaller
+    s_suppkey) whose cumulative share reaches each threshold, decided
+    in EXACT integer math (cum·100 >= t·total — no float boundary).
+    share_ppm reports the prefix's actual share. Shape: one
+    supplier-domain groupby of map-side partial cent sums; the ranked
+    scan runs on the supplier-domain table (the docstring's bound:
+    suppliers, not lineitems)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        df = pd.DataFrame({
+            "l_suppkey": batch["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "cents": cents})
+        g = df.groupby("l_suppkey", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    per_supp = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_suppkey").aggregate(Sum("cents", alias_name="cents")) \
+        .to_pandas()  # supplier-domain
+    s = per_supp.sort_values(["cents", "l_suppkey"],
+                             ascending=[False, True])["cents"] \
+        .to_numpy(np.int64)
+    total = int(s.sum())
+    cum = np.cumsum(s)
+    rows = []
+    for t in thresholds:
+        # smallest prefix with cum*100 >= t*total (ints exact)
+        k = int(np.searchsorted(cum * 100, t * total, side="left")) + 1
+        k = min(k, len(s))
+        share_ppm = int(cum[k - 1]) * 1_000_000 // max(1, total)
+        rows.append((t, k, share_ppm))
+    return pd.DataFrame(rows, columns=["pct_threshold", "n_suppliers",
+                                       "share_ppm"]) \
+        .astype({"pct_threshold": "int64", "n_suppliers": "int64",
+                 "share_ppm": "int64"})

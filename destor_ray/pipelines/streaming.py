@@ -3187,3 +3187,170 @@ def events_weekend_contrast(sf_dir: str):
             Sum("n_weekend", alias_name="n_weekend"),
             Sum("cents_weekday", alias_name="cents_weekday"),
             Sum("cents_weekend", alias_name="cents_weekend"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 oracled behavioral operators
+# ---------------------------------------------------------------------------
+
+def events_funnel_conversion(sf_dir: str,
+                             steps=("view", "click", "purchase")):
+    """(step, step_name, n_users, conversion_ppm) — the STRICTLY
+    ORDERED funnel: a user converts step k iff an event of step k's
+    type occurs AFTER their step-(k-1) conversion time (earliest
+    qualifying event chains forward — the standard product-analytics
+    funnel, not mere set intersection). conversion_ppm is vs the
+    step-1 population. One user-keyed exchange; per-user the chain is
+    a vectorized min-after-cursor over its (type, ts) rows; partial
+    step counts reduce to a three-row table."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["user_id", "event_type", "ts"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow")
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        counts = np.zeros(len(steps), np.int64)
+        for _, g in df.groupby("user_id", sort=False):
+            cursor = -1
+            for k, st in enumerate(steps):
+                cand = g.loc[(g["event_type"] == st)
+                             & (g["ts_us"] > cursor), "ts_us"]
+                if not len(cand):
+                    break
+                cursor = int(cand.min())
+                counts[k] += 1
+        return pa.table({
+            "step": pa.array(np.arange(1, len(steps) + 1), pa.int64()),
+            "n_users": pa.array(counts, pa.int64())})
+
+    agg = bucketed_group_map(rows, "user_id", per_user, num_buckets=8) \
+        .groupby("step").aggregate(Sum("n_users", alias_name="n_users")) \
+        .to_pandas().sort_values("step")
+    n1 = max(1, int(agg.loc[agg["step"] == 1, "n_users"].sum()))
+    nu = agg["n_users"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "step": agg["step"].to_numpy(np.int64),
+        "step_name": [steps[int(s) - 1] for s in agg["step"]],
+        "n_users": nu,
+        "conversion_ppm": nu * 1_000_000 // n1,
+    })
+
+
+def events_daily_anomaly(sf_dir: str):
+    """(event_type, n_days, n_anomalous) — per-type daily-volume
+    anomaly screen: a day is anomalous when its event count sits more
+    than 2 population standard deviations from that type's mean daily
+    count, decided in EXACT integer arithmetic ((cnt·n − s1)² >
+    4·n·(n·s2 − s1²) avoids the float boundary entirely — the
+    monitoring rule a 100 TB ingest runs nightly). Shape: (type, day)
+    partial counts map-side → one domain-bounded groupby → per-type
+    day table is days-domain-bounded."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["ts"].to_pandas()
+        day = t.dt.strftime("%Y-%m-%d")
+        df = pd.DataFrame({"event_type": batch["event_type"].to_pylist(),
+                           "day": day, "n": 1})
+        g = df.groupby(["event_type", "day"], sort=False).sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    daily = _read_events(sf_dir).select_columns(["event_type", "ts"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "day"]).aggregate(
+            Sum("n", alias_name="n")).to_pandas()
+
+    rows = []
+    for et, g in daily.groupby("event_type", sort=False):
+        c = g["n"].to_numpy(np.int64)
+        n = len(c)
+        s1 = int(c.sum())
+        s2 = int((c * c).sum())
+        dev2 = (c.astype(object) * n - s1) ** 2  # exact python ints
+        bound = 4 * n * (n * s2 - s1 * s1)
+        rows.append((et, n, int(sum(1 for d in dev2 if d > bound))))
+    out = pd.DataFrame(rows, columns=["event_type", "n_days",
+                                      "n_anomalous"])
+    return out.astype({"n_days": "int64", "n_anomalous": "int64"})
+
+
+def events_bounce_rate(sf_dir: str, gap_sec: int = 1800):
+    """(first_type, n_sessions, n_bounce, bounce_ppm) — session
+    BOUNCE analysis on top of the engine's sessionization rule (same
+    gap as events_sessionize): sessions grouped by their FIRST event's
+    type ((ts, event_id)-ordered — fully deterministic), a bounce is a
+    single-event session. One user-keyed exchange; per-user the gap
+    cut and first-event pick are vectorized; only (first_type, n,
+    bounce) partials shuffle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_events(sf_dir).select_columns(
+        ["user_id", "event_type", "ts", "event_id"])
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"],
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.int64()),
+        })
+
+    rows = ds.map_batches(narrow, batch_format="pyarrow")
+    gap_us = gap_sec * 1_000_000
+
+    def per_user(df: pd.DataFrame) -> pa.Table:
+        parts = []
+        for _, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["ts_us", "event_id"], kind="stable")
+            t = g["ts_us"].to_numpy(np.int64)
+            new = np.ones(len(t), bool)
+            new[1:] = (t[1:] - t[:-1]) > gap_us
+            sid = np.cumsum(new) - 1
+            et = g["event_type"].to_numpy()
+            firsts = np.flatnonzero(new)
+            sizes = np.diff(np.r_[firsts, len(t)])
+            parts.append(pd.DataFrame({
+                "first_type": et[firsts],
+                "one": np.ones(len(firsts), np.int64),
+                "bounce": (sizes == 1).astype(np.int64)}))
+        if not parts:
+            return pa.table({"first_type": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64()),
+                             "bounce": pa.array([], pa.int64())})
+        g = pd.concat(parts).groupby("first_type", sort=False) \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = bucketed_group_map(rows, "user_id", per_user, num_buckets=8) \
+        .groupby("first_type").aggregate(
+            Sum("one", alias_name="n_sessions"),
+            Sum("bounce", alias_name="n_bounce")).to_pandas()
+    ns = agg["n_sessions"].to_numpy(np.int64)
+    nb = agg["n_bounce"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "first_type": agg["first_type"],
+        "n_sessions": ns, "n_bounce": nb,
+        "bounce_ppm": nb * 1_000_000 // np.maximum(ns, 1),
+    })

@@ -3450,3 +3450,146 @@ def docs_hapax_ratio(sf_dir: str):
         })
 
     return per_lang.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 oracled text-analytics operators
+# ---------------------------------------------------------------------------
+
+# fixed ASCII stopword list (shared with the oracle SQL literal — the
+# classic English function words; the corpus generator's vocabulary
+# includes them)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+             "on", "for", "with", "as", "at", "by", "it", "that",
+             "this", "are", "was")
+
+
+def docs_stopword_profile(sf_dir: str):
+    """(source, n_tokens, n_stop, stop_ratio_ppm) — per-source
+    stopword density, the cheapest text-quality signal a curation
+    filter ranks on (low stopword share flags keyword-stuffed or
+    non-prose docs). Map-side vectorized: tokens via ONE re2 split,
+    membership via pc.is_in against the fixed 20-word list, per-batch
+    (source, n, n_stop) partials — only the source-domain aggregate
+    shuffles. Exact integer output; DuckDB mirrors the identical
+    token split + IN list."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["source", "text"])
+    stop_arr = pa.array(list(STOPWORDS), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        n = pc.list_value_length(toks).cast(pa.int64())
+        flat = pc.list_flatten(toks)
+        stop = pc.is_in(flat, value_set=stop_arr)
+        # per-row stop counts: segment-sum the flat bool by row length
+        lens = n.to_numpy(zero_copy_only=False)
+        sb = np.asarray(stop.to_numpy(zero_copy_only=False), np.int64)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        csum = np.concatenate(([0], np.cumsum(sb)))
+        row_stop = csum[ends] - csum[starts]
+        df = pd.DataFrame({
+            "source": batch["source"].to_pylist(),
+            "n_tokens": lens, "n_stop": row_stop})
+        g = df.groupby("source", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_stop", alias_name="n_stop"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+            "n_stop": pc.cast(b["n_stop"], pa.int64()),
+            "stop_ratio_ppm": pa.array(
+                pc.cast(b["n_stop"], pa.int64()).to_numpy(
+                    zero_copy_only=False) * 1_000_000
+                // pc.cast(b["n_tokens"], pa.int64()).to_numpy(
+                    zero_copy_only=False), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def docs_prefix_cluster_sizes(sf_dir: str, k: int = 4):
+    """(group_size, n_groups, n_docs) — the prefix-fingerprint dedup
+    family's GROUP-SIZE histogram: docs keyed by their first k tokens
+    (the keep_best_dedup fingerprint), grouped, and the size domain
+    histogrammed — the table that sizes a dedup run's collapse factor
+    before committing to it (destor's dedup-ratio accounting W5,
+    recast for doc clusters). Two domain-bounded exchanges: fp
+    groupby (pre-deduped map-side) then the tiny size histogram."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        fp = pc.binary_join(pc.list_slice(toks, 0, k), " ")
+        return pa.table({"fp": fp})
+
+    sizes = ds.map_batches(fp_rows, batch_format="pyarrow") \
+        .groupby("fp").aggregate(Count(alias_name="sz"))
+    hist = sizes.map_batches(
+        lambda b: pa.table({
+            "group_size": pc.cast(b["sz"], pa.int64()),
+            "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            "nd": pc.cast(b["sz"], pa.int64())}),
+        batch_format="pyarrow") \
+        .groupby("group_size").aggregate(
+            Sum("one", alias_name="n_groups"),
+            Sum("nd", alias_name="n_docs"))
+    return hist.map_batches(
+        lambda b: pa.table({
+            "group_size": b["group_size"],
+            "n_groups": pc.cast(b["n_groups"], pa.int64()),
+            "n_docs": pc.cast(b["n_docs"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def docs_zipf_slope(sf_dir: str):
+    """(n_types, n_tokens, slope_micro, intercept_micro) — the Zipf
+    log-log regression over the corpus token-frequency table: OLS of
+    ln(freq) on ln(rank) (rank by freq desc, token asc — fully
+    deterministic ties), the one-number lexical-naturalness check a
+    corpus audit reports (natural text ≈ -1). The frequency table is
+    VOCAB-BOUNDED (one token-domain groupby of map-side partials);
+    the rank/regression finish runs on that domain-sized table with
+    the float expression mirrored in the oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        vc = pd.Series(flat.to_pylist()).value_counts()
+        return pa.table({"token": pa.array(vc.index, pa.string()),
+                         "freq": pa.array(vc.to_numpy(np.int64),
+                                          pa.int64())})
+
+    freqs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("freq", alias_name="freq")) \
+        .to_pandas()  # vocab-bounded
+    f = freqs.sort_values(["freq", "token"],
+                          ascending=[False, True])["freq"] \
+        .to_numpy(np.int64)
+    n = len(f)
+    if n == 0:
+        return pd.DataFrame({"n_types": [0], "n_tokens": [0],
+                             "slope_micro": [0], "intercept_micro": [0]})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(f.astype(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({
+        "n_types": np.array([n], np.int64),
+        "n_tokens": np.array([int(f.sum())], np.int64),
+        "slope_micro": np.array([np.round(slope * 1e6)], np.int64),
+        "intercept_micro": np.array([np.round(intercept * 1e6)],
+                                    np.int64),
+    })

@@ -53,6 +53,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    os.environ["GRAFT_SF_DIR"] = sf_dir  # corpus-diagnostic oracles track sf
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
 
