@@ -901,6 +901,9 @@ queries() entries map to SURVEY.md §2 operators:
                        integer arithmetic (oracle)
   events_bounce_rate   session bounce by first-event type on the
                        engine's sessionization rule (oracle)
+  events_props_field_stats semi-structured leg: JSON props field via
+                       the vectorized RE2 kernel, exact grouped
+                       aggregates + distinct (oracle)
   customer_order_gap_stats per-segment inter-order day gaps via one
                        custkey tag-and-union rendezvous (oracle)
   supplier_revenue_pareto revenue-concentration prefix (exact-int
@@ -2503,6 +2506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel_conversion": streaming.events_funnel_conversion,
         "events_daily_anomaly": streaming.events_daily_anomaly,
         "events_bounce_rate": streaming.events_bounce_rate,
+        "events_props_field_stats": streaming.events_props_field_stats,
         "user_event_pivot": streaming.user_event_pivot,
         "ann_topk": ann.ann_topk,
         "filtered_ann_topk": ann.filtered_ann_topk,
@@ -3254,6 +3258,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT 3, 'purchase', (SELECT c FROM n3),
                    CAST((SELECT c FROM n3) * 1000000
                         // greatest((SELECT c FROM n1), 1) AS BIGINT)
+        """,
+        "events_props_field_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                            AS BIGINT) AS k
+                FROM events
+            )
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(min(k) AS BIGINT) AS min_k,
+                   CAST(max(k) AS BIGINT) AS max_k,
+                   CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+            FROM x GROUP BY event_type
         """,
         "events_daily_anomaly": """
             WITH d AS (

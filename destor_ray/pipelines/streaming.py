@@ -3354,3 +3354,64 @@ def events_bounce_rate(sf_dir: str, gap_sec: int = 1800):
         "n_sessions": ns, "n_bounce": nb,
         "bounce_ppm": nb * 1_000_000 // np.maximum(ns, 1),
     })
+
+
+def events_props_field_stats(sf_dir: str):
+    """(event_type, n, sum_k, min_k, max_k, n_distinct_k) — the
+    SEMI-STRUCTURED column leg: the `props` JSON payload's "k" field
+    extracted with the vectorized RE2 kernel (pc.extract_regex — no
+    per-row json.loads in the hot path; both engines are RE2 so the
+    oracle's regexp_extract matches byte-for-byte), then exact grouped
+    aggregates incl. a distinct count via map-side (type, k) dedup.
+    The pattern a 100 TB log ingest uses to avoid a JSON-parse stage
+    for single-field pulls."""
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read_events(sf_dir).select_columns(["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(), "k": k})
+        g = df.groupby(["event_type", "k"], sort=False) \
+            .size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    # (type, k)-domain partials: n per distinct pair — the distinct
+    # count falls out of the same exchange the aggregates ride
+    pairs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "k"]).aggregate(Sum("n", alias_name="n"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = pc.cast(batch["n"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n": pa.array(n, pa.int64()),
+            "sum_k": pa.array(n * k, pa.int64()),
+            "min_k": pa.array(k, pa.int64()),
+            "max_k": pa.array(k, pa.int64()),
+            "one": pa.array(np.ones(len(k), np.int64), pa.int64()),
+        })
+
+    agg = pairs.map_batches(finish, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("one", alias_name="n_distinct_k"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "sum_k": pc.cast(b["sum_k"], pa.int64()),
+            "min_k": pc.cast(b["min_k"], pa.int64()),
+            "max_k": pc.cast(b["max_k"], pa.int64()),
+            "n_distinct_k": pc.cast(b["n_distinct_k"], pa.int64()),
+        }), batch_format="pyarrow")
