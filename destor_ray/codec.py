@@ -690,3 +690,26 @@ def decode_frames(data: bytes) -> list:
         from . import bmff as _bmff
         return _bmff.decode_frames(data)  # declared seam: attributed raise
     return [decode(data)]
+
+
+def audio_decode(data) -> tuple[np.ndarray, int]:
+    """Container-agnostic audio decode → (mono float32 in [-1, 1],
+    sample_rate): RIFF/WAVE via wav_decode, FLAC via the round-5
+    pure-numpy decoder — ONE dispatch so every audio dedup channel
+    accepts either container (the audio analog of codec.decode's
+    magic-number table). Channel-preserving twin below."""
+    if len(data) >= 4 and bytes(data[:4]) == b"fLaC":
+        from . import flac as _flac
+        return _flac.decode_float_mono(bytes(data))
+    return wav_decode(data)
+
+
+def audio_decode_channels(data) -> tuple[np.ndarray, int]:
+    """Container-agnostic (n_frames, n_channels) float32 decode —
+    wav_decode_channels' contract for RIFF and FLAC payloads."""
+    if len(data) >= 4 and bytes(data[:4]) == b"fLaC":
+        from . import flac as _flac
+        pcm, sr, bps = _flac.decode(bytes(data))
+        scale = float((1 << (bps - 1)) - 1)
+        return (pcm.astype(np.float64) / scale).astype(np.float32), sr
+    return wav_decode_channels(data)

@@ -485,7 +485,7 @@ def wav_audio_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
             ids_, words, profs = [], [], []
             for cid, data in zip(batch["clip_id"].to_pylist(),
                                  batch["bytes"].to_pylist()):
-                pcm, _sr = codec.wav_decode(data)
+                pcm, _sr = codec.audio_decode(data)
                 e = _bands_energy(pcm.astype(np.float64))
                 d_t = np.diff(e, axis=0)              # E[t+1]-E[t]
                 bits = (d_t[:, :-1] - d_t[:, 1:]) > 0  # (T-1, bands-1)
@@ -5179,7 +5179,7 @@ def audio_offset_dedup(sf_dir: str, n_base: int = 36, dup_every: int = 3,
                    "spec": []}
             for cid, data in zip(batch["clip_id"].to_pylist(),
                                  batch["bytes"].to_pylist()):
-                pcm, _sr = codec.wav_decode(data)
+                pcm, _sr = codec.audio_decode(data)
                 el = _audio_band_log(pcm.astype(np.float64))
                 env_tot = np.log(np.exp(el).sum(axis=1) + 1e-300)
                 anchors = _audio_anchors(env_tot)
@@ -7137,7 +7137,7 @@ def timescale_audio_dedup(sf_dir: str, n_base: int = 36,
                    "tracks": []}
             for cid, data in zip(batch["clip_id"].to_pylist(),
                                  batch["bytes"].to_pylist()):
-                pcm, _sr = codec.wav_decode(data)
+                pcm, _sr = codec.audio_decode(data)
                 el = _audio_band_log(pcm.astype(np.float64))
                 env_tot = np.log(np.exp(el).sum(axis=1) + 1e-300)
                 anchors = _audio_anchors(env_tot, r=_ASC_R)
@@ -7816,7 +7816,7 @@ def samplerate_audio_dedup(sf_dir: str, n_base: int = 36,
             out = {"bkey": [], "clip_id": [], "env": [], "spec": []}
             for cid, data in zip(batch["clip_id"].to_pylist(),
                                  batch["bytes"].to_pylist()):
-                pcm, sr = codec.wav_decode(data)
+                pcm, sr = codec.audio_decode(data)
                 pcm = pcm.astype(np.float64)
                 if sr != canonical_sr:
                     n_out = int(len(pcm) * canonical_sr / sr)
@@ -8011,7 +8011,7 @@ def stereo_audio_dedup(sf_dir: str, n_base: int = 36,
                    "env": [], "spec": []}
             for cid, data in zip(batch["clip_id"].to_pylist(),
                                  batch["bytes"].to_pylist()):
-                ch, _sr = codec.wav_decode_channels(data)
+                ch, _sr = codec.audio_decode_channels(data)
                 ch = ch.astype(np.float64)
                 projs = [(0, ch.mean(axis=1))]
                 if ch.shape[1] > 1:
@@ -8542,7 +8542,7 @@ def pitchshift_audio_dedup(sf_dir: str, n_base: int = 36,
             out = {"bkey": [], "clip_id": [], "env": [], "prof": []}
             for cid, data in zip(batch["clip_id"].to_pylist(),
                                  batch["bytes"].to_pylist()):
-                pcm, _sr = codec.wav_decode(data)
+                pcm, _sr = codec.audio_decode(data)
                 env, prof = _audio_pitch_feats(pcm.astype(np.float64))
                 anchors = _audio_anchors(env)
                 words = _audio_env_words(env, anchors)
@@ -9158,7 +9158,7 @@ def omni_audio_dedup(sf_dir: str, n_base: int = 30, dup_every: int = 3,
 
             for cid, data in zip(batch["clip_id"].to_pylist(),
                                  batch["bytes"].to_pylist()):
-                pcm, sr = codec.wav_decode(data)
+                pcm, sr = codec.audio_decode(data)
                 pcm = pcm.astype(np.float64)
                 if sr != canonical_sr:
                     n_out = int(len(pcm) * canonical_sr / sr)
@@ -10063,7 +10063,7 @@ def _pcm16_canonical(data: bytes) -> np.ndarray:
         if bps != 16:
             raise ValueError("canonical PCM expects 16-bit streams")
         return pcm.astype(np.int16).reshape(-1)
-    ch, _sr = codec.wav_decode_channels(data)
+    ch, _sr = codec.audio_decode_channels(data)
     return np.round(ch.astype(np.float64) * 32767.0) \
         .astype(np.int16).reshape(-1)
 

@@ -241,3 +241,29 @@ def test_encoder_range_and_rate_guards():
         flac.encode(_sine(10), 100000)
     with pytest.raises(ValueError):
         flac.encode(_sine(10), 8000, bps=24)
+
+
+def test_audio_decode_dispatch_container_agnostic():
+    """codec.audio_decode / audio_decode_channels give BIT-IDENTICAL
+    float PCM for WAV- and FLAC-hosted copies of one recording — the
+    guarantee that lets every audio dedup channel (gain, offset,
+    timescale, samplerate, stereo, pitch, omni) accept either
+    container without a per-format pipeline (round 5: the channels'
+    call sites moved from codec.wav_decode to this dispatch)."""
+    from destor_ray import codec
+
+    sr = 8000
+    t = np.arange(2 * sr) / sr
+    pcm = np.round(32767 * 0.4 * (np.sin(2 * np.pi * 310 * t)
+                                  + 0.2 * np.sin(2 * np.pi * 77 * t))) \
+        .astype(np.int32)
+    wav = codec.wav_encode(pcm / 32767.0, sr)
+    fl = flac.encode(pcm, sr)
+    mw, sw = codec.audio_decode(wav)
+    mf, sf_ = codec.audio_decode(fl)
+    assert sw == sf_ == sr
+    assert np.array_equal(mw, mf)
+    cw, _ = codec.audio_decode_channels(wav)
+    cf, _ = codec.audio_decode_channels(fl)
+    assert cw.shape == cf.shape == (2 * sr, 1)
+    assert np.array_equal(cw, cf)
