@@ -210,7 +210,15 @@ def main() -> None:
                  "crossformat_animation_dedup",
                  "decode_quarantine_mixed", "image_format_stats",
                  "webdataset_roundtrip_stats",
-                 "corpus_dedup_export_wds"]:
+                 "corpus_dedup_export_wds",
+                 # round-5 surface
+                 "audio_format_convert_dedup", "audio_container_stats",
+                 "audio_quarantine_stats", "video_container_stats",
+                 "events_funnel_conversion", "events_bounce_rate",
+                 "events_props_field_stats", "customer_order_gap_stats",
+                 "supplier_revenue_pareto", "docs_zipf_slope",
+                 "docs_stopword_profile", "docs_prefix_cluster_sizes",
+                 "events_daily_anomaly"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver

@@ -10146,30 +10146,32 @@ def audio_container_stats(sf_dir: str, n_base: int = 60,
     Rows-only driver check; pytest pins the per-container counts."""
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.multimodal import audio_features
+    from ..stages.multimodal import AudioFeatures
 
     d = _audio_fmtconv_corpus_dir(n_base=n_base, dup_every=dup_every)
     ds = ray.data.read_parquet(f"{d}/clips.parquet")
-    feats = audio_features(ds, concurrency=2, batch_size=32)
 
-    # container sniff re-derives from the payload on the SIGNATURE
-    # side (clip_id suffix is fixture-only knowledge)
-    sniff = ds.map_batches(
-        lambda b: pa.table({
-            "clip_id": b["clip_id"],
-            "container": pa.array(
-                ["flac" if bytes(v[:4]) == b"fLaC" else "wav"
-                 for v in b["bytes"].to_pylist()], pa.string()),
-        }), batch_format="pyarrow").to_pandas()
-    cmap = dict(zip(sniff["clip_id"], sniff["container"]))
+    # ONE fused stage: sniff the container from the payload magic and
+    # decode features in the same actor pass — no id→container side
+    # table ever forms (a driver dict there would be clip-count-
+    # proportional; this stays map-only at any corpus size)
+    class SniffedFeatures(AudioFeatures):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = super().__call__(batch)
+            containers = ["flac" if bytes(v[:4]) == b"fLaC" else "wav"
+                          for v in batch["bytes"].to_pylist()]
+            return out.append_column(
+                "container", pa.array(containers, pa.string()))
+
+    feats = ds.map_batches(SniffedFeatures, batch_format="pyarrow",
+                           batch_size=32, concurrency=2)
 
     def narrow(batch: pa.Table) -> pa.Table:
-        ids = batch["clip_id"].to_pylist()
         rms_milli = np.round(
             batch["rms"].to_numpy(zero_copy_only=False) * 1000) \
             .astype(np.int64)
         return pa.table({
-            "container": pa.array([cmap[i] for i in ids], pa.string()),
+            "container": batch["container"],
             "n_samples": batch["n_samples"],
             "rms_milli": pa.array(rms_milli, pa.int64()),
         })
