@@ -1746,7 +1746,7 @@ def _slot_verify_bucket(df, psnr_min_centi: int, min_slots: int,
     return _emit_pairs(ids, li, ri, ok)
 
 
-_XANIM_KINDS = ("webp", "avi", "webpdrop", "poster")
+_XANIM_KINDS = ("webp", "avi", "webpdrop", "poster", "webm")
 
 
 def _xanim_corpus_dir(n_base: int = 36, dup_every: int = 3,
@@ -1772,7 +1772,7 @@ def _xanim_corpus_dir(n_base: int = 36, dup_every: int = 3,
     from .. import webp as webp_mod
 
     out = (f"/tmp/destor_ray_xanim/"
-           f"v2_n{n_base}_e{dup_every}_f{n_frames}")
+           f"v3_n{n_base}_e{dup_every}_f{n_frames}")
     if os.path.isdir(out):
         return out
     ids, blobs = [], []
@@ -1798,6 +1798,14 @@ def _xanim_corpus_dir(n_base: int = 36, dup_every: int = 3,
                 [jpeg_mod.encode(fr, 85) for fr in rgb_frames], w, h)
         elif kind == "webpdrop":
             blob = webp_mod.encode_animation(rgb_frames[::2])
+        elif kind == "webm":
+            # the WebM/VP8 re-host (round 5): every frame a VP8 key
+            # frame at qindex 8 — the EBML walk + RFC 6386 decode path
+            from .. import mkv as mkv_mod
+            from .. import vp8 as vp8_mod
+            blob = mkv_mod.encode_webm(
+                [vp8_mod.encode(fr, qindex=8) for fr in rgb_frames],
+                w, h)
         else:  # poster: the platform-generated still preview (frame 0)
             blob = codec_mod.png_encode(rgb_frames[0])
         ids.append(f"xa{i:05d}_{kind}")
@@ -1814,9 +1822,11 @@ def crossformat_animation_dedup(sf_dir: str, n_base: int = 36,
                                 min_slots: int = 3):
     """(kind, n_planted, n_found, n_false, recall_ppm) — CROSS-
     CONTAINER animation dedup: the same animation re-hosted as
-    animated GIF, lossless animated WebP, or MJPEG-AVI video (the
-    GIF-to-video transcode platforms apply on upload) or reduced to
-    a still poster frame (the generated preview). ONE signature stage
+    animated GIF, lossless animated WebP, MJPEG-AVI video (the
+    GIF-to-video transcode platforms apply on upload), WebM with VP8
+    key frames (round 5 — rides the EBML walk + RFC 6386 decode), or
+    reduced to a still poster frame (the generated preview). ONE
+    signature stage
     rides codec.decode_frames — the container-agnostic frame
     dispatch — so the channel is gif_animation_dedup's k-slot
     relative-position topology verbatim: slot j samples frame

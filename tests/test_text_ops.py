@@ -1401,3 +1401,35 @@ def test_degrade_markers_and_guard_type(ray_session):
     # the exact (non-degraded) path must NOT carry the marker column
     exact = jaccard_join_exact(sf).to_pandas()
     assert "recall_estimate" not in exact.columns
+
+
+def test_volume_guard_detected_across_ray_task_boundary(ray_session):
+    """_is_volume_guard must dispatch on the ORIGINAL exception type
+    even when the raise happened inside a Ray task (Ray wraps it in
+    RayTaskError / dual-type subclasses) — the in-bucket guard's
+    delivery path. Also: an unrelated error whose MESSAGE mentions
+    'all-pairs join' is NOT misrouted (the round-4 string-matching
+    bug this round's dispatch replaced)."""
+    import ray as _ray
+
+    from destor_ray.pipelines.text import VolumeGuardError, _is_volume_guard
+
+    @_ray.remote
+    def boom():
+        raise VolumeGuardError("bucket volume guard")
+
+    try:
+        _ray.get(boom.remote())
+        assert False, "expected a raise"
+    except Exception as e:  # noqa: BLE001 — asserting wrapper dispatch
+        assert _is_volume_guard(e), type(e)
+
+    @_ray.remote
+    def other():
+        raise RuntimeError("unrelated failure in an all-pairs join")
+
+    try:
+        _ray.get(other.remote())
+        assert False, "expected a raise"
+    except Exception as e:  # noqa: BLE001
+        assert not _is_volume_guard(e), type(e)

@@ -320,15 +320,18 @@ def test_animation_roundtrip_and_meta():
 def test_crossformat_animation_dedup_per_class_full_recall(ray_session):
     """The same animation re-hosted as lossless animated WebP,
     MJPEG-AVI (the GIF-to-video platform transcode), half-rate
-    animated WebP, or reduced to its still poster frame detects with
-    per-class recall 1.0 and zero false merges through ONE
-    container-agnostic decode_frames signature stage."""
+    animated WebP, WebM with VP8 key frames (round 5 — the EBML walk
+    + RFC 6386 decode in the same dispatch), or reduced to its still
+    poster frame detects with per-class recall 1.0 and zero false
+    merges through ONE container-agnostic decode_frames signature
+    stage."""
     import __ray_entry__ as em
 
     out = em.queries()["crossformat_animation_dedup"](
         "/root/testdata/sf0.001")
     df = out.set_index("kind")
     assert int(df.loc["_total", "n_planted"]) == 12
-    for kind in ("webp", "avi", "webpdrop", "poster", "_total"):
+    for kind in ("webp", "avi", "webpdrop", "poster", "webm",
+                 "_total"):
         assert int(df.loc[kind, "recall_ppm"]) == 1_000_000, kind
         assert int(df.loc[kind, "n_false"]) == 0, kind
