@@ -904,6 +904,10 @@ queries() entries map to SURVEY.md §2 operators:
   events_props_field_stats semi-structured leg: JSON props field via
                        the vectorized RE2 kernel, exact grouped
                        aggregates + distinct (oracle)
+  events_type_hll_users_md5 ORACLE-VERIFIED HyperLogLog: md5-derived
+                       hash, registers reproduced bit-for-bit in SQL
+                       (exact bin()-length ranks), identical
+                       estimator expression (oracle)
   customer_order_gap_stats per-segment inter-order day gaps via one
                        custkey tag-and-union rendezvous (oracle)
   supplier_revenue_pareto revenue-concentration prefix (exact-int
@@ -2507,6 +2511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_anomaly": streaming.events_daily_anomaly,
         "events_bounce_rate": streaming.events_bounce_rate,
         "events_props_field_stats": streaming.events_props_field_stats,
+        "events_type_hll_users_md5": streaming.events_type_hll_users_md5,
         "user_event_pivot": streaming.user_event_pivot,
         "ann_topk": ann.ann_topk,
         "filtered_ann_topk": ann.filtered_ann_topk,
@@ -3272,6 +3277,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(k) AS BIGINT) AS max_k,
                    CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
             FROM x GROUP BY event_type
+        """,
+        "events_type_hll_users_md5": """
+            WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+            h AS (SELECT event_type,
+                         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                              1, 16)) AS UBIGINT) AS hv
+                  FROM u),
+            r AS (SELECT event_type,
+                         CAST(hv >> 52 AS BIGINT) AS idx,
+                         CAST(CASE WHEN (hv & 4503599627370495) = 0
+                                   THEN 53
+                                   ELSE 52 - length(bin(hv
+                                        & 4503599627370495)) + 1
+                              END AS BIGINT) AS rank
+                  FROM h),
+            reg AS (SELECT event_type, idx, max(rank) AS rank
+                    FROM r GROUP BY 1, 2),
+            st AS (SELECT event_type, count(*) AS n_present,
+                          sum(CASE WHEN rank = 0 THEN 1 ELSE 0 END)
+                              AS zeros_present,
+                          sum(pow(2.0, -rank)) AS s
+                   FROM reg GROUP BY 1),
+            ne AS (SELECT event_type, count(*) AS n_events
+                   FROM events GROUP BY 1),
+            est AS (SELECT st.event_type, ne.n_events,
+                           (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0
+                           * 4096.0
+                           / (st.s + (4096 - st.n_present) * 1.0) AS e,
+                           (4096 - st.n_present + st.zeros_present)
+                               AS zeros
+                    FROM st JOIN ne USING (event_type))
+            SELECT event_type, n_events,
+                   CAST(round(CASE WHEN e <= 2.5 * 4096.0
+                                        AND zeros > 0
+                                   THEN 4096.0 * ln(4096.0 / zeros)
+                                   ELSE e END) AS BIGINT) AS hll_users
+            FROM est
         """,
         "events_daily_anomaly": """
             WITH d AS (

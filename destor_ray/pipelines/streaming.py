@@ -3415,3 +3415,82 @@ def events_props_field_stats(sf_dir: str):
             "max_k": pc.cast(b["max_k"], pa.int64()),
             "n_distinct_k": pc.cast(b["n_distinct_k"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+def events_type_hll_users_md5(sf_dir: str, p: int = 12):
+    """(event_type, n_events, hll_users) — the ORACLE-VERIFIED
+    HyperLogLog: same grouped sketch as events_type_hll_users but with
+    an md5-derived 64-bit hash (first 16 hex of md5(str(user_id))) so
+    DuckDB can reproduce the REGISTERS bit-for-bit in SQL — register
+    index = top p hash bits, rank = (64-p) − bit_length(w) + 1 via the
+    exact bin()-length form (no float log2 on either side), grouped
+    max, then the identical Flajolet estimator expression. The sketch
+    itself is thereby hash-verified, not just error-bounded — the same
+    md5-parity trade minhash_lsh_oph makes for its splitmix twin (the
+    fast production path stays events_type_hll_users).
+
+    Scale shape: per-batch (type, register, rank) partials from
+    BATCH-DISTINCT users (the md5 loop runs once per distinct user per
+    batch), one (type, idx)-domain groupby-max (≤ types × 2^p rows),
+    driver finish on the register table."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read_events(sf_dir).select_columns(["event_type", "user_id"])
+    wbits = 64 - p
+    wmask = np.uint64((1 << wbits) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pair = pd.DataFrame({"t": et, "u": uid})
+        counts = pair.groupby("t", sort=False).size()
+        uniq = pair.drop_duplicates()
+        # md5 per batch-distinct user — user-domain-bounded per batch
+        hv = np.fromiter(
+            (int(hashlib.md5(str(u).encode()).hexdigest()[:16], 16)
+             for u in uniq["u"]),
+            dtype=np.uint64, count=len(uniq))
+        idx = (hv >> np.uint64(64 - p)).astype(np.int64)
+        from ..functions.sketch import bit_length_u64
+        w = hv & wmask
+        rank = (wbits - bit_length_u64(w) + 1).astype(np.int64)
+        reg = pd.DataFrame({"event_type": uniq["t"].to_numpy(),
+                            "idx": idx, "rank": rank}) \
+            .groupby(["event_type", "idx"], sort=False)["rank"] \
+            .max().reset_index()
+        reg["n"] = 0
+        cnt = pd.DataFrame({"event_type": counts.index,
+                            "idx": -1, "rank": 0,
+                            "n": counts.to_numpy(np.int64)})
+        out = pd.concat([reg, cnt], ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "idx"]).aggregate(
+            Max("rank", alias_name="rank"), Sum("n", alias_name="n")) \
+        .to_pandas()  # ≤ types × (2^p + 1) rows
+
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    rows = []
+    for et, g in agg.groupby("event_type", sort=False):
+        n_events = int(g.loc[g["idx"] == -1, "n"].sum())
+        regs = g.loc[g["idx"] >= 0, "rank"].to_numpy(np.int64)
+        zeros = (1 << p) - len(regs) + int((regs == 0).sum())
+        denom = float(np.exp2(-regs.astype(np.float64)).sum()) \
+            + ((1 << p) - len(regs)) * 1.0
+        e = alpha * m * m / denom
+        if e <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        else:
+            est = e
+        rows.append((et, n_events, int(np.round(est))))
+    out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                      "hll_users"])
+    return out.astype({"n_events": "int64", "hll_users": "int64"})
