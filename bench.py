@@ -218,7 +218,8 @@ def main() -> None:
                  "events_props_field_stats", "customer_order_gap_stats",
                  "supplier_revenue_pareto", "docs_zipf_slope",
                  "docs_stopword_profile", "docs_prefix_cluster_sizes",
-                 "events_daily_anomaly"]:
+                 "events_daily_anomaly", "events_type_hll_users_md5",
+                 "crossformat_animation_dedup"]:
         t0 = time.time()
         res = qs[name](SF_DIR)
         # consume without collecting wide results to the driver
