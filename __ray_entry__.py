@@ -895,6 +895,14 @@ queries() entries map to SURVEY.md §2 operators:
                        histogram (collapse-factor sizing) (oracle)
   docs_zipf_slope      Zipf log-log OLS over the vocab-bounded token
                        frequency table (oracle)
+  simhash_md5_pairs    oracle-verified SimHash near-dup PAIRS: 64-bit
+                       md5 Charikar fingerprints, 8x8-bit bands
+                       (EXACT for hamming<=7 by pigeonhole), popcount
+                       verify — the whole band topology certified by
+                       the all-pairs SQL mirror (oracle)
+  token_cms_md5        oracle-verified Count-Min sketch: d x width md5
+                       grid reproduced cell-for-cell in SQL, min-reads
+                       for the exact top-k tokens (oracle)
   events_funnel_conversion strictly-ordered view->click->purchase
                        funnel, earliest-chain semantics (oracle)
   events_daily_anomaly per-type daily-volume 2-sigma screen in exact
@@ -2450,6 +2458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stopword_profile": text.docs_stopword_profile,
         "docs_prefix_cluster_sizes": text.docs_prefix_cluster_sizes,
         "docs_zipf_slope": text.docs_zipf_slope,
+        "simhash_md5_pairs": text.simhash_md5_pairs,
+        "token_cms_md5": text.token_cms_md5,
         "docs_char_class_profile": text.docs_char_class_profile,
         "events_inter_arrival_stats": streaming.events_inter_arrival_stats,
         "events_user_daily_streaks": streaming.events_user_daily_streaks,
@@ -2471,6 +2481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_docs": text.minhash_lsh_docs,
         "minhash_lsh_oph": text.minhash_lsh_oph,
         "simhash_md5_pairs": text.simhash_md5_pairs,
+        "token_cms_md5": text.token_cms_md5,
         "simhash_dup_pairs": text.simhash_dup_pairs,
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
@@ -2592,6 +2603,11 @@ def oracle_sql() -> dict[str, str]:
         for b in range(8))
     # per-bit majority vote for the SQL-verifiable 32-bit SimHash
     # (doc_fingerprint_md5): bit b set iff 2*Σ shingle-bit-b >= count
+    # (_sh64: the same rule at 64 bits for simhash_md5_pairs)
+    _sh64 = " + ".join(
+        f"CAST(2*sum((h >> {b}) & 1) >= count(*) AS UBIGINT)"
+        f" * ({1 << b}::UBIGINT)"
+        for b in range(64))
     _sh32 = " + ".join(
         f"CAST(2 * sum((h // {1 << b}) % 2) >= count(*) AS BIGINT)"
         f" * {1 << b}"
@@ -3233,6 +3249,53 @@ def oracle_sql() -> dict[str, str]:
                               * 1000000.0) AS BIGINT)
                        AS intercept_micro
             FROM s
+        """,
+        "simhash_md5_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), sh AS (
+                SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+                FROM toks, UNNEST(range(1, len(t)-1)) u(i)
+                WHERE len(t) >= 3
+            ), hv AS (
+                SELECT DISTINCT doc_id,
+                       CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT) AS h
+                FROM sh
+            ), fp AS (
+                SELECT doc_id, {_sh64} AS f FROM hv GROUP BY doc_id
+            )
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+            FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.f, b.f)) <= 6
+        """,
+        "token_cms_md5": """
+            WITH tok AS (
+                SELECT unnest(string_split(text, ' ')) AS t FROM documents
+            ), f AS (SELECT t, count(*) AS freq FROM tok GROUP BY t),
+            topk AS (SELECT t, freq FROM f
+                     ORDER BY freq DESC, t ASC LIMIT 10),
+            cells AS (
+                SELECT r.r,
+                       CAST(('0x' || substr(md5(r.r || ':' || f.t),
+                                            1, 16)) AS UBIGINT)
+                           % 1024 AS bucket,
+                       CAST(sum(f.freq) AS BIGINT) AS c
+                FROM f CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+                GROUP BY 1, 2
+            ), est AS (
+                SELECT tk.t, tk.freq,
+                       (SELECT c.c FROM cells c
+                        WHERE c.r = r.r AND c.bucket =
+                            CAST(('0x' || substr(md5(r.r || ':' || tk.t),
+                                                 1, 16)) AS UBIGINT)
+                                % 1024) AS cell
+                FROM topk tk
+                CROSS JOIN (VALUES (0), (1), (2), (3)) r(r)
+            )
+            SELECT t AS token, CAST(freq AS BIGINT) AS true_freq,
+                   CAST(min(cell) AS BIGINT) AS cms_est
+            FROM est GROUP BY 1, 2
         """,
         "events_funnel_conversion": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t

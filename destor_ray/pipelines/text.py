@@ -3593,3 +3593,186 @@ def docs_zipf_slope(sf_dir: str):
         "intercept_micro": np.array([np.round(intercept * 1e6)],
                                     np.int64),
     })
+
+
+def simhash_md5_pairs(sf_dir: str, max_hamming: int = 6, w: int = 3):
+    """(left_id, right_id, hamming) — the ORACLE-VERIFIED SimHash
+    near-dup PAIR pipeline: 64-bit Charikar fingerprints from
+    md5-hashed w-token shingles (bit b = integer majority
+    2·Σbit_b ≥ n over the doc's DISTINCT shingle hashes — the
+    doc_fingerprint_md5 rule at 64 bits), banded into eight 8-bit
+    slices for the candidate exchange, popcount-verified at
+    ≤ max_hamming. For max_hamming ≤ 7 the banding is EXACT by
+    pigeonhole (≤7 differing bits leave ≥1 of 8 bands untouched), so
+    the whole band topology — not just the fingerprint — is certified
+    by the all-pairs DuckDB mirror; the md5 loop is the price of that
+    parity (the splitmix twin simhash_dup_pairs stays the fast path).
+
+    Scale shape: one slim band exchange (17 B/row, 8 rows/doc), pair
+    dedup + verify in-bucket, one pair-keyed Min to collapse
+    multi-band hits."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    from ..stages.grouped import bucketed_group_map
+
+    ds = _read_documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bkey": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.int64())})
+        if not batch.num_rows:
+            return empty
+        out_b, out_d, out_f = [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            toks = text.split(" ")
+            if len(toks) < w:
+                continue
+            sh = {" ".join(toks[i:i + w])
+                  for i in range(len(toks) - w + 1)}
+            hv = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+                 for s in sh), dtype=np.uint64, count=len(sh))
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64))
+                    & np.uint64(1)).sum(axis=0)
+            fp = np.uint64(0)
+            maj = (2 * bits >= len(hv))
+            fp = int((maj.astype(np.uint64)
+                      << np.arange(64, dtype=np.uint64)).sum(
+                          dtype=np.uint64))
+            for slot in range(8):
+                sl = (fp >> (8 * slot)) & 0xFF
+                out_b.append((slot << 8) | sl)
+                out_d.append(did)
+                out_f.append(np.int64(np.uint64(fp)))
+        if not out_b:
+            return empty
+        return pa.table({
+            "bkey": pa.array(out_b, pa.int64()),
+            "doc_id": pa.array(out_d, pa.int64()),
+            "fp": pa.array(np.asarray(out_f, np.int64), pa.int64()),
+        })
+
+    bands = ds.map_batches(fp_rows, batch_format="pyarrow")
+
+    def verify_bucket(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table({"left_id": pa.array([], pa.int64()),
+                          "right_id": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if len(df) < 2:
+            return empty
+        bk = df["bkey"].to_numpy(np.int64)
+        did = df["doc_id"].to_numpy(np.int64)
+        fp = df["fp"].to_numpy(np.int64).view(np.uint64)
+        order = np.lexsort((did, bk))
+        bs, ds_, fs = bk[order], did[order], fp[order]
+        keep = np.ones(len(bs), bool)
+        keep[1:] = (bs[1:] != bs[:-1]) | (ds_[1:] != ds_[:-1])
+        bs, ds_, fs = bs[keep], ds_[keep], fs[keep]
+        brk = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+        counts = np.diff(np.r_[brk, len(bs)])
+        li_p, ri_p = [], []
+        for c in np.unique(counts[counts >= 2]):
+            gl, gr = np.triu_indices(int(c), k=1)
+            st = brk[counts == c]
+            li_p.append((st[:, None] + gl[None, :]).ravel())
+            ri_p.append((st[:, None] + gr[None, :]).ravel())
+        if not li_p:
+            return empty
+        li = np.concatenate(li_p)
+        ri = np.concatenate(ri_p)
+        x = fs[li] ^ fs[ri]
+        hd = np.zeros(len(x), np.int64)
+        for s in range(8):  # vectorized popcount via byte LUT
+            hd += _POPCNT8[(x >> np.uint64(8 * s))
+                           & np.uint64(0xFF)]
+        ok = (hd <= max_hamming) & (ds_[li] != ds_[ri])
+        l = np.minimum(ds_[li][ok], ds_[ri][ok])
+        r = np.maximum(ds_[li][ok], ds_[ri][ok])
+        return pa.table({"left_id": pa.array(l, pa.int64()),
+                         "right_id": pa.array(r, pa.int64()),
+                         "hamming": pa.array(hd[ok], pa.int64())})
+
+    pairs = bucketed_group_map(bands, "bkey", verify_bucket,
+                               num_buckets=16)
+    agg = pairs.groupby(["left_id", "right_id"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "left_id": pc.cast(b["left_id"], pa.int64()),
+            "right_id": pc.cast(b["right_id"], pa.int64()),
+            "hamming": pc.cast(b["hamming"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
+
+def token_cms_md5(sf_dir: str, d: int = 4, width: int = 1024,
+                  top_k: int = 10):
+    """(token, true_freq, cms_est) — the ORACLE-VERIFIED Count-Min
+    sketch (Cormode-Muthukrishnan): token frequencies folded into a
+    d×width counter grid with md5 row hashes (bucket_r =
+    md5(f"{r}:{token}") % width), estimates read back as the row-wise
+    MIN for the corpus's exact top-k tokens (ties token-asc). DuckDB
+    reproduces the GRID cell-for-cell and the same min-reads, so the
+    sketch's overcount guarantee (est ≥ true, asserted in pytest) is
+    hash-certified — the CMS joins the md5-HLL and md5-OPH in the
+    oracle-verified-sketch family.
+
+    Scale shape: per-batch token value_counts fold into (row, bucket)
+    partials — the exchange is GRID-domain (d·width cells), never
+    token-domain; the exact top-k side reuses the vocab-bounded
+    frequency groupby."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_documents(sf_dir).select_columns(["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        vc = pd.Series(flat.to_pylist()).value_counts()
+        toks = vc.index.to_numpy()
+        cnts = vc.to_numpy(np.int64)
+        rows, buckets, vals = [], [], []
+        for r in range(d):
+            pre = f"{r}:"
+            b = np.fromiter(
+                (int(hashlib.md5((pre + t).encode()).hexdigest()[:16],
+                     16) % width for t in toks),
+                dtype=np.int64, count=len(toks))
+            cell = pd.DataFrame({"b": b, "c": cnts}).groupby(
+                "b", sort=False)["c"].sum()
+            rows.extend([r] * len(cell))
+            buckets.extend(cell.index.tolist())
+            vals.extend(cell.to_numpy(np.int64).tolist())
+        # ride per-batch exact token partials for the top-k side
+        return pa.table({
+            "row": pa.array(rows + [-1] * len(toks), pa.int64()),
+            "bucket": pa.array(buckets + [0] * len(toks), pa.int64()),
+            "c": pa.array(list(vals) + cnts.tolist(), pa.int64()),
+            "token": pa.array([""] * len(rows) + toks.tolist(),
+                              pa.string()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["row", "bucket", "token"]).aggregate(
+            Sum("c", alias_name="c")).to_pandas()
+    grid = agg[agg["row"] >= 0]
+    cells = {(int(r), int(b)): int(c) for r, b, c in
+             zip(grid["row"], grid["bucket"], grid["c"])}
+    freqs = agg[agg["row"] < 0].sort_values(
+        ["c", "token"], ascending=[False, True]).head(top_k)
+    rows_out = []
+    for t, f in zip(freqs["token"], freqs["c"]):
+        est = min(cells.get(
+            (r, int(hashlib.md5(f"{r}:{t}".encode()).hexdigest()[:16],
+                    16) % width), 0) for r in range(d))
+        rows_out.append((t, int(f), est))
+    out = pd.DataFrame(rows_out,
+                       columns=["token", "true_freq", "cms_est"])
+    return out.astype({"true_freq": "int64", "cms_est": "int64"})

@@ -1433,3 +1433,38 @@ def test_volume_guard_detected_across_ray_task_boundary(ray_session):
         assert False, "expected a raise"
     except Exception as e:  # noqa: BLE001
         assert not _is_volume_guard(e), type(e)
+
+
+def test_simhash_md5_pairs_banding_exact(ray_session):
+    """The 8x8-bit band exchange loses NOTHING at hamming <= 6
+    (pigeonhole: <=7 differing bits leave >=1 band untouched): the
+    banded pipeline's pair set equals the brute-force fingerprint
+    all-pairs set, and every emitted hamming is <= the threshold."""
+    import duckdb
+
+    import __ray_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    out = em.queries()["simhash_md5_pairs"](sf).to_pandas()
+    assert (out["hamming"] <= 6).all()
+    sql = em.oracle_sql()["simhash_md5_pairs"]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    brute = con.execute(sql).df()
+    got = set(zip(out["left_id"], out["right_id"], out["hamming"]))
+    want = set(zip(brute["left_id"], brute["right_id"],
+                   brute["hamming"]))
+    assert got == want and len(got) > 0
+
+
+def test_token_cms_overcount_property(ray_session):
+    """Count-Min estimates never undercount (est >= true for every
+    top-k token) and overcount only by collision mass (bounded well
+    below 2x on this corpus/width)."""
+    import __ray_entry__ as em
+
+    out = em.queries()["token_cms_md5"]("/root/testdata/sf0.001")
+    assert len(out) == 10
+    assert (out["cms_est"] >= out["true_freq"]).all()
+    assert (out["cms_est"] <= 2 * out["true_freq"]).all()
