@@ -903,6 +903,9 @@ queries() entries map to SURVEY.md §2 operators:
   token_cms_md5        oracle-verified Count-Min sketch: d x width md5
                        grid reproduced cell-for-cell in SQL, min-reads
                        for the exact top-k tokens (oracle)
+  token_bloom_md5      oracle-verified Bloom filter (destor B1): bit
+                       set + membership answers reproduced in SQL —
+                       no-false-negative invariant certified (oracle)
   events_funnel_conversion strictly-ordered view->click->purchase
                        funnel, earliest-chain semantics (oracle)
   events_daily_anomaly per-type daily-volume 2-sigma screen in exact
@@ -2460,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_slope": text.docs_zipf_slope,
         "simhash_md5_pairs": text.simhash_md5_pairs,
         "token_cms_md5": text.token_cms_md5,
+        "token_bloom_md5": text.token_bloom_md5,
         "docs_char_class_profile": text.docs_char_class_profile,
         "events_inter_arrival_stats": streaming.events_inter_arrival_stats,
         "events_user_daily_streaks": streaming.events_user_daily_streaks,
@@ -2482,6 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_oph": text.minhash_lsh_oph,
         "simhash_md5_pairs": text.simhash_md5_pairs,
         "token_cms_md5": text.token_cms_md5,
+        "token_bloom_md5": text.token_bloom_md5,
         "simhash_dup_pairs": text.simhash_dup_pairs,
         "segment_routing": text.segment_routing,
         "ngram_jaccard_pairs": text.ngram_jaccard_pairs,
@@ -3296,6 +3301,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT t AS token, CAST(freq AS BIGINT) AS true_freq,
                    CAST(min(cell) AS BIGINT) AS cms_est
             FROM est GROUP BY 1, 2
+        """,
+        "token_bloom_md5": """
+            WITH tok AS (
+                SELECT DISTINCT unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ), bits AS (
+                SELECT DISTINCT
+                    CAST(('0x' || substr(md5(j.j || ':' || t), 1, 16))
+                         AS UBIGINT) % 16384 AS bit
+                FROM tok CROSS JOIN
+                     (VALUES (0), (1), (2), (3), (4)) j(j)
+            ), probes AS (
+                SELECT t FROM tok ORDER BY t ASC LIMIT 12
+            ), pr AS (
+                SELECT t AS probe, 1 AS actually FROM probes
+                UNION ALL
+                SELECT t || '~miss', 0 FROM probes
+            ), hits AS (
+                SELECT pr.probe, pr.actually,
+                       min(CASE WHEN EXISTS (
+                           SELECT 1 FROM bits b WHERE b.bit =
+                               CAST(('0x' || substr(
+                                   md5(j.j || ':' || pr.probe), 1, 16))
+                                    AS UBIGINT) % 16384)
+                           THEN 1 ELSE 0 END) AS hit
+                FROM pr CROSS JOIN
+                     (VALUES (0), (1), (2), (3), (4)) j(j)
+                GROUP BY 1, 2
+            )
+            SELECT probe, CAST(hit AS BIGINT) AS present_in_filter,
+                   CAST(actually AS BIGINT) AS actually_present
+            FROM hits
         """,
         "events_funnel_conversion": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t

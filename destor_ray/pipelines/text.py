@@ -3776,3 +3776,66 @@ def token_cms_md5(sf_dir: str, d: int = 4, width: int = 1024,
     out = pd.DataFrame(rows_out,
                        columns=["token", "true_freq", "cms_est"])
     return out.astype({"true_freq": "int64", "cms_est": "int64"})
+
+
+def token_bloom_md5(sf_dir: str, num_bits: int = 1 << 14, k: int = 5,
+                    n_probes: int = 12):
+    """(probe, present_in_filter, actually_present) — the ORACLE-
+    VERIFIED Bloom filter (destor's B1 DDFS index, SURVEY §2.5, made
+    hash-checkable end-to-end): the corpus's distinct tokens set k
+    md5-salted bit positions (pos_j = md5(f"{j}:{token}") % num_bits);
+    the probe set (the n_probes lexicographically-first tokens plus
+    their '~miss' mutations, which the corpus cannot contain) reads
+    the same k positions back. DuckDB reproduces the BIT SET and the
+    membership answers exactly, certifying both Bloom invariants in
+    one oracle: no false negatives (every present token reads 1) and
+    bounded false positives (a miss reads 1 only on a genuine k-fold
+    collision). Production filters stay on the vectorized splitmix
+    path (functions/bloom.py) — md5 is the oracle-parity trade.
+
+    Scale shape: per-batch distinct tokens → (position) partials; the
+    exchange is BIT-domain (num_bits), never token-domain."""
+    import hashlib
+
+    from ray.data.aggregate import Max
+
+    ds = _read_documents(sf_dir).select_columns(["text"])
+
+    def positions(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+        toks = pd.unique(pd.Series(flat.to_pylist()))
+        pos, mint = [], []
+        for t in toks:
+            for j in range(k):
+                pos.append(int(hashlib.md5(
+                    f"{j}:{t}".encode()).hexdigest()[:16], 16)
+                    % num_bits)
+        # ride the batch-min token so the driver can derive the probe
+        # set without a token-domain pull: the global lexicographic
+        # head reduces through a tiny per-batch candidate list
+        head = sorted(toks)[:n_probes]
+        return pa.table({
+            "bit": pa.array(pos + [-1] * len(head), pa.int64()),
+            "tok": pa.array([""] * len(pos) + list(head), pa.string()),
+            "one": pa.array(np.ones(len(pos) + len(head), np.int64),
+                            pa.int64()),
+        })
+
+    agg = ds.map_batches(positions, batch_format="pyarrow") \
+        .groupby(["bit", "tok"]).aggregate(Max("one", alias_name="s")) \
+        .to_pandas()  # bit-domain + small probe-candidate head
+    bits = set(agg.loc[agg["bit"] >= 0, "bit"].astype(int))
+    probes = sorted(agg.loc[agg["bit"] < 0, "tok"])[:n_probes]
+
+    rows = []
+    for t in probes:
+        for probe, actually in ((t, 1), (t + "~miss", 0)):
+            hit = all(
+                int(hashlib.md5(f"{j}:{probe}".encode())
+                    .hexdigest()[:16], 16) % num_bits in bits
+                for j in range(k))
+            rows.append((probe, int(hit), actually))
+    out = pd.DataFrame(rows, columns=["probe", "present_in_filter",
+                                      "actually_present"])
+    return out.astype({"present_in_filter": "int64",
+                       "actually_present": "int64"})

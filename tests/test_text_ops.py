@@ -1468,3 +1468,20 @@ def test_token_cms_overcount_property(ray_session):
     assert len(out) == 10
     assert (out["cms_est"] >= out["true_freq"]).all()
     assert (out["cms_est"] <= 2 * out["true_freq"]).all()
+
+
+def test_token_bloom_no_false_negatives(ray_session):
+    """Bloom invariants through the oracle-verified md5 filter: every
+    actually-present probe reads present (NO false negatives — the
+    property DDFS relies on), and the planted '~miss' probes are
+    either absent or genuine k-fold collisions (bounded FPR: not all
+    of them can read present at this fill factor)."""
+    import __ray_entry__ as em
+
+    out = em.queries()["token_bloom_md5"]("/root/testdata/sf0.001")
+    present = out[out["actually_present"] == 1]
+    assert len(present) == 12
+    assert (present["present_in_filter"] == 1).all()
+    misses = out[out["actually_present"] == 0]
+    assert len(misses) == 12
+    assert int(misses["present_in_filter"].sum()) < 12
