@@ -367,13 +367,42 @@ def _el_uint(name: str, v: int) -> bytes:
     return _el(name, v.to_bytes(n, "big"))
 
 
+def decode_audio(data) -> tuple:
+    """(int16 mono/interleaved PCM array, sample_rate) from the first
+    A_PCM/INT/LIT audio track (the uncompressed-PCM codec id Matroska
+    defines) — the avi.decode_audio contract for WebM containers.
+    Raises ValueError when no audio track exists and
+    NotImplementedError (→ quarantine with attribution) for
+    compressed audio codecs (Vorbis/Opus are declared seams)."""
+    m = meta(data)
+    atracks = {t["number"]: t for t in m["tracks"] if t["type"] == 2}
+    if not atracks:
+        raise ValueError("WebM has no audio track")
+    for t in atracks.values():
+        if t["codec_id"] != "A_PCM/INT/LIT":
+            raise NotImplementedError(
+                f"WebM audio codec {t['codec_id']!r} is a declared "
+                "seam (A_PCM/INT/LIT only)")
+    tno = min(atracks)
+    sr = int(atracks[tno]["sampling_rate"]) or 8000
+    pieces = [f for tr, _ts, _kf, f in iter_blocks(data) if tr == tno]
+    if not pieces:
+        raise ValueError("WebM audio track has no blocks")
+    import numpy as _np
+    return _np.frombuffer(b"".join(pieces), dtype="<i2"), sr
+
+
 def encode_webm(vp8_frames: list, w: int, h: int,
                 frame_ms: int = 40, frames_per_cluster: int = 16,
-                keyframes=None) -> bytes:
+                keyframes=None, audio_pcm=None,
+                audio_sr: int = 8000) -> bytes:
     """Minimal valid WebM: each element of `vp8_frames` is an encoded
     VP8 payload placed in its own SimpleBlock (keyframe flag from
     `keyframes`, default all-key); clusters of `frames_per_cluster`.
-    Fixture-grade: one video track, explicit sizes throughout."""
+    With `audio_pcm` (int16 samples) an A_PCM/INT/LIT track 2 is
+    muxed: each cluster carries the PCM spanning its time range,
+    interleaved after the video blocks. Fixture-grade: explicit sizes
+    throughout."""
     if keyframes is None:
         keyframes = [True] * len(vp8_frames)
     ebml = _el("EBML", b"".join([
@@ -392,14 +421,28 @@ def encode_webm(vp8_frames: list, w: int, h: int,
         _el("MuxingApp", b"destor_ray"),
         _el("WritingApp", b"destor_ray"),
     ]))
-    tracks = _el("Tracks", _el("TrackEntry", b"".join([
+    ventry = _el("TrackEntry", b"".join([
         _el_uint("TrackNumber", 1),
         _el_uint("TrackUID", 1),
         _el_uint("TrackType", 1),
         _el("CodecID", b"V_VP8"),
         _el("Video", _el_uint("PixelWidth", w)
             + _el_uint("PixelHeight", h)),
-    ])))
+    ]))
+    aentry = b""
+    if audio_pcm is not None:
+        import numpy as _np
+        audio_pcm = _np.asarray(audio_pcm, "<i2")
+        aentry = _el("TrackEntry", b"".join([
+            _el_uint("TrackNumber", 2),
+            _el_uint("TrackUID", 2),
+            _el_uint("TrackType", 2),
+            _el("CodecID", b"A_PCM/INT/LIT"),
+            _el("Audio", _el("SamplingFrequency",
+                             struct.pack(">d", float(audio_sr)))
+                + _el_uint("Channels", 1)),
+        ]))
+    tracks = _el("Tracks", ventry + aentry)
     clusters = []
     for c0 in range(0, len(vp8_frames), frames_per_cluster):
         cts = c0 * frame_ms
@@ -411,6 +454,26 @@ def encode_webm(vp8_frames: list, w: int, h: int,
             blk = (b"\x81" + struct.pack(">h", rel)
                    + bytes([flags]) + bytes(vp8_frames[i]))
             body.append(_el("SimpleBlock", blk))
+        if audio_pcm is not None:
+            # the PCM samples spanning this cluster's time range
+            end_ms = min(c0 + frames_per_cluster,
+                         len(vp8_frames)) * frame_ms
+            s0 = cts * audio_sr // 1000
+            s1 = end_ms * audio_sr // 1000
+            chunk = audio_pcm[s0:s1]
+            if len(chunk):
+                ab = (b"\x82" + struct.pack(">h", 0)
+                      + bytes([0x80]) + chunk.tobytes())
+                body.append(_el("SimpleBlock", ab))
         clusters.append(_el("Cluster", b"".join(body)))
+    if audio_pcm is not None:
+        covered = len(vp8_frames) * frame_ms * audio_sr // 1000
+        if covered < len(audio_pcm):  # audio outlasting the video
+            cts = len(vp8_frames) * frame_ms
+            ab = (b"\x82" + struct.pack(">h", 0) + bytes([0x80])
+                  + audio_pcm[covered:].tobytes())
+            clusters.append(_el("Cluster",
+                                _el_uint("Timestamp", cts)
+                                + _el("SimpleBlock", ab)))
     segment = _el("Segment", info + tracks + b"".join(clusters))
     return ebml + segment

@@ -165,3 +165,32 @@ def test_video_container_stats_pins(ray_session):
     assert rows[("mp4", "mp4a", "seam")] == (2, 0)
     assert rows[("unknown", "", "corrupt")] == (3, 0)
     assert len(rows) == 7
+
+
+def test_webm_pcm_audio_track_roundtrip():
+    """A_PCM/INT/LIT muxing: a WebM with video + 16-bit PCM audio
+    round-trips the exact samples through the EBML walk (blocks
+    cluster-aligned, tail samples past the video duration kept), the
+    track table reports both tracks, video key frames still decode,
+    and compressed-audio codec ids raise as attributed seams."""
+    n_frames = 5
+    frames = [vp8.encode(_img(3, k), qindex=10) for k in range(n_frames)]
+    sr = 8000
+    t = np.arange(sr // 2) / sr   # outlasts the 200 ms video
+    pcm = np.round(20000 * np.sin(2 * np.pi * 200 * t)).astype(np.int16)
+    data = mkv.encode_webm(frames, 64, 48, audio_pcm=pcm, audio_sr=sr)
+    m = mkv.meta(data)
+    assert [tr["type"] for tr in m["tracks"]] == [1, 2]
+    assert m["tracks"][1]["codec_id"] == "A_PCM/INT/LIT"
+    assert m["tracks"][1]["sampling_rate"] == sr
+    out, osr = mkv.decode_audio(data)
+    assert osr == sr
+    assert np.array_equal(out, pcm)
+    assert len(mkv.decode_keyframes(data)) == n_frames
+    # no audio track -> ValueError; compressed codec id -> seam
+    video_only = mkv.encode_webm(frames, 64, 48)
+    with pytest.raises(ValueError):
+        mkv.decode_audio(video_only)
+    vorbis = data.replace(b"A_PCM/INT/LIT", b"A_VORBIS\x00\x00\x00\x00\x00")
+    with pytest.raises(NotImplementedError):
+        mkv.decode_audio(vorbis)
