@@ -895,7 +895,7 @@ queries() entries map to SURVEY.md §2 operators:
                        histogram (collapse-factor sizing) (oracle)
   docs_zipf_slope      Zipf log-log OLS over the vocab-bounded token
                        frequency table (oracle)
-  simhash_md5_pairs    oracle-verified SimHash near-dup PAIRS: 64-bit
+  simhash64_shingle_pairs oracle-verified SimHash near-dup PAIRS: 64-bit
                        md5 Charikar fingerprints, 8x8-bit bands
                        (EXACT for hamming<=7 by pigeonhole), popcount
                        verify — the whole band topology certified by
@@ -2461,7 +2461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stopword_profile": text.docs_stopword_profile,
         "docs_prefix_cluster_sizes": text.docs_prefix_cluster_sizes,
         "docs_zipf_slope": text.docs_zipf_slope,
-        "simhash_md5_pairs": text.simhash_md5_pairs,
+        "simhash64_shingle_pairs": text.simhash64_shingle_pairs,
         "token_cms_md5": text.token_cms_md5,
         "token_bloom_md5": text.token_bloom_md5,
         "docs_char_class_profile": text.docs_char_class_profile,
@@ -3255,7 +3255,7 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept_micro
             FROM s
         """,
-        "simhash_md5_pairs": f"""
+        "simhash64_shingle_pairs": f"""
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents
             ), sh AS (

@@ -3595,7 +3595,8 @@ def docs_zipf_slope(sf_dir: str):
     })
 
 
-def simhash_md5_pairs(sf_dir: str, max_hamming: int = 6, w: int = 3):
+def simhash64_shingle_pairs(sf_dir: str, max_hamming: int = 6,
+                            w: int = 3):
     """(left_id, right_id, hamming) — the ORACLE-VERIFIED SimHash
     near-dup PAIR pipeline: 64-bit Charikar fingerprints from
     md5-hashed w-token shingles (bit b = integer majority

@@ -1435,7 +1435,7 @@ def test_volume_guard_detected_across_ray_task_boundary(ray_session):
         assert not _is_volume_guard(e), type(e)
 
 
-def test_simhash_md5_pairs_banding_exact(ray_session):
+def test_simhash64_shingle_pairs_banding_exact(ray_session):
     """The 8x8-bit band exchange loses NOTHING at hamming <= 6
     (pigeonhole: <=7 differing bits leave >=1 band untouched): the
     banded pipeline's pair set equals the brute-force fingerprint
@@ -1445,9 +1445,9 @@ def test_simhash_md5_pairs_banding_exact(ray_session):
     import __ray_entry__ as em
 
     sf = "/root/testdata/sf0.001"
-    out = em.queries()["simhash_md5_pairs"](sf).to_pandas()
+    out = em.queries()["simhash64_shingle_pairs"](sf).to_pandas()
     assert (out["hamming"] <= 6).all()
-    sql = em.oracle_sql()["simhash_md5_pairs"]
+    sql = em.oracle_sql()["simhash64_shingle_pairs"]
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf}/documents.parquet')")
